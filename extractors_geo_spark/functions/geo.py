@@ -1,0 +1,305 @@
+"""Geodesy + reference-semantics expression library.
+
+Two layers:
+
+1. numpy kernels (suffix ``_np``) — vectorized math used inside Arrow
+   pandas UDFs (the decode/extract path). Includes a 6th-order Krueger
+   transverse-Mercator (public formulas, Karney 2011, "Transverse Mercator
+   with an accuracy of a few nanometers") so UTM rasters reproject to
+   EPSG:3857/4326 with no GDAL, matching the reference's
+   osr.CoordinateTransformation path (preview.geotiff/geotiffutils.py:101-129).
+
+2. Catalyst column expressions — pure `pyspark.sql.functions` builders that
+   stay JVM-side under whole-stage codegen: Web-Mercator forward/inverse,
+   the reference's antimeridian/pole clamps
+   (preview.geotiff/geotiffutils.py:131-151), bbox reorder
+   (metadata.geotiff/ncsa.image.geotiff.py:70), GeoJSON closed ring
+   (metadata.geotiff/ncsa.image.geotiff.py:115-117), WMS GetMap URL
+   (preview.geotiff/gsclient.py:69-79) and CSW record URL
+   (pycsw.extractor/ncsa.geo.pycsw.py:278-285) minting, and the CSW corner
+   axis swap (pycsw.extractor/pycswutils.py:100-107,130-136).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- constants
+R_MERC = 6378137.0  # EPSG:3857 sphere radius
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+_E = math.sqrt(WGS84_F * (2.0 - WGS84_F))
+_N = WGS84_F / (2.0 - WGS84_F)
+_A_BAR = WGS84_A / (1.0 + _N) * (1.0 + _N**2 / 4.0 + _N**4 / 64.0 + _N**6 / 256.0)
+_K0 = 0.9996
+_FE = 500000.0
+
+_n = _N
+_ALPHA = np.array([
+    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180 - 127 * _n**5 / 288 + 7891 * _n**6 / 37800,
+    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440 + 281 * _n**5 / 630 - 1983433 * _n**6 / 1935360,
+    61 * _n**3 / 240 - 103 * _n**4 / 140 + 15061 * _n**5 / 26880 + 167603 * _n**6 / 181440,
+    49561 * _n**4 / 161280 - 179 * _n**5 / 168 + 6601661 * _n**6 / 7257600,
+    34729 * _n**5 / 80640 - 3418889 * _n**6 / 1995840,
+    212378941 * _n**6 / 319334400,
+])
+_BETA = np.array([
+    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360 - 81 * _n**5 / 512 + 96199 * _n**6 / 604800,
+    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440 + 46 * _n**5 / 105 - 1118711 * _n**6 / 3870720,
+    17 * _n**3 / 480 - 37 * _n**4 / 840 - 209 * _n**5 / 4480 + 5569 * _n**6 / 90720,
+    4397 * _n**4 / 161280 - 11 * _n**5 / 504 - 830251 * _n**6 / 7257600,
+    4583 * _n**5 / 161280 - 108847 * _n**6 / 3991680,
+    20648693 * _n**6 / 638668800,
+])
+_DELTA = np.array([
+    2 * _n - 2 * _n**2 / 3 - 2 * _n**3 + 116 * _n**4 / 45 + 26 * _n**5 / 45 - 2854 * _n**6 / 675,
+    7 * _n**2 / 3 - 8 * _n**3 / 5 - 227 * _n**4 / 45 + 2704 * _n**5 / 315 + 2323 * _n**6 / 945,
+    56 * _n**3 / 15 - 136 * _n**4 / 35 - 1262 * _n**5 / 105 + 73814 * _n**6 / 2835,
+    4279 * _n**4 / 630 - 332 * _n**5 / 35 - 399572 * _n**6 / 14175,
+    4174 * _n**5 / 315 - 144838 * _n**6 / 6237,
+    601676 * _n**6 / 22275,
+])
+_J = np.arange(1, 7)
+
+# The reference blacklists ESRI 102008 (North America Albers) —
+# preview.geoshp/zipshputils.py:210-217, CHANGELOG.md:23.
+EPSG_BLACKLIST = (102008,)
+
+
+# ------------------------------------------------------------- numpy layer
+def merc_forward_np(lon, lat):
+    """EPSG:4326 -> EPSG:3857 (spherical, geodetic-lat quirk of 3857)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = R_MERC * np.radians(lon)
+    y = R_MERC * np.arctanh(np.sin(np.radians(lat)))
+    return x, y
+
+
+def merc_inverse_np(x, y):
+    """EPSG:3857 -> EPSG:4326."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.degrees(x / R_MERC)
+    lat = np.degrees(np.arctan(np.sinh(y / R_MERC)))
+    return lon, lat
+
+
+def utm_inverse_np(e, nth, zone: int, south: bool = False):
+    """UTM (WGS84) -> lon/lat via 6th-order Krueger inverse series."""
+    e = np.asarray(e, dtype=np.float64)
+    nth = np.asarray(nth, dtype=np.float64)
+    fn = 10000000.0 if south else 0.0
+    xi = (nth - fn) / (_K0 * _A_BAR)
+    eta = (e - _FE) / (_K0 * _A_BAR)
+    xi2 = xi[..., None] * 2 * _J
+    eta2 = eta[..., None] * 2 * _J
+    xi_p = xi - np.sum(_BETA * np.sin(xi2) * np.cosh(eta2), axis=-1)
+    eta_p = eta - np.sum(_BETA * np.cos(xi2) * np.sinh(eta2), axis=-1)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    phi = chi + np.sum(_DELTA * np.sin(chi[..., None] * 2 * _J), axis=-1)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    lon0 = math.radians(zone * 6 - 183)
+    return np.degrees(lam) + math.degrees(lon0), np.degrees(phi)
+
+
+def utm_forward_np(lon, lat, zone: int, south: bool = False):
+    """lon/lat -> UTM (WGS84) via 6th-order Krueger forward series."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lon0 = zone * 6 - 183
+    lam = np.radians(lon - lon0)
+    phi = np.radians(lat)
+    sphi = np.sin(phi)
+    t = np.sinh(np.arctanh(sphi) - _E * np.arctanh(_E * sphi))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi = xi_p + np.sum(_ALPHA * np.sin(xi_p[..., None] * 2 * _J) * np.cosh(eta_p[..., None] * 2 * _J), axis=-1)
+    eta = eta_p + np.sum(_ALPHA * np.cos(xi_p[..., None] * 2 * _J) * np.sinh(eta_p[..., None] * 2 * _J), axis=-1)
+    east = _FE + _K0 * _A_BAR * eta
+    north = (10000000.0 if south else 0.0) + _K0 * _A_BAR * xi
+    return east, north
+
+
+def epsg_to_lonlat_np(x, y, epsg: int):
+    """Native CRS point -> lon/lat. Supports 4326 (identity), 3857
+    (inverse spherical Mercator) and UTM 326xx/327xx (Krueger inverse).
+    Raises on anything else — caller maps that to the reference's
+    'UNKNOWN' rejection (P5)."""
+    if epsg == 4326:
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    if epsg == 3857:
+        return merc_inverse_np(x, y)
+    if 32601 <= epsg <= 32660:
+        return utm_inverse_np(x, y, epsg - 32600, south=False)
+    if 32701 <= epsg <= 32760:
+        return utm_inverse_np(x, y, epsg - 32700, south=True)
+    raise ValueError(f"unsupported epsg {epsg}")
+
+
+def epsg_to_3857_np(x, y, epsg: int):
+    """Native CRS point -> EPSG:3857, the reference's GOOGLE target
+    (preview.geotiff/geotiffutils.py:101)."""
+    if epsg == 3857:
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    lon, lat = epsg_to_lonlat_np(x, y, epsg)
+    return merc_forward_np(lon, lat)
+
+
+def clamp_origin_np(x0, y0, epsg: int):
+    """The reference's validateBbox quick fix
+    (preview.geotiff/geotiffutils.py:131-151): clamp the geotransform
+    origin lon into [-179, 179] and lat into [-89, 89] — only meaningful
+    when the native CRS is geographic, exactly as in the reference (it
+    compares raw geotransform values against degree thresholds)."""
+    x0 = np.asarray(x0, dtype=np.float64).copy()
+    y0 = np.asarray(y0, dtype=np.float64).copy()
+    x0[(x0 <= 180) & (x0 > 179)] = 179
+    x0[(x0 >= -180) & (x0 < -179)] = -179
+    y0[(y0 <= 90) & (y0 > 89)] = 89
+    y0[(y0 >= -90) & (y0 < -89)] = -89
+    return x0, y0
+
+
+def point_in_ring_np(px, py, ring_xy: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast: are points (px, py) inside the closed
+    polygon ring ``ring_xy`` (shape [k, 2])? Boundary-crossing convention
+    matches the classic PNPOLY algorithm."""
+    px = np.asarray(px, np.float64)
+    py = np.asarray(py, np.float64)
+    x1 = ring_xy[:-1, 0][:, None]
+    y1 = ring_xy[:-1, 1][:, None]
+    x2 = ring_xy[1:, 0][:, None]
+    y2 = ring_xy[1:, 1][:, None]
+    cond = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+    crossings = cond & (px < xin)
+    return crossings.sum(axis=0) % 2 == 1
+
+
+# ---------------------------------------------------------- Catalyst layer
+def merc_x(lon: Column | str) -> Column:
+    return F.lit(R_MERC) * F.radians(F.col(lon) if isinstance(lon, str) else lon)
+
+
+def merc_y(lat: Column | str) -> Column:
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    return F.lit(R_MERC) * F.atanh(F.sin(F.radians(lat)))
+
+
+def inv_merc_lon(x: Column | str) -> Column:
+    x = F.col(x) if isinstance(x, str) else x
+    return F.degrees(x / F.lit(R_MERC))
+
+
+def inv_merc_lat(y: Column | str) -> Column:
+    y = F.col(y) if isinstance(y, str) else y
+    return F.degrees(F.atan(F.sinh(y / F.lit(R_MERC))))
+
+
+def clamp_lon(lon: Column) -> Column:
+    """(179, 180] -> 179 and [-180, -179) -> -179, all else untouched
+    (preview.geotiff/geotiffutils.py:135-139)."""
+    return (
+        F.when((lon <= 180) & (lon > 179), F.lit(179.0))
+        .when((lon >= -180) & (lon < -179), F.lit(-179.0))
+        .otherwise(lon)
+    )
+
+
+def clamp_lat(lat: Column) -> Column:
+    """(89, 90] -> 89 and [-90, -89) -> -89 (preview.geotiff/geotiffutils.py:141-145)."""
+    return (
+        F.when((lat <= 90) & (lat > 89), F.lit(89.0))
+        .when((lat >= -90) & (lat < -89), F.lit(-89.0))
+        .otherwise(lat)
+    )
+
+
+def box_reordered(minx: Column, miny: Column, maxx: Column, maxy: Column) -> Column:
+    """The reference's raster `box` ordering [minx, maxy, maxx, miny]
+    (metadata.geotiff/ncsa.image.geotiff.py:70)."""
+    return F.array(minx, maxy, maxx, miny)
+
+
+def geojson_ring(minx: Column, miny: Column, maxx: Column, maxy: Column) -> Column:
+    """Closed 5-point Polygon ring in the reference's vertex order
+    (metadata.geotiff/ncsa.image.geotiff.py:115-117):
+    [LL, UL, UR, LR, LL]."""
+    pt = lambda x, y: F.array(x, y)  # noqa: E731
+    return F.array(pt(minx, miny), pt(minx, maxy), pt(maxx, maxy), pt(maxx, miny), pt(minx, miny))
+
+
+def wms_getmap_url(
+    base: Column | str,
+    workspace: Column | str,
+    layer: Column,
+    minx: Column,
+    miny: Column,
+    maxx: Column,
+    maxy: Column,
+    width: int = 640,
+    height: int = 480,
+) -> Column:
+    """Literal GetMap URL shape of the reference
+    (preview.geotiff/gsclient.py:75-76), including
+    width=640&height=480&srs=EPSG:3857&format=image%2Fpng."""
+    base = F.lit(base) if isinstance(base, str) else base
+    workspace = F.lit(workspace) if isinstance(workspace, str) else workspace
+    return F.concat(
+        base,
+        F.lit("/wms?request=GetMap&layers="),
+        workspace, F.lit(":"), layer,
+        F.lit("&bbox="),
+        F.concat_ws(",", minx.cast("string"), miny.cast("string"),
+                    maxx.cast("string"), maxy.cast("string")),
+        F.lit(f"&width={width}&height={height}&srs=EPSG:3857&format=image%2Fpng"),
+    )
+
+
+def csw_record_url(base: Column | str, workspace: Column | str, store: Column) -> Column:
+    """CSW GetRecordById URL (pycsw.extractor/ncsa.geo.pycsw.py:278-285)."""
+    base = F.lit(base) if isinstance(base, str) else base
+    workspace = F.lit(workspace) if isinstance(workspace, str) else workspace
+    return F.concat(
+        base,
+        F.lit("?request=GetRecordById&service=CSW&version=2.0.2&elementsetname=full&id="),
+        workspace, F.lit(":"), store,
+        F.lit("&outputschema=http://www.isotc211.org/2005/gmd"),
+    )
+
+
+def csw_corners(minx3857: Column, miny3857: Column, maxx3857: Column, maxy3857: Column) -> tuple[Column, Column]:
+    """CSW lower/upper corner strings: inverse-Mercator to 4326, then the
+    reference's axis swap to 'lat lon' (pycsw.extractor/pycswutils.py:100-107,
+    130-136; consumed at ncsa.geo.pycsw.py:239-240)."""
+    lo = F.concat_ws(" ", inv_merc_lat(miny3857).cast("string"), inv_merc_lon(minx3857).cast("string"))
+    hi = F.concat_ws(" ", inv_merc_lat(maxy3857).cast("string"), inv_merc_lon(maxx3857).cast("string"))
+    return lo, hi
+
+
+def storename(filename: Column, file_id: Column) -> Column:
+    """storename = filename + '_' + fileid (preview.geotiff/ncsa.geo.tiff.py:57)."""
+    return F.concat(filename, F.lit("_"), file_id)
+
+
+def style_range(mean: Column, std: Column) -> tuple[Column, Column]:
+    """Colormap range mu-2sigma .. mu+2sigma (preview.geotiff/geotiffutils.py:163-164)."""
+    return mean - 2 * std, mean + 2 * std
+
+
+def nodata_placement(nodata: Column, style_min: Column, style_max: Column) -> Column:
+    """The three nodata colormap placements of the reference
+    (preview.geotiff/geotiffutils.py:175-197): 'invalid' when nodata is
+    null/0/inside the open range, 'below' when <= min, 'above' when >= max."""
+    return (
+        F.when(nodata.isNull() | (nodata == 0), F.lit("invalid"))
+        .when((nodata > style_min) & (nodata < style_max), F.lit("invalid"))
+        .when(nodata <= style_min, F.lit("below"))
+        .otherwise(F.lit("above"))
+    )

@@ -1,0 +1,109 @@
+"""Text-analysis expression library for training-data pipelines.
+
+All functions are pure Catalyst column expressions (JVM-side, whole-stage
+codegen) — no Python on the hot path. Each has an exact ANSI-SQL twin used
+by the DuckDB oracle in __spark_entry__.oracle_sql().
+
+Ops: language-ID (stopword-hit heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting (whitespace + BPE-ish
+word/punct regex), document fingerprinting (hex-prefix content hash usable
+identically in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets. Deterministic, public knowledge.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "is", "of", "to", "a"),
+    "de": ("der", "die", "und", "ist", "das", "nicht"),
+    "fr": ("le", "la", "et", "est", "les", "une"),
+    "es": ("el", "la", "que", "de", "los", "una"),
+}
+
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish word/number/punct split
+
+
+def words(text: Column) -> Column:
+    """Lower-cased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def lang_marker_hits(text: Column, lang: str) -> Column:
+    """Count of tokens that are stopword markers for ``lang``."""
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(words(text), lambda w: F.array_contains(markers, w)))
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker-hit counts; 'und' (undetermined) when all zero.
+    Ties break by the fixed language order en,de,fr,es."""
+    hits = [(lang, lang_marker_hits(text, lang)) for lang in LANG_MARKERS]
+    best = None
+    best_cnt = None
+    for lang, cnt in hits:
+        if best is None:
+            best, best_cnt = F.lit(lang), cnt
+        else:
+            take = cnt > best_cnt
+            best = F.when(take, F.lit(lang)).otherwise(best)
+            best_cnt = F.when(take, cnt).otherwise(best_cnt)
+    return F.when(best_cnt > 0, best).otherwise(F.lit("und"))
+
+
+def n_tokens_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def n_tokens_bpe(text: Column) -> Column:
+    """BPE-ish token count: alpha runs + digit runs + individual punct."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return lang_marker_hits(text, lang) / F.greatest(n_tokens_ws(text), F.lit(1))
+
+
+def mean_word_len(text: Column) -> Column:
+    w = words(text)
+    return F.aggregate(w, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)) / F.greatest(
+        F.size(w), F.lit(1)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards reasonable length, a
+    healthy stopword ratio, and low punctuation density. Deterministic and
+    SQL-expressible; thresholds are the usual web-corpus filters
+    (Gopher/C4-style rules, public)."""
+    nt = n_tokens_ws(text)
+    len_ok = F.when((nt >= 5) & (nt <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(text)
+    sw_ok = F.when(sw >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    pr = punct_ratio(text)
+    punct_ok = F.when(pr <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl = mean_word_len(text)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + sw_ok + punct_ok + mwl_ok) / F.lit(4.0)
+
+
+def content_hash64(text: Column) -> Column:
+    """Deterministic 60-bit content hash = first 15 hex chars of md5,
+    identical in DuckDB via CAST('0x'||substr(md5(x),1,15) AS BIGINT).
+    Used for exact-dedup keys and fingerprints."""
+    return F.conv(F.substring(F.md5(text), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: hash of the normalized text (lower, collapsed
+    whitespace) — robust to trivial formatting changes."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return content_hash64(norm)

@@ -1,0 +1,199 @@
+"""Deduplication operators for training-data pipelines.
+
+All hash primitives are built on content_hash64 (md5 hex prefix -> int64),
+which has an exact ANSI-SQL twin in DuckDB — so every dedup operator here
+is oracle-checkable bit-for-bit.
+
+  exact_dedup     hash-groupBy, keep first doc per normalized-text hash
+  minhash_lsh     word-shingle MinHash signatures + banded LSH candidate
+                  pairs + exact Jaccard verification
+  simhash         32-bit SimHash + hamming-distance near-dup pairs
+  ngram_jaccard   exact n-gram Jaccard between candidate pairs
+  embedding近dup  see similarity.near_dup_pairs (cosine threshold)
+
+Scale notes: every stage is groupBy/join on int keys (hash-partitioned,
+AQE-skew-splittable); signatures are fixed-width arrays so shuffle rows are
+small; candidate verification only touches pairs that share an LSH bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import content_hash64
+
+MERSENNE_P = (1 << 61) - 1
+# Deterministic affine-map parameters (public small-prime construction).
+def _affine_params(n: int) -> list[tuple[int, int]]:
+    params = []
+    a, b = 1157, 9973
+    for i in range(n):
+        a = (a * 6364136223846793005 + 1442695040888963407) % MERSENNE_P
+        b = (b * 2862933555777941757 + 3037000493) % MERSENNE_P
+        params.append((a | 1, b))
+    return params
+
+
+def norm_text(text: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per normalized-content hash. One
+    shuffle on the 64-bit hash; min() is a partial-aggregable function so
+    the map side combines before the exchange."""
+    h = content_hash64(norm_text(F.col(text_col))).alias("content_key")
+    return (
+        df.withColumn("content_key", h)
+        .groupBy("content_key")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle strings (distinct)."""
+    w = F.filter(F.split(norm_text(text), " "), lambda x: x != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.array_distinct(sh)
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """Array of num_hashes minhash values: min over shingles of
+    (a*h(s)+b) mod p, h = content_hash64."""
+    sh = shingles(text, shingle_n)
+    hs = F.transform(sh, lambda s: content_hash64(s))
+    sig = []
+    for a, b in _affine_params(num_hashes):
+        mapped = F.transform(hs, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P)))
+        sig.append(F.array_min(mapped))
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified by exact shingle Jaccard.
+    Output: (a, b, jaccard) with a < b, jaccard >= threshold.
+
+    Plan shape: signature is computed in one projection (no UDF); bands
+    explode to (band_key -> id) rows; the self-join happens per band
+    bucket (groupBy band_key), so comparisons are bucket-local — the
+    all-pairs O(n^2) never materializes."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).withColumn("sig", sig)
+    band_keys = [
+        F.hash(F.lit(bi), *[F.element_at(F.col("sig"), bi * rows_per_band + j + 1) for j in range(rows_per_band)]).alias("bkey")
+        for bi in range(bands)
+    ]
+    banded = d.select("id", "t", F.explode(F.array(*band_keys)).alias("bkey"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, (F.col("l.bkey") == F.col("r.bkey")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                F.col("l.t").alias("ta"), F.col("r.t").alias("tb"))
+        .dropDuplicates(["a", "b"])
+    )
+    sha, shb = shingles(F.col("ta"), shingle_n), shingles(F.col("tb"), shingle_n)
+    inter = F.size(F.array_intersect(sha, shb)).cast("double")
+    union = F.size(F.array_union(sha, shb)).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash over word hashes: bit b of the result = 1 iff the sum over
+    words of (+1 if bit b of h(word) else -1) is positive."""
+    w = F.filter(F.split(norm_text(text), " "), lambda x: x != "")
+    hs = F.transform(w, lambda x: content_hash64(x))
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(F.shiftright(h, b) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    Blocking: two fixed byte-blocks of the hash (pigeonhole: any pair
+    within hamming<=3 agrees on at least one of 4 blocks of an 8-bit
+    split); candidates verified exactly with bit_count(xor)."""
+    d = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    n_blocks = bits // block_bits
+    blocks = F.explode(
+        F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftright(F.col("sh"), i * block_bits).bitwiseAND(F.lit((1 << block_bits) - 1)).alias("bv"))
+            for i in range(n_blocks)
+        ])
+    ).alias("bk")
+    banded = d.select("id", "sh", blocks).select("id", "sh", "bk.blk", "bk.bv")
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(right, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.bv") == F.col("r.bv"))
+                  & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                F.col("l.sh").alias("sa"), F.col("r.sh").alias("sb"))
+        .dropDuplicates(["a", "b"])
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over pairs sharing `block_col` (or all
+    pairs if None — only for small inputs)."""
+    sh = shingles(F.col(text_col), n)
+    d = df.select(F.col(id_col).alias("id"), sh.alias("sh"),
+                  *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]))
+    l, r = d.alias("l"), d.alias("r")
+    pairs = l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh"))).cast("double")
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh"))).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), "jaccard")
+    )
+
+
+def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop the higher-id member of every near-dup pair (greedy canonical
+    set) — left anti join, no shuffle of the payload side beyond the key."""
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,129 @@
+"""Point-in-polygon join — the engine's core spatial join (SURVEY.md J1/J2).
+
+Replaces the containment semantics the reference delegates to GeoServer's
+WMS bbox rendering (preview.geotiff/gsclient.py:75-76) and pycsw's bbox
+records (pycsw.extractor/pycswutils.py:89-109) with a native two-phase plan:
+
+  coarse:  polygons explode to their covering geocell set;
+           points encode to their containing cell;
+           equi-join on `cell` (hash-partitionable, AQE-skew-splittable)
+  refine:  exact even-odd ray cast, vectorized over the Arrow batch
+           (flat-edge-array trick: all candidate pairs' edges in one numpy
+           kernel — no per-row Python)
+
+Physical strategy is chosen by plans.planner.choose_pip_strategy:
+  * broadcast  — polygon side small (the common dims-vs-facts shape; the
+    states layer is 49 rows): exploded polygon-cells are broadcast, the
+    point side never shuffles AT ALL.
+  * partitioned — both sides large: shuffle on `cell`; hot metro cells are
+    handled by AQE skew-join plus optional salting (points add a salt from
+    phash, polygon cells duplicate per salt).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import cells
+
+DEFAULT_RES = 6  # 64x64 world grid ≈ 0.9 deg cells at CONUS; tune per layer
+
+
+def polygon_cells(polygons: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
+    """Explode each polygon to its covering cells (bbox cover — false
+    positives removed by the exact refine)."""
+    return polygons.withColumn(
+        "cell",
+        F.explode(cells.cover_bbox(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), res)),
+    )
+
+
+def tag_point_cells(points: DataFrame, lon: str = "lon", lat: str = "lat", res: int = DEFAULT_RES) -> DataFrame:
+    return points.withColumn("cell", cells.cell_id(F.col(lon), F.col(lat), res))
+
+
+def _raycast_refine(joined: DataFrame, lon: str, lat: str) -> DataFrame:
+    """Exact even-odd ray cast on candidate (point, polygon) pairs.
+
+    Vectorized across the whole Arrow batch: ragged rings are flattened to
+    one edge array with per-row segment ids; crossings are counted with a
+    single bincount — zero per-row Python."""
+
+    @F.pandas_udf(T.BooleanType())
+    def inside(px: pd.Series, py: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+        n = len(px)
+        if n == 0:
+            return pd.Series([], dtype=bool)
+        lens = np.fromiter((len(v) for v in xs), dtype=np.int64, count=n)
+        flat_x = np.concatenate([np.asarray(v, np.float64) for v in xs]) if n else np.empty(0)
+        flat_y = np.concatenate([np.asarray(v, np.float64) for v in ys]) if n else np.empty(0)
+        row = np.repeat(np.arange(n), lens)
+        # edges are consecutive vertex pairs within a row (rings closed)
+        starts = np.cumsum(lens) - lens
+        edge_mask = np.ones(flat_x.size, dtype=bool)
+        edge_mask[np.cumsum(lens) - 1] = False  # last vertex starts no edge
+        e1 = np.nonzero(edge_mask)[0]
+        e2 = e1 + 1
+        er = row[e1]
+        x1, y1, x2, y2 = flat_x[e1], flat_y[e1], flat_x[e2], flat_y[e2]
+        ppx = px.to_numpy(np.float64)[er]
+        ppy = py.to_numpy(np.float64)[er]
+        cond = (y1 > ppy) != (y2 > ppy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = (x2 - x1) * (ppy - y1) / (y2 - y1) + x1
+        crossing = cond & (ppx < xin)
+        counts = np.bincount(er[crossing], minlength=n)
+        return pd.Series(counts % 2 == 1)
+
+    return joined.filter(inside(F.col(lon), F.col(lat), F.col("xs"), F.col("ys")))
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    res: int = DEFAULT_RES,
+    broadcast_polys: bool | None = None,
+    point_cols: tuple[str, ...] = ("image_id",),
+    poly_cols: tuple[str, ...] = ("poly_id", "name"),
+    exact: bool = True,
+    salt: int | None = None,
+) -> DataFrame:
+    """Return one row per (point, containing polygon).
+
+    broadcast_polys=None lets the planner decide from the polygon count.
+    `salt` (partitioned path only) spreads each hot cell over `salt`
+    shuffle keys; the polygon side is duplicated per salt value, the point
+    side picks pmod(phash-or-hash, salt)."""
+    from ..plans import planner
+
+    pts = tag_point_cells(points.select(*point_cols, lon, lat), lon, lat, res)
+    pcs = polygon_cells(polygons.select(*poly_cols, "xs", "ys", "minx", "miny", "maxx", "maxy"), res)
+
+    if broadcast_polys is None:
+        broadcast_polys = planner.should_broadcast(pcs)
+
+    if broadcast_polys:
+        joined = pts.join(F.broadcast(pcs), "cell")
+    elif salt and salt > 1:
+        salted_pts = pts.withColumn("salt", F.pmod(F.xxhash64(*point_cols), F.lit(salt)))
+        salted_pcs = pcs.withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(salt)])))
+        joined = salted_pts.join(salted_pcs, ["cell", "salt"]).drop("salt")
+    else:
+        joined = pts.join(pcs, "cell")
+
+    # cheap bbox refine first (pure Catalyst, prunes before the UDF)
+    joined = joined.filter(
+        (F.col(lon) >= F.col("minx")) & (F.col(lon) <= F.col("maxx"))
+        & (F.col(lat) >= F.col("miny")) & (F.col(lat) <= F.col("maxy"))
+    )
+    if exact:
+        joined = _raycast_refine(joined, lon, lat)
+    return joined.select(*point_cols, lon, lat, *poly_cols)

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+  cosine_expr       pure-Catalyst cosine similarity (zip_with + aggregate)
+  brute_topk        exact top-k neighbors: cross join restricted to a
+                    (small) query set, window ranking — the baseline
+  lsh_topk          random-hyperplane LSH buckets + in-bucket ranking —
+                    the scale path (candidates only from matching buckets,
+                    multi-probe by sign-flip of the lowest-margin bit)
+  near_dup_pairs    embedding-cosine near-duplicate pairs via LSH blocks
+
+The hyperplanes are deterministic literals derived from a seeded counter
+hash, so Spark and any oracle can reproduce them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays — JVM-side only."""
+    af = F.transform(a, lambda x: x.cast("double"))
+    bf = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(af, bf, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(af, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(bf, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / F.greatest(na * nb, F.lit(1e-30))
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic unit hyperplanes [n_planes, dim]."""
+    h = hashlib.sha256(f"planes:{seed}:{dim}:{n_planes}".encode()).digest()
+    rng = np.random.Generator(np.random.PCG64(int.from_bytes(h[:8], "little")))
+    p = rng.standard_normal((n_planes, dim))
+    return p / np.linalg.norm(p, axis=1, keepdims=True)
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id from dot products against literal hyperplanes —
+    pure Catalyst (each dot product is a zip_with/aggregate against a
+    literal array)."""
+    bucket = F.lit(0).cast("long")
+    vf = F.transform(vec, lambda x: x.cast("double"))
+    for i, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(F.zip_with(vf, lit, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def brute_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "query_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast the query set against the corpus (the corpus
+    never shuffles; ranking partitions by query)."""
+    q = queries.select(F.col(q_id), F.col(q_vec).alias("_qv"))
+    c = corpus.select(F.col(c_id), F.col(c_vec).alias("_cv"))
+    joined = c.crossJoin(F.broadcast(q))
+    cos = cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine")
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
+    return (
+        joined.select(q_id, c_id, cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    q_id: str = "query_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: equi-join on LSH bucket (plus single-bit-flip
+    probes of the query when multiprobe) then exact rank inside the
+    candidate set. Recall measured against brute_topk in tests — an
+    approximate operator must ship with its accuracy check."""
+    planes = hyperplanes(dim, n_planes)
+    c = corpus.select(F.col(c_id), F.col(c_vec).alias("_cv")).withColumn(
+        "bucket", lsh_bucket(F.col("_cv"), planes)
+    )
+    q = queries.select(F.col(q_id), F.col(q_vec).alias("_qv")).withColumn(
+        "bucket", lsh_bucket(F.col("_qv"), planes)
+    )
+    if multiprobe:
+        probes = F.array(*([F.col("bucket")] + [F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]))
+        q = q.withColumn("bucket", F.explode(probes))
+    joined = c.join(F.broadcast(q), "bucket")
+    cos = cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine")
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
+    return (
+        joined.select(q_id, c_id, cos)
+        .dropDuplicates([q_id, c_id])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket by LSH, compare only
+    in-bucket, verify cosine >= threshold exactly."""
+    planes = hyperplanes(dim, n_planes)
+    d = corpus.select(F.col(c_id).alias("id"), F.col(c_vec).alias("v")).withColumn(
+        "bucket", lsh_bucket(F.col("v"), planes)
+    )
+    l, r = d.alias("l"), d.alias("r")
+    cand = l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+    cos = cosine_expr(F.col("l.v"), F.col("r.v"))
+    return (
+        cand.select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,62 @@
+"""Planner functions — the engine's 'optimizer' choices that Catalyst
+cannot make for us (SURVEY.md §4.2). PySpark cannot register Strategy
+rules, so physical decisions are encoded as plan-emitting functions:
+
+  * should_broadcast      — broadcast-vs-partitioned spatial join
+  * salt_factor           — salt hot cells from observed density (A5)
+  * split_hot_cells       — adaptive cell-splitting: re-encode rows in hot
+                            cells at finer resolution before joining
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import cells as _cells
+
+BROADCAST_ROW_LIMIT = 2_000_000  # exploded polygon-cell rows; ~100 B/row → well under 32 MB
+
+
+def should_broadcast(exploded_poly_cells: DataFrame, limit: int = BROADCAST_ROW_LIMIT) -> bool:
+    """Cheap bounded count: is the exploded polygon-cell side small enough
+    to broadcast? Uses a LIMIT-ed count so the decision itself never scans
+    more than `limit+1` rows."""
+    n = exploded_poly_cells.limit(limit + 1).count()
+    return n <= limit
+
+
+def salt_factor(density: DataFrame, target_rows_per_task: int = 2_000_000) -> int:
+    """From a per-cell density table (cells.cell_density output), pick a
+    salt factor that caps the hottest cell at ~target rows per task."""
+    row = density.agg(F.max("n").alias("mx")).collect()[0]
+    mx = row["mx"] or 0
+    return max(1, int((mx + target_rows_per_task - 1) // target_rows_per_task))
+
+
+def split_hot_cells(
+    tagged: DataFrame,
+    density: DataFrame,
+    hot_threshold: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Adaptive cell-splitting (SURVEY.md §4.2 item 2): rows whose cell
+    count exceeds `hot_threshold` are re-encoded one resolution finer.
+    `density` must be keyed by `cell`. Returns the input with `cell`
+    replaced for hot rows. Join with a polygon side that exploded its
+    cover at BOTH resolutions (cells.cover_bbox at res and res+1)."""
+    hot = density.filter(F.col("n") > hot_threshold).select("cell", F.lit(True).alias("is_hot"))
+    out = tagged.join(F.broadcast(hot), "cell", "left")
+    res_plus = (F.col("cell") / F.lit(_cells.RES_SHIFT)).cast("int") + 1
+    finer = _cells.cell_id(F.col(lon), F.col(lat), 0)  # placeholder, replaced below
+    # cell_id needs a literal res; recompute from decoded res via expression:
+    # new_cell = (res+1)*SHIFT + iy2*YS + ix2 where ix2/iy2 derive from lon/lat.
+    # We inline the arithmetic here to keep it one Catalyst expression.
+    n2 = F.pow(F.lit(2.0), res_plus).cast("long")  # exact for res <= 29
+    ix2 = F.least(F.greatest(F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * n2), F.lit(0)), n2 - 1).cast("long")
+    iy2 = F.least(F.greatest(F.floor((F.lit(90.0) - F.col(lat)) / F.lit(180.0) * n2), F.lit(0)), n2 - 1).cast("long")
+    finer = res_plus.cast("long") * F.lit(_cells.RES_SHIFT) + iy2 * F.lit(_cells.Y_SHIFT) + ix2
+    return out.withColumn(
+        "cell", F.when(F.col("is_hot"), finer).otherwise(F.col("cell"))
+    ).drop("is_hot")

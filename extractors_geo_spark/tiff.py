@@ -1,0 +1,281 @@
+"""Pure-Python (Geo)TIFF codec — no GDAL anywhere.
+
+Replaces the reference's C-library raster access:
+  * gdal.Open / GetGeoTransform / GetProjectionRef
+    (reference: preview.geotiff/geotiffutils.py:49,64,102 and
+     metadata.geotiff/ncsa.image.geotiff.py:63-95)
+  * band.GetStatistics(False, True) exact stats
+    (reference: metadata.geotiff/ncsa.image.geotiff.py:96-101)
+
+Supports the exact feature set the reference fixtures exercise: classic
+little/big-endian TIFF, uncompressed strips, single band, integer or IEEE
+float samples, GeoTIFF tags (ModelPixelScale 33550, ModelTiepoint 33922,
+GeoKeyDirectory 34735, GeoAsciiParams 34737) and GDAL_NODATA 42113.
+
+Everything here is plain bytes->numpy so it can run inside Arrow-batched
+pandas UDFs on executors; nothing touches the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# TIFF tag ids
+_W, _H = 256, 257
+_BITS, _COMP, _PHOTO = 258, 259, 262
+_STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
+_PLANAR, _SAMPLE_FMT = 284, 339
+_MODEL_PIXEL_SCALE, _MODEL_TIEPOINT = 33550, 33922
+_GEOKEY_DIR, _GEO_DOUBLES, _GEO_ASCII = 34735, 34736, 34737
+_GDAL_NODATA = 42113
+
+# GeoKey ids
+_GK_MODEL_TYPE = 1024
+_GK_CITATION = 1026
+_GK_GEOGRAPHIC_TYPE = 2048
+_GK_PROJECTED_CS = 3072
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d", 16: "Q", 17: "q"}
+
+
+@dataclass
+class TiffInfo:
+    """Parsed header. Geotransform follows the GDAL convention
+    (origin_x, px_w, 0, origin_y, 0, -px_h) for north-up rasters."""
+
+    width: int
+    height: int
+    bits: int = 8
+    sample_format: int = 1  # 1=uint, 2=int, 3=ieee float
+    compression: int = 1
+    samples_per_pixel: int = 1
+    epsg: int | None = None
+    citation: str | None = None
+    nodata: float | None = None
+    pixel_scale: tuple[float, float] | None = None  # (px_w, px_h) positive
+    tiepoint: tuple[float, float] | None = None  # model x, y of raster (0,0)
+    tags: dict[int, tuple] = field(default_factory=dict)
+
+    @property
+    def geotransform(self) -> tuple[float, float, float, float, float, float] | None:
+        if self.pixel_scale is None or self.tiepoint is None:
+            return None
+        ox, oy = self.tiepoint
+        sx, sy = self.pixel_scale
+        return (ox, sx, 0.0, oy, 0.0, -sy)
+
+    @property
+    def dtype(self) -> np.dtype:
+        if self.sample_format == 3:
+            return np.dtype({32: np.float32, 64: np.float64}[self.bits])
+        if self.sample_format == 2:
+            return np.dtype({8: np.int8, 16: np.int16, 32: np.int32, 64: np.int64}[self.bits])
+        return np.dtype({8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}[self.bits])
+
+    def bounds(self) -> tuple[float, float, float, float] | None:
+        """(minx, miny, maxx, maxy) in native CRS via the affine corner math
+        of the reference (preview.geotiff/geotiffutils.py:93-129, :113)."""
+        gt = self.geotransform
+        if gt is None:
+            return None
+        x0, y0 = gt[0], gt[3]
+        x1 = gt[0] + gt[1] * self.width + gt[2] * self.height
+        y1 = gt[3] + gt[4] * self.width + gt[5] * self.height
+        return (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
+
+
+def _read_ifd_values(data: bytes, bo: str, typ: int, cnt: int, raw: bytes):
+    size = _TYPE_SIZE.get(typ)
+    if size is None:
+        return None
+    total = size * cnt
+    if total <= 4:
+        buf = raw[:total]
+    else:
+        off = struct.unpack(bo + "I", raw)[0]
+        buf = data[off : off + total]
+    if typ == 2:  # ascii
+        return (buf.split(b"\x00")[0].decode("ascii", "replace"),)
+    fmt = _TYPE_FMT.get(typ)
+    if fmt is None:
+        return None
+    return struct.unpack(bo + fmt * cnt, buf)
+
+
+def read_info(data: bytes) -> TiffInfo:
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF")
+    bo = "<" if data[:2] == b"II" else ">"
+    magic = struct.unpack(bo + "H", data[2:4])[0]
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    ifd_off = struct.unpack(bo + "I", data[4:8])[0]
+    n = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])[0]
+    tags: dict[int, tuple] = {}
+    for i in range(n):
+        e = data[ifd_off + 2 + 12 * i : ifd_off + 2 + 12 * (i + 1)]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        vals = _read_ifd_values(data, bo, typ, cnt, e[8:12])
+        if vals is not None:
+            tags[tag] = vals
+
+    info = TiffInfo(
+        width=int(tags[_W][0]),
+        height=int(tags[_H][0]),
+        bits=int(tags.get(_BITS, (8,))[0]),
+        sample_format=int(tags.get(_SAMPLE_FMT, (1,))[0]),
+        compression=int(tags.get(_COMP, (1,))[0]),
+        samples_per_pixel=int(tags.get(_SPP, (1,))[0]),
+        tags=tags,
+    )
+    if _MODEL_PIXEL_SCALE in tags:
+        s = tags[_MODEL_PIXEL_SCALE]
+        info.pixel_scale = (float(s[0]), float(s[1]))
+    if _MODEL_TIEPOINT in tags:
+        t = tags[_MODEL_TIEPOINT]
+        # tiepoint: (i, j, k, x, y, z) — raster (i,j) pinned to model (x,y)
+        info.tiepoint = (float(t[3]) - float(t[0]) * (info.pixel_scale or (0, 0))[0],
+                         float(t[4]) + float(t[1]) * (info.pixel_scale or (0, 0))[1])
+    if _GDAL_NODATA in tags:
+        try:
+            info.nodata = float(tags[_GDAL_NODATA][0])
+        except ValueError:
+            pass
+    if _GEOKEY_DIR in tags:
+        gk = tags[_GEOKEY_DIR]
+        ascii_params = tags.get(_GEO_ASCII, ("",))[0]
+        n_keys = int(gk[3])
+        for k in range(n_keys):
+            kid, loc, cnt, val = gk[4 + 4 * k : 8 + 4 * k]
+            if kid == _GK_PROJECTED_CS and loc == 0 and val not in (0, 32767):
+                info.epsg = int(val)
+            elif kid == _GK_GEOGRAPHIC_TYPE and loc == 0 and val not in (0, 32767):
+                if info.epsg is None:
+                    info.epsg = int(val)
+            elif kid == _GK_CITATION and loc == _GEO_ASCII:
+                info.citation = ascii_params[val : val + cnt].rstrip("|").rstrip("\x00")
+    return info
+
+
+def read_pixels(data: bytes, info: TiffInfo | None = None) -> np.ndarray:
+    """Decode band 1 of an uncompressed striped TIFF -> 2-D numpy array."""
+    info = info or read_info(data)
+    if info.compression != 1:
+        raise ValueError(f"unsupported compression {info.compression}")
+    bo = "<" if data[:2] == b"II" else ">"
+    offs = info.tags[_STRIP_OFF]
+    cnts = info.tags[_STRIP_CNT]
+    buf = b"".join(data[o : o + c] for o, c in zip(offs, cnts))
+    dt = info.dtype.newbyteorder(bo)
+    arr = np.frombuffer(buf, dtype=dt)
+    if info.samples_per_pixel > 1:
+        arr = arr.reshape(-1, info.samples_per_pixel)[:, 0]
+    return arr.reshape(info.height, info.width).astype(info.dtype)
+
+
+def band_stats(arr: np.ndarray, nodata: float | None = None) -> tuple[float, float, float, float]:
+    """Exact (min, max, mean, std) of valid pixels — the GDAL
+    GetStatistics(False, True) tuple order the reference consumes at
+    metadata.geotiff/ncsa.image.geotiff.py:96-101."""
+    a = arr.astype(np.float64, copy=False).ravel()
+    if nodata is not None:
+        a = a[a != nodata]
+    if a.size == 0:
+        return (float("nan"),) * 4
+    return (float(a.min()), float(a.max()), float(a.mean()), float(a.std()))
+
+
+def write_geotiff(
+    arr: np.ndarray,
+    origin: tuple[float, float] = (0.0, 0.0),
+    pixel_size: tuple[float, float] = (1.0, 1.0),
+    epsg: int | None = 4326,
+    nodata: float | None = None,
+    citation: str | None = None,
+) -> bytes:
+    """Encode a single-band 2-D array as an uncompressed little-endian
+    GeoTIFF (one strip). Mirrors the tag set of the reference fixture so
+    read_info/read_pixels round-trip and the extract_meta operator sees
+    realistic input."""
+    arr = np.ascontiguousarray(arr)
+    h, w = arr.shape
+    kind_to_fmt = {"u": 1, "i": 2, "f": 3}
+    sample_format = kind_to_fmt[arr.dtype.kind]
+    bits = arr.dtype.itemsize * 8
+    pix = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+
+    entries: list[tuple[int, int, int, bytes | int]] = []  # tag, type, count, value
+    extra: list[bytes] = []  # out-of-line payloads appended after IFD
+
+    def _ext(payload: bytes) -> int:
+        extra.append(payload)
+        return sum(len(p) for p in extra[:-1])  # relative; fixed up later
+
+    entries.append((_W, 3, 1, w))
+    entries.append((_H, 3, 1, h))
+    entries.append((_BITS, 3, 1, bits))
+    entries.append((_COMP, 3, 1, 1))
+    entries.append((_PHOTO, 3, 1, 1))
+    strip_entry_idx = len(entries)
+    entries.append((_STRIP_OFF, 4, 1, 0))  # patched below
+    entries.append((_SPP, 3, 1, 1))
+    entries.append((_ROWS_PER_STRIP, 3, 1, h))
+    entries.append((_STRIP_CNT, 4, 1, len(pix)))
+    entries.append((_PLANAR, 3, 1, 1))
+    entries.append((_SAMPLE_FMT, 3, 1, sample_format))
+
+    entries.append((_MODEL_PIXEL_SCALE, 12, 3,
+                    _ext(struct.pack("<3d", pixel_size[0], pixel_size[1], 0.0))))
+    entries.append((_MODEL_TIEPOINT, 12, 6,
+                    _ext(struct.pack("<6d", 0, 0, 0, origin[0], origin[1], 0))))
+    if epsg is not None:
+        ascii_blob = b""
+        keys = [(_GK_MODEL_TYPE, 0, 1, 1 if epsg != 4326 else 2)]
+        if citation:
+            cbytes = (citation + "|").encode("ascii") + b"\x00"
+            keys.append((_GK_CITATION, _GEO_ASCII, len(citation) + 1, 0))
+            ascii_blob = cbytes
+        keys.append((_GK_PROJECTED_CS if epsg != 4326 else _GK_GEOGRAPHIC_TYPE, 0, 1, epsg))
+        gk = [1, 1, 0, len(keys)]
+        for kk in keys:
+            gk.extend(kk)
+        entries.append((_GEOKEY_DIR, 3, len(gk), _ext(struct.pack(f"<{len(gk)}H", *gk))))
+        if ascii_blob:
+            entries.append((_GEO_ASCII, 2, len(ascii_blob), _ext(ascii_blob)))
+    if nodata is not None:
+        nd = (f"{nodata:g}").encode("ascii") + b"\x00"
+        if len(nd) <= 4:
+            entries.append((_GDAL_NODATA, 2, len(nd), nd))
+        else:
+            entries.append((_GDAL_NODATA, 2, len(nd), _ext(nd)))
+
+    entries.sort(key=lambda t: t[0])
+    strip_entry_idx = next(i for i, e in enumerate(entries) if e[0] == _STRIP_OFF)
+
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    ifd_size = 2 + 12 * len(entries) + 4
+    extra_base = 8 + ifd_size
+    pix_off = extra_base + sum(len(p) for p in extra)
+    entries[strip_entry_idx] = (_STRIP_OFF, 4, 1, pix_off)
+
+    out = [header, struct.pack("<H", len(entries))]
+    ext_written = 0
+    for tag, typ, cnt, val in entries:
+        if isinstance(val, bytes):
+            out.append(struct.pack("<HHI", tag, typ, cnt) + val.ljust(4, b"\x00"))
+        else:
+            total = _TYPE_SIZE[typ] * cnt
+            if total <= 4 and typ in _TYPE_FMT:
+                packed = struct.pack("<" + _TYPE_FMT[typ], val).ljust(4, b"\x00")
+                out.append(struct.pack("<HHI", tag, typ, cnt) + packed)
+            else:
+                out.append(struct.pack("<HHII", tag, typ, cnt, extra_base + val))
+                ext_written += 1
+    out.append(struct.pack("<I", 0))  # next IFD
+    out.extend(extra)
+    out.append(pix)
+    return b"".join(out)

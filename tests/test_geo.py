@@ -1,0 +1,102 @@
+"""Geo expression library: reference clamp/reorder/url semantics + the
+Catalyst exprs agreeing with the numpy kernels (SURVEY.md §4.3)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from extractors_geo_spark.functions import geo
+
+
+def test_clamp_thresholds():
+    x, y = geo.clamp_origin_np(np.array([179.5, -179.5, 179.0, -179.0, 100.0]),
+                               np.array([89.5, -89.5, 89.0, -89.0, 45.0]), 4326)
+    assert list(x) == [179, -179, 179.0, -179.0, 100.0]
+    assert list(y) == [89, -89, 89.0, -89.0, 45.0]
+
+
+def test_clamp_expr_matches_np(spark):
+    vals = [(179.5, 89.5), (-179.5, -89.5), (180.0, 90.0), (-180.0, -90.0), (12.3, 45.6)]
+    df = spark.createDataFrame(vals, ["lon", "lat"]).select(
+        geo.clamp_lon(F.col("lon")).alias("cl"), geo.clamp_lat(F.col("lat")).alias("cla")
+    )
+    rows = df.collect()
+    ex, ey = geo.clamp_origin_np(np.array([v[0] for v in vals]), np.array([v[1] for v in vals]), 4326)
+    assert [r["cl"] for r in rows] == list(ex)
+    assert [r["cla"] for r in rows] == list(ey)
+
+
+def test_mercator_expr_matches_np(spark):
+    pts = [(-124.7, 24.9), (-66.9, 49.4), (0.0, 0.0), (179.0, 85.0)]
+    df = spark.createDataFrame(pts, ["lon", "lat"]).select(
+        geo.merc_x("lon").alias("x"), geo.merc_y("lat").alias("y")
+    )
+    rows = df.collect()
+    ex, ey = geo.merc_forward_np([p[0] for p in pts], [p[1] for p in pts])
+    assert np.allclose([r["x"] for r in rows], ex, rtol=1e-12)
+    assert np.allclose([r["y"] for r in rows], ey, rtol=1e-12)
+    inv = spark.createDataFrame([(float(a), float(b)) for a, b in zip(ex, ey)], ["x", "y"]).select(
+        geo.inv_merc_lon("x").alias("lon"), geo.inv_merc_lat("y").alias("lat")
+    ).collect()
+    assert np.allclose([r["lon"] for r in inv], [p[0] for p in pts], atol=1e-9)
+    assert np.allclose([r["lat"] for r in inv], [p[1] for p in pts], atol=1e-9)
+
+
+def test_box_reorder_and_ring(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 3.0, 4.0)], ["minx", "miny", "maxx", "maxy"])
+    r = df.select(
+        geo.box_reordered(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy")).alias("box"),
+        geo.geojson_ring(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy")).alias("ring"),
+    ).collect()[0]
+    assert r["box"] == [1.0, 4.0, 3.0, 2.0]  # [minx, maxy, maxx, miny]
+    assert r["ring"] == [[1.0, 2.0], [1.0, 4.0], [3.0, 4.0], [3.0, 2.0], [1.0, 2.0]]
+
+
+def test_wms_url_literal_shape(spark):
+    df = spark.createDataFrame([("layer1", -10.0, -20.0, 10.0, 20.0)],
+                               ["layer", "minx", "miny", "maxx", "maxy"])
+    url = df.select(
+        geo.wms_getmap_url("http://gs", "ws", F.col("layer"), F.col("minx"),
+                           F.col("miny"), F.col("maxx"), F.col("maxy")).alias("u")
+    ).collect()[0]["u"]
+    assert url.startswith("http://gs/wms?request=GetMap&layers=ws:layer1&bbox=")
+    assert url.endswith("&width=640&height=480&srs=EPSG:3857&format=image%2Fpng")
+
+
+def test_csw_corner_axis_swap(spark):
+    x, y = geo.merc_forward_np(np.array([-100.0, -90.0]), np.array([30.0, 40.0]))
+    df = spark.createDataFrame([(float(x[0]), float(y[0]), float(x[1]), float(y[1]))],
+                               ["minx", "miny", "maxx", "maxy"])
+    lo, hi = geo.csw_corners(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"))
+    r = df.select(lo.alias("lo"), hi.alias("hi")).collect()[0]
+    lat, lon = (float(v) for v in r["lo"].split(" "))
+    assert abs(lat - 30.0) < 1e-9 and abs(lon + 100.0) < 1e-9  # 'lat lon' order
+    lat, lon = (float(v) for v in r["hi"].split(" "))
+    assert abs(lat - 40.0) < 1e-9 and abs(lon + 90.0) < 1e-9
+
+
+def test_style_range_and_nodata_placement(spark):
+    df = spark.createDataFrame(
+        [(5.0, 1.0, -9999.0), (5.0, 1.0, 5.5), (5.0, 1.0, 9999.0), (5.0, 1.0, None), (5.0, 1.0, 0.0)],
+        ["mean", "std", "nodata"],
+    )
+    smin, smax = geo.style_range(F.col("mean"), F.col("std"))
+    rows = df.select(smin.alias("a"), smax.alias("b"),
+                     geo.nodata_placement(F.col("nodata"), smin, smax).alias("p")).collect()
+    assert rows[0]["a"] == 3.0 and rows[0]["b"] == 7.0
+    assert [r["p"] for r in rows] == ["below", "invalid", "above", "invalid", "invalid"]
+
+
+def test_point_in_ring_np():
+    ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    inside = geo.point_in_ring_np(np.array([2.0, 5.0, -1.0]), np.array([2.0, 2.0, 2.0]), ring)
+    assert list(inside) == [True, False, False]
+    # concave polygon
+    ring = np.array([[0, 0], [4, 0], [4, 4], [2, 2], [0, 4], [0, 0]], dtype=float)
+    inside = geo.point_in_ring_np(np.array([2.0, 2.0]), np.array([1.0, 3.0]), ring)
+    assert list(inside) == [True, False]
+
+
+def test_utm_against_wgs84_known_point():
+    # well-known check: (lat 0, lon at central meridian) -> easting 500000
+    e, n = geo.utm_forward_np(np.array([-123.0]), np.array([0.0]), 10)
+    assert abs(e[0] - 500000.0) < 1e-6 and abs(n[0]) < 1e-6

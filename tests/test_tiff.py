@@ -1,0 +1,105 @@
+"""Fixture-equivalence tests: re-derive the reference's golden numbers
+(metadata.geotiff/tests/inundation_output.json and
+preview.geotiff/tests/inundation_output.json) from the same fixture with
+the pure-Python codec + Krueger reprojection — SURVEY.md §5 item 1."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from extractors_geo_spark import tiff
+from extractors_geo_spark.functions import geo
+
+FIX = "/root/reference/preview.geotiff/tests/inundation-500yr.tif"
+GOLD = "/root/reference/metadata.geotiff/tests/inundation_output.json"
+needs_fixture = pytest.mark.skipif(not os.path.exists(FIX), reason="reference fixture absent")
+
+
+@needs_fixture
+def test_header_matches_golden():
+    info = tiff.read_info(open(FIX, "rb").read())
+    g = json.load(open(GOLD))["raster"]
+    assert info.width == g["properties"]["x_size"] == 390
+    assert info.height == g["properties"]["y_size"] == 416
+    assert info.pixel_scale == (g["properties"]["width"], -g["properties"]["height"])
+    assert info.epsg == 32610
+    assert info.citation == g["proj"] == "WGS 84 / UTM zone 10N"
+    assert info.nodata == -9999.0
+    # box ordering [minx, maxy, maxx, miny] (ncsa.image.geotiff.py:70)
+    minx, miny, maxx, maxy = info.bounds()
+    assert [minx, maxy, maxx, miny] == g["box"]
+
+
+@needs_fixture
+def test_stats_match_golden():
+    data = open(FIX, "rb").read()
+    info = tiff.read_info(data)
+    arr = tiff.read_pixels(data, info)
+    mn, mx, mean, std = tiff.band_stats(arr, info.nodata)
+    g = json.load(open(GOLD))["raster"]["rast_stats"]
+    assert mn == g["min"] and mx == g["max"]
+    assert abs(mean - g["average"]) < 1e-9
+    assert abs(std - g["st-dev"]) < 1e-9
+
+
+@needs_fixture
+def test_geojson_ring_matches_golden():
+    info = tiff.read_info(open(FIX, "rb").read())
+    minx, miny, maxx, maxy = info.bounds()
+    ring = [[minx, miny], [minx, maxy], [maxx, maxy], [maxx, miny], [minx, miny]]
+    g = json.load(open(GOLD))["raster"]["GeoJSON"]["coordinates"][0]
+    assert ring == g
+
+
+@needs_fixture
+def test_3857_extent_matches_preview_golden():
+    """preview.geotiff golden: UTM 32610 corners -> EPSG:3857 bbox string
+    -13805436.266,5773161.51856,-13791809.8603,5787397.56345"""
+    info = tiff.read_info(open(FIX, "rb").read())
+    gt = info.geotransform
+    x = np.array([gt[0], gt[0] + gt[1] * info.width])
+    y = np.array([gt[3], gt[3] + gt[5] * info.height])
+    mx, my = geo.epsg_to_3857_np(x, y, info.epsg)
+    got = [mx.min(), my.min(), mx.max(), my.max()]
+    gold = [-13805436.266, 5773161.51856, -13791809.8603, 5787397.56345]
+    assert np.allclose(got, gold, atol=1e-3)
+
+
+def test_shapefile_extent_golden():
+    """states.zip golden bbox (4326 layer extent -> 3857):
+    -13885038.383,2870337.13079,-7455049.48918,6338174.05576"""
+    x, y = geo.merc_forward_np(
+        np.array([-124.731422, -66.969849]), np.array([24.955967, 49.371735])
+    )
+    assert np.allclose([x[0], y[0], x[1], y[1]],
+                       [-13885038.383, 2870337.13079, -7455049.48918, 6338174.05576],
+                       atol=1e-3)
+
+
+def test_writer_roundtrip():
+    rng = np.random.default_rng(7)
+    for dtype in (np.uint8, np.int16, np.float32, np.float64):
+        a = (rng.random((13, 9)) * 100).astype(dtype)
+        b = tiff.write_geotiff(a, origin=(10.0, 50.0), pixel_size=(0.5, 0.25),
+                               epsg=4326, nodata=0.0, citation="WGS 84")
+        info = tiff.read_info(b)
+        assert (info.width, info.height) == (9, 13)
+        assert info.epsg == 4326 and info.nodata == 0.0 and info.citation == "WGS 84"
+        assert info.geotransform == (10.0, 0.5, 0.0, 50.0, 0.0, -0.25)
+        assert np.array_equal(tiff.read_pixels(b), a)
+
+
+def test_writer_utm_roundtrip():
+    a = np.arange(12, dtype=np.float64).reshape(3, 4)
+    b = tiff.write_geotiff(a, origin=(421364.63, 5099434.5), pixel_size=(24.0, 24.0),
+                           epsg=32610, nodata=-9999.0)
+    info = tiff.read_info(b)
+    assert info.epsg == 32610
+    assert info.bounds() == (421364.63, 5099434.5 - 3 * 24.0, 421364.63 + 4 * 24.0, 5099434.5)
+
+
+def test_non_tiff_rejected():
+    with pytest.raises(ValueError):
+        tiff.read_info(b"\x89PNG\r\n\x1a\nxxxx")
