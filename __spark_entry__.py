@@ -1,38 +1,864 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: synthetic image+caption table -> extract_meta
+                 (GeoTIFF decode) -> geocell encode -> point-in-polygon
+                 join vs the polygon layer -> WMS-style URL mint.
+queries()      — one entry per implemented operator from SURVEY.md §2.
+oracle_sql()   — DuckDB twins. Spatial queries run over DERIVED points:
+                 deterministic lon/lat computed from lineitem keys with
+                 pure integer arithmetic + exact decimal division, so
+                 Spark and DuckDB see bit-identical doubles. Float outputs
+                 that pass through libm (mercator, stddev, cosine) are
+                 quantized with FLOOR at a granularity >> cross-engine ulp
+                 noise so value-hashes match.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from extractors_geo_spark import datagen
+from extractors_geo_spark.functions import geo, text as X
+from extractors_geo_spark.operators import (
+    cells,
+    dedup,
+    extract_meta,
+    knn,
+    pip_join,
+    similarity,
+    tiles,
+)
+
+# ---------------------------------------------------------------------------
+# shared derived-point scheme (bit-identical in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+RES = 6
+Z = 7
+
+_POINTS_SQL = """
+    SELECT l_orderkey * 100000 + l_linenumber AS point_id,
+           -124.0 + (l_orderkey * 7 + l_linenumber) % 5700 / 100.0 AS lon,
+           25.0 + (l_orderkey * 13 + l_linenumber) % 2400 / 100.0 AS lat
+    FROM lineitem
+"""
 
 
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        (F.col("l_orderkey") * 100000 + F.col("l_linenumber")).alias("point_id"),
+        (F.lit(-124.0) + (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5700 / 100.0).alias("lon"),
+        (F.lit(25.0) + (F.col("l_orderkey") * 13 + F.col("l_linenumber")) % 2400 / 100.0).alias("lat"),
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _fq(col, scale: int):
+    """FLOOR(col*scale) quantizer (Spark side)."""
+    return F.floor(col * F.lit(scale)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# spatial / reference-semantics queries
+# ---------------------------------------------------------------------------
+def q_merc_extent(spark, sf_dir):
+    """F3/P7: clamp -> forward Web-Mercator, min/max extent per group."""
+    p = _points(spark, sf_dir)
+    x = geo.merc_x(geo.clamp_lon(F.col("lon")))
+    y = geo.merc_y(geo.clamp_lat(F.col("lat")))
+    return (
+        p.withColumn("grp", F.col("point_id") % 10)
+        .select("grp", x.alias("x"), y.alias("y"))
+        .groupBy("grp")
+        .agg(
+            _fq(F.min("x"), 1).alias("minx_m"),
+            _fq(F.min("y"), 1).alias("miny_m"),
+            _fq(F.max("x"), 1).alias("maxx_m"),
+            _fq(F.max("y"), 1).alias("maxy_m"),
+        )
+    )
+
+
+SQL_MERC = f"""
+WITH p AS ({_POINTS_SQL}),
+m AS (
+  SELECT point_id % 10 AS grp,
+         6378137.0 * RADIANS(CASE WHEN lon <= 180 AND lon > 179 THEN 179.0
+                                  WHEN lon >= -180 AND lon < -179 THEN -179.0
+                                  ELSE lon END) AS x,
+         6378137.0 * 0.5 * LN((1 + SIN(RADIANS(CASE WHEN lat <= 90 AND lat > 89 THEN 89.0 WHEN lat >= -90 AND lat < -89 THEN -89.0 ELSE lat END))) / (1 - SIN(RADIANS(CASE WHEN lat <= 90 AND lat > 89 THEN 89.0 WHEN lat >= -90 AND lat < -89 THEN -89.0 ELSE lat END)))) AS y
+  FROM p)
+SELECT grp,
+       CAST(FLOOR(MIN(x)) AS BIGINT) AS minx_m,
+       CAST(FLOOR(MIN(y)) AS BIGINT) AS miny_m,
+       CAST(FLOOR(MAX(x)) AS BIGINT) AS maxx_m,
+       CAST(FLOOR(MAX(y)) AS BIGINT) AS maxy_m
+FROM m GROUP BY grp
+"""
+
+
+def q_inv_mercator(spark, sf_dir):
+    """F5: 3857 -> 4326 inverse on derived mercator coords."""
+    p = _points(spark, sf_dir)
+    x = geo.merc_x(F.col("lon"))
+    y = geo.merc_y(F.col("lat"))
+    return p.select(
+        "point_id",
+        # round-half-up: the round trip lands within 1 ulp of exact
+        # 2-decimal boundaries, so plain FLOOR would flip between engines
+        F.floor(geo.inv_merc_lon(x) * 10000 + F.lit(0.5)).cast("long").alias("lon_q"),
+        F.floor(geo.inv_merc_lat(y) * 10000 + F.lit(0.5)).cast("long").alias("lat_q"),
+    )
+
+
+SQL_INV_MERC = f"""
+WITH p AS ({_POINTS_SQL})
+SELECT point_id,
+       CAST(FLOOR(DEGREES((6378137.0 * RADIANS(lon)) / 6378137.0) * 10000 + 0.5) AS BIGINT) AS lon_q,
+       CAST(FLOOR(DEGREES(ATAN((EXP((6378137.0 * 0.5 * LN((1 + SIN(RADIANS(lat))) / (1 - SIN(RADIANS(lat))))) / 6378137.0) - EXP(-((6378137.0 * 0.5 * LN((1 + SIN(RADIANS(lat))) / (1 - SIN(RADIANS(lat))))) / 6378137.0))) / 2)) * 10000 + 0.5) AS BIGINT) AS lat_q
+FROM p
+"""
+
+
+def q_box_reorder(spark, sf_dir):
+    """P8: the reference's [minx, maxy, maxx, miny] box ordering."""
+    p = _points(spark, sf_dir)
+    b = p.select(
+        "point_id",
+        (F.col("lon") - 0.05).alias("minx"), (F.col("lat") - 0.05).alias("miny"),
+        (F.col("lon") + 0.05).alias("maxx"), (F.col("lat") + 0.05).alias("maxy"),
+    )
+    box = geo.box_reordered(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"))
+    return b.select(
+        "point_id",
+        box[0].alias("b0"), box[1].alias("b1"), box[2].alias("b2"), box[3].alias("b3"),
+    )
+
+
+SQL_BOX = f"""
+WITH p AS ({_POINTS_SQL})
+SELECT point_id, lon - 0.05 AS b0, lat + 0.05 AS b1, lon + 0.05 AS b2, lat - 0.05 AS b3
+FROM p
+"""
+
+
+def q_geojson_ring(spark, sf_dir):
+    """F6: closed 5-point ring vertices (flattened to columns)."""
+    p = _points(spark, sf_dir)
+    b = p.select("point_id", (F.col("lon") - 0.05).alias("x0"), (F.col("lat") - 0.05).alias("y0"),
+                 (F.col("lon") + 0.05).alias("x1"), (F.col("lat") + 0.05).alias("y1"))
+    ring = geo.geojson_ring(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1"))
+    sel = ["point_id"]
+    for i in range(5):
+        sel += [ring[i][0].alias(f"rx{i}"), ring[i][1].alias(f"ry{i}")]
+    return b.select(*sel)
+
+
+SQL_RING = f"""
+WITH p AS ({_POINTS_SQL})
+SELECT point_id,
+       lon-0.05 AS rx0, lat-0.05 AS ry0,
+       lon-0.05 AS rx1, lat+0.05 AS ry1,
+       lon+0.05 AS rx2, lat+0.05 AS ry2,
+       lon+0.05 AS rx3, lat-0.05 AS ry3,
+       lon-0.05 AS rx4, lat-0.05 AS ry4
+FROM p
+"""
+
+
+def q_cell_encode(spark, sf_dir):
+    """J1 coarse key: geocell encode at res 6 and 8."""
+    p = _points(spark, sf_dir)
+    return p.select(
+        "point_id",
+        cells.cell_id(F.col("lon"), F.col("lat"), RES).alias("cell6"),
+        cells.cell_id(F.col("lon"), F.col("lat"), 8).alias("cell8"),
+    )
+
+
+SQL_CELL = f"""
+WITH p AS ({_POINTS_SQL})
+SELECT point_id,
+       {cells.cell_id_sql('lon', 'lat', RES)} AS cell6,
+       {cells.cell_id_sql('lon', 'lat', 8)} AS cell8
+FROM p
+"""
+
+
+def q_cell_density(spark, sf_dir):
+    """A5: per-cell counts feeding the salting planner."""
+    p = _points(spark, sf_dir)
+    tagged = p.withColumn("cell", cells.cell_id(F.col("lon"), F.col("lat"), RES))
+    return cells.cell_density(tagged)
+
+
+SQL_DENSITY = f"""
+WITH p AS ({_POINTS_SQL})
+SELECT {cells.cell_id_sql('lon', 'lat', RES)} AS cell, COUNT(*) AS n
+FROM p GROUP BY 1
+"""
+
+
+def q_cell_cover(spark, sf_dir):
+    """Covering cell set of a bbox (polygon_cells coarse phase)."""
+    p = _points(spark, sf_dir).filter(F.col("point_id") % 17 == 3)
+    b = p.select("point_id", (F.col("lon") - 0.8).alias("minx"), (F.col("lat") - 0.8).alias("miny"),
+                 (F.col("lon") + 0.8).alias("maxx"), (F.col("lat") + 0.8).alias("maxy"))
+    return b.select(
+        "point_id",
+        F.explode(cells.cover_bbox(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), RES)).alias("cell"),
+    )
+
+
+def _sql_ixy(expr_lon, expr_lat, res):
+    n = 1 << res
+    ix = f"LEAST(GREATEST(CAST(FLOOR(({expr_lon} + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
+    iy = f"LEAST(GREATEST(CAST(FLOOR((90.0 - ({expr_lat})) / 180.0 * {n}) AS BIGINT), 0), {n - 1})"
+    return ix, iy
+
+
+_ix0, _iy1 = _sql_ixy("lon - 0.8", "lat - 0.8", RES)  # minx -> ix0 ; miny -> iy1 (bottom)
+_ix1, _iy0 = _sql_ixy("lon + 0.8", "lat + 0.8", RES)  # maxx -> ix1 ; maxy -> iy0 (top)
+SQL_COVER = f"""
+WITH p AS ({_POINTS_SQL})
+SELECT point_id,
+       CAST({RES} AS BIGINT) * {cells.RES_SHIFT} + iy * {cells.Y_SHIFT} + ix AS cell
+FROM (SELECT point_id, {_ix0} AS ix0, {_ix1} AS ix1, {_iy0} AS iy0, {_iy1} AS iy1
+      FROM p WHERE point_id % 17 = 3),
+     UNNEST(generate_series(iy0, iy1)) AS ty(iy),
+     UNNEST(generate_series(ix0, ix1)) AS tx(ix)
+"""
+
+
+def q_cell_children(spark, sf_dir):
+    """Adaptive-split primitive: 4 children at res+1."""
+    p = _points(spark, sf_dir).filter(F.col("point_id") % 37 == 5)
+    c = cells.cell_id(F.col("lon"), F.col("lat"), RES)
+    return p.select("point_id", F.explode(cells.cell_children(c)).alias("child"))
+
+
+_cix, _ciy = _sql_ixy("lon", "lat", RES)
+SQL_CHILDREN = f"""
+WITH p AS ({_POINTS_SQL}),
+c AS (SELECT point_id, {_cix} AS ix, {_ciy} AS iy FROM p WHERE point_id % 37 = 5)
+SELECT point_id,
+       CAST({RES + 1} AS BIGINT) * {cells.RES_SHIFT} + (iy*2 + dy) * {cells.Y_SHIFT} + (ix*2 + dx) AS child
+FROM c, UNNEST([0, 1]) AS ty(dy), UNNEST([0, 1]) AS tx(dx)
+"""
+
+
+# literal rectangle layer for the SQL-checkable PIP join (edges at .xx5 so
+# 2-decimal points never sit on a boundary)
+_RECTS = [
+    ("rA", -124.005, 24.995, -110.005, 37.005),
+    ("rB", -110.005, 24.995, -95.005, 37.005),
+    ("rC", -95.005, 24.995, -66.005, 37.005),
+    ("rD", -124.005, 37.005, -110.005, 49.005),
+    ("rE", -110.005, 37.005, -95.005, 49.005),
+    ("rF", -95.005, 37.005, -66.005, 49.005),
+]
+
+
+def q_pip_join(spark, sf_dir):
+    """J2: point-in-polygon join via the real pip_join operator (geocell
+    coarse + exact ray cast) against a rectangle layer; the oracle states
+    the same containment declaratively."""
+    p = _points(spark, sf_dir)
+    polys = spark.createDataFrame(
+        [
+            {
+                "poly_id": pid, "name": pid,
+                "xs": [x0, x1, x1, x0, x0], "ys": [y0, y0, y1, y1, y0],
+                "minx": x0, "miny": y0, "maxx": x1, "maxy": y1,
+            }
+            for pid, x0, y0, x1, y1 in _RECTS
+        ],
+        datagen.POLY_SCHEMA,
+    )
+    out = pip_join.pip_join(
+        p, polys, point_cols=("point_id",), poly_cols=("poly_id",), res=RES
+    )
+    return out.select("point_id", "poly_id")
+
+
+SQL_PIP = f"""
+WITH p AS ({_POINTS_SQL}),
+r(poly_id, x0, y0, x1, y1) AS (VALUES {", ".join(f"('{pid}', {x0}, {y0}, {x1}, {y1})" for pid, x0, y0, x1, y1 in _RECTS)})
+SELECT p.point_id, r.poly_id
+FROM p JOIN r ON p.lon > r.x0 AND p.lon < r.x1 AND p.lat > r.y0 AND p.lat < r.y1
+"""
+
+
+_KNN_QUERIES = [(f"q{i:02d}", -123.455 + 2.71 * i, 25.955 + 0.83 * i) for i in range(20)]
+
+
+def q_knn(spark, sf_dir):
+    """J5: grid kNN (cell-ring candidates + window top-k) vs brute-force
+    SQL ranking."""
+    p = _points(spark, sf_dir)
+    q = spark.createDataFrame(_KNN_QUERIES, ["query_id", "lon", "lat"])
+    out = knn.knn_join(q, p, k=3, res=7, ring=1, t_id="point_id")
+    return out.select("query_id", "point_id", "rank")
+
+
+SQL_KNN = f"""
+WITH p AS ({_POINTS_SQL}),
+q(query_id, qlon, qlat) AS (VALUES {", ".join(f"('{n}', {x!r}, {y!r})" for n, x, y in _KNN_QUERIES)}),
+d AS (
+  SELECT q.query_id, p.point_id,
+         ((q.qlon - p.lon) * 0.7547095802227721) * ((q.qlon - p.lon) * 0.7547095802227721)
+         + (q.qlat - p.lat) * (q.qlat - p.lat) AS dist_sq
+  FROM q CROSS JOIN p),
+rk AS (
+  SELECT query_id, point_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist_sq ASC, point_id ASC) AS rank
+  FROM d)
+SELECT query_id, point_id, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 3
+"""
+
+
+def q_tile_assign(spark, sf_dir):
+    """T1 addressing: slippy z/x/y tile of each point at z=7."""
+    p = _points(spark, sf_dir)
+    tx, ty = cells.tile_xyz(F.col("lon"), F.col("lat"), Z)
+    return p.select("point_id", F.lit(Z).alias("z"), tx.alias("x"), ty.alias("y"))
+
+
+_sx, _sy = cells.tile_xyz_sql("lon", "lat", Z)
+SQL_TILE = f"""
+WITH p AS ({_POINTS_SQL})
+SELECT point_id, {Z} AS z, {_sx} AS x, {_sy} AS y FROM p
+"""
+
+
+def q_pyramid_levels(spark, sf_dir):
+    """T1 level math: overview dims per gdaladdo level 2..1024, halving
+    with ceil, clipped to min(w,h) — pure ints."""
+    part = _t(spark, sf_dir, "part")
+    d = part.select(
+        F.col("p_partkey").alias("image_id"),
+        (F.pmod(F.col("p_partkey") * 37, F.lit(900)) + 100).alias("w"),
+        (F.pmod(F.col("p_partkey") * 53, F.lit(900)) + 100).alias("h"),
+    )
+    lv = F.explode(F.array(*[F.lit(v) for v in tiles.GDALADDO_LEVELS])).alias("level")
+    d = d.select("image_id", "w", "h", lv).filter(
+        (F.col("level") <= F.col("w")) & (F.col("level") <= F.col("h"))
+    )
+    # ceil-halving n times == ceil(x / 2^n) for positive ints
+    return d.select(
+        "image_id", "level",
+        F.ceil(F.col("w") / F.col("level")).cast("long").alias("tw"),
+        F.ceil(F.col("h") / F.col("level")).cast("long").alias("th"),
+    )
+
+
+SQL_PYRAMID = f"""
+WITH d AS (
+  SELECT p_partkey AS image_id,
+         (p_partkey * 37) % 900 + 100 AS w,
+         (p_partkey * 53) % 900 + 100 AS h
+  FROM part)
+SELECT image_id, level,
+       CAST(CEIL(w / CAST(level AS DOUBLE)) AS BIGINT) AS tw,
+       CAST(CEIL(h / CAST(level AS DOUBLE)) AS BIGINT) AS th
+FROM d, UNNEST([{", ".join(str(v) for v in tiles.GDALADDO_LEVELS)}]) AS t(level)
+WHERE level <= w AND level <= h
+"""
+
+
+def q_wms_url(spark, sf_dir):
+    """F7: WMS GetMap URL literal shape (integer-quantized bbox so the
+    string is engine-independent)."""
+    p = _points(spark, sf_dir).filter(F.col("point_id") % 13 == 3)
+    b = p.select(
+        "point_id",
+        _fq(geo.merc_x(F.col("lon") - 0.05), 1).alias("minx"),
+        _fq(geo.merc_y(F.col("lat") - 0.05), 1).alias("miny"),
+        _fq(geo.merc_x(F.col("lon") + 0.05), 1).alias("maxx"),
+        _fq(geo.merc_y(F.col("lat") + 0.05), 1).alias("maxy"),
+    )
+    url = geo.wms_getmap_url(
+        "http://gs", "ws", F.col("point_id").cast("string"),
+        F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"),
+    )
+    return b.select("point_id", url.alias("wms_url"))
+
+
+SQL_WMS = f"""
+WITH p AS ({_POINTS_SQL}),
+b AS (
+  SELECT point_id,
+         CAST(FLOOR(6378137.0 * RADIANS(lon - 0.05)) AS BIGINT) AS minx,
+         CAST(FLOOR(6378137.0 * 0.5 * LN((1 + SIN(RADIANS(lat - 0.05))) / (1 - SIN(RADIANS(lat - 0.05))))) AS BIGINT) AS miny,
+         CAST(FLOOR(6378137.0 * RADIANS(lon + 0.05)) AS BIGINT) AS maxx,
+         CAST(FLOOR(6378137.0 * 0.5 * LN((1 + SIN(RADIANS(lat + 0.05))) / (1 - SIN(RADIANS(lat + 0.05))))) AS BIGINT) AS maxy
+  FROM p WHERE point_id % 13 = 3)
+SELECT point_id,
+       'http://gs/wms?request=GetMap&layers=ws:' || CAST(point_id AS VARCHAR)
+       || '&bbox=' || CAST(minx AS VARCHAR) || ',' || CAST(miny AS VARCHAR) || ','
+       || CAST(maxx AS VARCHAR) || ',' || CAST(maxy AS VARCHAR)
+       || '&width=640&height=480&srs=EPSG:3857&format=image%2Fpng' AS wms_url
+FROM b
+"""
+
+
+def q_storename(spark, sf_dir):
+    """F11: storename = filename + '_' + fileid mangling."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        geo.storename(F.col("c_name"), F.col("c_custkey").cast("string")).alias("store"),
+    )
+
+
+SQL_STORE = "SELECT c_custkey AS id, c_name || '_' || CAST(c_custkey AS VARCHAR) AS store FROM customer"
+
+
+# ---------------------------------------------------------------------------
+# catalog / removal / aggregation semantics over the driver events table
+# ---------------------------------------------------------------------------
+def q_removal_antijoin(spark, sf_dir):
+    """J3/ST2: users whose LAST event is 'error' are removed; everyone
+    else keeps their event count (left anti join)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    removed = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") == "error"))
+        .select("user_id")
+    )
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return counts.join(removed, "user_id", "left_anti")
+
+
+SQL_REMOVAL = """
+WITH last AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+removed AS (SELECT user_id FROM last WHERE rn = 1 AND event_type = 'error')
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+WHERE user_id NOT IN (SELECT user_id FROM removed)
+GROUP BY user_id
+"""
+
+
+def q_catalog_upsert(spark, sf_dir):
+    """K5 MERGE latest-wins: the newest event per user wins."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("last_type"), F.col("value").alias("last_value"))
+    )
+
+
+SQL_UPSERT = """
+SELECT user_id, event_type AS last_type, value AS last_value
+FROM (SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_band_stats(spark, sf_dir):
+    """A1 cross-image form: exact min/max/mean/stddev_pop per group
+    (the GDAL GetStatistics(False, True) tuple)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _fq(F.min("l_quantity"), 10000).alias("min_q"),
+        _fq(F.max("l_quantity"), 10000).alias("max_q"),
+        _fq(F.avg("l_quantity"), 10000).alias("avg_q"),
+        _fq(F.stddev_pop("l_quantity"), 10000).alias("std_q"),
+    )
+
+
+SQL_STATS = """
+SELECT l_returnflag,
+       CAST(FLOOR(MIN(l_quantity) * 10000) AS BIGINT) AS min_q,
+       CAST(FLOOR(MAX(l_quantity) * 10000) AS BIGINT) AS max_q,
+       CAST(FLOOR(AVG(l_quantity) * 10000) AS BIGINT) AS avg_q,
+       CAST(FLOOR(STDDEV_POP(l_quantity) * 10000) AS BIGINT) AS std_q
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_style_range(spark, sf_dir):
+    """F12: mu±2sigma style range + the reference's 3-way nodata
+    placement per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mean"), F.stddev_pop("value").alias("std")
+    )
+    smin, smax = geo.style_range(F.col("mean"), F.col("std"))
+    nodata = F.lit(-9999.0)
+    return agg.select(
+        "event_type",
+        _fq(smin, 1000).alias("style_min_q"),
+        _fq(smax, 1000).alias("style_max_q"),
+        geo.nodata_placement(nodata, smin, smax).alias("nodata_pos"),
+    )
+
+
+SQL_STYLE = """
+WITH a AS (
+  SELECT event_type, AVG(value) AS mean, STDDEV_POP(value) AS std FROM events GROUP BY event_type)
+SELECT event_type,
+       CAST(FLOOR((mean - 2*std) * 1000) AS BIGINT) AS style_min_q,
+       CAST(FLOOR((mean + 2*std) * 1000) AS BIGINT) AS style_max_q,
+       CASE WHEN -9999.0 > (mean - 2*std) AND -9999.0 < (mean + 2*std) THEN 'invalid'
+            WHEN -9999.0 <= (mean - 2*std) THEN 'below'
+            ELSE 'above' END AS nodata_pos
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity over documents + embeddings
+# ---------------------------------------------------------------------------
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(X.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sql_marker_hits(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in X.LANG_MARKERS[lang])
+    return (
+        "len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),"
+        f" w -> list_contains([{markers}], w)))"
+    )
+
+
+_SQL_WORDS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+# NOTE: Spark words() splits on \s+; DuckDB splits on ' ' — document texts
+# are single-space separated so both agree (verified in tests).
+SQL_LANG = f"""
+WITH h AS (
+  SELECT {_sql_marker_hits('en')} AS en, {_sql_marker_hits('de')} AS de,
+         {_sql_marker_hits('fr')} AS fr, {_sql_marker_hits('es')} AS es
+  FROM documents),
+p AS (
+  SELECT CASE WHEN GREATEST(en, de, fr, es) = 0 THEN 'und'
+              WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+              WHEN de >= fr AND de >= es THEN 'de'
+              WHEN fr >= es THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM h)
+SELECT lang_pred, COUNT(*) AS n FROM p GROUP BY lang_pred
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.n_tokens_ws(F.col("text")).alias("ws_tokens"),
+        X.n_tokens_bpe(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+SQL_TOKENS = f"""
+SELECT doc_id,
+       len({_SQL_WORDS}) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (X.quality_score(F.col("text")) * 4).cast("int").alias("quality_x4"),
+    )
+
+
+_SQL_NT = f"len({_SQL_WORDS})"
+_SQL_SW = _sql_marker_hits("en")
+_SQL_PR = "length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / GREATEST(length(text), 1)"
+_SQL_MWL = (
+    f"list_sum(list_transform({_SQL_WORDS}, w -> length(w))) * 1.0 / GREATEST({_SQL_NT}, 1)"
+)
+SQL_QUALITY = f"""
+SELECT doc_id,
+       CAST((CASE WHEN {_SQL_NT} BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END
+           + CASE WHEN {_SQL_SW} * 1.0 / GREATEST({_SQL_NT}, 1) >= 0.01 THEN 1.0 ELSE 0.0 END
+           + CASE WHEN {_SQL_PR} <= 0.2 THEN 1.0 ELSE 0.0 END
+           + CASE WHEN {_SQL_MWL} BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) AS INT) AS quality_x4
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+SQL_FP = f"""
+SELECT doc_id, CAST(CONCAT('0x', substr(md5({_SQL_NORM}), 1, 15)) AS BIGINT) AS fp
+FROM documents
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d)
+
+
+SQL_DEDUP = f"""
+SELECT CAST(CONCAT('0x', substr(md5({_SQL_NORM}), 1, 15)) AS BIGINT) AS content_key,
+       MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash(spark, sf_dir):
+    """MinHash signature (first 4 hash functions) per document."""
+    d = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(F.col("text"), num_hashes=4)
+    return d.select("doc_id", *[sig[i].alias(f"mh{i}") for i in range(4)])
+
+
+def _sql_minhash() -> str:
+    words = f"list_filter(string_split({_SQL_NORM}, ' '), x -> x <> '')"
+    sh = (
+        f"list_distinct(list_transform(generate_series(0, GREATEST(len({words}) - 3, 0)), "
+        f"i -> {words}[i + 1] || ' ' || {words}[i + 2] || ' ' || {words}[i + 3]))"
+    )
+    hs = (
+        f"list_transform({sh}, s -> CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) % {dedup.MERSENNE_P})"
+    )
+    cols = []
+    for i, (a, b) in enumerate(dedup._affine_params(4)):
+        cols.append(f"list_min(list_transform({hs}, h -> ({a} * h + {b}) % {dedup.MERSENNE_P})) AS mh{i}")
+    return f"SELECT doc_id, {', '.join(cols)} FROM documents"
+
+
+SQL_MINHASH = _sql_minhash()
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.simhash(F.col("text"), bits=16).alias("sh"))
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    words = f"list_filter(string_split({_SQL_NORM}, ' '), x -> x <> '')"
+    hs = f"list_transform({words}, w -> CAST(CONCAT('0x', substr(md5(w), 1, 15)) AS BIGINT))"
+    terms = []
+    for b in range(bits):
+        vote = f"list_sum(list_transform({hs}, h -> CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END))"
+        terms.append(f"CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END")
+    return f"SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS sh FROM documents"
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs within the same source block."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(d, block_col="source", threshold=0.2)
+    return out.select("a", "b", _fq(F.col("jaccard"), 10000).alias("jac_q"))
+
+
+def _sql_ngram() -> str:
+    words = f"list_filter(string_split({_SQL_NORM}, ' '), x -> x <> '')"
+    sh = (
+        f"list_distinct(list_transform(generate_series(0, GREATEST(len({words}) - 3, 0)), "
+        f"i -> {words}[i + 1] || ' ' || {words}[i + 2] || ' ' || {words}[i + 3]))"
+    )
+    return f"""
+WITH s AS (SELECT doc_id, source, {sh} AS sh FROM documents)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       CAST(FLOOR(len(list_intersect(l.sh, r.sh)) * 1.0 / len(list_distinct(l.sh || r.sh)) * 10000) AS BIGINT) AS jac_q
+FROM s l JOIN s r ON l.source = r.source AND l.doc_id < r.doc_id
+WHERE len(list_intersect(l.sh, r.sh)) * 1.0 / len(list_distinct(l.sh || r.sh)) >= 0.2
+"""
+
+
+SQL_NGRAM = _sql_ngram()
+
+
+def q_embedding_topk(spark, sf_dir):
+    """ANN baseline: brute-force cosine top-3 for 5 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.brute_topk(q, emb, k=3)
+    return out.select("query_id", "vec_id", "rank")
+
+
+SQL_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+d AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+                  i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         / GREATEST(
+             sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+           1e-30) AS cosine
+  FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id, CAST(rn AS INT) AS rank
+FROM (SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM d)
+WHERE rn <= 3
+"""
+
+
+def q_label_centroid_sim(spark, sf_dir):
+    """Aggregate cosine structure: mean pairwise-free proxy — per label,
+    quantized mean of each vector's cosine against the all-ones probe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ones = F.transform(F.col("embedding"), lambda x: F.lit(1.0))
+    cos = similarity.cosine_expr(F.col("embedding"), ones)
+    return (
+        emb.select("label", cos.alias("c"))
+        .groupBy("label")
+        .agg(_fq(F.avg("c"), 100000).alias("mean_cos_q"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_CENTROID = """
+WITH c AS (
+  SELECT label,
+         list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+         / GREATEST(
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(CAST(len(embedding) AS DOUBLE)), 1e-30) AS cv
+  FROM embeddings)
+SELECT label, CAST(FLOOR(AVG(cv) * 100000) AS BIGINT) AS mean_cos_q, COUNT(*) AS n
+FROM c GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible operators (rows-only checks): real image pipeline
+# ---------------------------------------------------------------------------
+def q_flagship_pip(spark, sf_dir):
+    imgs = datagen.images_df(spark, 1500, partitions=16)
+    meta = extract_meta.valid_meta(extract_meta.extract_meta(imgs, with_stats=False))
+    polys = datagen.polygons_df(spark)
+    return pip_join.pip_join(meta, polys)
+
+
+def q_tile_pyramid(spark, sf_dir):
+    imgs = datagen.images_df(spark, 300, px=32, partitions=8)
+    return tiles.overview_pyramid(imgs).select("image_id", "level", "tw", "th")
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.lsh_topk(q, emb, k=3, n_planes=6, n_tables=6, dim=64).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, num_hashes=16, bands=8, jaccard_threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001-scale synthetic images: decode -> footprint ->
+    geocell -> PIP join -> WMS url."""
+    imgs = datagen.images_df(spark, 1000, partitions=8)
+    meta = extract_meta.valid_meta(extract_meta.extract_meta(imgs, with_stats=False))
+    polys = datagen.polygons_df(spark)
+    joined = pip_join.pip_join(meta, polys)
+    url = geo.wms_getmap_url(
+        "http://gs", "ws", F.col("poly_id"),
+        geo.merc_x(F.col("lon") - 0.01), geo.merc_y(F.col("lat") - 0.01),
+        geo.merc_x(F.col("lon") + 0.01), geo.merc_y(F.col("lat") + 0.01),
+    )
+    return joined.select("image_id", "poly_id", "name", url.alias("wms_url"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "merc_extent": q_merc_extent,
+        "inv_mercator": q_inv_mercator,
+        "box_reorder": q_box_reorder,
+        "geojson_ring": q_geojson_ring,
+        "cell_encode": q_cell_encode,
+        "cell_density": q_cell_density,
+        "cell_cover": q_cell_cover,
+        "cell_children": q_cell_children,
+        "pip_join": q_pip_join,
+        "knn": q_knn,
+        "tile_assign": q_tile_assign,
+        "pyramid_levels": q_pyramid_levels,
+        "wms_url": q_wms_url,
+        "storename": q_storename,
+        "removal_antijoin": q_removal_antijoin,
+        "catalog_upsert": q_catalog_upsert,
+        "band_stats": q_band_stats,
+        "style_range": q_style_range,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "minhash": q_minhash,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "label_centroid_sim": q_label_centroid_sim,
+        # rows-only (no SQL oracle): real image pipeline + approximate ops
+        "flagship_pip": q_flagship_pip,
+        "tile_pyramid": q_tile_pyramid,
+        "ann_lsh": q_ann_lsh,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "merc_extent": SQL_MERC,
+        "inv_mercator": SQL_INV_MERC,
+        "box_reorder": SQL_BOX,
+        "geojson_ring": SQL_RING,
+        "cell_encode": SQL_CELL,
+        "cell_density": SQL_DENSITY,
+        "cell_cover": SQL_COVER,
+        "cell_children": SQL_CHILDREN,
+        "pip_join": SQL_PIP,
+        "knn": SQL_KNN,
+        "tile_assign": SQL_TILE,
+        "pyramid_levels": SQL_PYRAMID,
+        "wms_url": SQL_WMS,
+        "storename": SQL_STORE,
+        "removal_antijoin": SQL_REMOVAL,
+        "catalog_upsert": SQL_UPSERT,
+        "band_stats": SQL_STATS,
+        "style_range": SQL_STYLE,
+        "lang_id": SQL_LANG,
+        "token_counts": SQL_TOKENS,
+        "quality": SQL_QUALITY,
+        "fingerprint": SQL_FP,
+        "exact_dedup": SQL_DEDUP,
+        "minhash": SQL_MINHASH,
+        "simhash": SQL_SIMHASH,
+        "ngram_jaccard": SQL_NGRAM,
+        "embedding_topk": SQL_TOPK,
+        "label_centroid_sim": SQL_CENTROID,
+    }

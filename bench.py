@@ -1,0 +1,94 @@
+"""Benchmark harness — prints ONE JSON line per the driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship
+image pipeline (synthetic image+caption table -> GeoTIFF decode ->
+footprint -> geocell -> PIP join -> tile assignment) whose throughput in
+images/sec is the BASELINE.json target metric.
+
+Usage: python bench.py            (full bench, one JSON line to stdout)
+       python bench.py --pipeline-only N    (used by tools/scaling_bench.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from extractors_geo_spark import datagen
+from extractors_geo_spark.functions import geo
+from extractors_geo_spark.operators import extract_meta, pip_join, tiles
+from extractors_geo_spark.session import get_spark
+
+HEADLINE = (
+    "merc_extent", "cell_encode", "cell_density", "pip_join", "knn",
+    "tile_assign", "removal_antijoin", "catalog_upsert", "band_stats",
+    "exact_dedup", "minhash", "simhash", "ngram_jaccard", "embedding_topk",
+    "token_counts", "quality",
+)
+
+
+def image_pipeline(spark, n_images: int) -> tuple[float, int]:
+    """End-to-end flagship: returns (seconds, rows_out)."""
+    t0 = time.time()
+    imgs = datagen.images_df(spark, n_images)
+    meta = extract_meta.valid_meta(extract_meta.extract_meta(imgs, with_stats=True))
+    polys = datagen.polygons_df(spark)
+    joined = pip_join.pip_join(
+        meta, polys, point_cols=("image_id", "phash"), poly_cols=("poly_id", "name")
+    )
+    flat = joined.select(
+        "image_id", "poly_id",
+        (F.col("lon") - 0.008).alias("minx"), (F.col("lat") - 0.008).alias("miny"),
+        (F.col("lon") + 0.008).alias("maxx"), (F.col("lat") + 0.008).alias("maxy"),
+    )
+    assigned = tiles.xyz_tiles(flat, zooms=(8,))
+    n = assigned.count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-only":
+        n_images = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+        sec, rows = image_pipeline(spark, n_images)
+        print(json.dumps({"images": n_images, "seconds": round(sec, 3),
+                          "images_per_sec": round(n_images / sec, 1), "rows_out": rows}))
+        spark.stop()
+        return
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "20000"))
+    pipe_sec, _ = image_pipeline(spark, n_images)
+    timings["image_pipeline"] = round(pipe_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_plus_image_pipeline_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "images": n_images,
+        "images_per_sec": round(n_images / pipe_sec, 1),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -90,13 +90,14 @@ def make_image_row(i: int, px: int = 16) -> dict:
     elif kind < 0.10:
         fmt = "tiff"  # valid TIFF, no georeference -> P1 rejection
         data = tiff.write_geotiff(arr, epsg=None, nodata=-9999.0)
-    elif kind < 0.18 and lon < -120.0:
-        fmt = "tiff"  # UTM zone 10N raster
-        e, n = (float(v) for v in _geo.utm_forward_np(lon, lat, 10))
+    elif kind < 0.18:
+        fmt = "tiff"  # UTM raster in the zone containing the centroid
+        zone = int((lon + 180.0) // 6) + 1
+        e, n = (float(v) for v in _geo.utm_forward_np(lon, lat, zone))
         pxm = 24.0
         data = tiff.write_geotiff(
             arr, origin=(e - w / 2 * pxm, n + h / 2 * pxm), pixel_size=(pxm, pxm),
-            epsg=32610, nodata=-9999.0, citation="WGS 84 / UTM zone 10N",
+            epsg=32600 + zone, nodata=-9999.0, citation=f"WGS 84 / UTM zone {zone}N",
         )
     else:
         fmt = "tiff"  # 4326 raster centered on the centroid

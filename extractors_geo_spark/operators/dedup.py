@@ -23,14 +23,14 @@ from pyspark.sql import functions as F
 
 from ..functions.text import content_hash64
 
-MERSENNE_P = (1 << 61) - 1
+MERSENNE_P = (1 << 31) - 1  # keeps a*h+b < 2^62: no int64 overflow under ANSI
 # Deterministic affine-map parameters (public small-prime construction).
 def _affine_params(n: int) -> list[tuple[int, int]]:
     params = []
     a, b = 1157, 9973
     for i in range(n):
-        a = (a * 6364136223846793005 + 1442695040888963407) % MERSENNE_P
-        b = (b * 2862933555777941757 + 3037000493) % MERSENNE_P
+        a = (a * 48271 + 12345) % MERSENNE_P
+        b = (b * 69621 + 54321) % MERSENNE_P
         params.append((a | 1, b))
     return params
 
@@ -67,9 +67,10 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) ->
     (a*h(s)+b) mod p, h = content_hash64."""
     sh = shingles(text, shingle_n)
     hs = F.transform(sh, lambda s: content_hash64(s))
+    hs_mod = F.transform(hs, lambda h: F.pmod(h, F.lit(MERSENNE_P)))
     sig = []
     for a, b in _affine_params(num_hashes):
-        mapped = F.transform(hs, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P)))
+        mapped = F.transform(hs_mod, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P)))
         sig.append(F.array_min(mapped))
     return F.array(*sig)
 
@@ -91,8 +92,9 @@ def minhash_lsh_pairs(
     bucket (groupBy band_key), so comparisons are bucket-local — the
     all-pairs O(n^2) never materializes."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).withColumn("sig", sig)
+    d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).withColumn(
+        "sig", minhash_signature(F.col("t"), num_hashes, shingle_n)
+    )
     band_keys = [
         F.hash(F.lit(bi), *[F.element_at(F.col("sig"), bi * rows_per_band + j + 1) for j in range(rows_per_band)]).alias("bkey")
         for bi in range(bands)

@@ -1,0 +1,80 @@
+"""extract_meta operator: decode correctness, rejection paths, projection
+discipline (bytes never in the output)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from extractors_geo_spark import datagen, tiff
+from extractors_geo_spark.functions import geo
+from extractors_geo_spark.operators import extract_meta
+
+
+def test_valid_rows_have_meta(spark, images_small):
+    meta = extract_meta.extract_meta(images_small).cache()
+    n = images_small.count()
+    assert meta.count() == n  # nothing dropped, errors are columns
+    assert "bytes" not in meta.columns  # projection discipline
+    valid = extract_meta.valid_meta(meta)
+    rows = valid.collect()
+    assert len(rows) > 0.8 * n
+    for r in rows[:50]:
+        assert r["meta"]["epsg"] == 4326 or 32601 <= r["meta"]["epsg"] <= 32660
+        assert r["meta"]["minx"] < r["meta"]["maxx"]
+        assert r["meta"]["miny"] < r["meta"]["maxy"]
+        assert -125 < r["lon"] < -66 and 24 < r["lat"] < 50
+        assert r["extent_3857"]["minx"] < r["extent_3857"]["maxx"]
+
+
+def test_rejection_paths(spark, images_small):
+    meta = extract_meta.extract_meta(images_small, with_stats=False)
+    errs = {r["error"] for r in meta.filter(F.col("error").isNotNull()).collect()}
+    assert "not tiff" in errs  # png/jpeg routing (P2)
+    assert "UNKNOWN projection" in errs  # non-geo tiff (P1/P5)
+
+
+def test_stats_match_recomputed(spark, images_small):
+    meta = extract_meta.valid_meta(extract_meta.extract_meta(images_small))
+    sample = meta.select("image_id", "stats").limit(10).collect()
+    raw = {r["image_id"]: r["bytes"] for r in
+           images_small.filter(F.col("image_id").isin([s["image_id"] for s in sample])).collect()}
+    for s in sample:
+        info = tiff.read_info(bytes(raw[s["image_id"]]))
+        arr = tiff.read_pixels(bytes(raw[s["image_id"]]), info)
+        mn, mx, mean, std = tiff.band_stats(arr, info.nodata)
+        assert abs(s["stats"]["min"] - mn) < 1e-12
+        assert abs(s["stats"]["max"] - mx) < 1e-12
+        assert abs(s["stats"]["average"] - mean) < 1e-12
+        assert abs(s["stats"]["st_dev"] - std) < 1e-12
+
+
+def test_utm_images_reproject_consistently(spark, images_small):
+    meta = extract_meta.valid_meta(extract_meta.extract_meta(images_small))
+    utm = meta.filter((F.col("meta.epsg") >= 32601) & (F.col("meta.epsg") <= 32660)).limit(5).collect()
+    assert utm, "datagen should produce some UTM images"
+    for r in utm:
+        # centroid lon/lat must round-trip through the UTM forward
+        zone = r["meta"]["epsg"] - 32600
+        e, n = geo.utm_forward_np(np.array([r["lon"]]), np.array([r["lat"]]), zone)
+        m = r["meta"]
+        assert m["minx"] <= e[0] <= m["maxx"]
+        assert m["miny"] <= n[0] <= m["maxy"]
+
+
+def test_caption_passthrough_byte_equal(spark, images_small):
+    """north rule: byte-equal captions through the pipeline."""
+    meta = extract_meta.extract_meta(images_small)
+    joined = meta.select("image_id", F.col("caption").alias("c2")).join(
+        images_small.select("image_id", "caption"), "image_id"
+    )
+    assert joined.filter(F.col("c2") != F.col("caption")).count() == 0
+
+
+def test_box_ring_columns(spark, images_small):
+    meta = extract_meta.with_box_and_ring(
+        extract_meta.valid_meta(extract_meta.extract_meta(images_small, with_stats=False))
+    )
+    r = meta.select("meta", "box", "ring").first()
+    m = r["meta"]
+    assert r["box"] == [m["minx"], m["maxy"], m["maxx"], m["miny"]]
+    assert r["ring"][0] == r["ring"][4] == [m["minx"], m["miny"]]
+    assert len(r["ring"]) == 5

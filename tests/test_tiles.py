@@ -1,0 +1,103 @@
+"""Tiling: pyramid level dims = ceil(dims/2^n) (SURVEY.md §5 item 4),
+pixel parity with the numpy oracle, PSNR gate, xyz assignment, render."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from extractors_geo_spark import datagen, tiff
+from extractors_geo_spark.operators import cells, extract_meta, tiles
+from tests.conftest import psnr
+
+
+@pytest.fixture(scope="module")
+def images32(spark):
+    return datagen.images_df(spark, 60, px=32, partitions=4).cache()
+
+
+def test_pyramid_dims(spark, images32):
+    pyr = tiles.overview_pyramid(images32).cache()
+    rows = pyr.select("image_id", "level", "tw", "th").collect()
+    assert rows
+    for r in rows:
+        n = int(np.log2(r["level"]))
+        exp_w, exp_h = 32, 32
+        for _ in range(n):
+            exp_w, exp_h = (exp_w + 1) // 2, (exp_h + 1) // 2
+        assert (r["tw"], r["th"]) == (exp_w, exp_h)
+    # levels follow gdaladdo 2..1024 clipped to raster size (2..32 here)
+    levels = {r["level"] for r in rows}
+    assert levels == {2, 4, 8, 16, 32}
+
+
+def test_pyramid_pixels_match_oracle(spark, images32):
+    pyr = tiles.overview_pyramid(images32).filter(F.col("level") == 4)
+    sample = pyr.limit(5).collect()
+    raw = {r["image_id"]: r["bytes"] for r in images32.collect()}
+    for r in sample:
+        info = tiff.read_info(bytes(raw[r["image_id"]]))
+        arr = tiff.read_pixels(bytes(raw[r["image_id"]]), info).astype(np.float64)
+        exp = tiles.reduce_2x(tiles.reduce_2x(arr, info.nodata), info.nodata)
+        got = np.frombuffer(r["tile"], dtype="<f8").reshape(r["th"], r["tw"])
+        assert np.allclose(got, exp, atol=0)
+        assert psnr(got, exp) == float("inf")  # lossless contract here
+
+
+def test_psnr_gate_for_lossy_standin():
+    """PSNR>=40dB criterion applied to a quantized (lossy stand-in) tile."""
+    rng = np.random.default_rng(4)
+    a = rng.random((64, 64)) * 10
+    lossy = np.round(a, 2)  # ~milli-scale error vs range 10
+    assert psnr(a, lossy, peak=10.0) >= 40.0
+
+
+def test_xyz_assignment_matches_point_formula(spark, images_small):
+    meta = extract_meta.valid_meta(extract_meta.extract_meta(images_small, with_stats=False))
+    flat = meta.select(
+        "image_id",
+        F.col("meta.minx").alias("minx"), F.col("meta.miny").alias("miny"),
+        F.col("meta.maxx").alias("maxx"), F.col("meta.maxy").alias("maxy"),
+    ).filter(F.col("meta.epsg") == 4326)
+    out = tiles.xyz_tiles(flat, zooms=(8,)).cache()
+    # every image's centroid tile must be among its assigned tiles
+    cx, cy = cells.tile_xyz((F.col("minx") + F.col("maxx")) / 2, (F.col("miny") + F.col("maxy")) / 2, 8)
+    cent = flat.select("image_id", cx.alias("x"), cy.alias("y")).withColumn("z", F.lit(8))
+    missing = cent.join(out, ["image_id", "z", "x", "y"], "left_anti")
+    assert missing.count() == 0
+    # tiny 4326 footprints (16px * 0.001 deg) hit 1, 2 or 4 tiles at z=8
+    per_img = out.groupBy("image_id").count().select(F.max("count").alias("m")).first()["m"]
+    assert per_img <= 4
+
+
+def test_render_colormap(spark, images32):
+    out = tiles.tile_render(images32, out_w=64, out_h=48).limit(3).collect()
+    assert out
+    for r in out:
+        img = np.frombuffer(r["png"], dtype=np.uint8).reshape(48, 64)
+        assert img.min() >= 0 and img.max() <= 255
+
+
+def test_render_known_gradient():
+    arr = np.tile(np.arange(10, dtype=np.float64), (4, 1))
+    img = tiles.render_gray(arr, style_min=0.0, style_max=9.0, nodata=None, out_w=10, out_h=4)
+    assert img[0, 0] == 0 and img[0, -1] == 255
+    assert (np.diff(img[0].astype(int)) >= 0).all()
+    # nodata pixels render black
+    arr[1, 5] = -9999.0
+    img = tiles.render_gray(arr, 0.0, 9.0, -9999.0, out_w=10, out_h=4)
+    assert img[1, 5] == 0
+
+
+def test_write_tiles_partitioned(spark, images_small, tmp_path):
+    meta = extract_meta.valid_meta(extract_meta.extract_meta(images_small, with_stats=False))
+    flat = meta.select("image_id",
+                       F.col("meta.minx").alias("minx"), F.col("meta.miny").alias("miny"),
+                       F.col("meta.maxx").alias("maxx"), F.col("meta.maxy").alias("maxy"))
+    out = tiles.xyz_tiles(flat, zooms=(6,))
+    path = str(tmp_path / "tiles")
+    tiles.write_tiles(out, path)
+    back = spark.read.parquet(path)
+    assert back.count() == out.count()
+    # partition pruning: a z/x filter reads only matching directories
+    one = back.filter((F.col("z") == 6)).limit(1).collect()
+    assert one
