@@ -629,7 +629,8 @@ FROM documents GROUP BY 1
 def q_minhash(spark, sf_dir):
     """MinHash signature (first 4 hash functions) per document."""
     d = _t(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature(F.col("text"), num_hashes=4)
+    d = d.select("doc_id", dedup.shingle_hashes(F.col("text")).alias("_hs"))
+    sig = dedup.minhash_from_hashes(F.col("_hs"), num_hashes=4)
     return d.select("doc_id", *[sig[i].alias(f"mh{i}") for i in range(4)])
 
 
@@ -653,7 +654,8 @@ SQL_MINHASH = _sql_minhash()
 
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", dedup.simhash(F.col("text"), bits=16).alias("sh"))
+    d = d.select("doc_id", dedup.word_hashes(F.col("text")).alias("_wh"))
+    return d.select("doc_id", dedup.simhash_from_hashes(F.col("_wh"), bits=16).alias("sh"))
 
 
 def _sql_simhash(bits: int = 16) -> str:

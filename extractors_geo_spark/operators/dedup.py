@@ -62,17 +62,28 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
-def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """Array of num_hashes minhash values: min over shingles of
-    (a*h(s)+b) mod p, h = content_hash64."""
+def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
+    """Hashed shingle array reduced mod p — materialize this ONCE as a
+    column before fanning out to signature elements: Catalyst does not
+    CSE across lambda expressions, so inlining it into every sig element
+    recomputes the md5 of every shingle num_hashes times."""
     sh = shingles(text, shingle_n)
-    hs = F.transform(sh, lambda s: content_hash64(s))
-    hs_mod = F.transform(hs, lambda h: F.pmod(h, F.lit(MERSENNE_P)))
+    return F.transform(sh, lambda s: F.pmod(content_hash64(s), F.lit(MERSENNE_P)))
+
+
+def minhash_from_hashes(hs_mod: Column, num_hashes: int = 16) -> Column:
     sig = []
     for a, b in _affine_params(num_hashes):
         mapped = F.transform(hs_mod, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P)))
         sig.append(F.array_min(mapped))
     return F.array(*sig)
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """Array of num_hashes minhash values: min over shingles of
+    (a*h(s)+b) mod p, h = content_hash64. Prefer materializing
+    shingle_hashes() in a projection first (see minhash_lsh_pairs)."""
+    return minhash_from_hashes(shingle_hashes(text, shingle_n), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -92,8 +103,11 @@ def minhash_lsh_pairs(
     bucket (groupBy band_key), so comparisons are bucket-local — the
     all-pairs O(n^2) never materializes."""
     rows_per_band = num_hashes // bands
-    d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).withColumn(
-        "sig", minhash_signature(F.col("t"), num_hashes, shingle_n)
+    d = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .withColumn("_hs", shingle_hashes(F.col("t"), shingle_n))  # md5 once
+        .withColumn("sig", minhash_from_hashes(F.col("_hs"), num_hashes))
+        .drop("_hs")
     )
     band_keys = [
         F.hash(F.lit(bi), *[F.element_at(F.col("sig"), bi * rows_per_band + j + 1) for j in range(rows_per_band)]).alias("bkey")
@@ -119,11 +133,13 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(text: Column, bits: int = 32) -> Column:
-    """SimHash over word hashes: bit b of the result = 1 iff the sum over
-    words of (+1 if bit b of h(word) else -1) is positive."""
+def word_hashes(text: Column) -> Column:
+    """Hashed word array — materialize once (see shingle_hashes note)."""
     w = F.filter(F.split(norm_text(text), " "), lambda x: x != "")
-    hs = F.transform(w, lambda x: content_hash64(x))
+    return F.transform(w, lambda x: content_hash64(x))
+
+
+def simhash_from_hashes(hs: Column, bits: int = 32) -> Column:
     out = F.lit(0).cast("long")
     for b in range(bits):
         vote = F.aggregate(
@@ -133,6 +149,12 @@ def simhash(text: Column, bits: int = 32) -> Column:
         )
         out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash over word hashes: bit b of the result = 1 iff the sum over
+    words of (+1 if bit b of h(word) else -1) is positive."""
+    return simhash_from_hashes(word_hashes(text), bits)
 
 
 def simhash_pairs(
@@ -147,7 +169,11 @@ def simhash_pairs(
     Blocking: two fixed byte-blocks of the hash (pigeonhole: any pair
     within hamming<=3 agrees on at least one of 4 blocks of an 8-bit
     split); candidates verified exactly with bit_count(xor)."""
-    d = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh"))
+    d = (
+        df.select(F.col(id_col).alias("id"), word_hashes(F.col(text_col)).alias("_wh"))
+        .withColumn("sh", simhash_from_hashes(F.col("_wh"), bits))
+        .drop("_wh")
+    )
     n_blocks = bits // block_bits
     blocks = F.explode(
         F.array(*[
@@ -178,19 +204,33 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over pairs sharing `block_col` (or all
-    pairs if None — only for small inputs)."""
+    pairs if None — only for small inputs).
+
+    Plan: inverted-index join, not per-pair array intersection — shingles
+    explode once, matching shingles equi-join on (block, shingle-hash),
+    intersections come from a count aggregate, and |A u B| = |A|+|B|-inter.
+    The shuffle is O(total shingles), never O(pairs x shingle-array), and
+    zero-overlap pairs are never materialized."""
     sh = shingles(F.col(text_col), n)
-    d = df.select(F.col(id_col).alias("id"), sh.alias("sh"),
-                  *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]))
-    l, r = d.alias("l"), d.alias("r")
-    pairs = l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
-    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh"))).cast("double")
-    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh"))).cast("double")
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    d = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+        sh.alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    e = d.select("id", "blk", "sz", F.explode(F.transform("sh", content_hash64)).alias("g"))
+    l, r = e.alias("l"), e.alias("r")
+    inter = (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.g") == F.col("r.g"))
+                & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                 F.col("l.sz").alias("sza"), F.col("r.sz").alias("szb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
     return (
-        pairs.withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), "jaccard")
+        .select("a", "b", "jaccard")
     )
 
 

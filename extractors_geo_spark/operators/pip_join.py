@@ -51,23 +51,34 @@ def tag_point_cells(points: DataFrame, lon: str = "lon", lat: str = "lat", res: 
 def _raycast_refine(joined: DataFrame, lon: str, lat: str) -> DataFrame:
     """Exact even-odd ray cast on candidate (point, polygon) pairs.
 
-    Vectorized across the whole Arrow batch: ragged rings are flattened to
-    one edge array with per-row segment ids; crossings are counted with a
-    single bincount — zero per-row Python."""
+    Vectorized across the whole Arrow batch: ragged (multi-)rings are
+    flattened to one edge array with per-row segment ids; crossings are
+    counted with a single bincount — zero per-row Python.
+
+    Multi-ring geometries (multipolygon parts and holes, shapefile
+    convention) pass `ring_lens`: edges bridging two rings are masked out,
+    and even-odd over all rings yields the standard polygon-with-holes
+    semantics. Single-ring callers omit the column."""
+    has_lens = "ring_lens" in joined.columns
 
     @F.pandas_udf(T.BooleanType())
-    def inside(px: pd.Series, py: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+    def inside(px: pd.Series, py: pd.Series, xs: pd.Series, ys: pd.Series,
+               ring_lens: pd.Series) -> pd.Series:
         n = len(px)
         if n == 0:
             return pd.Series([], dtype=bool)
         lens = np.fromiter((len(v) for v in xs), dtype=np.int64, count=n)
-        flat_x = np.concatenate([np.asarray(v, np.float64) for v in xs]) if n else np.empty(0)
-        flat_y = np.concatenate([np.asarray(v, np.float64) for v in ys]) if n else np.empty(0)
+        flat_x = np.concatenate([np.asarray(v, np.float64) for v in xs])
+        flat_y = np.concatenate([np.asarray(v, np.float64) for v in ys])
         row = np.repeat(np.arange(n), lens)
-        # edges are consecutive vertex pairs within a row (rings closed)
-        starts = np.cumsum(lens) - lens
+        # an edge starts at every vertex except each ring's last
         edge_mask = np.ones(flat_x.size, dtype=bool)
-        edge_mask[np.cumsum(lens) - 1] = False  # last vertex starts no edge
+        row_starts = np.cumsum(lens) - lens
+        ring_ends = []
+        for i, rl in enumerate(ring_lens):
+            ends = np.cumsum(np.asarray(rl, np.int64)) if rl is not None and len(rl) else np.array([lens[i]])
+            ring_ends.append(row_starts[i] + ends - 1)
+        edge_mask[np.concatenate(ring_ends)] = False
         e1 = np.nonzero(edge_mask)[0]
         e2 = e1 + 1
         er = row[e1]
@@ -81,7 +92,8 @@ def _raycast_refine(joined: DataFrame, lon: str, lat: str) -> DataFrame:
         counts = np.bincount(er[crossing], minlength=n)
         return pd.Series(counts % 2 == 1)
 
-    return joined.filter(inside(F.col(lon), F.col(lat), F.col("xs"), F.col("ys")))
+    lens_col = F.col("ring_lens") if has_lens else F.array(F.size("xs"))
+    return joined.filter(inside(F.col(lon), F.col(lat), F.col("xs"), F.col("ys"), lens_col))
 
 
 def pip_join(
@@ -105,7 +117,10 @@ def pip_join(
     from ..plans import planner
 
     pts = tag_point_cells(points.select(*point_cols, lon, lat), lon, lat, res)
-    pcs = polygon_cells(polygons.select(*poly_cols, "xs", "ys", "minx", "miny", "maxx", "maxy"), res)
+    geom_cols = ["xs", "ys", "minx", "miny", "maxx", "maxy"]
+    if "ring_lens" in polygons.columns:
+        geom_cols.append("ring_lens")
+    pcs = polygon_cells(polygons.select(*poly_cols, *geom_cols), res)
 
     if broadcast_polys is None:
         broadcast_polys = planner.should_broadcast(pcs)

@@ -1,0 +1,253 @@
+"""Pure-Python zipped-ESRI-shapefile ingestion — the engine's S4 source.
+
+Re-expresses the reference's zipshputils pipeline with no OGR/7z:
+  * zip member enumeration + completeness validation
+    (preview.geoshp/zipshputils.py:103-167 — exactly one .shp, .shx/.dbf
+    present, same basename, no subdirectories)
+  * .prj text -> EPSG inference with UNKNOWN default->4326 and the
+    Albers-102008 blacklist (zipshputils.py:169-217,
+    preview.geoshp/ncsa.geo.shp.py:204-207, CHANGELOG.md:23)
+  * layer extent (zipshputils.py:219-242) — here from the .shp header
+    bbox, identical to OGR GetExtent for well-formed files
+
+plus what the reference never did natively: the actual polygon rings and
+DBF attribute table are parsed into columns, so the polygons land as a
+first-class table (the reference shipped the zip to GeoServer instead —
+preview.geoshp/gsclient.py:126-160).
+
+Distributed form: spark.read.format('binaryFile') over a directory of
+zips -> mapInPandas(ingest) -> polygons rows. One narrow stage; bytes
+never shuffle.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zipfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SHAPE_POLYGON = 5
+
+# .prj ESRI WKT -> EPSG. The reference calls ImportFromESRI + web fallback
+# (zipshputils.py:169-208); we map the common geographic/mercator cases and
+# reject the same blacklist.
+_PRJ_EPSG_MARKERS = (
+    ("GCS_WGS_1984", 4326),
+    ('GEOGCS["WGS 84', 4326),
+    ("WGS_1984_Web_Mercator", 3857),
+    ("North_America_Albers_Equal_Area_Conic", 102008),
+)
+
+
+def parse_prj(prj_text: str) -> int | None:
+    for marker, code in _PRJ_EPSG_MARKERS:
+        if marker in prj_text:
+            return code
+    return None
+
+
+def parse_shp(data: bytes) -> tuple[tuple[float, float, float, float], list[dict]]:
+    """Parse a .shp: returns (file bbox, records). Each polygon record is
+    {'bbox': (..), 'rings': [[(x, y), ...], ...]}. Null shapes skipped."""
+    if len(data) < 100 or struct.unpack(">i", data[:4])[0] != 9994:
+        raise ValueError("not a shapefile")
+    shape_type = struct.unpack("<i", data[32:36])[0]
+    bbox = struct.unpack("<4d", data[36:68])
+    records = []
+    off = 100
+    n = len(data)
+    while off + 8 <= n:
+        (_recno, content_len) = struct.unpack(">ii", data[off : off + 8])
+        off += 8
+        end = off + content_len * 2
+        stype = struct.unpack("<i", data[off : off + 4])[0]
+        if stype == SHAPE_POLYGON:
+            rb = struct.unpack("<4d", data[off + 4 : off + 36])
+            n_parts, n_points = struct.unpack("<ii", data[off + 36 : off + 44])
+            parts = struct.unpack(f"<{n_parts}i", data[off + 44 : off + 44 + 4 * n_parts])
+            pts_off = off + 44 + 4 * n_parts
+            flat = struct.unpack(f"<{2 * n_points}d", data[pts_off : pts_off + 16 * n_points])
+            pts = [(flat[2 * i], flat[2 * i + 1]) for i in range(n_points)]
+            rings = []
+            for pi, start in enumerate(parts):
+                stop = parts[pi + 1] if pi + 1 < n_parts else n_points
+                rings.append(pts[start:stop])
+            records.append({"bbox": rb, "rings": rings})
+        off = end
+    if shape_type != SHAPE_POLYGON:
+        raise ValueError(f"unsupported shape type {shape_type}")
+    return bbox, records
+
+
+def parse_dbf(data: bytes) -> list[dict]:
+    """Minimal dBASE III parser: C (char) and N (numeric) fields."""
+    n_rec = struct.unpack("<i", data[4:8])[0]
+    hdr_size = struct.unpack("<h", data[8:10])[0]
+    rec_size = struct.unpack("<h", data[10:12])[0]
+    fields = []
+    off = 32
+    while data[off] != 0x0D:
+        name = data[off : off + 11].split(b"\x00")[0].decode("ascii", "replace")
+        ftype = chr(data[off + 11])
+        flen = data[off + 16]
+        fdec = data[off + 17]
+        fields.append((name, ftype, flen, fdec))
+        off += 32
+    out = []
+    for r in range(n_rec):
+        base = hdr_size + r * rec_size
+        rec = data[base : base + rec_size]
+        if not rec or rec[0:1] == b"*":  # deleted
+            continue
+        pos = 1
+        row = {}
+        for name, ftype, flen, fdec in fields:
+            raw = rec[pos : pos + flen].decode("ascii", "replace").strip()
+            pos += flen
+            if ftype == "N":
+                try:
+                    row[name] = float(raw) if (fdec or "." in raw) else float(int(raw))
+                except ValueError:
+                    row[name] = None
+            else:
+                row[name] = raw
+        out.append(row)
+    return out
+
+
+def validate_members(names: list[str]) -> tuple[list[str], str | None]:
+    """The reference's completeness checks (zipshputils.py:103-167).
+    Returns (errors, shapefile basename)."""
+    errors = []
+    if any("/" in n or "\\" in n for n in names):
+        errors.append("HAS_DIR")
+    shps = [n for n in names if n.lower().endswith(".shp")]
+    if not shps:
+        return errors + ["NO_SHP"], None
+    if len(shps) > 1:
+        errors.append("MULTIPLE_SHP")
+    base = shps[0][:-4]
+    lower = {n.lower() for n in names}
+    if f"{base.lower()}.shx" not in lower:
+        errors.append("MISSING_SHX")
+    if f"{base.lower()}.dbf" not in lower:
+        errors.append("MISSING_DBF")
+    return errors, base
+
+
+def read_zip_shapefile(zip_bytes: bytes) -> dict:
+    """One zip -> {'errors': [...], 'epsg': int|None, 'epsg_defaulted':
+    bool, 'extent': (minx,miny,maxx,maxy)|None, 'features': [{'rings',
+    'bbox', 'attrs'}...]}.
+
+    EPSG semantics follow the vector path: UNKNOWN defaults to 4326 with a
+    flag (preview.geoshp/ncsa.geo.shp.py:204-207); blacklisted projections
+    are errors (zipshputils.py:210-217)."""
+    out: dict = {"errors": [], "epsg": None, "epsg_defaulted": False,
+                 "extent": None, "features": []}
+    try:
+        z = zipfile.ZipFile(io.BytesIO(zip_bytes))
+        names = z.namelist()
+    except Exception:
+        out["errors"].append("NOT_ZIP")
+        return out
+    errors, base = validate_members(names)
+    out["errors"] = errors
+    if base is None or any(e in ("NO_SHP", "HAS_DIR", "MULTIPLE_SHP") for e in errors):
+        return out
+    prj_name = next((n for n in names if n.lower() == f"{base.lower()}.prj"), None)
+    if prj_name:
+        epsg = parse_prj(z.read(prj_name).decode("ascii", "replace"))
+        if epsg in (102008,):
+            out["errors"].append("BLACKLISTED_PROJECTION")
+            return out
+        if epsg is None:
+            out["epsg"], out["epsg_defaulted"] = 4326, True
+        else:
+            out["epsg"] = epsg
+    else:
+        out["epsg"], out["epsg_defaulted"] = 4326, True
+    try:
+        bbox, records = parse_shp(z.read(f"{base}.shp"))
+    except Exception:
+        out["errors"].append("BAD_SHP")
+        return out
+    out["extent"] = bbox
+    dbf_name = next((n for n in names if n.lower() == f"{base.lower()}.dbf"), None)
+    attrs = parse_dbf(z.read(dbf_name)) if dbf_name else [{} for _ in records]
+    if len(attrs) != len(records):
+        attrs = attrs + [{}] * (len(records) - len(attrs))
+    for rec, a in zip(records, attrs):
+        out["features"].append({"bbox": rec["bbox"], "rings": rec["rings"], "attrs": a})
+    return out
+
+
+INGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("poly_id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType())),
+        T.StructField("ring_lens", T.ArrayType(T.IntegerType())),
+        T.StructField("minx", T.DoubleType()),
+        T.StructField("miny", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()),
+        T.StructField("maxy", T.DoubleType()),
+        T.StructField("epsg", T.IntegerType()),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("errors", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def ingest_zips(binary_files: DataFrame, name_attr: str = "STATE_NAME") -> DataFrame:
+    """binaryFile rows (path, content) -> polygons table. Invalid zips emit
+    one row with the error list (P6 projection: errors as data, not
+    exceptions); valid ones emit one row per feature (outer ring)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for path, content in zip(b["path"], b["content"]):
+                parsed = read_zip_shapefile(bytes(content))
+                if parsed["errors"] or not parsed["features"]:
+                    rows.append({
+                        "source": path, "poly_id": None, "name": None,
+                        "xs": None, "ys": None, "ring_lens": None,
+                        "minx": None, "miny": None,
+                        "maxx": None, "maxy": None, "epsg": parsed["epsg"],
+                        "attrs": None, "errors": parsed["errors"] or ["EMPTY"],
+                    })
+                    continue
+                for i, f in enumerate(parsed["features"]):
+                    # all parts concatenated; ring_lens lets the ray cast
+                    # treat multipolygon parts and holes correctly (even-odd)
+                    xs, ys, lens = [], [], []
+                    for ring in f["rings"]:
+                        xs.extend(p[0] for p in ring)
+                        ys.extend(p[1] for p in ring)
+                        lens.append(len(ring))
+                    rows.append({
+                        "source": path,
+                        "poly_id": f"{path.rsplit('/', 1)[-1]}:{i:05d}",
+                        "name": str(f["attrs"].get(name_attr, i)),
+                        "xs": xs, "ys": ys, "ring_lens": lens,
+                        "minx": f["bbox"][0], "miny": f["bbox"][1],
+                        "maxx": f["bbox"][2], "maxy": f["bbox"][3],
+                        "epsg": parsed["epsg"],
+                        "attrs": {k: str(v) for k, v in f["attrs"].items()},
+                        "errors": [],
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in INGEST_SCHEMA.fields])
+
+    return binary_files.select("path", "content").mapInPandas(run, INGEST_SCHEMA)
+
+
+def ingest_zip_dir(spark: SparkSession, path: str) -> DataFrame:
+    return ingest_zips(spark.read.format("binaryFile").load(path))
