@@ -69,9 +69,13 @@ EXTENT_FIELDS = T.StructType(
 )
 
 
-def _decode_one(data: bytes, fmt: str, with_stats: bool) -> dict:
-    out: dict = {"meta": None, "stats": None, "extent_3857": None,
-                 "lon": None, "lat": None, "error": None}
+def _decode_header(data: bytes, fmt: str, with_stats: bool) -> dict:
+    """Per-row part of the decode: TIFF header (+ optional pixel stats).
+    Geodesy is deliberately NOT done here — projecting 2 corner points per
+    row through numpy costs more in array overhead than the math; the
+    batch layer below projects all rows of an epsg group in one shot."""
+    out: dict = {"meta": None, "stats": None, "error": None,
+                 "_gx0": 0.0, "_gy0": 0.0, "_gx1": 0.0, "_gy1": 0.0, "_epsg": 0}
     if fmt not in ("tiff", "tif"):
         # mimetype routing: non-tiff never reaches the raster decoder (P2)
         out["error"] = "not tiff"
@@ -99,25 +103,11 @@ def _decode_one(data: bytes, fmt: str, with_stats: bool) -> dict:
         "x_size": info.width, "y_size": info.height,
         "proj": info.citation, "nodata": info.nodata,
     }
-    try:
-        # validateBbox clamp on the ORIGIN before transform (geotiffutils.py:104-106)
-        gt = info.geotransform
-        x0, y0 = geo.clamp_origin_np(np.array([gt[0]]), np.array([gt[3]]), info.epsg)
-        x1 = gt[0] + gt[1] * info.width + gt[2] * info.height
-        y1 = gt[3] + gt[4] * info.width + gt[5] * info.height
-        mx, my = geo.epsg_to_3857_np(np.array([x0[0], x1]), np.array([y0[0], y1]), info.epsg)
-        out["extent_3857"] = {
-            "minx": float(mx.min()), "miny": float(my.min()),
-            "maxx": float(mx.max()), "maxy": float(my.max()),
-        }
-        clon, clat = geo.epsg_to_lonlat_np(
-            np.array([(minx + maxx) / 2.0]), np.array([(miny + maxy) / 2.0]), info.epsg
-        )
-        out["lon"], out["lat"] = float(clon[0]), float(clat[0])
-    except ValueError:
-        out["error"] = "UNKNOWN projection"
-        out["meta"] = None
-        return out
+    gt = info.geotransform
+    out["_gx0"], out["_gy0"] = gt[0], gt[3]
+    out["_gx1"] = gt[0] + gt[1] * info.width + gt[2] * info.height
+    out["_gy1"] = gt[3] + gt[4] * info.width + gt[5] * info.height
+    out["_epsg"] = info.epsg
     if with_stats:
         try:
             arr = tiff.read_pixels(bytes(data), info)
@@ -126,6 +116,46 @@ def _decode_one(data: bytes, fmt: str, with_stats: bool) -> dict:
         except Exception:
             out["error"] = "pixel decode failed"
     return out
+
+
+def _project_batch(res: pd.DataFrame) -> tuple[list, list, list]:
+    """Vectorized geodesy for a whole Arrow batch, grouped by epsg:
+    validateBbox clamp on the ORIGIN corner before transform
+    (geotiffutils.py:104-106), corners -> 3857 extent, centroid -> lonlat."""
+    n = len(res)
+    extents: list = [None] * n
+    lons: list = [None] * n
+    lats: list = [None] * n
+    ok = res["error"].isna().to_numpy() & (res["_epsg"].to_numpy() != 0)
+    if not ok.any():
+        return extents, lons, lats
+    epsgs = res["_epsg"].to_numpy()
+    gx0 = res["_gx0"].to_numpy(np.float64)
+    gy0 = res["_gy0"].to_numpy(np.float64)
+    gx1 = res["_gx1"].to_numpy(np.float64)
+    gy1 = res["_gy1"].to_numpy(np.float64)
+    for code in np.unique(epsgs[ok]):
+        idx = np.nonzero(ok & (epsgs == code))[0]
+        try:
+            x0, y0 = geo.clamp_origin_np(gx0[idx], gy0[idx], int(code))
+            ax0, ay0 = geo.epsg_to_3857_np(x0, y0, int(code))
+            ax1, ay1 = geo.epsg_to_3857_np(gx1[idx], gy1[idx], int(code))
+            cx = (np.minimum(gx0[idx], gx1[idx]) + np.maximum(gx0[idx], gx1[idx])) / 2.0
+            cy = (np.minimum(gy0[idx], gy1[idx]) + np.maximum(gy0[idx], gy1[idx])) / 2.0
+            clon, clat = geo.epsg_to_lonlat_np(cx, cy, int(code))
+        except ValueError:
+            for i in idx:
+                res.iat[i, res.columns.get_loc("error")] = "UNKNOWN projection"
+                res.iat[i, res.columns.get_loc("meta")] = None
+            continue
+        mnx, mxx = np.minimum(ax0, ax1), np.maximum(ax0, ax1)
+        mny, mxy = np.minimum(ay0, ay1), np.maximum(ay0, ay1)
+        for j, i in enumerate(idx):
+            extents[i] = {"minx": float(mnx[j]), "miny": float(mny[j]),
+                          "maxx": float(mxx[j]), "maxy": float(mxy[j])}
+            lons[i] = float(clon[j])
+            lats[i] = float(clat[j])
+    return extents, lons, lats
 
 
 def extract_meta(
@@ -151,14 +181,18 @@ def extract_meta(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            recs = [_decode_one(d, f, with_stats) for d, f in zip(b["bytes"], b["fmt"])]
+            recs = [_decode_header(d, f, with_stats) for d, f in zip(b["bytes"], b["fmt"])]
             res = pd.DataFrame(recs)
+            extents, lons, lats = _project_batch(res)
             out = pd.DataFrame({"image_id": b["image_id"].values})
             for c in keep:
                 out[c] = b[c].values
-            for c in ("meta", "stats", "extent_3857", "lon", "lat", "error"):
+            for c in ("meta", "stats", "error"):
                 out[c] = res[c].values
-            yield out
+            out["extent_3857"] = extents
+            out["lon"] = lons
+            out["lat"] = lats
+            yield out[["image_id", *keep, "meta", "stats", "extent_3857", "lon", "lat", "error"]]
 
     cols = ["image_id", "bytes", "fmt"] + [c for c in keep if c != "fmt"]
     return images.select(*dict.fromkeys(cols)).mapInPandas(run, schema)

@@ -1,0 +1,80 @@
+"""Multimodal operators: schema/partitioning/batch-shape are real; the
+jpeg/png/video/audio codecs are stubbed behind deterministic fakes."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from extractors_geo_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def mixed(spark, images_small):
+    return images_small.cache()
+
+
+def test_sniff_format_expr(spark, mixed):
+    out = mixed.select("fmt", M.sniff_format(F.col("bytes")).alias("sniffed"))
+    rows = out.collect()
+    for r in rows:
+        if r["fmt"] == "tiff":
+            assert r["sniffed"] == "tiff"
+        else:  # datagen png/jpeg rows carry a PNG magic prefix
+            assert r["sniffed"] == "png"
+
+
+def test_decode_image_meta(spark, mixed):
+    out = M.decode_image_meta(mixed, fake=True).cache()
+    assert out.count() == mixed.count()
+    assert "bytes" not in out.columns
+    tiffs = out.filter(F.col("fmt_sniffed") == "tiff")
+    assert tiffs.filter(~F.col("ok")).count() == 0
+    assert tiffs.filter((F.col("w") == 16) & (F.col("h") == 16)).count() == tiffs.count()
+
+
+def test_decode_stub_raises_without_fake(spark, mixed):
+    pngs = mixed.filter(F.col("fmt") != "tiff").limit(2)
+    out = M.decode_image_meta(pngs, fake=False)
+    rows = out.collect()  # NotImplementedError becomes the error column
+    assert rows and all("codec not available" in r["error"] for r in rows)
+    assert all(not r["ok"] for r in rows)
+
+
+def test_image_features_histogram(spark, mixed):
+    out = M.image_features(mixed, fake=True)
+    r = out.first()
+    feat = np.array(r["features"])
+    assert feat.shape == (M.FEAT_DIM,)
+    assert abs(feat.sum() - 1.0) < 1e-5  # normalized histogram
+    assert (feat >= 0).all()
+
+
+def test_resize_shapes(spark, mixed):
+    out = M.resize_image(mixed.limit(5), tw=4, th=6, fake=True)
+    for r in out.collect():
+        arr = np.frombuffer(r["thumb"], dtype="<f8")
+        assert arr.size == 4 * 6 and r["tw"] == 4 and r["th"] == 6
+
+
+def test_sample_frames_explode(spark):
+    vids = spark.createDataFrame(
+        [("v1", b"RIFFxxxxvideo-bytes-1"), ("v2", b"RIFFyyyyvideo-bytes-2")],
+        ["video_id", "bytes"],
+    )
+    out = M.sample_frames(vids, every_ms=500, fake=True).cache()
+    counts = {r["video_id"]: r["n"] for r in out.groupBy("video_id").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"v1", "v2"}
+    assert all(4 <= c <= 20 for c in counts.values())  # 2-10 s at 500 ms
+    # deterministic: same input -> same frames
+    again = M.sample_frames(vids, every_ms=500, fake=True)
+    a = sorted((r["video_id"], r["frame_idx"], bytes(r["frame"])) for r in out.collect())
+    b = sorted((r["video_id"], r["frame_idx"], bytes(r["frame"])) for r in again.collect())
+    assert a == b
+
+
+def test_audio_features(spark):
+    auds = spark.createDataFrame([("a1", b"RIFFwavv"), ("a2", b"RIFFwavw")], ["audio_id", "bytes"])
+    out = M.audio_features(auds, fake=True)
+    for r in out.collect():
+        assert 1.0 <= r["duration_s"] <= 10.0
+        assert len(r["features"]) == M.FEAT_DIM
