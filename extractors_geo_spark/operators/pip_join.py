@@ -128,11 +128,14 @@ def pip_join(
     if broadcast_polys:
         joined = pts.join(F.broadcast(pcs), "cell")
     elif salt and salt > 1:
+        # shuffle_hash hint: the partitioned path exists for polygon sides
+        # too big to broadcast; without the hint Catalyst would silently
+        # re-broadcast small test layers and hide partitioned-path bugs
         salted_pts = pts.withColumn("salt", F.pmod(F.xxhash64(*point_cols), F.lit(salt)))
         salted_pcs = pcs.withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(salt)])))
-        joined = salted_pts.join(salted_pcs, ["cell", "salt"]).drop("salt")
+        joined = salted_pts.join(salted_pcs.hint("shuffle_hash"), ["cell", "salt"]).drop("salt")
     else:
-        joined = pts.join(pcs, "cell")
+        joined = pts.join(pcs.hint("shuffle_hash"), "cell")
 
     # cheap bbox refine first (pure Catalyst, prunes before the UDF)
     joined = joined.filter(

@@ -1,0 +1,114 @@
+"""Physical-plan audits: the plans we designed are the plans we get.
+Catches regressions like a lost broadcast, an unpushed filter, or bytes
+leaking past the decode stage."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from extractors_geo_spark import datagen
+from extractors_geo_spark.operators import extract_meta, pip_join, tiles
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_str(df) -> str:
+    from io import StringIO
+    import contextlib
+
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def sf_lineitem(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+
+def test_parquet_filter_pushdown(spark, sf_lineitem):
+    q = sf_lineitem.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    s = explain_str(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in s
+    # column pruning reached the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", s)
+    assert m and set(m.group(1).split(",")) == {"l_orderkey:bigint", "l_quantity:double"}
+
+
+def test_pip_join_broadcasts_and_single_python_stage(spark, images_small, polygons, tmp_path):
+    # production shape: images come from a stored table
+    path = str(tmp_path / "imgs")
+    images_small.write.parquet(path)
+    imgs = spark.read.parquet(path)
+    meta = extract_meta.valid_meta(extract_meta.extract_meta(imgs, with_stats=False))
+    j = pip_join.pip_join(meta, polygons)
+    s = explain_str(j)
+    assert "BroadcastHashJoin" in s
+    # exactly one MapInPandas (decode) + one ArrowEvalPython (ray cast);
+    # formatted explain mentions each node twice (tree + detail section)
+    assert s.count("MapInPandas") == 2
+    assert s.count("ArrowEvalPython") == 2
+    # no wide shuffle anywhere in the point-side pipeline
+    assert "Exchange hashpartitioning" not in s
+    # bytes feed the decode but are projected away before the join
+    join_section = s.split("BroadcastHashJoin", 1)[1]
+    assert "bytes" not in join_section.split("LocalTableScan", 1)[0]
+
+
+def test_partitioned_variant_shuffles_on_cell(spark, images_small, polygons):
+    meta = extract_meta.valid_meta(extract_meta.extract_meta(images_small, with_stats=False))
+    j = pip_join.pip_join(meta, polygons, broadcast_polys=False)
+    s = explain_str(j)
+    assert "SortMergeJoin" in s or "ShuffledHashJoin" in s
+    assert "hashpartitioning(cell" in s
+
+
+def test_decode_projects_only_needed_columns(spark, images_small):
+    meta = extract_meta.extract_meta(images_small, with_stats=False)
+    s = explain_str(meta.select("image_id", "lon", "lat"))
+    # input side needs bytes (appears in the detail section after the node
+    # tree), but the decode output schema must have dropped it
+    assert "bytes" in s
+    out_schema = meta.schema.fieldNames()
+    assert "bytes" not in out_schema
+
+
+def test_xyz_tiles_is_codegen_only(spark):
+    df = spark.createDataFrame(
+        [("a", -100.0, 30.0, -99.9, 30.1)], ["image_id", "minx", "miny", "maxx", "maxy"]
+    )
+    s = explain_str(tiles.xyz_tiles(df, zooms=(8,)))
+    assert "ArrowEvalPython" not in s and "MapInPandas" not in s
+    assert "Generate" in s and "explode" in s
+
+
+def test_whole_stage_codegen_on_cell_encode(spark, sf_lineitem):
+    from extractors_geo_spark.operators import cells
+
+    q = sf_lineitem.select(
+        cells.cell_id((F.col("l_partkey") % 360 - 180).cast("double"),
+                      (F.col("l_suppkey") % 180 - 90).cast("double"), 8)
+    )
+    # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
+    assert plan_of(q).lstrip().startswith("*(")
+
+
+def test_observe_metrics_flow(spark, images_small):
+    """Per-stage counters via DataFrame.observe — the engine's per-stage
+    metrics (complements the lineage manifest's per-bucket counters)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("decode_metrics")
+    meta = extract_meta.extract_meta(images_small, with_stats=False).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+    )
+    n = meta.count()
+    got = obs.get
+    assert got["rows"] == n
+    assert 0 < got["errors"] < n

@@ -49,3 +49,33 @@ def test_propagate_removals_idempotent_second_batch(spark, tmp_path):
     q2.awaitTermination(120)
     left = {r["image_id"] for r in spark.read.parquet(derived).collect()}
     assert left == {f"i{k}" for k in range(10)} - {"i3", "i4"}
+
+
+def test_windowed_activity_counts(spark, tmp_path):
+    """ST3: watermarked tumbling-window counts over the event stream."""
+    import datetime
+
+    from extractors_geo_spark.streaming import ingest
+
+    events_dir = str(tmp_path / "ev")
+    out = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ck")
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    # one file per minute so multi-batch processing advances the watermark
+    for m in range(5):
+        rows = [(f"i{m}_{k}", "added", base + datetime.timedelta(minutes=m, seconds=k * 10))
+                for k in range(3)]
+        if m == 1:
+            rows.append(("late", "removed", base + datetime.timedelta(minutes=1, seconds=30)))
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(events_dir)
+
+    q = ingest.run_windowed_counts(spark, events_dir, out, ckpt, files_per_trigger=1)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    added = {(r["win_start"].minute, r["n"]) for r in got.filter(F.col("activity") == "added").collect()}
+    # append mode emits only windows the final watermark (max_ts - 2min =
+    # minute 2) has closed: windows [0,1) and [1,2)
+    assert {(0, 3), (1, 3)}.issubset(added)
+    assert all(n == 3 for (_, n) in added)
+    rem = got.filter(F.col("activity") == "removed").collect()
+    assert all(r["n"] == 1 for r in rem)
