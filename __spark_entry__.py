@@ -408,6 +408,98 @@ FROM b
 """
 
 
+def q_bbox_from_url(spark, sf_dir):
+    """F9: parse `bbox=` out of a WMS query string -> 4 doubles."""
+    p = _points(spark, sf_dir).filter(F.col("point_id") % 13 == 3)
+    url = F.concat(
+        F.lit("http://x/wms?request=GetMap&bbox="),
+        F.concat_ws(",", (F.col("lon") - 0.05).cast("string"), (F.col("lat") - 0.05).cast("string"),
+                    (F.col("lon") + 0.05).cast("string"), (F.col("lat") + 0.05).cast("string")),
+        F.lit("&width=640"),
+    )
+    b = geo.bbox_from_url(url)
+    return p.select(
+        "point_id",
+        F.floor(b[0] * 1000 + F.lit(0.5)).cast("long").alias("bx0"),
+        F.floor(b[1] * 1000 + F.lit(0.5)).cast("long").alias("by0"),
+        F.floor(b[2] * 1000 + F.lit(0.5)).cast("long").alias("bx1"),
+        F.floor(b[3] * 1000 + F.lit(0.5)).cast("long").alias("by1"),
+    )
+
+
+SQL_BBOX_URL = f"""
+WITH p AS ({_POINTS_SQL})
+SELECT point_id,
+       CAST(FLOOR((lon - 0.05) * 1000 + 0.5) AS BIGINT) AS bx0,
+       CAST(FLOOR((lat - 0.05) * 1000 + 0.5) AS BIGINT) AS by0,
+       CAST(FLOOR((lon + 0.05) * 1000 + 0.5) AS BIGINT) AS bx1,
+       CAST(FLOOR((lat + 0.05) * 1000 + 0.5) AS BIGINT) AS by1
+FROM p WHERE point_id % 13 = 3
+"""
+
+
+def q_proxy_rewrite(spark, sf_dir):
+    """F14: scheme://netloc replaced by a proxy prefix."""
+    c = _t(spark, sf_dir, "customer")
+    url = F.concat(F.lit("http://internal-geoserver:8080/geoserver/wms?layer="), F.col("c_name"))
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        geo.proxy_rewrite(url, "https://proxy.example.org").alias("proxied"),
+    )
+
+
+SQL_PROXY = """
+SELECT c_custkey AS id,
+       'https://proxy.example.org' || regexp_replace('http://internal-geoserver:8080/geoserver/wms?layer=' || c_name,
+                                                     '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '') AS proxied
+FROM customer
+"""
+
+
+def q_band_stats_approx(spark, sf_dir):
+    """A2: approx-ok statistics — exact agg over a deterministic 1-in-10
+    subset (the engine's sampling analog of GetStatistics(True, True),
+    reproducible cross-engine unlike rand() sampling)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sub = li.filter(F.pmod(F.col("l_orderkey") * 31 + F.col("l_linenumber"), F.lit(10)) == 0)
+    return sub.groupBy("l_returnflag").agg(
+        _fq(F.avg("l_quantity"), 10000).alias("avg_q"),
+        _fq(F.stddev_pop("l_quantity"), 10000).alias("std_q"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
+
+
+SQL_STATS_APPROX = """
+SELECT l_returnflag,
+       CAST(FLOOR(AVG(l_quantity) * 10000) AS BIGINT) AS avg_q,
+       CAST(FLOOR(STDDEV_POP(l_quantity) * 10000) AS BIGINT) AS std_q,
+       COUNT(*) AS n_sampled
+FROM lineitem
+WHERE (l_orderkey * 31 + l_linenumber) % 10 = 0
+GROUP BY l_returnflag
+"""
+
+
+def q_catalog_record_json(spark, sf_dir):
+    """F10: serialized catalog-record document (XML-template analog)."""
+    c = _t(spark, sf_dir, "customer")
+    rec = geo.catalog_record_json(
+        F.concat(F.lit("ws:"), F.col("c_name")),
+        F.col("c_name"),
+        F.lit("30 -100"), F.lit("40 -90"),
+        F.concat(F.lit("http://gs/wms?layers="), F.col("c_name")),
+    )
+    return c.select(F.col("c_custkey").alias("id"), rec.alias("record"))
+
+
+SQL_RECORD_JSON = """
+SELECT c_custkey AS id,
+       '{"identifier":"ws:' || c_name || '","title":"' || c_name
+       || '","lower_corner":"30 -100","upper_corner":"40 -90","wms_url":"http://gs/wms?layers=' || c_name || '"}' AS record
+FROM customer
+"""
+
+
 def q_storename(spark, sf_dir):
     """F11: storename = filename + '_' + fileid mangling."""
     c = _t(spark, sf_dir, "customer")
@@ -810,6 +902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "pyramid_levels": q_pyramid_levels,
         "wms_url": q_wms_url,
+        "bbox_from_url": q_bbox_from_url,
+        "proxy_rewrite": q_proxy_rewrite,
+        "band_stats_approx": q_band_stats_approx,
+        "catalog_record_json": q_catalog_record_json,
         "storename": q_storename,
         "removal_antijoin": q_removal_antijoin,
         "catalog_upsert": q_catalog_upsert,
@@ -848,6 +944,10 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign": SQL_TILE,
         "pyramid_levels": SQL_PYRAMID,
         "wms_url": SQL_WMS,
+        "bbox_from_url": SQL_BBOX_URL,
+        "proxy_rewrite": SQL_PROXY,
+        "band_stats_approx": SQL_STATS_APPROX,
+        "catalog_record_json": SQL_RECORD_JSON,
         "storename": SQL_STORE,
         "removal_antijoin": SQL_REMOVAL,
         "catalog_upsert": SQL_UPSERT,

@@ -53,7 +53,7 @@ def image_pipeline(spark, n_images: int) -> tuple[float, int]:
     # partitions == cores: the stage is narrow and balanced by construction;
     # more partitions only adds per-task python overhead (measured)
     imgs = datagen.images_df(spark, n_images, partitions=cores)
-    meta = extract_meta.valid_meta(extract_meta.extract_meta(imgs, with_stats=True))
+    meta = extract_meta.valid_meta(extract_meta.extract_meta(imgs, with_stats=True, passthrough=("phash",)))
     polys = datagen.polygons_df(spark)
     joined = pip_join.pip_join(
         meta, polys, point_cols=("image_id", "phash"), poly_cols=("poly_id", "name")

@@ -283,6 +283,35 @@ def csw_corners(minx3857: Column, miny3857: Column, maxx3857: Column, maxy3857: 
     return lo, hi
 
 
+def bbox_from_url(url: Column) -> tuple[Column, Column, Column, Column]:
+    """F9: parse the `bbox=` csv out of a query string -> 4 doubles
+    (pycsw.extractor/pycswutils.py:89-109)."""
+    csv = F.regexp_extract(url, r"[?&]bbox=([^&]*)", 1)
+    parts = F.split(csv, ",")
+    return tuple(F.element_at(parts, i + 1).cast("double") for i in range(4))
+
+
+def proxy_rewrite(url: Column, proxy_prefix: Column | str) -> Column:
+    """F14: replace scheme://netloc with a proxy prefix
+    (preview.geotiff/ncsa.geo.tiff.py:195-198,230-237;
+    pycsw.extractor/pycswutils.py:116-121)."""
+    proxy_prefix = F.lit(proxy_prefix) if isinstance(proxy_prefix, str) else proxy_prefix
+    return F.concat(proxy_prefix, F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""))
+
+
+def catalog_record_json(identifier: Column, title: Column, lower_corner: Column,
+                        upper_corner: Column, wms_url: Column) -> Column:
+    """F10: the CSW insert-record payload as a serialized document — the
+    engine's replacement for the %=token=% XML template instantiation
+    (pycsw.extractor/pycswutils.py:26-65, pycsw_insert_template.xml:1-18).
+    JSON rather than XML: same information, canonical field order."""
+    return F.to_json(F.struct(
+        identifier.alias("identifier"), title.alias("title"),
+        lower_corner.alias("lower_corner"), upper_corner.alias("upper_corner"),
+        wms_url.alias("wms_url"),
+    ))
+
+
 def storename(filename: Column, file_id: Column) -> Column:
     """storename = filename + '_' + fileid (preview.geotiff/ncsa.geo.tiff.py:57)."""
     return F.concat(filename, F.lit("_"), file_id)

@@ -49,6 +49,7 @@ META_FIELDS = T.StructType(
         T.StructField("y_size", T.IntegerType()),
         T.StructField("proj", T.StringType()),
         T.StructField("nodata", T.DoubleType()),
+        T.StructField("has_color_table", T.BooleanType()),
     ]
 )
 STATS_FIELDS = T.StructType(
@@ -102,6 +103,7 @@ def _decode_header(data: bytes, fmt: str, with_stats: bool) -> dict:
         "px_w": info.pixel_scale[0], "px_h": -info.pixel_scale[1],  # height<0, north-up
         "x_size": info.width, "y_size": info.height,
         "proj": info.citation, "nodata": info.nodata,
+        "has_color_table": info.has_color_table,
     }
     gt = info.geotransform
     out["_gx0"], out["_gy0"] = gt[0], gt[3]

@@ -61,6 +61,13 @@ class TiffInfo:
     tags: dict[int, tuple] = field(default_factory=dict)
 
     @property
+    def has_color_table(self) -> bool:
+        """ColorMap tag (320) present — the reference skips style
+        generation for palettized rasters (preview.geotiff/
+        ncsa.geo.tiff.py:205-214, F13)."""
+        return 320 in self.tags
+
+    @property
     def geotransform(self) -> tuple[float, float, float, float, float, float] | None:
         if self.pixel_scale is None or self.tiepoint is None:
             return None
