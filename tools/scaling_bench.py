@@ -46,7 +46,7 @@ def pipe():
                     (F.col("lon") - 0.008).alias("minx"), (F.col("lat") - 0.008).alias("miny"),
                     (F.col("lon") + 0.008).alias("maxx"), (F.col("lat") + 0.008).alias("maxy"))
     return tiles.xyz_tiles(flat, zooms=(8,)).count()
-pipe(); pipe()  # warm: python pool + JIT
+pipe()  # warm: python pool + JIT
 best, rows = 1e18, 0
 for _ in range(2):
     t0 = time.time(); rows = pipe(); best = min(best, time.time() - t0)
@@ -118,7 +118,7 @@ def hardware_baseline() -> dict[int, float]:
 
 def main() -> None:
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     path = ensure_data(n_images)
     # Interleave rounds across levels: this VM's available compute drifts
     # by tens of percent over minutes (shared tenancy — the hw baseline
