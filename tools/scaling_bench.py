@@ -2,19 +2,23 @@
 
 Runs the flagship pipeline (stored image+caption table -> GeoTIFF decode +
 stats -> footprint -> geocell encode -> broadcast PIP join with exact
-ray-cast -> z/x/y tile assignment) at local[8] and local[32] — the
-in-sandbox stand-in for N vs 4N executors — in SEPARATE JVMs, and writes
-throughput + scaling efficiency to BENCH/BASELINE.md.
+ray-cast -> z/x/y tile assignment) at local[2] / local[8] / local[32]
+(N vs 4N executor stand-ins) in SEPARATE JVMs, and writes throughput +
+scaling efficiency (raw and machine-ceiling-normalized) to
+BENCH/BASELINE.md.
 
-Methodology (local mode is noisy — JIT, python-worker pool growth, GC):
+Methodology (local mode is noisy — JIT, python-worker pool growth, GC,
+shared-tenancy drift):
   * the images table is generated ONCE to parquet (production shape: a
     real pipeline reads a table, it doesn't generate inline);
-  * each parallelism level is a fresh JVM; the exact timed query runs
-    twice as warmup, then the MINIMUM of 3 timed runs is reported;
+  * each run is a fresh JVM; 1 warmup + 2 timed executions per run,
+    rounds interleaved across levels, min per level across rounds;
+  * a no-Spark CPU-bound multiprocess probe measures the machine's own
+    scaling ceiling per round (normalization denominator);
   * driver heap is 8g — an oversized heap makes G1 burn multiples of the
     query's CPU in GC under Arrow allocation churn at high thread counts.
 
-Usage: python tools/scaling_bench.py [n_images]
+Usage: python tools/scaling_bench.py [n_images] [rounds]
 """
 
 from __future__ import annotations
@@ -148,9 +152,11 @@ extraction (clamp + reprojection) -> geocell encode -> broadcast PIP join
 with exact ray-cast refinement -> z/x/y tile assignment -> count.
 
 Same input, parallelism levels N and 4N in separate JVMs (the in-sandbox
-stand-in for N vs 4N executors per BASELINE.json north_rule). Each level:
-2 warmup runs, then min of 3 timed runs (local-mode noise: JIT, python
-worker pool growth, GC).
+stand-in for N vs 4N executors per BASELINE.json north_rule). Levels are
+measured in INTERLEAVED rounds (fresh JVM per run, 1 warmup + 2 timed,
+min across rounds) because this shared-tenancy VM's available compute
+drifts tens of percent between runs — round-robin lets every level see
+the machine's best period instead of confounding drift with scaling.
 
 | parallelism | images | wall s (min of 3) | images/sec |
 |---|---|---|---|
