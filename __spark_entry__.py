@@ -617,6 +617,99 @@ FROM a
 # ---------------------------------------------------------------------------
 # text / dedup / similarity over documents + embeddings
 # ---------------------------------------------------------------------------
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase event picks up the value of the user's
+    most recent prior-or-equal view event (DuckDB native ASOF JOIN is the
+    oracle)."""
+    from extractors_geo_spark.operators import asof
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value", "event_id")
+    out = asof.asof_join(purchases, views, key="user_id", right_cols=("value",), tie_col="event_id")
+    return out.select("event_id", "user_id",
+                      F.floor(F.col("asof_value") * 100 + F.lit(0.5)).cast("long").alias("asof_value_q"))
+
+
+SQL_ASOF = """
+WITH v AS (
+  SELECT user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'view'),
+vd AS (SELECT user_id, ts, value FROM v WHERE rn = 1),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       CAST(FLOOR(vd.value * 100 + 0.5) AS BIGINT) AS asof_value_q
+FROM p ASOF LEFT JOIN vd ON p.user_id = vd.user_id AND p.ts >= vd.ts
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: new session when the per-user gap exceeds 1 hour
+    (lag + cumulative sum window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = ep - F.lag(ep).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+    return (
+        ev.withColumn("_new", new_sess)
+        .withColumn("session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("event_id", "user_id", F.col("session_id").cast("long").alias("session_id"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN FLOOR(EPOCH(ts)) - LAG(FLOOR(EPOCH(ts))) OVER w IS NULL
+                OR FLOOR(EPOCH(ts)) - LAG(FLOOR(EPOCH(ts))) OVER w > 3600 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM g
+"""
+
+
+def q_set_except(spark, sf_dir):
+    """Set operations: (user, day) pairs with purchases but no errors,
+    plus the intersect count as a second column batch."""
+    ev = _t(spark, sf_dir, "events").withColumn("d", F.dayofmonth("ts"))
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "d").distinct()
+    errs = ev.filter(F.col("event_type") == "error").select("user_id", "d").distinct()
+    return buys.exceptAll(errs)
+
+
+SQL_EXCEPT = """
+SELECT DISTINCT user_id, EXTRACT(day FROM ts) AS d FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id, EXTRACT(day FROM ts) AS d FROM events WHERE event_type = 'error'
+"""
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP aggregation (grouping-sets coverage) over events."""
+    ev = _t(spark, sf_dir, "events").withColumn("ubucket", F.pmod(F.col("user_id"), F.lit(5)))
+    return (
+        ev.rollup("event_type", "ubucket")
+        .agg(F.count(F.lit(1)).alias("n"), _fq(F.sum("value"), 100).alias("sum_v_q"))
+        .select(F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+                F.coalesce(F.col("ubucket"), F.lit(-1)).alias("ubucket"), "n", "sum_v_q")
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(ubucket, -1) AS ubucket,
+       COUNT(*) AS n,
+       CAST(FLOOR(SUM(value) * 100) AS BIGINT) AS sum_v_q
+FROM (SELECT event_type, user_id % 5 AS ubucket, value FROM events)
+GROUP BY ROLLUP(event_type, ubucket)
+"""
+
+
 def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -909,6 +1002,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storename": q_storename,
         "removal_antijoin": q_removal_antijoin,
         "catalog_upsert": q_catalog_upsert,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "set_except": q_set_except,
+        "rollup": q_rollup,
         "band_stats": q_band_stats,
         "style_range": q_style_range,
         "lang_id": q_lang_id,
@@ -951,6 +1048,10 @@ def oracle_sql() -> dict[str, str]:
         "storename": SQL_STORE,
         "removal_antijoin": SQL_REMOVAL,
         "catalog_upsert": SQL_UPSERT,
+        "asof_join": SQL_ASOF,
+        "sessionize": SQL_SESSIONIZE,
+        "set_except": SQL_EXCEPT,
+        "rollup": SQL_ROLLUP,
         "band_stats": SQL_STATS,
         "style_range": SQL_STYLE,
         "lang_id": SQL_LANG,
