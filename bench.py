@@ -27,9 +27,9 @@ from extractors_geo_spark.session import get_spark
 
 HEADLINE = (
     "merc_extent", "cell_encode", "cell_density", "pip_join", "knn",
-    "tile_assign", "removal_antijoin", "catalog_upsert", "band_stats",
-    "exact_dedup", "minhash", "simhash", "ngram_jaccard", "embedding_topk",
-    "token_counts", "quality",
+    "tile_assign", "removal_antijoin", "catalog_upsert", "asof_join",
+    "sessionize", "band_stats", "exact_dedup", "minhash", "simhash",
+    "ngram_jaccard", "embedding_topk", "token_counts", "quality",
 )
 
 

@@ -105,17 +105,22 @@ def pip_join(
     broadcast_polys: bool | None = None,
     point_cols: tuple[str, ...] = ("image_id",),
     poly_cols: tuple[str, ...] = ("poly_id", "name"),
-    exact: bool = True,
+    exact: bool | str = "auto",
     salt: int | None = None,
 ) -> DataFrame:
     """Return one row per (point, containing polygon).
 
     broadcast_polys=None lets the planner decide from the polygon count.
+    exact='auto' (default) drops the ray-cast python stage when the layer
+    is all axis-aligned rectangles (bbox refine is then already exact) —
+    a plan rewrite, not an approximation. Pass True/False to force.
     `salt` (partitioned path only) spreads each hot cell over `salt`
     shuffle keys; the polygon side is duplicated per salt value, the point
     side picks pmod(phash-or-hash, salt)."""
     from ..plans import planner
 
+    if exact == "auto":
+        exact = not planner.all_rectangles(polygons)
     pts = tag_point_cells(points.select(*point_cols, lon, lat), lon, lat, res)
     geom_cols = ["xs", "ys", "minx", "miny", "maxx", "maxy"]
     if "ring_lens" in polygons.columns:

@@ -26,6 +26,34 @@ def should_broadcast(exploded_poly_cells: DataFrame, limit: int = BROADCAST_ROW_
     return n <= limit
 
 
+def all_rectangles(polygons: DataFrame) -> bool:
+    """True iff every polygon is an axis-aligned rectangle equal to its
+    bbox — then the Catalyst bbox refine is already EXACT and the planner
+    drops the ray-cast python stage from the PIP plan entirely.
+
+    Rectangle test (no bowties): closed 5-point ring, xs/ys take exactly
+    the two bbox values, and each edge is axis-parallel (consecutive
+    vertices differ in exactly one coordinate)."""
+    xs, ys = F.col("xs"), F.col("ys")
+    axis_edges = None
+    for i in range(1, 5):
+        ex = F.element_at(xs, i) == F.element_at(xs, i + 1)
+        ey = F.element_at(ys, i) == F.element_at(ys, i + 1)
+        edge_ok = ex != ey  # exactly one coordinate changes... (xor)
+        axis_edges = edge_ok if axis_edges is None else (axis_edges & edge_ok)
+    is_rect = (
+        (F.size(xs) == 5)
+        & (F.element_at(xs, 1) == F.element_at(xs, 5))
+        & (F.element_at(ys, 1) == F.element_at(ys, 5))
+        & (F.array_min(xs) == F.col("minx")) & (F.array_max(xs) == F.col("maxx"))
+        & (F.array_min(ys) == F.col("miny")) & (F.array_max(ys) == F.col("maxy"))
+        & axis_edges
+    )
+    if "ring_lens" in polygons.columns:
+        is_rect = is_rect & (F.col("ring_lens").isNull() | (F.size("ring_lens") <= 1))
+    return polygons.filter(~is_rect).limit(1).count() == 0
+
+
 def salt_factor(density: DataFrame, target_rows_per_task: int = 2_000_000) -> int:
     """From a per-cell density table (cells.cell_density output), pick a
     salt factor that caps the hottest cell at ~target rows per task."""

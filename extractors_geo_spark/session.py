@@ -41,6 +41,7 @@ def get_spark(
         # per-core anyway; 12g mirrors that.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # keep big binary rows from blowing up broadcast decisions
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )

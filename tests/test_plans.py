@@ -112,3 +112,28 @@ def test_observe_metrics_flow(spark, images_small):
     got = obs.get
     assert got["rows"] == n
     assert 0 < got["errors"] < n
+
+
+def test_rect_layer_skips_raycast(spark):
+    """exact='auto': an all-rectangle layer drops the python ray-cast
+    stage from the plan (bbox refine is already exact)."""
+    from extractors_geo_spark import datagen
+
+    rects = spark.createDataFrame(
+        [{"poly_id": "r1", "name": "r1", "xs": [0.0, 2.0, 2.0, 0.0, 0.0],
+          "ys": [0.0, 0.0, 2.0, 2.0, 0.0], "minx": 0.0, "miny": 0.0, "maxx": 2.0, "maxy": 2.0}],
+        datagen.POLY_SCHEMA,
+    )
+    pts = spark.createDataFrame([("p1", 1.0, 1.0), ("p2", 3.0, 3.0)], ["image_id", "lon", "lat"])
+    j = pip_join.pip_join(pts, rects, poly_cols=("poly_id",))
+    s = explain_str(j)
+    assert "ArrowEvalPython" not in s
+    assert [r["image_id"] for r in j.collect()] == ["p1"]
+    # non-rectangular layer keeps the exact refine
+    quads = spark.createDataFrame(
+        [{"poly_id": "q1", "name": "q1", "xs": [0.0, 2.0, 2.2, 0.0, 0.0],
+          "ys": [0.0, 0.0, 2.0, 2.0, 0.0], "minx": 0.0, "miny": 0.0, "maxx": 2.2, "maxy": 2.0}],
+        datagen.POLY_SCHEMA,
+    )
+    s2 = explain_str(pip_join.pip_join(pts, quads, poly_cols=("poly_id",)))
+    assert "ArrowEvalPython" in s2

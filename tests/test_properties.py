@@ -1,0 +1,96 @@
+"""Property-based spot checks (SURVEY.md §5 item 4) — hypothesis drives
+the pure-python/numpy kernels; Spark-level equivalents are covered by the
+example-based suites."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from extractors_geo_spark import tiff
+from extractors_geo_spark.functions import geo
+from extractors_geo_spark.operators import cells, tiles
+
+lons = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+lats = st.floats(min_value=-85.0, max_value=85.0, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lons, lats)
+def test_mercator_roundtrip(lon, lat):
+    x, y = geo.merc_forward_np(np.array([lon]), np.array([lat]))
+    lon2, lat2 = geo.merc_inverse_np(x, y)
+    assert abs(lon2[0] - lon) < 1e-9 and abs(lat2[0] - lat) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(min_value=-125.9, max_value=-120.1), st.floats(min_value=0.1, max_value=83.9))
+def test_utm_roundtrip(lon, lat):
+    e, n = geo.utm_forward_np(np.array([lon]), np.array([lat]), 10)
+    lon2, lat2 = geo.utm_inverse_np(e, n, 10)
+    assert abs(lon2[0] - lon) < 1e-9 and abs(lat2[0] - lat) < 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(lons, lats, st.integers(min_value=0, max_value=29))
+def test_cell_contains_point(lon, lat, res):
+    c = cells.cell_np(np.array([lon]), np.array([lat]), res)
+    minx, miny, maxx, maxy = cells.cell_bounds_np(c)
+    assert minx[0] - 1e-9 <= lon <= maxx[0] + 1e-9
+    assert miny[0] - 1e-9 <= lat <= maxy[0] + 1e-9
+    r, iy, ix = cells.cell_decode_np(c)
+    assert r[0] == res and c[0] >= 0  # packing stays in int64
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=64), st.integers(min_value=1, max_value=64),
+       st.integers(min_value=0, max_value=6))
+def test_pyramid_dims_property(w, h, n):
+    """level-n dims == ceil(dims / 2^n) through repeated 2x reduction."""
+    arr = np.zeros((h, w))
+    for _ in range(n):
+        arr = tiles.reduce_2x(arr)
+    assert arr.shape == (max(1, -(-h // (1 << n))), max(1, -(-w // (1 << n))))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_pip_raycast_vs_matplotlib_free_brute(data):
+    """Ray cast against an independent implementation (winding via shapely
+    is unavailable; use a second, differently-coded even-odd check)."""
+    k = data.draw(st.integers(min_value=3, max_value=8))
+    pts = data.draw(st.lists(st.tuples(
+        st.floats(min_value=-10, max_value=10, allow_nan=False),
+        st.floats(min_value=-10, max_value=10, allow_nan=False)), min_size=k, max_size=k))
+    ring = np.array(pts + [pts[0]], dtype=float)
+    qx = data.draw(st.floats(min_value=-12, max_value=12, allow_nan=False))
+    qy = data.draw(st.floats(min_value=-12, max_value=12, allow_nan=False))
+
+    def even_odd(px, py, poly):
+        inside = False
+        j = len(poly) - 2
+        for i in range(len(poly) - 1):
+            xi, yi = poly[i]
+            xj, yj = poly[j]
+            if (yi > py) != (yj > py) and px < (xj - xi) * (py - yi) / (yj - yi) + xi:
+                inside = not inside
+            j = i
+        return inside
+
+    got = geo.point_in_ring_np(np.array([qx]), np.array([qy]), ring)[0]
+    assert got == even_odd(qx, qy, ring)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=2, max_value=48), st.integers(min_value=2, max_value=48),
+       st.integers(min_value=0, max_value=2**31 - 1))
+def test_tiff_roundtrip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    arr = (rng.random((h, w)) * 1000).astype(np.float64)
+    b = tiff.write_geotiff(arr, origin=(float(rng.uniform(-180, 180)), float(rng.uniform(-90, 90))),
+                           pixel_size=(0.01, 0.02), epsg=4326, nodata=-1.0)
+    info = tiff.read_info(b)
+    assert (info.width, info.height) == (w, h)
+    assert np.array_equal(tiff.read_pixels(b, info), arr)
+    mn, mx, mean, std = tiff.band_stats(arr, -1.0)
+    assert abs(mean - arr.mean()) < 1e-9
+    assert abs(std - arr.std()) < 1e-6 * max(1.0, arr.std())
