@@ -814,7 +814,8 @@ FROM documents GROUP BY 1
 def q_minhash(spark, sf_dir):
     """MinHash signature (first 4 hash functions) per document."""
     d = _t(spark, sf_dir, "documents")
-    d = d.select("doc_id", dedup.shingle_hashes(F.col("text")).alias("_hs"))
+    d = d.select("doc_id", dedup.norm_words(F.col("text")).alias("_w"))
+    d = d.select("doc_id", dedup.shingle_hashes_from_words(F.col("_w")).alias("_hs"))
     sig = dedup.minhash_from_hashes(F.col("_hs"), num_hashes=4)
     return d.select("doc_id", *[sig[i].alias(f"mh{i}") for i in range(4)])
 

@@ -51,9 +51,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle strings (distinct)."""
-    w = F.filter(F.split(norm_text(text), " "), lambda x: x != "")
+def norm_words(text: Column) -> Column:
+    """Normalized word array — MATERIALIZE this as a column before building
+    shingles: every element_at(w, i) inlines its argument subtree, so an
+    unbound w re-evaluates split+filter per access (O(words^2) per doc)."""
+    return F.filter(F.split(norm_text(text), " "), lambda x: x != "")
+
+
+def shingles_from_words(w: Column, n: int = 3) -> Column:
+    """Word n-gram shingle strings (distinct) from a bound word-array col."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
     sh = F.transform(
         idx,
@@ -62,13 +68,24 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
-def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
-    """Hashed shingle array reduced mod p — materialize this ONCE as a
-    column before fanning out to signature elements: Catalyst does not
-    CSE across lambda expressions, so inlining it into every sig element
-    recomputes the md5 of every shingle num_hashes times."""
-    sh = shingles(text, shingle_n)
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle strings (distinct). Prefer materializing
+    norm_words() in a projection and calling shingles_from_words."""
+    return shingles_from_words(norm_words(text), n)
+
+
+def shingle_hashes_from_words(w: Column, shingle_n: int = 3) -> Column:
+    """Hashed shingle array reduced mod p from a bound word-array column —
+    materialize the result ONCE before fanning out to signature elements:
+    Catalyst does not CSE across lambda expressions, so inlining it into
+    every sig element recomputes the md5 of every shingle num_hashes
+    times."""
+    sh = shingles_from_words(w, shingle_n)
     return F.transform(sh, lambda s: F.pmod(content_hash64(s), F.lit(MERSENNE_P)))
+
+
+def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
+    return shingle_hashes_from_words(norm_words(text), shingle_n)
 
 
 def minhash_from_hashes(hs_mod: Column, num_hashes: int = 16) -> Column:
@@ -105,9 +122,10 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     d = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-        .withColumn("_hs", shingle_hashes(F.col("t"), shingle_n))  # md5 once
+        .withColumn("_w", norm_words(F.col("t")))  # bind words: O(n) access
+        .withColumn("_hs", shingle_hashes_from_words(F.col("_w"), shingle_n))  # md5 once
         .withColumn("sig", minhash_from_hashes(F.col("_hs"), num_hashes))
-        .drop("_hs")
+        .drop("_hs", "_w")
     )
     band_keys = [
         F.hash(F.lit(bi), *[F.element_at(F.col("sig"), bi * rows_per_band + j + 1) for j in range(rows_per_band)]).alias("bkey")
@@ -122,7 +140,9 @@ def minhash_lsh_pairs(
                 F.col("l.t").alias("ta"), F.col("r.t").alias("tb"))
         .dropDuplicates(["a", "b"])
     )
-    sha, shb = shingles(F.col("ta"), shingle_n), shingles(F.col("tb"), shingle_n)
+    cand = cand.withColumn("_wa", norm_words(F.col("ta"))).withColumn("_wb", norm_words(F.col("tb")))
+    sha = shingles_from_words(F.col("_wa"), shingle_n)
+    shb = shingles_from_words(F.col("_wb"), shingle_n)
     inter = F.size(F.array_intersect(sha, shb)).cast("double")
     union = F.size(F.array_union(sha, shb)).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -135,8 +155,7 @@ def minhash_lsh_pairs(
 
 def word_hashes(text: Column) -> Column:
     """Hashed word array — materialize once (see shingle_hashes note)."""
-    w = F.filter(F.split(norm_text(text), " "), lambda x: x != "")
-    return F.transform(w, lambda x: content_hash64(x))
+    return F.transform(norm_words(text), lambda x: content_hash64(x))
 
 
 def simhash_from_hashes(hs: Column, bits: int = 32) -> Column:
@@ -211,12 +230,16 @@ def ngram_jaccard_pairs(
     intersections come from a count aggregate, and |A u B| = |A|+|B|-inter.
     The shuffle is O(total shingles), never O(pairs x shingle-array), and
     zero-overlap pairs are never materialized."""
-    sh = shingles(F.col(text_col), n)
-    d = df.select(
-        F.col(id_col).alias("id"),
-        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
-        sh.alias("sh"),
-    ).withColumn("sz", F.size("sh"))
+    d = (
+        df.select(
+            F.col(id_col).alias("id"),
+            (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+            norm_words(F.col(text_col)).alias("_w"),
+        )
+        .withColumn("sh", shingles_from_words(F.col("_w"), n))
+        .drop("_w")
+        .withColumn("sz", F.size("sh"))
+    )
     e = d.select("id", "blk", "sz", F.explode(F.transform("sh", content_hash64)).alias("g"))
     l, r = e.alias("l"), e.alias("r")
     inter = (
