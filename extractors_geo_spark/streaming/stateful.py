@@ -1,0 +1,83 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference's queue gives at-least-once delivery, so a consumer must be
+idempotent; the engine's streaming analog is an explicit cross-batch
+dedup + per-key counters implemented with applyInPandasWithState
+(SURVEY.md ST1/ST2: stateful dropDuplicates + health counters).
+
+  stateful_dedup_stream   emits each image_id at most once across all
+                          micro-batches (state = seen set per key group)
+  running_counters_stream per-activity running totals, emitted per batch
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEDUP_OUT = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("activity", T.StringType()),
+    T.StructField("first_seen_batch", T.IntegerType()),
+])
+DEDUP_STATE = T.StructType([T.StructField("seen", T.ArrayType(T.StringType())),
+                            T.StructField("batches", T.IntegerType())])
+
+
+def _dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    seen, batches = (state.get if state.exists else ([], 0))
+    seen_set = set(seen)
+    out = []
+    for pdf in pdfs:
+        for iid, act in zip(pdf["image_id"], pdf["activity"]):
+            if iid not in seen_set:
+                seen_set.add(iid)
+                out.append({"image_id": iid, "activity": act, "first_seen_batch": batches})
+    state.update((list(seen_set), batches + 1))
+    yield pd.DataFrame(out, columns=["image_id", "activity", "first_seen_batch"])
+
+
+def stateful_dedup(stream: DataFrame, shard_mod: int = 16) -> DataFrame:
+    """Cross-batch exactly-once emission per image_id. Keys are sharded by
+    hash so state is distributed (a single global key would serialize);
+    state per shard is the seen-id set — bounded by ids per shard, the
+    same bound a stateful dropDuplicates holds."""
+    from pyspark.sql import functions as F
+
+    sharded = stream.withColumn("shard", F.pmod(F.xxhash64("image_id"), F.lit(shard_mod)))
+    return (
+        sharded.groupBy("shard")
+        .applyInPandasWithState(
+            _dedup_fn, DEDUP_OUT, DEDUP_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+COUNTER_OUT = T.StructType([
+    T.StructField("activity", T.StringType()),
+    T.StructField("batch_events", T.LongType()),
+    T.StructField("total_events", T.LongType()),
+])
+COUNTER_STATE = T.StructType([T.StructField("total", T.LongType())])
+
+
+def _counter_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    (total,) = state.get if state.exists else (0,)
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+    total += n
+    state.update((total,))
+    yield pd.DataFrame([{"activity": key[0], "batch_events": n, "total_events": total}])
+
+
+def running_counters(stream: DataFrame) -> DataFrame:
+    """Per-activity running totals across micro-batches — the extractor
+    fleet health counters (per-partition metrics, north rule)."""
+    return stream.groupBy("activity").applyInPandasWithState(
+        _counter_fn, COUNTER_OUT, COUNTER_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -84,3 +84,21 @@ def test_cosine_expr_matches_numpy(spark, emb):
     w = np.array(two[1]["embedding"], dtype=np.float64)
     exp = float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
     assert abs(got - exp) < 1e-12
+
+
+def test_ivf_topk_recall(spark, emb, queries):
+    k = 5
+    exact = similarity.brute_topk(queries, emb, k=k).collect()
+    approx = similarity.ivf_topk(queries, emb, k=k, n_centroids=8, nprobe=4).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF recall {recall}"
+
+
+def test_ivf_full_probe_equals_brute(spark, emb, queries):
+    """nprobe == n_centroids degenerates to exact search."""
+    k = 3
+    exact = similarity.brute_topk(queries, emb, k=k).collect()
+    full = similarity.ivf_topk(queries, emb, k=k, n_centroids=4, nprobe=4).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in exact} == {(r["query_id"], r["vec_id"]) for r in full}

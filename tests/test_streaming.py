@@ -79,3 +79,68 @@ def test_windowed_activity_counts(spark, tmp_path):
     assert all(n == 3 for (_, n) in added)
     rem = got.filter(F.col("activity") == "removed").collect()
     assert all(r["n"] == 1 for r in rem)
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: each image_id emitted at most once across
+    micro-batches (cross-batch dedup, ST1/ST2 idempotency)."""
+    import datetime
+
+    from extractors_geo_spark.streaming import stateful
+
+    events_dir = str(tmp_path / "ev")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    ts = datetime.datetime(2024, 1, 2)
+    # two files; duplicates within and across
+    spark.createDataFrame(
+        [("a", "added", ts), ("b", "added", ts), ("a", "added", ts)], EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(events_dir)
+    spark.createDataFrame(
+        [("b", "added", ts), ("c", "added", ts)], EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(events_dir)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(events_dir)
+    )
+    q = (
+        stateful.stateful_dedup(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out).collect()
+    ids = [r["image_id"] for r in rows]
+    assert sorted(ids) == ["a", "b", "c"]  # exactly once each
+
+
+def test_running_counters(spark, tmp_path):
+    import datetime
+
+    from extractors_geo_spark.streaming import stateful
+
+    events_dir = str(tmp_path / "ev")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    ts = datetime.datetime(2024, 1, 2)
+    spark.createDataFrame(
+        [("a", "added", ts), ("b", "added", ts), ("c", "removed", ts)], EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(events_dir)
+    spark.createDataFrame(
+        [("d", "added", ts)], EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(events_dir)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(events_dir)
+    )
+    q = (
+        stateful.running_counters(stream)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out).collect()
+    added_totals = sorted(r["total_events"] for r in rows if r["activity"] == "added")
+    assert added_totals[-1] == 3  # running total reached 3 across batches
