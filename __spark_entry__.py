@@ -298,6 +298,51 @@ FROM p JOIN r ON p.lon > r.x0 AND p.lon < r.x1 AND p.lat > r.y0 AND p.lat < r.y1
 _KNN_QUERIES = [(f"q{i:02d}", -123.455 + 2.71 * i, 25.955 + 0.83 * i) for i in range(20)]
 
 
+_WINDOWS = [
+    ("w0", -124.005, 24.995, -114.005, 34.005),
+    ("w1", -114.005, 24.995, -104.005, 38.005),
+    ("w2", -104.005, 30.005, -94.005, 42.005),
+    ("w3", -94.005, 26.005, -84.005, 40.005),
+    ("w4", -90.005, 36.005, -70.005, 49.005),
+    ("w5", -124.005, 38.005, -100.005, 49.005),
+]
+
+
+def q_bbox_join(spark, sf_dir):
+    """J1 general form: footprint-vs-window bbox intersection range join
+    (cell cover both sides + reference-corner dedup, no python stage)."""
+    from extractors_geo_spark.operators import bbox_join
+
+    p = _points(spark, sf_dir)
+    boxes = p.select(
+        "point_id",
+        (F.col("lon") - (F.col("point_id") % 7 + 1) / 10.0).alias("minx"),
+        (F.col("lat") - (F.col("point_id") % 5 + 1) / 10.0).alias("miny"),
+        (F.col("lon") + (F.col("point_id") % 7 + 1) / 10.0).alias("maxx"),
+        (F.col("lat") + (F.col("point_id") % 5 + 1) / 10.0).alias("maxy"),
+    )
+    wins = spark.createDataFrame(_WINDOWS, ["query_id", "minx", "miny", "maxx", "maxy"])
+    out = bbox_join.bbox_join(boxes, wins, res=6, l_id="point_id", broadcast_right=True)
+    return out.select("point_id", "query_id", "ix_minx", "ix_miny", "ix_maxx", "ix_maxy")
+
+
+SQL_BBOX_JOIN = f"""
+WITH p AS ({_POINTS_SQL}),
+b AS (
+  SELECT point_id,
+         lon - (point_id % 7 + 1) / 10.0 AS minx,
+         lat - (point_id % 5 + 1) / 10.0 AS miny,
+         lon + (point_id % 7 + 1) / 10.0 AS maxx,
+         lat + (point_id % 5 + 1) / 10.0 AS maxy
+  FROM p),
+w(query_id, minx, miny, maxx, maxy) AS (VALUES {", ".join(f"('{q}', {a}, {b}, {c}, {d})" for q, a, b, c, d in _WINDOWS)})
+SELECT b.point_id, w.query_id,
+       GREATEST(b.minx, w.minx) AS ix_minx, GREATEST(b.miny, w.miny) AS ix_miny,
+       LEAST(b.maxx, w.maxx) AS ix_maxx, LEAST(b.maxy, w.maxy) AS ix_maxy
+FROM b JOIN w ON b.minx <= w.maxx AND b.maxx >= w.minx AND b.miny <= w.maxy AND b.maxy >= w.miny
+"""
+
+
 def q_knn(spark, sf_dir):
     """J5: grid kNN (cell-ring candidates + window top-k) vs brute-force
     SQL ranking."""
@@ -992,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_cover": q_cell_cover,
         "cell_children": q_cell_children,
         "pip_join": q_pip_join,
+        "bbox_join": q_bbox_join,
         "knn": q_knn,
         "tile_assign": q_tile_assign,
         "pyramid_levels": q_pyramid_levels,
@@ -1038,6 +1084,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_cover": SQL_COVER,
         "cell_children": SQL_CHILDREN,
         "pip_join": SQL_PIP,
+        "bbox_join": SQL_BBOX_JOIN,
         "knn": SQL_KNN,
         "tile_assign": SQL_TILE,
         "pyramid_levels": SQL_PYRAMID,

@@ -1,0 +1,62 @@
+"""bbox-intersection range join (SURVEY.md J1 in its general box-vs-box
+form): which image footprints intersect which query windows — the WMS
+GetMap contract (preview.geotiff/gsclient.py:75-76) as a native join.
+
+Plan: both sides explode to covering geocells at a common resolution,
+equi-join on cell, exact rectangle-overlap refine in Catalyst, and the
+REFERENCE-CORNER dedup: a pair sharing k cells would emit k rows, so only
+the row whose join cell contains the intersection's lower-left corner
+survives — deduplication without a distinct/shuffle, entirely codegen.
+
+Fully Catalyst: no python stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import cells
+
+
+def bbox_join(
+    left: DataFrame,
+    right: DataFrame,
+    res: int = 6,
+    l_id: str = "image_id",
+    r_id: str = "query_id",
+    l_cols: tuple[str, str, str, str] = ("minx", "miny", "maxx", "maxy"),
+    r_cols: tuple[str, str, str, str] = ("minx", "miny", "maxx", "maxy"),
+    broadcast_right: bool | None = None,
+) -> DataFrame:
+    """One row per intersecting (left box, right box) pair. Touch-only
+    boundaries count as intersecting (closed boxes, >= / <=), matching
+    SQL BETWEEN semantics so the oracle is declarative."""
+    lmx, lmy, lXx, lXy = (F.col(f"l_{c}") for c in l_cols)
+    rmx, rmy, rXx, rXy = (F.col(f"r_{c}") for c in r_cols)
+
+    l = left.select(
+        F.col(l_id),
+        *[F.col(c).alias(f"l_{c}") for c in l_cols],
+    ).withColumn("cell", F.explode(cells.cover_bbox(lmx, lmy, lXx, lXy, res)))
+    r = right.select(
+        F.col(r_id),
+        *[F.col(c).alias(f"r_{c}") for c in r_cols],
+    ).withColumn("cell", F.explode(cells.cover_bbox(rmx, rmy, rXx, rXy, res)))
+
+    if broadcast_right is None:
+        broadcast_right = r.limit(2_000_001).count() <= 2_000_000
+    joined = l.join(F.broadcast(r) if broadcast_right else r, "cell")
+
+    intersects = (lmx <= rXx) & (lXx >= rmx) & (lmy <= rXy) & (lXy >= rmy)
+    # reference corner: the intersection's lower-left point; the pair is
+    # kept only in the cell containing it -> exactly one row per pair
+    ix = F.greatest(lmx, rmx)
+    iy = F.greatest(lmy, rmy)
+    ref_cell = cells.cell_id(ix, iy, res)
+    return (
+        joined.filter(intersects & (F.col("cell") == ref_cell))
+        .select(l_id, r_id,
+                ix.alias("ix_minx"), iy.alias("ix_miny"),
+                F.least(lXx, rXx).alias("ix_maxx"), F.least(lXy, rXy).alias("ix_maxy"))
+    )
