@@ -141,6 +141,19 @@ def epsg_to_lonlat_np(x, y, epsg: int):
     raise ValueError(f"unsupported epsg {epsg}")
 
 
+def lonlat_to_epsg_np(lon, lat, epsg: int):
+    """lon/lat -> native CRS point (forward of epsg_to_lonlat_np)."""
+    if epsg == 4326:
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    if epsg == 3857:
+        return merc_forward_np(lon, lat)
+    if 32601 <= epsg <= 32660:
+        return utm_forward_np(lon, lat, epsg - 32600, south=False)
+    if 32701 <= epsg <= 32760:
+        return utm_forward_np(lon, lat, epsg - 32700, south=True)
+    raise ValueError(f"unsupported epsg {epsg}")
+
+
 def epsg_to_3857_np(x, y, epsg: int):
     """Native CRS point -> EPSG:3857, the reference's GOOGLE target
     (preview.geotiff/geotiffutils.py:101)."""

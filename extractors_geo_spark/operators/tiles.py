@@ -124,6 +124,103 @@ def xyz_tiles(meta: DataFrame, zooms: tuple[int, ...] = (6, 8, 10)) -> DataFrame
     return out
 
 
+SLICE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("z", T.IntegerType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+        T.StructField("tile_px", T.IntegerType()),
+        T.StructField("coverage", T.DoubleType()),  # valid-pixel fraction
+        T.StructField("tile", T.BinaryType()),
+    ]
+)
+
+_R = 6378137.0
+_MERC_MAX = _R * np.pi
+
+
+def _tile_bounds_merc(z: int, x: int, y: int) -> tuple[float, float, float, float]:
+    n = 1 << z
+    size = 2 * _MERC_MAX / n
+    minx = -_MERC_MAX + x * size
+    maxy = _MERC_MAX - y * size
+    return minx, maxy - size, minx + size, maxy
+
+
+def slice_xyz_tiles(
+    images: DataFrame,
+    zoom: int = 12,
+    tile_px: int = 64,
+    nodata_fill: float = float("nan"),
+) -> DataFrame:
+    """Slice decoded raster bytes into web-mercator z/x/y tiles (the
+    engine's materialized GetMap: north-star 'raster->vector tiling
+    slices decoded image bytes into z/x/y tiles written back').
+
+    One mapInPandas stage (1 image -> N tiles, bytes never shuffle):
+    for each covering tile, every output pixel center maps tile-mercator
+    -> lon/lat -> source pixel (nearest neighbor through the image's
+    geotransform, with the same inverse-mercator math as the Catalyst
+    layer). Pixels outside the footprint carry nodata_fill; `coverage`
+    reports the valid fraction so sinks can drop empty borders."""
+    from ..functions import geo as _geo
+    from .. import tiff as _tiff
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for iid, data, fmt in zip(b["image_id"], b["bytes"], b["fmt"]):
+                if fmt not in ("tiff", "tif"):
+                    continue
+                try:
+                    info = _tiff.read_info(bytes(data))
+                    arr = _tiff.read_pixels(bytes(data), info).astype(np.float64)
+                except Exception:
+                    continue
+                if info.epsg is None:
+                    continue
+                gt = info.geotransform
+                bx = info.bounds()
+                try:
+                    lon2, lat2 = _geo.epsg_to_lonlat_np(
+                        np.array([bx[0], bx[2]]), np.array([bx[1], bx[3]]), info.epsg)
+                except ValueError:
+                    continue
+                mx, my = _geo.merc_forward_np(lon2, lat2)
+                n = 1 << zoom
+                tx0 = int(np.clip((mx[0] + _MERC_MAX) / (2 * _MERC_MAX) * n, 0, n - 1))
+                tx1 = int(np.clip((mx[1] + _MERC_MAX) / (2 * _MERC_MAX) * n, 0, n - 1))
+                ty0 = int(np.clip((_MERC_MAX - my[1]) / (2 * _MERC_MAX) * n, 0, n - 1))
+                ty1 = int(np.clip((_MERC_MAX - my[0]) / (2 * _MERC_MAX) * n, 0, n - 1))
+                for ty in range(ty0, ty1 + 1):
+                    for tx in range(tx0, tx1 + 1):
+                        tminx, tminy, tmaxx, tmaxy = _tile_bounds_merc(zoom, tx, ty)
+                        px = tminx + (np.arange(tile_px) + 0.5) * (tmaxx - tminx) / tile_px
+                        py = tmaxy - (np.arange(tile_px) + 0.5) * (tmaxy - tminy) / tile_px
+                        PX, PY = np.meshgrid(px, py)
+                        lon, lat = _geo.merc_inverse_np(PX.ravel(), PY.ravel())
+                        sx, sy = _geo.lonlat_to_epsg_np(lon, lat, info.epsg)
+                        col = np.floor((sx - gt[0]) / gt[1]).astype(np.int64)
+                        row = np.floor((sy - gt[3]) / gt[5]).astype(np.int64)
+                        valid = (col >= 0) & (col < info.width) & (row >= 0) & (row < info.height)
+                        out = np.full(tile_px * tile_px, nodata_fill, dtype=np.float64)
+                        out[valid] = arr[row[valid], col[valid]]
+                        if info.nodata is not None:
+                            valid = valid & (out != info.nodata)
+                        cov = float(valid.mean())
+                        if cov == 0.0:
+                            continue
+                        rows.append({
+                            "image_id": iid, "z": zoom, "x": tx, "y": ty,
+                            "tile_px": tile_px, "coverage": cov,
+                            "tile": out.astype("<f8").tobytes(),
+                        })
+            yield pd.DataFrame(rows, columns=[f.name for f in SLICE_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, SLICE_SCHEMA)
+
+
 RENDER_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),
