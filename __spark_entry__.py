@@ -1003,6 +1003,15 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_tile_slice(spark, sf_dir):
+    """Real z/x/y tile slicing of decoded raster bytes (rows-only: pixel
+    content is checked in tests/test_tiles.py against a per-pixel oracle)."""
+    imgs = datagen.images_df(spark, 300, partitions=8)
+    return tiles.slice_xyz_tiles(imgs, zoom=12, tile_px=16).select(
+        "image_id", "z", "x", "y", "coverage"
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, num_hashes=16, bands=8, jaccard_threshold=0.5)
@@ -1068,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL oracle): real image pipeline + approximate ops
         "flagship_pip": q_flagship_pip,
         "tile_pyramid": q_tile_pyramid,
+        "tile_slice": q_tile_slice,
         "ann_lsh": q_ann_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
     }

@@ -68,19 +68,20 @@ def split_hot_cells(
     hot_threshold: int,
     lon: str = "lon",
     lat: str = "lat",
+    levels: int = 1,
 ) -> DataFrame:
     """Adaptive cell-splitting (SURVEY.md §4.2 item 2): rows whose cell
-    count exceeds `hot_threshold` are re-encoded one resolution finer.
+    count exceeds `hot_threshold` are re-encoded `levels` resolutions
+    finer (4^levels children — pick levels ~ log4(hot_count/target)).
     `density` must be keyed by `cell`. Returns the input with `cell`
     replaced for hot rows. Join with a polygon side that exploded its
-    cover at BOTH resolutions (cells.cover_bbox at res and res+1)."""
+    cover at BOTH resolutions (cells.cover_bbox at res and res+levels)."""
     hot = density.filter(F.col("n") > hot_threshold).select("cell", F.lit(True).alias("is_hot"))
     out = tagged.join(F.broadcast(hot), "cell", "left")
-    res_plus = (F.col("cell") / F.lit(_cells.RES_SHIFT)).cast("int") + 1
-    finer = _cells.cell_id(F.col(lon), F.col(lat), 0)  # placeholder, replaced below
+    res_plus = (F.col("cell") / F.lit(_cells.RES_SHIFT)).cast("int") + levels
     # cell_id needs a literal res; recompute from decoded res via expression:
-    # new_cell = (res+1)*SHIFT + iy2*YS + ix2 where ix2/iy2 derive from lon/lat.
-    # We inline the arithmetic here to keep it one Catalyst expression.
+    # new_cell = (res+levels)*SHIFT + iy2*YS + ix2 where ix2/iy2 derive from
+    # lon/lat. Inlined to stay one Catalyst expression.
     n2 = F.pow(F.lit(2.0), res_plus).cast("long")  # exact for res <= 29
     ix2 = F.least(F.greatest(F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * n2), F.lit(0)), n2 - 1).cast("long")
     iy2 = F.least(F.greatest(F.floor((F.lit(90.0) - F.col(lat)) / F.lit(180.0) * n2), F.lit(0)), n2 - 1).cast("long")

@@ -1,0 +1,125 @@
+"""Skew-handling evidence: salted + adaptive-split PIP join on a
+pathologically hot cell vs the naive partitioned join.
+
+Workload: N points with `hot_frac` of them inside ONE res-6 cell (a
+"dense metro" x100), joined against a polygon layer without broadcasting
+(the partitioned path — the regime where skew actually matters; small
+layers would broadcast and dodge the problem). Three plans:
+
+  naive       shuffle on cell, one reducer owns the hot cell
+  salted      pip_join(salt=k): hot cell spread over k shuffle keys
+  split       adaptive cell-splitting: hot-cell rows re-encoded 3
+              resolutions finer (64 children) before the join
+
+All three must return identical results (asserted); wall times to
+BENCH/SKEW.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from extractors_geo_spark import datagen  # noqa: E402
+from extractors_geo_spark.operators import cells, pip_join  # noqa: E402
+from extractors_geo_spark.plans import planner  # noqa: E402
+from extractors_geo_spark.session import get_spark  # noqa: E402
+
+
+def make_points(spark, n: int, hot_frac: float = 0.5):
+    """hot points concentrated in one ~0.5deg square near Chicago."""
+    base = spark.range(0, n, 1, 32)
+    is_hot = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)) < int(hot_frac * 100)
+    u1 = (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10_000)) / 10_000.0)
+    u2 = (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10_000)) / 10_000.0)
+    lon = F.when(is_hot, -87.9 + u1 * 0.5).otherwise(-124.0 + u1 * 57.0)
+    lat = F.when(is_hot, 41.6 + u2 * 0.5).otherwise(25.0 + u2 * 24.0)
+    return base.select(F.concat(F.lit("p"), F.col("id")).alias("image_id"),
+                       lon.alias("lon"), lat.alias("lat"))
+
+
+def run(spark, pts, polys, mode: str, res: int = 6) -> tuple[float, int]:
+    t0 = time.time()
+    if mode == "naive":
+        out = pip_join.pip_join(pts, polys, broadcast_polys=False, res=res)
+    elif mode == "salted":
+        out = pip_join.pip_join(pts, polys, broadcast_polys=False, res=res, salt=16)
+    elif mode == "split":
+        tagged = pip_join.tag_point_cells(pts, res=res)
+        density = cells.cell_density(tagged)
+        levels = 3  # hot cell -> 4^3 = 64 finer keys
+        split = planner.split_hot_cells(tagged, density, hot_threshold=pts.count() // 20, levels=levels)
+        pcs = pip_join.polygon_cells(
+            polys.select("poly_id", "name", "xs", "ys", "minx", "miny", "maxx", "maxy"), res
+        ).unionByName(pip_join.polygon_cells(
+            polys.select("poly_id", "name", "xs", "ys", "minx", "miny", "maxx", "maxy"), res + levels))
+        joined = split.join(pcs.hint("shuffle_hash"), "cell").filter(
+            (F.col("lon") >= F.col("minx")) & (F.col("lon") <= F.col("maxx"))
+            & (F.col("lat") >= F.col("miny")) & (F.col("lat") <= F.col("maxy")))
+        out = pip_join._raycast_refine(joined, "lon", "lat").select("image_id", "poly_id").dropDuplicates()
+    n = out.count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    spark = get_spark(app_name="skew_bench", master="local[32]",
+                      extra_conf={
+                          # isolate OUR skew mitigations from AQE's
+                          "spark.sql.adaptive.skewJoin.enabled": "false",
+                          "spark.sql.adaptive.coalescePartitions.enabled": "false",
+                      })
+    pts = make_points(spark, n).cache()
+    pts.count()
+    polys = datagen.polygons_df(spark).cache()
+    polys.count()
+    # warm python pool
+    run(spark, pts.limit(2000), polys, "naive")
+
+    results = {}
+    counts = {}
+    for mode in ("naive", "salted", "split"):
+        best = 1e18
+        for _ in range(2):
+            sec, cnt = run(spark, pts, polys, mode)
+            best = min(best, sec)
+        results[mode], counts[mode] = best, cnt
+    assert len(set(counts.values())) == 1, f"result mismatch: {counts}"
+
+    md = f"""# BENCH/SKEW — hot-cell mitigation evidence
+
+{n:,} points, 50% of them inside ONE res-6 geocell (dense-metro x100),
+partitioned (non-broadcast) PIP join against the 50-polygon layer;
+AQE skew-join and partition coalescing DISABLED to isolate the engine's
+own mitigations. All three plans return identical row counts
+({counts['naive']:,}).
+
+| plan | wall s (min of 2) | speedup vs naive |
+|---|---|---|
+| naive partitioned join | {results['naive']:.2f} | 1.00x |
+| salted (salt=16)       | {results['salted']:.2f} | {results['naive']/results['salted']:.2f}x |
+| adaptive cell split    | {results['split']:.2f} | {results['naive']/results['split']:.2f}x |
+
+In production both mitigations compose with AQE skew-join (enabled by
+default in session.py); the planner picks the salt factor from the
+observed per-cell density (planner.salt_factor) and re-encodes hot cells
+log4(hot/target) resolutions finer (planner.split_hot_cells(levels=k)).
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as f:
+        f.write(md)
+    print(md)
+    print(json.dumps({"n": n, "seconds": results, "rows": counts["naive"]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
