@@ -1021,18 +1021,30 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 # contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship on sf0.001-scale synthetic images: decode -> footprint ->
-    geocell -> PIP join -> WMS url."""
-    imgs = datagen.images_df(spark, 1000, partitions=8)
-    meta = extract_meta.valid_meta(extract_meta.extract_meta(imgs, with_stats=False))
+    """Flagship on sf0.001: synthetic image+caption table (captions joined
+    from the sf0.001 documents parquet) -> GeoTIFF decode -> footprint ->
+    geocell encode -> PIP join vs the polygon layer -> WMS url mint."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.substring("text", 1, 64).alias("doc_caption")
+    )
+    imgs = datagen.images_df(spark, 1000, partitions=8).withColumn(
+        "doc_id", F.pmod(F.xxhash64("image_id"), F.lit(500))
+    )
+    meta = extract_meta.valid_meta(extract_meta.extract_meta(
+        imgs, with_stats=False, passthrough=("doc_id",)))
+    meta = meta.join(F.broadcast(docs), "doc_id", "left")
     polys = datagen.polygons_df(spark)
-    joined = pip_join.pip_join(meta, polys)
+    joined = pip_join.pip_join(
+        meta, polys, point_cols=("image_id", "doc_caption"), poly_cols=("poly_id", "name")
+    )
     url = geo.wms_getmap_url(
         "http://gs", "ws", F.col("poly_id"),
         geo.merc_x(F.col("lon") - 0.01), geo.merc_y(F.col("lat") - 0.01),
         geo.merc_x(F.col("lon") + 0.01), geo.merc_y(F.col("lat") + 0.01),
     )
-    return joined.select("image_id", "poly_id", "name", url.alias("wms_url"))
+    return joined.select("image_id", "poly_id", "name",
+                         F.col("doc_caption").alias("caption"), url.alias("wms_url"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
