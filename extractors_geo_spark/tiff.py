@@ -212,6 +212,7 @@ def write_geotiff(
     epsg: int | None = 4326,
     nodata: float | None = None,
     citation: str | None = None,
+    color_table: np.ndarray | None = None,
 ) -> bytes:
     """Encode a single-band 2-D array as an uncompressed little-endian
     GeoTIFF (one strip). Mirrors the tag set of the reference fixture so
@@ -262,6 +263,11 @@ def write_geotiff(
         entries.append((_GEOKEY_DIR, 3, len(gk), _ext(struct.pack(f"<{len(gk)}H", *gk))))
         if ascii_blob:
             entries.append((_GEO_ASCII, 2, len(ascii_blob), _ext(ascii_blob)))
+    if color_table is not None:
+        # ColorMap tag 320: 3 * 2^bits SHORTs (palettized rasters — the
+        # reference skips style generation for these, F13)
+        ct = np.asarray(color_table, dtype="<u2")
+        entries.append((320, 3, ct.size, _ext(ct.tobytes())))
     if nodata is not None:
         nd = (f"{nodata:g}").encode("ascii") + b"\x00"
         if len(nd) <= 4:

@@ -103,3 +103,18 @@ def test_writer_utm_roundtrip():
 def test_non_tiff_rejected():
     with pytest.raises(ValueError):
         tiff.read_info(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_color_table_flag():
+    """F13: ColorMap tag presence surfaces as has_color_table (the
+    reference skips style generation for palettized rasters)."""
+    import numpy as np
+
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    ct = np.tile(np.arange(256, dtype=np.uint16) * 257, 3)
+    with_ct = tiff.write_geotiff(arr, epsg=4326, color_table=ct)
+    without = tiff.write_geotiff(arr, epsg=4326)
+    assert tiff.read_info(with_ct).has_color_table is True
+    assert tiff.read_info(without).has_color_table is False
+    # pixels still round-trip with the extra tag
+    assert np.array_equal(tiff.read_pixels(with_ct), arr)
