@@ -35,11 +35,15 @@ def asof_join(
     w_dedup = Window.partitionBy(key, "_ts").orderBy(F.col("_tie").desc())
     r = r.withColumn("_rn", F.row_number().over(w_dedup)).filter(F.col("_rn") == 1).drop("_rn", "_tie")
 
+    # Carry ONE struct of all right values, non-null whenever a right ROW
+    # exists — so a matched right row whose value columns are NULL is still
+    # the carried match (DuckDB ASOF JOIN returns that row's NULLs; a
+    # per-column last(ignorenulls) would skip it and resurrect older values).
     lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_src", F.lit(1))
     rt = r.withColumn("_src", F.lit(0))
-    for c in right_cols:
-        lt = lt.withColumn(f"_r_{c}", F.lit(None).cast(rt.schema[c].dataType))
-        rt = rt.withColumnRenamed(c, f"_r_{c}")
+    rstruct = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    rt = rt.withColumn("_r_row", rstruct).drop(*right_cols)
+    lt = lt.withColumn("_r_row", F.lit(None).cast(rt.schema["_r_row"].dataType))
     missing_in_rt = [c for c in lt.columns if c not in rt.columns]
     for c in missing_in_rt:
         rt = rt.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
@@ -47,9 +51,7 @@ def asof_join(
 
     w = Window.partitionBy(key).orderBy(F.col("_ts").asc(), F.col("_src").asc()) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u = u.withColumn("_asof_row", F.last("_r_row", ignorenulls=True).over(w))
     for c in right_cols:
-        u = u.withColumn(f"asof_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
-    return (
-        u.filter(F.col("_src") == 1)
-        .drop("_src", "_ts", *[f"_r_{c}" for c in right_cols])
-    )
+        u = u.withColumn(f"asof_{c}", F.col("_asof_row")[c])
+    return u.filter(F.col("_src") == 1).drop("_src", "_ts", "_r_row", "_asof_row")

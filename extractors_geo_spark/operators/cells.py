@@ -67,15 +67,23 @@ def cover_bbox(minx: Column, miny: Column, maxx: Column, maxy: Column, res: int)
     """All cells intersecting a bbox, as an array column (explode to join).
     Pure Catalyst: two sequences + a cartesian flatten. Cardinality is
     bounded by the caller's choice of res (adaptive splitting handles the
-    hot ones)."""
+    hot ones).
+
+    Antimeridian: a box given as minx > maxx is treated as wrapping across
+    the ±180 meridian and splits into two x-ranges ([x0, n-1] and [0, x1])
+    instead of silently stepping a negative sequence."""
+    n = _grid_n(res)
     x0, x1 = cell_ix(minx, res), cell_ix(maxx, res)
     # lat decreases as iy increases -> maxy gives the smaller iy
     y0, y1 = cell_iy(maxy, res), cell_iy(miny, res)
+    xs = F.when(x0 <= x1, F.sequence(x0, x1)).otherwise(
+        F.concat(F.sequence(x0, F.lit(n - 1).cast("long")), F.sequence(F.lit(0).cast("long"), x1))
+    )
     base = F.lit(res).cast("long") * F.lit(RES_SHIFT)
     return F.flatten(
         F.transform(
             F.sequence(y0, y1),
-            lambda iy: F.transform(F.sequence(x0, x1), lambda ix: base + iy * F.lit(Y_SHIFT) + ix),
+            lambda iy: F.transform(xs, lambda ix: base + iy * F.lit(Y_SHIFT) + ix),
         )
     )
 

@@ -59,8 +59,12 @@ def norm_words(text: Column) -> Column:
 
 
 def shingles_from_words(w: Column, n: int = 3) -> Column:
-    """Word n-gram shingle strings (distinct) from a bound word-array col."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    """Word n-gram shingle strings (distinct) from a bound word-array col.
+    Docs with fewer than n words emit ZERO shingles (guarded index range —
+    element_at past the end would throw under Spark 4 ANSI mode)."""
+    idx = F.when(F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),

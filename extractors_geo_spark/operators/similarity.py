@@ -128,11 +128,14 @@ def lsh_topk(
 
 
 def ivf_centroids(corpus: DataFrame, n_centroids: int = 16, c_vec: str = "embedding",
-                  sample: int = 2048, iters: int = 5, seed: int = 42) -> np.ndarray:
+                  sample: int = 2048, iters: int = 5, seed: int = 42,
+                  c_id: str = "vec_id") -> np.ndarray:
     """Deterministic IVF codebook: k-means (fixed seed, fixed-size
     deterministic sample ordered by id) run driver-side on a small sample —
-    the standard IVF recipe; the expensive assignment stays distributed."""
-    pdf = corpus.select(c_vec).limit(sample).toPandas()
+    the standard IVF recipe; the expensive assignment stays distributed.
+    The sample is orderBy(id).limit(): limit without an ordering is
+    partition-order dependent and would make the codebook vary run-to-run."""
+    pdf = corpus.select(F.col(c_id), F.col(c_vec)).orderBy(c_id).limit(sample).toPandas()
     X = np.array([np.asarray(v, np.float64) for v in pdf[c_vec]])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     h = hashlib.sha256(f"ivf:{seed}:{n_centroids}".encode()).digest()
@@ -150,20 +153,19 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int = 16, c_vec: str = "embedd
 
 def _centroid_id(vec: Column, C: np.ndarray) -> Column:
     """argmax-dot-product centroid assignment as a Catalyst expression
-    (literal codebook — no UDF)."""
+    (literal codebook — no UDF). Built as array_max over (dot, -i) structs:
+    each dot appears ONCE in the tree. A chained when(dot > best, ...)
+    fold embeds `best` twice per step — 2^n expression nodes, which OOMs
+    the JVM at the default 16 centroids (found in round-2 verification)."""
     vf = F.transform(vec, lambda x: x.cast("double"))
-    best_id = F.lit(0)
-    best_dot = None
+    pairs = []
     for i, c in enumerate(C):
         lit = F.array(*[F.lit(float(v)) for v in c])
         dot = F.aggregate(F.zip_with(vf, lit, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-        if best_dot is None:
-            best_dot = dot
-        else:
-            take = dot > best_dot
-            best_id = F.when(take, F.lit(i)).otherwise(best_id)
-            best_dot = F.when(take, dot).otherwise(best_dot)
-    return best_id
+        # negative id: struct max breaks dot ties toward the SMALLEST i,
+        # matching the strict-greater fold this replaces
+        pairs.append(F.struct(dot.alias("dot"), F.lit(-i).alias("nid")))
+    return (-F.array_max(F.array(*pairs))["nid"]).cast("int")
 
 
 def ivf_topk(
@@ -182,7 +184,7 @@ def ivf_topk(
     (equi-join key), queries probe their nprobe nearest lists, exact rank
     inside. The scale path when the corpus holds distance structure; LSH
     (lsh_topk) when it doesn't. Recall measured in tests."""
-    C = centroids if centroids is not None else ivf_centroids(corpus, n_centroids, c_vec)
+    C = centroids if centroids is not None else ivf_centroids(corpus, n_centroids, c_vec, c_id=c_id)
     c = corpus.select(F.col(c_id), F.col(c_vec).alias("_cv")).withColumn(
         "list_id", _centroid_id(F.col("_cv"), C)
     )

@@ -269,7 +269,9 @@ def write_geotiff(
         ct = np.asarray(color_table, dtype="<u2")
         entries.append((320, 3, ct.size, _ext(ct.tobytes())))
     if nodata is not None:
-        nd = (f"{nodata:g}").encode("ascii") + b"\x00"
+        # Full precision (GDAL writes full-precision nodata): :g truncates
+        # to 6 significant digits and corrupts e.g. -99999.99 -> -100000.
+        nd = (f"{nodata:.17g}").encode("ascii") + b"\x00"
         if len(nd) <= 4:
             entries.append((_GDAL_NODATA, 2, len(nd), nd))
         else:

@@ -49,3 +49,14 @@ def test_asof_brute_force_random(spark):
         cand = [r for r in rights if r[0] == u and r[1] <= ts]
         exp = max(cand, key=lambda r: (r[1], r[3]))[2] if cand else None
         assert got[eid] == exp, eid
+
+
+def test_asof_null_value_in_matched_row_preserved(spark):
+    # DuckDB ASOF semantics: the as-of match is the most recent right ROW;
+    # if its value column is NULL, the result is NULL (not an older value).
+    left = spark.createDataFrame([("e1", "u", 10)], "event_id string, user_id string, ts int")
+    right = spark.createDataFrame(
+        [("u", 1, 5.0), ("u", 8, None)], "user_id string, ts int, value double"
+    )
+    out = asof_join(left, right, key="user_id", right_cols=("value",)).collect()
+    assert out[0]["asof_value"] is None

@@ -100,3 +100,21 @@ def test_tile_xyz_matches_sql(spark):
     sx, sy = cells.tile_xyz_sql("lon", "lat", z)
     exp = con.execute(f"SELECT {sx}, {sy} FROM p ORDER BY lon").fetchall()
     assert got == [tuple(e) for e in exp]
+
+
+def test_cover_bbox_antimeridian_wraps(spark):
+    # minx > maxx means the box crosses the +-180 meridian: the x cover is
+    # [x0, n-1] ++ [0, x1], never a silent negative-step sequence.
+    from extractors_geo_spark.operators.cells import cover_bbox, cell_id
+
+    row = (
+        spark.range(1)
+        .select(cover_bbox(F.lit(170.0), F.lit(-10.0), F.lit(-170.0), F.lit(10.0), 4).alias("c"))
+        .collect()[0]
+    )
+    cells = set(row["c"])
+    # the wrapped cover contains both an east-edge cell and a west-edge cell
+    east = spark.range(1).select(cell_id(F.lit(175.0), F.lit(0.0), 4).alias("c")).collect()[0]["c"]
+    west = spark.range(1).select(cell_id(F.lit(-175.0), F.lit(0.0), 4).alias("c")).collect()[0]["c"]
+    mid = spark.range(1).select(cell_id(F.lit(0.0), F.lit(0.0), 4).alias("c")).collect()[0]["c"]
+    assert east in cells and west in cells and mid not in cells

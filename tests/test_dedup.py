@@ -88,3 +88,19 @@ def test_keep_canonical(spark, docs):
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert kept_ids.isdisjoint(losers)
     assert kept_ids | losers == {r["doc_id"] for r in docs.collect()}
+
+
+def test_shingles_short_docs_no_ansi_error(spark):
+    # Docs with < n words must yield zero shingles, not an ANSI
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT error (ADVICE r01, high).
+    from extractors_geo_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [("d1", ""), ("d2", "one"), ("d3", "two words"),
+         ("d4", "a full three word doc here"), ("d5", "a full three word doc here")],
+        "doc_id string, text string",
+    )
+    pairs = minhash_lsh_pairs(df, num_hashes=8, bands=4).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {("d4", "d5")}
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert {(r["a"], r["b"]) for r in jac} == {("d4", "d5")}

@@ -102,3 +102,10 @@ def test_ivf_full_probe_equals_brute(spark, emb, queries):
     exact = similarity.brute_topk(queries, emb, k=k).collect()
     full = similarity.ivf_topk(queries, emb, k=k, n_centroids=4, nprobe=4).collect()
     assert {(r["query_id"], r["vec_id"]) for r in exact} == {(r["query_id"], r["vec_id"]) for r in full}
+
+
+def test_ivf_default_centroids_linear_expression(spark, emb, queries):
+    # regression: the chained-when argmax grew 2^n Catalyst nodes and
+    # OOMed the JVM at the default 16 centroids (round-2 verification)
+    out = similarity.ivf_topk(queries, emb, k=3, n_centroids=16, nprobe=16).collect()
+    assert len(out) > 0

@@ -118,3 +118,12 @@ def test_color_table_flag():
     assert tiff.read_info(without).has_color_table is False
     # pixels still round-trip with the extra tag
     assert np.array_equal(tiff.read_pixels(with_ct), arr)
+
+
+def test_nodata_full_precision_roundtrip():
+    # :g truncation corrupted -99999.99 -> -100000.0 (ADVICE r01, medium)
+    for nd in (-99999.99, 123456.75, -9999.0):
+        a = np.full((4, 4), 7.0, dtype=np.float32)
+        b = tiff.write_geotiff(a, epsg=4326, nodata=nd)
+        info = tiff.read_info(b)
+        assert info.nodata == nd
