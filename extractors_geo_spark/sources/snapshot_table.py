@@ -8,16 +8,25 @@ interface isolated so a real Iceberg catalog can replace it wholesale
 (SURVEY.md §7 "what's hard" item 5).
 
 Layout:
-    <root>/data/<snapshot>-<uuid>/part-*.parquet   (immutable)
-    <root>/snapshots/v{N:06d}.json                 (file list + meta)
+    <root>/data/<snapshot>-<uuid>/_bucket=K/part-*.parquet   (immutable)
+    <root>/snapshots/v{N:06d}.json                 (file list + stats)
     <root>/VERSION                                 (latest N, atomic rename)
+
+Manifest entries are per-file dicts {path, bucket, min_key, max_key,
+rows}: data files are bucketed by xxhash64(key) % n_buckets and carry
+min/max key stats read from the parquet footer (exactly how Iceberg
+manifests are built). MERGE/DELETE rewrite ONLY the files whose bucket
+contains a touched key (min/max-pruned within the bucket when the
+update batch is small); every other file is carried into the new
+snapshot BY REFERENCE — the 100 TB property: a 100-row upsert against
+a billion-row table rewrites a handful of buckets, not the table.
 
 Semantics:
   * append      — new files + snapshot listing old files + new
   * overwrite   — new files + snapshot listing only the new
-  * merge       — latest-wins upsert (catalog.upsert) materialized as an
-                  overwrite snapshot (Iceberg MERGE INTO analog)
-  * delete      — anti-join materialized as an overwrite snapshot
+  * merge       — latest-wins upsert (catalog.upsert) over touched
+                  buckets only (Iceberg MERGE INTO analog)
+  * delete      — anti-join over touched buckets only
   * read(version=k) — time travel; rollback(k) — re-point latest
 """
 
@@ -29,14 +38,31 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import catalog as _catalog
 
+# collect delete/update keys to the driver for min/max file pruning only
+# below this cardinality; above it, prune by bucket alone (still 1/n_buckets
+# of the table for a skew-free key).
+_KEY_PRUNE_CAP = 100_000
+
+
+def _norm_key(v):
+    """Canonical, JSON-serializable, order-preserving key image (stats from
+    parquet footers and keys collected from Spark must compare equal)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 bucket_key: str | None = None, n_buckets: int = 16):
         self.spark = spark
         self.root = root
+        self.bucket_key = bucket_key
+        self.n_buckets = n_buckets
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -59,18 +85,71 @@ class SnapshotTable:
         if v == 0:
             return {"version": 0, "files": [], "operation": "empty", "ts": 0}
         with open(self._snapshot_path(v)) as f:
-            return json.load(f)
-
-    def _write_files(self, df: DataFrame, v: int) -> list[str]:
-        d = os.path.join(self.root, "data", f"{v:06d}-{uuid.uuid4().hex[:8]}")
-        df.write.mode("overwrite").parquet(d)
-        return [
-            os.path.join(d, f)
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
+            snap = json.load(f)
+        # tolerate legacy manifests that listed bare path strings
+        snap["files"] = [
+            f if isinstance(f, dict) else {"path": f, "bucket": None,
+                                           "min_key": None, "max_key": None, "rows": None}
+            for f in snap["files"]
         ]
+        return snap
 
-    def _commit(self, files: list[str], operation: str, summary: dict | None = None) -> int:
+    def _bucket_expr(self, key: str):
+        return F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(self.n_buckets))
+
+    def _file_stats(self, path: str, key: str | None) -> dict:
+        """min/max of the key column + row count from the parquet footer —
+        a driver-side metadata read, never a data scan."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        out = {"rows": md.num_rows, "min_key": None, "max_key": None}
+        if key is None:
+            return out
+        try:
+            ki = md.schema.names.index(key)
+        except ValueError:
+            return out
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ki).statistics
+            if st is None or not st.has_min_max:
+                return out
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            out["min_key"] = _norm_key(min(mins))
+            out["max_key"] = _norm_key(max(maxs))
+        return out
+
+    def _write_files(self, df: DataFrame, v: int) -> list[dict]:
+        """Write df as immutable data files; bucketed by key when the table
+        has a bucket_key (one hive dir per bucket so the file->bucket map is
+        exact), flat otherwise. Returns manifest entries with footer stats."""
+        d = os.path.join(self.root, "data", f"{v:06d}-{uuid.uuid4().hex[:8]}")
+        key = self.bucket_key
+        entries: list[dict] = []
+        if key is not None:
+            (df.withColumn("_bucket", self._bucket_expr(key))
+               .repartition("_bucket")
+               .write.partitionBy("_bucket").mode("overwrite").parquet(d))
+            for bdir in sorted(os.listdir(d)):
+                if not bdir.startswith("_bucket="):
+                    continue
+                b = int(bdir.split("=", 1)[1])
+                for f in sorted(os.listdir(os.path.join(d, bdir))):
+                    if f.endswith(".parquet"):
+                        p = os.path.join(d, bdir, f)
+                        entries.append({"path": p, "bucket": b, **self._file_stats(p, key)})
+        else:
+            df.write.mode("overwrite").parquet(d)
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    p = os.path.join(d, f)
+                    entries.append({"path": p, "bucket": None, **self._file_stats(p, None)})
+        return entries
+
+    def _commit(self, files: list[dict], operation: str, summary: dict | None = None) -> int:
         v = self.current_version() + 1
         snap = {"version": v, "files": files, "operation": operation,
                 "ts": time.time(), "summary": summary or {}}
@@ -84,12 +163,44 @@ class SnapshotTable:
         os.replace(tmp, self._version_path())  # atomic latest pointer
         return v
 
+    # --------------------------------------------------------- file pruning
+    def _touched_split(self, key_df: DataFrame, key: str) -> tuple[list[dict], list[dict], dict]:
+        """Split current files into (touched, carried) for a batch of keys.
+        Bucket pruning always applies; min/max file pruning applies when the
+        key batch is small enough to collect."""
+        buckets = {
+            r["b"] for r in
+            key_df.select(self._bucket_expr(key).alias("b")).distinct().collect()
+        }
+        rows = key_df.select(key).distinct().limit(_KEY_PRUNE_CAP + 1).collect()
+        keys_sorted = (
+            sorted({_norm_key(r[0]) for r in rows}) if len(rows) <= _KEY_PRUNE_CAP else None
+        )
+        touched, carried = [], []
+        import bisect
+
+        for f in self.snapshot()["files"]:
+            hit = f["bucket"] is None or f["bucket"] in buckets
+            if hit and keys_sorted is not None and f["min_key"] is not None:
+                # native-key-space range check; on any type mismatch keep the
+                # file touched — pruning must never skip a file it can't prove
+                try:
+                    lo = bisect.bisect_left(keys_sorted, f["min_key"])
+                    hit = lo < len(keys_sorted) and keys_sorted[lo] <= f["max_key"]
+                except TypeError:
+                    hit = True
+            (touched if hit else carried).append(f)
+        stats = {"files_total": len(touched) + len(carried),
+                 "files_rewritten": len(touched), "files_carried": len(carried),
+                 "buckets_touched": sorted(buckets)}
+        return touched, carried, stats
+
     # ------------------------------------------------------------ operations
     def read(self, version: int | None = None) -> DataFrame:
         snap = self.snapshot(version)
         if not snap["files"]:
             raise ValueError("empty table")
-        return self.spark.read.parquet(*snap["files"])
+        return self.spark.read.parquet(*[f["path"] for f in snap["files"]])
 
     def append(self, df: DataFrame) -> int:
         v = self.current_version() + 1
@@ -102,23 +213,51 @@ class SnapshotTable:
         files = self._write_files(df, v)
         return self._commit(files, "overwrite", {"files": len(files)})
 
-    def merge(self, updates: DataFrame, key: str, order_col: str) -> int:
-        """MERGE INTO: latest-wins upsert (Iceberg MERGE analog)."""
-        try:
-            current = self.read()
-            merged = _catalog.upsert(current, updates, key=key, order_col=order_col)
-        except ValueError:
+    def merge(self, updates: DataFrame, key: str, order_col: str,
+              summary_extra: dict | None = None) -> int:
+        """MERGE INTO: latest-wins upsert (Iceberg MERGE analog). With a
+        bucket_key, only files in buckets containing updated keys are
+        rewritten; the rest carry by reference."""
+        if self.bucket_key is None or self.current_version() == 0:
+            try:
+                current = self.read()
+                merged = _catalog.upsert(current, updates, key=key, order_col=order_col)
+            except ValueError:
+                merged = updates
+            v = self.current_version() + 1
+            files = self._write_files(merged, v)
+            return self._commit(files, "merge", {"key": key, **(summary_extra or {})})
+        assert key == self.bucket_key, "merge key must match table bucket_key"
+        touched, carried, stats = self._touched_split(updates, key)
+        if touched:
+            current_touched = self.spark.read.parquet(*[f["path"] for f in touched])
+            merged = _catalog.upsert(current_touched, updates, key=key, order_col=order_col)
+        else:
             merged = updates
         v = self.current_version() + 1
-        files = self._write_files(merged, v)
-        return self._commit(files, "merge", {"key": key})
+        new_files = self._write_files(merged, v)
+        return self._commit(carried + new_files, "merge",
+                            {"key": key, **stats, **(summary_extra or {})})
 
-    def delete_keys(self, keys: DataFrame, key: str) -> int:
-        """DELETE WHERE key IN (...) — the file.removed path (J3/K6)."""
-        kept = _catalog.delete(self.read(), keys, key=key)
-        v = self.current_version() + 1
-        files = self._write_files(kept, v)
-        return self._commit(files, "delete", {"key": key})
+    def delete_keys(self, keys: DataFrame, key: str,
+                    summary_extra: dict | None = None) -> int:
+        """DELETE WHERE key IN (...) — the file.removed path (J3/K6). With a
+        bucket_key, anti-joins and rewrites only the touched buckets."""
+        if self.bucket_key is None:
+            kept = _catalog.delete(self.read(), keys, key=key)
+            v = self.current_version() + 1
+            files = self._write_files(kept, v)
+            return self._commit(files, "delete", {"key": key, **(summary_extra or {})})
+        assert key == self.bucket_key, "delete key must match table bucket_key"
+        touched, carried, stats = self._touched_split(keys, key)
+        new_files: list[dict] = []
+        if touched:
+            current_touched = self.spark.read.parquet(*[f["path"] for f in touched])
+            kept = _catalog.delete(current_touched, keys, key=key)
+            v = self.current_version() + 1
+            new_files = self._write_files(kept, v)
+        return self._commit(carried + new_files, "delete",
+                            {"key": key, **stats, **(summary_extra or {})})
 
     def rollback(self, version: int) -> None:
         if not os.path.exists(self._snapshot_path(version)):

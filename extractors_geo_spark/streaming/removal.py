@@ -4,20 +4,28 @@ Streaming (SURVEY.md ST2).
 The reference tears down derived artifacts when a 'removed' activity
 arrives (preview.geotiff/ncsa.geo.tiff.py:41-66, layer+store delete at
 :154-170). Here: an append-only event stream is read with readStream;
-each micro-batch applies MERGE-DELETE to the derived tables via
-foreachBatch (idempotent: deletes are keyed anti-joins, re-running a batch
-is a no-op).
+each micro-batch commits a DELETE SNAPSHOT to the derived SnapshotTable
+via foreachBatch.
+
+Scale design (vs a naive full-table rewrite per batch):
+  * the table is bucketed by the removal key, so a delete batch rewrites
+    ONLY the data files whose bucket (and min/max key range) can contain
+    a removed key — every other file carries into the new snapshot by
+    reference (see sources/snapshot_table.py);
+  * the commit is an atomic VERSION pointer flip — a crash mid-batch
+    leaves the previous snapshot fully readable (no torn table);
+  * batches are idempotent per batch_id: a re-delivered micro-batch
+    (crash after commit, before checkpoint ack) is skipped, so the
+    stream is exactly-once on the table.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datagen import EVENT_SCHEMA
-from ..operators import catalog as _catalog
+from ..sources.snapshot_table import SnapshotTable
 
 
 def removal_stream(spark: SparkSession, events_dir: str):
@@ -29,37 +37,43 @@ def removal_stream(spark: SparkSession, events_dir: str):
     )
 
 
+def _applied_batch_ids(table: SnapshotTable) -> set[int]:
+    out = set()
+    for h in table.history():
+        s = table.snapshot(h["version"]).get("summary", {})
+        if "stream_batch_id" in s:
+            out.add(s["stream_batch_id"])
+    return out
+
+
 def propagate_removals(
     spark: SparkSession,
     events_dir: str,
-    derived_path: str,
+    table: SnapshotTable | str,
     checkpoint_dir: str,
     key: str = "image_id",
 ):
-    """Start a stream that rewrites `derived_path` minus removed keys on
+    """Start a stream that commits delete snapshots to the derived table on
     each micro-batch. Returns the StreamingQuery (caller awaits/stops).
 
+    `table` is a SnapshotTable bucketed on `key` (or its root path).
     Watermarking isn't needed for deletes (late 'removed' events still
     delete — removal is monotone); a re-add after removal is handled by
     the batch apply_removals (last-event-wins) when tables are rebuilt."""
-    stream = removal_stream(spark, events_dir)
+    if isinstance(table, str):
+        table = SnapshotTable(spark, table, bucket_key=key)
 
     def on_batch(batch: DataFrame, batch_id: int) -> None:
         removed = batch.filter(F.col("activity") == "removed").select(key).distinct()
         if removed.isEmpty():
             return
-        current = spark.read.parquet(derived_path)
-        kept = _catalog.delete(current, removed, key=key)
-        tmp = derived_path.rstrip("/") + f"._tmp_batch{batch_id}"
-        kept.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(derived_path)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        if batch_id in _applied_batch_ids(table):
+            return  # re-delivered batch: already committed
+        table.delete_keys(removed, key=key, summary_extra={"stream_batch_id": batch_id})
 
     return (
-        stream.writeStream.foreachBatch(on_batch)
+        removal_stream(spark, events_dir)
+        .writeStream.foreachBatch(on_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -60,3 +60,61 @@ def test_merge_into_empty(spark, table):
     table.merge(spark.createDataFrame([("a", 1, _ts("2024-01-01"))], ["k", "v", "updated_at"]),
                 key="k", order_col="updated_at")
     assert table.read().count() == 1
+
+
+def _paths(snap):
+    return {f["path"] for f in snap["files"]}
+
+
+def test_bucketed_merge_rewrites_only_touched_files(spark, tmp_path):
+    import hashlib
+
+    t = SnapshotTable(spark, str(tmp_path / "btbl"), bucket_key="k", n_buckets=8)
+    base = spark.createDataFrame(
+        [(f"key{i:04d}", f"v{i}", _ts("2024-01-01")) for i in range(400)],
+        ["k", "v", "updated_at"])
+    t.overwrite(base)
+    snap1 = t.snapshot()
+    before = {f["path"]: hashlib.md5(open(f["path"], "rb").read()).hexdigest()
+              for f in snap1["files"]}
+    assert all(f["bucket"] is not None and f["min_key"] is not None for f in snap1["files"])
+
+    v = t.merge(spark.createDataFrame(
+        [("key0001", "NEW", _ts("2024-02-01")), ("brand_new", "INS", _ts("2024-02-01"))],
+        ["k", "v", "updated_at"]), key="k", order_col="updated_at")
+    snap2 = t.snapshot(v)
+    carried = _paths(snap2) & _paths(snap1)
+    # most files carried by reference, byte-identical
+    assert snap2["summary"]["files_carried"] >= 6
+    assert snap2["summary"]["files_rewritten"] <= 2
+    for p in carried:
+        assert hashlib.md5(open(p, "rb").read()).hexdigest() == before[p]
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got["key0001"] == "NEW" and got["brand_new"] == "INS" and got["key0002"] == "v2"
+    assert len(got) == 401
+    # time travel still sees the pre-merge table
+    assert {r["k"]: r["v"] for r in t.read(version=1).collect()}["key0001"] == "v1"
+
+
+def test_bucketed_delete_prunes_untouched_buckets(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "dtbl"), bucket_key="k", n_buckets=8)
+    t.overwrite(spark.createDataFrame([(f"key{i:04d}", i) for i in range(400)], ["k", "v"]))
+    snap1 = t.snapshot()
+    v = t.delete_keys(spark.createDataFrame([("key0007",), ("key0123",)], ["k"]), key="k")
+    snap2 = t.snapshot(v)
+    assert snap2["summary"]["files_carried"] >= 5
+    assert _paths(snap2) & _paths(snap1)  # carried by reference
+    keys = {r["k"] for r in t.read().collect()}
+    assert len(keys) == 398 and "key0007" not in keys and "key0123" not in keys
+
+
+def test_minmax_prune_skips_disjoint_files(spark, tmp_path):
+    # two keys in the SAME bucket but different files: min/max stats prune
+    # the file whose range can't contain the update key
+    t = SnapshotTable(spark, str(tmp_path / "mtbl"), bucket_key="k", n_buckets=1)
+    t.append(spark.createDataFrame([("aaa", 1), ("abb", 2)], ["k", "v"]))
+    t.append(spark.createDataFrame([("zzz", 3), ("zyy", 4)], ["k", "v"]))
+    v = t.delete_keys(spark.createDataFrame([("zzz",)], ["k"]), key="k")
+    snap = t.snapshot(v)
+    assert snap["summary"]["files_rewritten"] == 1
+    assert {r["k"] for r in t.read().collect()} == {"aaa", "abb", "zyy"}

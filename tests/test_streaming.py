@@ -5,17 +5,15 @@ import datetime
 from pyspark.sql import functions as F
 
 from extractors_geo_spark.datagen import EVENT_SCHEMA
+from extractors_geo_spark.sources.snapshot_table import SnapshotTable
 from extractors_geo_spark.streaming import removal
 
 
 def test_propagate_removals(spark, tmp_path):
-    derived = str(tmp_path / "derived")
     events_dir = str(tmp_path / "events")
     ckpt = str(tmp_path / "ckpt")
-
-    spark.createDataFrame(
-        [(f"i{k}", k) for k in range(20)], ["image_id", "v"]
-    ).write.parquet(derived)
+    table = SnapshotTable(spark, str(tmp_path / "derived"), bucket_key="image_id", n_buckets=8)
+    table.overwrite(spark.createDataFrame([(f"i{k}", k) for k in range(20)], ["image_id", "v"]))
 
     ts = datetime.datetime(2024, 1, 2)
     spark.createDataFrame(
@@ -23,32 +21,77 @@ def test_propagate_removals(spark, tmp_path):
         EVENT_SCHEMA,
     ).write.parquet(events_dir)
 
-    q = removal.propagate_removals(spark, events_dir, derived, ckpt)
+    q = removal.propagate_removals(spark, events_dir, table, ckpt)
     q.awaitTermination(120)
 
-    left = {r["image_id"] for r in spark.read.parquet(derived).collect()}
+    left = {r["image_id"] for r in table.read().collect()}
     assert left == {f"i{k}" for k in range(20)} - {"i1", "i5"}
+    # the delete commit carried untouched buckets by reference
+    snap = table.snapshot()
+    assert snap["operation"] == "delete" and snap["summary"]["files_carried"] > 0
 
 
 def test_propagate_removals_idempotent_second_batch(spark, tmp_path):
-    derived = str(tmp_path / "derived")
     events_dir = str(tmp_path / "events")
     ckpt = str(tmp_path / "ckpt")
-
-    spark.createDataFrame([(f"i{k}", k) for k in range(10)], ["image_id", "v"]).write.parquet(derived)
+    table = SnapshotTable(spark, str(tmp_path / "derived"), bucket_key="image_id", n_buckets=8)
+    table.overwrite(spark.createDataFrame([(f"i{k}", k) for k in range(10)], ["image_id", "v"]))
     ts = datetime.datetime(2024, 1, 2)
     spark.createDataFrame([("i3", "removed", ts)], EVENT_SCHEMA).write.parquet(events_dir)
 
-    q = removal.propagate_removals(spark, events_dir, derived, ckpt)
+    q = removal.propagate_removals(spark, events_dir, table, ckpt)
     q.awaitTermination(120)
-    assert spark.read.parquet(derived).count() == 9
+    assert table.read().count() == 9
 
     # new events arrive; restart with the same checkpoint only processes the delta
     spark.createDataFrame([("i4", "removed", ts)], EVENT_SCHEMA).write.mode("append").parquet(events_dir)
-    q2 = removal.propagate_removals(spark, events_dir, derived, ckpt)
+    q2 = removal.propagate_removals(spark, events_dir, table, ckpt)
     q2.awaitTermination(120)
-    left = {r["image_id"] for r in spark.read.parquet(derived).collect()}
+    left = {r["image_id"] for r in table.read().collect()}
     assert left == {f"i{k}" for k in range(10)} - {"i3", "i4"}
+
+
+def test_propagate_removals_three_batches_touch_only_removed_buckets(spark, tmp_path):
+    """VERDICT r01 item 4 'done' criterion: a 3-batch run rewrites only
+    files in buckets containing removed keys; everything else carries by
+    reference across all three delete snapshots."""
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    table = SnapshotTable(spark, str(tmp_path / "derived"), bucket_key="image_id", n_buckets=8)
+    table.overwrite(spark.createDataFrame(
+        [(f"img{k:04d}", k) for k in range(400)], ["image_id", "v"]))
+    base_files = {f["path"] for f in table.snapshot()["files"]}
+
+    ts = datetime.datetime(2024, 1, 2)
+    for batch, victims in enumerate((["img0003"], ["img0111", "img0222"], ["img0333"])):
+        spark.createDataFrame([(v, "removed", ts) for v in victims], EVENT_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(events_dir)
+
+    # one file per trigger -> three micro-batches
+    stream = (spark.readStream.schema(EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(events_dir))
+
+    def on_batch(batch, batch_id):
+        removed = batch.filter(F.col("activity") == "removed").select("image_id").distinct()
+        if not removed.isEmpty():
+            table.delete_keys(removed, key="image_id",
+                              summary_extra={"stream_batch_id": batch_id})
+
+    q = (stream.writeStream.foreachBatch(on_batch)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    deletes = [table.snapshot(h["version"]) for h in table.history()
+               if h["operation"] == "delete"]
+    assert len(deletes) == 3
+    for snap in deletes:
+        s = snap["summary"]
+        assert s["files_rewritten"] <= len(s["buckets_touched"])
+        assert s["files_carried"] >= s["files_total"] - len(s["buckets_touched"])
+    # untouched base files survive into the final snapshot by reference
+    assert {f["path"] for f in table.snapshot()["files"]} & base_files
+    left = {r["image_id"] for r in table.read().collect()}
+    assert left == {f"img{k:04d}" for k in range(400)} - {"img0003", "img0111", "img0222", "img0333"}
 
 
 def test_windowed_activity_counts(spark, tmp_path):
