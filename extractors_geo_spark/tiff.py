@@ -7,18 +7,24 @@ Replaces the reference's C-library raster access:
   * band.GetStatistics(False, True) exact stats
     (reference: metadata.geotiff/ncsa.image.geotiff.py:96-101)
 
-Supports the exact feature set the reference fixtures exercise: classic
-little/big-endian TIFF, uncompressed strips, single band, integer or IEEE
-float samples, GeoTIFF tags (ModelPixelScale 33550, ModelTiepoint 33922,
+Supports the feature set real-world GeoTIFFs hit (the reference reads
+anything GDAL reads, preview.geotiff/geotiffutils.py:49): classic
+little/big-endian TIFF, STRIPPED or TILED layout, compression none /
+LZW(5) / Deflate(8, 32946) / PackBits(32773), horizontal-differencing
+Predictor (317, value 2), single band, integer or IEEE float samples,
+GeoTIFF tags (ModelPixelScale 33550, ModelTiepoint 33922,
 GeoKeyDirectory 34735, GeoAsciiParams 34737) and GDAL_NODATA 42113.
 
 Everything here is plain bytes->numpy so it can run inside Arrow-batched
-pandas UDFs on executors; nothing touches the driver.
+pandas UDFs on executors; nothing touches the driver. Deflate decode is
+stdlib zlib (C speed — prefer it for new data); LZW is pure Python and
+exists for reading the files the world already has.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -28,9 +34,13 @@ _W, _H = 256, 257
 _BITS, _COMP, _PHOTO = 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
 _PLANAR, _SAMPLE_FMT = 284, 339
+_PREDICTOR = 317
+_TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT = 33550, 33922
 _GEOKEY_DIR, _GEO_DOUBLES, _GEO_ASCII = 34735, 34736, 34737
 _GDAL_NODATA = 42113
+
+_COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD, _COMP_PACKBITS = 1, 5, 8, 32946, 32773
 
 # GeoKey ids
 _GK_MODEL_TYPE = 1024
@@ -168,20 +178,192 @@ def read_info(data: bytes) -> TiffInfo:
     return info
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, 'early change': the code width
+    bumps one code before the table fills)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    nbits = 9
+    prev: bytes | None = None
+    acc = 0
+    acc_bits = 0
+    pos = 0
+    n = len(data)
+
+    def _reset():
+        nonlocal table, nbits, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        nbits = 9
+        prev = None
+
+    _reset()
+    while True:
+        while acc_bits < nbits:
+            if pos >= n:
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            acc_bits += 8
+        code = (acc >> (acc_bits - nbits)) & ((1 << nbits) - 1)
+        acc_bits -= nbits
+        acc &= (1 << acc_bits) - 1  # keep the accumulator a small int
+        if code == EOI:
+            return bytes(out)
+        if code == CLEAR:
+            _reset()
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # TIFF early change, decoder side: the table lags the encoder by one
+        # entry, so grow at 510/1022/2046 (spec's decoder pseudocode)
+        if len(table) == (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (for fixtures and the write path)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+
+    def emit(code: int, nbits: int):
+        nonlocal acc, acc_bits
+        acc = (acc << nbits) | code
+        acc_bits += nbits
+        while acc_bits >= 8:
+            out.append((acc >> (acc_bits - 8)) & 0xFF)
+            acc_bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    nbits = 9
+    emit(CLEAR, nbits)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], nbits)
+        table[wc] = next_code
+        next_code += 1
+        # TIFF early change, encoder side: grow at 511/1023/2047 — one code
+        # earlier than the width strictly requires
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+        elif next_code >= 4094:
+            emit(CLEAR, nbits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+        w = c
+    if w:
+        emit(table[w], nbits)
+    emit(EOI, nbits)
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += data[i : i + 1] * (257 - h)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Minimal valid PackBits: literal runs of <=128 (decoders don't care)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
+def _decompress_block(buf: bytes, compression: int) -> bytes:
+    if compression == _COMP_NONE:
+        return buf
+    if compression in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
+        return zlib.decompress(buf)
+    if compression == _COMP_LZW:
+        return _lzw_decode(buf)
+    if compression == _COMP_PACKBITS:
+        return _packbits_decode(buf)
+    raise ValueError(f"unsupported compression {compression}")
+
+
+def _unpredict(block: np.ndarray, predictor: int) -> np.ndarray:
+    """Undo horizontal differencing (predictor 2) in the sample dtype
+    (modular cumsum matches the encoder's wraparound diff)."""
+    if predictor == 2:
+        return np.cumsum(block, axis=1, dtype=block.dtype)
+    return block
+
+
 def read_pixels(data: bytes, info: TiffInfo | None = None) -> np.ndarray:
-    """Decode band 1 of an uncompressed striped TIFF -> 2-D numpy array."""
+    """Decode band 1 of a striped or tiled TIFF (compression none / LZW /
+    Deflate / PackBits, predictor 1/2) -> 2-D numpy array."""
     info = info or read_info(data)
-    if info.compression != 1:
-        raise ValueError(f"unsupported compression {info.compression}")
     bo = "<" if data[:2] == b"II" else ">"
+    dt = info.dtype.newbyteorder(bo)
+    spp = info.samples_per_pixel
+    predictor = int(info.tags.get(_PREDICTOR, (1,))[0])
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
+    if predictor == 2 and spp > 1:
+        # per-sample differencing needs a strided cumsum; no fixture needs it
+        raise ValueError("predictor 2 with samples_per_pixel > 1 unsupported")
+    if predictor == 2 and info.sample_format == 3:
+        raise ValueError("predictor 2 is integer-only (floats use predictor 3)")
+
+    def _block(buf: bytes, bh: int, bw: int) -> np.ndarray:
+        a = np.frombuffer(_decompress_block(buf, info.compression), dtype=dt)
+        a = a[: bh * bw * spp].reshape(bh, bw * spp)
+        a = _unpredict(a, predictor).reshape(bh, bw, spp)[:, :, 0]
+        return a
+
+    if _TILE_OFF in info.tags:
+        tw = int(info.tags[_TILE_W][0])
+        th = int(info.tags[_TILE_H][0])
+        offs, cnts = info.tags[_TILE_OFF], info.tags[_TILE_CNT]
+        out = np.empty((info.height, info.width), dtype=info.dtype)
+        tiles_across = (info.width + tw - 1) // tw
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            ty, tx = (i // tiles_across) * th, (i % tiles_across) * tw
+            t = _block(data[o : o + c], th, tw)
+            out[ty : ty + th, tx : tx + tw] = t[: info.height - ty, : info.width - tx]
+        return out
+
     offs = info.tags[_STRIP_OFF]
     cnts = info.tags[_STRIP_CNT]
-    buf = b"".join(data[o : o + c] for o, c in zip(offs, cnts))
-    dt = info.dtype.newbyteorder(bo)
-    arr = np.frombuffer(buf, dtype=dt)
-    if info.samples_per_pixel > 1:
-        arr = arr.reshape(-1, info.samples_per_pixel)[:, 0]
-    return arr.reshape(info.height, info.width).astype(info.dtype)
+    rps = int(info.tags.get(_ROWS_PER_STRIP, (info.height,))[0])
+    rows = []
+    for i, (o, c) in enumerate(zip(offs, cnts)):
+        bh = min(rps, info.height - i * rps)
+        rows.append(_block(data[o : o + c], bh, info.width))
+    return np.concatenate(rows, axis=0).astype(info.dtype, copy=False)
 
 
 def band_stats(arr: np.ndarray, nodata: float | None = None) -> tuple[float, float, float, float]:
@@ -213,17 +395,62 @@ def write_geotiff(
     nodata: float | None = None,
     citation: str | None = None,
     color_table: np.ndarray | None = None,
+    compression: str = "none",
+    predictor: int = 1,
+    tile: tuple[int, int] | None = None,
+    rows_per_strip: int | None = None,
 ) -> bytes:
-    """Encode a single-band 2-D array as an uncompressed little-endian
-    GeoTIFF (one strip). Mirrors the tag set of the reference fixture so
-    read_info/read_pixels round-trip and the extract_meta operator sees
-    realistic input."""
+    """Encode a single-band 2-D array as a little-endian GeoTIFF.
+    Layout: one strip by default; `rows_per_strip` for multi-strip;
+    `tile=(tw, th)` for tiled (tw/th should be multiples of 16 per spec).
+    Compression: none / deflate (zlib) / lzw / packbits, with optional
+    horizontal-differencing predictor=2. Mirrors the tag set of the
+    reference fixture so read_info/read_pixels round-trip and the
+    extract_meta operator sees realistic input."""
     arr = np.ascontiguousarray(arr)
     h, w = arr.shape
     kind_to_fmt = {"u": 1, "i": 2, "f": 3}
     sample_format = kind_to_fmt[arr.dtype.kind]
     bits = arr.dtype.itemsize * 8
-    pix = arr.astype(arr.dtype.newbyteorder("<")).tobytes()
+    comp_id = {"none": _COMP_NONE, "deflate": _COMP_DEFLATE,
+               "lzw": _COMP_LZW, "packbits": _COMP_PACKBITS}[compression]
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 or 2")
+    if predictor == 2 and arr.dtype.kind == "f":
+        raise ValueError("predictor 2 is integer-only (TIFF6: horizontal differencing)")
+
+    arrle = arr.astype(arr.dtype.newbyteorder("<"))
+
+    def _predict_rows(block: np.ndarray) -> np.ndarray:
+        if predictor == 2:
+            d = block.copy()
+            d[:, 1:] = block[:, 1:] - block[:, :-1]
+            return d
+        return block
+
+    def _compress(b: bytes) -> bytes:
+        if comp_id == _COMP_NONE:
+            return b
+        if comp_id == _COMP_DEFLATE:
+            return zlib.compress(b)
+        if comp_id == _COMP_LZW:
+            return _lzw_encode(b)
+        return _packbits_encode(b)
+
+    if tile is not None:
+        tw, th = tile
+        blocks = []
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                t = np.zeros((th, tw), dtype=arrle.dtype)
+                sub = arrle[ty : ty + th, tx : tx + tw]
+                t[: sub.shape[0], : sub.shape[1]] = sub
+                blocks.append(t)
+    else:
+        rps = rows_per_strip or h
+        blocks = [arrle[y : y + rps] for y in range(0, h, rps)]
+    payloads = [_compress(_predict_rows(b).tobytes()) for b in blocks]
+    nb = len(payloads)
 
     entries: list[tuple[int, int, int, bytes | int]] = []  # tag, type, count, value
     extra: list[bytes] = []  # out-of-line payloads appended after IFD
@@ -235,15 +462,30 @@ def write_geotiff(
     entries.append((_W, 3, 1, w))
     entries.append((_H, 3, 1, h))
     entries.append((_BITS, 3, 1, bits))
-    entries.append((_COMP, 3, 1, 1))
+    entries.append((_COMP, 3, 1, comp_id))
     entries.append((_PHOTO, 3, 1, 1))
-    strip_entry_idx = len(entries)
-    entries.append((_STRIP_OFF, 4, 1, 0))  # patched below
     entries.append((_SPP, 3, 1, 1))
-    entries.append((_ROWS_PER_STRIP, 3, 1, h))
-    entries.append((_STRIP_CNT, 4, 1, len(pix)))
     entries.append((_PLANAR, 3, 1, 1))
     entries.append((_SAMPLE_FMT, 3, 1, sample_format))
+    if predictor == 2:
+        entries.append((_PREDICTOR, 3, 1, 2))
+
+    off_tag = _TILE_OFF if tile is not None else _STRIP_OFF
+    cnt_tag = _TILE_CNT if tile is not None else _STRIP_CNT
+    counts = [len(p) for p in payloads]
+    off_extra_idx = None
+    if tile is not None:
+        entries.append((_TILE_W, 3, 1, tile[0]))
+        entries.append((_TILE_H, 3, 1, tile[1]))
+    else:
+        entries.append((_ROWS_PER_STRIP, 3, 1, rows_per_strip or h))
+    if nb == 1:
+        entries.append((off_tag, 4, 1, 0))  # patched below
+        entries.append((cnt_tag, 4, 1, counts[0]))
+    else:
+        off_extra_idx = len(extra)
+        entries.append((off_tag, 4, nb, _ext(b"\x00" * 4 * nb)))  # patched below
+        entries.append((cnt_tag, 4, nb, _ext(struct.pack(f"<{nb}I", *counts))))
 
     entries.append((_MODEL_PIXEL_SCALE, 12, 3,
                     _ext(struct.pack("<3d", pixel_size[0], pixel_size[1], 0.0))))
@@ -278,16 +520,23 @@ def write_geotiff(
             entries.append((_GDAL_NODATA, 2, len(nd), _ext(nd)))
 
     entries.sort(key=lambda t: t[0])
-    strip_entry_idx = next(i for i, e in enumerate(entries) if e[0] == _STRIP_OFF)
 
     header = struct.pack("<2sHI", b"II", 42, 8)
     ifd_size = 2 + 12 * len(entries) + 4
     extra_base = 8 + ifd_size
-    pix_off = extra_base + sum(len(p) for p in extra)
-    entries[strip_entry_idx] = (_STRIP_OFF, 4, 1, pix_off)
+    data_off = extra_base + sum(len(p) for p in extra)
+    offsets = []
+    run = data_off
+    for p in payloads:
+        offsets.append(run)
+        run += len(p)
+    if nb == 1:
+        idx = next(i for i, e in enumerate(entries) if e[0] == off_tag)
+        entries[idx] = (off_tag, 4, 1, offsets[0])
+    else:
+        extra[off_extra_idx] = struct.pack(f"<{nb}I", *offsets)
 
     out = [header, struct.pack("<H", len(entries))]
-    ext_written = 0
     for tag, typ, cnt, val in entries:
         if isinstance(val, bytes):
             out.append(struct.pack("<HHI", tag, typ, cnt) + val.ljust(4, b"\x00"))
@@ -298,8 +547,7 @@ def write_geotiff(
                 out.append(struct.pack("<HHI", tag, typ, cnt) + packed)
             else:
                 out.append(struct.pack("<HHII", tag, typ, cnt, extra_base + val))
-                ext_written += 1
     out.append(struct.pack("<I", 0))  # next IFD
     out.extend(extra)
-    out.append(pix)
+    out.extend(payloads)
     return b"".join(out)

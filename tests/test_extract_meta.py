@@ -78,3 +78,33 @@ def test_box_ring_columns(spark, images_small):
     assert r["box"] == [m["minx"], m["maxy"], m["maxx"], m["miny"]]
     assert r["ring"][0] == r["ring"][4] == [m["minx"], m["miny"]]
     assert len(r["ring"]) == 5
+
+
+def test_extract_meta_on_compressed_tiled_fixture(spark):
+    """Compressed/tiled re-encodes of the reference fixture flow through the
+    full distributed extract_meta operator with golden extent parity
+    (reference reads these via gdal.Open, preview.geotiff/geotiffutils.py:49)."""
+    raw = open("/root/reference/preview.geotiff/tests/inundation-500yr.tif", "rb").read()
+    px = tiff.read_pixels(raw)
+    variants = [
+        ("plain", raw),
+        ("deflate_tiled", tiff.write_geotiff(px, origin=(421364.63, 5099434.5),
+            pixel_size=(24.0, 24.0), epsg=32610, nodata=-9999.0,
+            compression="deflate", tile=(64, 64))),
+        ("lzw_strips", tiff.write_geotiff(px, origin=(421364.63, 5099434.5),
+            pixel_size=(24.0, 24.0), epsg=32610, nodata=-9999.0,
+            compression="lzw", rows_per_strip=64)),
+    ]
+    df = spark.createDataFrame(
+        [(name, bytearray(b), "tiff", "c") for name, b in variants],
+        "image_id string, bytes binary, fmt string, caption string")
+    rows = {r["image_id"]: r for r in
+            extract_meta.valid_meta(extract_meta.extract_meta(df)).collect()}
+    assert set(rows) == {"plain", "deflate_tiled", "lzw_strips"}
+    base = rows["plain"]
+    for name in ("deflate_tiled", "lzw_strips"):
+        r = rows[name]
+        assert r["meta"]["epsg"] == 32610
+        for k in ("minx", "miny", "maxx", "maxy"):
+            assert abs(r["meta"][k] - base["meta"][k]) < 1e-9
+        assert abs(r["stats"]["average"] - base["stats"]["average"]) < 1e-12
