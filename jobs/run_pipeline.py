@@ -48,10 +48,11 @@ def main() -> None:
             (F.col("lon") - 0.008).alias("minx"), (F.col("lat") - 0.008).alias("miny"),
             (F.col("lon") + 0.008).alias("maxx"), (F.col("lat") + 0.008).alias("maxy"),
         )
-        assigned = tiles.xyz_tiles(flat, zooms=zooms)
-        return flat.join(assigned, ["image_id"], "inner").select(
-            "image_id", "poly_id", "caption", "z", "x", "y"
-        )
+        # passthrough carries poly_id/caption through the explode — no
+        # join-back (which would re-run decode+PIP once per branch and
+        # shuffle on image_id)
+        return tiles.xyz_tiles(flat, zooms=zooms,
+                               passthrough=("image_id", "poly_id", "caption"))
 
     result = run_with_lineage(imgs, "image_id", args.out, n_buckets=args.buckets,
                               transform=transform)

@@ -137,3 +137,26 @@ def test_rect_layer_skips_raycast(spark):
     )
     s2 = explain_str(pip_join.pip_join(pts, quads, poly_cols=("poly_id",)))
     assert "ArrowEvalPython" in s2
+
+
+def test_flagship_transform_no_joinback_single_python_stage(spark, images_small, polygons, tmp_path):
+    """VERDICT r01 'what's wrong' #1: the spark-submit pipeline must contain
+    exactly one MapInPandas (the decode) and no Exchange on image_id — the
+    xyz explode passes columns through instead of joining back."""
+    path = str(tmp_path / "imgs")
+    images_small.write.parquet(path)
+    imgs = spark.read.parquet(path)
+    meta = extract_meta.valid_meta(extract_meta.extract_meta(imgs, with_stats=True))
+    joined = pip_join.pip_join(meta, polygons, point_cols=("image_id", "caption", "phash"),
+                               poly_cols=("poly_id", "name"))
+    flat = joined.select(
+        "image_id", "poly_id", "caption",
+        (F.col("lon") - 0.008).alias("minx"), (F.col("lat") - 0.008).alias("miny"),
+        (F.col("lon") + 0.008).alias("maxx"), (F.col("lat") + 0.008).alias("maxy"))
+    out = tiles.xyz_tiles(flat, zooms=(6, 8), passthrough=("image_id", "poly_id", "caption"))
+    s = explain_str(out)
+    # formatted explain mentions each physical node twice (tree + details)
+    assert s.count("MapInPandas") == 2
+    assert "Exchange hashpartitioning(image_id" not in s
+    r = out.limit(5).collect()
+    assert r and all(x["poly_id"] is not None for x in r)
