@@ -41,6 +41,8 @@ MAGIC = {
     "tiff_le": b"II*\x00",
     "tiff_be": b"MM\x00*",
     "riff": b"RIFF",  # wav/avi container
+    "zip": b"PK\x03\x04",
+    "sevenz": b"7z\xbc\xaf\x27\x1c",  # application/x-7z-compressed (P3)
 }
 
 
@@ -56,6 +58,8 @@ def sniff_format(data: Column) -> Column:
         .when(head4 == F.lit(MAGIC["tiff_le"]), F.lit("tiff"))
         .when(head4 == F.lit(MAGIC["tiff_be"]), F.lit("tiff"))
         .when(head4 == F.lit(MAGIC["riff"]), F.lit("riff"))
+        .when(head4 == F.lit(MAGIC["zip"]), F.lit("zip"))
+        .when(F.substring(data, 1, 6) == F.lit(MAGIC["sevenz"]), F.lit("7z"))
         .otherwise(F.lit("unknown"))
     )
 

@@ -110,3 +110,149 @@ def test_blacklisted_projection():
     z = _mini_zip({"x.shp": b"\x00" * 10, "x.shx": b"", "x.dbf": b"", "x.prj": prj})
     parsed = S.read_zip_shapefile(z)
     assert "BLACKLISTED_PROJECTION" in parsed["errors"]
+
+
+# -------------------------------------------------------- .prj EPSG breadth
+
+REAL_WORLD_PRJ = [
+    # (wkt, expected_epsg, expected_error)
+    ('GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137,298.257223563]],'
+     'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]]', 4326, None),
+    ('GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",'
+     'SPHEROID["GRS_1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+     'UNIT["Degree",0.0174532925199433]]', 4269, None),
+    ('GEOGCS["GCS_North_American_1927",DATUM["D_North_American_1927",'
+     'SPHEROID["Clarke_1866",6378206.4,294.978698213898]],PRIMEM["Greenwich",0],'
+     'UNIT["Degree",0.0174532925199433]]', 4267, None),
+    ('PROJCS["NAD_1983_UTM_Zone_10N",GEOGCS["GCS_North_American_1983",'
+     'DATUM["D_North_American_1983",SPHEROID["GRS_1980",6378137,298.257222101]],'
+     'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]],'
+     'PROJECTION["Transverse_Mercator"],PARAMETER["False_Easting",500000],'
+     'UNIT["Meter",1]]', 26910, None),
+    ('PROJCS["WGS_1984_UTM_Zone_33S",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+     'SPHEROID["WGS_1984",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+     'UNIT["Degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],UNIT["Meter",1]]',
+     32733, None),
+    ('PROJCS["NAD_1927_UTM_Zone_14N",GEOGCS["GCS_North_American_1927",'
+     'DATUM["D_North_American_1927",SPHEROID["Clarke_1866",6378206.4,294.978698213898]],'
+     'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]],UNIT["Meter",1]]', 26714, None),
+    ('PROJCS["ETRS_1989_UTM_Zone_32N",GEOGCS["GCS_ETRS_1989",DATUM["D_ETRS_1989",'
+     'SPHEROID["GRS_1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+     'UNIT["Degree",0.0174532925199433]],UNIT["Meter",1]]', 25832, None),
+    ('PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",GEOGCS["GCS_WGS_1984",'
+     'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137,298.257223563]],'
+     'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]],'
+     'PROJECTION["Mercator_Auxiliary_Sphere"],UNIT["Meter",1]]', 3857, None),
+    ('PROJCS["NAD_1983_StatePlane_California_V_FIPS_0405_Feet",'
+     'GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",'
+     'SPHEROID["GRS_1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+     'UNIT["Degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic"],'
+     'UNIT["Foot_US",0.3048006096012192]]', 2229, None),
+    ('PROJCS["NAD_1983_StatePlane_Texas_Central_FIPS_4203",'
+     'GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",'
+     'SPHEROID["GRS_1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+     'UNIT["Degree",0.0174532925199433]],UNIT["Meter",1]]', 32139, None),
+    # QGIS-written .prj with AUTHORITY nodes -> outermost wins
+    ('PROJCS["WGS 84 / UTM zone 17N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+     'SPHEROID["WGS 84",6378137,298.257223563,AUTHORITY["EPSG","7030"]],'
+     'AUTHORITY["EPSG","6326"]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],'
+     'AUTHORITY["EPSG","4326"]],PROJECTION["Transverse_Mercator"],UNIT["metre",1],'
+     'AUTHORITY["EPSG","32617"]]', 32617, None),
+    # unidentifiable projected CRS -> explicit error, never silent 4326
+    ('PROJCS["Custom_Oblique_Thing",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+     'SPHEROID["WGS_1984",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+     'UNIT["Degree",0.0174532925199433]],PROJECTION["Hotine_Oblique_Mercator"],'
+     'UNIT["Meter",1]]', None, "PROJECTED_UNKNOWN"),
+]
+
+
+def test_infer_epsg_real_world_prj_strings():
+    for wkt, want_epsg, want_err in REAL_WORLD_PRJ:
+        epsg, err = S.infer_epsg(wkt)
+        assert (epsg, err) == (want_epsg, want_err), wkt[:60]
+
+
+def test_projected_unknown_prj_is_error_not_4326(tmp_path):
+    """A zip whose .prj is an unidentifiable PROJCS must error, not join
+    the pipeline as lon/lat with a wrong extent."""
+    import io as _io
+    import zipfile as _zf
+
+    # minimal polygon shapefile bytes: reuse the states fixture's members
+    # but swap the .prj for a custom projected one
+    src = _zf.ZipFile("/root/reference/preview.geoshp/tests/states.zip")
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w") as z:
+        for n in src.namelist():
+            if n.lower().endswith(".prj"):
+                z.writestr(n, REAL_WORLD_PRJ[-1][0])
+            else:
+                z.writestr(n, src.read(n))
+    parsed = S.read_zip_shapefile(buf.getvalue())
+    assert "PROJECTED_UNKNOWN" in parsed["errors"]
+    assert not parsed["features"]
+
+
+def test_utm_prj_zip_gets_correct_epsg(tmp_path):
+    import io as _io
+    import zipfile as _zf
+
+    src = _zf.ZipFile("/root/reference/preview.geoshp/tests/states.zip")
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w") as z:
+        for n in src.namelist():
+            if n.lower().endswith(".prj"):
+                z.writestr(n, REAL_WORLD_PRJ[3][0])  # NAD83 UTM 10N
+            else:
+                z.writestr(n, src.read(n))
+    parsed = S.read_zip_shapefile(buf.getvalue())
+    assert parsed["epsg"] == 26910 and not parsed["epsg_defaulted"]
+    assert parsed["features"]
+
+
+# ------------------------------------------------------------- 7z ingestion
+
+def test_7z_shapefile_ingests_like_zip():
+    """S4/P3: a 7z-packed shapefile bundle (reference mime x-7z-compressed,
+    preview.geoshp/extractor_info.json:28) parses identically to the zip."""
+    from extractors_geo_spark.sources import sevenzip
+
+    src = zipfile.ZipFile(STATES)
+    members = {n: src.read(n) for n in src.namelist()}
+    arch = sevenzip.write_7z(members)
+    parsed = S.read_zip_shapefile(arch)
+    ref = S.read_zip_shapefile(open(STATES, "rb").read())
+    assert not parsed["errors"]
+    assert parsed["epsg"] == ref["epsg"] == 4326
+    assert parsed["extent"] == ref["extent"]
+    assert len(parsed["features"]) == len(ref["features"]) == 49
+    assert parsed["features"][0]["rings"] == ref["features"][0]["rings"]
+
+
+def test_corrupt_7z_errors_explicitly():
+    from extractors_geo_spark.sources import sevenzip
+
+    src = zipfile.ZipFile(STATES)
+    arch = bytearray(sevenzip.write_7z({n: src.read(n) for n in src.namelist()}))
+    arch[40:60] = b"\x00" * 20  # stomp the packed stream
+    parsed = S.read_zip_shapefile(bytes(arch))
+    assert parsed["errors"] == ["BAD_7Z"]
+
+
+def test_7z_ingest_distributed(spark, tmp_path):
+    """ingest_zips over a directory containing BOTH containers."""
+    from extractors_geo_spark.sources import sevenzip
+
+    src = zipfile.ZipFile(STATES)
+    members = {n: src.read(n) for n in src.namelist()}
+    d = tmp_path / "archives"
+    d.mkdir()
+    shutil.copy(STATES, d / "states.zip")
+    (d / "states7.7z").write_bytes(sevenzip.write_7z(members))
+    (d / "junk.7z").write_bytes(b"7z\xbc\xaf\x27\x1cgarbage")
+    out = S.ingest_zip_dir(spark, str(d)).cache()
+    ok = out.filter("errors is null or size(errors) = 0")
+    assert ok.count() == 98  # 49 polygons from each container
+    bad = {r["source"].rsplit("/", 1)[-1]: r["errors"] for r in
+           out.filter("size(errors) > 0").collect()}
+    assert bad == {"junk.7z": ["BAD_7Z"]}
