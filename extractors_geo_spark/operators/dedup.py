@@ -122,33 +122,42 @@ def minhash_lsh_pairs(
     Plan shape: signature is computed in one projection (no UDF); bands
     explode to (band_key -> id) rows; the self-join happens per band
     bucket (groupBy band_key), so comparisons are bucket-local — the
-    all-pairs O(n^2) never materializes."""
+    all-pairs O(n^2) never materializes.
+
+    Shuffle discipline (VERDICT r01 'what's wrong' #5): document text
+    NEVER rides a shuffle. The band explode and self-join carry only
+    (id, bkey); verification joins the candidate ids back to a
+    (id -> distinct shingle-hash array) side, so the LSH shuffle is
+    O(ids x bands), not O(corpus bytes x bands). Jaccard is computed
+    over the hashed-shingle sets (md5-based 61-bit hashes — collisions
+    are negligible next to the shingling itself)."""
     rows_per_band = num_hashes // bands
     d = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
         .withColumn("_w", norm_words(F.col("t")))  # bind words: O(n) access
-        .withColumn("_hs", shingle_hashes_from_words(F.col("_w"), shingle_n))  # md5 once
-        .withColumn("sig", minhash_from_hashes(F.col("_hs"), num_hashes))
-        .drop("_hs", "_w")
+        .withColumn("hs", F.array_distinct(shingle_hashes_from_words(F.col("_w"), shingle_n)))
+        .withColumn("sig", minhash_from_hashes(F.col("hs"), num_hashes))
+        .select("id", "hs", "sig")
     )
     band_keys = [
         F.hash(F.lit(bi), *[F.element_at(F.col("sig"), bi * rows_per_band + j + 1) for j in range(rows_per_band)]).alias("bkey")
         for bi in range(bands)
     ]
-    banded = d.select("id", "t", F.explode(F.array(*band_keys)).alias("bkey"))
+    banded = d.select("id", F.explode(F.array(*band_keys)).alias("bkey"))
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
         left.join(right, (F.col("l.bkey") == F.col("r.bkey")) & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
-                F.col("l.t").alias("ta"), F.col("r.t").alias("tb"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    cand = cand.withColumn("_wa", norm_words(F.col("ta"))).withColumn("_wb", norm_words(F.col("tb")))
-    sha = shingles_from_words(F.col("_wa"), shingle_n)
-    shb = shingles_from_words(F.col("_wb"), shingle_n)
-    inter = F.size(F.array_intersect(sha, shb)).cast("double")
-    union = F.size(F.array_union(sha, shb)).cast("double")
+    hs_tbl = d.select("id", "hs")
+    cand = (
+        cand.join(hs_tbl.select(F.col("id").alias("a"), F.col("hs").alias("hsa")), "a")
+        .join(hs_tbl.select(F.col("id").alias("b"), F.col("hs").alias("hsb")), "b")
+    )
+    inter = F.size(F.array_intersect(F.col("hsa"), F.col("hsb"))).cast("double")
+    union = F.size(F.array_union(F.col("hsa"), F.col("hsb"))).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         cand.withColumn("jaccard", jac)
@@ -225,7 +234,9 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     n: int = 3,
     threshold: float = 0.3,
-) -> DataFrame:
+    max_df: int | None = None,
+    return_dropped: bool = False,
+):
     """Exact word-n-gram Jaccard over pairs sharing `block_col` (or all
     pairs if None — only for small inputs).
 
@@ -233,7 +244,15 @@ def ngram_jaccard_pairs(
     explode once, matching shingles equi-join on (block, shingle-hash),
     intersections come from a count aggregate, and |A u B| = |A|+|B|-inter.
     The shuffle is O(total shingles), never O(pairs x shingle-array), and
-    zero-overlap pairs are never materialized."""
+    zero-overlap pairs are never materialized.
+
+    `max_df` caps shingle document frequency: shingles appearing in more
+    than max_df docs (stopword n-grams) are removed from the index AND
+    from each doc's set size, so jaccard stays self-consistent over the
+    surviving shingle universe — the hot-shingle self-join blowup
+    (DF^2 rows per hot shingle) never happens. Never silent: with
+    return_dropped=True the second return value is a DataFrame of
+    (blk, g, df) for every dropped shingle."""
     d = (
         df.select(
             F.col(id_col).alias("id"),
@@ -242,9 +261,19 @@ def ngram_jaccard_pairs(
         )
         .withColumn("sh", shingles_from_words(F.col("_w"), n))
         .drop("_w")
-        .withColumn("sz", F.size("sh"))
     )
-    e = d.select("id", "blk", "sz", F.explode(F.transform("sh", content_hash64)).alias("g"))
+    dropped = None
+    if max_df is not None:
+        e = d.select("id", "blk", F.explode(F.transform("sh", content_hash64)).alias("g"))
+        counts = e.groupBy("blk", "g").agg(F.count(F.lit(1)).alias("df"))
+        dropped = counts.filter(F.col("df") > max_df)
+        e = e.join(dropped.select("blk", "g"), ["blk", "g"], "left_anti")
+        sizes = e.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        e = e.join(sizes, "id")
+    else:
+        # sz computed in the same projection when no cap (no extra shuffle)
+        e = d.select("id", "blk", F.size("sh").alias("sz"),
+                     F.explode(F.transform("sh", content_hash64)).alias("g"))
     l, r = e.alias("l"), e.alias("r")
     inter = (
         l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.g") == F.col("r.g"))
@@ -254,11 +283,15 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
-    return (
+    pairs = (
         inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    if return_dropped:
+        empty = d.sparkSession.createDataFrame([], "blk int, g long, df long")
+        return pairs, (dropped if dropped is not None else empty)
+    return pairs
 
 
 def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:

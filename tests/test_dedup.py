@@ -104,3 +104,54 @@ def test_shingles_short_docs_no_ansi_error(spark):
     assert {(r["a"], r["b"]) for r in pairs} == {("d4", "d5")}
     jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert {(r["a"], r["b"]) for r in jac} == {("d4", "d5")}
+
+
+def test_minhash_band_shuffle_carries_no_text(spark):
+    """VERDICT r01 #5: the LSH band exchange must not carry the document
+    text — only (id, bkey) ride the shuffle."""
+    from io import StringIO
+    import contextlib
+
+    df = spark.createDataFrame([(f"d{i}", f"some words repeated here {i % 7}") for i in range(50)],
+                               "doc_id string, text string")
+    pairs = dedup.minhash_lsh_pairs(df, num_hashes=8, bands=4)
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    s = buf.getvalue()
+    # formatted explain: each node is a detail block; find the band
+    # exchanges and assert their input schema is (id, bkey) only
+    blocks = [b for b in s.split("\n\n")
+              if b.lstrip().startswith("(") and "Exchange" in b and "hashpartitioning(bkey" in b]
+    assert blocks, "no band exchange found in plan"
+    for b in blocks:
+        assert " t#" not in b and "text#" not in b, b
+
+
+def test_minhash_pairs_identical_after_detexting(spark):
+    # same planted-dup output as the original text-carrying implementation
+    docs = [(f"doc{i}", "the quick brown fox jumps over the lazy dog " + str(i)) for i in range(20)]
+    docs += [("dupA", "completely identical text body for duplication test"),
+             ("dupB", "completely identical text body for duplication test")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    pairs = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(df).collect()}
+    assert ("dupA", "dupB") in pairs
+
+
+def test_ngram_jaccard_max_df_parity_and_hot_drop(spark):
+    docs = [("a", "alpha beta gamma delta epsilon zeta"),
+            ("b", "alpha beta gamma delta epsilon eta"),
+            ("c", "unrelated words entirely different content here")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    base = {(r["a"], r["b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(df, threshold=0.1).collect()}
+    # cap far above any fixture DF -> identical pairs, empty drop report
+    capped, dropped = dedup.ngram_jaccard_pairs(df, threshold=0.1, max_df=100, return_dropped=True)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in capped.collect()}
+    assert got == base and dropped.count() == 0
+    # a hot shingle shared by every doc is dropped and reported
+    hot_docs = [(f"h{i}", f"common shingle here plus unique tail {i} {i+1} {i+2}") for i in range(6)]
+    hdf = spark.createDataFrame(hot_docs, "doc_id string, text string")
+    pairs2, dropped2 = dedup.ngram_jaccard_pairs(hdf, threshold=0.9, max_df=3, return_dropped=True)
+    drops = dropped2.collect()
+    assert len(drops) > 0 and all(r["df"] > 3 for r in drops)
+    assert pairs2.count() == 0  # only the hot prefix was shared
