@@ -4,9 +4,10 @@ The engine treats non-TIFF payloads the way a 100 TB training-data
 pipeline does: bytes stay an opaque `binary` column, typed metadata
 travels beside them, and decode/feature stages are Arrow-batched
 mapInPandas operators whose SCHEMA, PARTITIONING and BATCH SHAPE are real
-and tested. The pixel codecs for jpeg/png and the audio/video decoders are
-NOT in this container, so those decode bodies are stubbed: a clearly
-marked NotImplementedError path plus a deterministic fake used by tests
+and tested. TIFF and PNG decode for REAL (pure-Python codecs in ..tiff
+and ..png). The jpeg codec and the audio/video decoders are NOT in this
+container, so those decode bodies are stubbed: a clearly marked
+NotImplementedError path plus a deterministic fake used by tests
 (`fake=True`) that derives features from the byte content, keeping every
 Spark-side contract executable.
 
@@ -33,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import png as _png
 from .. import tiff
 
 MAGIC = {
@@ -80,11 +82,22 @@ def _decode(data: bytes, fmt: str, fake: bool) -> tuple[np.ndarray | None, str |
             return tiff.read_pixels(data, info).astype(np.float64), None
         except Exception:
             return None, "bad tiff"
-    if fmt in ("png", "jpeg"):
+    if fmt == "png":
+        # REAL decode (stdlib zlib codec in ..png); luminance for color
+        try:
+            arr = _png.decode(data)
+            if arr.ndim == 3:
+                arr = arr[:, :, : min(3, arr.shape[2])].mean(axis=2)
+            return arr.astype(np.float64), None
+        except Exception:
+            if fake:
+                return _fake_pixels(data, 16, 16).astype(np.float64), None
+            return None, "bad png"
+    if fmt == "jpeg":
         if fake:
             return _fake_pixels(data, 16, 16).astype(np.float64), None
-        # STUB: real deployment plugs libjpeg/libpng (via PIL) in here.
-        raise NotImplementedError("jpeg/png codec not available in this container")
+        # STUB: real deployment plugs libjpeg (via PIL) in here.
+        raise NotImplementedError("jpeg codec not available in this container")
     return None, f"unsupported format {fmt}"
 
 

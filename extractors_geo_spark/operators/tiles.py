@@ -271,7 +271,10 @@ def render_gray(arr: np.ndarray, style_min: float, style_max: float, nodata: flo
 
 
 def tile_render(images: DataFrame, out_w: int = 640, out_h: int = 480) -> DataFrame:
-    """Batch GetMap: decode, stats, mu+/-2sigma colormap, render."""
+    """Batch GetMap: decode, stats, mu+/-2sigma colormap, render. The png
+    column holds REAL PNG bytes (stdlib zlib writer — the reference's
+    format=image%2Fpng contract, preview.geotiff/gsclient.py:75-76)."""
+    from .. import png as _png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -286,7 +289,8 @@ def tile_render(images: DataFrame, out_w: int = 640, out_h: int = 480) -> DataFr
                     continue
                 mn, mx, mean, std = tiff.band_stats(arr, info.nodata)
                 img = render_gray(arr, mean - 2 * std, mean + 2 * std, info.nodata, out_w, out_h)
-                rows.append({"image_id": iid, "rw": out_w, "rh": out_h, "png": img.tobytes()})
+                rows.append({"image_id": iid, "rw": out_w, "rh": out_h,
+                             "png": _png.encode(img)})
             yield pd.DataFrame(rows, columns=["image_id", "rw", "rh", "png"])
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, RENDER_SCHEMA)

@@ -73,7 +73,10 @@ def test_render_colormap(spark, images32):
     out = tiles.tile_render(images32, out_w=64, out_h=48).limit(3).collect()
     assert out
     for r in out:
-        img = np.frombuffer(r["png"], dtype=np.uint8).reshape(48, 64)
+        from extractors_geo_spark import png as _png
+        assert bytes(r["png"][:8]) == b"\x89PNG\r\n\x1a\n"  # real PNG bytes
+        img = _png.decode(bytes(r["png"]))
+        assert img.shape == (48, 64)
         assert img.min() >= 0 and img.max() <= 255
 
 
