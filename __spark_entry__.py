@@ -980,6 +980,61 @@ FROM c GROUP BY label
 """
 
 
+def q_prj_epsg(spark, sf_dir):
+    """F2 vector projection inference: ESRI-WKT .prj strings -> EPSG,
+    distributed (mapInPandas over executor-side infer_epsg). WKT bodies
+    are built per-row from the customer table; the oracle computes the
+    EXPECTED code independently via the same closed-form case rule."""
+    from extractors_geo_spark.sources.shapefile import infer_epsg
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") % 6).alias("cs"),
+        ((F.col("c_custkey") % 60) + 1).alias("zone"),
+    )
+    wkt = (
+        F.when(F.col("cs") == 0, F.concat(
+            F.lit('PROJCS["WGS_1984_UTM_Zone_'), F.col("zone").cast("string"),
+            F.lit('N",GEOGCS["GCS_WGS_1984"],PROJECTION["Transverse_Mercator"]]')))
+        .when(F.col("cs") == 1, F.concat(
+            F.lit('PROJCS["NAD_1983_UTM_Zone_'), F.col("zone").cast("string"),
+            F.lit('N",GEOGCS["GCS_North_American_1983"],PROJECTION["Transverse_Mercator"]]')))
+        .when(F.col("cs") == 2, F.lit('GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984"]]'))
+        .when(F.col("cs") == 3, F.lit('GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983"]]'))
+        .when(F.col("cs") == 4, F.concat(
+            F.lit('PROJCS["Custom",GEOGCS["WGS 84"],AUTHORITY["EPSG","'),
+            (F.lit(3000) + F.col("id") % 1000).cast("string"), F.lit('"]]')))
+        .otherwise(F.lit('PROJCS["Mystery_Grid",GEOGCS["GCS_WGS_1984"],PROJECTION["Krovak"]]'))
+    )
+    d = c.select("id", wkt.alias("wkt"))
+
+    def run(batches):
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for i, w in zip(b["id"], b["wkt"]):
+                epsg, err = infer_epsg(str(w))
+                rows.append({"id": int(i), "epsg": epsg, "err": err})
+            yield pd.DataFrame(rows, columns=["id", "epsg", "err"])
+
+    return d.mapInPandas(run, "id long, epsg int, err string")
+
+
+SQL_PRJ = """
+SELECT id,
+       CAST(CASE cs WHEN 0 THEN 32600 + zone
+                    WHEN 1 THEN 26900 + zone
+                    WHEN 2 THEN 4326
+                    WHEN 3 THEN 4269
+                    WHEN 4 THEN 3000 + (id % 1000)
+                    ELSE NULL END AS INT) AS epsg,
+       CASE WHEN cs = 5 THEN 'PROJECTED_UNKNOWN' ELSE NULL END AS err
+FROM (SELECT c_custkey AS id, c_custkey % 6 AS cs, (c_custkey % 60) + 1 AS zone
+      FROM customer)
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible operators (rows-only checks): real image pipeline
 # ---------------------------------------------------------------------------
@@ -1086,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "label_centroid_sim": q_label_centroid_sim,
+        "prj_epsg": q_prj_epsg,
         # rows-only (no SQL oracle): real image pipeline + approximate ops
         "flagship_pip": q_flagship_pip,
         "tile_pyramid": q_tile_pyramid,
@@ -1134,4 +1190,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM,
         "embedding_topk": SQL_TOPK,
         "label_centroid_sim": SQL_CENTROID,
+        "prj_epsg": SQL_PRJ,
     }

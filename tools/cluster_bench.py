@@ -1,0 +1,185 @@
+"""Multi-JVM scaling evidence: Spark STANDALONE cluster in-sandbox.
+
+VERDICT r01 asked for a real multi-executor 8->32 data point instead of a
+single-JVM local[32] argument. This script:
+
+  * starts a standalone master + 4 workers (8 cores, 20g each) — five
+    separate JVMs on this machine;
+  * runs the SAME 1M-image flagship pipeline as tools/scaling_bench.py at
+    N = 8 cores  (spark.cores.max=8,  executor.cores=8 -> 1 executor JVM)
+    4N = 32 cores (spark.cores.max=32, executor.cores=8 -> 4 executor JVMs)
+    — the in-sandbox realization of "N vs 4N executors" from
+    BASELINE.json's north rule, with per-executor GC/Arrow/python-socket
+    state actually isolated per JVM, unlike local[32];
+  * fresh driver JVM per run, interleaved rounds, 1 warmup + 2 timed,
+    min per level (shared-tenancy drift discipline, see scaling_bench.py);
+  * appends the results to BENCH/BASELINE.md.
+
+Usage: python tools/cluster_bench.py [n_images] [rounds]
+"""
+
+from __future__ import annotations
+
+import atexit
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+from tools.scaling_bench import ensure_data, hardware_baseline  # noqa: E402
+
+SPARK_DIR = None
+
+
+def _spark_dir() -> str:
+    import pyspark
+
+    return os.path.dirname(os.path.abspath(pyspark.__file__))
+
+
+_PROCS: list[subprocess.Popen] = []
+
+
+def start_cluster(n_workers: int = 4, cores: int = 8, mem: str = "20g") -> None:
+    sd = _spark_dir()
+    env = dict(os.environ, SPARK_HOME=sd)
+    logs = "/tmp/spark-cluster-bench/logs"
+    os.makedirs(logs, exist_ok=True)
+    _PROCS.append(subprocess.Popen(
+        [f"{sd}/bin/spark-class", "org.apache.spark.deploy.master.Master",
+         "-h", "127.0.0.1", "-p", "7077", "--webui-port", "8089"],
+        env=env, stdout=open(f"{logs}/master.log", "w"), stderr=subprocess.STDOUT))
+    time.sleep(6)
+    for i in range(n_workers):
+        wenv = dict(env, SPARK_WORKER_DIR=f"/tmp/spark-cluster-bench/worker{i}")
+        _PROCS.append(subprocess.Popen(
+            [f"{sd}/bin/spark-class", "org.apache.spark.deploy.worker.Worker",
+             "spark://127.0.0.1:7077", "-c", str(cores), "-m", mem,
+             "-h", "127.0.0.1", "--webui-port", str(8090 + i)],
+            env=wenv, stdout=open(f"{logs}/worker{i}.log", "w"), stderr=subprocess.STDOUT))
+    time.sleep(10)
+
+
+def stop_cluster() -> None:
+    for p in _PROCS:
+        p.terminate()
+    for p in _PROCS:
+        try:
+            p.wait(timeout=15)
+        except Exception:
+            p.kill()
+    _PROCS.clear()
+
+
+atexit.register(stop_cluster)
+
+RUN_CODE = """
+import json, time, os, sys
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_DRIVER_MEM"] = "8g"
+from extractors_geo_spark.session import get_spark
+from extractors_geo_spark import datagen
+from extractors_geo_spark.operators import extract_meta, pip_join, tiles
+from pyspark.sql import functions as F
+spark = get_spark(master="spark://127.0.0.1:7077", shuffle_partitions=32, extra_conf={{
+    "spark.executor.cores": "8",
+    "spark.executor.memory": "8g",
+    "spark.cores.max": "{cores_max}",
+    "spark.executorEnv.PYTHONPATH": {repo!r},
+    # ~128 partitions for the 1.9GB table: multiple task waves per core.
+    # With exactly one task per core (the 128MB default -> 32 partitions)
+    # stragglers own the wall clock across 4 executor JVMs — measured
+    # 14.9s vs 2.9s for the identity-Arrow stage at 32 cores.
+    "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+    # shared-tenancy straggler mitigation, same knob a production cluster
+    # uses: re-launch the slow tail on idle executors (measured 13.8s vs
+    # 19-25s at 32 cores during a degraded machine period)
+    "spark.speculation": "true",
+    "spark.speculation.multiplier": "1.5",
+    "spark.speculation.quantile": "0.7",
+}})
+imgs = spark.read.parquet({path!r})
+polys = datagen.polygons_df(spark)
+def pipe():
+    meta = extract_meta.valid_meta(extract_meta.extract_meta(imgs, with_stats=True, passthrough=("phash",)))
+    j = pip_join.pip_join(meta, polys, point_cols=("image_id", "phash"),
+                          poly_cols=("poly_id", "name"), broadcast_polys=True)
+    flat = j.select("image_id", "poly_id",
+                    (F.col("lon") - 0.008).alias("minx"), (F.col("lat") - 0.008).alias("miny"),
+                    (F.col("lon") + 0.008).alias("maxx"), (F.col("lat") + 0.008).alias("maxy"))
+    return tiles.xyz_tiles(flat, zooms=(8,)).count()
+n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+pipe()  # warm: executor launch + python pools + JIT
+best, rows = 1e18, 0
+for _ in range(2):
+    t0 = time.time(); rows = pipe(); best = min(best, time.time() - t0)
+print("RESULT", json.dumps({{"seconds": round(best, 3), "rows_out": rows, "executors": n_exec}}))
+spark.stop()
+"""
+
+
+def run_at(cores_max: int, path: str) -> dict:
+    code = RUN_CODE.format(repo=REPO, cores_max=cores_max, path=path)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True,
+                         cwd=REPO, timeout=3600)
+    for ln in out.stdout.splitlines():
+        if ln.startswith("RESULT "):
+            return json.loads(ln[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    path = ensure_data(n_images)
+    start_cluster()
+    res: dict[int, dict] = {}
+    hw: dict[int, float] = {}
+    try:
+        for _ in range(rounds):
+            h = hardware_baseline()
+            for k, v in h.items():
+                hw[k] = min(hw.get(k, 1e18), v)
+            for c in (8, 32):
+                r = run_at(c, path)
+                if c not in res or r["seconds"] < res[c]["seconds"]:
+                    res[c] = r
+    finally:
+        stop_cluster()
+    tp = {c: n_images / r["seconds"] for c, r in res.items()}
+    eff = tp[32] / (4 * tp[8])
+    hw_eff = hw[8] / hw[32]
+    md = f"""
+
+## Multi-JVM 8 -> 32: Spark standalone cluster (VERDICT r01 item 9)
+
+Same pipeline, same {n_images:,}-row table, on an in-sandbox STANDALONE
+cluster: 1 master + 4 workers (8 cores / 20g each), separate JVMs.
+N=8:  spark.cores.max=8,  executor.cores=8 -> {res[8]['executors']} executor JVM(s)
+4N=32: spark.cores.max=32, executor.cores=8 -> {res[32]['executors']} executor JVMs
+Fresh driver JVM per run; interleaved rounds; 1 warmup + 2 timed; min.
+
+| level | executors | wall s | images/sec |
+|---|---|---|---|
+| cluster 8 cores  | {res[8]['executors']} | {res[8]['seconds']:.2f} | {tp[8]:,.0f} |
+| cluster 32 cores | {res[32]['executors']} | {res[32]['seconds']:.2f} | {tp[32]:,.0f} |
+
+**Multi-JVM scaling efficiency 8 -> 32: {tp[32]:,.0f} / (4 x {tp[8]:,.0f}) = {eff:.3f}**
+Machine ceiling for 8 -> 32 this run (sha256 multiprocess probe): {hw_eff:.3f}
+**Normalized: {eff:.3f} / {hw_eff:.3f} = {eff / hw_eff:.3f}**
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(md)
+    print(md)
+    print(json.dumps({"n_images": n_images,
+                      "cluster8": res[8], "cluster32": res[32],
+                      "efficiency_8_32_multijvm": round(eff, 3),
+                      "hw_ceiling_8_32": round(hw_eff, 3),
+                      "normalized": round(eff / hw_eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()
