@@ -39,13 +39,15 @@ def bbox_join(
         F.col(l_id),
         *[F.col(c).alias(f"l_{c}") for c in l_cols],
     ).withColumn("cell", F.explode(cells.cover_bbox(lmx, lmy, lXx, lXy, res)))
-    r = right.select(
+    r_base = right.select(
         F.col(r_id),
         *[F.col(c).alias(f"r_{c}") for c in r_cols],
-    ).withColumn("cell", F.explode(cells.cover_bbox(rmx, rmy, rXx, rXy, res)))
-
+    )
     if broadcast_right is None:
-        broadcast_right = r.limit(2_000_001).count() <= 2_000_000
+        # probe BEFORE the cover explode (VERDICT r01 #6); assume a modest
+        # cover fan-out when budgeting the broadcast
+        broadcast_right = r_base.limit(250_001).count() <= 250_000
+    r = r_base.withColumn("cell", F.explode(cells.cover_bbox(rmx, rmy, rXx, rXy, res)))
     joined = l.join(F.broadcast(r) if broadcast_right else r, "cell")
 
     intersects = (lmx <= rXx) & (lXx >= rmx) & (lmy <= rXy) & (lXy >= rmy)
