@@ -267,16 +267,83 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
-def audio_features(audios: DataFrame, fake: bool = True, id_col: str = "audio_id") -> DataFrame:
-    """Audio -> windowed energy features (MFCC stand-in; same schema)."""
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM decode, pure stdlib+numpy: 8/16/32-bit int and 32/64
+    float PCM, any channel count (averaged to mono). Returns
+    (float64 samples in [-1, 1], sample_rate)."""
+    import struct as _s
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = None
+    pcm = None
+    n = len(data)
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        (size,) = _s.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("short fmt chunk")
+            tag, channels, rate, _br, _ba, bits = _s.unpack("<HHIIHH", body[:16])
+            fmt = (tag, channels, rate, bits)
+        elif cid == b"data":
+            pcm = body
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, bits = fmt
+    if tag == 1:  # integer PCM
+        if bits == 8:
+            a = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            a = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            a = np.frombuffer(pcm, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported PCM bits {bits}")
+    elif tag == 3:  # IEEE float
+        a = np.frombuffer(pcm, dtype="<f4" if bits == 32 else "<f8").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag}")
+    if channels > 1:
+        a = a[: (a.size // channels) * channels].reshape(-1, channels).mean(axis=1)
+    return a, rate
+
+
+def audio_features(audios: DataFrame, fake: bool = True, id_col: str = "audio_id",
+                   window_ms: int = 100) -> DataFrame:
+    """Audio -> windowed energy features (MFCC stand-in; same schema).
+    RIFF/WAVE inputs decode FOR REAL (decode_wav); other formats fall back
+    to the deterministic fake (fake=True) or a clear stub error."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for aid, data in zip(b[id_col], b["bytes"]):
                 data = bytes(data)
+                if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                    try:
+                        sig, rate = decode_wav(data)
+                    except ValueError:
+                        sig = None  # malformed WAV: fake-fallback or drop
+                    if sig is not None:
+                        dur = sig.size / rate
+                        wlen = max(int(rate * window_ms / 1000), 1)
+                        n_win = sig.size // wlen
+                        energy = (sig[: n_win * wlen].reshape(n_win, wlen) ** 2).mean(axis=1)[:FEAT_DIM]
+                        feat = np.zeros(FEAT_DIM, dtype=np.float32)
+                        feat[: energy.size] = energy
+                        rows.append({"audio_id": aid, "duration_s": dur,
+                                     "n_windows": n_win, "features": feat.tolist()})
+                        continue
+                    if not fake:
+                        continue  # dropped; callers anti-join ids to find casualties
                 if not fake:
-                    # STUB: real deployment decodes with libsndfile here.
+                    # STUB: real deployment decodes mp3/flac with libsndfile.
                     raise NotImplementedError("audio codec not available in this container")
                 seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
                 rng = np.random.Generator(np.random.PCG64(seed))
