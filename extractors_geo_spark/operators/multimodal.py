@@ -4,9 +4,9 @@ The engine treats non-TIFF payloads the way a 100 TB training-data
 pipeline does: bytes stay an opaque `binary` column, typed metadata
 travels beside them, and decode/feature stages are Arrow-batched
 mapInPandas operators whose SCHEMA, PARTITIONING and BATCH SHAPE are real
-and tested. TIFF and PNG decode for REAL (pure-Python codecs in ..tiff
-and ..png). The jpeg codec and the audio/video decoders are NOT in this
-container, so those decode bodies are stubbed: a clearly marked
+and tested. TIFF, PNG, baseline JPEG and RIFF/WAVE decode for REAL
+(pure-Python codecs in ..tiff/..png/..jpeg and decode_wav below). Only
+the video decoder and non-WAV audio are stubbed: a clearly marked
 NotImplementedError path plus a deterministic fake used by tests
 (`fake=True`) that derives features from the byte content, keeping every
 Spark-side contract executable.
@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import jpeg as _jpeg
 from .. import png as _png
 from .. import tiff
 
@@ -94,10 +95,17 @@ def _decode(data: bytes, fmt: str, fake: bool) -> tuple[np.ndarray | None, str |
                 return _fake_pixels(data, 16, 16).astype(np.float64), None
             return None, "bad png"
     if fmt == "jpeg":
-        if fake:
-            return _fake_pixels(data, 16, 16).astype(np.float64), None
-        # STUB: real deployment plugs libjpeg (via PIL) in here.
-        raise NotImplementedError("jpeg codec not available in this container")
+        # REAL decode (pure-Python baseline codec in ..jpeg); luminance for
+        # color. Swap for libjpeg-turbo at scale — same two functions.
+        try:
+            arr = _jpeg.decode(data)
+            if arr.ndim == 3:
+                arr = arr.astype(np.float64).mean(axis=2)
+            return arr.astype(np.float64), None
+        except Exception:
+            if fake:
+                return _fake_pixels(data, 16, 16).astype(np.float64), None
+            return None, "bad jpeg"
     return None, f"unsupported format {fmt}"
 
 

@@ -1,0 +1,67 @@
+"""Baseline JPEG codec: round-trip PSNR (north-rule lossy threshold),
+sampling modes, restart markers, error paths, distributed decode."""
+
+import numpy as np
+import pytest
+
+from extractors_geo_spark import jpeg
+
+
+def psnr(a, b):
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+
+def _smooth(h, w):
+    return (np.outer(np.linspace(0, 255, h), np.ones(w)) * 0.5
+            + np.outer(np.ones(h), np.linspace(0, 255, w)) * 0.5).astype(np.uint8)
+
+
+def test_gray_roundtrip_psnr_above_40():
+    g = _smooth(48, 64)
+    for q in (85, 95):
+        dec = jpeg.decode(jpeg.encode(g, quality=q))
+        assert dec.shape == g.shape and psnr(g, dec) > 40
+
+
+def test_rgb_444_roundtrip():
+    g = _smooth(40, 56)
+    rgb = np.stack([g, g[::-1], np.full_like(g, 128)], axis=-1)
+    dec = jpeg.decode(jpeg.encode(rgb, quality=95))
+    assert dec.shape == rgb.shape and psnr(rgb, dec) > 40
+
+
+def test_noise_q95_above_40():
+    rng = np.random.default_rng(2)
+    nz = rng.integers(0, 256, (24, 40), dtype=np.int64).astype(np.uint8)
+    assert psnr(nz, jpeg.decode(jpeg.encode(nz, quality=95))) > 40
+
+
+def test_420_and_restart_markers():
+    g = _smooth(21, 35)
+    rgb = np.stack([g, g[::-1], np.full_like(g, 100)], axis=-1)
+    dec = jpeg.decode(jpeg.encode(rgb, quality=95, subsampling="420", restart_interval=2))
+    assert dec.shape == rgb.shape
+    # 4:2:0 halves chroma resolution; luma must still round-trip tightly
+    y = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    assert psnr(y(rgb), y(dec)) > 40
+
+
+def test_odd_dims_and_errors():
+    rng = np.random.default_rng(3)
+    odd = (rng.random((13, 21)) * 255).astype(np.uint8)
+    assert jpeg.decode(jpeg.encode(odd, 90)).shape == (13, 21)
+    with pytest.raises(ValueError):
+        jpeg.decode(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError):
+        jpeg.decode(jpeg.encode(odd, 90)[:40])  # truncated before scan
+
+
+def test_distributed_decode_real_jpeg(spark):
+    from extractors_geo_spark.operators import multimodal as M
+
+    g = _smooth(18, 26)
+    df = spark.createDataFrame(
+        [("j1", bytearray(jpeg.encode(g, quality=92)))], "image_id string, bytes binary")
+    r = M.decode_image_meta(df, fake=False).collect()[0]
+    assert r["ok"] and (r["w"], r["h"]) == (26, 18) and r["fmt_sniffed"] == "jpeg"
