@@ -1067,6 +1067,80 @@ def q_tile_slice(spark, sf_dir):
     )
 
 
+def q_tile_render_png(spark, sf_dir):
+    """K8 end-to-end: GetMap-style render to REAL PNG bytes (rows-only;
+    pixel identity + PNG validity are asserted in tests/test_tiles.py)."""
+    imgs = datagen.images_df(spark, 200, px=32, partitions=8)
+    r = tiles.tile_render(imgs, out_w=64, out_h=48)
+    return r.select("image_id", "rw", "rh", F.crc32("png").alias("png_crc"))
+
+
+def q_jpeg_roundtrip(spark, sf_dir):
+    """Baseline JPEG codec through the distributed decode path: encode
+    deterministic gradients on executors, decode via multimodal, return
+    per-image dims + a PSNR>=40dB flag (rows-only; exactness in
+    tests/test_jpeg.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from extractors_geo_spark import jpeg as _jpeg
+
+    base = spark.range(64).select(F.col("id").alias("img_id"))
+
+    def make(batches):
+        for b in batches:
+            rows = []
+            for i in b["img_id"]:
+                i = int(i)
+                g = (np.outer(np.linspace(0, 255, 24), np.ones(32)) * 0.5
+                     + np.outer(np.ones(24), np.linspace(0, float(40 + i % 200), 32)) * 0.5
+                     ).astype(np.uint8)
+                enc = _jpeg.encode(g, quality=90)
+                dec = _jpeg.decode(enc)
+                mse = float(((g.astype(float) - dec.astype(float)) ** 2).mean())
+                p = 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+                rows.append({"img_id": i, "w": dec.shape[1], "h": dec.shape[0],
+                             "psnr_ge_40": bool(p >= 40.0)})
+            yield pd.DataFrame(rows, columns=["img_id", "w", "h", "psnr_ge_40"])
+
+    return base.mapInPandas(make, "img_id long, w int, h int, psnr_ge_40 boolean")
+
+
+def q_wav_features(spark, sf_dir):
+    """Real RIFF/WAVE decode through audio_features: deterministic sine
+    WAVs synthesized on executors (rows-only; exact duration/energy in
+    tests/test_multimodal.py)."""
+    import struct as _s
+
+    import numpy as np
+    import pandas as pd
+
+    base = spark.range(32).select(F.col("id").alias("n"))
+
+    def make(batches):
+        for b in batches:
+            rows = []
+            for i in b["n"]:
+                i = int(i)
+                rate = 8000
+                secs = 1 + i % 3
+                t = np.arange(rate * secs) / rate
+                sig = (0.5 * np.sin(2 * np.pi * (110 + 10 * i) * t) * 32767).astype("<i2")
+                pcm = sig.tobytes()
+                wav = (b"RIFF" + _s.pack("<I", 36 + len(pcm)) + b"WAVE"
+                       + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                       + b"data" + _s.pack("<I", len(pcm)) + pcm)
+                rows.append({"audio_id": f"a{i}", "bytes": wav})
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    from extractors_geo_spark.operators import multimodal as M
+
+    wavs = base.mapInPandas(make, "audio_id string, bytes binary")
+    out = M.audio_features(wavs, fake=False)
+    return out.select("audio_id", "duration_s", "n_windows",
+                      F.floor(F.element_at("features", 1) * 10000).cast("long").alias("e0_q"))
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, num_hashes=16, bands=8, jaccard_threshold=0.5)
@@ -1148,6 +1222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_slice": q_tile_slice,
         "ann_lsh": q_ann_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "tile_render_png": q_tile_render_png,
+        "jpeg_roundtrip": q_jpeg_roundtrip,
+        "wav_features": q_wav_features,
     }
 
 
