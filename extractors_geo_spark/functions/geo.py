@@ -138,6 +138,13 @@ def epsg_to_lonlat_np(x, y, epsg: int):
         return utm_inverse_np(x, y, epsg - 32600, south=False)
     if 32701 <= epsg <= 32760:
         return utm_inverse_np(x, y, epsg - 32700, south=True)
+    # NAD83 / ETRS89 UTM: GRS80 vs WGS84 ellipsoid differs by < 0.1 mm in
+    # flattening — the WGS84 Krueger constants are exact for our 1e-5 m
+    # tolerance; datum offset to WGS84 is defined as ~0 for both frames.
+    if 26901 <= epsg <= 26923:
+        return utm_inverse_np(x, y, epsg - 26900, south=False)
+    if 25828 <= epsg <= 25838:
+        return utm_inverse_np(x, y, epsg - 25800, south=False)
     raise ValueError(f"unsupported epsg {epsg}")
 
 
@@ -151,6 +158,10 @@ def lonlat_to_epsg_np(lon, lat, epsg: int):
         return utm_forward_np(lon, lat, epsg - 32600, south=False)
     if 32701 <= epsg <= 32760:
         return utm_forward_np(lon, lat, epsg - 32700, south=True)
+    if 26901 <= epsg <= 26923:
+        return utm_forward_np(lon, lat, epsg - 26900, south=False)
+    if 25828 <= epsg <= 25838:
+        return utm_forward_np(lon, lat, epsg - 25800, south=False)
     raise ValueError(f"unsupported epsg {epsg}")
 
 

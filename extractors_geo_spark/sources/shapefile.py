@@ -290,7 +290,58 @@ def read_zip_shapefile(zip_bytes: bytes) -> dict:
         attrs = attrs + [{}] * (len(records) - len(attrs))
     for rec, a in zip(records, attrs):
         out["features"].append({"bbox": rec["bbox"], "rings": rec["rings"], "attrs": a})
+    _reproject_to_4326(out)
     return out
+
+
+def _reproject_to_4326(out: dict) -> None:
+    """Identified projected layers are reprojected to lon/lat at ingest
+    (the reference reprojects vector extents to 4326/3857 when minting
+    catalog records and WMS URLs; here the whole geometry moves so every
+    downstream join/extent operator sees one CRS). Projected CRSs the
+    math doesn't cover (e.g. Lambert State Plane) error explicitly —
+    joining native meters against lon/lat would be silently wrong."""
+    import numpy as np
+
+    from ..functions import geo
+
+    code = out.get("epsg")
+    if not code or code == 4326:
+        return
+    try:
+        geo.epsg_to_lonlat_np(np.array([0.0]), np.array([0.0]), code)
+    except ValueError:
+        out["errors"].append("UNPROJECTABLE_CRS")
+        out["features"] = []
+        out["extent"] = None
+        return
+    ext = [np.inf, np.inf, -np.inf, -np.inf]
+    for f in out["features"]:
+        new_rings = []
+        fb = [np.inf, np.inf, -np.inf, -np.inf]
+        for ring in f["rings"]:
+            xs = np.array([p[0] for p in ring], np.float64)
+            ys = np.array([p[1] for p in ring], np.float64)
+            lon, lat = geo.epsg_to_lonlat_np(xs, ys, code)
+            new_rings.append(list(zip(lon.tolist(), lat.tolist())))
+            if lon.size:
+                fb = [min(fb[0], lon.min()), min(fb[1], lat.min()),
+                      max(fb[2], lon.max()), max(fb[3], lat.max())]
+        f["rings"] = new_rings
+        # bbox from the REPROJECTED vertices — transforming the native
+        # bbox's corners drifts where the projection curves
+        f["bbox"] = tuple(float(v) for v in fb)
+        ext = [min(ext[0], fb[0]), min(ext[1], fb[1]),
+               max(ext[2], fb[2]), max(ext[3], fb[3])]
+    if out["features"]:
+        out["extent"] = tuple(float(v) for v in ext)
+    elif out["extent"] is not None:
+        ex = np.array([out["extent"][0], out["extent"][2]], np.float64)
+        ey = np.array([out["extent"][1], out["extent"][3]], np.float64)
+        lon, lat = geo.epsg_to_lonlat_np(ex, ey, code)
+        out["extent"] = (float(lon[0]), float(lat[0]), float(lon[1]), float(lat[1]))
+    out["epsg_native"] = code
+    out["epsg"] = 4326
 
 
 INGEST_SCHEMA = T.StructType(

@@ -206,7 +206,9 @@ def test_utm_prj_zip_gets_correct_epsg(tmp_path):
             else:
                 z.writestr(n, src.read(n))
     parsed = S.read_zip_shapefile(buf.getvalue())
-    assert parsed["epsg"] == 26910 and not parsed["epsg_defaulted"]
+    # identified projected layers land in lon/lat with the native code kept
+    assert parsed["epsg"] == 4326 and parsed["epsg_native"] == 26910
+    assert not parsed["epsg_defaulted"]
     assert parsed["features"]
 
 
@@ -256,3 +258,75 @@ def test_7z_ingest_distributed(spark, tmp_path):
     bad = {r["source"].rsplit("/", 1)[-1]: r["errors"] for r in
            out.filter("size(errors) > 0").collect()}
     assert bad == {"junk.7z": ["BAD_7Z"]}
+
+
+def _write_shp(rings_xy):
+    """Minimal single-polygon .shp writer for round-trip tests."""
+    import struct as _st
+
+    pts = [p for ring in rings_xy for p in ring]
+    xs = [p[0] for p in pts]; ys = [p[1] for p in pts]
+    bbox = (min(xs), min(ys), max(xs), max(ys))
+    n_parts, n_points = len(rings_xy), len(pts)
+    content = _st.pack("<i", 5) + _st.pack("<4d", *bbox)
+    content += _st.pack("<ii", n_parts, n_points)
+    start = 0
+    for ring in rings_xy:
+        content += _st.pack("<i", start)
+        start += len(ring)
+    for x, y in pts:
+        content += _st.pack("<2d", x, y)
+    rec = _st.pack(">ii", 1, len(content) // 2) + content
+    total_words = (100 + len(rec)) // 2
+    hdr = _st.pack(">i", 9994) + b"\x00" * 20 + _st.pack(">i", total_words)
+    hdr += _st.pack("<ii", 1000, 5) + _st.pack("<4d", *bbox) + _st.pack("<4d", 0, 0, 0, 0)
+    return hdr + rec
+
+
+def test_utm_layer_reprojects_to_lonlat_roundtrip():
+    """A real UTM-meter polygon comes back in lon/lat to ~1e-9 deg."""
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+
+    lon = np.array([-122.5, -122.0, -122.0, -122.5, -122.5])
+    lat = np.array([37.0, 37.0, 37.5, 37.5, 37.0])
+    e, n = geo.lonlat_to_epsg_np(lon, lat, 32610)
+    shp = _write_shp([list(zip(e.tolist(), n.tolist()))])
+    # minimal dbf: header with zero records
+    import struct as _st
+    dbf = bytes([3, 24, 1, 1]) + _st.pack("<i", 1) + _st.pack("<hh", 33, 2) + b"\x00" * 20 + \
+          b"X".ljust(11, b"\x00") + b"C" + b"\x00" * 4 + bytes([1]) + b"\x00" * 15 + b"\x0d" + b" \x20"
+    prj = ('PROJCS["WGS_1984_UTM_Zone_10N",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+           'SPHEROID["WGS_1984",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+           'UNIT["Degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],UNIT["Meter",1]]')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("box.shp", shp)
+        z.writestr("box.shx", b"\x00" * 108)
+        z.writestr("box.dbf", dbf)
+        z.writestr("box.prj", prj)
+    parsed = S.read_zip_shapefile(buf.getvalue())
+    assert parsed["epsg"] == 4326 and parsed["epsg_native"] == 32610
+    ring = parsed["features"][0]["rings"][0]
+    got_lon = np.array([p[0] for p in ring]); got_lat = np.array([p[1] for p in ring])
+    np.testing.assert_allclose(got_lon, lon, atol=1e-9)
+    np.testing.assert_allclose(got_lat, lat, atol=1e-9)
+    minx, miny, maxx, maxy = parsed["extent"]
+    assert abs(minx - -122.5) < 1e-9 and abs(maxy - 37.5) < 1e-9
+
+
+def test_unprojectable_crs_errors_not_garbage():
+    """An identified-but-unsupported projected CRS (Lambert State Plane)
+    must error, never join native meters as lon/lat."""
+    src = zipfile.ZipFile(STATES)
+    buf = io.BytesIO()
+    sp = ('PROJCS["NAD_1983_StatePlane_Texas_Central_FIPS_4203",'
+          'GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",'
+          'SPHEROID["GRS_1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+          'UNIT["Degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic"],UNIT["Meter",1]]')
+    with zipfile.ZipFile(buf, "w") as z:
+        for nme in src.namelist():
+            z.writestr(nme, sp.encode() if nme.lower().endswith(".prj") else src.read(nme))
+    parsed = S.read_zip_shapefile(buf.getvalue())
+    assert "UNPROJECTABLE_CRS" in parsed["errors"] and not parsed["features"]
