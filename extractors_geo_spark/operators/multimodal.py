@@ -228,6 +228,58 @@ def resize_image(images: DataFrame, tw: int = 8, th: int = 8, fake: bool = True)
     return images.select("image_id", "bytes").mapInPandas(run, RESIZE_SCHEMA)
 
 
+def mp4_meta(data: bytes) -> dict:
+    """Real ISO-BMFF (MP4) container parse, pure stdlib: walks the box
+    tree to mvhd (timescale/duration) and the first video tkhd (w, h).
+    No frame decode — sample_frames uses this for REAL durations and
+    timestamps while frame pixels stay stubbed (no codec here)."""
+    import struct as _s
+
+    def boxes(buf, start, end):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = _s.unpack(">I", buf[pos : pos + 4])
+            typ = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                (size,) = _s.unpack(">Q", buf[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("malformed MP4 box")
+            yield typ, pos + hdr, pos + size
+            pos += size
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an MP4")
+    out = {"duration_s": None, "width": None, "height": None, "n_tracks": 0}
+    for typ, b0, b1 in boxes(data, 0, len(data)):
+        if typ != b"moov":
+            continue
+        for t2, c0, c1 in boxes(data, b0, b1):
+            if t2 == b"mvhd":
+                ver = data[c0]
+                if ver == 1:
+                    ts, dur = _s.unpack(">IQ", data[c0 + 20 : c0 + 32])
+                else:
+                    ts, dur = _s.unpack(">II", data[c0 + 12 : c0 + 20])
+                out["duration_s"] = dur / ts if ts else None
+            elif t2 == b"trak":
+                out["n_tracks"] += 1
+                for t3, d0, d1 in boxes(data, c0, c1):
+                    if t3 == b"tkhd":
+                        ver = data[d0]
+                        off = d0 + (96 if ver == 1 else 84)
+                        w, h = _s.unpack(">II", data[off - 8 : off])
+                        # 16.16 fixed point; first non-zero wins (video track)
+                        if w and h and out["width"] is None:
+                            out["width"], out["height"] = w >> 16, h >> 16
+    if out["duration_s"] is None:
+        raise ValueError("no mvhd in MP4")
+    return out
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("video_id", T.StringType()),
@@ -250,11 +302,21 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
             rows = []
             for vid, data in zip(b[id_col], b["bytes"]):
                 data = bytes(data)
-                if not fake:
-                    # STUB: real deployment decodes with ffmpeg here.
-                    raise NotImplementedError("video codec not available in this container")
+                duration_ms = None
+                if len(data) > 12 and data[4:8] == b"ftyp":
+                    try:
+                        # REAL container parse: timestamps come from the
+                        # actual mvhd duration; only the frame PIXELS are
+                        # stubbed (no video codec in this container)
+                        duration_ms = int(mp4_meta(data)["duration_s"] * 1000)
+                    except ValueError:
+                        duration_ms = None
                 seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
-                duration_ms = 2000 + seed % 8000  # 2-10 s
+                if duration_ms is None:
+                    if not fake:
+                        # STUB: real deployment decodes with ffmpeg here.
+                        raise NotImplementedError("video codec not available in this container")
+                    duration_ms = 2000 + seed % 8000  # 2-10 s
                 for i, ts in enumerate(range(0, duration_ms, every_ms)):
                     rng = np.random.Generator(np.random.PCG64(seed + i))
                     frame = (rng.random((8, 8)) * 255).astype(np.uint8)

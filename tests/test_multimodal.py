@@ -139,3 +139,41 @@ def test_audio_stereo_float_wav():
     sig, r = decode_wav(hdr + pcm)
     assert r == rate and sig.size == rate
     assert np.allclose(sig, 0.0, atol=1e-6)  # L/R cancel in the mono mix
+
+
+def _mini_mp4(duration_s=4.0, timescale=1000, w=320, h=240):
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    mvhd = bytes([0, 0, 0, 0]) + struct.pack(">II", 0, 0) \
+        + struct.pack(">II", timescale, int(duration_s * timescale)) + b"\x00" * 80
+    tkhd = bytes([0, 0, 0, 0]) + struct.pack(">IIII", 0, 0, 1, 0) \
+        + struct.pack(">I", int(duration_s * timescale)) + b"\x00" * 8 \
+        + b"\x00" * 8 + b"\x00" * 36 \
+        + struct.pack(">II", w << 16, h << 16)
+    trak = box(b"trak", box(b"tkhd", tkhd))
+    moov = box(b"moov", box(b"mvhd", mvhd) + trak)
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_mp4_meta_real_parse():
+    from extractors_geo_spark.operators.multimodal import mp4_meta
+
+    m = mp4_meta(_mini_mp4(duration_s=7.5, w=640, h=480))
+    assert abs(m["duration_s"] - 7.5) < 1e-9
+    assert (m["width"], m["height"], m["n_tracks"]) == (640, 480, 1)
+    import pytest
+
+    with pytest.raises(ValueError):
+        mp4_meta(b"\x00\x00\x00\x08free not mp4")
+
+
+def test_sample_frames_real_mp4_duration(spark):
+    """MP4 timestamps come from the REAL mvhd duration, not the fake."""
+    mp4 = _mini_mp4(duration_s=3.0)
+    df = spark.createDataFrame([("v1", bytearray(mp4))], "video_id string, bytes binary")
+    rows = M.sample_frames(df, every_ms=500, fake=False).collect()
+    assert len(rows) == 6  # 3.0 s at 500 ms
+    assert [r["ts_ms"] for r in rows] == [0, 500, 1000, 1500, 2000, 2500]
