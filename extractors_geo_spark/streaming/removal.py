@@ -37,7 +37,10 @@ def removal_stream(spark: SparkSession, events_dir: str):
     )
 
 
-def _applied_batch_ids(table: SnapshotTable) -> set[int]:
+def _applied_batch_ids(table: SnapshotTable) -> set:
+    """One O(versions) scan of the snapshot manifests — call ONCE at stream
+    start, then maintain the set in memory (a per-micro-batch rescan is
+    O(V^2) file reads over the stream's life, all driver-side)."""
     out = set()
     for h in table.history():
         s = table.snapshot(h["version"]).get("summary", {})
@@ -63,13 +66,21 @@ def propagate_removals(
     if isinstance(table, str):
         table = SnapshotTable(spark, table, bucket_key=key)
 
+    # Populated once; updated in memory per commit. Ids are namespaced by
+    # the checkpoint location: Spark batch ids restart at 0 for a fresh
+    # checkpoint dir, so a bare integer would make a NEW stream's batches
+    # collide with history and be silently skipped (ADVICE r02).
+    applied = _applied_batch_ids(table)
+
     def on_batch(batch: DataFrame, batch_id: int) -> None:
+        bid = f"{checkpoint_dir}:{batch_id}"
+        if bid in applied or batch_id in applied:  # bare int: legacy commits
+            return  # re-delivered batch: already committed
         removed = batch.filter(F.col("activity") == "removed").select(key).distinct()
         if removed.isEmpty():
             return
-        if batch_id in _applied_batch_ids(table):
-            return  # re-delivered batch: already committed
-        table.delete_keys(removed, key=key, summary_extra={"stream_batch_id": batch_id})
+        table.delete_keys(removed, key=key, summary_extra={"stream_batch_id": bid})
+        applied.add(bid)
 
     return (
         removal_stream(spark, events_dir)

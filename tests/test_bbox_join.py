@@ -53,6 +53,42 @@ def test_bbox_join_resolution_invariance(spark, boxes):
         assert got == exp
 
 
+def test_bbox_join_antimeridian_wrapped_boxes(spark):
+    # A wrapped box (minx > maxx) crosses the ±180 seam; pairs must survive
+    # the exact refine end-to-end (ADVICE r02: the cover stage generated
+    # wrapped candidates but the interval filter dropped them all).
+    l = spark.createDataFrame(
+        [
+            ("Lwrap", 170.0, -10.0, -170.0, 10.0),   # wraps the antimeridian
+            ("Lplain", 100.0, -10.0, 110.0, 10.0),   # ordinary box
+        ],
+        ["image_id", "minx", "miny", "maxx", "maxy"],
+    )
+    r = spark.createDataFrame(
+        [
+            ("Reast", 175.0, -5.0, 179.0, 5.0),      # east side of the seam
+            ("Rwest", -179.0, -5.0, -175.0, 5.0),    # west side of the seam
+            ("Rworld", -180.0, -5.0, 180.0, 5.0),    # spans everything
+            ("Rfar", 0.0, -5.0, 10.0, 5.0),          # intersects neither wrap piece
+        ],
+        ["image_id2", "minx", "miny", "maxx", "maxy"],
+    )
+    got = bbox_join.bbox_join(l, r, res=4, r_id="image_id2").collect()
+    pairs = {(x["image_id"], x["image_id2"]) for x in got}
+    assert pairs == {
+        ("Lwrap", "Reast"),
+        ("Lwrap", "Rwest"),
+        ("Lwrap", "Rworld"),
+        ("Lplain", "Rworld"),
+    }
+    # the wrapped box vs the world box intersects on BOTH sides of the seam
+    # -> two disjoint intersection rects, one row each
+    world_rows = [x for x in got if x["image_id"] == "Lwrap" and x["image_id2"] == "Rworld"]
+    assert len(world_rows) == 2
+    rects = sorted((x["ix_minx"], x["ix_maxx"]) for x in world_rows)
+    assert rects == [(-180.0, -170.0), (170.0, 180.0)]
+
+
 def test_bbox_join_is_codegen_only(spark, boxes):
     from tests.test_plans import explain_str
 

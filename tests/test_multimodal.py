@@ -177,3 +177,19 @@ def test_sample_frames_real_mp4_duration(spark):
     rows = M.sample_frames(df, every_ms=500, fake=False).collect()
     assert len(rows) == 6  # 3.0 s at 500 ms
     assert [r["ts_ms"] for r in rows] == [0, 500, 1000, 1500, 2000, 2500]
+
+
+def test_gray_alpha_png_luminance_ignores_alpha():
+    """ADVICE r02: for a 2-channel (gray+alpha) PNG the pixel value is
+    channel 0 alone; averaging alpha in corrupts stats/features."""
+    import numpy as np
+
+    from extractors_geo_spark import png as _png
+    from extractors_geo_spark.operators.multimodal import _decode
+
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    alpha = np.full((8, 8), 255, dtype=np.uint8)
+    data = _png.encode(np.dstack([gray, alpha]))
+    arr, err = _decode(bytes(data), "png", fake=False)
+    assert err is None
+    np.testing.assert_array_equal(arr, gray.astype(np.float64))
