@@ -68,6 +68,53 @@ def image_pipeline(spark, n_images: int) -> tuple[float, int]:
     return time.time() - t0, n
 
 
+def lineage_bench(spark, n_images: int, buckets: int) -> dict:
+    """Flagship pipeline over a STORED images table through run_with_lineage,
+    onepass vs serial: serial re-reads the full source (bytes column and
+    all) once per bucket because a hash filter can't prune parquet files."""
+    import shutil
+    import tempfile
+
+    from extractors_geo_spark.streaming.lineage import run_with_lineage
+
+    cores = int(spark.sparkContext.defaultParallelism)
+    work = tempfile.mkdtemp(prefix="lineage_bench_")
+    src = os.path.join(work, "images")
+    datagen.images_df(spark, n_images, partitions=cores).write.parquet(src)
+    polys = datagen.polygons_df(spark)
+
+    def transform(part):
+        meta = extract_meta.valid_meta(
+            extract_meta.extract_meta(part, with_stats=True, passthrough=("phash",))
+        )
+        joined = pip_join.pip_join(
+            meta, polys, point_cols=("image_id", "phash"), poly_cols=("poly_id", "name")
+        )
+        flat = joined.select(
+            "image_id", "poly_id",
+            (F.col("lon") - 0.008).alias("minx"), (F.col("lat") - 0.008).alias("miny"),
+            (F.col("lon") + 0.008).alias("maxx"), (F.col("lat") + 0.008).alias("maxy"),
+        )
+        return tiles.xyz_tiles(flat, zooms=(8,), passthrough=("image_id", "poly_id"))
+
+    warmup(spark)
+    out = {"images": n_images, "buckets": buckets}
+    for mode in ("onepass", "serial"):
+        df = spark.read.parquet(src)
+        dst = os.path.join(work, f"out_{mode}")
+        t0 = time.time()
+        r = run_with_lineage(df, "image_id", dst, n_buckets=buckets,
+                             transform=transform, mode=mode)
+        sec = time.time() - t0
+        out[mode] = {"seconds": round(sec, 3), "scans": r["scans"],
+                     "images_per_sec": round(n_images / sec, 1), "rows": r["rows"]}
+    out["speedup_onepass_vs_serial"] = round(
+        out["serial"]["seconds"] / out["onepass"]["seconds"], 2
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -82,16 +129,34 @@ def main() -> None:
         spark.stop()
         return
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--lineage-bench":
+        # resume-path cost: the SAME stored-table pipeline through
+        # run_with_lineage in onepass vs serial mode (VERDICT r02 #1)
+        n_images = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+        print(json.dumps(lineage_bench(spark, n_images, buckets)))
+        spark.stop()
+        return
+
     warmup(spark)
     qs = E.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-
+    # min-of-R per query with INTERLEAVED rounds (VERDICT r02 #2): this VM
+    # is shared-tenancy and drifts tens of percent between minutes, so
+    # back-to-back repeats share the same bad weather; round-robin spreads
+    # each query's repeats across the whole bench window.
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    pipe_samples: list[float] = []
     n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "20000"))
-    pipe_sec, _ = image_pipeline(spark, n_images)
+    for _ in range(rounds):
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
+        sec, _ = image_pipeline(spark, n_images)
+        pipe_samples.append(sec)
+    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
+    pipe_sec = min(pipe_samples)
     timings["image_pipeline"] = round(pipe_sec, 3)
 
     total = round(sum(timings.values()), 3)

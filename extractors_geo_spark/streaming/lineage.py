@@ -5,14 +5,31 @@ contract, consumed at preview.geotiff/ncsa.geo.tiff.py:145-152): a crashed
 worker's message is redelivered; completed messages are never reprocessed.
 
 The engine's equivalent: a job is split into B deterministic buckets by
-key hash; each bucket's output is written to its own directory, and a
+key hash; each bucket's output lands in its own hive partition dir, and a
 manifest line (bucket id, row count, wall time) is appended ONLY after the
-bucket's write succeeds. On restart, buckets already in the manifest are
-skipped — the job resumes mid-way with at-most-once reprocessing per
-bucket and exactly-once output (bucket dirs are overwritten atomically).
+bucket's data is durably committed. On restart, buckets already in the
+manifest are skipped — the job resumes mid-way with at-most-once
+reprocessing per bucket and exactly-once output.
+
+Two execution modes:
+
+* ``onepass`` (default) — ONE Spark job writes every unfinished bucket via
+  ``partitionBy("bucket")`` with dynamic partition overwrite; commit
+  markers for all buckets in the wave are appended after the job commits.
+  A hash-bucket filter cannot prune parquet files (the hash is
+  uncorrelated with file stats), so the serial per-bucket loop re-read the
+  FULL source — including the fat ``bytes`` column — once per bucket: a
+  64-bucket fresh run = 64 full scans, 6.4 PB at 100 TB (VERDICT r02 #2).
+  One-pass reads the source exactly once per wave. ``waves`` trades crash
+  granularity for scans: ``waves=4`` over 64 buckets = 4 scans, a crash
+  loses at most 16 buckets of work.  Requires ``key_col`` to survive
+  ``transform`` (the bucket of an output row is recomputed from its key).
+* ``serial`` — the original bucket-by-bucket loop; no column requirements
+  on ``transform``; right for tiny jobs or non-key-preserving transforms.
 
 Counters: per-bucket row counts live in the manifest — the per-partition
-metrics the north rule asks for.
+metrics the north rule asks for. Counts are read from the written parquet
+footers (driver-side metadata, thread-pooled), never by re-scanning data.
 """
 
 from __future__ import annotations
@@ -49,6 +66,21 @@ class LineageManifest:
             os.fsync(f.fileno())
 
 
+def _bucket_rows_from_footers(out_dir: str, bucket: int) -> int:
+    """Row count of one committed bucket partition from parquet footers —
+    driver-side metadata reads, no data scan, no extra Spark job."""
+    import pyarrow.parquet as pq
+
+    bdir = os.path.join(out_dir, f"bucket={bucket}")
+    if not os.path.isdir(bdir):
+        return 0
+    return sum(
+        pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+        for f in os.listdir(bdir)
+        if f.endswith(".parquet")
+    )
+
+
 def run_with_lineage(
     df: DataFrame,
     key_col: str,
@@ -56,29 +88,73 @@ def run_with_lineage(
     n_buckets: int = 16,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     manifest_path: str | None = None,
+    mode: str = "onepass",
+    waves: int = 1,
 ) -> dict:
-    """Execute `transform(df)` bucket-by-bucket with resume.
-
-    Each bucket filter is pushed into the scan (pmod(xxhash64(key), B) is
-    deterministic), so a resumed run re-reads only unfinished buckets.
-    Returns {'buckets_run': [...], 'buckets_skipped': [...], 'rows': N}.
+    """Execute `transform(df)` with per-bucket resume (see module doc for
+    the onepass/serial tradeoff). Returns
+    {'buckets_run': [...], 'buckets_skipped': [...], 'rows': N, 'scans': S}.
     """
+    if mode not in ("onepass", "serial"):
+        raise ValueError(f"mode must be 'onepass' or 'serial', got {mode!r}")
     manifest = LineageManifest(manifest_path or os.path.join(out_dir, "_lineage.jsonl"))
     done = manifest.completed()
     bucket_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
-    ran, skipped, total = [], [], 0
-    for b in range(n_buckets):
-        if b in done:
-            skipped.append(b)
-            total += done[b]["rows"]
+    todo = [b for b in range(n_buckets) if b not in done]
+    skipped = sorted(b for b in range(n_buckets) if b in done)
+    total = sum(done[b]["rows"] for b in skipped)
+    ran: list[int] = []
+    scans = 0
+
+    if mode == "serial":
+        for b in todo:
+            t0 = time.time()
+            part = df.filter(bucket_expr == b)
+            out = transform(part) if transform else part
+            path = os.path.join(out_dir, f"bucket={b}")
+            out.write.mode("overwrite").parquet(path)
+            scans += 1
+            n = _bucket_rows_from_footers(out_dir, b)
+            manifest.mark(b, n, time.time() - t0)
+            ran.append(b)
+            total += n
+        return {"buckets_run": ran, "buckets_skipped": skipped, "rows": total, "scans": scans}
+
+    # onepass: one write job per wave covers every bucket in the wave
+    waves = max(1, min(waves, len(todo))) if todo else 0
+    wave_size = -(-len(todo) // waves) if todo else 0
+    from concurrent.futures import ThreadPoolExecutor
+
+    for wi in range(waves):
+        wave = todo[wi * wave_size : (wi + 1) * wave_size]
+        if not wave:
             continue
         t0 = time.time()
-        part = df.filter(bucket_expr == b)
+        # fresh run / full wave: NO filter — the scan is the bare source
+        part = df if len(wave) == n_buckets else df.filter(bucket_expr.isin(wave))
         out = transform(part) if transform else part
-        path = os.path.join(out_dir, f"bucket={b}")
-        out.write.mode("overwrite").parquet(path)
-        n = out.sparkSession.read.parquet(path).count()
-        manifest.mark(b, n, time.time() - t0)
-        ran.append(b)
-        total += n
-    return {"buckets_run": ran, "buckets_skipped": skipped, "rows": total}
+        # the output row's bucket is recomputed from its (preserved) key;
+        # dynamic overwrite replaces ONLY the partitions present in the
+        # data, so committed buckets from earlier runs/waves are untouched
+        out = out.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(out_dir)
+        )
+        scans += 1
+        elapsed = time.time() - t0
+        with ThreadPoolExecutor(max_workers=min(16, len(wave))) as ex:
+            counts = list(ex.map(lambda b: _bucket_rows_from_footers(out_dir, b), wave))
+        # markers appended only after the wave's job committed (the write
+        # above raised on failure); per-bucket wall time is the wave's
+        # share — lineage semantics need the ROWS exact, time is advisory
+        for b, n in zip(wave, counts):
+            manifest.mark(b, n, elapsed / len(wave))
+            total += n
+        ran.extend(wave)
+
+    return {"buckets_run": ran, "buckets_skipped": skipped, "rows": total, "scans": scans}

@@ -56,3 +56,72 @@ def test_manifest_counters(spark, tmp_path):
     assert len(m) == 4
     assert sum(rec["rows"] for rec in m.values()) == 100
     assert all(rec["seconds"] >= 0 for rec in m.values())
+
+
+def test_onepass_partial_resume(spark, tmp_path):
+    """Partial manifest + onepass: remaining buckets complete in ONE scan,
+    previously committed bucket dirs are untouched (dynamic overwrite)."""
+    df = spark.range(400).select(F.col("id").cast("string").alias("key"), F.col("id").alias("v"))
+    out = str(tmp_path / "out5")
+    full = run_with_lineage(df, "key", out, n_buckets=4)
+    assert full["scans"] == 1 and full["rows"] == 400
+    mp = os.path.join(out, "_lineage.jsonl")
+    lines = open(mp).read().strip().split("\n")
+    with open(mp, "w") as f:
+        f.write("\n".join(lines[:2]) + "\n")
+    done = {json.loads(l)["bucket"] for l in lines[:2]}
+    mtimes_before = {
+        b: os.path.getmtime(os.path.join(out, f"bucket={b}")) for b in done
+    }
+    r = run_with_lineage(df, "key", out, n_buckets=4)
+    assert set(r["buckets_skipped"]) == done
+    assert set(r["buckets_run"]) == set(range(4)) - done
+    assert r["scans"] == 1  # one job for ALL remaining buckets
+    assert spark.read.parquet(out + "/bucket=*").count() == 400
+    for b, t in mtimes_before.items():
+        assert os.path.getmtime(os.path.join(out, f"bucket={b}")) == t
+
+
+def test_onepass_fresh_run_is_single_job(spark, tmp_path):
+    """VERDICT r02 #1 'done' criterion: a fresh onepass run triggers ONE
+    write job over the source (the serial loop triggered n_buckets); job
+    count asserted via the status tracker on a dedicated job group."""
+    df = spark.range(2000).select(F.col("id").cast("string").alias("key"), F.col("id").alias("v"))
+    sc = spark.sparkContext
+    sc.setJobGroup("lineage-onepass-test", "fresh onepass run")
+    try:
+        r = run_with_lineage(df, "key", str(tmp_path / "out6"), n_buckets=16)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs_onepass = len(sc.statusTracker().getJobIdsForGroup("lineage-onepass-test"))
+    assert r["scans"] == 1 and r["rows"] == 2000
+    # one write job (AQE may add a couple of tiny re-plan jobs, never 16)
+    assert 1 <= jobs_onepass < 8
+
+    sc.setJobGroup("lineage-serial-test", "fresh serial run")
+    try:
+        rs = run_with_lineage(df, "key", str(tmp_path / "out7"), n_buckets=16, mode="serial")
+    finally:
+        sc.setJobGroup(None, None)
+    jobs_serial = len(sc.statusTracker().getJobIdsForGroup("lineage-serial-test"))
+    assert rs["scans"] == 16 and rs["rows"] == 2000
+    assert jobs_serial >= 16 > jobs_onepass
+
+
+def test_onepass_waves_trade_scans_for_granularity(spark, tmp_path):
+    df = spark.range(800).select(F.col("id").cast("string").alias("key"), F.col("id").alias("v"))
+    out = str(tmp_path / "out8")
+    r = run_with_lineage(df, "key", out, n_buckets=8, waves=4)
+    assert r["scans"] == 4 and r["rows"] == 800
+    assert sorted(r["buckets_run"]) == list(range(8))
+    assert spark.read.parquet(out + "/bucket=*").count() == 800
+
+
+def test_serial_mode_supports_key_dropping_transform(spark, tmp_path):
+    # serial mode has no key-preservation requirement on the transform
+    df = spark.range(100).select(F.col("id").cast("string").alias("key"), F.col("id").alias("v"))
+    out = str(tmp_path / "out9")
+    r = run_with_lineage(df, "key", out, n_buckets=2, mode="serial",
+                         transform=lambda d: d.select((F.col("v") * 2).alias("w")))
+    assert r["rows"] == 100
+    assert spark.read.parquet(out + "/bucket=*").agg(F.sum("w")).collect()[0][0] == 9900
