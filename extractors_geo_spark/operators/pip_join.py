@@ -107,6 +107,7 @@ def pip_join(
     poly_cols: tuple[str, ...] = ("poly_id", "name"),
     exact: bool | str = "auto",
     salt: int | None = None,
+    poly_cells_hint: int | None = None,
 ) -> DataFrame:
     """Return one row per (point, containing polygon).
 
@@ -116,7 +117,8 @@ def pip_join(
     a plan rewrite, not an approximation. Pass True/False to force.
     `salt` (partitioned path only) spreads each hot cell over `salt`
     shuffle keys; the polygon side is duplicated per salt value, the point
-    side picks pmod(phash-or-hash, salt)."""
+    side picks pmod(phash-or-hash, salt). `poly_cells_hint` (expected
+    exploded polygon-cell rows) skips the broadcast-probe job entirely."""
     from ..plans import planner
 
     if exact == "auto":
@@ -128,7 +130,9 @@ def pip_join(
     pcs = polygon_cells(polygons.select(*poly_cols, *geom_cols), res)
 
     if broadcast_polys is None:
-        broadcast_polys = planner.should_broadcast(pcs)
+        # poly_cells_hint (expected EXPLODED polygon-cell row count) makes
+        # the decision free; otherwise a bounded count probes it
+        broadcast_polys = planner.should_broadcast(pcs, size_hint=poly_cells_hint)
 
     if broadcast_polys:
         joined = pts.join(F.broadcast(pcs), "cell")

@@ -160,3 +160,37 @@ def test_flagship_transform_no_joinback_single_python_stage(spark, images_small,
     assert "Exchange hashpartitioning(image_id" not in s
     r = out.limit(5).collect()
     assert r and all(x["poly_id"] is not None for x in r)
+
+
+def test_size_hints_skip_probe_jobs(spark):
+    """VERDICT r02 #10: with size hints, building the join plan triggers
+    ZERO Spark jobs (the probe count is skipped entirely)."""
+    import numpy as np
+
+    from extractors_geo_spark.operators import bbox_join as BJ
+    from extractors_geo_spark.operators import knn as KNN
+    from extractors_geo_spark.operators import pip_join as PJ
+
+    pts = spark.createDataFrame([("p1", -100.0, 40.0)], ["image_id", "lon", "lat"])
+    polys = spark.createDataFrame(
+        [("a", "A", [-101.0, -99.0, -99.0, -101.0, -101.0],
+          [39.0, 39.0, 41.0, 41.0, 39.0], -101.0, 39.0, -99.0, 41.0)],
+        ["poly_id", "name", "xs", "ys", "minx", "miny", "maxx", "maxy"],
+    )
+    boxes = spark.createDataFrame(
+        [("q1", -101.0, 39.0, -99.0, 41.0)], ["query_id", "minx", "miny", "maxx", "maxy"]
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("size-hint-test", "plan building must be job-free")
+    try:
+        # exact=False also skips the all_rectangles probe
+        PJ.pip_join(pts, polys, poly_cells_hint=100, exact=False)
+        KNN.knn_join(boxes.selectExpr("query_id", "minx as lon", "miny as lat"),
+                     pts, q_size_hint=1)
+        BJ.bbox_join(pts.selectExpr("image_id", "lon as minx", "lat as miny",
+                                    "lon + 1 as maxx", "lat + 1 as maxy"),
+                     boxes, r_size_hint=1)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("size-hint-test")
+    assert len(jobs) == 0, f"plan building ran {len(jobs)} probe jobs"
