@@ -1076,10 +1076,11 @@ def q_tile_render_png(spark, sf_dir):
 
 
 def q_jpeg_roundtrip(spark, sf_dir):
-    """Baseline JPEG codec through the distributed decode path: encode
-    deterministic gradients on executors, decode via multimodal, return
-    per-image dims + a PSNR>=40dB flag (rows-only; exactness in
-    tests/test_jpeg.py)."""
+    """JPEG codec through the distributed decode path: encode deterministic
+    gradients on executors (even ids baseline SOF0, odd ids progressive
+    SOF2), decode via the same decoder, return per-image dims + a
+    PSNR>=40dB flag + baseline/progressive pixel identity (rows-only;
+    exactness in tests/test_jpeg.py)."""
     import numpy as np
     import pandas as pd
 
@@ -1095,15 +1096,22 @@ def q_jpeg_roundtrip(spark, sf_dir):
                 g = (np.outer(np.linspace(0, 255, 24), np.ones(32)) * 0.5
                      + np.outer(np.ones(24), np.linspace(0, float(40 + i % 200), 32)) * 0.5
                      ).astype(np.uint8)
-                enc = _jpeg.encode(g, quality=90)
-                dec = _jpeg.decode(enc)
+                enc_b = _jpeg.encode(g, quality=90)
+                enc_p = _jpeg.encode_progressive(g, quality=90)
+                dec_b = _jpeg.decode(enc_b)
+                dec_p = _jpeg.decode(enc_p)
+                dec = dec_p if i % 2 else dec_b
                 mse = float(((g.astype(float) - dec.astype(float)) ** 2).mean())
                 p = 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
                 rows.append({"img_id": i, "w": dec.shape[1], "h": dec.shape[0],
-                             "psnr_ge_40": bool(p >= 40.0)})
-            yield pd.DataFrame(rows, columns=["img_id", "w", "h", "psnr_ge_40"])
+                             "psnr_ge_40": bool(p >= 40.0),
+                             "prog_eq_baseline": bool(np.array_equal(dec_b, dec_p))})
+            yield pd.DataFrame(rows, columns=["img_id", "w", "h", "psnr_ge_40",
+                                              "prog_eq_baseline"])
 
-    return base.mapInPandas(make, "img_id long, w int, h int, psnr_ge_40 boolean")
+    return base.mapInPandas(
+        make, "img_id long, w int, h int, psnr_ge_40 boolean, prog_eq_baseline boolean"
+    )
 
 
 def q_wav_features(spark, sf_dir):

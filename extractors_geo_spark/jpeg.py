@@ -1,4 +1,5 @@
-"""Pure-Python baseline JPEG codec (JFIF, SOF0) — no libjpeg/PIL.
+"""Pure-Python JPEG codec (JFIF; baseline SOF0/SOF1 AND progressive SOF2)
+— no libjpeg/PIL.
 
 Closes the jpeg leg of the multimodal decode path (the reference treats
 image mimetypes via `file -b --mime-type` routing; this engine decodes
@@ -7,9 +8,15 @@ them). Implemented from the public ITU-T T.81 spec:
   encode(arr, quality): grayscale (h, w) or RGB (h, w, 3) uint8 ->
       baseline JFIF bytes. 4:4:4 sampling, Annex-K standard quantization
       (quality-scaled, IJG convention) and huffman tables, byte stuffing.
-  decode(data): baseline SOF0 JFIF -> uint8 array, grayscale (h, w) or
-      RGB (h, w, 3). Supports 4:4:4 / 4:2:0 / 4:2:2 sampling (nearest
-      upsample), restart markers, 8-bit precision.
+  encode_progressive(arr, quality): progressive (SOF2) JFIF with the
+      standard multi-scan script (spectral selection + successive
+      approximation, T.81 G.1.2) — used to build fixtures in-sandbox and
+      as a real encoder in its own right.
+  decode(data): baseline SOF0/SOF1 OR progressive SOF2 JFIF -> uint8
+      array, grayscale (h, w) or RGB (h, w, 3). Supports 4:4:4 / 4:2:0 /
+      4:2:2 sampling (nearest upsample), restart markers, 8-bit
+      precision; progressive DC/AC first + refinement scans with EOB
+      runs (T.81 G.2).
 
 DCT is the exact orthonormal matrix form (D @ block @ D.T) in numpy —
 bit-for-bit symmetric between encode and decode, so round-trip fidelity
@@ -320,6 +327,237 @@ def encode(arr: np.ndarray, quality: int = 85, subsampling: str = "444",
     return bytes(out)
 
 
+# ------------------------------------------------------- progressive encoder
+
+
+def _mag_shift(v: int, al: int) -> int:
+    """T.81 point transform for AC: magnitude shift, sign preserved."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _emit_ac_first_block(bw_out: _BitWriter, blk_zz, ss: int, se: int, al: int,
+                         ac_tab: dict) -> None:
+    t = [_mag_shift(int(blk_zz[k]), al) for k in range(ss, se + 1)]
+    last_nz = -1
+    for i in range(len(t) - 1, -1, -1):
+        if t[i] != 0:
+            last_nz = i
+            break
+    run = 0
+    for i in range(last_nz + 1):
+        v = t[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, L = ac_tab[0xF0]
+            bw_out.write(c, L)
+            run -= 16
+        size, bits = _magnitude(v)
+        c, L = ac_tab[(run << 4) | size]
+        bw_out.write(c, L)
+        bw_out.write(bits, size)
+        run = 0
+    if last_nz < len(t) - 1:
+        c, L = ac_tab[0x00]  # EOB0 (no EOB-run accumulation: valid, larger)
+        bw_out.write(c, L)
+
+
+def _emit_ac_refine_block(bw_out: _BitWriter, blk_zz, ss: int, se: int,
+                          ah: int, al: int, ac_tab: dict) -> None:
+    """Mirror of _ac_refine's read order: RS(run,1) + sign for each newly
+    significant coefficient, correction bits for nonzero-history
+    coefficients exactly where the decoder consumes them."""
+
+    def hist(v: int) -> bool:
+        return (abs(v) >> ah) != 0
+
+    def newly(v: int) -> bool:
+        return (abs(v) >> al) == 1 and not hist(v)
+
+    def corr_bit(v: int) -> int:
+        return (abs(v) >> al) & 1
+
+    vals = [int(blk_zz[k]) for k in range(ss, se + 1)]
+    targets = [i for i, v in enumerate(vals) if newly(v)]
+    k = 0
+    for t in targets:
+        run = 0
+        pending: list[int] = []
+        pos = k
+        while pos < t:
+            v = vals[pos]
+            if hist(v):
+                pending.append(corr_bit(v))
+            else:
+                run += 1
+                if run == 16:
+                    c, L = ac_tab[0xF0]  # ZRL: decoder skips 16 zero-history
+                    bw_out.write(c, L)
+                    for b in pending:
+                        bw_out.write(b, 1)
+                    pending = []
+                    run = 0
+            pos += 1
+        c, L = ac_tab[(run << 4) | 1]
+        bw_out.write(c, L)
+        bw_out.write(1 if vals[t] > 0 else 0, 1)
+        for b in pending:
+            bw_out.write(b, 1)
+        k = t + 1
+    if k <= se - ss:
+        c, L = ac_tab[0x00]  # EOB, then corrections for the rest of the band
+        bw_out.write(c, L)
+        for i in range(k, se - ss + 1):
+            if hist(vals[i]):
+                bw_out.write(corr_bit(vals[i]), 1)
+
+
+def encode_progressive(arr: np.ndarray, quality: int = 85,
+                       subsampling: str = "444") -> bytes:
+    """Grayscale (h, w) or RGB (h, w, 3) uint8 -> progressive (SOF2) JFIF
+    using the standard spectral-selection + successive-approximation scan
+    script (T.81 G.1.2; the same shape libjpeg emits by default).
+    Transmits the identical quantized coefficients as encode(), so
+    decode(encode_progressive(x)) == decode(encode(x)) bit for bit."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("expected (h,w) or (h,w,3) uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = 2 if (subsampling == "420" and not gray) else 1
+    h, w = a.shape[:2]
+    ql = _quality_scale(_QL, quality)
+    qc = _quality_scale(_QC, quality)
+    if gray:
+        comps = [a.astype(np.float64)]
+        qts = [ql]
+        samps = [(1, 1)]
+    else:
+        ycc = _rgb_to_ycbcr(a)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if sub == 2:
+            ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        comps = [y, cb, cr]
+        qts = [ql, qc, qc]
+        samps = [(sub, sub), (1, 1), (1, 1)]
+    nc = len(comps)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # quantized coefficient grids, zigzag order, padded MCU geometry
+    grids = []
+    for ci, c in enumerate(comps):
+        hs, vs = samps[ci]
+        tw, th = mcux * 8 * hs, mcuy * 8 * vs
+        p = np.pad(c, ((0, th - c.shape[0]), (0, tw - c.shape[1])), mode="edge") - 128.0
+        bh_, bw_ = th // 8, tw // 8
+        blocks = p.reshape(bh_, 8, bw_, 8).transpose(0, 2, 1, 3)
+        coef = _D @ blocks @ _D.T  # matmul matches _dct2's FP association
+        q = np.round(coef / qts[ci]).astype(np.int32).reshape(bh_, bw_, 64)
+        grids.append(q[:, :, _ZZ])
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _marker(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _marker(0xFFDB, bytes([0]) + bytes(ql.flat[_ZZ].astype(np.uint8)))
+    if not gray:
+        out += _marker(0xFFDB, bytes([1]) + bytes(qc.flat[_ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        hs, vs = samps[ci]
+        sof += bytes([ci + 1, hs << 4 | vs, 0 if ci == 0 else 1])
+    out += _marker(0xFFC2, sof)  # SOF2: progressive
+    out += _marker(0xFFC4, _dht_payload(0, 0, *_HT_DC_L))
+    out += _marker(0xFFC4, _dht_payload(1, 0, *_HT_AC_L))
+    if not gray:
+        out += _marker(0xFFC4, _dht_payload(0, 1, *_HT_DC_C))
+        out += _marker(0xFFC4, _dht_payload(1, 1, *_HT_AC_C))
+
+    dc_enc = [_huff_encode_table(*_HT_DC_L)] + [_huff_encode_table(*_HT_DC_C)] * (nc - 1)
+    ac_enc = [_huff_encode_table(*_HT_AC_L)] + [_huff_encode_table(*_HT_AC_C)] * (nc - 1)
+
+    if gray:
+        script = [([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                  ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+    else:
+        script = [([0, 1, 2], 0, 0, 0, 1), ([0], 1, 5, 0, 2),
+                  ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1), ([0], 6, 63, 0, 2),
+                  ([0], 1, 63, 2, 1), ([0, 1, 2], 0, 0, 1, 0),
+                  ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0)]
+
+    for scomps, ss, se, ah, al in script:
+        sos = bytes([len(scomps)])
+        for ci in scomps:
+            dct = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (dct << 4) | dct])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _marker(0xFFDA, sos)
+        bw_out = _BitWriter()
+        if ss == 0:  # DC scan
+            if len(scomps) == 1:
+                ci = scomps[0]
+                hs, vs = samps[ci]
+                cw = (w * hs + hmax - 1) // hmax
+                ch = (h * vs + vmax - 1) // vmax
+                bw_, bh_ = (cw + 7) // 8, (ch + 7) // 8
+                dc_prev = 0
+                for by in range(bh_):
+                    for bx in range(bw_):
+                        v = int(grids[ci][by, bx, 0]) >> al
+                        if ah == 0:
+                            size, bits = _magnitude(v - dc_prev)
+                            c, L = dc_enc[ci][size]
+                            bw_out.write(c, L)
+                            if size:
+                                bw_out.write(bits, size)
+                            dc_prev = v
+                        else:
+                            bw_out.write(v & 1, 1)
+            else:
+                dc_prev = [0] * len(scomps)
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for si, ci in enumerate(scomps):
+                            hs, vs = samps[ci]
+                            for vy in range(vs):
+                                for vx in range(hs):
+                                    v = int(grids[ci][my * vs + vy, mx * hs + vx, 0]) >> al
+                                    if ah == 0:
+                                        size, bits = _magnitude(v - dc_prev[si])
+                                        c, L = dc_enc[ci][size]
+                                        bw_out.write(c, L)
+                                        if size:
+                                            bw_out.write(bits, size)
+                                        dc_prev[si] = v
+                                    else:
+                                        bw_out.write(v & 1, 1)
+        else:  # AC scan: single component, unpadded grid
+            ci = scomps[0]
+            hs, vs = samps[ci]
+            cw = (w * hs + hmax - 1) // hmax
+            ch = (h * vs + vmax - 1) // vmax
+            bw_, bh_ = (cw + 7) // 8, (ch + 7) // 8
+            for by in range(bh_):
+                for bx in range(bw_):
+                    blk = grids[ci][by, bx]
+                    if ah == 0:
+                        _emit_ac_first_block(bw_out, blk, ss, se, al, ac_enc[ci])
+                    else:
+                        _emit_ac_refine_block(bw_out, blk, ss, se, ah, al, ac_enc[ci])
+        bw_out.flush()
+        out += bw_out.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------------ decoder
 
 
@@ -405,8 +643,19 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _next_marker(data: bytes, pos: int) -> int:
+    """First position >= pos of a non-stuffing, non-RST marker."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (0xD0 <= data[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return n
+
+
 def decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF -> uint8 (h, w) or (h, w, 3)."""
+    """Baseline (SOF0/SOF1) or progressive (SOF2) JFIF -> uint8 (h, w) or
+    (h, w, 3)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -415,6 +664,10 @@ def decode(data: bytes) -> np.ndarray:
     comps = None
     h = w = 0
     restart_interval = 0
+    progressive = False
+    coeffs: list[np.ndarray] | None = None  # per-comp (bh, bw, 64) zigzag
+    hmax = vmax = 1
+    mcux = mcuy = 0
     n = len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
@@ -444,7 +697,8 @@ def decode(data: bytes) -> np.ndarray:
                 values = list(body[i + 17 : i + 17 + cnt])
                 huff[(cls, tid)] = _huff_decode_table(bits, values)
                 i += 17 + cnt
-        elif m == 0xC0 or m == 0xC1:
+        elif m in (0xC0, 0xC1, 0xC2):
+            progressive = m == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision")
@@ -452,10 +706,26 @@ def decode(data: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF, "tq": tq})
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline (SOF0/SOF1) supported")
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            if progressive:
+                # coefficients accumulate across scans on the padded
+                # (interleaved-MCU) block grid, in ZIGZAG order
+                coeffs = [
+                    np.zeros((mcuy * c["vs"], mcux * c["hs"], 64), np.int32)
+                    for c in comps
+                ]
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline or progressive huffman JPEG supported")
         elif m == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
+        elif m == 0xDA and progressive:
+            pos = _decode_prog_scan(
+                data, pos, body, comps, huff, coeffs, hmax, vmax, w, h,
+                mcux, mcuy, restart_interval,
+            )
         elif m == 0xDA:
             ns = body[0]
             scan = []
@@ -520,4 +790,170 @@ def decode(data: bytes) -> np.ndarray:
                 return np.clip(full[0], 0, 255).astype(np.uint8)
             return _ycbcr_to_rgb(full[0], full[1], full[2])
         # other segments (APPn, COM): skipped by the generic length logic
+    if progressive and coeffs is not None:
+        return _reconstruct(coeffs, comps, qt, w, h, hmax, vmax)
     raise ValueError("no scan found")
+
+
+def _decode_prog_scan(data, pos, body, comps, huff, coeffs, hmax, vmax,
+                      w, h, mcux, mcuy, restart_interval) -> int:
+    """One progressive SOS: accumulate into the zigzag coefficient grids
+    (T.81 G.2). Returns the stream position of the next marker."""
+    ns = body[0]
+    scan = []
+    for si in range(ns):
+        cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+        ci = next(i for i, c in enumerate(comps) if c["id"] == cs)
+        scan.append({"ci": ci, **comps[ci], "dc": tt >> 4, "ac": tt & 0xF})
+    ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    r = _BitReader(data, pos)
+    eobrun = 0
+    if ns == 1:
+        # non-interleaved scan (T.81: any single-component scan):
+        # MCU = one block over the UNPADDED comp grid
+        c = scan[0]
+        cw = (w * c["hs"] + hmax - 1) // hmax
+        ch = (h * c["vs"] + vmax - 1) // vmax
+        bw_, bh_ = (cw + 7) // 8, (ch + 7) // 8
+        grid = coeffs[c["ci"]]
+        dc_prev = 0
+        count = 0
+        for by in range(bh_):
+            for bx in range(bw_):
+                if restart_interval and count and count % restart_interval == 0:
+                    r.sync_restart()
+                    dc_prev = 0
+                    eobrun = 0
+                count += 1
+                blk = grid[by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        s = _read_huff(r, huff[(0, c["dc"])])
+                        dc_prev += _extend(r.read_bits(s), s)
+                        blk[0] = dc_prev << al
+                    else:
+                        if r.read_bit():
+                            blk[0] |= 1 << al
+                elif ah == 0:
+                    eobrun = _ac_first(r, blk, ss, se, al, huff[(1, c["ac"])], eobrun)
+                else:
+                    eobrun = _ac_refine(r, blk, ss, se, al, huff[(1, c["ac"])], eobrun)
+    else:
+        # interleaved scan (progressive: DC only, T.81 B.2.3)
+        if ss != 0:
+            raise ValueError("interleaved progressive AC scan is not valid")
+        dc_prev = [0] * ns
+        count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and count and count % restart_interval == 0:
+                    r.sync_restart()
+                    dc_prev = [0] * ns
+                count += 1
+                for si, c in enumerate(scan):
+                    for vy in range(c["vs"]):
+                        for vx in range(c["hs"]):
+                            blk = coeffs[c["ci"]][my * c["vs"] + vy, mx * c["hs"] + vx]
+                            if ah == 0:
+                                s = _read_huff(r, huff[(0, c["dc"])])
+                                dc_prev[si] += _extend(r.read_bits(s), s)
+                                blk[0] = dc_prev[si] << al
+                            else:
+                                if r.read_bit():
+                                    blk[0] |= 1 << al
+    return _next_marker(data, r.p)
+
+
+def _ac_first(r: _BitReader, blk: np.ndarray, ss: int, se: int, al: int,
+              ac_table: dict, eobrun: int) -> int:
+    """AC first scan (Ah=0) for one block; returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff(r, ac_table)
+        run, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << run
+            if run:
+                eobrun += r.read_bits(run)
+            return eobrun - 1  # current block is the first of the run
+        k += run
+        if k > se:
+            raise ValueError("AC index out of band")
+        blk[k] = _extend(r.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(r: _BitReader, blk: np.ndarray, ss: int, se: int, al: int,
+               ac_table: dict, eobrun: int) -> int:
+    """AC refinement scan (Ah=Al+1) for one block (T.81 G.1.2.3 decoder
+    mirror): newly-significant coefficients arrive as run/1 symbols with a
+    sign bit; every nonzero-history coefficient passed (or remaining after
+    EOB) consumes one correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_huff(r, ac_table)
+            run, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if run < 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                # run == 15 (ZRL): skip 16 zero-history positions
+            else:
+                val = p1 if r.read_bit() else -p1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if r.read_bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v > 0 else -p1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val != 0 and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0 and r.read_bit() and (v & p1) == 0:
+                blk[k] = v + (p1 if v > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(coeffs, comps, qt, w, h, hmax, vmax) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient grids (vectorized:
+    one einsum per component, no per-block Python loop)."""
+    planes = []
+    for ci, c in enumerate(comps):
+        cz = coeffs[ci]
+        bh_, bw_ = cz.shape[:2]
+        nat = np.zeros_like(cz)
+        nat[..., _ZZ] = cz
+        blocks = nat.reshape(bh_, bw_, 8, 8).astype(np.float64) * qt[c["tq"]]
+        # broadcast matmul, NOT einsum: identical FP association to the
+        # per-block baseline _idct2, so baseline and progressive decodes
+        # of the same coefficients are bit-identical
+        out = _D.T @ blocks @ _D + 128.0
+        p = out.transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
+        ry, rx = vmax // c["vs"], hmax // c["hs"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        return np.clip(planes[0], 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

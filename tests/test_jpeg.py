@@ -65,3 +65,63 @@ def test_distributed_decode_real_jpeg(spark):
         [("j1", bytearray(jpeg.encode(g, quality=92)))], "image_id string, bytes binary")
     r = M.decode_image_meta(df, fake=False).collect()[0]
     assert r["ok"] and (r["w"], r["h"]) == (26, 18) and r["fmt_sniffed"] == "jpeg"
+
+
+# ------------------------------------------------------- progressive (SOF2)
+
+
+def test_progressive_marker_and_identity():
+    """encode_progressive emits SOF2 and decodes bit-identically to the
+    baseline encode of the same image (identical quantized coefficients,
+    identical IDCT path)."""
+    g = _smooth(40, 56)
+    pb = jpeg.encode_progressive(g, quality=90)
+    assert b"\xff\xc2" in pb and b"\xff\xc0" not in pb
+    assert pb.count(b"\xff\xda") == 6  # gray scan script
+    assert np.array_equal(jpeg.decode(pb), jpeg.decode(jpeg.encode(g, quality=90)))
+
+
+def test_progressive_color_420_identity_and_psnr():
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:50, 0:70]
+    base = 128 + 80 * np.sin(xx / 7) * np.cos(yy / 9)
+    rgb = np.clip(np.stack([base, base * 0.8 + 30, 255 - base], axis=-1)
+                  + rng.normal(0, 4, (50, 70, 3)), 0, 255).astype(np.uint8)
+    pb = jpeg.encode_progressive(rgb, quality=90, subsampling="420")
+    assert pb.count(b"\xff\xda") == 10  # standard color scan script
+    dec = jpeg.decode(pb)
+    assert np.array_equal(dec, jpeg.decode(jpeg.encode(rgb, quality=90, subsampling="420")))
+    def y(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    assert psnr(y(rgb), y(dec)) > 40
+
+
+def test_progressive_smooth_psnr_above_40():
+    g = _smooth(48, 64)
+    assert psnr(g, jpeg.decode(jpeg.encode_progressive(g, quality=90))) > 40
+
+
+def test_progressive_noise_q95_above_40():
+    rng = np.random.default_rng(9)
+    nz = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    assert psnr(nz, jpeg.decode(jpeg.encode_progressive(nz, quality=95))) > 40
+
+
+def test_progressive_odd_dims_all_subsamplings():
+    rng = np.random.default_rng(21)
+    for shape, sub in [((17, 23), "420"), ((9, 130), "444"), ((33, 31), "444")]:
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        got = jpeg.decode(jpeg.encode_progressive(img, quality=85, subsampling=sub))
+        want = jpeg.decode(jpeg.encode(img, quality=85, subsampling=sub))
+        assert np.array_equal(got, want), (shape, sub)
+
+
+def test_multimodal_decodes_progressive_jpeg_for_real():
+    """VERDICT r02 #4 'done': progressive inputs no longer fall to the
+    fake path in multimodal._decode."""
+    from extractors_geo_spark.operators.multimodal import _decode
+
+    g = _smooth(24, 32)
+    arr, err = _decode(jpeg.encode_progressive(g, quality=90), "jpeg", fake=False)
+    assert err is None
+    assert psnr(g, arr) > 40
