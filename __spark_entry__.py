@@ -1149,6 +1149,70 @@ def q_wav_features(spark, sf_dir):
                       F.floor(F.element_at("features", 1) * 10000).cast("long").alias("e0_q"))
 
 
+def q_flac_features(spark, sf_dir):
+    """Real FLAC decode through audio_features: deterministic sine clips
+    FLAC-encoded on executors (rows-only; losslessness vs the same PCM
+    through the WAV path in tests/test_multimodal.py)."""
+    import numpy as np
+    import pandas as pd
+
+    base = spark.range(16).select(F.col("id").alias("n"))
+
+    def make(batches):
+        from extractors_geo_spark import flac as _flac
+
+        for b in batches:
+            rows = []
+            for i in b["n"]:
+                i = int(i)
+                rate = 8000
+                secs = 1 + i % 3
+                t = np.arange(rate * secs) / rate
+                pcm = (0.5 * np.sin(2 * np.pi * (110 + 10 * i) * t) * 32767).astype(np.int32)
+                rows.append({"audio_id": f"f{i}", "bytes": _flac.encode(pcm, rate)})
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    from extractors_geo_spark.operators import multimodal as M
+
+    clips = base.mapInPandas(make, "audio_id string, bytes binary")
+    out = M.audio_features(clips, fake=False)
+    return out.select("audio_id", "duration_s", "n_windows",
+                      F.floor(F.element_at("features", 1) * 10000).cast("long").alias("e0_q"))
+
+
+def q_mjpeg_frames(spark, sf_dir):
+    """REAL video path: MJPEG-in-AVI clips synthesized on executors, frame
+    pixels decoded by the in-repo JPEG codec through sample_frames
+    (rows-only; PSNR-vs-source exactness in tests/test_multimodal.py)."""
+    import numpy as np
+    import pandas as pd
+
+    base = spark.range(8).select(F.col("id").alias("n"))
+
+    def make(batches):
+        from extractors_geo_spark import avi as _avi
+
+        for b in batches:
+            rows = []
+            for i in b["n"]:
+                i = int(i)
+                yy, xx = np.mgrid[0:24, 0:32]
+                frames = [
+                    np.clip(128 + 100 * np.sin((xx + 3 * f + i) / 5), 0, 255).astype(np.uint8)
+                    for f in range(4 + i % 5)
+                ]
+                rows.append({"video_id": f"v{i}",
+                             "bytes": _avi.write_mjpeg_avi(frames, fps=2, quality=92)})
+            yield pd.DataFrame(rows, columns=["video_id", "bytes"])
+
+    from extractors_geo_spark.operators import multimodal as M
+
+    vids = base.mapInPandas(make, "video_id string, bytes binary")
+    out = M.sample_frames(vids, every_ms=500, fake=False)
+    return out.select("video_id", "frame_idx", "ts_ms", "fw", "fh",
+                      F.crc32("frame").alias("frame_crc"))
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, num_hashes=16, bands=8, jaccard_threshold=0.5)
@@ -1233,6 +1297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_render_png": q_tile_render_png,
         "jpeg_roundtrip": q_jpeg_roundtrip,
         "wav_features": q_wav_features,
+        "mjpeg_frames": q_mjpeg_frames,
+        "flac_features": q_flac_features,
     }
 
 

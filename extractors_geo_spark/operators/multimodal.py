@@ -287,6 +287,8 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("video_id", T.StringType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("ts_ms", T.LongType()),
+        T.StructField("fw", T.IntegerType()),
+        T.StructField("fh", T.IntegerType()),
         T.StructField("frame", T.BinaryType()),
     ]
 )
@@ -295,21 +297,44 @@ FRAME_SCHEMA = T.StructType(
 def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                   id_col: str = "video_id") -> DataFrame:
     """Video -> frames (1 row in, N rows out — same explode shape as the
-    tile pyramid). The container has no video codec: fake mode derives a
-    deterministic duration + frame bytes from the content hash; the real
-    deployment swaps in pyav/ffmpeg with the identical schema."""
+    tile pyramid). Frame bytes are row-major uint8 grayscale (fw x fh).
+
+    REAL end-to-end for MJPEG-in-AVI: the container parse (..avi) yields
+    per-frame JFIF bytes decoded by the in-repo JPEG codec — actual
+    pixels, actual fps-derived timestamps. MP4 inputs get REAL durations/
+    timestamps from the mvhd parse but fake pixels (no H.264 codec here);
+    other formats are fully fake (fake=True) or a clear stub error."""
+
+    from .. import avi as _avi
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for vid, data in zip(b[id_col], b["bytes"]):
                 data = bytes(data)
+                if _avi.is_avi(data):
+                    try:
+                        parsed = _avi.read_mjpeg_avi(data)
+                    except ValueError:
+                        parsed = None
+                    if parsed is not None:
+                        fps = parsed["fps"] or 1.0
+                        duration_ms = int(parsed["n_frames"] * 1000 / fps)
+                        for i, ts in enumerate(range(0, duration_ms, every_ms)):
+                            fi = min(int(ts * fps / 1000), parsed["n_frames"] - 1)
+                            arr = _jpeg.decode(parsed["frames"][fi])
+                            if arr.ndim == 3:
+                                arr = arr.astype(np.float64).mean(axis=2).astype(np.uint8)
+                            rows.append({"video_id": vid, "frame_idx": i, "ts_ms": ts,
+                                         "fw": arr.shape[1], "fh": arr.shape[0],
+                                         "frame": arr.tobytes()})
+                        continue
                 duration_ms = None
                 if len(data) > 12 and data[4:8] == b"ftyp":
                     try:
                         # REAL container parse: timestamps come from the
                         # actual mvhd duration; only the frame PIXELS are
-                        # stubbed (no video codec in this container)
+                        # stubbed (no H.264/H.265 codec in this container)
                         duration_ms = int(mp4_meta(data)["duration_s"] * 1000)
                     except ValueError:
                         duration_ms = None
@@ -323,8 +348,10 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                     rng = np.random.Generator(np.random.PCG64(seed + i))
                     frame = (rng.random((8, 8)) * 255).astype(np.uint8)
                     rows.append({"video_id": vid, "frame_idx": i, "ts_ms": ts,
-                                 "frame": frame.tobytes()})
-            yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "ts_ms", "frame"])
+                                 "fw": 8, "fh": 8, "frame": frame.tobytes()})
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "ts_ms", "fw", "fh", "frame"]
+            )
 
     return videos.select(F.col(id_col), "bytes").mapInPandas(run, FRAME_SCHEMA)
 
@@ -389,19 +416,23 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 def audio_features(audios: DataFrame, fake: bool = True, id_col: str = "audio_id",
                    window_ms: int = 100) -> DataFrame:
     """Audio -> windowed energy features (MFCC stand-in; same schema).
-    RIFF/WAVE inputs decode FOR REAL (decode_wav); other formats fall back
-    to the deterministic fake (fake=True) or a clear stub error."""
+    RIFF/WAVE and FLAC inputs decode FOR REAL (decode_wav / ..flac); other
+    formats fall back to the deterministic fake (fake=True) or a clear
+    stub error."""
+
+    from .. import flac as _flac
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for aid, data in zip(b[id_col], b["bytes"]):
                 data = bytes(data)
-                if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                is_wav = data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+                if is_wav or data[:4] == b"fLaC":
                     try:
-                        sig, rate = decode_wav(data)
+                        sig, rate = decode_wav(data) if is_wav else _flac.decode(data)
                     except ValueError:
-                        sig = None  # malformed WAV: fake-fallback or drop
+                        sig = None  # malformed input: fake-fallback or drop
                     if sig is not None:
                         dur = sig.size / rate
                         wlen = max(int(rate * window_ms / 1000), 1)
@@ -415,7 +446,8 @@ def audio_features(audios: DataFrame, fake: bool = True, id_col: str = "audio_id
                     if not fake:
                         continue  # dropped; callers anti-join ids to find casualties
                 if not fake:
-                    # STUB: real deployment decodes mp3/flac with libsndfile.
+                    # STUB: mp3 only (WAV and FLAC decode for real above);
+                    # real deployment routes mp3 through libsndfile/ffmpeg.
                     raise NotImplementedError("audio codec not available in this container")
                 seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
                 rng = np.random.Generator(np.random.PCG64(seed))
