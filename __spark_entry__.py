@@ -1149,6 +1149,47 @@ def q_wav_features(spark, sf_dir):
                       F.floor(F.element_at("features", 1) * 10000).cast("long").alias("e0_q"))
 
 
+def q_lcc_forward(spark, sf_dir):
+    """Lambert-conformal-conic forward (Texas Central, EPSG:32139) on the
+    derived CONUS points: the REAL numpy zone code (geo.lcc_forward_np)
+    runs in mapInPandas; the DuckDB oracle re-derives the same Snyder
+    closed form with the zone constants inlined. Quantized to 10 m."""
+    import numpy as np
+    import pandas as pd
+
+    p = _points(spark, sf_dir)
+
+    def run(batches):
+        for b in batches:
+            e, n = geo.lcc_forward_np(b["lon"].to_numpy(), b["lat"].to_numpy(), 32139)
+            yield pd.DataFrame({
+                "point_id": b["point_id"],
+                "e_q": np.floor(e / 10.0 + 0.5).astype(np.int64),
+                "n_q": np.floor(n / 10.0 + 0.5).astype(np.int64),
+            })
+
+    return p.mapInPandas(run, "point_id long, e_q long, n_q long")
+
+
+def _lcc_oracle_sql() -> str:
+    lat1, lat2, lat0, lon0, fe, fn, unit = geo.LCC_ZONES[32139]
+    n, f, rho0 = geo._lcc_consts(lat1, lat2, lat0)
+    af = geo.WGS84_A * f
+    e = geo._E
+    t = (f"(TAN(PI()/4 - RADIANS(lat)/2) / "
+         f"POWER((1 - {e!r}*SIN(RADIANS(lat))) / (1 + {e!r}*SIN(RADIANS(lat))), {e / 2!r}))")
+    theta = f"({n!r} * RADIANS(lon - ({lon0!r})))"
+    east = f"({af!r} * POWER({t}, {n!r}) * SIN({theta}) + {fe!r})"
+    north = f"({rho0!r} - {af!r} * POWER({t}, {n!r}) * COS({theta}) + {fn!r})"
+    return f"""
+WITH p AS ({_POINTS_SQL})
+SELECT point_id,
+       CAST(FLOOR({east} / 10.0 + 0.5) AS BIGINT) AS e_q,
+       CAST(FLOOR({north} / 10.0 + 0.5) AS BIGINT) AS n_q
+FROM p
+"""
+
+
 def q_flac_features(spark, sf_dir):
     """Real FLAC decode through audio_features: deterministic sine clips
     FLAC-encoded on executors (rows-only; losslessness vs the same PCM
@@ -1288,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "label_centroid_sim": q_label_centroid_sim,
         "prj_epsg": q_prj_epsg,
+        "lcc_forward": q_lcc_forward,
         # rows-only (no SQL oracle): real image pipeline + approximate ops
         "flagship_pip": q_flagship_pip,
         "tile_pyramid": q_tile_pyramid,
@@ -1342,4 +1384,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": SQL_TOPK,
         "label_centroid_sim": SQL_CENTROID,
         "prj_epsg": SQL_PRJ,
+        "lcc_forward": _lcc_oracle_sql(),
     }

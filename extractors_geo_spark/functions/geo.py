@@ -216,9 +216,8 @@ def _lcc_consts(lat1: float, lat2: float, lat0: float):
     return n, f, rho0
 
 
-def lcc_forward_np(lon, lat, epsg: int):
-    """lon/lat -> LCC 2SP State Plane (native units)."""
-    lat1, lat2, lat0, lon0, fe, fn, unit = LCC_ZONES[epsg]
+def lcc_forward_params_np(lon, lat, lat1, lat2, lat0, lon0, fe, fn, unit=1.0):
+    """lon/lat -> LCC 2SP (native units), explicit zone parameters."""
     n, f, rho0 = _lcc_consts(lat1, lat2, lat0)
     phi = np.radians(np.asarray(lat, np.float64))
     s = _E * np.sin(phi)
@@ -230,10 +229,10 @@ def lcc_forward_np(lon, lat, epsg: int):
     return east, north
 
 
-def lcc_inverse_np(e, nth, epsg: int):
-    """LCC 2SP State Plane (native units) -> lon/lat. The latitude series
-    inverts t(phi) by fixed point — 6 rounds converge below 1e-12 rad."""
-    lat1, lat2, lat0, lon0, fe, fn, unit = LCC_ZONES[epsg]
+def lcc_inverse_params_np(e, nth, lat1, lat2, lat0, lon0, fe, fn, unit=1.0):
+    """LCC 2SP (native units) -> lon/lat, explicit zone parameters. The
+    latitude series inverts t(phi) by fixed point — 6 rounds converge
+    below 1e-12 rad."""
     n, f, rho0 = _lcc_consts(lat1, lat2, lat0)
     x = (np.asarray(e, np.float64) - fe) * unit
     y = (np.asarray(nth, np.float64) - fn) * unit
@@ -245,6 +244,123 @@ def lcc_inverse_np(e, nth, epsg: int):
         s = _E * np.sin(phi)
         phi = np.pi / 2 - 2 * np.arctan(t * ((1 - s) / (1 + s)) ** (_E / 2))
     return np.degrees(theta / n) + lon0, np.degrees(phi)
+
+
+def lcc_forward_np(lon, lat, epsg: int):
+    """lon/lat -> LCC 2SP State Plane (native units) by EPSG code."""
+    return lcc_forward_params_np(lon, lat, *LCC_ZONES[epsg])
+
+
+def lcc_inverse_np(e, nth, epsg: int):
+    """LCC 2SP State Plane (native units) -> lon/lat by EPSG code."""
+    return lcc_inverse_params_np(e, nth, *LCC_ZONES[epsg])
+
+
+# -------------------------------------------------- WKT parameter fallback
+def parse_projcs_params(wkt: str) -> dict | None:
+    """Extract a usable projection from raw ESRI/OGC PROJCS WKT when no
+    EPSG code was identified: Lambert_Conformal_Conic (1SP/2SP),
+    Transverse_Mercator, and Mercator parameter sets. Returns
+    {"proj": "lcc"|"tmerc"|"merc", params...} or None.
+
+    This is the reference's any-OGR-known-CRS behavior
+    (preview.geoshp/zipshputils.py:219-242) without GDAL: the projection
+    math comes from the WKT's own PARAMETER values. Datum is assumed
+    WGS84-close (exact for NAD83/ETRS89; NAD27 carries its usual
+    few-hundred-meter datum offset, same policy as the UTM handling)."""
+    import re
+
+    m = re.search(r'PROJECTION\s*\[\s*"([^"]+)"', wkt)
+    if not m:
+        return None
+    proj_name = m.group(1).lower()
+
+    params: dict[str, float] = {}
+    for name, val in re.findall(r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-0-9.eE+]+)', wkt):
+        params[name.lower()] = float(val)
+    # linear unit: last UNIT[] in the WKT is the projected CRS's unit
+    units = re.findall(r'UNIT\s*\[\s*"[^"]*"\s*,\s*([-0-9.eE+]+)', wkt)
+    unit = float(units[-1]) if units else 1.0
+    if abs(unit - 0.0174532925199433) < 1e-9:  # degree: no linear unit found
+        unit = 1.0
+
+    def p(*names, default=None):
+        for nm in names:
+            if nm in params:
+                return params[nm]
+        return default
+
+    fe = p("false_easting", default=0.0)
+    fn = p("false_northing", default=0.0)
+    lon0 = p("central_meridian", "longitude_of_center", default=None)
+    lat0 = p("latitude_of_origin", "latitude_of_center", default=0.0)
+
+    if "lambert_conformal_conic" in proj_name:
+        lat1 = p("standard_parallel_1")
+        lat2 = p("standard_parallel_2", default=lat1)
+        if lat1 is None or lon0 is None:
+            return None
+        return {"proj": "lcc", "lat1": lat1, "lat2": lat2, "lat0": lat0,
+                "lon0": lon0, "fe": fe, "fn": fn, "unit": unit}
+    if "transverse_mercator" in proj_name:
+        if lon0 is None:
+            return None
+        k0 = p("scale_factor", default=1.0)
+        return {"proj": "tmerc", "lat0": lat0, "lon0": lon0, "k0": k0,
+                "fe": fe, "fn": fn, "unit": unit}
+    if proj_name in ("mercator", "mercator_auxiliary_sphere", "mercator_1sp",
+                     "mercator_variant_a"):
+        # NOT oblique/transverse variants — substring matching would
+        # silently misproject Hotine_Oblique_Mercator as plain Mercator
+        if p("scale_factor", default=1.0) != 1.0:
+            return None
+        if p("standard_parallel_1", default=0.0) != 0.0:
+            return None  # 2SP form scales by cos(lat1): not covered
+        # auxiliary-sphere (web) Mercator is SPHERICAL; plain Mercator is
+        # ellipsoidal — the two differ by ~0.3% in northing, so the WKT's
+        # projection name decides which inverse runs
+        return {"proj": "merc", "lon0": lon0 or 0.0, "fe": fe, "fn": fn,
+                "unit": unit, "sphere": "auxiliary_sphere" in proj_name}
+    return None
+
+
+def params_inverse_np(x, y, prm: dict):
+    """Native point -> lon/lat for a parse_projcs_params result."""
+    if prm["proj"] == "lcc":
+        return lcc_inverse_params_np(x, y, prm["lat1"], prm["lat2"], prm["lat0"],
+                                     prm["lon0"], prm["fe"], prm["fn"], prm["unit"])
+    if prm["proj"] == "tmerc":
+        u = prm["unit"]
+        return tm_inverse_np(np.asarray(x, np.float64) * u,
+                             np.asarray(y, np.float64) * u,
+                             prm["lat0"], prm["lon0"], prm["k0"],
+                             prm["fe"] * u, prm["fn"] * u)
+    if prm["proj"] == "merc":
+        u = prm["unit"]
+        xm = (np.asarray(x, np.float64) - prm["fe"]) * u
+        ym = (np.asarray(y, np.float64) - prm["fn"]) * u
+        inv = merc_inverse_np if prm.get("sphere") else merc_ell_inverse_np
+        lon, lat = inv(xm, ym)
+        return lon + prm["lon0"], lat
+    raise ValueError(f"unsupported projection {prm['proj']}")
+
+
+def params_forward_np(lon, lat, prm: dict):
+    """lon/lat -> native point for a parse_projcs_params result."""
+    if prm["proj"] == "lcc":
+        return lcc_forward_params_np(lon, lat, prm["lat1"], prm["lat2"], prm["lat0"],
+                                     prm["lon0"], prm["fe"], prm["fn"], prm["unit"])
+    if prm["proj"] == "tmerc":
+        u = prm["unit"]
+        e, n = tm_forward_np(lon, lat, prm["lat0"], prm["lon0"], prm["k0"],
+                             prm["fe"] * u, prm["fn"] * u)
+        return e / u, n / u
+    if prm["proj"] == "merc":
+        u = prm["unit"]
+        fwd = merc_forward_np if prm.get("sphere") else merc_ell_forward_np
+        x, y = fwd(np.asarray(lon, np.float64) - prm["lon0"], lat)
+        return x / u + prm["fe"], y / u + prm["fn"]
+    raise ValueError(f"unsupported projection {prm['proj']}")
 
 
 def epsg_to_lonlat_np(x, y, epsg: int):

@@ -263,15 +263,30 @@ def read_zip_shapefile(zip_bytes: bytes) -> dict:
         return out
     prj_name = next((n for n in names if n.lower() == f"{base.lower()}.prj"), None)
     if prj_name:
-        epsg, prj_err = infer_epsg(members[prj_name].decode("ascii", "replace"))
+        wkt = members[prj_name].decode("ascii", "replace")
+        epsg, prj_err = infer_epsg(wkt)
         if epsg in (102008,):
             out["errors"].append("BLACKLISTED_PROJECTION")
             return out
         if prj_err is not None:
-            # projected WKT we can't identify: error, never a silent 4326
-            out["errors"].append(prj_err)
-            return out
-        if epsg is None:
+            # projected WKT with no identifiable EPSG code: the WKT's own
+            # PARAMETER values may still define the projection (LCC/TM/
+            # Mercator) — reproject from those, matching the reference's
+            # any-OGR-known-CRS behavior (zipshputils.py:219-242). Only
+            # WKT the math can't cover errors; never a silent 4326.
+            from ..functions import geo as _geo
+
+            prm = _geo.parse_projcs_params(wkt)
+            if prm is None:
+                out["errors"].append(prj_err)
+                return out
+            out["proj_params"] = prm
+        elif epsg is not None and epsg != 4326:
+            # keep the raw WKT: an identified code the closed forms don't
+            # cover can still reproject from its own PARAMETER values
+            out["_wkt"] = wkt
+            out["epsg"] = epsg
+        elif epsg is None:
             out["epsg"], out["epsg_defaulted"] = 4326, True
         else:
             out["epsg"] = epsg
@@ -298,23 +313,41 @@ def _reproject_to_4326(out: dict) -> None:
     """Identified projected layers are reprojected to lon/lat at ingest
     (the reference reprojects vector extents to 4326/3857 when minting
     catalog records and WMS URLs; here the whole geometry moves so every
-    downstream join/extent operator sees one CRS). Projected CRSs the
-    math doesn't cover (e.g. Lambert State Plane) error explicitly —
-    joining native meters against lon/lat would be silently wrong."""
+    downstream join/extent operator sees one CRS). EPSG codes the math
+    covers use the closed-form inverses; unidentified PROJCS WKT falls
+    back to its own PARAMETER values (proj_params). Anything else errors
+    explicitly — joining native meters against lon/lat would be silently
+    wrong."""
     import numpy as np
 
     from ..functions import geo
 
     code = out.get("epsg")
-    if not code or code == 4326:
+    prm = out.pop("proj_params", None)
+    wkt = out.pop("_wkt", None)
+    if prm is not None:
+        def transform(xs, ys):
+            return geo.params_inverse_np(xs, ys, prm)
+    elif not code or code == 4326:
         return
-    try:
-        geo.epsg_to_lonlat_np(np.array([0.0]), np.array([0.0]), code)
-    except ValueError:
-        out["errors"].append("UNPROJECTABLE_CRS")
-        out["features"] = []
-        out["extent"] = None
-        return
+    else:
+        try:
+            geo.epsg_to_lonlat_np(np.array([0.0]), np.array([0.0]), code)
+        except ValueError:
+            # identified code without a closed form: the WKT's own
+            # PARAMETER values are the second chance before erroring
+            prm = geo.parse_projcs_params(wkt) if wkt else None
+            if prm is None:
+                out["errors"].append("UNPROJECTABLE_CRS")
+                out["features"] = []
+                out["extent"] = None
+                return
+        if prm is not None:
+            def transform(xs, ys):
+                return geo.params_inverse_np(xs, ys, prm)
+        else:
+            def transform(xs, ys):
+                return geo.epsg_to_lonlat_np(xs, ys, code)
     ext = [np.inf, np.inf, -np.inf, -np.inf]
     for f in out["features"]:
         new_rings = []
@@ -322,7 +355,7 @@ def _reproject_to_4326(out: dict) -> None:
         for ring in f["rings"]:
             xs = np.array([p[0] for p in ring], np.float64)
             ys = np.array([p[1] for p in ring], np.float64)
-            lon, lat = geo.epsg_to_lonlat_np(xs, ys, code)
+            lon, lat = transform(xs, ys)
             new_rings.append(list(zip(lon.tolist(), lat.tolist())))
             if lon.size:
                 fb = [min(fb[0], lon.min()), min(fb[1], lat.min()),
@@ -338,9 +371,10 @@ def _reproject_to_4326(out: dict) -> None:
     elif out["extent"] is not None:
         ex = np.array([out["extent"][0], out["extent"][2]], np.float64)
         ey = np.array([out["extent"][1], out["extent"][3]], np.float64)
-        lon, lat = geo.epsg_to_lonlat_np(ex, ey, code)
+        lon, lat = transform(ex, ey)
         out["extent"] = (float(lon[0]), float(lat[0]), float(lon[1]), float(lat[1]))
-    out["epsg_native"] = code
+    if code:
+        out["epsg_native"] = code
     out["epsg"] = 4326
 
 

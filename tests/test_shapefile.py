@@ -402,3 +402,63 @@ def test_lcc_layer_pip_join_end_to_end(spark, tmp_path):
     )
     got = {r["image_id"] for r in pip_join.pip_join(pts, polys, point_cols=("image_id",)).collect()}
     assert got == {"in1", "in2"}
+
+
+def test_unrecognized_lcc_wkt_reprojects_via_parameters():
+    """A State Plane zone OUTSIDE the marker table (PA South, ftUS) has no
+    EPSG identification but carries full PARAMETER values in its WKT —
+    the ingest reprojects from those instead of erroring (F2 breadth)."""
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+
+    wkt = ('PROJCS["NAD_1983_StatePlane_Pennsylvania_South_FIPS_3702_Feet",'
+           'GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",'
+           'SPHEROID["GRS_1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+           'UNIT["Degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic"],'
+           'PARAMETER["False_Easting",1968500.0],PARAMETER["False_Northing",0.0],'
+           'PARAMETER["Central_Meridian",-77.75],PARAMETER["Standard_Parallel_1",39.93333333333333],'
+           'PARAMETER["Standard_Parallel_2",40.96666666666667],'
+           'PARAMETER["Latitude_Of_Origin",39.33333333333334],'
+           'UNIT["Foot_US",0.3048006096012192]]')
+    # infer_epsg itself can't identify it
+    assert S.infer_epsg(wkt) == (None, "PROJECTED_UNKNOWN")
+    prm = geo.parse_projcs_params(wkt)
+    assert prm["proj"] == "lcc" and abs(prm["unit"] - 1200 / 3937) < 1e-12
+    lon = np.array([-77.0, -75.5, -75.5, -77.0, -77.0])
+    lat = np.array([39.8, 39.8, 40.6, 40.6, 39.8])
+    e, n = geo.params_forward_np(lon, lat, prm)
+    parsed = S.read_zip_shapefile(_lcc_zip(wkt, [list(zip(e.tolist(), n.tolist()))]))
+    assert parsed["errors"] == [] and parsed["epsg"] == 4326
+    ring = parsed["features"][0]["rings"][0]
+    np.testing.assert_allclose([p[0] for p in ring], lon, atol=1e-9)
+    np.testing.assert_allclose([p[1] for p in ring], lat, atol=1e-9)
+
+
+def test_authority_code_without_closed_form_uses_wkt_parameters():
+    """EPSG:2180 (Poland CS92, TM k0=0.9993) is AUTHORITY-identified but
+    has no built-in closed form; with PARAMETERs present it reprojects."""
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+
+    wkt = ('PROJCS["ETRS89 / Poland CS92",GEOGCS["ETRS89",DATUM["European_Terrestrial_'
+           'Reference_System_1989",SPHEROID["GRS 1980",6378137,298.257222101]],'
+           'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],'
+           'PARAMETER["central_meridian",19],PARAMETER["scale_factor",0.9993],'
+           'PARAMETER["false_easting",500000],PARAMETER["false_northing",-5300000],'
+           'UNIT["metre",1],AUTHORITY["EPSG","2180"]]')
+    assert S.infer_epsg(wkt) == (2180, None)
+    prm = geo.parse_projcs_params(wkt)
+    assert prm == {"proj": "tmerc", "lat0": 0.0, "lon0": 19.0, "k0": 0.9993,
+                   "fe": 500000.0, "fn": -5300000.0, "unit": 1.0}
+    lon = np.array([17.0, 21.0, 21.0, 17.0, 17.0])
+    lat = np.array([50.5, 50.5, 53.5, 53.5, 50.5])
+    e, n = geo.params_forward_np(lon, lat, prm)
+    parsed = S.read_zip_shapefile(_lcc_zip(wkt, [list(zip(e.tolist(), n.tolist()))]))
+    assert parsed["errors"] == [] and parsed["epsg"] == 4326
+    assert parsed["epsg_native"] == 2180
+    ring = parsed["features"][0]["rings"][0]
+    np.testing.assert_allclose([p[0] for p in ring], lon, atol=1e-9)
+    np.testing.assert_allclose([p[1] for p in ring], lat, atol=1e-9)
