@@ -43,6 +43,8 @@ MAGIC = {
     "jpeg": b"\xff\xd8\xff",
     "tiff_le": b"II*\x00",
     "tiff_be": b"MM\x00*",
+    "bigtiff_le": b"II+\x00",  # BigTIFF (version 43)
+    "bigtiff_be": b"MM\x00+",
     "riff": b"RIFF",  # wav/avi container
     "zip": b"PK\x03\x04",
     "sevenz": b"7z\xbc\xaf\x27\x1c",  # application/x-7z-compressed (P3)
@@ -60,6 +62,8 @@ def sniff_format(data: Column) -> Column:
         .when(head3 == F.lit(MAGIC["jpeg"]), F.lit("jpeg"))
         .when(head4 == F.lit(MAGIC["tiff_le"]), F.lit("tiff"))
         .when(head4 == F.lit(MAGIC["tiff_be"]), F.lit("tiff"))
+        .when(head4 == F.lit(MAGIC["bigtiff_le"]), F.lit("tiff"))
+        .when(head4 == F.lit(MAGIC["bigtiff_be"]), F.lit("tiff"))
         .when(head4 == F.lit(MAGIC["riff"]), F.lit("riff"))
         .when(head4 == F.lit(MAGIC["zip"]), F.lit("zip"))
         .when(F.substring(data, 1, 6) == F.lit(MAGIC["sevenz"]), F.lit("7z"))

@@ -31,7 +31,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+SHAPE_POINT = 1
+SHAPE_POLYLINE = 3
 SHAPE_POLYGON = 5
+SHAPE_MULTIPOINT = 8
+_SUPPORTED_SHAPES = {SHAPE_POINT, SHAPE_POLYLINE, SHAPE_POLYGON, SHAPE_MULTIPOINT}
 
 # .prj ESRI WKT -> EPSG. The reference resolves arbitrary ESRI WKT via
 # ImportFromESRI + AutoIdentifyEPSG with a web fallback
@@ -134,8 +138,13 @@ def parse_prj(prj_text: str) -> int | None:
 
 
 def parse_shp(data: bytes) -> tuple[tuple[float, float, float, float], list[dict]]:
-    """Parse a .shp: returns (file bbox, records). Each polygon record is
-    {'bbox': (..), 'rings': [[(x, y), ...], ...]}. Null shapes skipped."""
+    """Parse a .shp: returns (file bbox, records). Each record is
+    {'bbox': (..), 'rings': [[(x, y), ...], ...], 'kind': 'polygon' |
+    'polyline' | 'point'}. Points/multipoints become one-vertex "rings";
+    polyline parts parse exactly like polygon rings (identical wire
+    format, ESRI shapefile spec §polyline). Null shapes skipped. The
+    reference reads any OGR geometry (zipshputils.py:227-235); polygon-
+    only was an engine limitation, not a semantic."""
     if len(data) < 100 or struct.unpack(">i", data[:4])[0] != 9994:
         raise ValueError("not a shapefile")
     shape_type = struct.unpack("<i", data[32:36])[0]
@@ -148,7 +157,7 @@ def parse_shp(data: bytes) -> tuple[tuple[float, float, float, float], list[dict
         off += 8
         end = off + content_len * 2
         stype = struct.unpack("<i", data[off : off + 4])[0]
-        if stype == SHAPE_POLYGON:
+        if stype in (SHAPE_POLYGON, SHAPE_POLYLINE):
             rb = struct.unpack("<4d", data[off + 4 : off + 36])
             n_parts, n_points = struct.unpack("<ii", data[off + 36 : off + 44])
             parts = struct.unpack(f"<{n_parts}i", data[off + 44 : off + 44 + 4 * n_parts])
@@ -159,9 +168,19 @@ def parse_shp(data: bytes) -> tuple[tuple[float, float, float, float], list[dict
             for pi, start in enumerate(parts):
                 stop = parts[pi + 1] if pi + 1 < n_parts else n_points
                 rings.append(pts[start:stop])
-            records.append({"bbox": rb, "rings": rings})
+            records.append({"bbox": rb, "rings": rings,
+                            "kind": "polygon" if stype == SHAPE_POLYGON else "polyline"})
+        elif stype == SHAPE_POINT:
+            x, y = struct.unpack("<2d", data[off + 4 : off + 20])
+            records.append({"bbox": (x, y, x, y), "rings": [[(x, y)]], "kind": "point"})
+        elif stype == SHAPE_MULTIPOINT:
+            rb = struct.unpack("<4d", data[off + 4 : off + 36])
+            (n_points,) = struct.unpack("<i", data[off + 36 : off + 40])
+            flat = struct.unpack(f"<{2 * n_points}d", data[off + 40 : off + 40 + 16 * n_points])
+            pts = [[(flat[2 * i], flat[2 * i + 1])] for i in range(n_points)]
+            records.append({"bbox": rb, "rings": pts, "kind": "point"})
         off = end
-    if shape_type != SHAPE_POLYGON:
+    if shape_type not in _SUPPORTED_SHAPES:
         raise ValueError(f"unsupported shape type {shape_type}")
     return bbox, records
 
@@ -304,7 +323,8 @@ def read_zip_shapefile(zip_bytes: bytes) -> dict:
     if len(attrs) != len(records):
         attrs = attrs + [{}] * (len(records) - len(attrs))
     for rec, a in zip(records, attrs):
-        out["features"].append({"bbox": rec["bbox"], "rings": rec["rings"], "attrs": a})
+        out["features"].append({"bbox": rec["bbox"], "rings": rec["rings"],
+                                "attrs": a, "kind": rec.get("kind", "polygon")})
     _reproject_to_4326(out)
     return out
 
@@ -382,6 +402,7 @@ INGEST_SCHEMA = T.StructType(
     [
         T.StructField("source", T.StringType()),
         T.StructField("poly_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
         T.StructField("name", T.StringType()),
         T.StructField("xs", T.ArrayType(T.DoubleType())),
         T.StructField("ys", T.ArrayType(T.DoubleType())),
@@ -398,9 +419,12 @@ INGEST_SCHEMA = T.StructType(
 
 
 def ingest_zips(binary_files: DataFrame, name_attr: str = "STATE_NAME") -> DataFrame:
-    """binaryFile rows (path, content) -> polygons table. Invalid zips emit
+    """binaryFile rows (path, content) -> feature table. Invalid zips emit
     one row with the error list (P6 projection: errors as data, not
-    exceptions); valid ones emit one row per feature (outer ring)."""
+    exceptions); valid ones emit one row per feature. `kind` is
+    'polygon' | 'polyline' | 'point' — spatial join operators expecting
+    polygons filter kind == 'polygon'; point layers join via cell_id on
+    their single vertex."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -409,7 +433,7 @@ def ingest_zips(binary_files: DataFrame, name_attr: str = "STATE_NAME") -> DataF
                 parsed = read_zip_shapefile(bytes(content))
                 if parsed["errors"] or not parsed["features"]:
                     rows.append({
-                        "source": path, "poly_id": None, "name": None,
+                        "source": path, "poly_id": None, "kind": None, "name": None,
                         "xs": None, "ys": None, "ring_lens": None,
                         "minx": None, "miny": None,
                         "maxx": None, "maxy": None, "epsg": parsed["epsg"],
@@ -427,6 +451,7 @@ def ingest_zips(binary_files: DataFrame, name_attr: str = "STATE_NAME") -> DataF
                     rows.append({
                         "source": path,
                         "poly_id": f"{path.rsplit('/', 1)[-1]}:{i:05d}",
+                        "kind": f.get("kind", "polygon"),
                         "name": str(f["attrs"].get(name_attr, i)),
                         "xs": xs, "ys": ys, "ring_lens": lens,
                         "minx": f["bbox"][0], "miny": f["bbox"][1],

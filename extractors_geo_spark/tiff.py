@@ -48,8 +48,8 @@ _GK_CITATION = 1026
 _GK_GEOGRAPHIC_TYPE = 2048
 _GK_PROJECTED_CS = 3072
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d", 16: "Q", 17: "q"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 
 @dataclass
@@ -105,15 +105,16 @@ class TiffInfo:
         return (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
 
 
-def _read_ifd_values(data: bytes, bo: str, typ: int, cnt: int, raw: bytes):
+def _read_ifd_values(data: bytes, bo: str, typ: int, cnt: int, raw: bytes,
+                     big: bool = False):
     size = _TYPE_SIZE.get(typ)
     if size is None:
         return None
     total = size * cnt
-    if total <= 4:
+    if total <= (8 if big else 4):
         buf = raw[:total]
     else:
-        off = struct.unpack(bo + "I", raw)[0]
+        off = struct.unpack(bo + ("Q" if big else "I"), raw)[0]
         buf = data[off : off + total]
     if typ == 2:  # ascii
         return (buf.split(b"\x00")[0].decode("ascii", "replace"),)
@@ -128,15 +129,32 @@ def read_info(data: bytes) -> TiffInfo:
         raise ValueError("not a TIFF")
     bo = "<" if data[:2] == b"II" else ">"
     magic = struct.unpack(bo + "H", data[2:4])[0]
-    if magic != 42:
+    if magic == 42:  # classic TIFF
+        big = False
+        ifd_off = struct.unpack(bo + "I", data[4:8])[0]
+        n = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])[0]
+        entry_base, esz = ifd_off + 2, 12
+    elif magic == 43:  # BigTIFF: 8-byte offsets, 20-byte IFD entries
+        off_size, pad = struct.unpack(bo + "HH", data[4:8])
+        if off_size != 8 or pad != 0:
+            raise ValueError("bad BigTIFF header")
+        big = True
+        ifd_off = struct.unpack(bo + "Q", data[8:16])[0]
+        n = struct.unpack(bo + "Q", data[ifd_off : ifd_off + 8])[0]
+        entry_base, esz = ifd_off + 8, 20
+    else:
         raise ValueError("bad TIFF magic")
-    ifd_off = struct.unpack(bo + "I", data[4:8])[0]
-    n = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])[0]
     tags: dict[int, tuple] = {}
     for i in range(n):
-        e = data[ifd_off + 2 + 12 * i : ifd_off + 2 + 12 * (i + 1)]
-        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
-        vals = _read_ifd_values(data, bo, typ, cnt, e[8:12])
+        e = data[entry_base + esz * i : entry_base + esz * (i + 1)]
+        if big:
+            tag, typ = struct.unpack(bo + "HH", e[:4])
+            cnt = struct.unpack(bo + "Q", e[4:12])[0]
+            raw = e[12:20]
+        else:
+            tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+            raw = e[8:12]
+        vals = _read_ifd_values(data, bo, typ, cnt, raw, big)
         if vals is not None:
             tags[tag] = vals
 
@@ -399,14 +417,17 @@ def write_geotiff(
     predictor: int = 1,
     tile: tuple[int, int] | None = None,
     rows_per_strip: int | None = None,
+    big: bool = False,
 ) -> bytes:
     """Encode a single-band 2-D array as a little-endian GeoTIFF.
     Layout: one strip by default; `rows_per_strip` for multi-strip;
     `tile=(tw, th)` for tiled (tw/th should be multiples of 16 per spec).
     Compression: none / deflate (zlib) / lzw / packbits, with optional
-    horizontal-differencing predictor=2. Mirrors the tag set of the
-    reference fixture so read_info/read_pixels round-trip and the
-    extract_meta operator sees realistic input."""
+    horizontal-differencing predictor=2. `big=True` writes BigTIFF
+    (version 43, 8-byte offsets — the layout >4 GB rasters require; the
+    reader handles both). Mirrors the tag set of the reference fixture so
+    read_info/read_pixels round-trip and the extract_meta operator sees
+    realistic input."""
     arr = np.ascontiguousarray(arr)
     h, w = arr.shape
     kind_to_fmt = {"u": 1, "i": 2, "f": 3}
@@ -521,9 +542,16 @@ def write_geotiff(
 
     entries.sort(key=lambda t: t[0])
 
-    header = struct.pack("<2sHI", b"II", 42, 8)
-    ifd_size = 2 + 12 * len(entries) + 4
-    extra_base = 8 + ifd_size
+    if big:
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+        ifd_size = 8 + 20 * len(entries) + 8
+        extra_base = 16 + ifd_size
+        inline_cap = 8
+    else:
+        header = struct.pack("<2sHI", b"II", 42, 8)
+        ifd_size = 2 + 12 * len(entries) + 4
+        extra_base = 8 + ifd_size
+        inline_cap = 4
     data_off = extra_base + sum(len(p) for p in extra)
     offsets = []
     run = data_off
@@ -536,18 +564,33 @@ def write_geotiff(
     else:
         extra[off_extra_idx] = struct.pack(f"<{nb}I", *offsets)
 
-    out = [header, struct.pack("<H", len(entries))]
+    # readers (ours and the spec) treat any value with size*count <=
+    # inline_cap as INLINE — so a small _ext payload must be inlined at
+    # emission, never written as an offset
+    rel_to_payload = {}
+    rel = 0
+    for p in extra:
+        rel_to_payload[rel] = p
+        rel += len(p)
+
+    out = [header,
+           struct.pack("<Q", len(entries)) if big else struct.pack("<H", len(entries))]
+    ehdr = "<HHQ" if big else "<HHI"
     for tag, typ, cnt, val in entries:
         if isinstance(val, bytes):
-            out.append(struct.pack("<HHI", tag, typ, cnt) + val.ljust(4, b"\x00"))
+            out.append(struct.pack(ehdr, tag, typ, cnt) + val.ljust(inline_cap, b"\x00"))
         else:
             total = _TYPE_SIZE[typ] * cnt
-            if total <= 4 and typ in _TYPE_FMT:
-                packed = struct.pack("<" + _TYPE_FMT[typ], val).ljust(4, b"\x00")
-                out.append(struct.pack("<HHI", tag, typ, cnt) + packed)
+            if total <= inline_cap:
+                if typ in _TYPE_FMT and cnt == 1:
+                    packed = struct.pack("<" + _TYPE_FMT[typ], val).ljust(inline_cap, b"\x00")
+                else:
+                    packed = rel_to_payload[val][:total].ljust(inline_cap, b"\x00")
+                out.append(struct.pack(ehdr, tag, typ, cnt) + packed)
             else:
-                out.append(struct.pack("<HHII", tag, typ, cnt, extra_base + val))
-    out.append(struct.pack("<I", 0))  # next IFD
+                out.append(struct.pack(ehdr + ("Q" if big else "I"), tag, typ, cnt,
+                                       extra_base + val))
+    out.append(struct.pack("<Q" if big else "<I", 0))  # next IFD
     out.extend(extra)
     out.extend(payloads)
     return b"".join(out)

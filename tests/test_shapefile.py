@@ -462,3 +462,107 @@ def test_authority_code_without_closed_form_uses_wkt_parameters():
     ring = parsed["features"][0]["rings"][0]
     np.testing.assert_allclose([p[0] for p in ring], lon, atol=1e-9)
     np.testing.assert_allclose([p[1] for p in ring], lat, atol=1e-9)
+
+
+def _write_shp_typed(stype, records):
+    """Minimal .shp writer for point(1)/polyline(3)/multipoint(8) tests.
+    records: point -> (x, y); polyline -> [part, ...]; multipoint -> [(x,y)...]"""
+    import struct as _st
+
+    recs = b""
+    allx, ally = [], []
+    for rid, r in enumerate(records, 1):
+        if stype == 1:
+            content = _st.pack("<i", 1) + _st.pack("<2d", *r)
+            allx.append(r[0]); ally.append(r[1])
+        elif stype == 8:
+            xs = [p[0] for p in r]; ys = [p[1] for p in r]
+            allx += xs; ally += ys
+            content = _st.pack("<i", 8) + _st.pack("<4d", min(xs), min(ys), max(xs), max(ys))
+            content += _st.pack("<i", len(r))
+            for x, y in r:
+                content += _st.pack("<2d", x, y)
+        else:  # polyline
+            pts = [p for part in r for p in part]
+            xs = [p[0] for p in pts]; ys = [p[1] for p in pts]
+            allx += xs; ally += ys
+            content = _st.pack("<i", 3) + _st.pack("<4d", min(xs), min(ys), max(xs), max(ys))
+            content += _st.pack("<ii", len(r), len(pts))
+            start = 0
+            for part in r:
+                content += _st.pack("<i", start)
+                start += len(part)
+            for x, y in pts:
+                content += _st.pack("<2d", x, y)
+        recs += _st.pack(">ii", rid, len(content) // 2) + content
+    bbox = (min(allx), min(ally), max(allx), max(ally))
+    hdr = _st.pack(">i", 9994) + b"\x00" * 20 + _st.pack(">i", (100 + len(recs)) // 2)
+    hdr += _st.pack("<ii", 1000, stype) + _st.pack("<4d", *bbox) + _st.pack("<4d", 0, 0, 0, 0)
+    return hdr + recs
+
+
+def _typed_zip(stype, records):
+    import struct as _st
+    dbf = bytes([3, 24, 1, 1]) + _st.pack("<i", len(records)) + _st.pack("<hh", 33, 2) + b"\x00" * 20 + \
+          b"X".ljust(11, b"\x00") + b"C" + b"\x00" * 4 + bytes([1]) + b"\x00" * 15 + b"\x0d" + \
+          b" \x20" * len(records)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("t.shp", _write_shp_typed(stype, records))
+        z.writestr("t.shx", b"\x00" * 108)
+        z.writestr("t.dbf", dbf)
+    return buf.getvalue()
+
+
+def test_point_shapefile_parses_and_ingests(spark, tmp_path):
+    pts = [(-100.0, 40.0), (-99.5, 40.5), (-98.0, 41.0)]
+    parsed = S.read_zip_shapefile(_typed_zip(1, pts))
+    assert parsed["errors"] == []
+    assert [f["kind"] for f in parsed["features"]] == ["point"] * 3
+    assert parsed["features"][0]["rings"] == [[(-100.0, 40.0)]]
+    d = tmp_path / "z"
+    d.mkdir()
+    (d / "pts.zip").write_bytes(_typed_zip(1, pts))
+    rows = S.ingest_zip_dir(spark, str(d)).filter("size(errors) = 0").collect()
+    assert len(rows) == 3 and all(r["kind"] == "point" for r in rows)
+    assert rows[0]["minx"] == rows[0]["maxx"]  # degenerate bbox
+
+
+def test_polyline_shapefile_parses_with_parts():
+    lines = [[[(-100.0, 40.0), (-99.0, 40.2), (-98.0, 40.1)],
+              [(-97.0, 41.0), (-96.5, 41.5)]]]
+    parsed = S.read_zip_shapefile(_typed_zip(3, lines))
+    assert parsed["errors"] == []
+    f = parsed["features"][0]
+    assert f["kind"] == "polyline" and len(f["rings"]) == 2
+    assert f["rings"][1] == [(-97.0, 41.0), (-96.5, 41.5)]
+
+
+def test_multipoint_shapefile_parses():
+    parsed = S.read_zip_shapefile(_typed_zip(8, [[(-100.0, 40.0), (-99.0, 41.0)]]))
+    assert parsed["errors"] == []
+    f = parsed["features"][0]
+    assert f["kind"] == "point" and f["rings"] == [[(-100.0, 40.0)], [(-99.0, 41.0)]]
+
+
+def test_point_layer_reprojects_like_polygons():
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+
+    lon, lat = np.array([-122.3]), np.array([37.8])
+    e, n = geo.lonlat_to_epsg_np(lon, lat, 32610)
+    data = _typed_zip(1, [(float(e[0]), float(n[0]))])
+    # re-zip with a UTM .prj
+    src = zipfile.ZipFile(io.BytesIO(data))
+    buf = io.BytesIO()
+    prj = ('PROJCS["WGS_1984_UTM_Zone_10N",GEOGCS["GCS_WGS_1984"],'
+           'PROJECTION["Transverse_Mercator"],UNIT["Meter",1]]')
+    with zipfile.ZipFile(buf, "w") as z:
+        for nme in src.namelist():
+            z.writestr(nme, src.read(nme))
+        z.writestr("t.prj", prj)
+    parsed = S.read_zip_shapefile(buf.getvalue())
+    assert parsed["errors"] == [] and parsed["epsg"] == 4326
+    (p,) = parsed["features"][0]["rings"][0]
+    assert abs(p[0] - -122.3) < 1e-9 and abs(p[1] - 37.8) < 1e-9

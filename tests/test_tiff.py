@@ -194,3 +194,50 @@ def test_compressed_reencode_of_reference_fixture_golden_parity():
         st0 = tiff.band_stats(px0, -9999.0)
         st = tiff.band_stats(px, -9999.0)
         assert st == st0
+
+
+def test_bigtiff_roundtrip_all_layouts():
+    """BigTIFF (version 43, 8-byte offsets): the layout rasters over 4 GB
+    ship in. Write+read parity with the classic path across strip/tile and
+    compression variants, including geo tags."""
+    rng = np.random.default_rng(8)
+    arr = (rng.random((40, 56)) * 1000).astype(np.float64)
+    for kw in (dict(), dict(rows_per_strip=16), dict(tile=(16, 16)),
+               dict(compression="deflate", rows_per_strip=16),
+               dict(compression="lzw", tile=(16, 16))):
+        data = tiff.write_geotiff(arr, origin=(500000.0, 4200000.0),
+                                  pixel_size=(24.0, 24.0), epsg=32610,
+                                  nodata=-9999.0, big=True, **kw)
+        assert data[:4] == b"II+\x00", kw
+        info = tiff.read_info(data)
+        assert (info.width, info.height) == (56, 40)
+        assert info.epsg == 32610 and info.nodata == -9999.0
+        assert info.geotransform == (500000.0, 24.0, 0.0, 4200000.0, 0.0, -24.0)
+        np.testing.assert_array_equal(tiff.read_pixels(data, info), arr)
+        # classic and BigTIFF carry identical pixel/geo content
+        classic = tiff.write_geotiff(arr, origin=(500000.0, 4200000.0),
+                                     pixel_size=(24.0, 24.0), epsg=32610,
+                                     nodata=-9999.0, big=False, **kw)
+        np.testing.assert_array_equal(tiff.read_pixels(classic), arr)
+
+
+def test_bigtiff_through_extract_meta(spark):
+    """BigTIFF rows flow through the distributed decode path like classic
+    TIFFs (sniffed as 'tiff', meta extracted)."""
+    from pyspark.sql import functions as F
+
+    from extractors_geo_spark.operators import extract_meta as EM
+    from extractors_geo_spark.operators import multimodal as M
+
+    arr = np.arange(1200, dtype=np.float64).reshape(30, 40)
+    data = tiff.write_geotiff(arr, origin=(-100.0, 45.0), pixel_size=(0.01, 0.01),
+                              epsg=4326, big=True)
+    df = spark.createDataFrame([("b0", bytearray(data), 40, 30, "tiff", "cap", 1)],
+                               "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long")
+    assert M.sniff_format(F.col("bytes")) is not None
+    sniffed = df.select(M.sniff_format(F.col("bytes")).alias("s")).collect()[0]["s"]
+    assert sniffed == "tiff"
+    meta = EM.extract_meta(df, with_stats=True).collect()[0]
+    assert meta["error"] is None
+    assert meta["meta"]["epsg"] == 4326
+    assert abs(meta["meta"]["minx"] - -100.0) < 1e-9
