@@ -70,11 +70,49 @@ def pyramid_levels_for(w: int, h: int, levels=GDALADDO_LEVELS) -> list[int]:
     return [lv for lv in levels if lv <= min(w, h)]
 
 
-def overview_pyramid(images: DataFrame, levels=GDALADDO_LEVELS) -> DataFrame:
-    """images(image_id, bytes, fmt) -> one row per (image, level) with the
-    reduced float64 pixels re-encoded as raw little-endian bytes."""
+# Catmull-Rom (a = -0.5) 2x-decimation taps at source phase 0.5 — the
+# kernel gdaladdo's cubic resampler evaluates for a clean power-of-two
+# overview (GDAL overview.cpp, public source).
+_CUBIC_W = np.array([-0.0625, 0.5625, 0.5625, -0.0625])
+
+
+def reduce_2x_cubic(arr: np.ndarray, nodata: float | None = None) -> np.ndarray:
+    """Separable cubic-convolution 2x reduction (gdaladdo's default
+    overview resampler is cubic — preview.geotiff/ncsa.geo.tiff.py:188).
+    Nodata rasters fall back to the masked area-mean: a 4-tap kernel over
+    a nodata hole would bleed the fill value into real pixels."""
+    if nodata is not None:
+        return reduce_2x(arr, nodata)
+    h, w = arr.shape
+    if h % 2 or w % 2:
+        arr = np.pad(arr, ((0, h % 2), (0, w % 2)), mode="edge")
+        h, w = arr.shape
+    p = np.pad(arr.astype(np.float64), 1, mode="edge")
+    h2, w2 = h // 2, w // 2
+    v = sum(_CUBIC_W[k] * p[k : k + h : 2, :] for k in range(4))
+    return sum(_CUBIC_W[k] * v[:, k : k + w : 2] for k in range(4))
+
+
+def overview_pyramid(images: DataFrame, levels=GDALADDO_LEVELS,
+                     resampling: str = "mean", compress: str | None = None,
+                     jpeg_quality: int = 75) -> DataFrame:
+    """images(image_id, bytes, fmt) -> one row per (image, level).
+
+    Defaults keep the engine's exact-oracle behavior (area-mean, raw
+    float64 tile bytes). gdaladdo parity options: resampling='cubic'
+    (Catmull-Rom, the reference's resampler) and compress='jpeg' with
+    quality 75 (the reference's COMPRESS_OVERVIEW JPEG q75 default,
+    preview.geotiff/Dockerfile:36-37) — JPEG tiles are 8-bit, so pixels
+    are clipped to [0, 255] exactly as GDAL's Byte-overview path."""
+    if resampling not in ("mean", "cubic"):
+        raise ValueError("resampling must be 'mean' or 'cubic'")
+    if compress not in (None, "jpeg"):
+        raise ValueError("compress must be None or 'jpeg'")
+    reducer = reduce_2x if resampling == "mean" else reduce_2x_cubic
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .. import jpeg as _jpeg
+
         for b in batches:
             rows = []
             for iid, data, fmt in zip(b["image_id"], b["bytes"], b["fmt"]):
@@ -89,13 +127,19 @@ def overview_pyramid(images: DataFrame, levels=GDALADDO_LEVELS) -> DataFrame:
                 prev_level = 1
                 for lv in pyramid_levels_for(info.width, info.height, levels):
                     for _ in range(int(np.log2(lv // prev_level))):
-                        cur = reduce_2x(cur, info.nodata)
+                        cur = reducer(cur, info.nodata)
                     prev_level = lv
+                    if compress == "jpeg":
+                        payload = _jpeg.encode(
+                            np.clip(cur, 0, 255).astype(np.uint8), quality=jpeg_quality
+                        )
+                    else:
+                        payload = cur.astype("<f8").tobytes()
                     rows.append(
                         {
                             "image_id": iid, "level": lv,
                             "tw": cur.shape[1], "th": cur.shape[0],
-                            "tile": cur.astype("<f8").tobytes(),
+                            "tile": payload,
                         }
                     )
             yield pd.DataFrame(rows, columns=["image_id", "level", "tw", "th", "tile"])

@@ -160,3 +160,49 @@ def test_slice_tiles_written_back_to_snapshot_table(spark, tmp_path):
     assert v == 1
     back = table.read()
     assert back.count() == t.count() and "tile" in back.columns
+
+
+def test_pyramid_cubic_resampling_and_jpeg_overviews(spark):
+    """gdaladdo parity options: cubic (Catmull-Rom) resampling + JPEG q75
+    overview compression (preview.geotiff/Dockerfile:36-37)."""
+    import numpy as np
+
+    from extractors_geo_spark import jpeg as _jpeg
+    from extractors_geo_spark import tiff as _tiff
+    from extractors_geo_spark.operators.tiles import reduce_2x_cubic
+
+    # cubic on a LINEAR ramp reproduces the exact midpoint means (the
+    # Catmull-Rom taps sum to 1 and are symmetric): easy closed-form check
+    ramp = np.outer(np.arange(16, dtype=np.float64), np.ones(16))
+    red = reduce_2x_cubic(ramp)
+    assert red.shape == (8, 8)
+    # output row i averages around source row 2i + 0.5 (interior rows;
+    # edge rows see the replicated pad)
+    np.testing.assert_allclose(
+        red[1:-1, :], np.outer(2 * np.arange(8, dtype=np.float64)[1:-1] + 0.5,
+                               np.ones(8)), atol=1e-12)
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    smooth = np.clip(128 + 90 * np.sin(xx / 9) * np.cos(yy / 11), 0, 255).astype(np.float64)
+    data = _tiff.write_geotiff(smooth, epsg=4326)
+    df = spark.createDataFrame([("p0", bytearray(data), "tiff")],
+                               "image_id string, bytes binary, fmt string")
+    rows = tiles.overview_pyramid(df, levels=(2, 4), resampling="cubic",
+                                  compress="jpeg", jpeg_quality=75).collect()
+    assert [r["level"] for r in sorted(rows, key=lambda r: r["level"])] == [2, 4]
+    for r in rows:
+        dec = _jpeg.decode(bytes(r["tile"]))
+        assert dec.shape == (r["th"], r["tw"])
+        ref = smooth
+        for _ in range(int(np.log2(r["level"]))):
+            ref = reduce_2x_cubic(ref)
+        mse = ((dec.astype(float) - np.clip(ref, 0, 255)) ** 2).mean()
+        psnr = 99 if mse == 0 else 10 * np.log10(255**2 / mse)
+        assert psnr > 40, (r["level"], psnr)  # q75 on smooth data
+
+    # nodata rasters fall back to masked mean under cubic (no bleed)
+    nod = smooth.copy()
+    nod[:8, :8] = -9999.0
+    red = reduce_2x_cubic(nod, nodata=-9999.0)
+    assert (red[:4, :4] == -9999.0).all()
+    assert (red[8:, 8:] != -9999.0).all()
