@@ -909,6 +909,31 @@ def q_ngram_jaccard(spark, sf_dir):
     return out.select("a", "b", _fq(F.col("jaccard"), 10000).alias("jac_q"))
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """keep_canonical end-to-end: drop the higher-id member of every
+    near-dup pair (ngram-Jaccard blocked by source), return survivors."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, block_col="source", threshold=0.2)
+    return dedup.keep_canonical(d, pairs, id_col="doc_id").select("doc_id")
+
+
+def _sql_dedup_canonical() -> str:
+    words = f"list_filter(string_split({_SQL_NORM}, ' '), x -> x <> '')"
+    sh = (
+        f"list_distinct(list_transform(generate_series(0, GREATEST(len({words}) - 3, 0)), "
+        f"i -> {words}[i + 1] || ' ' || {words}[i + 2] || ' ' || {words}[i + 3]))"
+    )
+    return f"""
+WITH s AS (SELECT doc_id, source, {sh} AS sh FROM documents),
+losers AS (
+  SELECT DISTINCT r.doc_id AS b
+  FROM s l JOIN s r ON l.source = r.source AND l.doc_id < r.doc_id
+  WHERE len(list_intersect(l.sh, r.sh)) * 1.0 / len(list_distinct(l.sh || r.sh)) >= 0.2
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM losers)
+"""
+
+
 def _sql_ngram() -> str:
     words = f"list_filter(string_split({_SQL_NORM}, ' '), x -> x <> '')"
     sh = (
@@ -1326,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": q_minhash,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_canonical": q_dedup_canonical,
         "embedding_topk": q_embedding_topk,
         "label_centroid_sim": q_label_centroid_sim,
         "prj_epsg": q_prj_epsg,
@@ -1381,6 +1407,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash": SQL_MINHASH,
         "simhash": SQL_SIMHASH,
         "ngram_jaccard": SQL_NGRAM,
+        "dedup_canonical": _sql_dedup_canonical(),
         "embedding_topk": SQL_TOPK,
         "label_centroid_sim": SQL_CENTROID,
         "prj_epsg": SQL_PRJ,
