@@ -909,6 +909,40 @@ def q_ngram_jaccard(spark, sf_dir):
     return out.select("a", "b", _fq(F.col("jaccard"), 10000).alias("jac_q"))
 
 
+def q_cosine_pairs(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs over a bounded slice — the
+    pairwise cosine math (zip_with + aggregate, pure Catalyst) checked
+    against DuckDB's list arithmetic. The production LSH-blocked variant
+    (similarity.near_dup_pairs) is recall-tested separately; this oracle
+    pins the VERIFY stage's arithmetic both engines must agree on."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    l = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    r = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    cos = similarity.cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        l.join(r, F.col("a") < F.col("b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.2)
+        .select("a", "b", _fq(F.col("cosine"), 10000).alias("cos_q"))
+    )
+
+
+SQL_COSINE_PAIRS = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+d AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         list_sum(list_transform(generate_series(1, len(l.embedding)),
+                  i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)))
+         / GREATEST(
+             sqrt(list_sum(list_transform(l.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(r.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+           1e-30) AS cosine
+  FROM e l JOIN e r ON l.vec_id < r.vec_id)
+SELECT a, b, CAST(FLOOR(cosine * 10000) AS BIGINT) AS cos_q
+FROM d WHERE cosine >= 0.2
+"""
+
+
 def q_dedup_canonical(spark, sf_dir):
     """keep_canonical end-to-end: drop the higher-id member of every
     near-dup pair (ngram-Jaccard blocked by source), return survivors."""
@@ -1352,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_canonical": q_dedup_canonical,
+        "cosine_pairs": q_cosine_pairs,
         "embedding_topk": q_embedding_topk,
         "label_centroid_sim": q_label_centroid_sim,
         "prj_epsg": q_prj_epsg,
@@ -1408,6 +1443,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "ngram_jaccard": SQL_NGRAM,
         "dedup_canonical": _sql_dedup_canonical(),
+        "cosine_pairs": SQL_COSINE_PAIRS,
         "embedding_topk": SQL_TOPK,
         "label_centroid_sim": SQL_CENTROID,
         "prj_epsg": SQL_PRJ,
