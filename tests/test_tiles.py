@@ -206,3 +206,15 @@ def test_pyramid_cubic_resampling_and_jpeg_overviews(spark):
     red = reduce_2x_cubic(nod, nodata=-9999.0)
     assert (red[:4, :4] == -9999.0).all()
     assert (red[8:, 8:] != -9999.0).all()
+
+
+def test_xyz_tiles_antimeridian_wrap(spark):
+    """A wrapped footprint (minx > maxx) must cover [x0, n-1] + [0, x1] —
+    a bare sequence(x0, x1) DESCENDS in Spark and silently emitted the
+    complement tiles in reverse."""
+    m = spark.createDataFrame(
+        [("w", 170.0, -5.0, -170.0, 5.0), ("p", 100.0, -5.0, 110.0, 5.0)],
+        ["image_id", "minx", "miny", "maxx", "maxy"],
+    )
+    got = {(r["image_id"], r["x"]) for r in tiles.xyz_tiles(m, zooms=(3,)).collect()}
+    assert got == {("w", 7), ("w", 0), ("p", 6)}
