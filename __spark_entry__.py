@@ -909,6 +909,46 @@ def q_ngram_jaccard(spark, sf_dir):
     return out.select("a", "b", _fq(F.col("jaccard"), 10000).alias("jac_q"))
 
 
+def q_geojson_parse(spark, sf_dir):
+    """GeoJSON source parser over per-row generated FeatureCollections:
+    the REAL read_geojson runs in mapInPandas; the oracle re-derives the
+    bbox closed-form (both engines build the identical documents from the
+    derived points table)."""
+    import numpy as np
+    import pandas as pd
+
+    from extractors_geo_spark.sources import geojson as GJ
+
+    p = _points(spark, sf_dir)
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for pid, lon, lat in zip(b["point_id"], b["lon"], b["lat"]):
+                doc = (
+                    '{"type":"Feature","geometry":{"type":"Polygon","coordinates":'
+                    f'[[[{lon},{lat}],[{lon + 0.5},{lat}],[{lon + 0.5},{lat + 0.25}],'
+                    f'[{lon},{lat + 0.25}],[{lon},{lat}]]]}},"properties":{{}}}}'
+                )
+                parsed = GJ.read_geojson(doc)
+                f = parsed["features"][0]
+                rows.append({"point_id": pid, "n_rings": len(f["rings"]),
+                             "minx_q": int(np.floor(f["bbox"][0] * 100 + 0.5)),
+                             "maxy_q": int(np.floor(f["bbox"][3] * 100 + 0.5))})
+            yield pd.DataFrame(rows, columns=["point_id", "n_rings", "minx_q", "maxy_q"])
+
+    return p.mapInPandas(run, "point_id long, n_rings int, minx_q long, maxy_q long")
+
+
+SQL_GEOJSON_PARSE = f"""
+WITH p AS ({_POINTS_SQL})
+SELECT point_id, 1 AS n_rings,
+       CAST(FLOOR(lon * 100 + 0.5) AS BIGINT) AS minx_q,
+       CAST(FLOOR((lat + 0.25) * 100 + 0.5) AS BIGINT) AS maxy_q
+FROM p
+"""
+
+
 def q_cosine_pairs(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs over a bounded slice — the
     pairwise cosine math (zip_with + aggregate, pure Catalyst) checked
@@ -1387,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_canonical": q_dedup_canonical,
         "cosine_pairs": q_cosine_pairs,
+        "geojson_parse": q_geojson_parse,
         "embedding_topk": q_embedding_topk,
         "label_centroid_sim": q_label_centroid_sim,
         "prj_epsg": q_prj_epsg,
@@ -1444,6 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM,
         "dedup_canonical": _sql_dedup_canonical(),
         "cosine_pairs": SQL_COSINE_PAIRS,
+        "geojson_parse": SQL_GEOJSON_PARSE,
         "embedding_topk": SQL_TOPK,
         "label_centroid_sim": SQL_CENTROID,
         "prj_epsg": SQL_PRJ,
