@@ -312,6 +312,39 @@ class SnapshotTable:
             out.append({k: s[k] for k in ("version", "operation", "ts")})
         return out
 
+    def compact(self, target_rows_per_file: int = 1_000_000) -> int:
+        """Iceberg rewrite_data_files analog: merge buckets fragmented
+        into many small files back into one generation. A long-lived
+        MERGE/DELETE stream leaves each touched bucket with a file per
+        commit; reads then pay per-file open cost and min/max pruning
+        loses power (many overlapping ranges). Only buckets with more
+        than one file (or any file under target_rows_per_file) rewrite;
+        already-compact buckets carry by reference. Commits a new
+        snapshot; pair with expire_snapshots to reclaim the old files."""
+        snap = self.snapshot()
+        if not snap["files"]:
+            raise ValueError("empty table")
+        by_bucket: dict = {}
+        for f in snap["files"]:
+            by_bucket.setdefault(f["bucket"], []).append(f)
+        rewrite, carried = [], []
+        for b, fs in by_bucket.items():
+            small = [f for f in fs if (f["rows"] or 0) < target_rows_per_file]
+            if len(fs) > 1 and len(small) > 1:
+                rewrite.extend(fs)
+            else:
+                carried.extend(fs)
+        if not rewrite:
+            return self.current_version()
+        df = self.spark.read.parquet(*[f["path"] for f in rewrite])
+        v = self.current_version() + 1
+        new_files = self._write_files(df, v)
+        return self._commit(
+            carried + new_files, "compact",
+            {"files_before": len(rewrite), "files_after": len(new_files),
+             "files_carried": len(carried)},
+        )
+
     def expire_snapshots(self, retain_last: int = 5) -> dict:
         """Iceberg expire_snapshots analog: drop snapshot manifests older
         than the newest `retain_last` and delete data files no retained

@@ -158,3 +158,31 @@ def test_expire_snapshots_reclaims_files(spark, tmp_path):
     for v in (8, 9):
         for f in t.snapshot(v)["files"]:
             assert os.path.exists(f["path"])
+
+
+def test_compact_merges_fragmented_buckets(spark, tmp_path):
+    """rewrite_data_files analog: a delete-heavy history fragments buckets
+    into a file per commit; compact() merges them, preserves content
+    byte-for-byte, and expire_snapshots reclaims the fragments."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "ctbl"), bucket_key="k", n_buckets=2)
+    for gen in range(6):
+        t.append(spark.createDataFrame(
+            [(f"key{gen:02d}{i:02d}", gen * 100 + i) for i in range(20)], ["k", "v"]))
+    before = t.snapshot()
+    assert len(before["files"]) >= 10  # fragmented: ~2 files per append
+    want = {(r["k"], r["v"]) for r in t.read().collect()}
+
+    v = t.compact()
+    snap = t.snapshot(v)
+    assert snap["operation"] == "compact"
+    assert len(snap["files"]) <= 2  # one file per bucket
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == want
+    # time travel to pre-compact still works until expiry
+    assert t.read(version=v - 1).count() == 120
+    res = t.expire_snapshots(retain_last=1)
+    assert res["removed_files"] >= 10
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == want
+    # a second compact on an already-compact table is a no-op
+    assert t.compact() == t.current_version()
