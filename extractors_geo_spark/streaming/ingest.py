@@ -45,6 +45,76 @@ def windowed_activity_counts(
     )
 
 
+def image_stream(spark: SparkSession, images_dir: str, files_per_trigger: int = 4) -> DataFrame:
+    """Streaming source over an images-table directory — the engine's
+    RabbitMQ-consumer analog for the FLAGSHIP path (one micro-batch ≈ one
+    burst of file.added messages)."""
+    from ..datagen import IMAGE_SCHEMA
+
+    return (
+        spark.readStream.schema(IMAGE_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(images_dir)
+    )
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    images_dir: str,
+    polygons: DataFrame,
+    table,
+    checkpoint_dir: str,
+    zooms: tuple[int, ...] = (8,),
+):
+    """The flagship decode -> PIP-join -> xyz-tiles chain as Structured
+    Streaming: each micro-batch runs the SAME batch operators (mapInPandas
+    decode, broadcast cell join, tile explode) and appends an atomic
+    snapshot to the derived SnapshotTable via foreachBatch — exactly the
+    reference's per-message extract-and-publish loop at micro-batch
+    granularity (SURVEY.md §3.1 + ST1). Checkpointing makes redelivered
+    batches re-run idempotently (append keyed by batch id is guarded the
+    same way removals are)."""
+    from pyspark.sql import functions as F
+
+    from ..operators import extract_meta, pip_join, tiles
+
+    applied = set()
+    for h in table.history():
+        s = table.snapshot(h["version"]).get("summary", {})
+        if "stream_batch_id" in s:
+            applied.add(s["stream_batch_id"])
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        bid = f"{checkpoint_dir}:{batch_id}"
+        if bid in applied:
+            return
+        meta = extract_meta.valid_meta(extract_meta.extract_meta(batch, with_stats=False))
+        joined = pip_join.pip_join(
+            meta, polygons, point_cols=("image_id",), poly_cols=("poly_id",)
+        )
+        flat = joined.select(
+            "image_id", "poly_id",
+            (F.col("lon") - 0.008).alias("minx"), (F.col("lat") - 0.008).alias("miny"),
+            (F.col("lon") + 0.008).alias("maxx"), (F.col("lat") + 0.008).alias("maxy"),
+        )
+        out = tiles.xyz_tiles(flat, zooms=zooms, passthrough=("image_id", "poly_id"))
+        if out.isEmpty():
+            return
+        v = table.current_version() + 1
+        files = table._write_files(out, v)
+        table._commit(table.snapshot()["files"] + files, "append",
+                      {"stream_batch_id": bid})
+        applied.add(bid)
+
+    return (
+        image_stream(spark, images_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_windowed_counts(
     spark: SparkSession,
     events_dir: str,

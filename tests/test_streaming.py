@@ -239,3 +239,36 @@ def test_removal_snapshot_metadata_reads_are_o1_per_batch(spark, tmp_path):
     # >1 batch ran, but the manifest scan happened exactly once (at start)
     assert table.current_version() >= 3
     assert calls["history"] == 1
+
+
+def test_streaming_flagship_pipeline(spark, tmp_path):
+    """The decode -> PIP -> xyz-tiles flagship as Structured Streaming:
+    micro-batches append atomic snapshots; a restart with the same
+    checkpoint processes only new files; batch-id guard is idempotent."""
+    from extractors_geo_spark import datagen
+    from extractors_geo_spark.streaming import ingest as ING
+
+    images_dir = str(tmp_path / "imgs")
+    ckpt = str(tmp_path / "ck")
+    datagen.images_df(spark, 60, partitions=3).write.parquet(images_dir)
+    polys = datagen.polygons_df(spark)
+    table = SnapshotTable(spark, str(tmp_path / "tiles_tbl"))
+
+    q = ING.run_streaming_pipeline(spark, images_dir, polys, table, ckpt)
+    q.awaitTermination(180)
+    n1 = table.read().count()
+    assert n1 > 0
+    cols = set(table.read().columns)
+    assert {"image_id", "poly_id", "z", "x", "y"} <= cols
+
+    # more images arrive; same checkpoint -> only the delta processes
+    datagen.images_df(spark, 20, partitions=1).write.mode("append").parquet(images_dir)
+    q2 = ING.run_streaming_pipeline(spark, images_dir, polys, table, ckpt)
+    q2.awaitTermination(180)
+    n2 = table.read().count()
+    assert n2 > n1
+    # every snapshot came from a distinct batch id (idempotency key)
+    bids = [table.snapshot(h["version"]).get("summary", {}).get("stream_batch_id")
+            for h in table.history()]
+    bids = [b for b in bids if b]
+    assert len(bids) == len(set(bids)) and len(bids) >= 2
