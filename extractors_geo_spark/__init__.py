@@ -18,4 +18,38 @@ Layout:
   streaming/  per-partition lineage + checkpoint/resume, removal propagation
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API: `from extractors_geo_spark import pip_join` etc.
+    without importing pyspark-heavy modules at package import time (keeps
+    executor-side `import extractors_geo_spark.functions.geo` cheap)."""
+    import importlib
+
+    _API = {
+        "get_spark": ("extractors_geo_spark.session", "get_spark"),
+        "extract_meta": ("extractors_geo_spark.operators.extract_meta", None),
+        "cells": ("extractors_geo_spark.operators.cells", None),
+        "pip_join": ("extractors_geo_spark.operators.pip_join", None),
+        "bbox_join": ("extractors_geo_spark.operators.bbox_join", None),
+        "knn": ("extractors_geo_spark.operators.knn", None),
+        "tiles": ("extractors_geo_spark.operators.tiles", None),
+        "dedup": ("extractors_geo_spark.operators.dedup", None),
+        "similarity": ("extractors_geo_spark.operators.similarity", None),
+        "catalog": ("extractors_geo_spark.operators.catalog", None),
+        "multimodal": ("extractors_geo_spark.operators.multimodal", None),
+        "geo": ("extractors_geo_spark.functions.geo", None),
+        "text": ("extractors_geo_spark.functions.text", None),
+        "planner": ("extractors_geo_spark.plans.planner", None),
+        "shapefile": ("extractors_geo_spark.sources.shapefile", None),
+        "geojson": ("extractors_geo_spark.sources.geojson", None),
+        "SnapshotTable": ("extractors_geo_spark.sources.snapshot_table", "SnapshotTable"),
+        "run_with_lineage": ("extractors_geo_spark.streaming.lineage", "run_with_lineage"),
+        "propagate_removals": ("extractors_geo_spark.streaming.removal", "propagate_removals"),
+    }
+    if name not in _API:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    mod_name, attr = _API[name]
+    mod = importlib.import_module(mod_name)
+    return getattr(mod, attr) if attr else mod
