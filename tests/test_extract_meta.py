@@ -108,3 +108,37 @@ def test_extract_meta_on_compressed_tiled_fixture(spark):
         for k in ("minx", "miny", "maxx", "maxy"):
             assert abs(r["meta"][k] - base["meta"][k]) < 1e-9
         assert abs(r["stats"]["average"] - base["stats"]["average"]) < 1e-12
+
+
+def test_state_plane_lcc_raster_reprojects(spark):
+    """A GeoTIFF tagged with an LCC State Plane code (Texas Central,
+    EPSG:32139) now reprojects through extract_meta instead of erroring —
+    the raster leg of the round-3 LCC support."""
+    import numpy as np
+
+    from extractors_geo_spark import tiff
+    from extractors_geo_spark.functions import geo
+    from extractors_geo_spark.operators import extract_meta as EM
+
+    # native origin = Austin-ish projected coords, 30 m pixels
+    e0, n0 = geo.lonlat_to_epsg_np(np.array([-97.75]), np.array([30.3]), 32139)
+    arr = np.ones((50, 40), dtype=np.float64)
+    data = tiff.write_geotiff(arr, origin=(float(e0[0]), float(n0[0])),
+                              pixel_size=(30.0, 30.0), epsg=32139)
+    df = spark.createDataFrame(
+        [("sp", bytearray(data), 40, 50, "tiff", "c", 1)],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long")
+    row = EM.valid_meta(EM.extract_meta(df, with_stats=False)).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["meta"]["epsg"] == 32139
+    # centroid lands where the native origin says it should (lon/lat cols)
+    assert abs(r["lon"] - -97.75) < 0.02
+    assert abs(r["lat"] - 30.3) < 0.02
+    # 3857 extent is finite and plausibly central-Texas
+    import numpy as np
+
+    ex = r["extent_3857"]
+    lon2, lat2 = geo.merc_inverse_np(
+        np.array([(ex["minx"] + ex["maxx"]) / 2]), np.array([(ex["miny"] + ex["maxy"]) / 2]))
+    assert abs(lon2[0] - -97.75) < 0.05 and abs(lat2[0] - 30.3) < 0.05
