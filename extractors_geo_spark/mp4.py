@@ -1,0 +1,208 @@
+"""Pure-stdlib ISO-BMFF (MP4) sample extraction for JPEG-codec video
+tracks — the second fully-real video path next to MJPEG-in-AVI.
+
+Public-spec implementation (ISO/IEC 14496-12): walks moov/trak/mdia/
+minf/stbl, reads the sample tables (stsd sample-description fourcc,
+stsz sizes, stco/co64 chunk offsets, stsc sample-to-chunk runs, stts
+time deltas, mdhd timescale) and materializes per-sample byte ranges.
+Tracks whose sample description is 'jpeg'/'mjpa'/'AVDJ' decode with the
+in-repo T.81 codec; any other codec stays on the documented fake path.
+
+  write_mjpeg_mp4(frames, fps): uint8 arrays -> MP4 bytes (one video
+      track, codec 'jpeg', one chunk; used for fixtures AND as a real
+      encoder).
+  read_mjpeg_mp4(data): MP4 bytes -> {width, height, timescale,
+      timestamps_ms, frames: [jpeg bytes...]}. Raises ValueError when no
+      JPEG-codec video track exists.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import jpeg as _jpeg
+
+_JPEG_FOURCC = (b"jpeg", b"mjpa", b"AVDJ", b"MJPG")
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def _full(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(typ, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+def write_mjpeg_mp4(frames: list[np.ndarray], fps: int = 10, quality: int = 90) -> bytes:
+    """JPEG-encode frames into a minimal single-track 'jpeg'-codec MP4."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    samples = [_jpeg.encode(np.asarray(f, np.uint8), quality=quality) for f in frames]
+    n = len(samples)
+    timescale = 90000
+    delta = timescale // fps
+    duration = n * delta
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(samples)
+    # layout: ftyp | mdat | moov -> first sample offset is fixed up front
+    chunk_offset = len(ftyp) + 8
+
+    mvhd = _full(b"mvhd", 0, 0,
+                 struct.pack(">IIII", 0, 0, timescale, duration)
+                 + struct.pack(">iH H 8x 36s 24x", 0x00010000, 0x0100, 0,
+                               _MATRIX) + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 7,
+                 struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", duration)
+                 + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+                 + _MATRIX + struct.pack(">II", w << 16, h << 16))
+    mdhd = _full(b"mdhd", 0, 0,
+                 struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"video\x00")
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    # VisualSampleEntry 'jpeg'
+    vse = (b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_index
+           + b"\x00" * 16
+           + struct.pack(">HH", w, h)
+           + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+           + b"\x00" * 4 + struct.pack(">H", 1)          # frame count
+           + b"\x00" * 32                                 # compressor name
+           + struct.pack(">Hh", 24, -1))                  # depth, color table
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"jpeg", vse))
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                 + b"".join(struct.pack(">I", len(s)) for s in samples))
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+_MATRIX = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+
+
+def _walk(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("malformed MP4 box")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _find(data: bytes, start: int, end: int, typ: bytes):
+    for t, b0, b1 in _walk(data, start, end):
+        if t == typ:
+            return b0, b1
+    return None
+
+
+def read_mjpeg_mp4(data: bytes) -> dict:
+    """Extract the JPEG-codec video track's samples + timestamps."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an MP4")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov")
+    for t, b0, b1 in _walk(data, *moov):
+        if t != b"trak":
+            continue
+        tkhd = _find(data, b0, b1, b"tkhd")
+        mdia = _find(data, b0, b1, b"mdia")
+        if mdia is None:
+            continue
+        mdhd = _find(data, *mdia, b"mdhd")
+        minf = _find(data, *mdia, b"minf")
+        if minf is None or mdhd is None:
+            continue
+        stbl = _find(data, *minf, b"stbl")
+        if stbl is None:
+            continue
+        stsd = _find(data, *stbl, b"stsd")
+        if stsd is None:
+            continue
+        # stsd: version/flags(4) count(4) then entries (size4 fourcc4 ...)
+        fourcc = data[stsd[0] + 12 : stsd[0] + 16]
+        if fourcc not in _JPEG_FOURCC:
+            continue
+        # dimensions from the sample entry (offset 24/26 into the VSE tail)
+        vse = stsd[0] + 16
+        width, height = struct.unpack(">HH", data[vse + 24 : vse + 28])
+        ver = data[mdhd[0]]
+        timescale_off = mdhd[0] + (20 if ver == 1 else 12)
+        (timescale,) = struct.unpack(">I", data[timescale_off : timescale_off + 4])
+
+        def full_payload(span):
+            return span[0] + 4  # skip version/flags
+
+        sz = _find(data, *stbl, b"stsz")
+        p = full_payload(sz)
+        fixed, cnt = struct.unpack(">II", data[p : p + 8])
+        sizes = ([fixed] * cnt if fixed else
+                 list(struct.unpack(f">{cnt}I", data[p + 8 : p + 8 + 4 * cnt])))
+        co = _find(data, *stbl, b"stco")
+        if co is not None:
+            p = full_payload(co)
+            (nch,) = struct.unpack(">I", data[p : p + 4])
+            offsets = list(struct.unpack(f">{nch}I", data[p + 4 : p + 4 + 4 * nch]))
+        else:
+            co = _find(data, *stbl, b"co64")
+            p = full_payload(co)
+            (nch,) = struct.unpack(">I", data[p : p + 4])
+            offsets = list(struct.unpack(f">{nch}Q", data[p + 4 : p + 4 + 8 * nch]))
+        sc = _find(data, *stbl, b"stsc")
+        p = full_payload(sc)
+        (nsc,) = struct.unpack(">I", data[p : p + 4])
+        sc_rows = [struct.unpack(">III", data[p + 4 + 12 * i : p + 16 + 12 * i])
+                   for i in range(nsc)]
+        tt = _find(data, *stbl, b"stts")
+        p = full_payload(tt)
+        (ntt,) = struct.unpack(">I", data[p : p + 4])
+        tt_rows = [struct.unpack(">II", data[p + 4 + 8 * i : p + 12 + 8 * i])
+                   for i in range(ntt)]
+
+        # expand sample-to-chunk runs into per-sample byte ranges
+        frames: list[bytes] = []
+        si = 0
+        for ci, off in enumerate(offsets):
+            spc = 1
+            for first, per, _sdi in sc_rows:
+                if ci + 1 >= first:
+                    spc = per
+            pos = off
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                frames.append(data[pos : pos + sizes[si]])
+                pos += sizes[si]
+                si += 1
+        # expand time deltas into per-sample timestamps (ms)
+        ts = []
+        t_acc = 0
+        for cnt2, delta in tt_rows:
+            for _ in range(cnt2):
+                ts.append(int(t_acc * 1000 / timescale))
+                t_acc += delta
+        if not frames:
+            continue
+        return {"width": width, "height": height, "timescale": timescale,
+                "timestamps_ms": ts[: len(frames)], "frames": frames,
+                "duration_ms": int(t_acc * 1000 / timescale)}
+    raise ValueError("no JPEG-codec video track")

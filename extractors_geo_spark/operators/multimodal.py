@@ -310,6 +310,7 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
     other formats are fully fake (fake=True) or a clear stub error."""
 
     from .. import avi as _avi
+    from .. import mp4 as _mp4
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -336,8 +337,27 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                 duration_ms = None
                 if len(data) > 12 and data[4:8] == b"ftyp":
                     try:
-                        # REAL container parse: timestamps come from the
-                        # actual mvhd duration; only the frame PIXELS are
+                        # REAL end-to-end for JPEG-codec MP4 tracks: the
+                        # stbl sample tables give per-frame byte ranges +
+                        # timestamps; pixels decode with the T.81 codec
+                        parsed = _mp4.read_mjpeg_mp4(data)
+                    except ValueError:
+                        parsed = None
+                    if parsed is not None:
+                        dur = parsed["duration_ms"]
+                        tss = parsed["timestamps_ms"]
+                        for i, ts in enumerate(range(0, dur, every_ms)):
+                            fi = max(0, np.searchsorted(tss, ts, side="right") - 1)
+                            arr = _jpeg.decode(parsed["frames"][int(fi)])
+                            if arr.ndim == 3:
+                                arr = arr.astype(np.float64).mean(axis=2).astype(np.uint8)
+                            rows.append({"video_id": vid, "frame_idx": i, "ts_ms": ts,
+                                         "fw": arr.shape[1], "fh": arr.shape[0],
+                                         "frame": arr.tobytes()})
+                        continue
+                    try:
+                        # non-JPEG codec: REAL container parse still gives
+                        # real durations/timestamps; only frame PIXELS are
                         # stubbed (no H.264/H.265 codec in this container)
                         duration_ms = int(mp4_meta(data)["duration_s"] * 1000)
                     except ValueError:

@@ -240,3 +240,43 @@ def test_avi_rejects_non_mjpeg_stream():
     data[i : i + 4] = b"H264"
     with _pt.raises(ValueError):
         _avi.read_mjpeg_avi(bytes(data))
+
+
+def test_sample_frames_mjpeg_mp4_real_pixels(spark):
+    """JPEG-codec MP4 tracks decode REAL frame pixels via the stbl sample
+    tables (second real video path next to MJPEG-AVI)."""
+    import numpy as np
+
+    from extractors_geo_spark import mp4 as _mp4
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    src = [np.clip(128 + 100 * np.sin((xx + 5 * f) / 6), 0, 255).astype(np.uint8)
+           for f in range(10)]
+    data = _mp4.write_mjpeg_mp4(src, fps=5, quality=92)  # 2 s clip
+    df = spark.createDataFrame([("m0", bytearray(data))], "video_id string, bytes binary")
+    rows = sorted(M.sample_frames(df, every_ms=500, fake=False).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert [r["ts_ms"] for r in rows] == [0, 500, 1000, 1500]
+    for r in rows:
+        assert (r["fw"], r["fh"]) == (32, 24)
+        got = np.frombuffer(bytes(r["frame"]), np.uint8).reshape(24, 32)
+        want = src[int(r["ts_ms"] * 5 / 1000)]
+        mse = ((got.astype(float) - want.astype(float)) ** 2).mean()
+        assert (99 if mse == 0 else 10 * np.log10(255**2 / mse)) > 40
+
+
+def test_sample_frames_non_jpeg_mp4_keeps_real_duration_fake_pixels(spark):
+    """A non-JPEG MP4 still gets real mvhd timestamps with fake pixels —
+    unchanged contract for codecs the engine doesn't carry."""
+    import numpy as np
+
+    from extractors_geo_spark import mp4 as _mp4
+
+    data = bytearray(_mp4.write_mjpeg_mp4(
+        [np.zeros((8, 8), np.uint8) for _ in range(6)], fps=2))  # 3 s
+    i = bytes(data).find(b"jpeg", bytes(data).find(b"stsd"))
+    data[i : i + 4] = b"avc1"
+    df = spark.createDataFrame([("h264", bytes(data))], "video_id string, bytes binary")
+    rows = M.sample_frames(df, every_ms=1000, fake=True).collect()
+    assert [r["ts_ms"] for r in sorted(rows, key=lambda r: r["ts_ms"])] == [0, 1000, 2000]
+    assert all((r["fw"], r["fh"]) == (8, 8) for r in rows)  # fake pixels
