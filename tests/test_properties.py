@@ -108,3 +108,62 @@ def test_tiff_roundtrip_property(w, h, seed):
     mn, mx, mean, std = tiff.band_stats(arr, -1.0)
     assert abs(mean - arr.mean()) < 1e-9
     assert abs(std - arr.std()) < 1e-6 * max(1.0, arr.std())
+
+
+@given(st.floats(-123, -114), st.floats(32.5, 37.5),
+       st.sampled_from([2229, 26945, 2277, 32139, 2263, 32118, 3435, 26971]))
+@settings(max_examples=80, deadline=None)
+def test_state_plane_roundtrip_property(lon, lat, epsg):
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+
+    e, n = geo.lonlat_to_epsg_np(np.array([lon]), np.array([lat]), epsg)
+    lon2, lat2 = geo.epsg_to_lonlat_np(e, n, epsg)
+    assert abs(lon2[0] - lon) < 1e-9 and abs(lat2[0] - lat) < 1e-9
+
+
+@given(st.integers(1, 3000), st.integers(0, 3))
+@settings(max_examples=25, deadline=None)
+def test_flac_roundtrip_property(n, seed):
+    import numpy as np
+
+    from extractors_geo_spark import flac
+
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32768, n, dtype=np.int64).astype(np.int32)
+    out, rate, bps = flac.decode_pcm(flac.encode(pcm, 8000, block_size=256))
+    assert rate == 8000 and bps == 16
+    np.testing.assert_array_equal(out[:, 0], pcm)
+
+
+@given(st.integers(4, 40), st.integers(4, 40), st.integers(0, 5),
+       st.sampled_from([50, 75, 90]))
+@settings(max_examples=20, deadline=None)
+def test_progressive_equals_baseline_property(h, w, seed, q):
+    import numpy as np
+
+    from extractors_geo_spark import jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    assert np.array_equal(jpeg.decode(jpeg.encode_progressive(img, quality=q)),
+                          jpeg.decode(jpeg.encode(img, quality=q)))
+
+
+@given(st.lists(st.tuples(st.floats(-179, 179), st.floats(-85, 85)),
+                min_size=3, max_size=8))
+@settings(max_examples=50, deadline=None)
+def test_geojson_polygon_bbox_property(pts):
+    import json
+
+    from extractors_geo_spark.sources import geojson as GJ
+
+    ring = [[x, y] for x, y in pts] + [[pts[0][0], pts[0][1]]]
+    doc = json.dumps({"type": "Feature", "properties": {},
+                      "geometry": {"type": "Polygon", "coordinates": [ring]}})
+    parsed = GJ.read_geojson(doc)
+    assert parsed["errors"] == []
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    assert parsed["features"][0]["bbox"] == (min(xs), min(ys), max(xs), max(ys))
