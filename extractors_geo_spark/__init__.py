@@ -21,13 +21,7 @@ Layout:
 __version__ = "0.3.0"
 
 
-def __getattr__(name):
-    """Lazy top-level API: `from extractors_geo_spark import pip_join` etc.
-    without importing pyspark-heavy modules at package import time (keeps
-    executor-side `import extractors_geo_spark.functions.geo` cheap)."""
-    import importlib
-
-    _API = {
+_API = {
         "get_spark": ("extractors_geo_spark.session", "get_spark"),
         "extract_meta": ("extractors_geo_spark.operators.extract_meta", None),
         "cells": ("extractors_geo_spark.operators.cells", None),
@@ -47,9 +41,20 @@ def __getattr__(name):
         "SnapshotTable": ("extractors_geo_spark.sources.snapshot_table", "SnapshotTable"),
         "run_with_lineage": ("extractors_geo_spark.streaming.lineage", "run_with_lineage"),
         "propagate_removals": ("extractors_geo_spark.streaming.removal", "propagate_removals"),
-    }
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API: `from extractors_geo_spark import pip_join` etc.
+    without importing pyspark-heavy modules at package import time. The
+    resolved value is cached in module globals so each name imports once
+    per process."""
+    import importlib
+
     if name not in _API:
         raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
     mod_name, attr = _API[name]
     mod = importlib.import_module(mod_name)
-    return getattr(mod, attr) if attr else mod
+    val = getattr(mod, attr) if attr else mod
+    globals()[name] = val
+    return val

@@ -51,9 +51,13 @@ def bbox_join(
     broadcast_right: bool | None = None,
     r_size_hint: int | None = None,
 ) -> DataFrame:
-    """One row per intersecting (left box, right box) pair. Touch-only
-    boundaries count as intersecting (closed boxes, >= / <=), matching
-    SQL BETWEEN semantics so the oracle is declarative."""
+    """One row per DISJOINT INTERSECTION RECTANGLE of a (left, right)
+    pair — exactly one row for ordinary pairs; an antimeridian-wrapped box
+    meeting a partner on BOTH sides of the seam yields two rows (one per
+    rectangle). Touch-only boundaries count as intersecting (closed
+    boxes, >= / <=), matching SQL BETWEEN semantics so the oracle is
+    declarative. Consumers that need pair-level uniqueness over wrapped
+    data should dropDuplicates([l_id, r_id])."""
     lmx, lmy, lXx, lXy = (F.col(f"l_{c}") for c in l_cols)
     rmx, rmy, rXx, rXy = (F.col(f"r_{c}") for c in r_cols)
 

@@ -4,12 +4,13 @@ The engine treats non-TIFF payloads the way a 100 TB training-data
 pipeline does: bytes stay an opaque `binary` column, typed metadata
 travels beside them, and decode/feature stages are Arrow-batched
 mapInPandas operators whose SCHEMA, PARTITIONING and BATCH SHAPE are real
-and tested. TIFF, PNG, baseline JPEG and RIFF/WAVE decode for REAL
-(pure-Python codecs in ..tiff/..png/..jpeg and decode_wav below). Only
-the video decoder and non-WAV audio are stubbed: a clearly marked
-NotImplementedError path plus a deterministic fake used by tests
-(`fake=True`) that derives features from the byte content, keeping every
-Spark-side contract executable.
+and tested. TIFF (+BigTIFF), PNG, JPEG (baseline + progressive),
+RIFF/WAVE + FLAC audio, and MJPEG video (AVI and MP4 jpeg-codec tracks)
+decode for REAL (pure-Python codecs in ..tiff/..png/..jpeg/..flac/..avi/
+..mp4 and decode_wav below). Only mp3 audio and non-MJPEG video pixels
+are stubbed: a clearly marked NotImplementedError path plus a
+deterministic fake used by tests (`fake=True`) that derives features
+from the byte content, keeping every Spark-side contract executable.
 
 Operators:
   sniff_format       magic-byte detection (the reference's
@@ -158,7 +159,8 @@ def _sniff_py(data: bytes) -> str:
         return "png"
     if data[:3] == MAGIC["jpeg"]:
         return "jpeg"
-    if data[:4] in (MAGIC["tiff_le"], MAGIC["tiff_be"]):
+    if data[:4] in (MAGIC["tiff_le"], MAGIC["tiff_be"],
+                    MAGIC["bigtiff_le"], MAGIC["bigtiff_be"]):
         return "tiff"
     if data[:4] == MAGIC["riff"]:
         return "riff"
@@ -320,7 +322,9 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                 if _avi.is_avi(data):
                     try:
                         parsed = _avi.read_mjpeg_avi(data)
-                    except ValueError:
+                    except Exception:
+                        # malformed crawl bytes raise struct.error/Index-
+                        # Error too — NEVER kill the job, fall through
                         parsed = None
                     if parsed is not None:
                         fps = parsed["fps"] or 1.0
@@ -341,7 +345,7 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                         # stbl sample tables give per-frame byte ranges +
                         # timestamps; pixels decode with the T.81 codec
                         parsed = _mp4.read_mjpeg_mp4(data)
-                    except ValueError:
+                    except Exception:  # struct.error/IndexError included
                         parsed = None
                     if parsed is not None:
                         dur = parsed["duration_ms"]
@@ -360,7 +364,7 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                         # real durations/timestamps; only frame PIXELS are
                         # stubbed (no H.264/H.265 codec in this container)
                         duration_ms = int(mp4_meta(data)["duration_s"] * 1000)
-                    except ValueError:
+                    except Exception:  # malformed boxes: fall to fake/stub
                         duration_ms = None
                 seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
                 if duration_ms is None:
@@ -455,8 +459,9 @@ def audio_features(audios: DataFrame, fake: bool = True, id_col: str = "audio_id
                 if is_wav or data[:4] == b"fLaC":
                     try:
                         sig, rate = decode_wav(data) if is_wav else _flac.decode(data)
-                    except ValueError:
-                        sig = None  # malformed input: fake-fallback or drop
+                    except Exception:
+                        sig = None  # malformed input (ValueError/struct.
+                        # error/IndexError): fake-fallback or drop
                     if sig is not None:
                         dur = sig.size / rate
                         wlen = max(int(rate * window_ms / 1000), 1)

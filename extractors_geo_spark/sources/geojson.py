@@ -35,7 +35,10 @@ def _legacy_crs_epsg(obj: dict) -> tuple[int | None, str | None]:
     crs = obj.get("crs")
     if crs is None:
         return 4326, None
-    name = (crs.get("properties") or {}).get("name", "")
+    if not isinstance(crs, dict):
+        return None, "UNKNOWN_CRS"
+    props = crs.get("properties")
+    name = props.get("name", "") if isinstance(props, dict) else ""
     if name in ("urn:ogc:def:crs:OGC:1.3:CRS84", "urn:ogc:def:crs:OGC::CRS84"):
         return 4326, None
     m = _EPSG_RE.search(name)
@@ -103,10 +106,21 @@ def read_geojson(text: str | bytes) -> dict:
 
     ext = [float("inf"), float("inf"), float("-inf"), float("-inf")]
     for f in feats:
+        if not isinstance(f, dict):
+            continue
         geom = f.get("geometry")
         if not isinstance(geom, dict):
             continue
-        parsed = _geom_features(geom)
+        try:
+            parsed = _geom_features(geom)
+        except (TypeError, ValueError, IndexError, KeyError):
+            # malformed-but-valid-JSON coordinates (wrong nesting, string
+            # coords): one bad document must emit an error row, never kill
+            # the job — same contract as the shapefile path's BAD_SHP
+            out["errors"].append("BAD_GEOMETRY")
+            out["features"] = []
+            out["extent"] = None
+            return out
         if parsed is None:
             continue
         rings, kind = parsed
@@ -117,7 +131,9 @@ def read_geojson(text: str | bytes) -> dict:
         bbox = (min(xs), min(ys), max(xs), max(ys))
         ext = [min(ext[0], bbox[0]), min(ext[1], bbox[1]),
                max(ext[2], bbox[2]), max(ext[3], bbox[3])]
-        attrs = f.get("properties") or {}
+        attrs = f.get("properties")
+        if not isinstance(attrs, dict):
+            attrs = {}
         out["features"].append({"bbox": bbox, "rings": rings,
                                 "attrs": attrs, "kind": kind})
     if out["features"]:
@@ -135,7 +151,11 @@ def ingest_geojson(binary_files: DataFrame, name_attr: str = "name") -> DataFram
         for b in batches:
             rows = []
             for path, content in zip(b["path"], b["content"]):
-                parsed = read_geojson(bytes(content))
+                try:
+                    parsed = read_geojson(bytes(content))
+                except Exception:  # absolute backstop: never kill the job
+                    parsed = {"errors": ["BAD_GEOJSON"], "epsg": None,
+                              "features": []}
                 if parsed["errors"] or not parsed["features"]:
                     rows.append({
                         "source": path, "poly_id": None, "kind": None, "name": None,

@@ -77,6 +77,7 @@ def run_streaming_pipeline(
     from pyspark.sql import functions as F
 
     from ..operators import extract_meta, pip_join, tiles
+    from ..plans import planner
 
     applied = set()
     for h in table.history():
@@ -84,13 +85,21 @@ def run_streaming_pipeline(
         if "stream_batch_id" in s:
             applied.add(s["stream_batch_id"])
 
+    # the polygon side is FIXED for the stream's life: decide broadcast
+    # and rectangle-exactness ONCE here, not with probe jobs every batch
+    broadcast_polys = planner.should_broadcast(pip_join.polygon_cells(
+        polygons.select("poly_id", "xs", "ys", "minx", "miny", "maxx", "maxy"),
+        pip_join.DEFAULT_RES))
+    exact = not planner.all_rectangles(polygons)
+
     def on_batch(batch: DataFrame, batch_id: int) -> None:
         bid = f"{checkpoint_dir}:{batch_id}"
         if bid in applied:
             return
         meta = extract_meta.valid_meta(extract_meta.extract_meta(batch, with_stats=False))
         joined = pip_join.pip_join(
-            meta, polygons, point_cols=("image_id",), poly_cols=("poly_id",)
+            meta, polygons, point_cols=("image_id",), poly_cols=("poly_id",),
+            broadcast_polys=broadcast_polys, exact=exact,
         )
         flat = joined.select(
             "image_id", "poly_id",
@@ -98,8 +107,9 @@ def run_streaming_pipeline(
             (F.col("lon") + 0.008).alias("maxx"), (F.col("lat") + 0.008).alias("maxy"),
         )
         out = tiles.xyz_tiles(flat, zooms=zooms, passthrough=("image_id", "poly_id"))
-        if out.isEmpty():
-            return
+        # write directly: the DAG (decode + join) must run ONCE per batch —
+        # an isEmpty() pre-check would execute the whole pipeline twice.
+        # An empty batch commits an empty file list, which is harmless.
         v = table.current_version() + 1
         files = table._write_files(out, v)
         table._commit(table.snapshot()["files"] + files, "append",

@@ -74,7 +74,12 @@ def propagate_removals(
 
     def on_batch(batch: DataFrame, batch_id: int) -> None:
         bid = f"{checkpoint_dir}:{batch_id}"
-        if bid in applied or batch_id in applied:  # bare int: legacy commits
+        # NO bare-int legacy fallback: it would re-create the cross-stream
+        # collision this namespacing fixes (a fresh checkpoint's batch 0
+        # silently skipped because some old stream once committed 0).
+        # Re-applying a legacy-committed delete batch is idempotent —
+        # dropping one is data loss.
+        if bid in applied:
             return  # re-delivered batch: already committed
         removed = batch.filter(F.col("activity") == "removed").select(key).distinct()
         if removed.isEmpty():

@@ -118,3 +118,26 @@ def test_roundtrip_engine_minted_footprint(spark):
     assert parsed["errors"] == []
     assert parsed["features"][0]["bbox"] == (-104.0, 39.0, -103.0, 40.0)
     assert len(parsed["features"][0]["rings"][0]) == 5  # closed 5-point ring
+
+
+def test_malformed_documents_emit_error_rows_not_crashes(spark, tmp_path):
+    """Review finding: malformed-but-valid-JSON documents (bad coordinate
+    nesting, string coords, string crs) must emit error rows."""
+    bad1 = json.dumps({"type": "Feature", "properties": {},
+                       "geometry": {"type": "Polygon", "coordinates": [[1, 2]]}})
+    bad2 = json.dumps({"type": "Feature", "properties": {},
+                       "geometry": {"type": "Point", "coordinates": ["a", "b"]}})
+    bad3 = json.dumps({"type": "FeatureCollection", "features": [], "crs": "EPSG:4326"})
+    for doc, want in [(bad1, "BAD_GEOMETRY"), (bad2, "BAD_GEOMETRY"), (bad3, "UNKNOWN_CRS")]:
+        parsed = GJ.read_geojson(doc)
+        assert want in parsed["errors"], (doc, parsed)
+    # distributed: one bad file among good ones -> error row, job survives
+    d = tmp_path / "mix"
+    d.mkdir()
+    (d / "good.geojson").write_text(_fc([_feat(
+        {"type": "Polygon", "coordinates": [[[-101, 39], [-99, 39], [-99, 41], [-101, 41], [-101, 39]]]}, name="ok")]))
+    (d / "bad.geojson").write_text(bad1)
+    rows = GJ.ingest_geojson_dir(spark, str(d)).collect()
+    by_src = {r["source"].rsplit("/", 1)[-1]: r for r in rows}
+    assert by_src["good.geojson"]["errors"] == []
+    assert "BAD_GEOMETRY" in by_src["bad.geojson"]["errors"]

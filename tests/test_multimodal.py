@@ -280,3 +280,25 @@ def test_sample_frames_non_jpeg_mp4_keeps_real_duration_fake_pixels(spark):
     rows = M.sample_frames(df, every_ms=1000, fake=True).collect()
     assert [r["ts_ms"] for r in sorted(rows, key=lambda r: r["ts_ms"])] == [0, 1000, 2000]
     assert all((r["fw"], r["fh"]) == (8, 8) for r in rows)  # fake pixels
+
+
+def test_malformed_containers_never_kill_the_job(spark):
+    """Review finding: truncated AVI/MP4/FLAC bytes raise struct.error/
+    IndexError, not just ValueError — all must fall through to the
+    fake/error path, never fail the Spark task."""
+    import struct as _s
+
+    # truncated MP4 with a jpeg stsd but no sample-table bytes
+    bad_mp4 = (b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom"
+               + b"\x00\x00\x00\x10moov\x00\x00\x00\x08trak")
+    # AVI with an undersized avih
+    bad_avi = b"RIFF" + _s.pack("<I", 30) + b"AVI LIST" + _s.pack("<I", 10) + b"hdrlavih" + b"\x00\x02"
+    vids = spark.createDataFrame(
+        [("m", bad_mp4), ("a", bad_avi)], "video_id string, bytes binary")
+    rows = M.sample_frames(vids, every_ms=1000, fake=True).collect()
+    assert rows and all((r["fw"], r["fh"]) == (8, 8) for r in rows)  # all fake
+
+    bad_flac = b"fLaC\x80"  # truncated STREAMINFO header
+    auds = spark.createDataFrame([("f", bad_flac)], "audio_id string, bytes binary")
+    out = M.audio_features(auds, fake=True).collect()
+    assert len(out) == 1  # fake fallback, not a crash
