@@ -949,6 +949,48 @@ FROM p
 """
 
 
+def q_gpkg_parse(spark, sf_dir):
+    """GeoPackage source parser: per-row single-feature GPKG containers
+    built and parsed ON EXECUTORS (real SQLite + WKB round trip through
+    read_geopackage); the oracle re-derives the bbox closed-form from the
+    same doc_id-seeded coordinates."""
+    import numpy as np
+    import pandas as pd
+
+    from extractors_geo_spark.sources import geopackage as GP
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                x0 = -120.0 + (did * 7) % 500 / 10.0
+                y0 = 30.0 + (did * 13) % 150 / 10.0
+                ring = [(x0, y0), (x0 + 0.5, y0), (x0 + 0.5, y0 + 0.25),
+                        (x0, y0 + 0.25), (x0, y0)]
+                data = GP.write_geopackage(
+                    [{"rings": [ring], "kind": "polygon", "attrs": {"name": str(did)}}])
+                parsed = GP.read_geopackage(data)
+                f = parsed["features"][0]
+                rows.append({"doc_id": did,
+                             "kind": f["kind"],
+                             "minx_q": int(np.floor(f["bbox"][0] * 100 + 0.5)),
+                             "maxy_q": int(np.floor(f["bbox"][3] * 100 + 0.5))})
+            yield pd.DataFrame(rows, columns=["doc_id", "kind", "minx_q", "maxy_q"])
+
+    return d.mapInPandas(run, "doc_id long, kind string, minx_q long, maxy_q long")
+
+
+SQL_GPKG_PARSE = """
+SELECT doc_id, 'polygon' AS kind,
+       CAST(FLOOR((-120.0 + (doc_id * 7) % 500 / 10.0) * 100 + 0.5) AS BIGINT) AS minx_q,
+       CAST(FLOOR((30.0 + (doc_id * 13) % 150 / 10.0 + 0.25) * 100 + 0.5) AS BIGINT) AS maxy_q
+FROM documents
+"""
+
+
 def q_cosine_pairs(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs over a bounded slice — the
     pairwise cosine math (zip_with + aggregate, pure Catalyst) checked
@@ -1428,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "cosine_pairs": q_cosine_pairs,
         "geojson_parse": q_geojson_parse,
+        "gpkg_parse": q_gpkg_parse,
         "embedding_topk": q_embedding_topk,
         "label_centroid_sim": q_label_centroid_sim,
         "prj_epsg": q_prj_epsg,
@@ -1486,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": _sql_dedup_canonical(),
         "cosine_pairs": SQL_COSINE_PAIRS,
         "geojson_parse": SQL_GEOJSON_PARSE,
+        "gpkg_parse": SQL_GPKG_PARSE,
         "embedding_topk": SQL_TOPK,
         "label_centroid_sim": SQL_CENTROID,
         "prj_epsg": SQL_PRJ,
