@@ -755,6 +755,68 @@ GROUP BY ROLLUP(event_type, ubucket)
 """
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact continuous percentiles per group (Spark percentile == DuckDB
+    percentile_cont with linear interpolation)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(_fq(F.expr("percentile(o_totalprice, 0.5)"), 100).alias("p50_q"),
+             _fq(F.expr("percentile(o_totalprice, 0.9)"), 100).alias("p90_q"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_PERCENTILES = """
+SELECT o_orderpriority,
+       CAST(FLOOR(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) * 100) AS BIGINT) AS p50_q,
+       CAST(FLOOR(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) * 100) AS BIGINT) AS p90_q,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_pivot(spark, sf_dir):
+    """PIVOT (conditional aggregation) of per-user-bucket activity counts."""
+    ev = _t(spark, sf_dir, "events").withColumn("ubucket", F.pmod(F.col("user_id"), F.lit(4)))
+    kinds = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    return (
+        ev.groupBy("ubucket")
+        .pivot("event_type", sorted(kinds))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+# the column set must match Spark's pivot output: one column per kind
+SQL_PIVOT = """
+SELECT user_id % 4 AS ubucket,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'error')    AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY 1
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """LEFT SEMI join: customers having at least one high-value order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+"""
+
+
 def q_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1471,6 +1533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "geojson_parse": q_geojson_parse,
         "gpkg_parse": q_gpkg_parse,
+        "percentiles": q_percentiles,
+        "pivot": q_pivot,
+        "semi_join": q_semi_join,
         "embedding_topk": q_embedding_topk,
         "label_centroid_sim": q_label_centroid_sim,
         "prj_epsg": q_prj_epsg,
@@ -1530,6 +1595,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_pairs": SQL_COSINE_PAIRS,
         "geojson_parse": SQL_GEOJSON_PARSE,
         "gpkg_parse": SQL_GPKG_PARSE,
+        "percentiles": SQL_PERCENTILES,
+        "pivot": SQL_PIVOT,
+        "semi_join": SQL_SEMI_JOIN,
         "embedding_topk": SQL_TOPK,
         "label_centroid_sim": SQL_CENTROID,
         "prj_epsg": SQL_PRJ,
