@@ -607,6 +607,31 @@ WHERE rn = 1
 """
 
 
+def q_catalog_search(spark, sf_dir):
+    """CSW GetRecords bbox discovery (pycsw.extractor/pycswutils.py:89-109
+    semantics): records whose derived footprint intersects a query window
+    — the catalog-side twin of the WMS J1 contract, pure Catalyst."""
+    p = _points(spark, sf_dir)
+    recs = p.select(
+        "point_id",
+        (F.col("lon") - 0.05).alias("minx"), (F.col("lat") - 0.05).alias("miny"),
+        (F.col("lon") + 0.05).alias("maxx"), (F.col("lat") + 0.05).alias("maxy"),
+    )
+    qminx, qminy, qmaxx, qmaxy = -101.0, 33.0, -96.0, 38.0
+    return recs.filter(
+        (F.col("minx") <= qmaxx) & (F.col("maxx") >= qminx)
+        & (F.col("miny") <= qmaxy) & (F.col("maxy") >= qminy)
+    ).select("point_id")
+
+
+SQL_CATALOG_SEARCH = f"""
+WITH p AS ({_POINTS_SQL})
+SELECT point_id FROM p
+WHERE (lon - 0.05) <= -96.0 AND (lon + 0.05) >= -101.0
+  AND (lat - 0.05) <= 38.0 AND (lat + 0.05) >= 33.0
+"""
+
+
 def q_band_stats(spark, sf_dir):
     """A1 cross-image form: exact min/max/mean/stddev_pop per group
     (the GDAL GetStatistics(False, True) tuple)."""
@@ -1536,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "pivot": q_pivot,
         "semi_join": q_semi_join,
+        "catalog_search": q_catalog_search,
         "embedding_topk": q_embedding_topk,
         "label_centroid_sim": q_label_centroid_sim,
         "prj_epsg": q_prj_epsg,
@@ -1598,6 +1624,7 @@ def oracle_sql() -> dict[str, str]:
         "percentiles": SQL_PERCENTILES,
         "pivot": SQL_PIVOT,
         "semi_join": SQL_SEMI_JOIN,
+        "catalog_search": SQL_CATALOG_SEARCH,
         "embedding_topk": SQL_TOPK,
         "label_centroid_sim": SQL_CENTROID,
         "prj_epsg": SQL_PRJ,
