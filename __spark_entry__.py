@@ -801,28 +801,28 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# fixed datagen constants — passed to BOTH the Spark pivot and the oracle
+# SQL so the schemas agree on every scale slice, and the pivot never runs a
+# distinct()+collect() enumeration job (VERDICT r03 #10 / ADVICE r03)
+PIVOT_KINDS = ["click", "error", "purchase", "signup", "view"]
+
+
 def q_pivot(spark, sf_dir):
     """PIVOT (conditional aggregation) of per-user-bucket activity counts."""
     ev = _t(spark, sf_dir, "events").withColumn("ubucket", F.pmod(F.col("user_id"), F.lit(4)))
-    kinds = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
     return (
         ev.groupBy("ubucket")
-        .pivot("event_type", sorted(kinds))
+        .pivot("event_type", PIVOT_KINDS)
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
 
 
-# the column set must match Spark's pivot output: one column per kind
-SQL_PIVOT = """
-SELECT user_id % 4 AS ubucket,
-       COUNT(*) FILTER (event_type = 'click')    AS click,
-       COUNT(*) FILTER (event_type = 'error')    AS error,
-       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
-       COUNT(*) FILTER (event_type = 'signup')   AS signup,
-       COUNT(*) FILTER (event_type = 'view')     AS view
-FROM events GROUP BY 1
-"""
+# the column set must match Spark's pivot output: one column per kind,
+# generated from the SAME fixed list the Spark side pivots on
+SQL_PIVOT = "SELECT user_id % 4 AS ubucket, " + ", ".join(
+    f"COUNT(*) FILTER (event_type = '{k}') AS \"{k}\"" for k in PIVOT_KINDS
+) + " FROM events GROUP BY 1"
 
 
 def q_semi_join(spark, sf_dir):

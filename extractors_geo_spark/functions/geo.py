@@ -455,7 +455,10 @@ def point_in_ring_np(px, py, ring_xy: np.ndarray) -> np.ndarray:
     x2 = ring_xy[1:, 0][:, None]
     y2 = ring_xy[1:, 1][:, None]
     cond = (y1 > py) != (y2 > py)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # over: near-horizontal edges overflow the division; cond is False for
+    # exactly-horizontal edges and a huge xin still compares correctly, but
+    # without the suppression every batch floods executor logs with warnings
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         xin = (x2 - x1) * (py - y1) / (y2 - y1) + x1
     crossings = cond & (px < xin)
     return crossings.sum(axis=0) % 2 == 1

@@ -644,9 +644,16 @@ def _extend(bits: int, size: int) -> int:
 
 
 def _next_marker(data: bytes, pos: int) -> int:
-    """First position >= pos of a non-stuffing, non-RST marker."""
+    """First position >= pos of a non-stuffing, non-RST marker.
+
+    T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker code;
+    returning the FIRST 0xFF of such a run would read m=0xFF and a bogus
+    segment length, so skip to the last 0xFF of the run (ADVICE r03)."""
     n = len(data)
     while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] == 0xFF:
+            pos += 1  # fill byte: the marker (if any) starts at the LAST 0xFF
+            continue
         if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (0xD0 <= data[pos + 1] <= 0xD7):
             return pos
         pos += 1

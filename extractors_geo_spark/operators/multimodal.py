@@ -339,6 +339,7 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                                          "frame": arr.tobytes()})
                         continue
                 duration_ms = None
+                wellformed_mp4 = False
                 if len(data) > 12 and data[4:8] == b"ftyp":
                     try:
                         # REAL end-to-end for JPEG-codec MP4 tracks: the
@@ -364,13 +365,23 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                         # real durations/timestamps; only frame PIXELS are
                         # stubbed (no H.264/H.265 codec in this container)
                         duration_ms = int(mp4_meta(data)["duration_s"] * 1000)
+                        wellformed_mp4 = True
                     except Exception:  # malformed boxes: fall to fake/stub
                         duration_ms = None
                 seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
+                if not fake:
+                    if wellformed_mp4:
+                        # STUB: a genuinely unsupported-but-WELL-FORMED
+                        # codec. Real deployment decodes with ffmpeg here.
+                        raise NotImplementedError(
+                            "video codec not available in this container"
+                        )
+                    # malformed/truncated crawl bytes: drop the row (zero
+                    # frames) so callers can anti-join undecodable ids —
+                    # mirrors audio_features; never kills the Spark task
+                    # (ADVICE r03 medium)
+                    continue
                 if duration_ms is None:
-                    if not fake:
-                        # STUB: real deployment decodes with ffmpeg here.
-                        raise NotImplementedError("video codec not available in this container")
                     duration_ms = 2000 + seed % 8000  # 2-10 s
                 for i, ts in enumerate(range(0, duration_ms, every_ms)):
                     rng = np.random.Generator(np.random.PCG64(seed + i))

@@ -86,7 +86,9 @@ def _raycast_refine(joined: DataFrame, lon: str, lat: str) -> DataFrame:
         ppx = px.to_numpy(np.float64)[er]
         ppy = py.to_numpy(np.float64)[er]
         cond = (y1 > ppy) != (y2 > ppy)
-        with np.errstate(divide="ignore", invalid="ignore"):
+        # over="ignore": near-horizontal edges overflow the division but a
+        # huge xin still compares correctly — suppress the log flood
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xin = (x2 - x1) * (ppy - y1) / (y2 - y1) + x1
         crossing = cond & (ppx < xin)
         counts = np.bincount(er[crossing], minlength=n)

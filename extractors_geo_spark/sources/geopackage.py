@@ -120,10 +120,17 @@ def read_geopackage(data: bytes, layer: str | None = None) -> dict:
                 out["errors"].append("NO_FEATURE_LAYER")
                 return out
             table, srs_id = rows[0]
-            (gcol,) = con.execute(
+            gcol_row = con.execute(
                 "SELECT column_name FROM gpkg_geometry_columns WHERE table_name=?",
                 (table,),
             ).fetchone()
+            if gcol_row is None:
+                # gpkg_contents promised a feature layer but the geometry-
+                # columns registry has no row for it: errors-as-data, never
+                # a TypeError out of the tuple unpack (ADVICE r03)
+                out["errors"].append("NO_GEOMETRY_COLUMN")
+                return out
+            (gcol,) = gcol_row
             srs = con.execute(
                 "SELECT organization, organization_coordsys_id, definition "
                 "FROM gpkg_spatial_ref_sys WHERE srs_id=?", (srs_id,)

@@ -133,11 +133,35 @@ def run_with_lineage(
         # fresh run / full wave: NO filter — the scan is the bare source
         part = df if len(wave) == n_buckets else df.filter(bucket_expr.isin(wave))
         out = transform(part) if transform else part
+        if key_col not in out.columns:
+            raise ValueError(
+                f"mode='onepass' requires transform to preserve key_col "
+                f"{key_col!r} (the bucket of an output row is recomputed "
+                f"from its key); got columns {out.columns}. Use "
+                f"mode='serial' for key-dropping transforms."
+            )
         # the output row's bucket is recomputed from its (preserved) key;
         # dynamic overwrite replaces ONLY the partitions present in the
         # data, so committed buckets from earlier runs/waves are untouched
         out = out.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+        )
+        # Bound the file fan-out (VERDICT r03 #1): without this, EVERY
+        # upstream task holds rows of every bucket (the hash is uniform),
+        # so partitionBy opens T x B files per wave — ~6.4M at 100 TB.
+        # Shuffling on (bucket, salt) puts each bucket in at most
+        # ceil(P/B) tasks: total files per wave ~= P (the shuffle
+        # parallelism), independent of upstream task count. The shuffle
+        # moves post-transform rows only (no fat source columns re-read).
+        p = int(out.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        files_per_bucket = max(1, -(-p // n_buckets))
+        out = (
+            out.withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(17)), F.lit(files_per_bucket)),
+            )
+            .repartition(n_buckets * files_per_bucket, F.col("bucket"), F.col("_salt"))
+            .drop("_salt")
         )
         (
             out.write.mode("overwrite")

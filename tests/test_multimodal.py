@@ -174,9 +174,20 @@ def test_sample_frames_real_mp4_duration(spark):
     """MP4 timestamps come from the REAL mvhd duration, not the fake."""
     mp4 = _mini_mp4(duration_s=3.0)
     df = spark.createDataFrame([("v1", bytearray(mp4))], "video_id string, bytes binary")
-    rows = M.sample_frames(df, every_ms=500, fake=False).collect()
+    rows = M.sample_frames(df, every_ms=500, fake=True).collect()
     assert len(rows) == 6  # 3.0 s at 500 ms
     assert [r["ts_ms"] for r in rows] == [0, 500, 1000, 1500, 2000, 2500]
+
+
+def test_sample_frames_wellformed_unsupported_codec_raises(spark):
+    """ADVICE r03: fake=False raises ONLY for a well-formed container with
+    a genuinely unsupported codec (H.264 etc.) — never for malformed bytes."""
+    import pytest as _pt
+
+    mp4 = _mini_mp4(duration_s=3.0)  # valid boxes, non-JPEG track
+    df = spark.createDataFrame([("v1", bytearray(mp4))], "video_id string, bytes binary")
+    with _pt.raises(Exception, match="NotImplementedError|codec"):
+        M.sample_frames(df, every_ms=500, fake=False).collect()
 
 
 def test_gray_alpha_png_luminance_ignores_alpha():
@@ -223,10 +234,9 @@ def test_sample_frames_non_avi_fake_mode_unchanged(spark):
     df = spark.createDataFrame([("vz", bytearray(b"\x00" * 64))], "video_id string, bytes binary")
     rows = M.sample_frames(df, every_ms=1000, fake=True).collect()
     assert rows and all((r["fw"], r["fh"]) == (8, 8) for r in rows)
-    import pytest as _pt
-
-    with _pt.raises(Exception):
-        M.sample_frames(df, every_ms=1000, fake=False).collect()
+    # ADVICE r03 (medium): malformed/truncated bytes with fake=False DROP
+    # the row (zero frames, anti-joinable) instead of killing the task
+    assert M.sample_frames(df, every_ms=1000, fake=False).count() == 0
 
 
 def test_avi_rejects_non_mjpeg_stream():
