@@ -1267,10 +1267,67 @@ FROM (SELECT c_custkey AS id, c_custkey % 6 AS cs, (c_custkey % 60) + 1 AS zone
 # non-SQL-expressible operators (rows-only checks): real image pipeline
 # ---------------------------------------------------------------------------
 def q_flagship_pip(spark, sf_dir):
-    imgs = datagen.images_df(spark, 1500, partitions=16)
+    """Flagship pipeline WITH a full DuckDB oracle (VERDICT r03 #9): real
+    GeoTIFF bytes (4326 + UTM/Krueger routes, png/non-geo rejects) ->
+    extract_meta -> exact ray-cast PIP join. The SQL-twin datagen derives
+    routing and centroids from LCG integer arithmetic, so the oracle
+    regenerates the centroids exactly and ray-casts them against the same
+    inlined polygon edges — the extraction round trip (<=1e-13 deg) and
+    the join logic are both under rows+schema+hash."""
+    imgs = datagen.images_df_sql_twin(spark, 1500, partitions=16)
     meta = extract_meta.valid_meta(extract_meta.extract_meta(imgs, with_stats=False))
     polys = datagen.polygons_df(spark)
-    return pip_join.pip_join(meta, polys)
+    return pip_join.pip_join(
+        meta, polys, point_cols=("image_id", "caption")
+    ).select("image_id", "caption", "poly_id", "name")
+
+
+def _sql_flagship_pip() -> str:
+    """DuckDB twin of q_flagship_pip: regenerate the SQL-twin centroids
+    (identical double-arithmetic evaluation order as
+    datagen.sql_twin_centroid), inline the polygon layer's 4 edges per
+    quad at full float precision, even-odd ray cast, odd-crossings = hit.
+    e0-suffixed literals force DOUBLE (a bare decimal literal would be
+    DECIMAL and round differently)."""
+    pd_polys = datagen.make_polygons()
+    edges = []
+    for rec in pd_polys.itertuples(index=False):
+        for j in range(4):
+            edges.append(
+                f"('{rec.poly_id}','{rec.name}',CAST('{rec.xs[j]!r}' AS DOUBLE),"
+                f"CAST('{rec.ys[j]!r}' AS DOUBLE),CAST('{rec.xs[j+1]!r}' AS DOUBLE),"
+                f"CAST('{rec.ys[j+1]!r}' AS DOUBLE))"
+            )
+    c0, c1, c2, c3 = ("-124.731422e0", "24.955967e0", "-66.969849e0", "49.371735e0")
+    return f"""
+WITH raw AS (
+  SELECT i,
+         ((i * 1103515245 + 12345) % 2147483648) / 2147483648e0 AS u1,
+         ((i * 69069 + 1) % 2147483648) / 2147483648e0 AS u2,
+         CASE (i // 5) % 3 WHEN 0 THEN -118.24e0 WHEN 1 THEN -87.63e0 ELSE -74.01e0 END AS mx,
+         CASE (i // 5) % 3 WHEN 0 THEN 34.05e0 WHEN 1 THEN 41.88e0 ELSE 40.71e0 END AS my
+  FROM range(1500) t(i)
+  WHERE i % 25 >= 2
+), pts AS (
+  SELECT printf('img%08d', i) AS image_id,
+         printf('caption for img%08d', i) AS caption,
+         CASE WHEN i % 5 = 0
+              THEN LEAST(GREATEST(mx + (u1 - 0.5e0) * 0.7e0, {c0}), {c2})
+              ELSE {c0} + ({c2} - {c0}) * u1 END AS lon,
+         CASE WHEN i % 5 = 0
+              THEN LEAST(GREATEST(my + (u2 - 0.5e0) * 0.7e0, {c1}), {c3})
+              ELSE {c1} + ({c3} - {c1}) * u2 END AS lat
+  FROM raw
+), edges(poly_id, name, x1, y1, x2, y2) AS (
+  VALUES {",".join(edges)}
+)
+SELECT p.image_id, p.caption, e.poly_id, e.name
+FROM pts p JOIN edges e
+  ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+ AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+GROUP BY 1, 2, 3, 4
+HAVING COUNT(*) % 2 = 1
+"""
 
 
 def q_tile_pyramid(spark, sf_dir):
@@ -1566,8 +1623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_sim": q_label_centroid_sim,
         "prj_epsg": q_prj_epsg,
         "lcc_forward": q_lcc_forward,
-        # rows-only (no SQL oracle): real image pipeline + approximate ops
         "flagship_pip": q_flagship_pip,
+        # rows-only (no SQL oracle): real image pipeline + approximate ops
         "tile_pyramid": q_tile_pyramid,
         "tile_slice": q_tile_slice,
         "ann_lsh": q_ann_lsh,
@@ -1629,4 +1686,5 @@ def oracle_sql() -> dict[str, str]:
         "label_centroid_sim": SQL_CENTROID,
         "prj_epsg": SQL_PRJ,
         "lcc_forward": _lcc_oracle_sql(),
+        "flagship_pip": _sql_flagship_pip(),
     }

@@ -125,6 +125,77 @@ def images_df(spark: SparkSession, n: int, px: int = 16, partitions: int | None 
     return spark.range(0, n, 1, parts).mapInPandas(gen, IMAGE_SCHEMA)
 
 
+# --------------------------------------------------- SQL-twin image datagen
+# Same table shape and pipeline realism as images_df (real GeoTIFF bytes,
+# UTM + rejection routes, metro skew), but routing and centroids come from
+# LCG integer-hash arithmetic a DuckDB oracle reproduces EXACTLY in SQL —
+# this is what lets the flagship PIP query graduate from rows-only to a
+# full rows+schema+hash oracle (VERDICT r03 #9). Every float op below is
+# plain double arithmetic with the identical evaluation order used in
+# __spark_entry__.SQL_FLAGSHIP_PIP.
+def sql_twin_centroid(i: int) -> tuple[float, float]:
+    u1 = ((i * 1103515245 + 12345) % 2147483648) / 2147483648.0
+    u2 = ((i * 69069 + 1) % 2147483648) / 2147483648.0
+    if i % 5 == 0:  # 20% metro skew, uniform box instead of a normal draw
+        mx, my = METROS[(i // 5) % 3]
+        lon = min(max(mx + (u1 - 0.5) * 0.7, CONUS[0]), CONUS[2])
+        lat = min(max(my + (u2 - 0.5) * 0.7, CONUS[1]), CONUS[3])
+    else:
+        lon = CONUS[0] + (CONUS[2] - CONUS[0]) * u1
+        lat = CONUS[1] + (CONUS[3] - CONUS[1]) * u2
+    return lon, lat
+
+
+def make_image_row_sql_twin(i: int, px: int = 16) -> dict:
+    """Routes by i%25: 0 -> png (P2 rejection), 1 -> non-geo tiff (P1),
+    2-3 -> UTM raster (Krueger round trip), 4-24 -> 4326 raster."""
+    r = _rng(i, "img")  # pixel content only — never drives the oracle
+    lon, lat = sql_twin_centroid(i)
+    w = h = px
+    route = i % 25
+    arr = (r.random((h, w)) * 10.0).astype(np.float64)
+    caption = f"caption for img{i:08d}"
+    if route == 0:
+        fmt = "png"
+        data = b"\x89PNG\r\n\x1a\n" + _struct.pack("<I", i) + arr.tobytes()[:64]
+    elif route == 1:
+        fmt = "tiff"
+        data = tiff.write_geotiff(arr, epsg=None, nodata=-9999.0)
+    elif route in (2, 3):
+        fmt = "tiff"
+        zone = int((lon + 180.0) // 6) + 1
+        e, n = (float(v) for v in _geo.utm_forward_np(lon, lat, zone))
+        pxm = 24.0
+        data = tiff.write_geotiff(
+            arr, origin=(e - w / 2 * pxm, n + h / 2 * pxm), pixel_size=(pxm, pxm),
+            epsg=32600 + zone, nodata=-9999.0, citation=f"WGS 84 / UTM zone {zone}N",
+        )
+    else:
+        fmt = "tiff"
+        pxd = 0.001
+        data = tiff.write_geotiff(
+            arr, origin=(lon - w / 2 * pxd, lat + h / 2 * pxd), pixel_size=(pxd, pxd),
+            epsg=4326, nodata=-9999.0, citation="WGS 84",
+        )
+    phash = int.from_bytes(hashlib.sha256(arr.tobytes()).digest()[:8], "little", signed=True)
+    return {
+        "image_id": f"img{i:08d}", "bytes": data, "w": w, "h": h,
+        "fmt": fmt, "caption": caption, "phash": phash,
+    }
+
+
+def images_df_sql_twin(spark: SparkSession, n: int, px: int = 16,
+                       partitions: int | None = None) -> DataFrame:
+    parts = partitions or max(8, min(256, n // 2000 or 8))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [make_image_row_sql_twin(int(i), px) for i in b["id"]]
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, IMAGE_SCHEMA)
+
+
 # ------------------------------------------------------------------ polygons
 POLY_SCHEMA = T.StructType(
     [
