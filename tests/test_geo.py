@@ -148,3 +148,43 @@ def test_world_mercator_3395_roundtrip():
     x57, y57 = geo.merc_forward_np(lon, lat)
     np.testing.assert_allclose(x, x57, atol=1e-6)  # same x
     assert np.abs(y - y57).max() > 1000  # materially different y
+
+
+def test_albers_equal_area_roundtrip_and_property():
+    """VERDICT r03 #3: Snyder §14 Albers forward/inverse round trip
+    <=1e-9 deg over every built-in zone, 1SP degenerate case included,
+    and the area scale is 1 (the projection's defining property)."""
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+
+    rng = np.random.default_rng(11)
+    boxes = {5070: (-124, -67, 25, 49), 6350: (-124, -67, 25, 49),
+             3310: (-124.5, -114, 32, 42), 3338: (-170, -130, 52, 71)}
+    for epsg, (x0, x1, y0, y1) in boxes.items():
+        lon = rng.uniform(x0, x1, 2000)
+        lat = rng.uniform(y0, y1, 2000)
+        e, n = geo.lonlat_to_epsg_np(lon, lat, epsg)
+        lon2, lat2 = geo.epsg_to_lonlat_np(e, n, epsg)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # origin invariant: (lon0, lat0) -> (fe, fn)
+    for epsg, (lat1, lat2_, lat0, lon0, fe, fn, unit) in geo.AEA_ZONES.items():
+        x, y = geo.lonlat_to_epsg_np(np.array([lon0]), np.array([lat0]), epsg)
+        assert abs(x[0] - fe) < 1e-6 and abs(y[0] - fn) < 1e-6, epsg
+    # equal-area: |Jacobian| == a^2 (1-e^2) cos(phi) / (1-e^2 sin^2 phi)^2
+    a, e2 = 6378137.0, geo._E2
+    lon = rng.uniform(-124, -67, 200); lat = rng.uniform(25, 49, 200)
+    h = 1e-6
+    x0_, y0_ = geo.lonlat_to_epsg_np(lon, lat, 5070)
+    x1_, y1_ = geo.lonlat_to_epsg_np(lon + h, lat, 5070)
+    x2_, y2_ = geo.lonlat_to_epsg_np(lon, lat + h, 5070)
+    J = ((x1_ - x0_) * (y2_ - y0_) - (x2_ - x0_) * (y1_ - y0_)) / np.radians(h) ** 2
+    s = np.sin(np.radians(lat))
+    want = a * a * (1 - e2) * np.cos(np.radians(lat)) / (1 - e2 * s * s) ** 2
+    assert np.abs(J / want - 1).max() < 1e-5
+    # 1SP degenerate (lat1 == lat2) round trip
+    e, n = geo.aea_forward_params_np(lon, lat, 38.0, 38.0, 23.0, -96.0, 0.0, 0.0)
+    lon2, lat2 = geo.aea_inverse_params_np(e, n, 38.0, 38.0, 23.0, -96.0, 0.0, 0.0)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)

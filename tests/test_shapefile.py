@@ -566,3 +566,74 @@ def test_point_layer_reprojects_like_polygons():
     assert parsed["errors"] == [] and parsed["epsg"] == 4326
     (p,) = parsed["features"][0]["rings"][0]
     assert abs(p[0] - -122.3) < 1e-9 and abs(p[1] - 37.8) < 1e-9
+
+
+ALBERS_102003_WKT = (
+    'PROJCS["USA_Contiguous_Albers_Equal_Area_Conic",'
+    'GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",'
+    'SPHEROID["GRS_1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+    'UNIT["Degree",0.0174532925199433]],PROJECTION["Albers"],'
+    'PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Central_Meridian",-96.0],PARAMETER["Standard_Parallel_1",29.5],'
+    'PARAMETER["Standard_Parallel_2",45.5],PARAMETER["Latitude_Of_Origin",37.5],'
+    'UNIT["Meter",1.0]]'
+)
+
+
+def test_albers_prj_reprojects_via_parameters():
+    """VERDICT r03 #3 done-criterion: a real Albers .prj (ESRI 102003 USA
+    Contiguous — NOT the blacklisted 102008) has no EPSG identification
+    but reprojects from its own PARAMETER values through ingest."""
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+
+    assert S.infer_epsg(ALBERS_102003_WKT) == (None, "PROJECTED_UNKNOWN")
+    prm = geo.parse_projcs_params(ALBERS_102003_WKT)
+    assert prm["proj"] == "aea" and prm["lat1"] == 29.5 and prm["lat0"] == 37.5
+    lon = np.array([-105.0, -95.0, -95.0, -105.0, -105.0])
+    lat = np.array([35.0, 35.0, 42.0, 42.0, 35.0])
+    e, n = geo.params_forward_np(lon, lat, prm)
+    parsed = S.read_zip_shapefile(_lcc_zip(ALBERS_102003_WKT, [list(zip(e.tolist(), n.tolist()))]))
+    assert parsed["errors"] == [] and parsed["epsg"] == 4326
+    ring = parsed["features"][0]["rings"][0]
+    np.testing.assert_allclose([p[0] for p in ring], lon, atol=1e-9)
+    np.testing.assert_allclose([p[1] for p in ring], lat, atol=1e-9)
+
+
+def test_albers_layer_pip_join_end_to_end(spark, tmp_path):
+    """Albers-native polygon layer (meters) joins lon/lat points correctly
+    after ingest reprojection, through the full zip-dir -> PIP pipeline."""
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+    from extractors_geo_spark.operators import pip_join
+
+    prm = geo.parse_projcs_params(ALBERS_102003_WKT)
+    lon = np.array([-105.0, -95.0, -95.0, -105.0, -105.0])
+    lat = np.array([35.0, 35.0, 42.0, 42.0, 35.0])
+    e, n = geo.params_forward_np(lon, lat, prm)
+    zp = tmp_path / "zips"
+    zp.mkdir()
+    (zp / "aea.zip").write_bytes(_lcc_zip(ALBERS_102003_WKT, [list(zip(e.tolist(), n.tolist()))]))
+    polys = S.ingest_zip_dir(spark, str(zp)).filter("size(errors) = 0")
+    pts = spark.createDataFrame(
+        [("in1", -100.0, 38.0), ("in2", -96.5, 41.0),
+         ("out1", -90.0, 38.0), ("out2", -100.0, 45.0)],
+        ["image_id", "lon", "lat"],
+    )
+    got = {r["image_id"] for r in pip_join.pip_join(pts, polys, point_cols=("image_id",)).collect()}
+    assert got == {"in1", "in2"}
+
+
+def test_north_america_albers_102008_stays_blacklisted():
+    """zipshputils.py:210-217 parity: adding the Albers math must NOT
+    unblacklist 102008 — its full-parameter WKT still errors."""
+    wkt_102008 = ALBERS_102003_WKT.replace(
+        "USA_Contiguous_Albers_Equal_Area_Conic",
+        "North_America_Albers_Equal_Area_Conic",
+    ).replace('PARAMETER["Latitude_Of_Origin",37.5]',
+              'PARAMETER["Latitude_Of_Origin",40.0]')
+    z = _mini_zip({"x.shp": b"\x00" * 10, "x.shx": b"", "x.dbf": b"", "x.prj": wkt_102008.encode()})
+    parsed = S.read_zip_shapefile(z)
+    assert "BLACKLISTED_PROJECTION" in parsed["errors"] and not parsed["features"]
