@@ -33,14 +33,19 @@ Semantics:
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fs as xfs
 from ..operators import catalog as _catalog
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same version first (optimistic CAS
+    lost). Operations retry internally; this escapes only past the cap."""
 
 # collect delete/update keys to the driver for min/max file pruning only
 # below this cardinality; above it, prune by bucket alone (still 1/n_buckets
@@ -76,35 +81,63 @@ def _prunable(a, b) -> bool:
 
 
 class SnapshotTable:
+    """`metadata_fs` / `metadata_root` (optional) route VERSION/snapshot
+    manifest IO through an explicit pyarrow FileSystem (e.g. a
+    SubTreeFileSystem in tests, an S3FileSystem in production); data
+    files always move through Spark's own Hadoop FS layer under `root`.
+    Commits are optimistic-CAS: the snapshot manifest for version N+1 is
+    created exclusively, so two concurrent committers (a removal stream
+    racing compact(), VERDICT r03 #5) linearize — the loser recomputes on
+    top of the winner's snapshot and commits the next version."""
+
     def __init__(self, spark: SparkSession, root: str,
-                 bucket_key: str | None = None, n_buckets: int = 16):
+                 bucket_key: str | None = None, n_buckets: int = 16,
+                 metadata_fs=None, metadata_root: str | None = None):
         self.spark = spark
         self.root = root
         self.bucket_key = bucket_key
         self.n_buckets = n_buckets
-        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        self.fs, self.meta_root = xfs.resolve(
+            metadata_root if metadata_root is not None else root, metadata_fs
+        )
+        self.data_fs, self.data_root = xfs.resolve(root)
+        xfs.mkdirs(self.fs, xfs.join(self.meta_root, "snapshots"))
+        xfs.mkdirs(self.data_fs, xfs.join(self.data_root, "data"))
+        self._scheme = root.split("://", 1)[0] if "://" in root else None
 
     # ------------------------------------------------------------- plumbing
+    def _spark_path(self, fs_path: str) -> str:
+        """Manifest entries store data-fs paths; Spark reads need the
+        scheme back for object stores (identical for local paths)."""
+        return f"{self._scheme}://{fs_path}" if self._scheme else fs_path
+
     def _version_path(self) -> str:
-        return os.path.join(self.root, "VERSION")
+        return xfs.join(self.meta_root, "VERSION")
 
     def current_version(self) -> int:
-        try:
-            with open(self._version_path()) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return 0
+        """max(pointer, newest snapshot manifest): a committer that won
+        the CAS but crashed before moving the pointer is still committed
+        (its manifest exists), so the next reader/writer heals forward."""
+        txt = xfs.read_text(self.fs, self._version_path())
+        ptr = int(txt.strip()) if txt else 0
+        vs = [
+            int(i.base_name[1:7])
+            for i in xfs.listdir(self.fs, xfs.join(self.meta_root, "snapshots"))
+            if i.base_name.startswith("v") and i.base_name.endswith(".json")
+        ]
+        return max([ptr] + vs)
 
     def _snapshot_path(self, v: int) -> str:
-        return os.path.join(self.root, "snapshots", f"v{v:06d}.json")
+        return xfs.join(self.meta_root, "snapshots", f"v{v:06d}.json")
 
     def snapshot(self, v: int | None = None) -> dict:
         v = v or self.current_version()
         if v == 0:
             return {"version": 0, "files": [], "operation": "empty", "ts": 0}
-        with open(self._snapshot_path(v)) as f:
-            snap = json.load(f)
+        txt = xfs.read_text(self.fs, self._snapshot_path(v))
+        if txt is None:
+            raise ValueError(f"no snapshot v{v}")
+        snap = json.loads(txt)
         # tolerate legacy manifests that listed bare path strings
         snap["files"] = [
             f if isinstance(f, dict) else {"path": f, "bucket": None,
@@ -118,10 +151,10 @@ class SnapshotTable:
 
     def _file_stats(self, path: str, key: str | None) -> dict:
         """min/max of the key column + row count from the parquet footer —
-        a driver-side metadata read, never a data scan."""
+        a driver-side metadata read (through the data fs), never a scan."""
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(path).metadata
+        md = pq.read_metadata(path, filesystem=self.data_fs)
         out = {"rows": md.num_rows, "min_key": None, "max_key": None}
         if key is None:
             return out
@@ -145,25 +178,27 @@ class SnapshotTable:
         """Write df as immutable data files; bucketed by key when the table
         has a bucket_key (one hive dir per bucket so the file->bucket map is
         exact), flat otherwise. Returns manifest entries with footer stats."""
-        d = os.path.join(self.root, "data", f"{v:06d}-{uuid.uuid4().hex[:8]}")
+        gen = f"{v:06d}-{uuid.uuid4().hex[:8]}"
+        d_spark = f"{self.root.rstrip('/')}/data/{gen}"  # Spark writes here
+        d = xfs.join(self.data_root, "data", gen)  # data-fs view of it
         key = self.bucket_key
-        targets: list[tuple[str, int | None]] = []  # (path, bucket)
+        targets: list[tuple[str, int | None]] = []  # (data-fs path, bucket)
         if key is not None:
             (df.withColumn("_bucket", self._bucket_expr(key))
                .repartition("_bucket")
-               .write.partitionBy("_bucket").mode("overwrite").parquet(d))
-            for bdir in sorted(os.listdir(d)):
-                if not bdir.startswith("_bucket="):
+               .write.partitionBy("_bucket").mode("overwrite").parquet(d_spark))
+            for info in xfs.listdir(self.data_fs, d):
+                if not info.base_name.startswith("_bucket="):
                     continue
-                b = int(bdir.split("=", 1)[1])
-                for f in sorted(os.listdir(os.path.join(d, bdir))):
-                    if f.endswith(".parquet"):
-                        targets.append((os.path.join(d, bdir, f), b))
+                b = int(info.base_name.split("=", 1)[1])
+                for fi in xfs.listdir(self.data_fs, info.path):
+                    if fi.path.endswith(".parquet"):
+                        targets.append((fi.path, b))
         else:
-            df.write.mode("overwrite").parquet(d)
-            for f in sorted(os.listdir(d)):
-                if f.endswith(".parquet"):
-                    targets.append((os.path.join(d, f), None))
+            df.write.mode("overwrite").parquet(d_spark)
+            for fi in xfs.listdir(self.data_fs, d):
+                if fi.path.endswith(".parquet"):
+                    targets.append((fi.path, None))
         # footer reads are independent metadata fetches; a serial loop
         # serializes the commit path at 10^5+ files per commit (VERDICT r02)
         from concurrent.futures import ThreadPoolExecutor
@@ -174,22 +209,40 @@ class SnapshotTable:
             {"path": p, "bucket": b, **st} for (p, b), st in zip(targets, stats)
         ]
 
-    def _commit(self, files: list[dict], operation: str, summary: dict | None = None) -> int:
-        v = self.current_version() + 1
+    def _commit(self, files: list[dict], operation: str,
+                summary: dict | None = None, base: int | None = None) -> int:
+        """Optimistic CAS commit (VERDICT r03 #5): exclusively create the
+        manifest for version base+1 — exactly one of two racing writers
+        wins; the loser gets CommitConflict and must recompute from the
+        winner's snapshot. The pointer then advances monotonically (a
+        crash between manifest and pointer is healed by
+        current_version()'s max-over-manifests)."""
+        if base is None:
+            base = self.current_version()
+        v = base + 1
         snap = {"version": v, "files": files, "operation": operation,
                 "ts": time.time(), "summary": summary or {}}
-        with open(self._snapshot_path(v), "w") as f:
-            json.dump(snap, f)
-        tmp = self._version_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._version_path())  # atomic latest pointer
+        if not xfs.create_exclusive(self.fs, self._snapshot_path(v), json.dumps(snap)):
+            raise CommitConflict(f"version {v} was committed by another writer")
+        txt = xfs.read_text(self.fs, self._version_path())
+        if v > (int(txt.strip()) if txt else 0):
+            xfs.replace_text(self.fs, self._version_path(), str(v))
         return v
 
+    def _retrying(self, attempt, attempts: int = 5):
+        """Run attempt(base_version) with CAS-conflict retry. Data files a
+        losing attempt wrote become unreferenced orphans; expire_snapshots
+        reclaims whole generations with no surviving references."""
+        for _ in range(attempts):
+            try:
+                return attempt(self.current_version())
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"lost the commit race {attempts} times in a row")
+
     # --------------------------------------------------------- file pruning
-    def _touched_split(self, key_df: DataFrame, key: str) -> tuple[list[dict], list[dict], dict]:
+    def _touched_split(self, key_df: DataFrame, key: str,
+                       base: int | None = None) -> tuple[list[dict], list[dict], dict]:
         """Split current files into (touched, carried) for a batch of keys.
         Bucket pruning always applies; min/max file pruning applies when the
         key batch is small enough to collect."""
@@ -209,7 +262,7 @@ class SnapshotTable:
         touched, carried = [], []
         import bisect
 
-        for f in self.snapshot()["files"]:
+        for f in self.snapshot(base)["files"]:
             hit = f["bucket"] is None or f["bucket"] in buckets
             if hit and keys_sorted is not None and f["min_key"] is not None:
                 # native-key-space range check, only when both sides provably
@@ -236,80 +289,97 @@ class SnapshotTable:
         snap = self.snapshot(version)
         if not snap["files"]:
             raise ValueError("empty table")
-        return self.spark.read.parquet(*[f["path"] for f in snap["files"]])
+        return self.spark.read.parquet(*[self._spark_path(f["path"]) for f in snap["files"]])
 
     def append(self, df: DataFrame) -> int:
-        v = self.current_version() + 1
-        new_files = self._write_files(df, v)
-        return self._commit(self.snapshot()["files"] + new_files, "append",
-                            {"added_files": len(new_files)})
+        def attempt(base: int) -> int:
+            new_files = self._write_files(df, base + 1)
+            return self._commit(self.snapshot(base)["files"] + new_files, "append",
+                                {"added_files": len(new_files)}, base=base)
+
+        return self._retrying(attempt)
 
     def overwrite(self, df: DataFrame) -> int:
-        v = self.current_version() + 1
-        files = self._write_files(df, v)
-        return self._commit(files, "overwrite", {"files": len(files)})
+        def attempt(base: int) -> int:
+            files = self._write_files(df, base + 1)
+            return self._commit(files, "overwrite", {"files": len(files)}, base=base)
+
+        return self._retrying(attempt)
 
     def merge(self, updates: DataFrame, key: str, order_col: str,
               summary_extra: dict | None = None) -> int:
         """MERGE INTO: latest-wins upsert (Iceberg MERGE analog). With a
         bucket_key, only files in buckets containing updated keys are
         rewritten; the rest carry by reference."""
-        if self.bucket_key is None or self.current_version() == 0:
-            try:
-                current = self.read()
-                merged = _catalog.upsert(current, updates, key=key, order_col=order_col)
-            except ValueError:
+        def attempt(base: int) -> int:
+            if self.bucket_key is None or base == 0:
+                try:
+                    current = self.read(version=base) if base else None
+                    merged = (_catalog.upsert(current, updates, key=key, order_col=order_col)
+                              if current is not None else updates)
+                except ValueError:
+                    merged = updates
+                files = self._write_files(merged, base + 1)
+                return self._commit(files, "merge",
+                                    {"key": key, **(summary_extra or {})}, base=base)
+            assert key == self.bucket_key, "merge key must match table bucket_key"
+            touched, carried, stats = self._touched_split(updates, key, base=base)
+            if touched:
+                current_touched = self.spark.read.parquet(
+                    *[self._spark_path(f["path"]) for f in touched])
+                merged = _catalog.upsert(current_touched, updates, key=key, order_col=order_col)
+            else:
                 merged = updates
-            v = self.current_version() + 1
-            files = self._write_files(merged, v)
-            return self._commit(files, "merge", {"key": key, **(summary_extra or {})})
-        assert key == self.bucket_key, "merge key must match table bucket_key"
-        touched, carried, stats = self._touched_split(updates, key)
-        if touched:
-            current_touched = self.spark.read.parquet(*[f["path"] for f in touched])
-            merged = _catalog.upsert(current_touched, updates, key=key, order_col=order_col)
-        else:
-            merged = updates
-        v = self.current_version() + 1
-        new_files = self._write_files(merged, v)
-        return self._commit(carried + new_files, "merge",
-                            {"key": key, **stats, **(summary_extra or {})})
+            new_files = self._write_files(merged, base + 1)
+            return self._commit(carried + new_files, "merge",
+                                {"key": key, **stats, **(summary_extra or {})}, base=base)
+
+        return self._retrying(attempt)
 
     def delete_keys(self, keys: DataFrame, key: str,
                     summary_extra: dict | None = None) -> int:
         """DELETE WHERE key IN (...) — the file.removed path (J3/K6). With a
         bucket_key, anti-joins and rewrites only the touched buckets."""
-        if self.bucket_key is None:
-            kept = _catalog.delete(self.read(), keys, key=key)
-            v = self.current_version() + 1
-            files = self._write_files(kept, v)
-            return self._commit(files, "delete", {"key": key, **(summary_extra or {})})
-        assert key == self.bucket_key, "delete key must match table bucket_key"
-        touched, carried, stats = self._touched_split(keys, key)
-        new_files: list[dict] = []
-        if touched:
-            current_touched = self.spark.read.parquet(*[f["path"] for f in touched])
-            kept = _catalog.delete(current_touched, keys, key=key)
-            v = self.current_version() + 1
-            new_files = self._write_files(kept, v)
-        return self._commit(carried + new_files, "delete",
-                            {"key": key, **stats, **(summary_extra or {})})
+        def attempt(base: int) -> int:
+            if self.bucket_key is None:
+                kept = _catalog.delete(self.read(version=base), keys, key=key)
+                files = self._write_files(kept, base + 1)
+                return self._commit(files, "delete",
+                                    {"key": key, **(summary_extra or {})}, base=base)
+            assert key == self.bucket_key, "delete key must match table bucket_key"
+            touched, carried, stats = self._touched_split(keys, key, base=base)
+            new_files: list[dict] = []
+            if touched:
+                current_touched = self.spark.read.parquet(
+                    *[self._spark_path(f["path"]) for f in touched])
+                kept = _catalog.delete(current_touched, keys, key=key)
+                new_files = self._write_files(kept, base + 1)
+            return self._commit(carried + new_files, "delete",
+                                {"key": key, **stats, **(summary_extra or {})}, base=base)
 
-    def rollback(self, version: int) -> None:
-        if not os.path.exists(self._snapshot_path(version)):
-            raise ValueError(f"no snapshot v{version}")
-        tmp = self._version_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, self._version_path())
+        return self._retrying(attempt)
+
+    def rollback(self, version: int) -> int:
+        """Re-point the table at an older state by committing a NEW
+        snapshot that references version's files (Iceberg's
+        rollback-as-new-snapshot): version numbers stay monotonic, so
+        concurrent CAS committers never collide with a re-used number."""
+        old = self.snapshot(version)  # raises if missing
+
+        def attempt(base: int) -> int:
+            return self._commit(old["files"], "rollback",
+                                {"to_version": version}, base=base)
+
+        return self._retrying(attempt)
 
     def history(self) -> list[dict]:
         out = []
-        for f in sorted(os.listdir(os.path.join(self.root, "snapshots"))):
-            with open(os.path.join(self.root, "snapshots", f)) as fh:
-                s = json.load(fh)
+        for i in xfs.listdir(self.fs, xfs.join(self.meta_root, "snapshots")):
+            if not (i.base_name.startswith("v") and i.base_name.endswith(".json")):
+                continue
+            s = json.loads(xfs.read_text(self.fs, i.path))
             out.append({k: s[k] for k in ("version", "operation", "ts")})
-        return out
+        return sorted(out, key=lambda s: s["version"])
 
     def compact(self, target_rows_per_file: int = 1_000_000) -> int:
         """Iceberg rewrite_data_files analog: merge buckets fragmented
@@ -323,30 +393,32 @@ class SnapshotTable:
         target_rows_per_file) merge when there are at least two of them;
         already-large files always carry by reference — rewriting a 10M-row
         file to absorb a 100-row neighbor would be write amplification."""
-        snap = self.snapshot()
-        if not snap["files"]:
-            raise ValueError("empty table")
-        by_bucket: dict = {}
-        for f in snap["files"]:
-            by_bucket.setdefault(f["bucket"], []).append(f)
-        rewrite, carried = [], []
-        for b, fs in by_bucket.items():
-            small = [f for f in fs if (f["rows"] or 0) < target_rows_per_file]
-            if len(small) > 1:
-                rewrite.extend(small)
-                carried.extend(f for f in fs if f not in small)
-            else:
-                carried.extend(fs)
-        if not rewrite:
-            return self.current_version()
-        df = self.spark.read.parquet(*[f["path"] for f in rewrite])
-        v = self.current_version() + 1
-        new_files = self._write_files(df, v)
-        return self._commit(
-            carried + new_files, "compact",
-            {"files_before": len(rewrite), "files_after": len(new_files),
-             "files_carried": len(carried)},
-        )
+        def attempt(base: int) -> int:
+            snap = self.snapshot(base)
+            if not snap["files"]:
+                raise ValueError("empty table")
+            by_bucket: dict = {}
+            for f in snap["files"]:
+                by_bucket.setdefault(f["bucket"], []).append(f)
+            rewrite, carried = [], []
+            for b, fls in by_bucket.items():
+                small = [f for f in fls if (f["rows"] or 0) < target_rows_per_file]
+                if len(small) > 1:
+                    rewrite.extend(small)
+                    carried.extend(f for f in fls if f not in small)
+                else:
+                    carried.extend(fls)
+            if not rewrite:
+                return base
+            df = self.spark.read.parquet(*[self._spark_path(f["path"]) for f in rewrite])
+            new_files = self._write_files(df, base + 1)
+            return self._commit(
+                carried + new_files, "compact",
+                {"files_before": len(rewrite), "files_after": len(new_files),
+                 "files_carried": len(carried)}, base=base,
+            )
+
+        return self._retrying(attempt)
 
     def expire_snapshots(self, retain_last: int = 5) -> dict:
         """Iceberg expire_snapshots analog: drop snapshot manifests older
@@ -361,10 +433,10 @@ class SnapshotTable:
         to an expired snapshot."""
         retain_last = max(1, retain_last)
         current = self.current_version()
-        snap_dir = os.path.join(self.root, "snapshots")
+        snap_dir = xfs.join(self.meta_root, "snapshots")
         versions = sorted(
-            int(f[1:7]) for f in os.listdir(snap_dir)
-            if f.startswith("v") and f.endswith(".json")
+            int(i.base_name[1:7]) for i in xfs.listdir(self.fs, snap_dir)
+            if i.base_name.startswith("v") and i.base_name.endswith(".json")
         )
         keep = set(versions[-retain_last:])
         keep.add(current)  # never expire the live pointer
@@ -378,18 +450,16 @@ class SnapshotTable:
         for v in expired:
             for f in self.snapshot(v)["files"]:
                 p = f["path"]
-                if p not in live_files and os.path.exists(p):
-                    os.remove(p)
+                if p not in live_files and xfs.exists(self.data_fs, p):
+                    xfs.delete_file(self.data_fs, p)
                     removed_files += 1
-            os.remove(self._snapshot_path(v))
+            xfs.delete_file(self.fs, self._snapshot_path(v))
         # reclaim whole data generations with no surviving references
-        # (rmtree, not rmdir: Spark leaves _SUCCESS/.crc markers behind)
-        import shutil
-
-        data_root = os.path.join(self.root, "data")
-        for gen in sorted(os.listdir(data_root)):
-            gdir = os.path.join(data_root, gen)
-            if not any(p.startswith(gdir + os.sep) for p in live_files):
-                shutil.rmtree(gdir, ignore_errors=True)
+        # (delete_dir, not rmdir: Spark leaves _SUCCESS/.crc markers)
+        data_root = xfs.join(self.data_root, "data")
+        for info in xfs.listdir(self.data_fs, data_root):
+            gdir = info.path
+            if not any(p.startswith(gdir + "/") for p in live_files):
+                xfs.delete_dir(self.data_fs, gdir)
         return {"expired_versions": expired, "removed_files": removed_files,
                 "retained": sorted(keep)}

@@ -186,3 +186,81 @@ def test_compact_merges_fragmented_buckets(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in t.read().collect()} == want
     # a second compact on an already-compact table is a no-op
     assert t.compact() == t.current_version()
+
+
+def test_metadata_on_subtree_filesystem(spark, tmp_path):
+    """VERDICT r03 #4 done-criterion: all VERSION/snapshot metadata IO
+    routes through an explicit pyarrow FileSystem — here a
+    SubTreeFileSystem — while Spark keeps writing the data files."""
+    from pyarrow import fs as pafs
+
+    root = tmp_path / "subtbl"
+    root.mkdir()
+    sub = pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem())
+    t = SnapshotTable(spark, str(root), bucket_key="k", n_buckets=4,
+                      metadata_fs=sub, metadata_root="")
+    t.append(spark.createDataFrame(
+        [("a", 1, _ts("2024-01-01")), ("b", 2, _ts("2024-01-01"))],
+        ["k", "v", "updated_at"]))
+    t.merge(spark.createDataFrame([("a", 9, _ts("2024-02-01"))], ["k", "v", "updated_at"]),
+            key="k", order_col="updated_at")
+    assert t.current_version() == 2
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {"a": 9, "b": 2}
+    # metadata physically landed under the subtree root
+    import os
+    assert os.path.exists(root / "VERSION")
+    assert os.path.exists(root / "snapshots" / "v000002.json")
+    # a second handle over the same subtree sees the committed state
+    t2 = SnapshotTable(spark, str(root), bucket_key="k", n_buckets=4,
+                       metadata_fs=pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem()),
+                       metadata_root="")
+    assert t2.current_version() == 2 and t2.read().count() == 2
+
+
+def test_concurrent_committers_linearize(spark, tmp_path):
+    """VERDICT r03 #5 done-criterion: two interleaved committers (two
+    table handles, merge vs merge race) never lose a snapshot — every
+    upsert survives and versions are a contiguous linear history."""
+    import threading
+
+    root = str(tmp_path / "race")
+    t1 = SnapshotTable(spark, root, bucket_key="k", n_buckets=4)
+    t2 = SnapshotTable(spark, root, bucket_key="k", n_buckets=4)
+    t1.overwrite(spark.createDataFrame([(f"k{i}", 0, _ts("2024-01-01")) for i in range(8)],
+                                       ["k", "v", "updated_at"]))
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def committer(t, lo, hi, tag):
+        try:
+            barrier.wait()
+            for i in range(lo, hi):
+                t.merge(spark.createDataFrame([(f"k{i}", 100 + i, _ts("2024-02-01"))],
+                                              ["k", "v", "updated_at"]),
+                        key="k", order_col="updated_at", summary_extra={"writer": tag})
+        except Exception as e:  # surfaced below — a thread must not die silently
+            errs.append((tag, repr(e)))
+
+    th1 = threading.Thread(target=committer, args=(t1, 0, 4, "w1"))
+    th2 = threading.Thread(target=committer, args=(t2, 4, 8, "w2"))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert errs == []
+    # linear history: contiguous versions, one per commit (1 overwrite + 8 merges)
+    versions = [h["version"] for h in t1.history()]
+    assert versions == list(range(1, 10))
+    # no lost update: every merged value survived both writers
+    got = {r["k"]: r["v"] for r in t1.read().collect()}
+    assert got == {f"k{i}": 100 + i for i in range(8)}
+
+
+def test_rollback_is_new_snapshot(spark, table):
+    """Rollback commits a NEW snapshot referencing the old files, so a
+    concurrent committer can never collide with a re-used version."""
+    table.append(spark.createDataFrame([("a", 1)], ["k", "v"]))
+    table.overwrite(spark.createDataFrame([("b", 2)], ["k", "v"]))
+    v = table.rollback(1)
+    assert v == 3 and table.current_version() == 3
+    assert {r["k"] for r in table.read().collect()} == {"a"}
+    ops = [h["operation"] for h in table.history()]
+    assert ops == ["append", "overwrite", "rollback"]
