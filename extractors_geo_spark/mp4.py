@@ -6,7 +6,9 @@ minf/stbl, reads the sample tables (stsd sample-description fourcc,
 stsz sizes, stco/co64 chunk offsets, stsc sample-to-chunk runs, stts
 time deltas, mdhd timescale) and materializes per-sample byte ranges.
 Tracks whose sample description is 'jpeg'/'mjpa'/'AVDJ' decode with the
-in-repo T.81 codec; any other codec stays on the documented fake path.
+in-repo T.81 codec; uncompressed 'raw '/'Y800' tracks carry their pixels
+directly in the samples (VERDICT r03 #7); any other codec stays on the
+documented fake path.
 
   write_mjpeg_mp4(frames, fps): uint8 arrays -> MP4 bytes (one video
       track, codec 'jpeg', one chunk; used for fixtures AND as a real
@@ -25,6 +27,10 @@ import numpy as np
 from . import jpeg as _jpeg
 
 _JPEG_FOURCC = (b"jpeg", b"mjpa", b"AVDJ", b"MJPG")
+# uncompressed tracks (QuickTime 'raw ' RGB/gray, 'Y800' 8-bit gray):
+# sample bytes ARE the pixels — the cheap real non-JPEG path (VERDICT r03 #7)
+_RAW_FOURCC = (b"raw ", b"Y800")
+_SUPPORTED_FOURCC = _JPEG_FOURCC + _RAW_FOURCC
 
 
 def _box(typ: bytes, payload: bytes) -> bytes:
@@ -41,50 +47,7 @@ def write_mjpeg_mp4(frames: list[np.ndarray], fps: int = 10, quality: int = 90) 
         raise ValueError("no frames")
     h, w = frames[0].shape[:2]
     samples = [_jpeg.encode(np.asarray(f, np.uint8), quality=quality) for f in frames]
-    n = len(samples)
-    timescale = 90000
-    delta = timescale // fps
-    duration = n * delta
-
-    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
-    mdat_payload = b"".join(samples)
-    # layout: ftyp | mdat | moov -> first sample offset is fixed up front
-    chunk_offset = len(ftyp) + 8
-
-    mvhd = _full(b"mvhd", 0, 0,
-                 struct.pack(">IIII", 0, 0, timescale, duration)
-                 + struct.pack(">iH H 8x 36s 24x", 0x00010000, 0x0100, 0,
-                               _MATRIX) + struct.pack(">I", 2))
-    tkhd = _full(b"tkhd", 0, 7,
-                 struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", duration)
-                 + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
-                 + _MATRIX + struct.pack(">II", w << 16, h << 16))
-    mdhd = _full(b"mdhd", 0, 0,
-                 struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))
-    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"video\x00")
-    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
-    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
-    dinf = _box(b"dinf", dref)
-    # VisualSampleEntry 'jpeg'
-    vse = (b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_index
-           + b"\x00" * 16
-           + struct.pack(">HH", w, h)
-           + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
-           + b"\x00" * 4 + struct.pack(">H", 1)          # frame count
-           + b"\x00" * 32                                 # compressor name
-           + struct.pack(">Hh", 24, -1))                  # depth, color table
-    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"jpeg", vse))
-    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
-    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
-    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
-                 + b"".join(struct.pack(">I", len(s)) for s in samples))
-    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
-    minf = _box(b"minf", vmhd + dinf + stbl)
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    trak = _box(b"trak", tkhd + mdia)
-    moov = _box(b"moov", mvhd + trak)
-    return ftyp + _box(b"mdat", mdat_payload) + moov
+    return _assemble_mp4(samples, w, h, fps, fourcc=b"jpeg", depth=24)
 
 
 _MATRIX = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
@@ -114,8 +77,68 @@ def _find(data: bytes, start: int, end: int, typ: bytes):
     return None
 
 
-def read_mjpeg_mp4(data: bytes) -> dict:
-    """Extract the JPEG-codec video track's samples + timestamps."""
+def write_raw_mp4(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Uncompressed grayscale frames -> minimal 'raw '-codec MP4 (depth 8,
+    one sample per frame, sample bytes = row-major pixels). The rawvideo
+    analog of write_mjpeg_mp4; exercises the non-JPEG real-pixel path."""
+    if not frames:
+        raise ValueError("no frames")
+    arrs = [np.ascontiguousarray(np.asarray(f, np.uint8)) for f in frames]
+    h, w = arrs[0].shape[:2]
+    if any(a.shape != arrs[0].shape or a.ndim != 2 for a in arrs):
+        raise ValueError("write_raw_mp4 wants same-shape 2-D gray frames")
+    samples = [a.tobytes() for a in arrs]
+    return _assemble_mp4(samples, w, h, fps, fourcc=b"raw ", depth=8)
+
+
+def _assemble_mp4(samples: list[bytes], w: int, h: int, fps: int,
+                  fourcc: bytes, depth: int) -> bytes:
+    n = len(samples)
+    timescale = 90000
+    delta = timescale // fps
+    duration = n * delta
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(samples)
+    chunk_offset = len(ftyp) + 8
+    mvhd = _full(b"mvhd", 0, 0,
+                 struct.pack(">IIII", 0, 0, timescale, duration)
+                 + struct.pack(">iH H 8x 36s 24x", 0x00010000, 0x0100, 0,
+                               _MATRIX) + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 7,
+                 struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", duration)
+                 + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+                 + _MATRIX + struct.pack(">II", w << 16, h << 16))
+    mdhd = _full(b"mdhd", 0, 0,
+                 struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"video\x00")
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    vse = (b"\x00" * 6 + struct.pack(">H", 1)
+           + b"\x00" * 16
+           + struct.pack(">HH", w, h)
+           + struct.pack(">II", 0x00480000, 0x00480000)
+           + b"\x00" * 4 + struct.pack(">H", 1)
+           + b"\x00" * 32
+           + struct.pack(">Hh", depth, -1))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(fourcc, vse))
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                 + b"".join(struct.pack(">I", len(s)) for s in samples))
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def read_mjpeg_mp4(data: bytes, fourccs: tuple = _SUPPORTED_FOURCC) -> dict:
+    """Extract the first supported video track's samples + timestamps.
+    The result carries `codec` ('jpeg' for the T.81 family, 'raw' for
+    uncompressed) — callers decode accordingly."""
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an MP4")
     moov = _find(data, 0, len(data), b"moov")
@@ -140,7 +163,7 @@ def read_mjpeg_mp4(data: bytes) -> dict:
             continue
         # stsd: version/flags(4) count(4) then entries (size4 fourcc4 ...)
         fourcc = data[stsd[0] + 12 : stsd[0] + 16]
-        if fourcc not in _JPEG_FOURCC:
+        if fourcc not in fourccs:
             continue
         # dimensions from the sample entry (offset 24/26 into the VSE tail)
         vse = stsd[0] + 16
@@ -204,5 +227,6 @@ def read_mjpeg_mp4(data: bytes) -> dict:
             continue
         return {"width": width, "height": height, "timescale": timescale,
                 "timestamps_ms": ts[: len(frames)], "frames": frames,
-                "duration_ms": int(t_acc * 1000 / timescale)}
-    raise ValueError("no JPEG-codec video track")
+                "duration_ms": int(t_acc * 1000 / timescale),
+                "codec": "raw" if fourcc in _RAW_FOURCC else "jpeg"}
+    raise ValueError("no supported-codec video track")

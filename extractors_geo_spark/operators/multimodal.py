@@ -342,9 +342,11 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                 wellformed_mp4 = False
                 if len(data) > 12 and data[4:8] == b"ftyp":
                     try:
-                        # REAL end-to-end for JPEG-codec MP4 tracks: the
+                        # REAL end-to-end for JPEG-codec ('jpeg'/'mjpa'/..)
+                        # AND uncompressed ('raw '/'Y800') MP4 tracks: the
                         # stbl sample tables give per-frame byte ranges +
-                        # timestamps; pixels decode with the T.81 codec
+                        # timestamps; JPEG samples decode with the T.81
+                        # codec, raw samples ARE the pixels
                         parsed = _mp4.read_mjpeg_mp4(data)
                     except Exception:  # struct.error/IndexError included
                         parsed = None
@@ -353,7 +355,18 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                         tss = parsed["timestamps_ms"]
                         for i, ts in enumerate(range(0, dur, every_ms)):
                             fi = max(0, np.searchsorted(tss, ts, side="right") - 1)
-                            arr = _jpeg.decode(parsed["frames"][int(fi)])
+                            s = parsed["frames"][int(fi)]
+                            if parsed.get("codec") == "raw":
+                                pw, ph = parsed["width"], parsed["height"]
+                                a = np.frombuffer(s, np.uint8)
+                                if a.size == pw * ph:
+                                    arr = a.reshape(ph, pw)
+                                elif a.size == pw * ph * 3:
+                                    arr = a.reshape(ph, pw, 3)
+                                else:  # corrupt sample: stop sampling here
+                                    break
+                            else:
+                                arr = _jpeg.decode(s)
                             if arr.ndim == 3:
                                 arr = arr.astype(np.float64).mean(axis=2).astype(np.uint8)
                             rows.append({"video_id": vid, "frame_idx": i, "ts_ms": ts,

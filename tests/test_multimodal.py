@@ -312,3 +312,23 @@ def test_malformed_containers_never_kill_the_job(spark):
     auds = spark.createDataFrame([("f", bad_flac)], "audio_id string, bytes binary")
     out = M.audio_features(auds, fake=True).collect()
     assert len(out) == 1  # fake fallback, not a crash
+
+
+def test_sample_frames_rawvideo_mp4_bit_exact(spark):
+    """VERDICT r03 #7: an uncompressed 'raw '-codec MP4 track yields REAL
+    pixels (bit-identical — no codec loss) with stts-derived timestamps."""
+    import numpy as np
+
+    from extractors_geo_spark import mp4 as _mp4
+
+    yy, xx = np.mgrid[0:12, 0:20]
+    src = [((xx * 3 + yy * 5 + 17 * f) % 251).astype(np.uint8) for f in range(6)]
+    data = _mp4.write_raw_mp4(src, fps=2)  # 3 s clip
+    df = spark.createDataFrame([("rv", bytearray(data))], "video_id string, bytes binary")
+    rows = sorted(M.sample_frames(df, every_ms=1000, fake=False).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert [r["ts_ms"] for r in rows] == [0, 1000, 2000]
+    for r in rows:
+        assert (r["fw"], r["fh"]) == (20, 12)
+        got = np.frombuffer(bytes(r["frame"]), np.uint8).reshape(12, 20)
+        np.testing.assert_array_equal(got, src[int(r["ts_ms"] * 2 / 1000)])
