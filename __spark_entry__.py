@@ -1506,6 +1506,40 @@ def q_flac_features(spark, sf_dir):
                       F.floor(F.element_at("features", 1) * 10000).cast("long").alias("e0_q"))
 
 
+def q_mp3_features(spark, sf_dir):
+    """Real MPEG-1 Layer III decode through audio_features (VERDICT r03
+    #6): sine clips mp3-encoded on executors with the in-repo codec,
+    decoded back on the feature path (rows-only; WAV-parity tolerance in
+    tests/test_mp3.py)."""
+    import numpy as np
+    import pandas as pd
+
+    base = spark.range(8).select(F.col("id").alias("n"))
+
+    def make(batches):
+        from extractors_geo_spark import mp3 as _mp3
+
+        for b in batches:
+            rows = []
+            for i in b["n"]:
+                i = int(i)
+                rate = 32000
+                secs = 1 + i % 2
+                t = np.arange(rate * secs) / rate
+                sig = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
+                rows.append({"audio_id": f"m{i}", "bytes": _mp3.encode(sig, rate)})
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    from extractors_geo_spark.operators import multimodal as M
+
+    clips = base.mapInPandas(make, "audio_id string, bytes binary")
+    out = M.audio_features(clips, fake=False)
+    # mean-square of a 0.5-amplitude sine = 0.125: quantize the first
+    # window's energy so the row content is assertion-grade stable
+    return out.select("audio_id", "duration_s", "n_windows",
+                      F.floor(F.element_at("features", 1) * 1000).cast("long").alias("e0_q"))
+
+
 def q_mjpeg_frames(spark, sf_dir):
     """REAL video path: MJPEG-in-AVI clips synthesized on executors, frame
     pixels decoded by the in-repo JPEG codec through sample_frames
@@ -1634,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_features": q_wav_features,
         "mjpeg_frames": q_mjpeg_frames,
         "flac_features": q_flac_features,
+        "mp3_features": q_mp3_features,
     }
 
 

@@ -468,11 +468,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 def audio_features(audios: DataFrame, fake: bool = True, id_col: str = "audio_id",
                    window_ms: int = 100) -> DataFrame:
     """Audio -> windowed energy features (MFCC stand-in; same schema).
-    RIFF/WAVE and FLAC inputs decode FOR REAL (decode_wav / ..flac); other
-    formats fall back to the deterministic fake (fake=True) or a clear
-    stub error."""
+    RIFF/WAVE, FLAC and in-profile mp3 inputs decode FOR REAL
+    (decode_wav / ..flac / ..mp3); other formats fall back to the
+    deterministic fake (fake=True) or a clear stub error."""
 
     from .. import flac as _flac
+    from .. import mp3 as _mp3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -480,9 +481,17 @@ def audio_features(audios: DataFrame, fake: bool = True, id_col: str = "audio_id
             for aid, data in zip(b[id_col], b["bytes"]):
                 data = bytes(data)
                 is_wav = data[:4] == b"RIFF" and data[8:12] == b"WAVE"
-                if is_wav or data[:4] == b"fLaC":
+                is_mp3 = data[:3] == b"ID3" or (
+                    len(data) > 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+                )
+                if is_wav or data[:4] == b"fLaC" or is_mp3:
                     try:
-                        sig, rate = decode_wav(data) if is_wav else _flac.decode(data)
+                        if is_wav:
+                            sig, rate = decode_wav(data)
+                        elif data[:4] == b"fLaC":
+                            sig, rate = _flac.decode(data)
+                        else:
+                            sig, rate = _mp3.decode(data)
                     except Exception:
                         sig = None  # malformed input (ValueError/struct.
                         # error/IndexError): fake-fallback or drop
@@ -497,11 +506,23 @@ def audio_features(audios: DataFrame, fake: bool = True, id_col: str = "audio_id
                                      "n_windows": n_win, "features": feat.tolist()})
                         continue
                     if not fake:
+                        if is_mp3:
+                            try:
+                                _mp3.parse_mp3_info(data)
+                            except Exception:
+                                continue  # malformed mp3: drop the row
+                            # well-formed MPEG stream outside the in-repo
+                            # codec profile (stereo/LSF/foreign Huffman):
+                            # the same well-formed-but-unsupported raise
+                            # contract as video codecs. STUB: a real
+                            # deployment decodes via libmad/ffmpeg here.
+                            raise NotImplementedError(
+                                "mp3 stream outside the in-repo codec profile"
+                            )
                         continue  # dropped; callers anti-join ids to find casualties
                 if not fake:
-                    # STUB: mp3 only (WAV and FLAC decode for real above);
-                    # real deployment routes mp3 through libsndfile/ffmpeg.
-                    raise NotImplementedError("audio codec not available in this container")
+                    # unknown container with fake disabled: drop the row
+                    continue
                 seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
                 rng = np.random.Generator(np.random.PCG64(seed))
                 dur = 1.0 + (seed % 9000) / 1000.0

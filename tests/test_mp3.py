@@ -1,0 +1,121 @@
+"""MPEG-1 Layer III codec (VERDICT r03 #6): ISO structure throughout;
+canonical in-repo Huffman/prototype shared by encoder+decoder (documented
+— real-world entropy payloads are out of decode scope, headers are not)."""
+
+import numpy as np
+import pytest
+
+from extractors_geo_spark import mp3
+
+
+def _tone(secs=1.5, rate=44100):
+    t = np.arange(int(rate * secs)) / rate
+    return (0.4 * np.sin(2 * np.pi * 440 * t)
+            + 0.2 * np.sin(2 * np.pi * 1320 * t + 0.5)
+            + 0.1 * np.sin(2 * np.pi * 3500 * t))
+
+
+def test_roundtrip_snr_all_rates():
+    for rate in (44100, 48000, 32000):
+        sig = _tone(1.0, rate)
+        enc = mp3.encode(sig, rate)
+        dec, r = mp3.decode(enc)
+        assert r == rate
+        m = min(len(dec), len(sig))
+        ref, seg = sig[2000 : m - 2000], dec[2000 : m - 2000]
+        snr = 10 * np.log10((ref ** 2).mean() / ((seg - ref) ** 2).mean())
+        assert snr > 20.0, (rate, snr)
+
+
+def test_parse_info_matches_encode():
+    sig = _tone(2.0)
+    enc = mp3.encode(sig, 44100)
+    info = mp3.parse_mp3_info(enc)
+    assert info["rate"] == 44100 and info["bitrate_kbps"] == 320.0
+    assert abs(info["duration_s"] - 2.0) < 0.05
+    assert info["n_frames"] == -(-len(sig) // 1152)
+
+
+def test_filterbank_near_perfect_reconstruction():
+    """No-quantization chain (analysis -> MDCT -> IMDCT -> synthesis)
+    reconstructs broadband noise above 55 dB SNR at unity gain."""
+    rng = np.random.default_rng(2)
+    n = 1152 * 8
+    sig = rng.standard_normal(n) * 0.3
+    S = mp3._analyze(np.pad(sig, (0, 512)))[: (n // 1152) * 36]
+    y = mp3._synthesize(mp3._imdct_granules(mp3._mdct_granules(S)))[mp3._FB_DELAY:]
+    ref, seg = sig[2500:6000], y[2500:6000]
+    snr = 10 * np.log10((ref ** 2).mean() / ((seg - ref) ** 2).mean())
+    assert snr > 55.0, snr
+
+
+def test_huffman_table_is_complete_prefix_code():
+    lens = [ln for ln, _ in mp3._HUFF_ENC.values()]
+    assert sum(2.0 ** -l for l in lens) == 1.0  # Kraft equality
+    assert len(mp3._HUFF_ENC) == 256
+    # decode table inverts encode table exactly
+    for sym, (ln, code) in mp3._HUFF_ENC.items():
+        assert mp3._HUFF_DEC[(ln, code)] == sym
+
+
+def test_decoder_rejects_out_of_profile():
+    with pytest.raises(ValueError):
+        mp3.decode(b"\x00" * 64)
+    sig = _tone(0.5)
+    enc = bytearray(mp3.encode(sig, 44100))
+    enc[3] = (enc[3] & 0x3F) | 0x00  # mode 0 = stereo
+    with pytest.raises(ValueError, match="mono"):
+        mp3.decode(bytes(enc))
+
+
+def test_real_world_header_walk_if_present():
+    """parse_mp3_info handles real MPEG-2 LSF streams (optional: uses a
+    public gsutil test asset when the container has it)."""
+    import os
+
+    path = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+    if not os.path.exists(path):
+        pytest.skip("no real-world mp3 in this container")
+    info = mp3.parse_mp3_info(open(path, "rb").read())
+    assert info["rate"] == 22050 and info["n_frames"] > 10
+    # duration consistent with file size at the parsed bitrate
+    assert 0.5 < info["duration_s"] < 5.0
+
+
+def test_mp3_features_match_wav_features(spark):
+    """VERDICT r03 #6 done-criterion: mp3-decoded windowed-energy features
+    track the WAV-decoded features of the SAME signal within tolerance."""
+    import struct
+
+    from extractors_geo_spark.operators import multimodal as M
+
+    rate = 32000
+    sig = _tone(1.5, rate)
+    pcm = (sig * 32767).astype("<i2").tobytes()
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    enc = mp3.encode(sig, rate)
+    df = spark.createDataFrame(
+        [("wav", bytearray(wav)), ("mp3", bytearray(enc))],
+        "audio_id string, bytes binary")
+    rows = {r["audio_id"]: r for r in M.audio_features(df, fake=False).collect()}
+    assert set(rows) == {"wav", "mp3"}
+    fw = np.array(rows["wav"]["features"])
+    fm = np.array(rows["mp3"]["features"])
+    n = rows["wav"]["n_windows"]
+    assert abs(rows["mp3"]["duration_s"] - rows["wav"]["duration_s"]) < 0.05
+    # windowed energies within 10% relative on the active windows
+    act = fw[:n] > 1e-4
+    assert act.any()
+    rel = np.abs(fm[:n][act] - fw[:n][act]) / fw[:n][act]
+    assert rel.max() < 0.1, rel.max()
+
+
+def test_malformed_mp3_drops_wellformed_foreign_raises(spark):
+    from extractors_geo_spark.operators import multimodal as M
+
+    # malformed: sync byte then garbage -> drop
+    bad = b"\xff\xfb" + b"\x01" * 16
+    df = spark.createDataFrame([("bad", bytearray(bad))], "audio_id string, bytes binary")
+    assert M.audio_features(df, fake=False).count() == 0
