@@ -1331,8 +1331,21 @@ HAVING COUNT(*) % 2 = 1
 
 
 def q_tile_pyramid(spark, sf_dir):
-    imgs = datagen.images_df(spark, 300, px=32, partitions=8)
+    """T1 pyramid over REAL decoded rasters, now with a full oracle: the
+    SQL-twin datagen makes tiff-decodability a pure id predicate
+    (i%25 != 0), so the oracle enumerates (image, level, dims) exactly.
+    Pixel content of the levels is asserted in tests/test_tiles.py."""
+    imgs = datagen.images_df_sql_twin(spark, 300, px=32, partitions=8)
     return tiles.overview_pyramid(imgs).select("image_id", "level", "tw", "th")
+
+
+SQL_TILE_PYRAMID = """
+SELECT printf('img%08d', i) AS image_id, lv AS level,
+       CAST(32 / lv AS INT) AS tw, CAST(32 / lv AS INT) AS th
+FROM range(300) t(i)
+CROSS JOIN (VALUES (2), (4), (8), (16), (32)) levels(lv)
+WHERE i % 25 <> 0
+"""
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -1344,12 +1357,92 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_tile_slice(spark, sf_dir):
-    """Real z/x/y tile slicing of decoded raster bytes (rows-only: pixel
-    content is checked in tests/test_tiles.py against a per-pixel oracle)."""
-    imgs = datagen.images_df(spark, 300, partitions=8)
-    return tiles.slice_xyz_tiles(imgs, zoom=12, tile_px=16).select(
-        "image_id", "z", "x", "y", "coverage"
+    """Real z/x/y tile slicing of decoded raster bytes, now with a full
+    oracle: 4326-route SQL-twin images (UTM corner reprojection is not
+    SQL-expressible; UTM slicing stays covered by tests/test_tiles.py),
+    and valid_px = coverage * 16^2 is an exact integer the oracle
+    recomputes by replaying the per-pixel-center mapping in SQL."""
+    imgs = datagen.images_df_sql_twin(spark, 300, partitions=8).filter(
+        F.pmod(F.substring("image_id", 4, 8).cast("long"), F.lit(25)) >= 4
     )
+    return tiles.slice_xyz_tiles(imgs, zoom=12, tile_px=16).select(
+        "image_id", "z", "x", "y",
+        F.round(F.col("coverage") * (16 * 16)).cast("long").alias("valid_px"),
+    )
+
+
+def _sql_tile_slice() -> str:
+    """DuckDB twin of q_tile_slice: regenerate the 4326-route centroids
+    (same LCG arithmetic as _sql_flagship_pip), derive the covering tile
+    range through the SAME mercator float path as slice_xyz_tiles
+    (R*radians / R*atanh(sin), clip into [0, n-1]), then replay the
+    16x16 pixel-center -> source-pixel mapping per candidate tile and
+    keep tiles with >= 1 valid pixel, counting them."""
+    R = "6378137.0e0"
+    MM = f"({R} * PI())"
+    Z = 12
+    n = 1 << Z
+    c0, c1, c2, c3 = ("-124.731422e0", "24.955967e0", "-66.969849e0", "49.371735e0")
+    return f"""
+WITH raw AS (
+  SELECT i,
+         ((i * 1103515245 + 12345) % 2147483648) / 2147483648e0 AS u1,
+         ((i * 69069 + 1) % 2147483648) / 2147483648e0 AS u2,
+         CASE (i // 5) % 3 WHEN 0 THEN -118.24e0 WHEN 1 THEN -87.63e0 ELSE -74.01e0 END AS mx,
+         CASE (i // 5) % 3 WHEN 0 THEN 34.05e0 WHEN 1 THEN 41.88e0 ELSE 40.71e0 END AS my
+  FROM range(300) t(i)
+  WHERE i % 25 >= 4
+), pts AS (
+  SELECT printf('img%08d', i) AS image_id,
+         CASE WHEN i % 5 = 0
+              THEN LEAST(GREATEST(mx + (u1 - 0.5e0) * 0.7e0, {c0}), {c2})
+              ELSE {c0} + ({c2} - {c0}) * u1 END AS lon,
+         CASE WHEN i % 5 = 0
+              THEN LEAST(GREATEST(my + (u2 - 0.5e0) * 0.7e0, {c1}), {c3})
+              ELSE {c1} + ({c3} - {c1}) * u2 END AS lat
+  FROM raw
+), ext AS (
+  -- geotransform exactly as written/read: gt0 = lon - 8*0.001, px = 0.001
+  SELECT image_id, lon, lat,
+         lon - 0.008e0 AS gt0, lat + 0.008e0 AS gt3,
+         (lon - 0.008e0) + 0.016e0 AS maxx,
+         (lat + 0.008e0) - 0.016e0 AS miny
+  FROM pts
+), rng AS (
+  -- covering tile range via the slice operator's own float path
+  -- FLOOR before CAST: DuckDB CAST(double AS BIGINT) rounds to nearest,
+  -- Python int() truncates — the clipped value is >= 0 so floor == trunc
+  SELECT image_id, gt0, gt3,
+         CAST(FLOOR(LEAST(GREATEST(({R} * RADIANS(gt0) + {MM}) / (2 * {MM}) * {n}, 0), {n - 1})) AS BIGINT) AS tx0,
+         CAST(FLOOR(LEAST(GREATEST(({R} * RADIANS(maxx) + {MM}) / (2 * {MM}) * {n}, 0), {n - 1})) AS BIGINT) AS tx1,
+         CAST(FLOOR(LEAST(GREATEST(({MM} - {R} * 0.5e0 * LN((1 + SIN(RADIANS(gt3))) / (1 - SIN(RADIANS(gt3))))) / (2 * {MM}) * {n}, 0), {n - 1})) AS BIGINT) AS ty0,
+         CAST(FLOOR(LEAST(GREATEST(({MM} - {R} * 0.5e0 * LN((1 + SIN(RADIANS(miny))) / (1 - SIN(RADIANS(miny))))) / (2 * {MM}) * {n}, 0), {n - 1})) AS BIGINT) AS ty1
+  FROM ext
+), cand AS (
+  SELECT image_id, gt0, gt3, tx.tx AS x, ty.ty AS y
+  FROM rng, LATERAL (SELECT UNNEST(range(tx0, tx1 + 1)) AS tx) tx,
+            LATERAL (SELECT UNNEST(range(ty0, ty1 + 1)) AS ty) ty
+), pxm AS (
+  -- 16x16 pixel centers per candidate tile, in mercator meters
+  SELECT c.image_id, c.x, c.y, c.gt0, c.gt3,
+         (-{MM} + c.x * (2 * {MM} / {n}) + (ci.i + 0.5e0) * ((2 * {MM} / {n}) / 16)) / {R} AS vx,
+         ({MM} - c.y * (2 * {MM} / {n}) - (cj.j + 0.5e0) * ((2 * {MM} / {n}) / 16)) / {R} AS vy
+  FROM cand c,
+       LATERAL (SELECT UNNEST(range(16)) AS i) ci,
+       LATERAL (SELECT UNNEST(range(16)) AS j) cj
+), px AS (
+  -- inverse mercator -> lon/lat -> source pixel through the geotransform
+  SELECT image_id, x, y,
+         FLOOR((DEGREES(vx) - gt0) / 0.001e0) AS col,
+         FLOOR((DEGREES(ATAN((EXP(vy) - EXP(-vy)) / 2)) - gt3) / -0.001e0) AS row
+  FROM pxm
+)
+SELECT image_id, {Z} AS z, x, y,
+       COUNT(*) FILTER (col >= 0 AND col < 16 AND row >= 0 AND row < 16) AS valid_px
+FROM px
+GROUP BY 1, 2, 3, 4
+HAVING valid_px > 0
+"""
 
 
 def q_tile_render_png(spark, sf_dir):
@@ -1722,4 +1815,6 @@ def oracle_sql() -> dict[str, str]:
         "prj_epsg": SQL_PRJ,
         "lcc_forward": _lcc_oracle_sql(),
         "flagship_pip": _sql_flagship_pip(),
+        "tile_pyramid": SQL_TILE_PYRAMID,
+        "tile_slice": _sql_tile_slice(),
     }
