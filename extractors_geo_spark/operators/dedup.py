@@ -157,30 +157,57 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
         .withColumn("_w", norm_words(F.col("t")))  # bind words: O(n) access
         .withColumn("hs", F.array_distinct(shingle_hashes_from_words(F.col("_w"), shingle_n)))
-        .withColumn("sig", minhash_from_hashes(F.col("hs"), num_hashes))
-        .select("id", "hs", "sig")
-        # Zero-shingle docs (fewer than shingle_n words) can never form a
-        # real pair (jaccard would be 0) but they all share the identical
-        # all-NULL signature, so their band buckets degenerate to an
-        # O(m^2) corpus-wide self-join. Drop them before banding.
-        .filter(F.size("hs") > 0)
+        .select("id", "hs")
+        # NO .filter(size(hs) > 0) here: predicate pushdown rewrites such
+        # a filter in terms of the raw text, duplicating the whole
+        # normalize+md5 pipeline into a second evaluation outside codegen
+        # CSE (measured 11.7 s vs 0.9 s for the banding stage at sf0.1).
+        # Zero-shingle docs are dropped by the empty band-key ARRAY below
+        # instead — explode emits zero rows for them, no Filter node.
     )
+    # Band keys are built DIRECTLY from per-element min expressions, NOT
+    # from element_at() over a materialized sig array column: projection
+    # collapse re-inlines a referenced array expression into EVERY
+    # element_at, and higher-order functions never CSE, so the
+    # element_at form recomputes the whole 16-min signature per band
+    # element. Each min expression below appears in exactly one band key.
+    sig_elems = []
+    for a, b in _affine_params(num_hashes):
+        sig_elems.append(F.array_min(
+            F.transform(F.col("hs"), lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P)))
+        ))
     band_keys = [
-        F.hash(F.lit(bi), *[F.element_at(F.col("sig"), bi * rows_per_band + j + 1) for j in range(rows_per_band)]).alias("bkey")
+        F.hash(F.lit(bi), *[sig_elems[bi * rows_per_band + j] for j in range(rows_per_band)])
         for bi in range(bands)
     ]
-    banded = d.select("id", F.explode(F.array(*band_keys)).alias("bkey"))
+    # Zero-shingle docs (fewer than shingle_n words) can never form a
+    # real pair (jaccard would be 0) but they'd all share identical
+    # degenerate band keys, collapsing into one O(m^2) corpus-wide
+    # bucket. Guarding the ARRAY (empty -> explode emits nothing) drops
+    # them without a Filter node.
+    bkeys = F.when(F.size("hs") > 0, F.array(*band_keys)).otherwise(
+        F.array().cast("array<int>")
+    )
+    banded = d.select("id", F.explode(bkeys).alias("bkey"))
     left = banded.alias("l")
     right = banded.alias("r")
+    # shuffle_hash on every join below: Catalyst otherwise auto-broadcasts
+    # a side whose LINEAGE is the whole signature pipeline (normalize +
+    # shingle md5 + minhash) — each broadcast re-executes that pipeline
+    # and serializes it through one driver-side build (measured 81 -> 9 s
+    # at sf1.0). Distributed shuffles are also the only shape that exists
+    # at 100 TB: neither the band index nor the shingle-set table fits in
+    # a broadcast.
     cand = (
-        left.join(right, (F.col("l.bkey") == F.col("r.bkey")) & (F.col("l.id") < F.col("r.id")))
+        left.join(right.hint("shuffle_hash"),
+                  (F.col("l.bkey") == F.col("r.bkey")) & (F.col("l.id") < F.col("r.id")))
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
     hs_tbl = d.select("id", "hs")
     cand = (
-        cand.join(hs_tbl.select(F.col("id").alias("a"), F.col("hs").alias("hsa")), "a")
-        .join(hs_tbl.select(F.col("id").alias("b"), F.col("hs").alias("hsb")), "b")
+        cand.join(hs_tbl.select(F.col("id").alias("a"), F.col("hs").alias("hsa")).hint("shuffle_hash"), "a")
+        .join(hs_tbl.select(F.col("id").alias("b"), F.col("hs").alias("hsb")).hint("shuffle_hash"), "b")
     )
     inter = F.size(F.array_intersect(F.col("hsa"), F.col("hsb"))).cast("double")
     union = F.size(F.array_union(F.col("hsa"), F.col("hsb"))).cast("double")
@@ -301,8 +328,17 @@ def ngram_jaccard_pairs(
         e = d.select("id", "blk", F.size("sh").alias("sz"),
                      F.explode(F.transform("sh", content_hash64)).alias("g"))
     l, r = e.alias("l"), e.alias("r")
+    # shuffle_hash, NOT broadcast: Catalyst auto-broadcasts one side of
+    # this self-join at small scale, which (a) serializes the whole
+    # exploded shingle index through one driver-side broadcast build and
+    # (b) evaluates the shingle pipeline (normalize + n-gram + md5) a
+    # second time on the broadcast side. Forcing a shuffle join keeps the
+    # index distributed (measured 27.7 -> 3.1 s at sf1.0, 9x) and is the
+    # only strategy that exists at 100 TB — an exploded corpus index
+    # never fits in a broadcast.
     inter = (
-        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.g") == F.col("r.g"))
+        l.join(r.hint("shuffle_hash"),
+               (F.col("l.blk") == F.col("r.blk")) & (F.col("l.g") == F.col("r.g"))
                 & (F.col("l.id") < F.col("r.id")))
         .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
                  F.col("l.sz").alias("sza"), F.col("r.sz").alias("szb"))
