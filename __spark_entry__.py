@@ -944,12 +944,14 @@ FROM documents GROUP BY 1
 
 
 def q_minhash(spark, sf_dir):
-    """MinHash signature (first 4 hash functions) per document."""
+    """MinHash signature (first 4 hash functions) per document.
+    Per-element expressions, not sig[i] over the array — indexing a
+    computed array re-inlines the whole signature per element."""
     d = _t(spark, sf_dir, "documents")
     d = d.select("doc_id", dedup.norm_words(F.col("text")).alias("_w"))
     d = d.select("doc_id", dedup.shingle_hashes_from_words(F.col("_w")).alias("_hs"))
-    sig = dedup.minhash_from_hashes(F.col("_hs"), num_hashes=4)
-    return d.select("doc_id", *[sig[i].alias(f"mh{i}") for i in range(4)])
+    elems = dedup.minhash_elements(F.col("_hs"), num_hashes=4)
+    return d.select("doc_id", *[e.alias(f"mh{i}") for i, e in enumerate(elems)])
 
 
 def _sql_minhash() -> str:

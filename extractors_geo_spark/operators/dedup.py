@@ -113,12 +113,21 @@ def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
     return shingle_hashes_from_words(norm_words(text), shingle_n)
 
 
-def minhash_from_hashes(hs_mod: Column, num_hashes: int = 16) -> Column:
+def minhash_elements(hs_mod: Column, num_hashes: int = 16) -> list[Column]:
+    """Per-element signature columns. Prefer these over indexing into
+    minhash_from_hashes()'s array: element_at over a computed array
+    column re-inlines the WHOLE array expression per extraction
+    (projection collapse + no CSE across higher-order functions), i.e.
+    num_hashes x the shingle pipeline per element."""
     sig = []
     for a, b in _affine_params(num_hashes):
         mapped = F.transform(hs_mod, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P)))
         sig.append(F.array_min(mapped))
-    return F.array(*sig)
+    return sig
+
+
+def minhash_from_hashes(hs_mod: Column, num_hashes: int = 16) -> Column:
+    return F.array(*minhash_elements(hs_mod, num_hashes))
 
 
 def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
@@ -171,11 +180,7 @@ def minhash_lsh_pairs(
     # element_at, and higher-order functions never CSE, so the
     # element_at form recomputes the whole 16-min signature per band
     # element. Each min expression below appears in exactly one band key.
-    sig_elems = []
-    for a, b in _affine_params(num_hashes):
-        sig_elems.append(F.array_min(
-            F.transform(F.col("hs"), lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE_P)))
-        ))
+    sig_elems = minhash_elements(F.col("hs"), num_hashes)
     band_keys = [
         F.hash(F.lit(bi), *[sig_elems[bi * rows_per_band + j] for j in range(rows_per_band)])
         for bi in range(bands)
