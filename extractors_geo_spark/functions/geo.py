@@ -258,6 +258,68 @@ def lcc_inverse_params_np(e, nth, lat1, lat2, lat0, lon0, fe, fn, unit=1.0):
     return np.degrees(theta / n) + lon0, np.degrees(phi)
 
 
+# ------------------------------------------------- polar stereographic
+# Snyder §21 (ellipsoid), EPSG 9829 (variant B, standard parallel) and
+# 9810 (variant A, scale factor at the pole).
+def _ps_t(phi: np.ndarray | float):
+    """Conformal t (Snyder 15-9) — same kernel as LCC."""
+    s = _E * np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) / ((1 - s) / (1 + s)) ** (_E / 2)
+
+
+def _ps_rho_factor(lat_ts: float, k0: float | None):
+    """rho = a * F * t; F from the standard parallel (variant B) or from
+    k0 at the pole (variant A, |lat_ts| = 90)."""
+    if k0 is not None or abs(abs(lat_ts) - 90.0) < 1e-9:
+        k0 = 1.0 if k0 is None else k0
+        return 2 * k0 / math.sqrt((1 + _E) ** (1 + _E) * (1 - _E) ** (1 - _E))
+    pf = math.radians(abs(lat_ts))
+    mf = math.cos(pf) / math.sqrt(1 - (_E * math.sin(pf)) ** 2)
+    return mf / float(_ps_t(pf))
+
+
+def ps_forward_params_np(lon, lat, lat_ts, lon0, fe, fn, unit=1.0, k0=None):
+    """lon/lat -> polar stereographic (native units). South pole when
+    lat_ts < 0 (the projection mirrors through the equator)."""
+    south = lat_ts < 0
+    sgn = -1.0 if south else 1.0
+    Ffac = _ps_rho_factor(lat_ts, k0)
+    phi = sgn * np.radians(np.asarray(lat, np.float64))
+    lam = sgn * np.radians(np.asarray(lon, np.float64) - lon0)
+    rho = WGS84_A * Ffac * _ps_t(phi)
+    x = rho * np.sin(lam)
+    y = -rho * np.cos(lam)
+    return sgn * x / unit + fe, sgn * y / unit + fn
+
+
+def ps_inverse_params_np(e, nth, lat_ts, lon0, fe, fn, unit=1.0, k0=None):
+    """Polar stereographic (native units) -> lon/lat; conformal-latitude
+    fixed point (same 6-round iteration as the LCC/Mercator inverses)."""
+    south = lat_ts < 0
+    sgn = -1.0 if south else 1.0
+    Ffac = _ps_rho_factor(lat_ts, k0)
+    x = sgn * (np.asarray(e, np.float64) - fe) * unit
+    y = sgn * (np.asarray(nth, np.float64) - fn) * unit
+    rho = np.sqrt(x * x + y * y)
+    t = rho / (WGS84_A * Ffac)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(6):
+        s = _E * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - s) / (1 + s)) ** (_E / 2))
+    with np.errstate(invalid="ignore"):
+        lam = np.arctan2(x, -y)
+    lam = np.where(rho == 0, 0.0, lam)  # the pole itself has no azimuth
+    return sgn * np.degrees(lam) + lon0, sgn * np.degrees(phi)
+
+
+# epsg -> (lat_ts, lon0, false_easting, false_northing, unit)
+PS_ZONES = {
+    3413: (70.0, -45.0, 0.0, 0.0, 1.0),   # WGS84 / NSIDC Arctic
+    3976: (-70.0, 0.0, 0.0, 0.0, 1.0),    # WGS84 / NSIDC Antarctic
+    3031: (-71.0, 0.0, 0.0, 0.0, 1.0),    # WGS84 / Antarctic Polar Stereo
+}
+
+
 # ------------------------------------------------ Albers equal-area conic
 # Snyder, "Map Projections — A Working Manual" §14 (ellipsoidal case),
 # eqs 3-12 (q), 14-15 (m), 14-4/14-5/14-6 (n, C, rho), 3-16 (phi from q).
@@ -375,6 +437,22 @@ def parse_projcs_params(wkt: str) -> dict | None:
             return None
         return {"proj": "lcc", "lat1": lat1, "lat2": lat2, "lat0": lat0,
                 "lon0": lon0, "fe": fe, "fn": fn, "unit": unit}
+    if "polar_stereographic" in proj_name or proj_name == "stereographic_north_pole" \
+            or proj_name == "stereographic_south_pole":
+        # ESRI writes lat_ts as Standard_Parallel_1; OGC variant B uses
+        # latitude_of_origin/standard_parallel; variant A carries a
+        # scale_factor at the pole instead
+        lat_ts = p("standard_parallel_1", "latitude_of_origin",
+                   "latitude_of_standard_parallel", default=None)
+        k0 = p("scale_factor", default=None)
+        if lat_ts is None and k0 is None:
+            return None
+        if lat_ts is None:
+            lat_ts = -90.0 if "south" in proj_name else 90.0
+        if "south" in proj_name and lat_ts > 0:
+            lat_ts = -lat_ts
+        return {"proj": "ps", "lat_ts": lat_ts, "lon0": lon0 or 0.0,
+                "fe": fe, "fn": fn, "unit": unit, "k0": k0}
     if "albers" in proj_name:
         # "Albers" / "Albers_Conic_Equal_Area" — the most common US .prj
         # family after LCC/TM (VERDICT r03 #3). 102008 never reaches here
@@ -415,6 +493,9 @@ def params_inverse_np(x, y, prm: dict):
     if prm["proj"] == "aea":
         return aea_inverse_params_np(x, y, prm["lat1"], prm["lat2"], prm["lat0"],
                                      prm["lon0"], prm["fe"], prm["fn"], prm["unit"])
+    if prm["proj"] == "ps":
+        return ps_inverse_params_np(x, y, prm["lat_ts"], prm["lon0"], prm["fe"],
+                                    prm["fn"], prm["unit"], prm.get("k0"))
     if prm["proj"] == "tmerc":
         u = prm["unit"]
         return tm_inverse_np(np.asarray(x, np.float64) * u,
@@ -439,6 +520,9 @@ def params_forward_np(lon, lat, prm: dict):
     if prm["proj"] == "aea":
         return aea_forward_params_np(lon, lat, prm["lat1"], prm["lat2"], prm["lat0"],
                                      prm["lon0"], prm["fe"], prm["fn"], prm["unit"])
+    if prm["proj"] == "ps":
+        return ps_forward_params_np(lon, lat, prm["lat_ts"], prm["lon0"], prm["fe"],
+                                    prm["fn"], prm["unit"], prm.get("k0"))
     if prm["proj"] == "tmerc":
         u = prm["unit"]
         e, n = tm_forward_np(lon, lat, prm["lat0"], prm["lon0"], prm["k0"],
@@ -483,6 +567,8 @@ def epsg_to_lonlat_np(x, y, epsg: int):
                              lat0, lon0, k0, fe * unit, fn * unit)
     if epsg in AEA_ZONES:
         return aea_inverse_params_np(x, y, *AEA_ZONES[epsg])
+    if epsg in PS_ZONES:
+        return ps_inverse_params_np(x, y, *PS_ZONES[epsg])
     raise ValueError(f"unsupported epsg {epsg}")
 
 
@@ -510,6 +596,8 @@ def lonlat_to_epsg_np(lon, lat, epsg: int):
         return e / unit, n / unit
     if epsg in AEA_ZONES:
         return aea_forward_params_np(lon, lat, *AEA_ZONES[epsg])
+    if epsg in PS_ZONES:
+        return ps_forward_params_np(lon, lat, *PS_ZONES[epsg])
     raise ValueError(f"unsupported epsg {epsg}")
 
 

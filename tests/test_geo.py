@@ -188,3 +188,40 @@ def test_albers_equal_area_roundtrip_and_property():
     lon2, lat2 = geo.aea_inverse_params_np(e, n, 38.0, 38.0, 23.0, -96.0, 0.0, 0.0)
     np.testing.assert_allclose(lon2, lon, atol=1e-9)
     np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_polar_stereographic_roundtrip_and_scale():
+    """Snyder §21 polar stereographic: poles map to (fe, fn), the central
+    meridian to x = fe, TRUE SCALE at the standard parallel (variant B's
+    defining property), round trips <= 1e-9 deg on both polar caps."""
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+
+    assert np.allclose(geo.lonlat_to_epsg_np(np.array([123.0]), np.array([90.0]), 3413), 0)
+    assert np.allclose(geo.lonlat_to_epsg_np(np.array([17.0]), np.array([-90.0]), 3031), 0)
+    x, _ = geo.lonlat_to_epsg_np(np.array([-45.0]), np.array([75.0]), 3413)
+    assert abs(x[0]) < 1e-9
+    for epsg, lat_ts, lon0 in ((3413, 70.0, -45.0), (3031, -71.0, 0.0)):
+        h = 1e-7
+        x1, y1 = geo.lonlat_to_epsg_np(np.array([lon0 + 10]), np.array([lat_ts]), epsg)
+        x2, y2 = geo.lonlat_to_epsg_np(np.array([lon0 + 10]), np.array([lat_ts + h]), epsg)
+        dmap = float(np.hypot(x2[0] - x1[0], y2[0] - y1[0]))
+        e2 = geo._E2
+        phi = np.radians(lat_ts)
+        M = 6378137.0 * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        assert abs(dmap / (M * np.radians(h)) - 1) < 1e-6, epsg
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 3000)
+    for epsg, lo_lat, hi_lat in ((3413, 55, 89.9), (3976, -89.9, -55), (3031, -89.9, -55)):
+        lat = rng.uniform(lo_lat, hi_lat, 3000)
+        x, y = geo.lonlat_to_epsg_np(lon, lat, epsg)
+        lo2, la2 = geo.epsg_to_lonlat_np(x, y, epsg)
+        dl = (lo2 - lon + 180) % 360 - 180
+        np.testing.assert_allclose(dl, 0, atol=1e-9)
+        np.testing.assert_allclose(la2, lat, atol=1e-9)
+    # variant A (scale factor at the pole, EPSG 9810 shape)
+    e, n = geo.ps_forward_params_np(np.array([30.0]), np.array([80.0]),
+                                    90.0, 0.0, 2000000.0, 2000000.0, k0=0.994)
+    lo2, la2 = geo.ps_inverse_params_np(e, n, 90.0, 0.0, 2000000.0, 2000000.0, k0=0.994)
+    assert abs(lo2[0] - 30.0) < 1e-9 and abs(la2[0] - 80.0) < 1e-9

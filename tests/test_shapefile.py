@@ -637,3 +637,30 @@ def test_north_america_albers_102008_stays_blacklisted():
     z = _mini_zip({"x.shp": b"\x00" * 10, "x.shx": b"", "x.dbf": b"", "x.prj": wkt_102008.encode()})
     parsed = S.read_zip_shapefile(z)
     assert "BLACKLISTED_PROJECTION" in parsed["errors"] and not parsed["features"]
+
+
+def test_polar_stereographic_prj_reprojects_via_parameters():
+    """An NSIDC-style Polar_Stereographic .prj reprojects from its own
+    PARAMETER values through ingest (no EPSG identification needed)."""
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+
+    wkt = ('PROJCS["NSIDC_Sea_Ice_Polar_Stereographic_North",'
+           'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+           'SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],'
+           'UNIT["Degree",0.0174532925199433]],PROJECTION["Polar_Stereographic"],'
+           'PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],'
+           'PARAMETER["Central_Meridian",-45.0],PARAMETER["Standard_Parallel_1",70.0],'
+           'UNIT["Meter",1.0]]')
+    assert S.infer_epsg(wkt) == (None, "PROJECTED_UNKNOWN")
+    prm = geo.parse_projcs_params(wkt)
+    assert prm["proj"] == "ps" and prm["lat_ts"] == 70.0 and prm["lon0"] == -45.0
+    lon = np.array([-60.0, -30.0, -30.0, -60.0, -60.0])
+    lat = np.array([66.0, 66.0, 78.0, 78.0, 66.0])
+    e, n = geo.params_forward_np(lon, lat, prm)
+    parsed = S.read_zip_shapefile(_lcc_zip(wkt, [list(zip(e.tolist(), n.tolist()))]))
+    assert parsed["errors"] == [] and parsed["epsg"] == 4326
+    ring = parsed["features"][0]["rings"][0]
+    np.testing.assert_allclose([p[0] for p in ring], lon, atol=1e-9)
+    np.testing.assert_allclose([p[1] for p in ring], lat, atol=1e-9)
