@@ -1570,6 +1570,47 @@ FROM p
 """
 
 
+def q_ps_forward(spark, sf_dir):
+    """Polar stereographic forward (NSIDC Arctic, EPSG:3413) on the
+    derived points: the REAL numpy code (geo.ps_forward_params_np) runs
+    in mapInPandas; the DuckDB oracle re-derives the Snyder §21 closed
+    form with the zone constants inlined. Quantized to 10 m."""
+    import numpy as np
+    import pandas as pd
+
+    p = _points(spark, sf_dir)
+
+    def run(batches):
+        for b in batches:
+            e, n = geo.ps_forward_params_np(
+                b["lon"].to_numpy(), b["lat"].to_numpy(), *geo.PS_ZONES[3413])
+            yield pd.DataFrame({
+                "point_id": b["point_id"],
+                "e_q": np.floor(e / 10.0 + 0.5).astype(np.int64),
+                "n_q": np.floor(n / 10.0 + 0.5).astype(np.int64),
+            })
+
+    return p.mapInPandas(run, "point_id long, e_q long, n_q long")
+
+
+def _ps_oracle_sql() -> str:
+    lat_ts, lon0, fe, fn, unit = geo.PS_ZONES[3413]
+    fa = geo.WGS84_A * geo._ps_rho_factor(lat_ts, None)
+    e = geo._E
+    t = (f"(TAN(PI()/4 - RADIANS(lat)/2) / "
+         f"POWER((1 - {e!r}*SIN(RADIANS(lat))) / (1 + {e!r}*SIN(RADIANS(lat))), {e / 2!r}))")
+    theta = f"(RADIANS(lon - ({lon0!r})))"
+    east = f"({fa!r} * {t} * SIN({theta}) + {fe!r})"
+    north = f"(-({fa!r} * {t} * COS({theta})) + {fn!r})"
+    return f"""
+WITH p AS ({_POINTS_SQL})
+SELECT point_id,
+       CAST(FLOOR({east} / 10.0 + 0.5) AS BIGINT) AS e_q,
+       CAST(FLOOR({north} / 10.0 + 0.5) AS BIGINT) AS n_q
+FROM p
+"""
+
+
 def q_flac_features(spark, sf_dir):
     """Real FLAC decode through audio_features: deterministic sine clips
     FLAC-encoded on executors (rows-only; losslessness vs the same PCM
@@ -1752,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_sim": q_label_centroid_sim,
         "prj_epsg": q_prj_epsg,
         "lcc_forward": q_lcc_forward,
+        "ps_forward": q_ps_forward,
         "flagship_pip": q_flagship_pip,
         # rows-only (no SQL oracle): real image pipeline + approximate ops
         "tile_pyramid": q_tile_pyramid,
@@ -1816,6 +1858,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroid_sim": SQL_CENTROID,
         "prj_epsg": SQL_PRJ,
         "lcc_forward": _lcc_oracle_sql(),
+        "ps_forward": _ps_oracle_sql(),
         "flagship_pip": _sql_flagship_pip(),
         "tile_pyramid": SQL_TILE_PYRAMID,
         "tile_slice": _sql_tile_slice(),
