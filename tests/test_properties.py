@@ -167,3 +167,42 @@ def test_geojson_polygon_bbox_property(pts):
     xs = [p[0] for p in ring]
     ys = [p[1] for p in ring]
     assert parsed["features"][0]["bbox"] == (min(xs), min(ys), max(xs), max(ys))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.floats(min_value=-180, max_value=180),
+       st.floats(min_value=-89.5, max_value=89.5),
+       st.sampled_from(["aea_conus", "aea_1sp", "ps_north", "ps_south", "ps_k0"]))
+def test_albers_and_polar_stereo_roundtrip_property(lon, lat, family):
+    """Hypothesis round trips for the round-4 projection families over
+    their domains of validity (Albers: conic, any non-polar lat;
+    polar stereo: the matching hemisphere)."""
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+
+    la = np.array([lat])
+    lo = np.array([lon])
+    if family == "aea_conus":
+        e, n = geo.aea_forward_params_np(lo, la, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+        lo2, la2 = geo.aea_inverse_params_np(e, n, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+    elif family == "aea_1sp":
+        e, n = geo.aea_forward_params_np(lo, la, 38.0, 38.0, 23.0, -96.0, 0.0, 0.0)
+        lo2, la2 = geo.aea_inverse_params_np(e, n, 38.0, 38.0, 23.0, -96.0, 0.0, 0.0)
+    elif family == "ps_north":
+        la = np.abs(la)
+        e, n = geo.ps_forward_params_np(lo, la, 70.0, -45.0, 0.0, 0.0)
+        lo2, la2 = geo.ps_inverse_params_np(e, n, 70.0, -45.0, 0.0, 0.0)
+    elif family == "ps_south":
+        la = -np.abs(la)
+        e, n = geo.ps_forward_params_np(lo, la, -71.0, 0.0, 0.0, 0.0)
+        lo2, la2 = geo.ps_inverse_params_np(e, n, -71.0, 0.0, 0.0, 0.0)
+    else:
+        la = np.abs(la)
+        e, n = geo.ps_forward_params_np(lo, la, 90.0, 0.0, 2e6, 2e6, k0=0.994)
+        lo2, la2 = geo.ps_inverse_params_np(e, n, 90.0, 0.0, 2e6, 2e6, k0=0.994)
+    dl = (lo2[0] - lo[0] + 180) % 360 - 180
+    # longitude is undefined at the exact pole
+    if abs(abs(la[0]) - 90) > 1e-9:
+        assert abs(dl) < 1e-8, (family, lo[0], la[0], dl)
+    assert abs(la2[0] - la[0]) < 1e-8, (family, lo[0], la[0])
