@@ -943,6 +943,55 @@ FROM documents GROUP BY 1
 """
 
 
+def q_corpus_clean(spark, sf_dir):
+    """CAPSTONE training-data pipeline as ONE oracle-checked query:
+    language gate (en) -> quality gate (>= 3 of 4 Gopher/C4-style rules)
+    -> exact dedup (canonical lowest-id doc per normalized-content key)
+    -> per-source survivor counts + whitespace-token totals. Every stage
+    reuses an operator that is ALSO individually oracle-proven (lang_id,
+    quality, exact_dedup, token_counts)."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.filter(X.lang_id(F.col("text")) == "en")
+    d = d.filter((X.quality_score(F.col("text")) * 4).cast("int") >= 3)
+    key = dedup.content_hash64(dedup.norm_text(F.col("text")))
+    w = Window.partitionBy(key).orderBy("doc_id")
+    canon = d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        canon.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(X.n_tokens_ws(F.col("text"))).alias("ws_tokens"))
+    )
+
+
+SQL_CORPUS_CLEAN = f"""
+WITH en AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE (CASE WHEN GREATEST({_sql_marker_hits('en')}, {_sql_marker_hits('de')},
+                            {_sql_marker_hits('fr')}, {_sql_marker_hits('es')}) = 0 THEN 'und'
+              WHEN {_sql_marker_hits('en')} >= {_sql_marker_hits('de')}
+               AND {_sql_marker_hits('en')} >= {_sql_marker_hits('fr')}
+               AND {_sql_marker_hits('en')} >= {_sql_marker_hits('es')} THEN 'en'
+              WHEN {_sql_marker_hits('de')} >= {_sql_marker_hits('fr')}
+               AND {_sql_marker_hits('de')} >= {_sql_marker_hits('es')} THEN 'de'
+              WHEN {_sql_marker_hits('fr')} >= {_sql_marker_hits('es')} THEN 'fr'
+              ELSE 'es' END) = 'en'
+), q AS (
+  SELECT doc_id, source, text FROM en
+  WHERE CAST((CASE WHEN {_SQL_NT} BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN {_SQL_SW} * 1.0 / GREATEST({_SQL_NT}, 1) >= 0.01 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN {_SQL_PR} <= 0.2 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN {_SQL_MWL} BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) AS INT) >= 3
+), canon AS (
+  SELECT doc_id, source, text,
+         CAST(CONCAT('0x', substr(md5({_SQL_NORM}), 1, 15)) AS BIGINT) AS content_key
+  FROM q
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY content_key ORDER BY doc_id) = 1
+)
+SELECT source, COUNT(*) AS n_docs, SUM(len({_SQL_WORDS})) AS ws_tokens
+FROM canon GROUP BY source
+"""
+
+
 def q_minhash(spark, sf_dir):
     """MinHash signature (first 4 hash functions) per document.
     Per-element expressions, not sig[i] over the array — indexing a
@@ -1778,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
+        "corpus_clean": q_corpus_clean,
         "minhash": q_minhash,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1843,6 +1893,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": SQL_QUALITY,
         "fingerprint": SQL_FP,
         "exact_dedup": SQL_DEDUP,
+        "corpus_clean": SQL_CORPUS_CLEAN,
         "minhash": SQL_MINHASH,
         "simhash": SQL_SIMHASH,
         "ngram_jaccard": SQL_NGRAM,
