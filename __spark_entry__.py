@@ -1163,6 +1163,42 @@ FROM d WHERE cosine >= 0.2
 """
 
 
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding near-dup REMOVAL end-to-end (the multimodal capstone
+    sibling of corpus_clean): exact cosine pairs >= 0.9 over a bounded
+    slice -> drop the higher-id member of each pair -> per-label
+    survivor counts. The pairwise arithmetic is the cosine_pairs oracle;
+    this composes it with keep_canonical's anti-join."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    l = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    r = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    cos = similarity.cosine_expr(F.col("va"), F.col("vb"))
+    pairs = (l.join(r, F.col("a") < F.col("b"))
+             .withColumn("cosine", cos).filter(F.col("cosine") >= 0.9)
+             .select("a", "b"))
+    losers = pairs.select(F.col("b").alias("vec_id")).distinct()
+    kept = e.join(losers, "vec_id", "left_anti")
+    return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+SQL_EMBEDDING_DEDUP = """
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 400),
+pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM e l JOIN e r ON l.vec_id < r.vec_id
+  WHERE list_sum(list_transform(generate_series(1, len(l.embedding)),
+                 i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)))
+        / GREATEST(
+            sqrt(list_sum(list_transform(l.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(r.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+          1e-30) >= 0.9
+)
+SELECT label, COUNT(*) AS n_vecs
+FROM e WHERE vec_id NOT IN (SELECT b FROM pairs)
+GROUP BY label
+"""
+
+
 def q_dedup_canonical(spark, sf_dir):
     """keep_canonical end-to-end: drop the higher-id member of every
     near-dup pair (ngram-Jaccard blocked by source), return survivors."""
@@ -1833,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_canonical": q_dedup_canonical,
         "cosine_pairs": q_cosine_pairs,
+        "embedding_dedup": q_embedding_dedup,
         "geojson_parse": q_geojson_parse,
         "gpkg_parse": q_gpkg_parse,
         "percentiles": q_percentiles,
@@ -1899,6 +1936,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM,
         "dedup_canonical": _sql_dedup_canonical(),
         "cosine_pairs": SQL_COSINE_PAIRS,
+        "embedding_dedup": SQL_EMBEDDING_DEDUP,
         "geojson_parse": SQL_GEOJSON_PARSE,
         "gpkg_parse": SQL_GPKG_PARSE,
         "percentiles": SQL_PERCENTILES,

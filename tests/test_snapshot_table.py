@@ -264,3 +264,19 @@ def test_rollback_is_new_snapshot(spark, table):
     assert {r["k"] for r in table.read().collect()} == {"a"}
     ops = [h["operation"] for h in table.history()]
     assert ops == ["append", "overwrite", "rollback"]
+
+
+def test_file_uri_root(spark, tmp_path):
+    """A file:// URI root exercises the pyarrow FileSystem.from_uri path
+    for metadata while Spark reads/writes the same URI natively — the
+    local stand-in for an object-store deployment."""
+    root = f"file://{tmp_path}/uritbl"
+    t = SnapshotTable(spark, root, bucket_key="k", n_buckets=4)
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"]))
+    t.delete_keys(spark.createDataFrame([("a",)], ["k"]), key="k")
+    assert t.current_version() == 2
+    assert {r["k"] for r in t.read().collect()} == {"b"}
+    # metadata landed under the physical path
+    import os
+    assert os.path.exists(tmp_path / "uritbl" / "VERSION")
+    assert os.path.exists(tmp_path / "uritbl" / "snapshots" / "v000002.json")
