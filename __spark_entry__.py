@@ -1022,9 +1022,10 @@ SQL_MINHASH = _sql_minhash()
 
 
 def q_simhash(spark, sf_dir):
+    """SimHash via the codegen explode+groupBy form (bit-identical to the
+    array-fold column form; ~2x faster — folds never enter codegen)."""
     d = _t(spark, sf_dir, "documents")
-    d = d.select("doc_id", dedup.word_hashes(F.col("text")).alias("_wh"))
-    return d.select("doc_id", dedup.simhash_from_hashes(F.col("_wh"), bits=16).alias("sh"))
+    return dedup.simhash_df(d, bits=16).select(F.col("id").alias("doc_id"), "sh")
 
 
 def _sql_simhash(bits: int = 16) -> str:
