@@ -135,6 +135,158 @@ def _assemble_mp4(samples: list[bytes], w: int, h: int, fps: int,
     return ftyp + _box(b"mdat", mdat_payload) + moov
 
 
+def write_fragmented_mp4(frames: list[np.ndarray], fps: int = 10,
+                         quality: int = 90, frames_per_fragment: int = 4,
+                         codec: bytes = b"jpeg") -> bytes:
+    """DASH-style fragmented MP4: moov carries only the track header +
+    mvex/trex defaults; samples live in moof/traf/trun + mdat pairs.
+    Real encoder for 'jpeg' (T.81) and 'raw ' (gray pixels) tracks, and
+    the fixture generator for the fragmented read path."""
+    if not frames:
+        raise ValueError("no frames")
+    arrs = [np.ascontiguousarray(np.asarray(f, np.uint8)) for f in frames]
+    h, w = arrs[0].shape[:2]
+    if codec == b"jpeg":
+        samples = [_jpeg.encode(a, quality=quality) for a in arrs]
+        depth = 24
+    elif codec == b"raw ":
+        samples = [a.tobytes() for a in arrs]
+        depth = 8
+    else:
+        raise ValueError("codec must be b'jpeg' or b'raw '")
+    timescale = 90000
+    delta = timescale // fps
+
+    ftyp = _box(b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso5iso6mp41")
+    mvhd = _full(b"mvhd", 0, 0,
+                 struct.pack(">IIII", 0, 0, timescale, 0)  # duration 0: fragmented
+                 + struct.pack(">iH H 8x 36s 24x", 0x00010000, 0x0100, 0,
+                               _MATRIX) + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 7,
+                 struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", 0)
+                 + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+                 + _MATRIX + struct.pack(">II", w << 16, h << 16))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, timescale, 0, 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"video\x00")
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")))
+    vse = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+           + struct.pack(">HH", w, h) + struct.pack(">II", 0x00480000, 0x00480000)
+           + b"\x00" * 4 + struct.pack(">H", 1) + b"\x00" * 32
+           + struct.pack(">Hh", depth, -1))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(codec, vse))
+    # empty sample tables: all samples arrive in fragments
+    stbl = _box(b"stbl", stsd + _full(b"stts", 0, 0, struct.pack(">I", 0))
+                + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+                + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+                + _full(b"stco", 0, 0, struct.pack(">I", 0)))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    trex = _full(b"trex", 0, 0, struct.pack(">IIIII", 1, 1, delta, 0, 0))
+    mvex = _box(b"mvex", trex)
+    moov = _box(b"moov", mvhd + mvex + trak)
+
+    out = ftyp + moov
+    t_acc = 0
+    for fi, start in enumerate(range(0, len(samples), frames_per_fragment)):
+        chunk = samples[start : start + frames_per_fragment]
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", fi + 1))
+        # tfhd: default-base-is-moof (0x020000); trun: data-offset (0x1)
+        # + sample-size-present (0x200); durations come from trex
+        tfhd = _full(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+        tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", t_acc))
+        trun_payload = struct.pack(">I", len(chunk))
+        trun_payload += struct.pack(">i", 0)  # data_offset patched below
+        trun_payload += b"".join(struct.pack(">I", len(s)) for s in chunk)
+        trun = _full(b"trun", 0, 0x000201, trun_payload)
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = _box(b"moof", mfhd + traf)
+        # patch data_offset: first sample byte relative to moof start
+        data_offset = len(moof) + 8  # moof + mdat header
+        # trun payload sits at: moof hdr(8) + mfhd + traf hdr(8) + tfhd + tfdt + trun hdr(8+4) + count(4)
+        off_pos = 8 + len(mfhd) + 8 + len(tfhd) + len(tfdt) + 12 + 4
+        moof = moof[:off_pos] + struct.pack(">i", data_offset) + moof[off_pos + 4:]
+        out += moof + _box(b"mdat", b"".join(chunk))
+        t_acc += len(chunk) * delta
+    return out
+
+
+def _read_fragments(data: bytes, track_id: int, trex: dict, timescale: int):
+    """Collect (frames, timestamps_ms, duration_ms) from moof/traf/trun."""
+    frames: list[bytes] = []
+    ts_ms: list[int] = []
+    t_acc = 0
+    for typ, b0, b1 in _walk(data, 0, len(data)):
+        if typ != b"moof":
+            continue
+        moof_start = b0 - 8
+        for t2, c0, c1 in _walk(data, b0, b1):
+            if t2 != b"traf":
+                continue
+            tfhd = _find(data, c0, c1, b"tfhd")
+            if tfhd is None:
+                continue
+            fl = int.from_bytes(data[tfhd[0] + 1 : tfhd[0] + 4], "big")
+            p = tfhd[0] + 4
+            (tid,) = struct.unpack(">I", data[p : p + 4])
+            p += 4
+            if tid != track_id:
+                continue
+            base = moof_start if fl & 0x020000 else 0
+            if fl & 0x000001:  # base_data_offset present
+                (base,) = struct.unpack(">Q", data[p : p + 8])
+                p += 8
+            if fl & 0x000002:
+                p += 4  # sample_description_index
+            def_dur = trex.get("duration", 0)
+            if fl & 0x000008:
+                (def_dur,) = struct.unpack(">I", data[p : p + 4])
+                p += 4
+            def_size = trex.get("size", 0)
+            if fl & 0x000010:
+                (def_size,) = struct.unpack(">I", data[p : p + 4])
+                p += 4
+            tfdt = _find(data, c0, c1, b"tfdt")
+            if tfdt is not None:
+                ver = data[tfdt[0]]
+                t_acc = (struct.unpack(">Q", data[tfdt[0] + 4 : tfdt[0] + 12])[0]
+                         if ver == 1 else
+                         struct.unpack(">I", data[tfdt[0] + 4 : tfdt[0] + 8])[0])
+            for t3, d0, d1 in _walk(data, c0, c1):
+                if t3 != b"trun":
+                    continue
+                tr_fl = int.from_bytes(data[d0 + 1 : d0 + 4], "big")
+                p2 = d0 + 4
+                (cnt,) = struct.unpack(">I", data[p2 : p2 + 4])
+                p2 += 4
+                pos = base
+                if tr_fl & 0x000001:
+                    (doff,) = struct.unpack(">i", data[p2 : p2 + 4])
+                    p2 += 4
+                    pos = base + doff
+                if tr_fl & 0x000004:
+                    p2 += 4  # first_sample_flags
+                for _ in range(cnt):
+                    dur = def_dur
+                    size = def_size
+                    if tr_fl & 0x000100:
+                        (dur,) = struct.unpack(">I", data[p2 : p2 + 4])
+                        p2 += 4
+                    if tr_fl & 0x000200:
+                        (size,) = struct.unpack(">I", data[p2 : p2 + 4])
+                        p2 += 4
+                    if tr_fl & 0x000400:
+                        p2 += 4  # sample_flags
+                    if tr_fl & 0x000800:
+                        p2 += 4  # composition offset
+                    frames.append(data[pos : pos + size])
+                    ts_ms.append(int(t_acc * 1000 / timescale))
+                    pos += size
+                    t_acc += dur
+    return frames, ts_ms, int(t_acc * 1000 / timescale)
+
+
 def read_mjpeg_mp4(data: bytes, fourccs: tuple = _SUPPORTED_FOURCC) -> dict:
     """Extract the first supported video track's samples + timestamps.
     The result carries `codec` ('jpeg' for the T.81 family, 'raw' for
@@ -224,7 +376,26 @@ def read_mjpeg_mp4(data: bytes, fourccs: tuple = _SUPPORTED_FOURCC) -> dict:
                 ts.append(int(t_acc * 1000 / timescale))
                 t_acc += delta
         if not frames:
-            continue
+            # fragmented (DASH) layout: empty stbl, samples in moof/trun
+            tid = 1
+            if tkhd is not None:
+                (tid,) = struct.unpack(">I", data[tkhd[0] + 12 : tkhd[0] + 16])
+            trex_defaults: dict = {}
+            mvex = _find(data, *moov, b"mvex")
+            if mvex is not None:
+                trex = _find(data, *mvex, b"trex")
+                if trex is not None:
+                    t_tid, _sdi, t_dur, t_size, _fl = struct.unpack(
+                        ">IIIII", data[trex[0] + 4 : trex[0] + 24])
+                    if t_tid == tid:
+                        trex_defaults = {"duration": t_dur, "size": t_size}
+            frames, ts, dur_ms = _read_fragments(data, tid, trex_defaults, timescale)
+            if not frames:
+                continue
+            return {"width": width, "height": height, "timescale": timescale,
+                    "timestamps_ms": ts, "frames": frames,
+                    "duration_ms": dur_ms,
+                    "codec": "raw" if fourcc in _RAW_FOURCC else "jpeg"}
         return {"width": width, "height": height, "timescale": timescale,
                 "timestamps_ms": ts[: len(frames)], "frames": frames,
                 "duration_ms": int(t_acc * 1000 / timescale),

@@ -285,6 +285,15 @@ def mp4_meta(data: bytes) -> dict:
                             out["width"], out["height"] = w >> 16, h >> 16
     if out["duration_s"] is None:
         raise ValueError("no mvhd in MP4")
+    if out["duration_s"] == 0:
+        # fragmented (DASH) file: mvhd carries 0; sum moof/trun durations
+        from .. import mp4 as _mp4f
+
+        try:
+            parsed = _mp4f.read_mjpeg_mp4(data)
+            out["duration_s"] = parsed["duration_ms"] / 1000.0
+        except ValueError:
+            pass  # non-decodable codec: duration stays 0 (still parsed)
     return out
 
 

@@ -332,3 +332,50 @@ def test_sample_frames_rawvideo_mp4_bit_exact(spark):
         assert (r["fw"], r["fh"]) == (20, 12)
         got = np.frombuffer(bytes(r["frame"]), np.uint8).reshape(12, 20)
         np.testing.assert_array_equal(got, src[int(r["ts_ms"] * 2 / 1000)])
+
+
+def test_sample_frames_fragmented_mp4(spark):
+    """DASH-style fragmented MP4 (empty stbl, samples in moof/traf/trun):
+    real pixels for both 'jpeg' (PSNR>40) and bit-exact 'raw ' tracks."""
+    import numpy as np
+
+    from extractors_geo_spark import jpeg as _j
+    from extractors_geo_spark import mp4 as _mp4
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    src = [np.clip(120 + 90 * np.sin((xx + 4 * f) / 5), 0, 255).astype(np.uint8)
+           for f in range(8)]
+    frag_j = _mp4.write_fragmented_mp4(src, fps=2, frames_per_fragment=3, codec=b"jpeg")
+    frag_r = _mp4.write_fragmented_mp4(src, fps=2, frames_per_fragment=3, codec=b"raw ")
+    df = spark.createDataFrame(
+        [("fj", bytearray(frag_j)), ("fr", bytearray(frag_r))],
+        "video_id string, bytes binary")
+    rows = M.sample_frames(df, every_ms=1000, fake=False).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["video_id"], []).append(r)
+    assert set(by) == {"fj", "fr"}
+    for vid, rs in by.items():
+        rs = sorted(rs, key=lambda r: r["frame_idx"])
+        assert [r["ts_ms"] for r in rs] == [0, 1000, 2000, 3000]
+        for r in rs:
+            got = np.frombuffer(bytes(r["frame"]), np.uint8).reshape(16, 24)
+            want = src[int(r["ts_ms"] * 2 / 1000)]
+            if vid == "fr":
+                np.testing.assert_array_equal(got, want)
+            else:
+                mse = ((got.astype(float) - want.astype(float)) ** 2).mean()
+                assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) > 40
+
+
+def test_mp4_meta_fragmented_duration():
+    import numpy as np
+
+    from extractors_geo_spark import mp4 as _mp4
+    from extractors_geo_spark.operators.multimodal import mp4_meta
+
+    src = [np.full((8, 8), 40 + i, np.uint8) for i in range(10)]
+    data = _mp4.write_fragmented_mp4(src, fps=5, codec=b"raw ")
+    m = mp4_meta(data)
+    assert abs(m["duration_s"] - 2.0) < 1e-9
+    assert (m["width"], m["height"]) == (8, 8)
