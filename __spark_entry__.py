@@ -1370,6 +1370,84 @@ def q_flagship_pip(spark, sf_dir):
     ).select("image_id", "caption", "poly_id", "name")
 
 
+def q_exif_pip(spark, sf_dir):
+    """Crawl-photo geo chain with a FULL oracle: JPEGs synthesized on
+    executors with EXIF GPS IFDs at SQL-twin LCG coordinates (every 10th
+    image carries no GPS and must drop out) -> exif_geo extraction ->
+    exact ray-cast PIP join vs the polygon layer. The oracle regenerates
+    the coordinates and ray-casts them against the same inlined edges —
+    EXIF round trip (~1e-11 deg DMS quantization) + join logic gated."""
+    import numpy as np
+    import pandas as pd
+
+    from extractors_geo_spark import exif as _exif
+    from extractors_geo_spark import jpeg as _jpeg
+    from extractors_geo_spark.operators import multimodal as M
+
+    base = spark.range(0, 800, 1, 8).select(F.col("id").alias("i"))
+
+    def make(batches):
+        g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
+        plain = _jpeg.encode(g, quality=85)
+        for b in batches:
+            rows = []
+            for i in b["i"]:
+                i = int(i)
+                if i % 10 == 0:
+                    data = plain  # no GPS IFD: must not join
+                else:
+                    lon, lat = datagen.sql_twin_centroid(i)
+                    data = _exif.insert_app1(plain, _exif.build_app1(lat, lon, 1 + i % 8))
+                rows.append({"image_id": f"img{i:08d}", "bytes": data})
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    imgs = base.mapInPandas(make, "image_id string, bytes binary")
+    pos = M.exif_geo(imgs).filter(F.col("lon").isNotNull())
+    polys = datagen.polygons_df(spark)
+    return pip_join.pip_join(pos, polys).select("image_id", "poly_id", "name")
+
+
+def _sql_exif_pip() -> str:
+    pd_polys = datagen.make_polygons()
+    edges = []
+    for rec in pd_polys.itertuples(index=False):
+        for j in range(4):
+            edges.append(
+                f"('{rec.poly_id}','{rec.name}',CAST('{rec.xs[j]!r}' AS DOUBLE),"
+                f"CAST('{rec.ys[j]!r}' AS DOUBLE),CAST('{rec.xs[j+1]!r}' AS DOUBLE),"
+                f"CAST('{rec.ys[j+1]!r}' AS DOUBLE))"
+            )
+    c0, c1, c2, c3 = ("-124.731422e0", "24.955967e0", "-66.969849e0", "49.371735e0")
+    return f"""
+WITH raw AS (
+  SELECT i,
+         ((i * 1103515245 + 12345) % 2147483648) / 2147483648e0 AS u1,
+         ((i * 69069 + 1) % 2147483648) / 2147483648e0 AS u2,
+         CASE (i // 5) % 3 WHEN 0 THEN -118.24e0 WHEN 1 THEN -87.63e0 ELSE -74.01e0 END AS mx,
+         CASE (i // 5) % 3 WHEN 0 THEN 34.05e0 WHEN 1 THEN 41.88e0 ELSE 40.71e0 END AS my
+  FROM range(800) t(i)
+  WHERE i % 10 <> 0
+), pts AS (
+  SELECT printf('img%08d', i) AS image_id,
+         CASE WHEN i % 5 = 0
+              THEN LEAST(GREATEST(mx + (u1 - 0.5e0) * 0.7e0, {c0}), {c2})
+              ELSE {c0} + ({c2} - {c0}) * u1 END AS lon,
+         CASE WHEN i % 5 = 0
+              THEN LEAST(GREATEST(my + (u2 - 0.5e0) * 0.7e0, {c1}), {c3})
+              ELSE {c1} + ({c3} - {c1}) * u2 END AS lat
+  FROM raw
+), edges(poly_id, name, x1, y1, x2, y2) AS (
+  VALUES {",".join(edges)}
+)
+SELECT p.image_id, e.poly_id, e.name
+FROM pts p JOIN edges e
+  ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+ AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+GROUP BY 1, 2, 3
+HAVING COUNT(*) % 2 = 1
+"""
+
+
 def _sql_flagship_pip() -> str:
     """DuckDB twin of q_flagship_pip: regenerate the SQL-twin centroids
     (identical double-arithmetic evaluation order as
@@ -1883,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcc_forward": q_lcc_forward,
         "ps_forward": q_ps_forward,
         "flagship_pip": q_flagship_pip,
+        "exif_pip": q_exif_pip,
         # rows-only (no SQL oracle): real image pipeline + approximate ops
         "tile_pyramid": q_tile_pyramid,
         "tile_slice": q_tile_slice,
@@ -1950,6 +2029,7 @@ def oracle_sql() -> dict[str, str]:
         "lcc_forward": _lcc_oracle_sql(),
         "ps_forward": _ps_oracle_sql(),
         "flagship_pip": _sql_flagship_pip(),
+        "exif_pip": _sql_exif_pip(),
         "tile_pyramid": SQL_TILE_PYRAMID,
         "tile_slice": _sql_tile_slice(),
     }

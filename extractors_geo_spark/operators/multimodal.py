@@ -128,6 +128,42 @@ META_SCHEMA = T.StructType(
 )
 
 
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def exif_geo(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """JPEG bytes -> EXIF GPS position + orientation (the crawl-photo geo
+    source: images georeference from their GPS IFD with no GeoTIFF tags,
+    then feed the SAME PIP/tiling operators as raster footprints).
+    Errors-as-data: non-JPEG or malformed bytes yield an error row, rows
+    without a GPS IFD yield NULL coordinates — never a task failure.
+    Narrow Arrow stage; bytes pruned from the output."""
+    from .. import exif as _exif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data in zip(b[id_col], b["bytes"]):
+                try:
+                    r = _exif.read_exif(bytes(data))
+                    rows.append({"image_id": iid, "lon": r["lon"], "lat": r["lat"],
+                                 "orientation": r["orientation"], "error": None})
+                except Exception as e:
+                    rows.append({"image_id": iid, "lon": None, "lat": None,
+                                 "orientation": None, "error": str(e) or "bad exif"})
+            yield pd.DataFrame(rows, columns=["image_id", "lon", "lat", "orientation", "error"])
+
+    return images.select(F.col(id_col), "bytes").mapInPandas(run, EXIF_SCHEMA)
+
+
 def decode_image_meta(images: DataFrame, fake: bool = True) -> DataFrame:
     """Narrow Arrow stage: bytes -> (w, h, ok, error). Bytes pruned from
     the output."""
