@@ -1370,6 +1370,50 @@ def q_flagship_pip(spark, sf_dir):
     ).select("image_id", "caption", "poly_id", "name")
 
 
+def q_video_captions(spark, sf_dir):
+    """Caption-track extraction with a FULL oracle: two-track MP4s
+    (jpeg video + tx3g captions) synthesized on executors with
+    deterministic caption strings; every 4th clip has no caption track
+    and must emit zero rows. The oracle regenerates (clip, ts, caption)
+    from the same id arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from extractors_geo_spark import mp4 as _mp4
+    from extractors_geo_spark.operators import multimodal as M
+
+    base = spark.range(0, 48, 1, 8).select(F.col("id").alias("i"))
+
+    def make(batches):
+        for b in batches:
+            rows = []
+            for i in b["i"]:
+                i = int(i)
+                frames = [np.full((8, 8), 20 + 7 * (i + f) % 200, np.uint8) for f in range(4)]
+                if i % 4 == 0:
+                    data = _mp4.write_mjpeg_mp4(frames, fps=2)
+                else:
+                    n_caps = 1 + i % 3
+                    caps = [f"clip {i} caption {c}" for c in range(n_caps)]
+                    data = _mp4.write_mp4_with_captions(frames, fps=2, captions=caps,
+                                                        caption_ms=500)
+                rows.append({"video_id": f"vid{i:04d}", "bytes": data})
+            yield pd.DataFrame(rows, columns=["video_id", "bytes"])
+
+    vids = base.mapInPandas(make, "video_id string, bytes binary")
+    return M.video_captions(vids)
+
+
+SQL_VIDEO_CAPTIONS = """
+SELECT printf('vid%04d', i) AS video_id,
+       CAST(c * 500 AS BIGINT) AS ts_ms,
+       printf('clip %d caption %d', i, c) AS caption
+FROM range(48) t(i)
+CROSS JOIN LATERAL (SELECT UNNEST(range(1 + i % 3)) AS c) caps
+WHERE i % 4 <> 0
+"""
+
+
 def q_exif_pip(spark, sf_dir):
     """Crawl-photo geo chain with a FULL oracle: JPEGs synthesized on
     executors with EXIF GPS IFDs at SQL-twin LCG coordinates (every 10th
@@ -1962,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ps_forward": q_ps_forward,
         "flagship_pip": q_flagship_pip,
         "exif_pip": q_exif_pip,
+        "video_captions": q_video_captions,
         # rows-only (no SQL oracle): real image pipeline + approximate ops
         "tile_pyramid": q_tile_pyramid,
         "tile_slice": q_tile_slice,
@@ -2030,6 +2075,7 @@ def oracle_sql() -> dict[str, str]:
         "ps_forward": _ps_oracle_sql(),
         "flagship_pip": _sql_flagship_pip(),
         "exif_pip": _sql_exif_pip(),
+        "video_captions": SQL_VIDEO_CAPTIONS,
         "tile_pyramid": SQL_TILE_PYRAMID,
         "tile_slice": _sql_tile_slice(),
     }

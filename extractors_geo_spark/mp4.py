@@ -287,6 +287,175 @@ def _read_fragments(data: bytes, track_id: int, trex: dict, timescale: int):
     return frames, ts_ms, int(t_acc * 1000 / timescale)
 
 
+def _stbl_samples(data: bytes, stbl, timescale: int):
+    """Expand one track's sample tables (stsz/stco|co64/stsc/stts) into
+    (sample bytes list, timestamps_ms, end_time_in_timescale)."""
+
+    def full_payload(span):
+        return span[0] + 4  # skip version/flags
+
+    sz = _find(data, *stbl, b"stsz")
+    p = full_payload(sz)
+    fixed, cnt = struct.unpack(">II", data[p : p + 8])
+    sizes = ([fixed] * cnt if fixed else
+             list(struct.unpack(f">{cnt}I", data[p + 8 : p + 8 + 4 * cnt])))
+    co = _find(data, *stbl, b"stco")
+    if co is not None:
+        p = full_payload(co)
+        (nch,) = struct.unpack(">I", data[p : p + 4])
+        offsets = list(struct.unpack(f">{nch}I", data[p + 4 : p + 4 + 4 * nch]))
+    else:
+        co = _find(data, *stbl, b"co64")
+        p = full_payload(co)
+        (nch,) = struct.unpack(">I", data[p : p + 4])
+        offsets = list(struct.unpack(f">{nch}Q", data[p + 4 : p + 4 + 8 * nch]))
+    sc = _find(data, *stbl, b"stsc")
+    p = full_payload(sc)
+    (nsc,) = struct.unpack(">I", data[p : p + 4])
+    sc_rows = [struct.unpack(">III", data[p + 4 + 12 * i : p + 16 + 12 * i])
+               for i in range(nsc)]
+    tt = _find(data, *stbl, b"stts")
+    p = full_payload(tt)
+    (ntt,) = struct.unpack(">I", data[p : p + 4])
+    tt_rows = [struct.unpack(">II", data[p + 4 + 8 * i : p + 12 + 8 * i])
+               for i in range(ntt)]
+
+    samples: list[bytes] = []
+    si = 0
+    for ci, off in enumerate(offsets):
+        spc = 1
+        for first, per, _sdi in sc_rows:
+            if ci + 1 >= first:
+                spc = per
+        pos = off
+        for _ in range(spc):
+            if si >= len(sizes):
+                break
+            samples.append(data[pos : pos + sizes[si]])
+            pos += sizes[si]
+            si += 1
+    ts = []
+    t_acc = 0
+    for cnt2, delta in tt_rows:
+        for _ in range(cnt2):
+            ts.append(int(t_acc * 1000 / timescale))
+            t_acc += delta
+    return samples, ts, t_acc
+
+
+_TEXT_FOURCC = (b"tx3g", b"text")
+
+
+def read_caption_track(data: bytes) -> list[tuple[int, str]]:
+    """Extract a tx3g/text caption track: [(start_ms, text), ...] —
+    the caption half of the image+caption north star when the source is
+    a video container. Raises ValueError when no caption track exists."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an MP4")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov")
+    for t, b0, b1 in _walk(data, *moov):
+        if t != b"trak":
+            continue
+        mdia = _find(data, b0, b1, b"mdia")
+        if mdia is None:
+            continue
+        mdhd = _find(data, *mdia, b"mdhd")
+        minf = _find(data, *mdia, b"minf")
+        if minf is None or mdhd is None:
+            continue
+        stbl = _find(data, *minf, b"stbl")
+        if stbl is None:
+            continue
+        stsd = _find(data, *stbl, b"stsd")
+        if stsd is None or data[stsd[0] + 12 : stsd[0] + 16] not in _TEXT_FOURCC:
+            continue
+        ver = data[mdhd[0]]
+        ts_off = mdhd[0] + (20 if ver == 1 else 12)
+        (timescale,) = struct.unpack(">I", data[ts_off : ts_off + 4])
+        samples, ts, _end = _stbl_samples(data, stbl, timescale)
+        out = []
+        for s, t_ms in zip(samples, ts):
+            if len(s) < 2:
+                continue
+            (ln,) = struct.unpack(">H", s[:2])
+            out.append((t_ms, s[2 : 2 + ln].decode("utf-8", "replace")))
+        return out
+    raise ValueError("no caption track")
+
+
+def write_mp4_with_captions(frames: list, fps: int, captions: list[str],
+                            caption_ms: int = 1000, quality: int = 90) -> bytes:
+    """Two-track MP4: a 'jpeg' video track plus a 'tx3g' caption track
+    (one caption per `caption_ms`). Fixture generator AND a real encoder
+    for caption-bearing clips."""
+    import numpy as np
+
+    if not frames or not captions:
+        raise ValueError("need frames and captions")
+    arrs = [np.ascontiguousarray(np.asarray(f, np.uint8)) for f in frames]
+    h, w = arrs[0].shape[:2]
+    vsamples = [_jpeg.encode(a, quality=quality) for a in arrs]
+    csamples = [struct.pack(">H", len(c.encode())) + c.encode() for c in captions]
+    timescale = 90000
+    vdelta = timescale // fps
+    vdur = len(vsamples) * vdelta
+    cdelta = caption_ms * timescale // 1000
+    cdur = len(csamples) * cdelta
+    dur = max(vdur, cdur)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(vsamples) + b"".join(csamples)
+    v_off = len(ftyp) + 8
+    c_off = v_off + sum(len(s) for s in vsamples)
+
+    mvhd = _full(b"mvhd", 0, 0,
+                 struct.pack(">IIII", 0, 0, timescale, dur)
+                 + struct.pack(">iH H 8x 36s 24x", 0x00010000, 0x0100, 0,
+                               _MATRIX) + struct.pack(">I", 3))
+
+    def track(track_id, handler, stsd_entry, n, delta, sizes, chunk_off, tw, th):
+        tkhd = _full(b"tkhd", 0, 7,
+                     struct.pack(">IIII", 0, 0, track_id, 0) + struct.pack(">I", dur)
+                     + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+                     + _MATRIX + struct.pack(">II", tw << 16, th << 16))
+        mdhd = _full(b"mdhd", 0, 0,
+                     struct.pack(">IIIIHH", 0, 0, timescale, n * delta, 0x55C4, 0))
+        hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + handler + b"\x00" * 12 + b"trk\x00")
+        mhd = (_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+               if handler == b"vide" else _full(b"nmhd", 0, 0, b""))
+        dinf = _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")))
+        stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+        stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+        stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+        stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                     + b"".join(struct.pack(">I", s) for s in sizes))
+        stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_off))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _box(b"minf", mhd + dinf + stbl)
+        return _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
+
+    vse = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+           + struct.pack(">HH", w, h) + struct.pack(">II", 0x00480000, 0x00480000)
+           + b"\x00" * 4 + struct.pack(">H", 1) + b"\x00" * 32
+           + struct.pack(">Hh", 24, -1))
+    tse = (b"\x00" * 6 + struct.pack(">H", 1)      # reserved + data_ref_index
+           + struct.pack(">I", 0)                   # displayFlags
+           + struct.pack(">bb", 1, -1)              # justification
+           + b"\x00" * 4                            # bg color
+           + struct.pack(">hhhh", 0, 0, h, w)       # default text box
+           + struct.pack(">HHHBB", 0, 0, 0, 12, 0)  # style record head
+           + b"\x00" * 4)                           # style color
+    vtrak = track(1, b"vide", _box(b"jpeg", vse), len(vsamples), vdelta,
+                  [len(s) for s in vsamples], v_off, w, h)
+    ctrak = track(2, b"text", _box(b"tx3g", tse), len(csamples), cdelta,
+                  [len(s) for s in csamples], c_off, 0, 0)
+    moov = _box(b"moov", mvhd + vtrak + ctrak)
+    # chunk offsets were computed for layout ftyp|mdat|moov
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
 def read_mjpeg_mp4(data: bytes, fourccs: tuple = _SUPPORTED_FOURCC) -> dict:
     """Extract the first supported video track's samples + timestamps.
     The result carries `codec` ('jpeg' for the T.81 family, 'raw' for
@@ -324,57 +493,7 @@ def read_mjpeg_mp4(data: bytes, fourccs: tuple = _SUPPORTED_FOURCC) -> dict:
         timescale_off = mdhd[0] + (20 if ver == 1 else 12)
         (timescale,) = struct.unpack(">I", data[timescale_off : timescale_off + 4])
 
-        def full_payload(span):
-            return span[0] + 4  # skip version/flags
-
-        sz = _find(data, *stbl, b"stsz")
-        p = full_payload(sz)
-        fixed, cnt = struct.unpack(">II", data[p : p + 8])
-        sizes = ([fixed] * cnt if fixed else
-                 list(struct.unpack(f">{cnt}I", data[p + 8 : p + 8 + 4 * cnt])))
-        co = _find(data, *stbl, b"stco")
-        if co is not None:
-            p = full_payload(co)
-            (nch,) = struct.unpack(">I", data[p : p + 4])
-            offsets = list(struct.unpack(f">{nch}I", data[p + 4 : p + 4 + 4 * nch]))
-        else:
-            co = _find(data, *stbl, b"co64")
-            p = full_payload(co)
-            (nch,) = struct.unpack(">I", data[p : p + 4])
-            offsets = list(struct.unpack(f">{nch}Q", data[p + 4 : p + 4 + 8 * nch]))
-        sc = _find(data, *stbl, b"stsc")
-        p = full_payload(sc)
-        (nsc,) = struct.unpack(">I", data[p : p + 4])
-        sc_rows = [struct.unpack(">III", data[p + 4 + 12 * i : p + 16 + 12 * i])
-                   for i in range(nsc)]
-        tt = _find(data, *stbl, b"stts")
-        p = full_payload(tt)
-        (ntt,) = struct.unpack(">I", data[p : p + 4])
-        tt_rows = [struct.unpack(">II", data[p + 4 + 8 * i : p + 12 + 8 * i])
-                   for i in range(ntt)]
-
-        # expand sample-to-chunk runs into per-sample byte ranges
-        frames: list[bytes] = []
-        si = 0
-        for ci, off in enumerate(offsets):
-            spc = 1
-            for first, per, _sdi in sc_rows:
-                if ci + 1 >= first:
-                    spc = per
-            pos = off
-            for _ in range(spc):
-                if si >= len(sizes):
-                    break
-                frames.append(data[pos : pos + sizes[si]])
-                pos += sizes[si]
-                si += 1
-        # expand time deltas into per-sample timestamps (ms)
-        ts = []
-        t_acc = 0
-        for cnt2, delta in tt_rows:
-            for _ in range(cnt2):
-                ts.append(int(t_acc * 1000 / timescale))
-                t_acc += delta
+        frames, ts, t_acc = _stbl_samples(data, stbl, timescale)
         if not frames:
             # fragmented (DASH) layout: empty stbl, samples in moof/trun
             tid = 1

@@ -453,6 +453,38 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
     return videos.select(F.col(id_col), "bytes").mapInPandas(run, FRAME_SCHEMA)
 
 
+CAPTION_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("caption", T.StringType()),
+    ]
+)
+
+
+def video_captions(videos: DataFrame, id_col: str = "video_id") -> DataFrame:
+    """MP4 tx3g/text caption-track extraction (1 row in, N caption rows
+    out) — the caption half of the image+caption north star when the
+    source is a video container. Videos without a caption track or with
+    malformed bytes emit zero rows (anti-joinable); never a task
+    failure. Narrow Arrow stage; bytes pruned from the output."""
+    from .. import mp4 as _mp4c
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for vid, data in zip(b[id_col], b["bytes"]):
+                try:
+                    caps = _mp4c.read_caption_track(bytes(data))
+                except Exception:
+                    continue
+                for ts, text in caps:
+                    rows.append({"video_id": vid, "ts_ms": ts, "caption": text})
+            yield pd.DataFrame(rows, columns=["video_id", "ts_ms", "caption"])
+
+    return videos.select(F.col(id_col), "bytes").mapInPandas(run, CAPTION_SCHEMA)
+
+
 AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("audio_id", T.StringType()),

@@ -379,3 +379,23 @@ def test_mp4_meta_fragmented_duration():
     m = mp4_meta(data)
     assert abs(m["duration_s"] - 2.0) < 1e-9
     assert (m["width"], m["height"]) == (8, 8)
+
+
+def test_video_captions_operator(spark):
+    """tx3g caption-track extraction end-to-end: timed captions out,
+    caption-less/malformed videos emit zero rows."""
+    import numpy as np
+
+    from extractors_geo_spark import mp4 as _mp4
+
+    frames = [np.full((8, 8), 60, np.uint8) for _ in range(4)]
+    with_caps = _mp4.write_mp4_with_captions(
+        frames, fps=2, captions=["hello world", "second cap"], caption_ms=750)
+    without = _mp4.write_mjpeg_mp4(frames, fps=2)
+    df = spark.createDataFrame(
+        [("wc", bytearray(with_caps)), ("nc", bytearray(without)),
+         ("bad", bytearray(b"\x00" * 32))],
+        "video_id string, bytes binary")
+    rows = sorted(M.video_captions(df).collect(), key=lambda r: r["ts_ms"])
+    assert [(r["video_id"], r["ts_ms"], r["caption"]) for r in rows] == [
+        ("wc", 0, "hello world"), ("wc", 750, "second cap")]
