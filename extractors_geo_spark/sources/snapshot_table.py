@@ -289,7 +289,26 @@ class SnapshotTable:
         snap = self.snapshot(version)
         if not snap["files"]:
             raise ValueError("empty table")
-        return self.spark.read.parquet(*[self._spark_path(f["path"]) for f in snap["files"]])
+        # mergeSchema: files written before a column was added (schema
+        # evolution via merge/append) project NULL for it, Iceberg-style
+        return (self.spark.read.option("mergeSchema", "true")
+                .parquet(*[self._spark_path(f["path"]) for f in snap["files"]]))
+
+    @staticmethod
+    def _align_schemas(current: DataFrame, updates: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Additive schema evolution: columns present on only one side
+        are added as typed NULLs to the other, so merge() accepts update
+        batches that grow (or shrink) the schema — the crawl-pipeline
+        reality where extractors gain fields over time."""
+        cur_cols = dict(zip(current.columns, current.schema.fields))
+        upd_cols = dict(zip(updates.columns, updates.schema.fields))
+        for name, fld in upd_cols.items():
+            if name not in cur_cols:
+                current = current.withColumn(name, F.lit(None).cast(fld.dataType))
+        for name, fld in cur_cols.items():
+            if name not in upd_cols:
+                updates = updates.withColumn(name, F.lit(None).cast(fld.dataType))
+        return current, updates.select(*current.columns)
 
     def append(self, df: DataFrame) -> int:
         def attempt(base: int) -> int:
@@ -315,8 +334,11 @@ class SnapshotTable:
             if self.bucket_key is None or base == 0:
                 try:
                     current = self.read(version=base) if base else None
-                    merged = (_catalog.upsert(current, updates, key=key, order_col=order_col)
-                              if current is not None else updates)
+                    if current is not None:
+                        current, upd = self._align_schemas(current, updates)
+                        merged = _catalog.upsert(current, upd, key=key, order_col=order_col)
+                    else:
+                        merged = updates
                 except ValueError:
                     merged = updates
                 files = self._write_files(merged, base + 1)
@@ -325,9 +347,10 @@ class SnapshotTable:
             assert key == self.bucket_key, "merge key must match table bucket_key"
             touched, carried, stats = self._touched_split(updates, key, base=base)
             if touched:
-                current_touched = self.spark.read.parquet(
+                current_touched = self.spark.read.option("mergeSchema", "true").parquet(
                     *[self._spark_path(f["path"]) for f in touched])
-                merged = _catalog.upsert(current_touched, updates, key=key, order_col=order_col)
+                current_touched, upd = self._align_schemas(current_touched, updates)
+                merged = _catalog.upsert(current_touched, upd, key=key, order_col=order_col)
             else:
                 merged = updates
             new_files = self._write_files(merged, base + 1)

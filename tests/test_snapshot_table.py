@@ -280,3 +280,27 @@ def test_file_uri_root(spark, tmp_path):
     import os
     assert os.path.exists(tmp_path / "uritbl" / "VERSION")
     assert os.path.exists(tmp_path / "uritbl" / "snapshots" / "v000002.json")
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Additive schema evolution: a merge batch with a NEW column upserts
+    cleanly; old rows read the new column as NULL (mergeSchema read);
+    a batch MISSING a column leaves existing values subject to
+    latest-wins on the key. Bucketed path included."""
+    t = SnapshotTable(spark, str(tmp_path / "evtbl"), bucket_key="k", n_buckets=4)
+    t.overwrite(spark.createDataFrame(
+        [("a", 1, _ts("2024-01-01")), ("b", 2, _ts("2024-01-01"))],
+        ["k", "v", "updated_at"]))
+    # batch ADDS column 'extra'
+    t.merge(spark.createDataFrame(
+        [("a", 10, _ts("2024-02-01"), "x"), ("c", 30, _ts("2024-02-01"), "y")],
+        ["k", "v", "updated_at", "extra"]),
+        key="k", order_col="updated_at")
+    got = {r["k"]: (r["v"], r["extra"]) for r in t.read().collect()}
+    assert got == {"a": (10, "x"), "b": (2, None), "c": (30, "y")}
+    # batch MISSING 'extra' still merges (extra becomes NULL for its keys)
+    t.merge(spark.createDataFrame(
+        [("c", 31, _ts("2024-03-01"))], ["k", "v", "updated_at"]),
+        key="k", order_col="updated_at")
+    got = {r["k"]: (r["v"], r["extra"]) for r in t.read().collect()}
+    assert got["c"] == (31, None) and got["a"] == (10, "x")
