@@ -13,10 +13,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 
-from pyspark.sql import functions as F
+# plain `python jobs/run_pipeline.py` from anywhere works too (the
+# spark-submit path provides the package via --py-files instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from extractors_geo_spark import datagen
+from pyspark.sql import functions as F  # noqa: E402
+
+from extractors_geo_spark import datagen  # noqa: E402
 from extractors_geo_spark.operators import catalog, extract_meta, pip_join, tiles
 from extractors_geo_spark.session import get_spark
 from extractors_geo_spark.streaming.lineage import run_with_lineage
