@@ -1370,6 +1370,46 @@ def q_flagship_pip(spark, sf_dir):
     ).select("image_id", "caption", "poly_id", "name")
 
 
+def q_h264_frames(spark, sf_dir):
+    """REAL H.264 path (I_PCM baseline subset, ..h264): avc1 MP4s
+    synthesized on executors, frame-sampled through sample_frames with
+    fake=False — pixels are bit-exact (asserted in tests/test_h264.py);
+    the oracle checks the (clip, frame, timestamp, dims) fan-out."""
+    import numpy as np
+    import pandas as pd
+
+    from extractors_geo_spark import mp4 as _mp4
+    from extractors_geo_spark.operators import multimodal as M
+
+    base = spark.range(0, 24, 1, 8).select(F.col("id").alias("i"))
+
+    def make(batches):
+        for b in batches:
+            rows = []
+            for i in b["i"]:
+                i = int(i)
+                n = 2 + i % 3  # 2..4 frames at 1 fps -> duration n seconds
+                frames = [((np.mgrid[0:16, 0:16][1] * 7 + i + f) % 251).astype(np.uint8)
+                          for f in range(n)]
+                rows.append({"video_id": f"h{i:04d}",
+                             "bytes": _mp4.write_h264_mp4(frames, fps=1)})
+            yield pd.DataFrame(rows, columns=["video_id", "bytes"])
+
+    vids = base.mapInPandas(make, "video_id string, bytes binary")
+    return M.sample_frames(vids, every_ms=1000, fake=False).select(
+        "video_id", "frame_idx", "ts_ms", "fw", "fh")
+
+
+SQL_H264_FRAMES = """
+SELECT printf('h%04d', i) AS video_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(f * 1000 AS BIGINT) AS ts_ms,
+       16 AS fw, 16 AS fh
+FROM range(24) t(i)
+CROSS JOIN LATERAL (SELECT UNNEST(range(2 + i % 3)) AS f) fr
+"""
+
+
 def q_video_captions(spark, sf_dir):
     """Caption-track extraction with a FULL oracle: two-track MP4s
     (jpeg video + tx3g captions) synthesized on executors with
@@ -2007,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_pip": q_flagship_pip,
         "exif_pip": q_exif_pip,
         "video_captions": q_video_captions,
+        "h264_frames": q_h264_frames,
         # rows-only (no SQL oracle): real image pipeline + approximate ops
         "tile_pyramid": q_tile_pyramid,
         "tile_slice": q_tile_slice,
@@ -2076,6 +2117,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship_pip": _sql_flagship_pip(),
         "exif_pip": _sql_exif_pip(),
         "video_captions": SQL_VIDEO_CAPTIONS,
+        "h264_frames": SQL_H264_FRAMES,
         "tile_pyramid": SQL_TILE_PYRAMID,
         "tile_slice": _sql_tile_slice(),
     }

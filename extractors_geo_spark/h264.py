@@ -1,0 +1,322 @@
+"""Pure-Python H.264/AVC (ISO/IEC 14496-10) — I_PCM baseline subset.
+
+Real, spec-compliant H.264 for the subset an entropy-free encoder can
+emit: IDR slices whose macroblocks are all I_PCM (raw samples carried in
+the bitstream, mb_type 25). Everything structural is the real spec —
+NAL units with emulation-prevention bytes, Exp-Golomb headers, SPS
+(profile 66 with frame cropping), PPS, IDR slice headers, avcC decoder
+configuration for MP4 'avc1' tracks — so the output plays in any real
+decoder, and this module decodes any I_PCM-only stream back
+bit-exactly. Transform-coded streams (CAVLC/CABAC residuals — the
+overwhelming real-world case) are OUT of decode scope and raise a clear
+ValueError; `operators/multimodal.sample_frames` maps that to its
+documented well-formed-unsupported-codec stub.
+
+Why I_PCM: it is the one H.264 coding mode with no entropy coding or
+prediction, giving a genuinely conformant encoder/decoder pair the same
+way write_raw_mp4 did for uncompressed tracks — but through the actual
+AVC NAL/SPS/PPS/slice machinery that real crawl MP4s use.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ------------------------------------------------------------- bit plumbing
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def u(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def ue(self, v: int) -> None:  # unsigned Exp-Golomb
+        code = v + 1
+        nbits = code.bit_length()
+        self.u(0, nbits - 1)
+        self.u(code, nbits)
+
+    def se(self, v: int) -> None:  # signed Exp-Golomb
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def align(self) -> None:
+        if self.n:
+            self.u(0, 8 - self.n)
+
+    def raw(self, data: bytes) -> None:
+        assert self.n == 0
+        self.buf += data
+
+    def rbsp_trailing(self) -> None:
+        self.u(1, 1)
+        self.align()
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def u(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            v = (v << 1) | ((self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 32:
+                raise ValueError("bad Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def raw(self, n: int) -> bytes:
+        assert self.pos % 8 == 0
+        b = self.data[self.pos >> 3 : (self.pos >> 3) + n]
+        self.pos += 8 * n
+        return b
+
+
+def _ep_insert(rbsp: bytes) -> bytes:
+    """Emulation prevention: 00 00 0x -> 00 00 03 0x for x <= 3."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _ep_remove(nal: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(nal):
+        b = nal[i]
+        if zeros >= 2 and b == 3 and i + 1 < len(nal) and nal[i + 1] <= 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ encoder
+def _sps(w: int, h: int) -> bytes:
+    mbw = -(-w // 16)
+    mbh = -(-h // 16)
+    bw = _BitWriter()
+    bw.u(66, 8)   # profile_idc: Baseline
+    bw.u(0, 8)    # constraint flags + reserved
+    bw.u(20, 8)   # level_idc 2.0
+    bw.ue(0)      # sps_id
+    bw.ue(0)      # log2_max_frame_num_minus4 -> frame_num is u(4)
+    bw.ue(2)      # pic_order_cnt_type 2 (order = decode order)
+    bw.ue(0)      # max_num_ref_frames
+    bw.u(0, 1)    # gaps_in_frame_num_value_allowed
+    bw.ue(mbw - 1)
+    bw.ue(mbh - 1)
+    bw.u(1, 1)    # frame_mbs_only
+    bw.u(0, 1)    # direct_8x8_inference
+    crop_r = mbw * 16 - w
+    crop_b = mbh * 16 - h
+    if crop_r or crop_b:
+        bw.u(1, 1)
+        bw.ue(0)
+        bw.ue(crop_r // 2)  # 4:2:0: crop unit = 2 px
+        bw.ue(0)
+        bw.ue(crop_b // 2)
+    else:
+        bw.u(0, 1)
+    bw.u(0, 1)    # vui_parameters_present
+    bw.rbsp_trailing()
+    return bytes(bw.buf)
+
+
+def _pps() -> bytes:
+    bw = _BitWriter()
+    bw.ue(0)      # pps_id
+    bw.ue(0)      # sps_id
+    bw.u(0, 1)    # entropy_coding_mode: CAVLC
+    bw.u(0, 1)    # pic_order_present
+    bw.ue(0)      # num_slice_groups_minus1
+    bw.ue(0)      # num_ref_idx_l0_active_minus1
+    bw.ue(0)      # num_ref_idx_l1_active_minus1
+    bw.u(0, 1)    # weighted_pred
+    bw.u(0, 2)    # weighted_bipred_idc
+    bw.se(0)      # pic_init_qp_minus26
+    bw.se(0)      # pic_init_qs_minus26
+    bw.se(0)      # chroma_qp_index_offset
+    bw.u(0, 1)    # deblocking_filter_control_present
+    bw.u(0, 1)    # constrained_intra_pred
+    bw.u(0, 1)    # redundant_pic_cnt_present
+    bw.rbsp_trailing()
+    return bytes(bw.buf)
+
+
+def encode_idr_ipcm(gray: np.ndarray) -> bytes:
+    """One gray frame -> IDR slice RBSP, all macroblocks I_PCM
+    (chroma planes constant 128)."""
+    a = np.asarray(gray, np.uint8)
+    h, w = a.shape
+    mbw = -(-w // 16)
+    mbh = -(-h // 16)
+    pad = np.pad(a, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
+    bw = _BitWriter()
+    bw.ue(0)      # first_mb_in_slice
+    bw.ue(7)      # slice_type: I (all slices in picture)
+    bw.ue(0)      # pps_id
+    bw.u(0, 4)    # frame_num
+    bw.ue(0)      # idr_pic_id
+    # pic_order_cnt_type 2: nothing; dec_ref_pic_marking (IDR):
+    bw.u(0, 1)    # no_output_of_prior_pics
+    bw.u(0, 1)    # long_term_reference
+    bw.se(0)      # slice_qp_delta
+    chroma = bytes([128] * 64)
+    for my in range(mbh):
+        for mx in range(mbw):
+            bw.ue(25)  # mb_type I_PCM
+            bw.align()  # pcm_alignment_zero_bit(s)
+            mb = pad[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
+            bw.raw(mb.tobytes())
+            bw.raw(chroma)  # Cb
+            bw.raw(chroma)  # Cr
+    bw.rbsp_trailing()
+    return bytes(bw.buf)
+
+
+def build_avcc(w: int, h: int) -> bytes:
+    """avcC (AVCDecoderConfigurationRecord) for the MP4 sample entry."""
+    sps = _ep_insert(_sps(w, h))
+    pps = _ep_insert(_pps())
+    return (bytes([1, 66, 0, 20, 0xFF, 0xE1])
+            + struct.pack(">H", len(sps) + 1) + bytes([0x67]) + sps
+            + bytes([1]) + struct.pack(">H", len(pps) + 1) + bytes([0x68]) + pps)
+
+
+def encode_frames(frames: list[np.ndarray]) -> tuple[bytes, list[bytes]]:
+    """Gray frames -> (avcC record, per-frame length-prefixed NAL samples
+    ready for an 'avc1' MP4 track). Dimensions must be even: 4:2:0 frame
+    cropping works in 2-sample units, so odd sizes are unrepresentable
+    in this chroma format (spec constraint, not an implementation one)."""
+    h, w = np.asarray(frames[0]).shape
+    if w % 2 or h % 2:
+        raise ValueError("4:2:0 H.264 needs even dimensions (crop unit is 2 px)")
+    avcc = build_avcc(w, h)
+    samples = []
+    for f in frames:
+        nal = bytes([0x65]) + _ep_insert(encode_idr_ipcm(f))  # nal_ref_idc 3, type 5
+        samples.append(struct.pack(">I", len(nal)) + nal)
+    return avcc, samples
+
+
+# ------------------------------------------------------------------ decoder
+def _parse_sps(rbsp: bytes) -> dict:
+    r = _BitReader(rbsp)
+    profile = r.u(8)
+    r.u(8)
+    level = r.u(8)
+    r.ue()  # sps_id
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        raise ValueError("high-profile SPS: out of I_PCM decode scope")
+    log2_mfn = r.ue() + 4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)
+    mbw = r.ue() + 1
+    mbh = r.ue() + 1
+    fmo = r.u(1)  # frame_mbs_only
+    if not fmo:
+        r.u(1)
+    r.u(1)  # direct_8x8
+    crop = (0, 0, 0, 0)
+    if r.u(1):
+        crop = (r.ue(), r.ue(), r.ue(), r.ue())
+    w = mbw * 16 - 2 * (crop[0] + crop[1])
+    h = mbh * 16 - 2 * (crop[2] + crop[3])
+    return {"profile": profile, "level": level, "mbw": mbw, "mbh": mbh,
+            "w": w, "h": h, "log2_mfn": log2_mfn, "poc_type": poc_type}
+
+
+def decode_sample(sample: bytes, avcc: bytes) -> np.ndarray:
+    """Length-prefixed NAL sample + avcC -> gray frame (I_PCM-only
+    streams; anything needing entropy decode raises ValueError)."""
+    # SPS from avcC: skip 6 config bytes, read first SPS
+    (sps_len,) = struct.unpack(">H", avcc[6:8])
+    sps = _parse_sps(_ep_remove(avcc[8 + 1 : 8 + sps_len]))  # skip NAL hdr byte
+    length_size = (avcc[4] & 3) + 1
+    pos = 0
+    while pos + length_size <= len(sample):
+        ln = int.from_bytes(sample[pos : pos + length_size], "big")
+        nal = sample[pos + length_size : pos + length_size + ln]
+        pos += length_size + ln
+        if not nal:
+            continue
+        typ = nal[0] & 0x1F
+        if typ not in (1, 5):
+            continue  # SPS/PPS/SEI in-band: skip
+        r = _BitReader(_ep_remove(nal[1:]))
+        r.ue()  # first_mb_in_slice
+        stype = r.ue()
+        if stype % 5 != 2:  # not an I slice
+            raise ValueError("non-I slice: out of I_PCM decode scope")
+        r.ue()  # pps_id
+        r.u(sps["log2_mfn"])  # frame_num
+        if typ == 5:
+            r.ue()  # idr_pic_id
+        if sps["poc_type"] == 0:
+            raise ValueError("poc_type 0 slice headers unsupported")
+        if typ == 5:
+            r.u(1)
+            r.u(1)
+        else:
+            r.u(1)  # adaptive_ref_pic_marking (must be 0 for our shape)
+        r.se()  # slice_qp_delta
+        mbw, mbh = sps["mbw"], sps["mbh"]
+        out = np.empty((mbh * 16, mbw * 16), np.uint8)
+        for my in range(mbh):
+            for mx in range(mbw):
+                mb_type = r.ue()
+                if mb_type != 25:
+                    raise ValueError(
+                        "transform-coded macroblock: out of I_PCM decode scope"
+                    )
+                r.align()
+                luma = np.frombuffer(r.raw(256), np.uint8).reshape(16, 16)
+                r.raw(64)  # Cb
+                r.raw(64)  # Cr
+                out[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = luma
+        return out[: sps["h"], : sps["w"]]
+    raise ValueError("no slice NAL in sample")

@@ -30,7 +30,10 @@ _JPEG_FOURCC = (b"jpeg", b"mjpa", b"AVDJ", b"MJPG")
 # uncompressed tracks (QuickTime 'raw ' RGB/gray, 'Y800' 8-bit gray):
 # sample bytes ARE the pixels — the cheap real non-JPEG path (VERDICT r03 #7)
 _RAW_FOURCC = (b"raw ", b"Y800")
-_SUPPORTED_FOURCC = _JPEG_FOURCC + _RAW_FOURCC
+# H.264: real NAL/avcC plumbing; PIXELS decode only for I_PCM baseline
+# streams (..h264 module) — transform-coded samples raise downstream
+_AVC_FOURCC = (b"avc1", b"avc3")
+_SUPPORTED_FOURCC = _JPEG_FOURCC + _RAW_FOURCC + _AVC_FOURCC
 
 
 def _box(typ: bytes, payload: bytes) -> bytes:
@@ -92,7 +95,7 @@ def write_raw_mp4(frames: list[np.ndarray], fps: int = 10) -> bytes:
 
 
 def _assemble_mp4(samples: list[bytes], w: int, h: int, fps: int,
-                  fourcc: bytes, depth: int) -> bytes:
+                  fourcc: bytes, depth: int, entry_extra: bytes = b"") -> bytes:
     n = len(samples)
     timescale = 90000
     delta = timescale // fps
@@ -121,7 +124,7 @@ def _assemble_mp4(samples: list[bytes], w: int, h: int, fps: int,
            + b"\x00" * 4 + struct.pack(">H", 1)
            + b"\x00" * 32
            + struct.pack(">Hh", depth, -1))
-    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(fourcc, vse))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(fourcc, vse + entry_extra))
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
     stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
     stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
@@ -456,10 +459,30 @@ def write_mp4_with_captions(frames: list, fps: int, captions: list[str],
     return ftyp + _box(b"mdat", mdat_payload) + moov
 
 
+def write_h264_mp4(frames: list, fps: int = 10) -> bytes:
+    """Gray frames -> single-track 'avc1' MP4 whose samples are REAL
+    I_PCM baseline H.264 (..h264.encode_frames); plays in any decoder."""
+    from . import h264 as _h264
+
+    avcc, samples = _h264.encode_frames(frames)
+    h, w = np.asarray(frames[0]).shape[:2]
+    return _assemble_mp4(samples, w, h, fps, fourcc=b"avc1", depth=24,
+                         entry_extra=_box(b"avcC", avcc))
+
+
+def _codec_of(fourcc: bytes) -> str:
+    if fourcc in _RAW_FOURCC:
+        return "raw"
+    if fourcc in _AVC_FOURCC:
+        return "h264"
+    return "jpeg"
+
+
 def read_mjpeg_mp4(data: bytes, fourccs: tuple = _SUPPORTED_FOURCC) -> dict:
     """Extract the first supported video track's samples + timestamps.
     The result carries `codec` ('jpeg' for the T.81 family, 'raw' for
-    uncompressed) — callers decode accordingly."""
+    uncompressed, 'h264' with the track's `avcc` record) — callers
+    decode accordingly."""
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an MP4")
     moov = _find(data, 0, len(data), b"moov")
@@ -489,6 +512,13 @@ def read_mjpeg_mp4(data: bytes, fourccs: tuple = _SUPPORTED_FOURCC) -> dict:
         # dimensions from the sample entry (offset 24/26 into the VSE tail)
         vse = stsd[0] + 16
         width, height = struct.unpack(">HH", data[vse + 24 : vse + 28])
+        avcc = None
+        if fourcc in _AVC_FOURCC:
+            # child boxes follow the 78-byte VisualSampleEntry core
+            (entry_size,) = struct.unpack(">I", data[stsd[0] + 8 : stsd[0] + 12])
+            child = _find(data, vse + 78, stsd[0] + 8 + entry_size, b"avcC")
+            if child is not None:
+                avcc = data[child[0] : child[1]]
         ver = data[mdhd[0]]
         timescale_off = mdhd[0] + (20 if ver == 1 else 12)
         (timescale,) = struct.unpack(">I", data[timescale_off : timescale_off + 4])
@@ -513,10 +543,10 @@ def read_mjpeg_mp4(data: bytes, fourccs: tuple = _SUPPORTED_FOURCC) -> dict:
                 continue
             return {"width": width, "height": height, "timescale": timescale,
                     "timestamps_ms": ts, "frames": frames,
-                    "duration_ms": dur_ms,
-                    "codec": "raw" if fourcc in _RAW_FOURCC else "jpeg"}
+                    "duration_ms": dur_ms, "avcc": avcc,
+                    "codec": _codec_of(fourcc)}
         return {"width": width, "height": height, "timescale": timescale,
                 "timestamps_ms": ts[: len(frames)], "frames": frames,
-                "duration_ms": int(t_acc * 1000 / timescale),
-                "codec": "raw" if fourcc in _RAW_FOURCC else "jpeg"}
+                "duration_ms": int(t_acc * 1000 / timescale), "avcc": avcc,
+                "codec": _codec_of(fourcc)}
     raise ValueError("no supported-codec video track")

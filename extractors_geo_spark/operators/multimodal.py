@@ -27,6 +27,7 @@ Operators:
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -395,6 +396,29 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                         parsed = _mp4.read_mjpeg_mp4(data)
                     except Exception:  # struct.error/IndexError included
                         parsed = None
+                    if parsed is not None and parsed.get("codec") == "h264":
+                        # REAL pixels for I_PCM baseline streams (the
+                        # shape ..h264 encodes); transform-coded samples
+                        # raise ValueError -> the well-formed-unsupported
+                        # contract below (real duration either way)
+                        try:
+                            from .. import h264 as _h264
+
+                            dur = parsed["duration_ms"]
+                            tss = parsed["timestamps_ms"]
+                            for i, ts in enumerate(range(0, dur, every_ms)):
+                                fi = max(0, np.searchsorted(tss, ts, side="right") - 1)
+                                arr = _h264.decode_sample(
+                                    parsed["frames"][int(fi)], parsed["avcc"] or b"")
+                                rows.append({"video_id": vid, "frame_idx": i,
+                                             "ts_ms": ts, "fw": arr.shape[1],
+                                             "fh": arr.shape[0],
+                                             "frame": arr.tobytes()})
+                            continue
+                        except (ValueError, IndexError, struct.error):
+                            duration_ms = parsed["duration_ms"]
+                            wellformed_mp4 = True
+                            parsed = None
                     if parsed is not None:
                         dur = parsed["duration_ms"]
                         tss = parsed["timestamps_ms"]
