@@ -470,6 +470,94 @@ def write_h264_mp4(frames: list, fps: int = 10) -> bytes:
                          entry_extra=_box(b"avcC", avcc))
 
 
+_PCM_AUDIO_FOURCC = (b"sowt", b"twos")  # LE / BE 16-bit PCM
+
+
+def write_pcm_mp4(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Mono int16 PCM -> single-track 'sowt' MP4 (one chunk). The audio
+    sibling of write_raw_mp4: container-real, entropy-free."""
+    pcm = np.asarray(samples, "<i2").tobytes()
+    n = len(samples)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    chunk_offset = len(ftyp) + 8
+    timescale = rate
+    mvhd = _full(b"mvhd", 0, 0,
+                 struct.pack(">IIII", 0, 0, timescale, n)
+                 + struct.pack(">iH H 8x 36s 24x", 0x00010000, 0x0100, 0,
+                               _MATRIX) + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 7,
+                 struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", n)
+                 + b"\x00" * 8 + struct.pack(">hhhh", 0, 0x0100, 0, 0)
+                 + _MATRIX + struct.pack(">II", 0, 0))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, timescale, n, 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"aud\x00")
+    smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    dinf = _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")))
+    ase = (b"\x00" * 6 + struct.pack(">H", 1)          # reserved + dref idx
+           + b"\x00" * 8                                # version/revision/vendor
+           + struct.pack(">HHHH", 1, 16, 0, 0)          # channels, bits, predef, reserved
+           + struct.pack(">I", rate << 16))             # 16.16 sample rate
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"sowt", ase))
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 2, n))  # fixed 2-byte samples
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", smhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", pcm) + moov
+
+
+def read_audio_track(data: bytes) -> dict:
+    """First audio track -> {codec, rate, channels, pcm (float64 mono,
+    PCM codecs only), duration_s}. 'sowt'/'twos' decode for real; 'mp4a'
+    (AAC) returns metadata with pcm=None — the caller decides whether
+    that is the well-formed-unsupported stub."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an MP4")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov")
+    for t, b0, b1 in _walk(data, *moov):
+        if t != b"trak":
+            continue
+        mdia = _find(data, b0, b1, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(data, *mdia, b"hdlr")
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"soun":
+            continue
+        mdhd = _find(data, *mdia, b"mdhd")
+        minf = _find(data, *mdia, b"minf")
+        stbl = _find(data, *minf, b"stbl") if minf else None
+        stsd = _find(data, *stbl, b"stsd") if stbl else None
+        if stsd is None or mdhd is None:
+            continue
+        fourcc = data[stsd[0] + 12 : stsd[0] + 16]
+        ase = stsd[0] + 16
+        channels, bits = struct.unpack(">HH", data[ase + 16 : ase + 20])
+        (rate_fx,) = struct.unpack(">I", data[ase + 24 : ase + 28])
+        rate = rate_fx >> 16
+        ver = data[mdhd[0]]
+        ts_off = mdhd[0] + (20 if ver == 1 else 12)
+        timescale, dur = struct.unpack(">II", data[ts_off : ts_off + 8])
+        out = {"codec": fourcc.decode("ascii", "replace").strip(),
+               "rate": rate or timescale, "channels": channels,
+               "duration_s": dur / timescale if timescale else None, "pcm": None}
+        if fourcc in _PCM_AUDIO_FOURCC and bits == 16:
+            samples, _ts, _end = _stbl_samples(data, stbl, timescale)
+            raw = b"".join(samples)
+            dt = "<i2" if fourcc == b"sowt" else ">i2"
+            a = np.frombuffer(raw, dtype=dt).astype(np.float64) / 32768.0
+            if channels > 1:
+                a = a[: (a.size // channels) * channels].reshape(-1, channels).mean(axis=1)
+            out["pcm"] = a
+        return out
+    raise ValueError("no audio track")
+
+
 def _codec_of(fourcc: bytes) -> str:
     if fourcc in _RAW_FOURCC:
         return "raw"

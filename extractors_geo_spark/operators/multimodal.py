@@ -585,14 +585,31 @@ def audio_features(audios: DataFrame, fake: bool = True, id_col: str = "audio_id
                 is_mp3 = data[:3] == b"ID3" or (
                     len(data) > 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
                 )
-                if is_wav or data[:4] == b"fLaC" or is_mp3:
+                is_mp4 = len(data) > 12 and data[4:8] == b"ftyp"
+                if is_wav or data[:4] == b"fLaC" or is_mp3 or is_mp4:
                     try:
                         if is_wav:
                             sig, rate = decode_wav(data)
                         elif data[:4] == b"fLaC":
                             sig, rate = _flac.decode(data)
+                        elif is_mp4:
+                            from .. import mp4 as _mp4a
+
+                            tr = _mp4a.read_audio_track(data)
+                            if tr["pcm"] is None:
+                                if not fake:
+                                    # well-formed mp4a/AAC: the documented
+                                    # unsupported-codec stub (real deploy:
+                                    # ffmpeg). Malformed falls to except.
+                                    raise NotImplementedError(
+                                        "AAC audio needs an external decoder"
+                                    )
+                                raise ValueError("fake fallback")
+                            sig, rate = tr["pcm"], tr["rate"]
                         else:
                             sig, rate = _mp3.decode(data)
+                    except NotImplementedError:
+                        raise  # well-formed unsupported codec: surfaced
                     except Exception:
                         sig = None  # malformed input (ValueError/struct.
                         # error/IndexError): fake-fallback or drop

@@ -399,3 +399,30 @@ def test_video_captions_operator(spark):
     rows = sorted(M.video_captions(df).collect(), key=lambda r: r["ts_ms"])
     assert [(r["video_id"], r["ts_ms"], r["caption"]) for r in rows] == [
         ("wc", 0, "hello world"), ("wc", 750, "second cap")]
+
+
+def test_audio_features_pcm_in_mp4(spark):
+    """PCM ('sowt') audio tracks inside MP4 containers decode for real:
+    exact duration/windows/energy; AAC ('mp4a') raises the documented
+    stub under fake=False; malformed containers drop."""
+    import numpy as np
+    import pytest as _pt
+
+    from extractors_geo_spark import mp4 as _mp4
+
+    rate = 8000
+    t = np.arange(rate * 2) / rate
+    pcm = (np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    good = _mp4.write_pcm_mp4(pcm, rate)
+    df = spark.createDataFrame([("a1", bytearray(good))], "audio_id string, bytes binary")
+    r = M.audio_features(df, fake=False).collect()[0]
+    assert abs(r["duration_s"] - 2.0) < 1e-9 and r["n_windows"] == 20
+    assert abs(r["features"][0] - 0.5) < 1e-3
+    # well-formed AAC entry -> stub raise (swap the fourcc to mp4a)
+    aac = good.replace(b"sowt", b"mp4a", 1)
+    df2 = spark.createDataFrame([("a2", bytearray(aac))], "audio_id string, bytes binary")
+    with _pt.raises(Exception, match="AAC|NotImplementedError"):
+        M.audio_features(df2, fake=False).collect()
+    # truncated container -> dropped row
+    df3 = spark.createDataFrame([("a3", bytearray(good[:40]))], "audio_id string, bytes binary")
+    assert M.audio_features(df3, fake=False).count() == 0
