@@ -1370,6 +1370,48 @@ def q_flagship_pip(spark, sf_dir):
     ).select("image_id", "caption", "poly_id", "name")
 
 
+def q_sidecar_captions(spark, sf_dir):
+    """SRT + WebVTT sidecar caption parsing with a FULL oracle: documents
+    synthesized on executors (odd clips SRT, even clips WebVTT, every
+    7th is garbage and must emit nothing); the oracle regenerates the
+    timed cues from the same id arithmetic."""
+    import pandas as pd
+
+    from extractors_geo_spark import subtitles as _subs
+    from extractors_geo_spark.operators import multimodal as M
+
+    base = spark.range(0, 42, 1, 8).select(F.col("id").alias("i"))
+
+    def make(batches):
+        for b in batches:
+            rows = []
+            for i in b["i"]:
+                i = int(i)
+                if i % 7 == 0:
+                    text = "just some prose, no cues here"
+                else:
+                    cues = [(c * 2000, c * 2000 + 1500, f"clip {i} cue {c}")
+                            for c in range(1 + i % 3)]
+                    text = (_subs.write_srt(cues) if i % 2
+                            else _subs.write_webvtt(cues))
+                rows.append({"video_id": f"s{i:04d}", "text": text})
+            yield pd.DataFrame(rows, columns=["video_id", "text"])
+
+    docs = base.mapInPandas(make, "video_id string, text string")
+    return M.sidecar_captions(docs)
+
+
+SQL_SIDECAR_CAPTIONS = """
+SELECT printf('s%04d', i) AS video_id,
+       CAST(c * 2000 AS BIGINT) AS start_ms,
+       CAST(c * 2000 + 1500 AS BIGINT) AS end_ms,
+       printf('clip %d cue %d', i, c) AS caption
+FROM range(42) t(i)
+CROSS JOIN LATERAL (SELECT UNNEST(range(1 + i % 3)) AS c) cues
+WHERE i % 7 <> 0
+"""
+
+
 def q_h264_frames(spark, sf_dir):
     """REAL H.264 path (I_PCM baseline subset, ..h264): avc1 MP4s
     synthesized on executors, frame-sampled through sample_frames with
@@ -2048,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_pip": q_exif_pip,
         "video_captions": q_video_captions,
         "h264_frames": q_h264_frames,
+        "sidecar_captions": q_sidecar_captions,
         # rows-only (no SQL oracle): real image pipeline + approximate ops
         "tile_pyramid": q_tile_pyramid,
         "tile_slice": q_tile_slice,
@@ -2118,6 +2161,7 @@ def oracle_sql() -> dict[str, str]:
         "exif_pip": _sql_exif_pip(),
         "video_captions": SQL_VIDEO_CAPTIONS,
         "h264_frames": SQL_H264_FRAMES,
+        "sidecar_captions": SQL_SIDECAR_CAPTIONS,
         "tile_pyramid": SQL_TILE_PYRAMID,
         "tile_slice": _sql_tile_slice(),
     }

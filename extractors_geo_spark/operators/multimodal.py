@@ -509,6 +509,39 @@ def video_captions(videos: DataFrame, id_col: str = "video_id") -> DataFrame:
     return videos.select(F.col(id_col), "bytes").mapInPandas(run, CAPTION_SCHEMA)
 
 
+SIDECAR_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("caption", T.StringType()),
+    ]
+)
+
+
+def sidecar_captions(docs: DataFrame, id_col: str = "video_id",
+                     text_col: str = "text") -> DataFrame:
+    """SRT / WebVTT sidecar documents -> timed caption rows (format
+    sniffed per row). Unparseable rows emit nothing — anti-joinable,
+    never a task failure."""
+    from .. import subtitles as _subs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for vid, text in zip(b[id_col], b[text_col]):
+                try:
+                    cues = _subs.parse_cues(str(text))
+                except Exception:
+                    continue
+                for a, e, t in cues:
+                    rows.append({"video_id": vid, "start_ms": a,
+                                 "end_ms": e, "caption": t})
+            yield pd.DataFrame(rows, columns=["video_id", "start_ms", "end_ms", "caption"])
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(run, SIDECAR_SCHEMA)
+
+
 AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("audio_id", T.StringType()),
