@@ -1533,6 +1533,62 @@ def q_exif_pip(spark, sf_dir):
     return pip_join.pip_join(pos, polys).select("image_id", "poly_id", "name")
 
 
+def q_mixed_geo_pip(spark, sf_dir):
+    """CAPSTONE mixed-modality geolocation: one table where GeoTIFFs
+    georeference from tags and JPEGs from EXIF GPS (the crawl reality),
+    through ONE geo_positions operator into ONE exact PIP join. Oracle:
+    regenerated coordinates for every positioned route (only the non-geo
+    tiff route drops), ray-cast against the inlined polygon layer."""
+    imgs = datagen.images_df_sql_twin_mixed(spark, 1000, partitions=8)
+    pos = extract_meta.geo_positions(imgs)
+    polys = datagen.polygons_df(spark)
+    return pip_join.pip_join(
+        pos, polys, point_cols=("image_id", "src")
+    ).select("image_id", "src", "poly_id", "name")
+
+
+def _sql_mixed_geo_pip() -> str:
+    pd_polys = datagen.make_polygons()
+    edges = []
+    for rec in pd_polys.itertuples(index=False):
+        for j in range(4):
+            edges.append(
+                f"('{rec.poly_id}','{rec.name}',CAST('{rec.xs[j]!r}' AS DOUBLE),"
+                f"CAST('{rec.ys[j]!r}' AS DOUBLE),CAST('{rec.xs[j+1]!r}' AS DOUBLE),"
+                f"CAST('{rec.ys[j+1]!r}' AS DOUBLE))"
+            )
+    c0, c1, c2, c3 = ("-124.731422e0", "24.955967e0", "-66.969849e0", "49.371735e0")
+    return f"""
+WITH raw AS (
+  SELECT i,
+         ((i * 1103515245 + 12345) % 2147483648) / 2147483648e0 AS u1,
+         ((i * 69069 + 1) % 2147483648) / 2147483648e0 AS u2,
+         CASE (i // 5) % 3 WHEN 0 THEN -118.24e0 WHEN 1 THEN -87.63e0 ELSE -74.01e0 END AS mx,
+         CASE (i // 5) % 3 WHEN 0 THEN 34.05e0 WHEN 1 THEN 41.88e0 ELSE 40.71e0 END AS my
+  FROM range(1000) t(i)
+  WHERE i % 25 <> 1
+), pts AS (
+  SELECT printf('img%08d', i) AS image_id,
+         CASE WHEN i % 25 = 0 THEN 'exif' ELSE 'geotiff' END AS src,
+         CASE WHEN i % 5 = 0
+              THEN LEAST(GREATEST(mx + (u1 - 0.5e0) * 0.7e0, {c0}), {c2})
+              ELSE {c0} + ({c2} - {c0}) * u1 END AS lon,
+         CASE WHEN i % 5 = 0
+              THEN LEAST(GREATEST(my + (u2 - 0.5e0) * 0.7e0, {c1}), {c3})
+              ELSE {c1} + ({c3} - {c1}) * u2 END AS lat
+  FROM raw
+), edges(poly_id, name, x1, y1, x2, y2) AS (
+  VALUES {",".join(edges)}
+)
+SELECT p.image_id, p.src, e.poly_id, e.name
+FROM pts p JOIN edges e
+  ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+ AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+GROUP BY 1, 2, 3, 4
+HAVING COUNT(*) % 2 = 1
+"""
+
+
 def _sql_exif_pip() -> str:
     pd_polys = datagen.make_polygons()
     edges = []
@@ -2088,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ps_forward": q_ps_forward,
         "flagship_pip": q_flagship_pip,
         "exif_pip": q_exif_pip,
+        "mixed_geo_pip": q_mixed_geo_pip,
         "video_captions": q_video_captions,
         "h264_frames": q_h264_frames,
         "sidecar_captions": q_sidecar_captions,
@@ -2159,6 +2216,7 @@ def oracle_sql() -> dict[str, str]:
         "ps_forward": _ps_oracle_sql(),
         "flagship_pip": _sql_flagship_pip(),
         "exif_pip": _sql_exif_pip(),
+        "mixed_geo_pip": _sql_mixed_geo_pip(),
         "video_captions": SQL_VIDEO_CAPTIONS,
         "h264_frames": SQL_H264_FRAMES,
         "sidecar_captions": SQL_SIDECAR_CAPTIONS,

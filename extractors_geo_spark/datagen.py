@@ -196,6 +196,39 @@ def images_df_sql_twin(spark: SparkSession, n: int, px: int = 16,
     return spark.range(0, n, 1, parts).mapInPandas(gen, IMAGE_SCHEMA)
 
 
+def make_image_row_sql_twin_mixed(i: int, px: int = 16) -> dict:
+    """The crawl-realistic mixed table: route 0 is a REAL JPEG carrying
+    its position in an EXIF GPS IFD (the photo-world geo source), other
+    routes as make_image_row_sql_twin. Same LCG coordinates, so the same
+    DuckDB twins apply; only route 1 (non-geo tiff) has no position."""
+    if i % 25 != 0:
+        return make_image_row_sql_twin(i, px)
+    from . import exif as _exif
+    from . import jpeg as _jpeg
+
+    r = _rng(i, "img")
+    lon, lat = sql_twin_centroid(i)
+    arr8 = (r.random((px, px)) * 255).astype(np.uint8)
+    data = _exif.insert_app1(_jpeg.encode(arr8, quality=88),
+                             _exif.build_app1(lat, lon, 1 + i % 8))
+    phash = int.from_bytes(hashlib.sha256(arr8.tobytes()).digest()[:8],
+                           "little", signed=True)
+    return {"image_id": f"img{i:08d}", "bytes": data, "w": px, "h": px,
+            "fmt": "jpeg", "caption": f"caption for img{i:08d}", "phash": phash}
+
+
+def images_df_sql_twin_mixed(spark: SparkSession, n: int, px: int = 16,
+                             partitions: int | None = None) -> DataFrame:
+    parts = partitions or max(8, min(256, n // 2000 or 8))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [make_image_row_sql_twin_mixed(int(i), px) for i in b["id"]]
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, IMAGE_SCHEMA)
+
+
 # ------------------------------------------------------------------ polygons
 POLY_SCHEMA = T.StructType(
     [

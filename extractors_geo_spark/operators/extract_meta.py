@@ -204,6 +204,25 @@ def valid_meta(meta_df: DataFrame) -> DataFrame:
     return meta_df.filter(F.col("error").isNull())
 
 
+def geo_positions(images: DataFrame) -> DataFrame:
+    """Mixed crawl table -> one position table: GeoTIFF rows georeference
+    from their tags (extract_meta footprint centroid), JPEG rows from
+    their EXIF GPS IFD (multimodal.exif_geo) — the realistic web-image
+    reality where both sources coexist. Output
+    (image_id, lon, lat, src in {'geotiff','exif'}), rows without a
+    usable position dropped (anti-joinable). Each branch filters by
+    format FIRST so bytes take exactly one decode path."""
+    from . import multimodal as _mm
+
+    is_tiff = F.col("fmt").isin("tiff", "tif")
+    tiffs = valid_meta(extract_meta(images.filter(is_tiff), with_stats=False))
+    t_pos = tiffs.select("image_id", "lon", "lat", F.lit("geotiff").alias("src"))
+    jp = _mm.exif_geo(images.filter(~is_tiff))
+    j_pos = (jp.filter(F.col("error").isNull() & F.col("lon").isNotNull())
+             .select("image_id", "lon", "lat", F.lit("exif").alias("src")))
+    return t_pos.unionByName(j_pos)
+
+
 def with_box_and_ring(meta_df: DataFrame) -> DataFrame:
     """Attach the reference's reordered `box` + closed GeoJSON ring
     (metadata.geotiff/ncsa.image.geotiff.py:70,115-117) as columns."""

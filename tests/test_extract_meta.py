@@ -142,3 +142,25 @@ def test_state_plane_lcc_raster_reprojects(spark):
     lon2, lat2 = geo.merc_inverse_np(
         np.array([(ex["minx"] + ex["maxx"]) / 2]), np.array([(ex["miny"] + ex["maxy"]) / 2]))
     assert abs(lon2[0] - -97.75) < 0.05 and abs(lat2[0] - 30.3) < 0.05
+
+
+def test_geo_positions_mixed_sources(spark):
+    """One table, two geo sources: GeoTIFF tags AND JPEG EXIF GPS through
+    a single geo_positions operator; the non-geo tiff route drops."""
+    from extractors_geo_spark import datagen
+    from extractors_geo_spark.operators import extract_meta as EM
+
+    imgs = datagen.images_df_sql_twin_mixed(spark, 100, partitions=4)
+    pos = EM.geo_positions(imgs).collect()
+    by_src = {}
+    for r in pos:
+        by_src.setdefault(r["src"], []).append(r)
+    # routes: i%25==0 -> exif jpeg (4 ids), i%25==1 -> non-geo tiff
+    # (dropped, 4 ids), rest geotiff (92 ids)
+    assert len(by_src["exif"]) == 4 and len(by_src["geotiff"]) == 92
+    # exif coordinates match the LCG twin exactly (to EXIF DMS precision)
+    import numpy as np
+    for r in by_src["exif"]:
+        i = int(r["image_id"][3:])
+        lon, lat = datagen.sql_twin_centroid(i)
+        assert abs(r["lon"] - lon) < 1e-9 and abs(r["lat"] - lat) < 1e-9
