@@ -437,6 +437,74 @@ def _skip_id3(b: bytes) -> int:
     return 0
 
 
+def build_id3(tags: dict[str, str], version: int = 3) -> bytes:
+    """ID3v2.3/2.4 tag block from {frame_id: text} (e.g. TIT2/TPE1/TALB).
+    Text frames carry an encoding byte (UTF-8 = 3 in v2.4; v2.3 uses
+    ISO-8859-1 = 0 here for maximum-compat fixtures)."""
+    frames = b""
+    for fid, text in tags.items():
+        if version == 4:
+            payload = b"\x03" + text.encode("utf-8")
+            sz = len(payload)
+            size = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                          (sz >> 7) & 0x7F, sz & 0x7F])
+        else:
+            payload = b"\x00" + text.encode("latin-1", "replace")
+            size = struct.pack(">I", len(payload))
+        frames += fid.encode("ascii") + size + b"\x00\x00" + payload
+    sz = len(frames)
+    hdr = (b"ID3" + bytes([version, 0, 0])
+           + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]))
+    return hdr + frames
+
+
+def parse_id3_tags(data: bytes) -> dict[str, str]:
+    """ID3v2.2/2.3/2.4 text frames -> {frame_id: text}. The audio-world
+    caption metadata (title/artist/album). {} when no tag block."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return {}
+    ver = data[3]
+    total = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+        | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+    pos = 10
+    end = min(10 + total, len(data))
+    out: dict[str, str] = {}
+    idlen = 3 if ver == 2 else 4
+    while pos + idlen + (3 if ver == 2 else 6) <= end:
+        fid = data[pos : pos + idlen]
+        if not fid.strip(b"\x00"):
+            break
+        if ver == 2:
+            sz = int.from_bytes(data[pos + 3 : pos + 6], "big")
+            body = data[pos + 6 : pos + 6 + sz]
+            pos += 6 + sz
+        else:
+            raw = data[pos + 4 : pos + 8]
+            if ver == 4:  # syncsafe
+                sz = ((raw[0] & 0x7F) << 21) | ((raw[1] & 0x7F) << 14) \
+                    | ((raw[2] & 0x7F) << 7) | (raw[3] & 0x7F)
+            else:
+                sz = struct.unpack(">I", raw)[0]
+            body = data[pos + 10 : pos + 10 + sz]
+            pos += 10 + sz
+        name = fid.decode("ascii", "replace")
+        if name.startswith("T") and body:
+            enc, text = body[0], body[1:]
+            try:
+                if enc == 0:
+                    s = text.decode("latin-1")
+                elif enc == 1:
+                    s = text.decode("utf-16")
+                elif enc == 2:
+                    s = text.decode("utf-16-be")
+                else:
+                    s = text.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            out[name] = s.rstrip("\x00")
+    return out
+
+
 def parse_mp3_info(data: bytes) -> dict:
     """Header-walk ANY MPEG-1/2/2.5 Layer III stream (real-world files
     included): frames, sample rate, bitrate, duration. No entropy decode."""

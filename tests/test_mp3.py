@@ -119,3 +119,30 @@ def test_malformed_mp3_drops_wellformed_foreign_raises(spark):
     bad = b"\xff\xfb" + b"\x01" * 16
     df = spark.createDataFrame([("bad", bytearray(bad))], "audio_id string, bytes binary")
     assert M.audio_features(df, fake=False).count() == 0
+
+
+def test_id3_tags_roundtrip_and_versions():
+    """ID3v2 text frames: build/parse v2.3 and v2.4, decode works with
+    the tag block prepended, utf-16 accepted, no-tag returns {}."""
+    import struct
+
+    tags = {"TIT2": "a scenic caption", "TPE1": "crawler", "TALB": "webscale"}
+    for ver in (3, 4):
+        blk = mp3.build_id3(tags, version=ver)
+        assert mp3.parse_id3_tags(blk) == tags, ver
+    # tag block + real audio: decode() and parse_mp3_info still work
+    sig = _tone(0.5, 32000)
+    enc = mp3.build_id3(tags) + mp3.encode(sig, 32000)
+    assert mp3.parse_id3_tags(enc)["TIT2"] == "a scenic caption"
+    dec, rate = mp3.decode(enc)
+    assert rate == 32000 and len(dec) > 0
+    assert mp3.parse_mp3_info(enc)["rate"] == 32000
+    # utf-16 text frame (encoding byte 1)
+    payload = b"\x01" + "Grüße".encode("utf-16")
+    frame = b"TIT2" + struct.pack(">I", len(payload)) + b"\x00\x00" + payload
+    sz = len(frame)
+    blk = (b"ID3\x03\x00\x00"
+           + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F])
+           + frame)
+    assert mp3.parse_id3_tags(blk)["TIT2"] == "Grüße"
+    assert mp3.parse_id3_tags(b"\xff\xfb" + b"\x00" * 8) == {}
