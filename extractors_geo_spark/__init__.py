@@ -38,6 +38,13 @@ _API = {
         "planner": ("extractors_geo_spark.plans.planner", None),
         "shapefile": ("extractors_geo_spark.sources.shapefile", None),
         "geojson": ("extractors_geo_spark.sources.geojson", None),
+        "geopackage": ("extractors_geo_spark.sources.geopackage", None),
+        "geoparquet": ("extractors_geo_spark.sources.geoparquet", None),
+        "exif": ("extractors_geo_spark.exif", None),
+        "h264": ("extractors_geo_spark.h264", None),
+        "mp3": ("extractors_geo_spark.mp3", None),
+        "mp4": ("extractors_geo_spark.mp4", None),
+        "subtitles": ("extractors_geo_spark.subtitles", None),
         "SnapshotTable": ("extractors_geo_spark.sources.snapshot_table", "SnapshotTable"),
         "run_with_lineage": ("extractors_geo_spark.streaming.lineage", "run_with_lineage"),
         "propagate_removals": ("extractors_geo_spark.streaming.removal", "propagate_removals"),
