@@ -1370,6 +1370,54 @@ def q_flagship_pip(spark, sf_dir):
     ).select("image_id", "caption", "poly_id", "name")
 
 
+def q_image_text_meta(spark, sf_dir):
+    """Embedded image captions with a FULL oracle: even ids are PNGs with
+    tEXt Title chunks, odd ids JPEGs with EXIF ImageDescription, every
+    9th has no text metadata and must emit nothing; the oracle
+    regenerates (image, key, value) from the same id arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from extractors_geo_spark import exif as _exif
+    from extractors_geo_spark import jpeg as _jpeg
+    from extractors_geo_spark import png as _png
+    from extractors_geo_spark.operators import multimodal as M
+
+    base = spark.range(0, 54, 1, 8).select(F.col("id").alias("i"))
+
+    def make(batches):
+        g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
+        plain_png = _png.encode(g)
+        plain_jpg = _jpeg.encode(g, quality=85)
+        for b in batches:
+            rows = []
+            for i in b["i"]:
+                i = int(i)
+                if i % 9 == 0:
+                    data = plain_png if i % 2 == 0 else plain_jpg
+                elif i % 2 == 0:
+                    data = _png.add_text_chunks(plain_png, {"Title": f"png caption {i}"})
+                else:
+                    data = _exif.insert_app1(
+                        plain_jpg, _exif.build_app1(10.0, 20.0,
+                                                    description=f"jpeg caption {i}"))
+                rows.append({"image_id": f"t{i:04d}", "bytes": data})
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    imgs = base.mapInPandas(make, "image_id string, bytes binary")
+    return M.image_text_meta(imgs)
+
+
+SQL_IMAGE_TEXT = """
+SELECT printf('t%04d', i) AS image_id,
+       CASE WHEN i % 2 = 0 THEN 'Title' ELSE 'Description' END AS key,
+       CASE WHEN i % 2 = 0 THEN printf('png caption %d', i)
+            ELSE printf('jpeg caption %d', i) END AS value
+FROM range(54) t(i)
+WHERE i % 9 <> 0
+"""
+
+
 def q_sidecar_captions(spark, sf_dir):
     """SRT + WebVTT sidecar caption parsing with a FULL oracle: documents
     synthesized on executors (odd clips SRT, even clips WebVTT, every
@@ -2148,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_captions": q_video_captions,
         "h264_frames": q_h264_frames,
         "sidecar_captions": q_sidecar_captions,
+        "image_text_meta": q_image_text_meta,
         # rows-only (no SQL oracle): real image pipeline + approximate ops
         "tile_pyramid": q_tile_pyramid,
         "tile_slice": q_tile_slice,
@@ -2220,6 +2269,7 @@ def oracle_sql() -> dict[str, str]:
         "video_captions": SQL_VIDEO_CAPTIONS,
         "h264_frames": SQL_H264_FRAMES,
         "sidecar_captions": SQL_SIDECAR_CAPTIONS,
+        "image_text_meta": SQL_IMAGE_TEXT,
         "tile_pyramid": SQL_TILE_PYRAMID,
         "tile_slice": _sql_tile_slice(),
     }

@@ -29,25 +29,36 @@ def _dms(value: float) -> tuple[int, int, int, int, int, int]:
     return deg, 1, mn, 1, round(sec * _SEC_DEN), _SEC_DEN
 
 
-def build_app1(lat: float, lon: float, orientation: int = 1) -> bytes:
-    """APP1 segment bytes (FFE1 + length + Exif payload), little-endian."""
+def build_app1(lat: float, lon: float, orientation: int = 1,
+               description: str | None = None) -> bytes:
+    """APP1 segment bytes (FFE1 + length + Exif payload), little-endian.
+    `description` lands in ImageDescription (0x010E) — the EXIF caption."""
     # GPS IFD: 4 entries + next-IFD pointer; rational data appended after
     def entry(tag, typ, cnt, value_or_offset):
         return struct.pack("<HHII", tag, typ, cnt, value_or_offset)
 
+    desc = (description.encode("ascii", "replace") + b"\x00") if description else None
+    n_ifd0 = 2 + (1 if desc else 0)
     # layout (offsets relative to TIFF header start):
-    # 8: IFD0 (2 entries) | IFD0 end + gps ifd | rational block
+    # 8: IFD0 | gps ifd | rational block | description string
     ifd0_off = 8
-    ifd0_size = 2 + 2 * 12 + 4
+    ifd0_size = 2 + n_ifd0 * 12 + 4
     gps_off = ifd0_off + ifd0_size
     gps_size = 2 + 4 * 12 + 4
     rat_off = gps_off + gps_size
+    desc_off = rat_off + 48
 
     lat_rat = _dms(lat)
     lon_rat = _dms(lon)
     rat_block = struct.pack("<6I", *lat_rat) + struct.pack("<6I", *lon_rat)
 
-    ifd0 = struct.pack("<H", 2)
+    ifd0 = struct.pack("<H", n_ifd0)
+    if desc:
+        if len(desc) <= 4:
+            ifd0 += entry(0x010E, 2, len(desc),
+                          int.from_bytes(desc.ljust(4, b"\x00"), "little"))
+        else:
+            ifd0 += entry(0x010E, 2, len(desc), desc_off)
     ifd0 += entry(0x0112, 3, 1, orientation)  # SHORT
     ifd0 += entry(0x8825, 4, 1, gps_off)      # LONG pointer to GPS IFD
     ifd0 += struct.pack("<I", 0)
@@ -62,6 +73,8 @@ def build_app1(lat: float, lon: float, orientation: int = 1) -> bytes:
     gps += struct.pack("<I", 0)
 
     tiff = b"II*\x00" + struct.pack("<I", ifd0_off) + ifd0 + gps + rat_block
+    if desc and len(desc) > 4:
+        tiff += desc
     payload = b"Exif\x00\x00" + tiff
     return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
 
@@ -112,7 +125,7 @@ def read_exif(jpeg_bytes: bytes) -> dict:
         if marker == 0xDA:  # entropy data: no EXIF past here
             break
         pos += 2 + seglen
-    out = {"lat": None, "lon": None, "orientation": 1}
+    out = {"lat": None, "lon": None, "orientation": 1, "description": None}
     if tiff is None:
         return out
     if tiff[:2] == b"II":
@@ -126,6 +139,13 @@ def read_exif(jpeg_bytes: bytes) -> dict:
     for tag, typ, cnt, vp in _ifd_entries(tiff, bo, ifd0):
         if tag == 0x0112:
             (out["orientation"],) = struct.unpack(bo + "H", tiff[vp : vp + 2])
+        elif tag == 0x010E and typ == 2:  # ImageDescription: the caption
+            if cnt <= 4:
+                raw = tiff[vp : vp + cnt]
+            else:
+                (off,) = struct.unpack(bo + "I", tiff[vp : vp + 4])
+                raw = tiff[off : off + cnt]
+            out["description"] = raw.rstrip(b"\x00").decode("ascii", "replace")
         elif tag == 0x8825:
             (gps_ptr,) = struct.unpack(bo + "I", tiff[vp : vp + 4])
     if gps_ptr is None:

@@ -165,6 +165,43 @@ def exif_geo(images: DataFrame, id_col: str = "image_id") -> DataFrame:
     return images.select(F.col(id_col), "bytes").mapInPandas(run, EXIF_SCHEMA)
 
 
+IMAGE_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+
+def image_text_meta(images: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Embedded image captions/metadata -> (image_id, key, value) rows:
+    PNG tEXt/iTXt/zTXt chunks and JPEG EXIF ImageDescription — the
+    image-side caption sources of the north star. Images without text
+    metadata (or malformed ones) emit zero rows."""
+    from .. import exif as _exif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, data in zip(b[id_col], b["bytes"]):
+                data = bytes(data)
+                try:
+                    if data[:8] == b"\x89PNG\r\n\x1a\n":
+                        for k, v in _png.read_text_chunks(data).items():
+                            rows.append({"image_id": iid, "key": k, "value": v})
+                    elif data[:2] == b"\xff\xd8":
+                        r = _exif.read_exif(data)
+                        if r.get("description"):
+                            rows.append({"image_id": iid, "key": "Description",
+                                         "value": r["description"]})
+                except Exception:
+                    continue  # malformed bytes: zero rows, task alive
+            yield pd.DataFrame(rows, columns=["image_id", "key", "value"])
+
+    return images.select(F.col(id_col), "bytes").mapInPandas(run, IMAGE_TEXT_SCHEMA)
+
+
 def decode_image_meta(images: DataFrame, fake: bool = True) -> DataFrame:
     """Narrow Arrow stage: bytes -> (w, h, ok, error). Bytes pruned from
     the output."""

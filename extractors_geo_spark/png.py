@@ -129,3 +129,58 @@ def decode(data: bytes) -> np.ndarray:
     if channels == 1:
         return out.reshape(h, w)
     return out.reshape(h, w, channels)
+
+
+def add_text_chunks(png_bytes: bytes, texts: dict[str, str]) -> bytes:
+    """Insert tEXt (latin-1) or iTXt (utf-8, uncompressed) chunks after
+    IHDR — PNG's native caption metadata (keys like Title/Description)."""
+    if png_bytes[:8] != _SIG:
+        raise ValueError("not a PNG")
+    ihdr_end = 8 + 8 + struct.unpack(">I", png_bytes[8:12])[0] + 4
+    chunks = b""
+    for key, val in texts.items():
+        kb = key.encode("latin-1")
+        try:
+            chunks += _chunk(b"tEXt", kb + b"\x00" + val.encode("latin-1"))
+        except UnicodeEncodeError:
+            chunks += _chunk(b"iTXt", kb + b"\x00\x00\x00\x00\x00"
+                             + val.encode("utf-8"))
+    return png_bytes[:ihdr_end] + chunks + png_bytes[ihdr_end:]
+
+
+def read_text_chunks(data: bytes) -> dict[str, str]:
+    """tEXt / iTXt / zTXt chunks -> {keyword: text} ({} if none).
+    Malformed chunk payloads are skipped, never raised past."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    out: dict[str, str] = {}
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        try:
+            if typ == b"tEXt":
+                k, _, v = body.partition(b"\x00")
+                out[k.decode("latin-1")] = v.decode("latin-1")
+            elif typ == b"iTXt":
+                k, _, rest = body.partition(b"\x00")
+                if len(rest) >= 2:
+                    comp_flag, comp_method = rest[0], rest[1]
+                    rest = rest[2:]
+                    _lang, _, rest = rest.partition(b"\x00")
+                    _tkey, _, text = rest.partition(b"\x00")
+                    if comp_flag:
+                        text = zlib.decompress(text)
+                    out[k.decode("latin-1")] = text.decode("utf-8")
+            elif typ == b"zTXt":
+                k, _, rest = body.partition(b"\x00")
+                if rest[:1] == b"\x00":
+                    out[k.decode("latin-1")] = zlib.decompress(rest[1:]).decode("latin-1")
+            elif typ == b"IEND":
+                break
+        except Exception:
+            continue  # malformed text chunk: skip, keep walking
+    return out

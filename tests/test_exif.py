@@ -24,7 +24,7 @@ def test_roundtrip_all_hemispheres():
 
 
 def test_no_gps_and_errors():
-    assert exif.read_exif(_jpg()) == {"lat": None, "lon": None, "orientation": 1}
+    assert exif.read_exif(_jpg()) == {"lat": None, "lon": None, "orientation": 1, "description": None}
     with pytest.raises(ValueError):
         exif.read_exif(b"\x00" * 16)
     # APP1 that is not Exif (e.g. XMP) is skipped, not an error
@@ -65,3 +65,33 @@ def test_exif_geo_operator(spark):
     assert got["with_gps"]["orientation"] == 6 and got["with_gps"]["error"] is None
     assert got["no_gps"]["lat"] is None and got["no_gps"]["error"] is None
     assert got["garbage"]["error"] is not None  # errors-as-data, task alive
+
+
+def test_image_description_caption():
+    base = _jpg()
+    j = exif.insert_app1(base, exif.build_app1(40.7, -74.0, 6,
+                                               description="skyline at dusk"))
+    r = exif.read_exif(j)
+    assert r["description"] == "skyline at dusk"
+    assert abs(r["lat"] - 40.7) < 1e-9 and r["orientation"] == 6
+    # inline (<= 4 byte) and absent paths
+    assert exif.read_exif(exif.insert_app1(base, exif.build_app1(1, 2, description="hi")))["description"] == "hi"
+    assert exif.read_exif(exif.insert_app1(base, exif.build_app1(1, 2)))["description"] is None
+
+
+def test_image_text_meta_operator(spark):
+    import numpy as np
+
+    from extractors_geo_spark import png as _png
+    from extractors_geo_spark.operators import multimodal as M
+
+    g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
+    p = _png.add_text_chunks(_png.encode(g), {"Title": "lakeside", "Author": "cam"})
+    j = exif.insert_app1(_jpg(), exif.build_app1(1, 2, description="a pier"))
+    rows = [("png1", bytearray(p)), ("jpg1", bytearray(j)),
+            ("plain", bytearray(_jpg())), ("junk", bytearray(b"\x00" * 10))]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = sorted((r["image_id"], r["key"], r["value"])
+                 for r in M.image_text_meta(df).collect())
+    assert got == [("jpg1", "Description", "a pier"),
+                   ("png1", "Author", "cam"), ("png1", "Title", "lakeside")]

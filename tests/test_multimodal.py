@@ -426,3 +426,22 @@ def test_audio_features_pcm_in_mp4(spark):
     # truncated container -> dropped row
     df3 = spark.createDataFrame([("a3", bytearray(good[:40]))], "audio_id string, bytes binary")
     assert M.audio_features(df3, fake=False).count() == 0
+
+
+def test_png_text_chunks_roundtrip():
+    import numpy as np
+    import struct as _st
+    import zlib
+
+    from extractors_geo_spark import png as _png
+
+    g = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 251
+    base = _png.encode(g)
+    tagged = _png.add_text_chunks(base, {"Title": "a view", "Description": "Grüße"})
+    got = _png.read_text_chunks(tagged)
+    assert got == {"Title": "a view", "Description": "Grüße"}
+    np.testing.assert_array_equal(_png.decode(tagged), g)
+    # zTXt
+    z = _png._chunk(b"zTXt", b"Comment\x00\x00" + zlib.compress(b"note"))
+    ihdr_end = 8 + 8 + _st.unpack(">I", base[8:12])[0] + 4
+    assert _png.read_text_chunks(base[:ihdr_end] + z + base[ihdr_end:])["Comment"] == "note"
