@@ -447,6 +447,11 @@ def parse_projcs_params(wkt: str) -> dict | None:
         k0 = p("scale_factor", default=None)
         if lat_ts is None and k0 is None:
             return None
+        # GDAL's WKT1 for variant-B CRSs (EPSG 3031/3413) emits BOTH the
+        # standard parallel AND scale_factor=1; k0 must not shadow a
+        # non-polar parallel (variant A only applies at |lat| == 90).
+        if lat_ts is not None and abs(abs(lat_ts) - 90.0) > 1e-9:
+            k0 = None
         if lat_ts is None:
             lat_ts = -90.0 if "south" in proj_name else 90.0
         if "south" in proj_name and lat_ts > 0:

@@ -452,7 +452,8 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                                              "fh": arr.shape[0],
                                              "frame": arr.tobytes()})
                             continue
-                        except (ValueError, IndexError, struct.error):
+                        except Exception:  # corrupt sample bytes included:
+                            # errors-as-data, never a task failure
                             duration_ms = parsed["duration_ms"]
                             wellformed_mp4 = True
                             parsed = None
@@ -472,7 +473,14 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                                 else:  # corrupt sample: stop sampling here
                                     break
                             else:
-                                arr = _jpeg.decode(s)
+                                try:
+                                    arr = _jpeg.decode(s)
+                                except Exception:
+                                    # structurally valid MP4, corrupt JPEG
+                                    # sample: stop sampling this video, keep
+                                    # frames decoded so far (errors-as-data,
+                                    # ADVICE r4 low)
+                                    break
                             if arr.ndim == 3:
                                 arr = arr.astype(np.float64).mean(axis=2).astype(np.uint8)
                             rows.append({"video_id": vid, "frame_idx": i, "ts_ms": ts,

@@ -224,14 +224,26 @@ def near_dup_pairs(
     threshold 0.95 (theta ~ 18deg) per-table collision is ~0.43 for
     n_planes=8, so 4 tables give ~0.90 recall; false positives cost only
     wasted verification, never wrong output."""
-    d = corpus.select(F.col(c_id).alias("id"), F.col(c_vec).alias("v")).withColumn(
+    vecs = corpus.select(F.col(c_id).alias("id"), F.col(c_vec).alias("v"))
+    # (id, bucket) ONLY on the self-join: vectors must not ride the
+    # candidate exchange (each pair would carry two dim-float arrays), and
+    # shuffle_hash stops Catalyst auto-broadcasting a side whose lineage is
+    # the whole hashing pipeline — the same measured pathology fixed in the
+    # minhash/ngram/simhash self-joins (dedup.py). Vectors join back to the
+    # deduped candidate ids afterwards (VERDICT r4 #4).
+    banded = vecs.withColumn(
         "bucket", F.explode(_multi_table_buckets(F.col("v"), dim, n_planes, n_tables))
-    )
-    l, r = d.alias("l"), d.alias("r")
+    ).select("id", "bucket")
+    l, r = banded.alias("l"), banded.alias("r")
     cand = (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+        l.join(r.hint("shuffle_hash"),
+               (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
+    )
+    cand = (
+        cand.join(vecs.select(F.col("id").alias("a"), F.col("v").alias("va")).hint("shuffle_hash"), "a")
+        .join(vecs.select(F.col("id").alias("b"), F.col("v").alias("vb")).hint("shuffle_hash"), "b")
     )
     cos = cosine_expr(F.col("va"), F.col("vb"))
     return cand.select("a", "b", cos.alias("cosine")).filter(F.col("cosine") >= threshold)

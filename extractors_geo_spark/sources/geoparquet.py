@@ -51,6 +51,13 @@ def write_geoparquet(features: DataFrame, out_dir: str,
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
+        from extractors_geo_spark import fs as _xfs
+
+        # resolve the ORIGINAL URI per-executor: a driver-resolved local
+        # filesystem object is meaningless on a remote executor, and a
+        # scheme-stripped s3:// path would silently write to a local
+        # relative dir (ADVICE r4)
+        fs_x, out_norm_x = _xfs.resolve(out_dir)
         pid = TaskContext.get().partitionId()
         rows = {a: [] for a in attrs}
         wkbs = []
@@ -98,8 +105,8 @@ def write_geoparquet(features: DataFrame, out_dir: str,
                           "geometry": pa.array(wkbs, pa.binary())})
         table = table.replace_schema_metadata(
             {b"geo": json.dumps(geo_meta).encode()})
-        path = f"{out_norm}/part-{pid:05d}.parquet"
-        pq.write_table(table, path)
+        path = f"{out_norm_x}/part-{pid:05d}.parquet"
+        pq.write_table(table, path, filesystem=fs_x)
         yield pd.DataFrame([{"path": path, "rows": len(wkbs),
                              "minx": bbox[0], "miny": bbox[1],
                              "maxx": bbox[2], "maxy": bbox[3]}])

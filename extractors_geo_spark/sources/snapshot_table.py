@@ -478,10 +478,25 @@ class SnapshotTable:
                     removed_files += 1
             xfs.delete_file(self.fs, self._snapshot_path(v))
         # reclaim whole data generations with no surviving references
-        # (delete_dir, not rmdir: Spark leaves _SUCCESS/.crc markers)
+        # (delete_dir, not rmdir: Spark leaves _SUCCESS/.crc markers).
+        # Concurrency guard (ADVICE r4): a CAS committer writes its
+        # generation BEFORE its manifest, so an unreferenced gen may be an
+        # in-flight commit, not garbage.  A commit for version v can only
+        # still succeed while current == v-1, and every expired version is
+        # < current, so reclaiming ONLY generations whose encoded version
+        # prefix is <= the newest expired version can never race a commit
+        # that could still win; younger orphans (CAS losers) are reclaimed
+        # by a later expiry once their version falls behind the window.
+        newest_expired = max(expired) if expired else -1
         data_root = xfs.join(self.data_root, "data")
         for info in xfs.listdir(self.data_fs, data_root):
             gdir = info.path
+            try:
+                gen_v = int(info.base_name.split("-", 1)[0])
+            except ValueError:
+                continue  # not a generation dir we wrote
+            if gen_v > newest_expired:
+                continue
             if not any(p.startswith(gdir + "/") for p in live_files):
                 xfs.delete_dir(self.data_fs, gdir)
         return {"expired_versions": expired, "removed_files": removed_files,

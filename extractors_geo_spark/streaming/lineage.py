@@ -183,7 +183,11 @@ def run_with_lineage(
         # ceil(P/B) tasks: total files per wave ~= P (the shuffle
         # parallelism), independent of upstream task count. The shuffle
         # moves post-transform rows only (no fat source columns re-read).
-        p = int(out.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # "auto" under AQE-managed deployments is not an int (ADVICE r4 low)
+        try:
+            p = int(out.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (ValueError, TypeError):
+            p = out.sparkSession.sparkContext.defaultParallelism or 200
         files_per_bucket = max(1, -(-p // n_buckets))
         out = (
             out.withColumn(

@@ -194,3 +194,27 @@ def test_size_hints_skip_probe_jobs(spark):
         sc.setJobGroup(None, None)
     jobs = sc.statusTracker().getJobIdsForGroup("size-hint-test")
     assert len(jobs) == 0, f"plan building ran {len(jobs)} probe jobs"
+
+
+def test_near_dup_pairs_candidate_exchange_carries_no_vectors(spark):
+    """VERDICT r4 #4: the LSH candidate self-join must shuffle (id, bucket)
+    only — embedding arrays join back AFTER pair dedup — and no side of the
+    bucket pipeline may be broadcast (a broadcast would re-execute the whole
+    hashing lineage through the driver)."""
+    import numpy as np
+
+    from extractors_geo_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(16).astype(np.float32).tolist()) for i in range(64)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.near_dup_pairs(df, threshold=0.9, n_planes=6, dim=16)
+    s = explain_str(out)
+    assert "BroadcastExchange" not in s, "bucket pipeline must not be broadcast"
+    assert "ShuffledHashJoin" in s
+    # every candidate-side exchange partitions on ids/buckets, never carries
+    # the vector column: the only exchanges mentioning the embedding input
+    # are the two (id -> vec) join-backs keyed on id
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", s):
+        key = ex.split(",")[0].split("#")[0].strip()
+        assert key in {"bucket", "id", "a", "b", "vec_id"}, ex

@@ -664,3 +664,39 @@ def test_polar_stereographic_prj_reprojects_via_parameters():
     ring = parsed["features"][0]["rings"][0]
     np.testing.assert_allclose([p[0] for p in ring], lon, atol=1e-9)
     np.testing.assert_allclose([p[1] for p in ring], lat, atol=1e-9)
+
+
+def test_polar_stereographic_prj_scale_factor_does_not_shadow_parallel():
+    """GDAL's WKT1 for EPSG:3031 (variant B) emits BOTH latitude_of_origin=-71
+    AND scale_factor=1.  The parallel must win: treating k0=1 as variant A
+    silently shifts (45E, 75S) by ~32 km (ADVICE r4, geo.py:447)."""
+    import numpy as np
+
+    from extractors_geo_spark.functions import geo
+
+    wkt = ('PROJCS["WGS 84 / Antarctic Polar Stereographic",'
+           'GEOGCS["WGS 84",DATUM["WGS_1984",'
+           'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+           'UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Polar_Stereographic"],'
+           'PARAMETER["latitude_of_origin",-71],'
+           'PARAMETER["central_meridian",0],'
+           'PARAMETER["scale_factor",1],'
+           'PARAMETER["false_easting",0],'
+           'PARAMETER["false_northing",0],'
+           'UNIT["metre",1]]')
+    prm = geo.parse_projcs_params(wkt)
+    assert prm["proj"] == "ps" and prm["lat_ts"] == -71.0
+    assert prm["k0"] is None  # parallel wins; k0=1 is not variant A here
+    lon, lat = np.array([45.0]), np.array([-75.0])
+    e_prj, n_prj = geo.params_forward_np(lon, lat, prm)
+    e_ref, n_ref = geo.lonlat_to_epsg_np(lon, lat, 3031)
+    np.testing.assert_allclose(e_prj, e_ref, atol=1e-6)
+    np.testing.assert_allclose(n_prj, n_ref, atol=1e-6)
+    # a true variant-A WKT (parallel at the pole, k0 != 1) still honors k0
+    wkt_a = wkt.replace('PARAMETER["latitude_of_origin",-71]',
+                        'PARAMETER["latitude_of_origin",-90]') \
+                .replace('PARAMETER["scale_factor",1]',
+                         'PARAMETER["scale_factor",0.994]')
+    prm_a = geo.parse_projcs_params(wkt_a)
+    assert prm_a["k0"] == 0.994

@@ -160,6 +160,35 @@ def test_expire_snapshots_reclaims_files(spark, tmp_path):
             assert os.path.exists(f["path"])
 
 
+def test_expire_snapshots_spares_inflight_generation(spark, tmp_path):
+    """A CAS committer writes its data generation BEFORE its manifest, so an
+    unreferenced generation for version current+1 may be an in-flight commit.
+    Expiry must only reclaim generations at or below the newest expired
+    version (ADVICE r4)."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "itbl"), bucket_key="k", n_buckets=2)
+    for gen in range(5):
+        t.append(spark.createDataFrame([(f"k{gen}{i}", i) for i in range(4)], ["k", "v"]))
+    cur = t.current_version()
+    # simulate an in-flight commit: files on disk, manifest not yet written
+    inflight = os.path.join(t.root, "data", f"{cur + 1:06d}-deadbeef")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"not-yet-committed")
+    # and an old CAS-loser orphan from an already-expired version
+    orphan = os.path.join(t.root, "data", "000002-0badf00d")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"abandoned")
+    res = t.expire_snapshots(retain_last=2)
+    assert res["expired_versions"]  # something actually expired
+    assert os.path.isdir(inflight)  # in-flight generation untouched
+    assert not os.path.isdir(orphan)  # stale orphan reclaimed
+    # non-generation dirs are ignored, not crashed on
+    assert t.read().count() == 20
+
+
 def test_compact_merges_fragmented_buckets(spark, tmp_path):
     """rewrite_data_files analog: a delete-heavy history fragments buckets
     into a file per commit; compact() merges them, preserves content
