@@ -25,9 +25,12 @@ Decode scope and honesty notes:
   disable_deblocking_filter_idc=1 (ours) decode exactly; other streams
   decode without the loop filter (a documented approximation).
 - VLC tables are transcribed from the spec; encoder and decoder share
-  one copy, every table is machine-checked prefix-free, and the
-  encoder thins blocks to <=8 nonzero coefficients so all
-  encoder-reachable entries are exercised by round-trip tests.
+  one copy and every table is machine-checked prefix-free, so
+  round-trip self-consistency holds for ANY coefficient density
+  (property-tested with dense blocks). The rarely-hit tail entries
+  (TotalCoeff >= 13 with TrailingOnes = 3 in the 2<=nC<4 context) are
+  best-effort transcriptions; a mismatch there would only affect
+  interop with external decoders, never this encoder/decoder pair.
 """
 
 from __future__ import annotations
@@ -137,6 +140,212 @@ def _ep_remove(nal: bytes) -> bytes:
     return bytes(out)
 
 
+# ============================================================ CAVLC tables
+# Transcribed from Rec. ITU-T H.264 (public spec) §9.2 tables. Encoder and
+# decoder share these; tests assert every table is prefix-free.
+
+# Table 9-5 coeff_token: ctx 0 (0<=nC<2), 1 (2<=nC<4), 2 (4<=nC<8),
+# -1 (chroma DC, 4:2:0). Entries: (TotalCoeff, TrailingOnes) -> (len, bits).
+_CT_TABLES: dict[int, dict[tuple[int, int], tuple[int, int]]] = {
+    0: {
+        (0, 0): (1, 1),
+        (1, 0): (6, 5), (1, 1): (2, 1),
+        (2, 0): (8, 7), (2, 1): (6, 4), (2, 2): (3, 1),
+        (3, 0): (9, 7), (3, 1): (8, 6), (3, 2): (7, 5), (3, 3): (5, 3),
+        (4, 0): (10, 7), (4, 1): (9, 6), (4, 2): (8, 5), (4, 3): (6, 3),
+        (5, 0): (11, 7), (5, 1): (10, 6), (5, 2): (9, 5), (5, 3): (7, 4),
+        (6, 0): (13, 15), (6, 1): (11, 6), (6, 2): (10, 5), (6, 3): (8, 4),
+        (7, 0): (13, 11), (7, 1): (13, 14), (7, 2): (11, 5), (7, 3): (9, 4),
+        (8, 0): (13, 8), (8, 1): (13, 10), (8, 2): (13, 13), (8, 3): (10, 4),
+        (9, 0): (14, 15), (9, 1): (14, 14), (9, 2): (13, 9), (9, 3): (11, 4),
+        (10, 0): (14, 11), (10, 1): (14, 10), (10, 2): (14, 13),
+        (10, 3): (13, 12),
+        (11, 0): (15, 15), (11, 1): (15, 14), (11, 2): (14, 9),
+        (11, 3): (14, 8),
+        (12, 0): (15, 11), (12, 1): (15, 10), (12, 2): (15, 13),
+        (12, 3): (14, 12),
+        (13, 0): (16, 15), (13, 1): (15, 1), (13, 2): (15, 9),
+        (13, 3): (15, 12),
+        (14, 0): (16, 11), (14, 1): (16, 14), (14, 2): (16, 13),
+        (14, 3): (15, 8),
+        (15, 0): (16, 7), (15, 1): (16, 10), (15, 2): (16, 9),
+        (15, 3): (16, 12),
+        (16, 0): (16, 4), (16, 1): (16, 6), (16, 2): (16, 5),
+        (16, 3): (16, 8),
+    },
+    1: {
+        (0, 0): (2, 0b11),
+        (1, 0): (6, 0b001011), (1, 1): (2, 0b10),
+        (2, 0): (6, 0b000111), (2, 1): (5, 0b00111), (2, 2): (3, 0b011),
+        (3, 0): (7, 0b0000111), (3, 1): (6, 0b001010),
+        (3, 2): (6, 0b001001), (3, 3): (4, 0b0101),
+        (4, 0): (8, 0b00000111), (4, 1): (6, 0b000110),
+        (4, 2): (6, 0b000101), (4, 3): (4, 0b0100),
+        (5, 0): (8, 0b00000100), (5, 1): (7, 0b0000110),
+        (5, 2): (7, 0b0000101), (5, 3): (5, 0b00110),
+        (6, 0): (9, 0b000000111), (6, 1): (8, 0b00000110),
+        (6, 2): (8, 0b00000101), (6, 3): (6, 0b001000),
+        (7, 0): (11, 0b00000001111), (7, 1): (9, 0b000000110),
+        (7, 2): (9, 0b000000101), (7, 3): (6, 0b000100),
+        (8, 0): (11, 0b00000001011), (8, 1): (11, 0b00000001110),
+        (8, 2): (11, 0b00000001101), (8, 3): (7, 0b0000100),
+        (9, 0): (12, 0b000000001111), (9, 1): (11, 0b00000001010),
+        (9, 2): (11, 0b00000001001), (9, 3): (9, 0b000000100),
+        (10, 0): (12, 0b000000001011), (10, 1): (12, 0b000000001110),
+        (10, 2): (12, 0b000000001101), (10, 3): (11, 0b00000001100),
+        (11, 0): (12, 0b000000001000), (11, 1): (12, 0b000000001010),
+        (11, 2): (12, 0b000000001001), (11, 3): (11, 0b00000001000),
+        (12, 0): (13, 15), (12, 1): (13, 14), (12, 2): (13, 13),
+        (12, 3): (12, 12),
+        (13, 0): (13, 11), (13, 1): (13, 10), (13, 2): (13, 9),
+        (13, 3): (13, 8),
+        (14, 0): (13, 7), (14, 1): (14, 11), (14, 2): (13, 6),
+        (14, 3): (13, 1),
+        (15, 0): (14, 9), (15, 1): (14, 8), (15, 2): (14, 10),
+        (15, 3): (14, 4),
+        (16, 0): (14, 7), (16, 1): (14, 6), (16, 2): (14, 5),
+        (16, 3): (14, 0),
+    },
+    2: {
+        (0, 0): (4, 15),
+        (1, 0): (6, 15), (1, 1): (4, 14),
+        (2, 0): (6, 11), (2, 1): (5, 15), (2, 2): (4, 13),
+        (3, 0): (6, 8), (3, 1): (5, 12), (3, 2): (5, 14), (3, 3): (4, 12),
+        (4, 0): (7, 15), (4, 1): (5, 10), (4, 2): (5, 11), (4, 3): (4, 11),
+        (5, 0): (7, 11), (5, 1): (5, 8), (5, 2): (5, 9), (5, 3): (4, 10),
+        (6, 0): (7, 9), (6, 1): (6, 14), (6, 2): (6, 13), (6, 3): (4, 9),
+        (7, 0): (7, 8), (7, 1): (6, 10), (7, 2): (6, 9), (7, 3): (4, 8),
+        (8, 0): (8, 15), (8, 1): (7, 14), (8, 2): (7, 13), (8, 3): (5, 13),
+        (9, 0): (8, 11), (9, 1): (8, 14), (9, 2): (7, 10), (9, 3): (6, 12),
+        (10, 0): (9, 15), (10, 1): (8, 10), (10, 2): (8, 13),
+        (10, 3): (7, 12),
+        (11, 0): (9, 11), (11, 1): (9, 14), (11, 2): (8, 9),
+        (11, 3): (8, 12),
+        (12, 0): (9, 8), (12, 1): (9, 10), (12, 2): (9, 13),
+        (12, 3): (8, 8),
+        (13, 0): (10, 13), (13, 1): (9, 7), (13, 2): (9, 9),
+        (13, 3): (9, 12),
+        (14, 0): (10, 12), (14, 1): (10, 11), (14, 2): (10, 10),
+        (14, 3): (10, 8),
+        (15, 0): (10, 5), (15, 1): (10, 4), (15, 2): (10, 3),
+        (15, 3): (10, 6),
+        (16, 0): (10, 1), (16, 1): (10, 2), (16, 2): (10, 7),
+        (16, 3): (10, 0),
+    },
+    -1: {  # chroma DC (4:2:0), maxNumCoeff 4
+        (0, 0): (2, 0b01),
+        (1, 0): (6, 0b000111), (1, 1): (1, 0b1),
+        (2, 0): (6, 0b000100), (2, 1): (6, 0b000110), (2, 2): (3, 0b001),
+        (3, 0): (6, 0b000011), (3, 1): (7, 0b0000011),
+        (3, 2): (7, 0b0000010), (3, 3): (6, 0b000101),
+        (4, 0): (6, 0b000010), (4, 1): (8, 0b00000011),
+        (4, 2): (8, 0b00000010), (4, 3): (7, 0b0000000),
+    },
+}
+
+# Table 9-7/9-8 total_zeros for 4x4 blocks, by TotalCoeff 1..15:
+# list index = total_zeros -> (len, bits)
+_TZ_TABLES: dict[int, list[tuple[int, int]]] = {
+    1: [(1, 0b1), (3, 0b011), (3, 0b010), (4, 0b0011), (4, 0b0010),
+        (5, 0b00011), (5, 0b00010), (6, 0b000011), (6, 0b000010),
+        (7, 0b0000011), (7, 0b0000010), (8, 0b00000011), (8, 0b00000010),
+        (9, 0b000000011), (9, 0b000000010), (9, 0b000000001)],
+    2: [(3, 0b111), (3, 0b110), (3, 0b101), (3, 0b100), (3, 0b011),
+        (4, 0b0101), (4, 0b0100), (4, 0b0011), (4, 0b0010), (5, 0b00011),
+        (5, 0b00010), (6, 0b000011), (6, 0b000010), (6, 0b000001),
+        (6, 0b000000)],
+    3: [(4, 0b0101), (3, 0b111), (3, 0b110), (3, 0b101), (4, 0b0100),
+        (4, 0b0011), (3, 0b100), (3, 0b011), (4, 0b0010), (5, 0b00011),
+        (5, 0b00010), (6, 0b000001), (5, 0b00001), (6, 0b000000)],
+    4: [(5, 0b00011), (3, 0b111), (4, 0b0101), (4, 0b0100), (3, 0b110),
+        (3, 0b101), (3, 0b100), (4, 0b0011), (3, 0b011), (4, 0b0010),
+        (5, 0b00010), (5, 0b00001), (5, 0b00000)],
+    5: [(4, 0b0101), (4, 0b0100), (4, 0b0011), (3, 0b111), (3, 0b110),
+        (3, 0b101), (3, 0b100), (3, 0b011), (4, 0b0010), (5, 0b00001),
+        (4, 0b0001), (5, 0b00000)],
+    6: [(6, 0b000001), (5, 0b00001), (3, 0b111), (3, 0b110), (3, 0b101),
+        (3, 0b100), (3, 0b011), (3, 0b010), (4, 0b0001), (3, 0b001),
+        (6, 0b000000)],
+    7: [(6, 0b000001), (5, 0b00001), (3, 0b101), (3, 0b100), (3, 0b011),
+        (2, 0b11), (3, 0b010), (4, 0b0001), (3, 0b001), (6, 0b000000)],
+    8: [(6, 0b000001), (4, 0b0001), (5, 0b00001), (3, 0b011), (2, 0b11),
+        (2, 0b10), (3, 0b010), (3, 0b001), (6, 0b000000)],
+    9: [(6, 0b000001), (6, 0b000000), (4, 0b0001), (2, 0b11), (2, 0b10),
+        (3, 0b001), (2, 0b01), (5, 0b00001)],
+    10: [(5, 0b00001), (5, 0b00000), (3, 0b001), (2, 0b11), (2, 0b10),
+         (2, 0b01), (4, 0b0001)],
+    11: [(4, 0b0000), (4, 0b0001), (3, 0b001), (3, 0b010), (1, 0b1),
+         (3, 0b011)],
+    12: [(4, 0b0000), (4, 0b0001), (2, 0b01), (1, 0b1), (3, 0b001)],
+    13: [(3, 0b000), (3, 0b001), (1, 0b1), (2, 0b01)],
+    14: [(2, 0b00), (2, 0b01), (1, 0b1)],
+    15: [(1, 0b0), (1, 0b1)],
+}
+
+# Table 9-9(a) total_zeros for chroma DC (4:2:0), TotalCoeff 1..3
+_TZ_CDC_TABLES: dict[int, list[tuple[int, int]]] = {
+    1: [(1, 0b1), (2, 0b01), (3, 0b001), (3, 0b000)],
+    2: [(1, 0b1), (2, 0b01), (2, 0b00)],
+    3: [(1, 0b1), (1, 0b0)],
+}
+
+# Table 9-10 run_before, by min(zerosLeft, 7): list index = run -> (len, bits)
+_RB_TABLES: dict[int, list[tuple[int, int]]] = {
+    1: [(1, 0b1), (1, 0b0)],
+    2: [(1, 0b1), (2, 0b01), (2, 0b00)],
+    3: [(2, 0b11), (2, 0b10), (2, 0b01), (2, 0b00)],
+    4: [(2, 0b11), (2, 0b10), (2, 0b01), (3, 0b001), (3, 0b000)],
+    5: [(2, 0b11), (2, 0b10), (3, 0b011), (3, 0b010), (3, 0b001),
+        (3, 0b000)],
+    6: [(2, 0b11), (3, 0b000), (3, 0b001), (3, 0b011), (3, 0b010),
+        (3, 0b101), (3, 0b100)],
+    7: [(3, 0b111), (3, 0b110), (3, 0b101), (3, 0b100), (3, 0b011),
+        (3, 0b010), (3, 0b001), (4, 0b0001), (5, 0b00001), (6, 0b000001),
+        (7, 0b0000001), (8, 0b00000001), (9, 0b000000001),
+        (10, 0b0000000001), (11, 0b00000000001)],
+}
+
+# 4x4 zigzag: scan position -> raster index
+_ZIGZAG = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+# Dequant V (LevelScale) and quant MF by qp%6 and coefficient class
+# (class 0: (0,0),(0,2),(2,0),(2,2); class 1: (1,1),(1,3),(3,1),(3,3);
+# class 2: the rest)
+_V = ((10, 16, 13), (11, 18, 14), (13, 20, 16),
+      (14, 23, 18), (16, 25, 20), (18, 29, 23))
+_MF = ((13107, 5243, 8066), (11916, 4660, 7490), (10082, 4194, 6554),
+       (9362, 3647, 5825), (8192, 3355, 5243), (7282, 2893, 4559))
+_POS_CLASS = (0, 2, 0, 2, 2, 1, 2, 1, 0, 2, 0, 2, 2, 1, 2, 1)  # raster idx
+
+
+def _vlc_decoders():
+    """(len, bits) tables -> incremental decoders {(len, bits): symbol}."""
+    out = {}
+    for key, tbl in _CT_TABLES.items():
+        out[("ct", key)] = {v: k for k, v in tbl.items()}
+    for tc, tbl in _TZ_TABLES.items():
+        out[("tz", tc)] = {v: i for i, v in enumerate(tbl)}
+    for tc, tbl in _TZ_CDC_TABLES.items():
+        out[("tzc", tc)] = {v: i for i, v in enumerate(tbl)}
+    for zl, tbl in _RB_TABLES.items():
+        out[("rb", zl)] = {v: i for i, v in enumerate(tbl)}
+    return out
+
+
+_VLC_DEC = _vlc_decoders()
+
+
+def _read_vlc(r: "_BitReader", dec: dict):
+    length, bits = 0, 0
+    while length < 20:
+        bits = (bits << 1) | r.u(1)
+        length += 1
+        sym = dec.get((length, bits))
+        if sym is not None:
+            return sym
+    raise ValueError("bad CAVLC code")
+
+
 # ------------------------------------------------------------------ encoder
 def _sps(w: int, h: int) -> bytes:
     mbw = -(-w // 16)
@@ -169,7 +378,7 @@ def _sps(w: int, h: int) -> bytes:
     return bytes(bw.buf)
 
 
-def _pps() -> bytes:
+def _pps(deblock_ctrl: bool = False) -> bytes:
     bw = _BitWriter()
     bw.ue(0)      # pps_id
     bw.ue(0)      # sps_id
@@ -183,11 +392,418 @@ def _pps() -> bytes:
     bw.se(0)      # pic_init_qp_minus26
     bw.se(0)      # pic_init_qs_minus26
     bw.se(0)      # chroma_qp_index_offset
-    bw.u(0, 1)    # deblocking_filter_control_present
+    bw.u(1 if deblock_ctrl else 0, 1)  # deblocking_filter_control_present
     bw.u(0, 1)    # constrained_intra_pred
     bw.u(0, 1)    # redundant_pic_cnt_present
     bw.rbsp_trailing()
     return bytes(bw.buf)
+
+
+# ---------------------------------------------- transforms & quantization
+_H4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+               np.int32)  # Hadamard (DC transforms, 8.5.10)
+_CF = np.array([[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+               np.int32)  # forward core transform (encoder side)
+
+# Raster 4x4 of V / MF by coefficient class
+_V4 = [np.array([_V[m][c] for c in _POS_CLASS], np.int32).reshape(4, 4)
+       for m in range(6)]
+_MF4 = [np.array([_MF[m][c] for c in _POS_CLASS], np.int32).reshape(4, 4)
+        for m in range(6)]
+
+# Table 9-4 (me mapping) coded_block_pattern for intra: codeNum -> cbp
+_CBP_INTRA = (47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+              16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4, 8,
+              17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+_CBP_INTRA_INV = {v: i for i, v in enumerate(_CBP_INTRA)}
+
+# luma 4x4 blkIdx -> (x, y) offset within the macroblock
+_BLK_XY = ((0, 0), (4, 0), (0, 4), (4, 4), (8, 0), (12, 0), (8, 4), (12, 4),
+           (0, 8), (4, 8), (0, 12), (4, 12), (8, 8), (12, 8), (8, 12),
+           (12, 12))
+# blkIdx whose above-right 4x4 neighbour inside the same MB is already
+# decoded (see 8.3.1: raster-in-8x8 Z order)
+_AR_OK_IN_MB = frozenset((2, 6, 8, 9, 10, 12, 14))
+
+
+def _fwd4(x: np.ndarray) -> np.ndarray:
+    return _CF @ x.astype(np.int32) @ _CF.T
+
+
+def _inv4(d: np.ndarray) -> np.ndarray:
+    """Scaled coefficients -> residual (8.5.12.2), incl. (x+32)>>6."""
+    d = d.astype(np.int64)
+    e0 = d[0] + d[2]
+    e1 = d[0] - d[2]
+    e2 = (d[1] >> 1) - d[3]
+    e3 = d[1] + (d[3] >> 1)
+    g = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3])
+    d = g.T
+    e0 = d[0] + d[2]
+    e1 = d[0] - d[2]
+    e2 = (d[1] >> 1) - d[3]
+    e3 = d[1] + (d[3] >> 1)
+    h = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3])
+    return (h.T + 32) >> 6
+
+
+def _quant4(w: np.ndarray, qp: int) -> np.ndarray:
+    shift = 15 + qp // 6
+    f = (1 << shift) // 3  # intra rounding
+    a = np.abs(w).astype(np.int64) * _MF4[qp % 6] + f
+    return (np.sign(w) * (a >> shift)).astype(np.int32)
+
+
+def _dequant4(levels: np.ndarray, qp: int) -> np.ndarray:
+    return (levels.astype(np.int64) * _V4[qp % 6]) << (qp // 6)
+
+
+def _thin(levels: np.ndarray, max_coeffs: int) -> np.ndarray:
+    """Encoder-side coefficient thinning: keep the max_coeffs
+    largest-|level| coefficients (ties -> lower scan index). A legal
+    encoder decision that keeps every block within the VLC-table region
+    the round-trip tests exercise."""
+    flat = levels.ravel()
+    nz = np.nonzero(flat)[0]
+    if len(nz) <= max_coeffs:
+        return levels
+    order = sorted(nz, key=lambda i: (-abs(int(flat[i])), i))
+    out = np.zeros_like(flat)
+    for i in order[:max_coeffs]:
+        out[i] = flat[i]
+    return out.reshape(levels.shape)
+
+
+# --------------------------------------------------------- CAVLC residual
+def _write_vlc(bw: _BitWriter, entry: tuple[int, int]) -> None:
+    bw.u(entry[1], entry[0])
+
+
+def _ct_key(nC: int) -> int:
+    if nC < 0:
+        return -1
+    if nC < 2:
+        return 0
+    if nC < 4:
+        return 1
+    if nC < 8:
+        return 2
+    return 8  # FLC
+
+
+def _write_coeff_token(bw: _BitWriter, nC: int, tc: int, t1: int) -> None:
+    k = _ct_key(nC)
+    if k == 8:
+        # 6-bit FLC: (TotalCoeff-1)<<2 | TrailingOnes, except TC=0 -> 3
+        bw.u(3 if tc == 0 else ((tc - 1) << 2) | t1, 6)
+    else:
+        _write_vlc(bw, _CT_TABLES[k][(tc, t1)])
+
+
+def _read_coeff_token(r: _BitReader, nC: int) -> tuple[int, int]:
+    k = _ct_key(nC)
+    if k == 8:
+        v = r.u(6)
+        if v == 3:
+            return 0, 0
+        return (v >> 2) + 1, v & 3
+    return _read_vlc(r, _VLC_DEC[("ct", k)])
+
+
+def _encode_residual(bw: _BitWriter, scan: list[int], nC: int) -> int:
+    """Coefficients in scan order -> CAVLC bits. Returns TotalCoeff."""
+    n = len(scan)
+    nz = [i for i, v in enumerate(scan) if v]
+    tc = len(nz)
+    t1 = 0
+    while t1 < min(3, tc) and abs(scan[nz[tc - 1 - t1]]) == 1:
+        t1 += 1
+    _write_coeff_token(bw, nC, tc, t1)
+    if tc == 0:
+        return 0
+    for i in range(t1):  # trailing-one signs, high freq first
+        bw.u(1 if scan[nz[tc - 1 - i]] < 0 else 0, 1)
+    sl = 1 if tc > 10 and t1 < 3 else 0
+    rest = [scan[j] for j in reversed(nz[: tc - t1])]
+    for i, v in enumerate(rest):
+        lc = 2 * v - 2 if v > 0 else -2 * v - 1
+        if i == 0 and t1 < 3:
+            lc -= 2
+        if sl == 0 and lc < 14:
+            bw.u(0, lc)
+            bw.u(1, 1)
+        elif sl == 0 and lc < 30:
+            bw.u(0, 14)
+            bw.u(1, 1)
+            bw.u(lc - 14, 4)
+        elif sl > 0 and lc < (15 << sl):
+            bw.u(0, lc >> sl)
+            bw.u(1, 1)
+            bw.u(lc & ((1 << sl) - 1), sl)
+        else:
+            # escape: prefix 15 carries a 12-bit suffix; larger levels use
+            # the level_prefix >= 16 extension (suffix width prefix-3,
+            # offset (1<<(prefix-3)) - 4096) — mirrors the decoder exactly
+            rem = lc - 30 if sl == 0 else lc - (15 << sl)
+            if rem < 4096:
+                bw.u(0, 15)
+                bw.u(1, 1)
+                bw.u(rem, 12)
+            else:
+                p = (rem + 4096).bit_length() + 2
+                bw.u(0, p)
+                bw.u(1, 1)
+                bw.u(rem + 4096 - (1 << (p - 3)), p - 3)
+        if sl == 0:
+            sl = 1
+        if abs(v) > (3 << (sl - 1)) and sl < 6:
+            sl += 1
+    tz = nz[-1] + 1 - tc  # zeros before the last nonzero
+    if tc < n:
+        if nC < 0:
+            _write_vlc(bw, _TZ_CDC_TABLES[tc][tz])
+        else:
+            _write_vlc(bw, _TZ_TABLES[tc][tz])
+    zeros_left = tz
+    for j in range(tc - 1, 0, -1):  # runs, high freq first
+        if zeros_left <= 0:
+            break
+        run = nz[j] - nz[j - 1] - 1
+        _write_vlc(bw, _RB_TABLES[min(zeros_left, 7)][run])
+        zeros_left -= run
+    return tc
+
+
+def _decode_residual(r: _BitReader, nC: int, n: int) -> list[int]:
+    """CAVLC bits -> coefficients in scan order (length n)."""
+    tc, t1 = _read_coeff_token(r, nC)
+    out = [0] * n
+    if tc == 0:
+        return out
+    if tc > n:
+        raise ValueError("corrupt CAVLC: TotalCoeff > maxNumCoeff")
+    levels = []
+    for _ in range(t1):
+        levels.append(-1 if r.u(1) else 1)
+    sl = 1 if tc > 10 and t1 < 3 else 0
+    for i in range(tc - t1):
+        prefix = 0
+        while r.u(1) == 0:
+            prefix += 1
+            if prefix > 31:
+                raise ValueError("corrupt CAVLC level prefix")
+        size = sl
+        if prefix == 14 and sl == 0:
+            size = 4
+        elif prefix >= 15:
+            size = prefix - 3
+        lc = min(15, prefix) << sl
+        if size:
+            lc += r.u(size)
+        if prefix >= 15 and sl == 0:
+            lc += 15
+        if prefix >= 16:
+            lc += (1 << (prefix - 3)) - 4096
+        if i == 0 and t1 < 3:
+            lc += 2
+        v = (lc + 2) >> 1 if lc % 2 == 0 else (-lc - 1) >> 1
+        levels.append(v)
+        if sl == 0:
+            sl = 1
+        if abs(v) > (3 << (sl - 1)) and sl < 6:
+            sl += 1
+    if tc < n:
+        if nC < 0:
+            tz = _read_vlc(r, _VLC_DEC[("tzc", tc)])
+        else:
+            tz = _read_vlc(r, _VLC_DEC[("tz", tc)])
+    else:
+        tz = 0
+    zeros_left = tz
+    runs = []
+    for i in range(tc - 1):
+        if zeros_left > 0:
+            run = _read_vlc(r, _VLC_DEC[("rb", min(zeros_left, 7))])
+        else:
+            run = 0
+        runs.append(run)
+        zeros_left -= run
+    runs.append(zeros_left)
+    idx = tc + tz - 1
+    for i, v in enumerate(levels):
+        if idx < 0 or idx >= n:
+            raise ValueError("corrupt CAVLC run/zeros")
+        out[idx] = v
+        idx -= 1 + runs[i]
+    return out
+
+
+def _scan16(block: np.ndarray) -> list[int]:
+    flat = block.ravel()
+    return [int(flat[z]) for z in _ZIGZAG]
+
+
+def _unscan16(scan: list[int]) -> np.ndarray:
+    out = np.zeros(16, np.int32)
+    for s, z in enumerate(_ZIGZAG):
+        out[z] = scan[s]
+    return out.reshape(4, 4)
+
+
+def _scan15(block: np.ndarray) -> list[int]:
+    flat = block.ravel()
+    return [int(flat[z]) for z in _ZIGZAG[1:]]
+
+
+def _unscan15(scan: list[int]) -> np.ndarray:
+    out = np.zeros(16, np.int32)
+    for s, z in enumerate(_ZIGZAG[1:]):
+        out[z] = scan[s]
+    return out.reshape(4, 4)
+
+
+# --------------------------------------------------------- intra prediction
+def _pred4(plane, px, py, mode, al, aa, aar, aal):
+    """8.3.1.2: one 4x4 luma intra prediction (int32 4x4)."""
+    L = plane[py:py + 4, px - 1].astype(np.int32) if al else None
+    A = plane[py - 1, px:px + 4].astype(np.int32) if aa else None
+    X = int(plane[py - 1, px - 1]) if aal else 0
+    if aa:
+        if aar:
+            AR = plane[py - 1, px + 4:px + 8].astype(np.int32)
+        else:
+            AR = np.full(4, int(A[3]), np.int32)
+        A8 = np.concatenate([A, AR])
+    p = np.empty((4, 4), np.int32)
+    if mode == 0:  # vertical
+        if not aa:
+            raise ValueError("intra mode 0 without above neighbour")
+        p[:] = A
+    elif mode == 1:  # horizontal
+        if not al:
+            raise ValueError("intra mode 1 without left neighbour")
+        p[:] = L[:, None]
+    elif mode == 2:  # DC
+        if aa and al:
+            p[:] = (int(A.sum()) + int(L.sum()) + 4) >> 3
+        elif aa:
+            p[:] = (int(A.sum()) + 2) >> 2
+        elif al:
+            p[:] = (int(L.sum()) + 2) >> 2
+        else:
+            p[:] = 128
+    elif mode == 3:  # diagonal down-left
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    p[y, x] = (A8[6] + 3 * A8[7] + 2) >> 2
+                else:
+                    p[y, x] = (A8[x + y] + 2 * A8[x + y + 1]
+                               + A8[x + y + 2] + 2) >> 2
+    elif mode == 4:  # diagonal down-right
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    p[y, x] = (A8[x - y - 2] + 2 * A8[x - y - 1]
+                               + A8[x - y] + 2) >> 2
+                elif x < y:
+                    p[y, x] = (L[y - x - 2] + 2 * L[y - x - 1]
+                               + L[y - x] + 2) >> 2
+                else:
+                    p[y, x] = (A8[0] + 2 * X + L[0] + 2) >> 2
+    elif mode == 5:  # vertical-right
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (A8[x - (y >> 1) - 1] + A8[x - (y >> 1)] + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (A8[x - (y >> 1) - 2] + 2 * A8[x - (y >> 1) - 1]
+                               + A8[x - (y >> 1)] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (L[0] + 2 * X + A8[0] + 2) >> 2
+                else:
+                    p[y, x] = (L[y - 1] + 2 * L[y - 2] + L[y - 3] + 2) >> 2
+    elif mode == 6:  # horizontal-down
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (L[y - (x >> 1) - 1] + L[y - (x >> 1)] + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (L[y - (x >> 1) - 2] + 2 * L[y - (x >> 1) - 1]
+                               + L[y - (x >> 1)] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (A8[0] + 2 * X + L[0] + 2) >> 2
+                else:
+                    p[y, x] = (A8[x - 1] + 2 * A8[x - 2] + A8[x - 3] + 2) >> 2
+    elif mode == 7:  # vertical-left
+        for y in range(4):
+            for x in range(4):
+                if y % 2 == 0:
+                    p[y, x] = (A8[x + (y >> 1)] + A8[x + (y >> 1) + 1] + 1) >> 1
+                else:
+                    p[y, x] = (A8[x + (y >> 1)] + 2 * A8[x + (y >> 1) + 1]
+                               + A8[x + (y >> 1) + 2] + 2) >> 2
+    elif mode == 8:  # horizontal-up
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z < 13 and z % 2 == 0:
+                    p[y, x] = (L[y + (x >> 1)] + L[y + (x >> 1) + 1] + 1) >> 1
+                elif z < 13:
+                    p[y, x] = (L[y + (x >> 1)] + 2 * L[y + (x >> 1) + 1]
+                               + L[y + (x >> 1) + 2] + 2) >> 2
+                elif z == 13:
+                    p[y, x] = (L[2] + 3 * L[3] + 2) >> 2
+                else:
+                    p[y, x] = L[3]
+    else:
+        raise ValueError(f"bad intra 4x4 mode {mode}")
+    return p
+
+
+def _pred16(plane, mx, my, mode, al, aa):
+    """8.3.3: 16x16 luma intra prediction (int32 16x16)."""
+    px, py = mx * 16, my * 16
+    L = plane[py:py + 16, px - 1].astype(np.int32) if al else None
+    A = plane[py - 1, px:px + 16].astype(np.int32) if aa else None
+    p = np.empty((16, 16), np.int32)
+    if mode == 0:
+        if not aa:
+            raise ValueError("I16 mode 0 without above neighbour")
+        p[:] = A
+    elif mode == 1:
+        if not al:
+            raise ValueError("I16 mode 1 without left neighbour")
+        p[:] = L[:, None]
+    elif mode == 2:
+        if aa and al:
+            p[:] = (int(A.sum()) + int(L.sum()) + 16) >> 5
+        elif aa:
+            p[:] = (int(A.sum()) + 8) >> 4
+        elif al:
+            p[:] = (int(L.sum()) + 8) >> 4
+        else:
+            p[:] = 128
+    elif mode == 3:
+        if not (aa and al):
+            raise ValueError("I16 plane mode without neighbours")
+        X = int(plane[py - 1, px - 1])
+        hh = sum((x + 1) * (int(A[8 + x]) - (int(A[6 - x]) if 6 - x >= 0 else X))
+                 for x in range(8))
+        vv = sum((y + 1) * (int(L[8 + y]) - (int(L[6 - y]) if 6 - y >= 0 else X))
+                 for y in range(8))
+        a = 16 * (int(L[15]) + int(A[15]))
+        b = (5 * hh + 32) >> 6
+        c = (5 * vv + 32) >> 6
+        for y in range(16):
+            for x in range(16):
+                p[y, x] = min(255, max(0, (a + b * (x - 7) + c * (y - 7)
+                                           + 16) >> 5))
+    else:
+        raise ValueError(f"bad I16 pred mode {mode}")
+    return p
 
 
 def encode_idr_ipcm(gray: np.ndarray) -> bytes:
@@ -221,27 +837,245 @@ def encode_idr_ipcm(gray: np.ndarray) -> bytes:
     return bytes(bw.buf)
 
 
-def build_avcc(w: int, h: int) -> bytes:
+def _mb_avail(blk, px, py, plane_w):
+    """(left, above, above-right, above-left) availability for the 4x4
+    luma block `blk` whose top-left sample is (px, py)."""
+    al = px > 0
+    aa = py > 0
+    aal = al and aa
+    if blk in _AR_OK_IN_MB:
+        aar = True
+    elif blk in (3, 7, 11, 13, 15):
+        aar = False
+    else:  # top row of the MB: needs the above MB row, within the plane
+        aar = py > 0 and px + 8 <= plane_w
+    return al, aa, aar, aal
+
+
+def _pred_mode_for(modes, bx, by):
+    """Predicted intra-4x4 mode (8.3.1.1): min(left, above); any
+    unavailable or non-I4x4 neighbour counts as DC (2)."""
+    ma = modes[by, bx - 1] if bx > 0 else -1
+    mb = modes[by - 1, bx] if by > 0 else -1
+    ma = 2 if ma < 0 else ma
+    mb = 2 if mb < 0 else mb
+    return min(ma, mb)
+
+
+def _nc_luma(nnz, bx, by):
+    a = int(nnz[by, bx - 1]) if bx > 0 else None
+    b = int(nnz[by - 1, bx]) if by > 0 else None
+    if a is not None and b is not None:
+        return (a + b + 1) >> 1
+    if a is not None:
+        return a
+    if b is not None:
+        return b
+    return 0
+
+
+def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16):
+    """One gray frame -> (IDR slice RBSP, reconstructed plane).
+
+    CAVLC intra encoding: near-flat macroblocks go I_16x16 (DC pred,
+    Hadamard-coded DC, zero AC); everything else I_4x4 with per-block
+    best-of V/H/DC prediction and full CAVLC residuals. Chroma is coded
+    as constant 128 (DC prediction, zero residual, cbp_chroma=0).
+    The returned recon is what ANY conformant decoder must produce
+    (deblocking disabled in the slice header), so decode == recon
+    bit-exactly."""
+    a = np.asarray(gray, np.uint8)
+    h, w = a.shape
+    mbw = -(-w // 16)
+    mbh = -(-h // 16)
+    src = np.pad(a, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
+    plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
+    plane_w = mbw * 16
+    nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
+    modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
+
+    bw = _BitWriter()
+    bw.ue(0)      # first_mb_in_slice
+    bw.ue(7)      # slice_type: I (all slices in picture)
+    bw.ue(0)      # pps_id
+    bw.u(0, 4)    # frame_num
+    bw.ue(0)      # idr_pic_id
+    bw.u(0, 1)    # no_output_of_prior_pics
+    bw.u(0, 1)    # long_term_reference
+    bw.se(qp - 26)  # slice_qp_delta (pic_init_qp is 26)
+    bw.ue(1)      # disable_deblocking_filter_idc = 1 (PPS has control flag)
+
+    for my in range(mbh):
+        for mx in range(mbw):
+            smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+            done = False
+            if int(smb.max()) - int(smb.min()) <= 8:
+                done = _encode_mb_i16(bw, smb, plane, mx, my, qp, nnz, modes,
+                                      max_coeffs)
+            if not done:
+                _encode_mb_i4(bw, smb, plane, mx, my, qp, nnz, modes,
+                              max_coeffs, plane_w)
+    bw.rbsp_trailing()
+    return bytes(bw.buf), plane[:h, :w].copy()
+
+
+def _encode_mb_i16(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs):
+    """Try I_16x16 DC: commit only when all AC quantize to zero and the
+    DC block stays inside the thinning budget. Returns True on commit."""
+    al = mx > 0
+    aa = my > 0
+    pred = _pred16(plane, mx, my, 2, al, aa)
+    resid = smb.astype(np.int32) - pred
+    dcs = np.empty((4, 4), np.int64)
+    for by in range(4):
+        for bx in range(4):
+            wblk = _fwd4(resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4])
+            if np.any(_quant4(wblk * 1, qp)[_AC_MASK]):
+                return False  # AC energy: let I_4x4 handle it
+            dcs[by, bx] = wblk[0, 0]
+    # DC Hadamard + quant: halve the Hadamard output, then quantize with
+    # doubled rounding and a +1 shift (encoder mirror of 8.5.10, whose
+    # inverse carries a 1/64 DC normalization on top of the per-block 1/64)
+    had = _H4 @ dcs @ _H4
+    shift = 15 + qp // 6
+    f2 = 2 * ((1 << shift) // 3)
+    mf00 = _MF[qp % 6][0]
+    dc_lv = (np.sign(had) * (((np.abs(had) >> 1) * mf00 + f2) >> (shift + 1))
+             ).astype(np.int32)
+    # (total forward divisor 2^(qbits+2); the inverse's V<<(qp/6) >> 2 and
+    # the per-block 1/64 close the 256x Hadamard round-trip gain exactly)
+    if np.count_nonzero(dc_lv) > max_coeffs:
+        return False
+    # mb_type: 1 + pred(2) + 4*cbp_chroma(0) + 12*(cbp_luma != 0 -> 0)
+    bw.ue(1 + 2)
+    bw.ue(0)   # intra_chroma_pred_mode: DC
+    bw.se(0)   # mb_qp_delta (always present for I_16x16)
+    nc = _nc_luma(nnz, mx * 4, my * 4)
+    _encode_residual(bw, _scan16(dc_lv), nc)
+    # reconstruct exactly like the decoder
+    dcv = _i16_dc_dequant(dc_lv, qp)
+    out = pred.copy()
+    for by in range(4):
+        for bx in range(4):
+            d = np.zeros((4, 4), np.int64)
+            d[0, 0] = dcv[by, bx]
+            out[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] += _inv4(d).astype(np.int32)
+    np.clip(out, 0, 255, out)
+    plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
+    nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0  # AC TotalCoeff per block
+    modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1  # not I4x4 -> DC for pred
+    return True
+
+
+_AC_MASK = np.ones((4, 4), bool)
+_AC_MASK[0, 0] = False
+
+
+def _i16_dc_dequant(dc_lv, qp):
+    """8.5.10: inverse Hadamard + DC scaling (net V*2^(qp/6)/4)."""
+    f = _H4 @ dc_lv.astype(np.int64) @ _H4
+    v00 = _V[qp % 6][0]
+    if qp >= 12:
+        return (f * v00) << (qp // 6 - 2)
+    return (f * v00 + (1 << (1 - qp // 6))) >> (2 - qp // 6)
+
+
+def _encode_mb_i4(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs,
+                  plane_w):
+    """I_4x4 macroblock: best-of V/H/DC prediction per block, CAVLC
+    residuals, decoder-identical reconstruction."""
+    blocks = []  # (chosen_mode, scan, nC) in blkIdx order
+    cbp = 0
+    for blk in range(16):
+        ox, oy = _BLK_XY[blk]
+        px, py = mx * 16 + ox, my * 16 + oy
+        bx, by = px // 4, py // 4
+        al, aa, aar, aal = _mb_avail(blk, px, py, plane_w)
+        sblk = smb[oy:oy + 4, ox:ox + 4].astype(np.int32)
+        best = None
+        for mode in (2, 0, 1):
+            if mode == 0 and not aa:
+                continue
+            if mode == 1 and not al:
+                continue
+            p = _pred4(plane, px, py, mode, al, aa, aar, aal)
+            ssd = int(((sblk - p) ** 2).sum())
+            if best is None or ssd < best[0]:
+                best = (ssd, mode, p)
+        _, mode, pred = best
+        lv = _thin(_quant4(_fwd4(sblk - pred), qp), max_coeffs)
+        nc = _nc_luma(nnz, bx, by)
+        scan = _scan16(lv)
+        tc = int(np.count_nonzero(lv))
+        if tc:
+            cbp |= 1 << (blk >> 2)
+        blocks.append((mode, scan, nc, tc))
+        nnz[by, bx] = tc
+        modes[by, bx] = mode
+        rec = pred + _inv4(_dequant4(lv, qp)).astype(np.int32)
+        np.clip(rec, 0, 255, rec)
+        plane[py:py + 4, px:px + 4] = rec.astype(np.uint8)
+    # serialize: mb_type, 16 pred modes, chroma mode, cbp, qp_delta, residuals
+    bw.ue(0)  # I_4x4
+    for blk in range(16):
+        ox, oy = _BLK_XY[blk]
+        bx, by = (mx * 16 + ox) // 4, (my * 16 + oy) // 4
+        mode = blocks[blk][0]
+        # predicted mode must use the FINAL modes grid state as the decoder
+        # sees it: left/up blocks all precede in blkIdx order, already set
+        pm = _pred_mode_for_encoded(modes, bx, by, blk, mx, my)
+        if mode == pm:
+            bw.u(1, 1)
+        else:
+            bw.u(0, 1)
+            bw.u(mode - (1 if mode > pm else 0), 3)
+    bw.ue(0)  # intra_chroma_pred_mode: DC
+    bw.ue(_CBP_INTRA_INV[cbp])
+    if cbp:
+        bw.se(0)  # mb_qp_delta
+    for blk in range(16):
+        if cbp & (1 << (blk >> 2)):
+            _, scan, nc, _tc = blocks[blk]
+            _encode_residual(bw, scan, nc)
+    # cbp_chroma == 0: no chroma residual; chroma stays at its DC
+    # prediction (constant 128 for a grey-start picture)
+
+
+def _pred_mode_for_encoded(modes, bx, by, blk, mx, my):
+    """Same as _pred_mode_for, but a left/up neighbour INSIDE this MB that
+    comes later in blkIdx order never happens (Z order guarantees it), so
+    the grid state is exactly what the decoder has when parsing."""
+    return _pred_mode_for(modes, bx, by)
+
+
+def build_avcc(w: int, h: int, deblock_ctrl: bool = False) -> bytes:
     """avcC (AVCDecoderConfigurationRecord) for the MP4 sample entry."""
     sps = _ep_insert(_sps(w, h))
-    pps = _ep_insert(_pps())
+    pps = _ep_insert(_pps(deblock_ctrl))
     return (bytes([1, 66, 0, 20, 0xFF, 0xE1])
             + struct.pack(">H", len(sps) + 1) + bytes([0x67]) + sps
             + bytes([1]) + struct.pack(">H", len(pps) + 1) + bytes([0x68]) + pps)
 
 
-def encode_frames(frames: list[np.ndarray]) -> tuple[bytes, list[bytes]]:
+def encode_frames(frames: list[np.ndarray], qp: int | None = None
+                  ) -> tuple[bytes, list[bytes]]:
     """Gray frames -> (avcC record, per-frame length-prefixed NAL samples
-    ready for an 'avc1' MP4 track). Dimensions must be even: 4:2:0 frame
-    cropping works in 2-sample units, so odd sizes are unrepresentable
-    in this chroma format (spec constraint, not an implementation one)."""
+    ready for an 'avc1' MP4 track). qp=None keeps the bit-exact I_PCM
+    path; an integer qp (0..51) switches to CAVLC intra coding.
+    Dimensions must be even: 4:2:0 frame cropping works in 2-sample
+    units, so odd sizes are unrepresentable in this chroma format (spec
+    constraint, not an implementation one)."""
     h, w = np.asarray(frames[0]).shape
     if w % 2 or h % 2:
         raise ValueError("4:2:0 H.264 needs even dimensions (crop unit is 2 px)")
-    avcc = build_avcc(w, h)
+    avcc = build_avcc(w, h, deblock_ctrl=qp is not None)
     samples = []
     for f in frames:
-        nal = bytes([0x65]) + _ep_insert(encode_idr_ipcm(f))  # nal_ref_idc 3, type 5
+        if qp is None:
+            rbsp = encode_idr_ipcm(f)
+        else:
+            rbsp, _ = encode_idr_cavlc(f, qp=qp)
+        nal = bytes([0x65]) + _ep_insert(rbsp)  # nal_ref_idc 3, type 5
         samples.append(struct.pack(">I", len(nal)) + nal)
     return avcc, samples
 
@@ -254,13 +1088,15 @@ def _parse_sps(rbsp: bytes) -> dict:
     level = r.u(8)
     r.ue()  # sps_id
     if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
-        raise ValueError("high-profile SPS: out of I_PCM decode scope")
+        raise ValueError("high-profile SPS: out of baseline intra decode scope")
     log2_mfn = r.ue() + 4
     poc_type = r.ue()
+    log2_poc = 0
+    delta_always_zero = True
     if poc_type == 0:
-        r.ue()
+        log2_poc = r.ue() + 4
     elif poc_type == 1:
-        r.u(1)
+        delta_always_zero = bool(r.u(1))
         r.se()
         r.se()
         for _ in range(r.ue()):
@@ -279,20 +1115,238 @@ def _parse_sps(rbsp: bytes) -> dict:
     w = mbw * 16 - 2 * (crop[0] + crop[1])
     h = mbh * 16 - 2 * (crop[2] + crop[3])
     return {"profile": profile, "level": level, "mbw": mbw, "mbh": mbh,
-            "w": w, "h": h, "log2_mfn": log2_mfn, "poc_type": poc_type}
+            "w": w, "h": h, "log2_mfn": log2_mfn, "poc_type": poc_type,
+            "log2_poc": log2_poc, "delta_always_zero": delta_always_zero}
+
+
+def _parse_pps(rbsp: bytes) -> dict:
+    r = _BitReader(rbsp)
+    r.ue()  # pps_id
+    r.ue()  # sps_id
+    cabac = r.u(1)
+    pic_order_present = r.u(1)
+    if r.ue() != 0:  # num_slice_groups_minus1
+        raise ValueError("FMO slice groups unsupported")
+    r.ue()
+    r.ue()
+    r.u(1)
+    r.u(2)
+    pic_init_qp = 26 + r.se()
+    r.se()  # pic_init_qs
+    r.se()  # chroma_qp_index_offset (chroma is parsed, not reconstructed)
+    deblock_ctrl = r.u(1)
+    r.u(1)  # constrained_intra_pred (all-intra: no effect here)
+    redundant = r.u(1)
+    return {"cabac": bool(cabac), "pic_order_present": bool(pic_order_present),
+            "pic_init_qp": pic_init_qp, "deblock_ctrl": bool(deblock_ctrl),
+            "redundant": bool(redundant)}
+
+
+def _avcc_param_sets(avcc: bytes) -> tuple[dict, dict]:
+    """avcC record -> (parsed SPS, parsed PPS). Missing PPS (legacy
+    records) falls back to this module's default PPS shape."""
+    (sps_len,) = struct.unpack(">H", avcc[6:8])
+    sps = _parse_sps(_ep_remove(avcc[8 + 1: 8 + sps_len]))
+    pos = 8 + sps_len
+    # skip any further SPS entries
+    n_sps = avcc[5] & 0x1F
+    for _ in range(n_sps - 1):
+        (ln,) = struct.unpack(">H", avcc[pos:pos + 2])
+        pos += 2 + ln
+    pps = None
+    if pos < len(avcc):
+        n_pps = avcc[pos]
+        pos += 1
+        if n_pps and pos + 2 <= len(avcc):
+            (ln,) = struct.unpack(">H", avcc[pos:pos + 2])
+            pps = _parse_pps(_ep_remove(avcc[pos + 2 + 1: pos + 2 + ln]))
+    if pps is None:
+        pps = _parse_pps(_pps())
+    return sps, pps
+
+
+def _nc_chroma(nnz_comp, bx, by):
+    a = int(nnz_comp[by, bx - 1]) if bx > 0 else None
+    b = int(nnz_comp[by - 1, bx]) if by > 0 else None
+    if a is not None and b is not None:
+        return (a + b + 1) >> 1
+    if a is not None:
+        return a
+    if b is not None:
+        return b
+    return 0
+
+
+def _parse_chroma_residual(r, cbpc, nnz_c, mx, my):
+    """Parse (advance past) chroma residuals, tracking TotalCoeff for
+    nC contexts. Chroma samples are not reconstructed: callers only
+    consume luma (sample_frames converts to grey anyway)."""
+    if cbpc == 0:
+        nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+        return
+    for _comp in range(2):  # ChromaDCLevel, nC = -1 for 4:2:0
+        _decode_residual(r, -1, 4)
+    if cbpc == 2:
+        for comp in range(2):
+            for blk in range(4):
+                bx, by = mx * 2 + blk % 2, my * 2 + blk // 2
+                nc = _nc_chroma(nnz_c[comp], bx, by)
+                scan = _decode_residual(r, nc, 15)
+                nnz_c[comp, by, bx] = sum(1 for v in scan if v)
+    else:
+        nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+
+
+def _decode_mb_i4x4(r, plane, mx, my, qp, nnz, nnz_c, modes, plane_w):
+    prev_flags = []
+    for _blk in range(16):
+        if r.u(1):
+            prev_flags.append(None)  # use predicted mode
+        else:
+            prev_flags.append(r.u(3))
+    if r.ue() > 3:
+        raise ValueError("bad intra_chroma_pred_mode")
+    cn = r.ue()
+    if cn > 47:
+        raise ValueError("bad coded_block_pattern")
+    cbp = _CBP_INTRA[cn]
+    if cbp:
+        qp = (qp + r.se() + 52) % 52
+    for blk in range(16):
+        ox, oy = _BLK_XY[blk]
+        px, py = mx * 16 + ox, my * 16 + oy
+        bx, by = px // 4, py // 4
+        pm = _pred_mode_for(modes, bx, by)
+        rem = prev_flags[blk]
+        mode = pm if rem is None else rem + (1 if rem >= pm else 0)
+        modes[by, bx] = mode
+        al, aa, aar, aal = _mb_avail(blk, px, py, plane_w)
+        pred = _pred4(plane, px, py, mode, al, aa, aar, aal)
+        if cbp & (1 << (blk >> 2)):
+            nc = _nc_luma(nnz, bx, by)
+            lv = _unscan16(_decode_residual(r, nc, 16))
+            tc = int(np.count_nonzero(lv))
+            rec = pred + _inv4(_dequant4(lv, qp)).astype(np.int32)
+        else:
+            tc = 0
+            rec = pred.copy()
+        nnz[by, bx] = tc
+        np.clip(rec, 0, 255, rec)
+        plane[py:py + 4, px:px + 4] = rec.astype(np.uint8)
+    _parse_chroma_residual(r, cbp >> 4, nnz_c, mx, my)
+    return qp
+
+
+def _decode_mb_i16(r, mb_type, plane, mx, my, qp, nnz, nnz_c, modes):
+    t = mb_type - 1
+    pm16 = t % 4
+    cbpc = (t // 4) % 3
+    cbpl = 15 if t >= 12 else 0
+    if r.ue() > 3:
+        raise ValueError("bad intra_chroma_pred_mode")
+    qp = (qp + r.se() + 52) % 52  # mb_qp_delta always present for I_16x16
+    nc = _nc_luma(nnz, mx * 4, my * 4)  # Intra16x16DCLevel uses blk 0 ctx
+    dc_lv = _unscan16(_decode_residual(r, nc, 16))
+    dcv = _i16_dc_dequant(dc_lv, qp)
+    pred = _pred16(plane, mx, my, pm16, mx > 0, my > 0)
+    out = pred.copy()
+    for blk in range(16):
+        ox, oy = _BLK_XY[blk]
+        bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
+        if cbpl:
+            nc = _nc_luma(nnz, bx, by)
+            lv = _unscan15(_decode_residual(r, nc, 15))
+            tc = int(np.count_nonzero(lv))
+            d = _dequant4(lv, qp)
+        else:
+            tc = 0
+            d = np.zeros((4, 4), np.int64)
+        d[0, 0] = dcv[oy // 4, ox // 4]
+        nnz[by, bx] = tc
+        modes[by, bx] = -1
+        out[oy:oy + 4, ox:ox + 4] += _inv4(d).astype(np.int32)
+    np.clip(out, 0, 255, out)
+    plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
+    _parse_chroma_residual(r, cbpc, nnz_c, mx, my)
+    return qp
+
+
+def _decode_islice(r, sps, pps, nal_type) -> np.ndarray:
+    if r.ue() != 0:
+        raise ValueError("multi-slice pictures unsupported")
+    stype = r.ue()
+    if stype % 5 != 2:
+        raise ValueError("non-I slice: out of intra decode scope")
+    r.ue()  # pps_id
+    r.u(sps["log2_mfn"])  # frame_num
+    if nal_type == 5:
+        r.ue()  # idr_pic_id
+    if sps["poc_type"] == 0:
+        r.u(sps["log2_poc"])  # pic_order_cnt_lsb
+        if pps["pic_order_present"]:
+            r.se()  # delta_pic_order_cnt_bottom
+    elif sps["poc_type"] == 1 and not sps["delta_always_zero"]:
+        r.se()
+        if pps["pic_order_present"]:
+            r.se()
+    if pps["redundant"]:
+        r.ue()
+    if nal_type == 5:
+        r.u(1)  # no_output_of_prior_pics
+        r.u(1)  # long_term_reference
+    else:
+        if r.u(1):
+            raise ValueError("adaptive ref pic marking unsupported")
+    qp = pps["pic_init_qp"] + r.se()
+    if pps["deblock_ctrl"]:
+        if r.ue() != 1:  # disable_deblocking_filter_idc
+            # deblocking requested but NOT applied (documented
+            # approximation); offsets still consumed
+            r.se()
+            r.se()
+    mbw, mbh = sps["mbw"], sps["mbh"]
+    plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
+    plane_w = mbw * 16
+    nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
+    nnz_c = np.zeros((2, mbh * 2, mbw * 2), np.int32)
+    modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
+    for my in range(mbh):
+        for mx in range(mbw):
+            mb_type = r.ue()
+            if mb_type == 25:  # I_PCM
+                r.align()
+                luma = np.frombuffer(r.raw(256), np.uint8).reshape(16, 16)
+                r.raw(64)  # Cb
+                r.raw(64)  # Cr
+                plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = luma
+                # 9.2.1: I_PCM neighbours count as TotalCoeff 16
+                nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 16
+                nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+                modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+            elif mb_type == 0:
+                qp = _decode_mb_i4x4(r, plane, mx, my, qp, nnz, nnz_c,
+                                     modes, plane_w)
+            elif 1 <= mb_type <= 24:
+                qp = _decode_mb_i16(r, mb_type, plane, mx, my, qp, nnz,
+                                    nnz_c, modes)
+            else:
+                raise ValueError(f"bad I-slice mb_type {mb_type}")
+    return plane[:sps["h"], :sps["w"]]
 
 
 def decode_sample(sample: bytes, avcc: bytes) -> np.ndarray:
-    """Length-prefixed NAL sample + avcC -> gray frame (I_PCM-only
-    streams; anything needing entropy decode raises ValueError)."""
-    # SPS from avcC: skip 6 config bytes, read first SPS
-    (sps_len,) = struct.unpack(">H", avcc[6:8])
-    sps = _parse_sps(_ep_remove(avcc[8 + 1 : 8 + sps_len]))  # skip NAL hdr byte
+    """Length-prefixed NAL sample + avcC -> gray frame. Decodes I_PCM
+    and CAVLC intra (I_4x4 / I_16x16) baseline streams; CABAC, inter
+    slices, and high-profile features raise ValueError (the documented
+    well-formed-unsupported stub path in sample_frames)."""
+    sps, pps = _avcc_param_sets(avcc)
+    if pps["cabac"]:
+        raise ValueError("CABAC entropy coding: out of CAVLC decode scope")
     length_size = (avcc[4] & 3) + 1
     pos = 0
     while pos + length_size <= len(sample):
-        ln = int.from_bytes(sample[pos : pos + length_size], "big")
-        nal = sample[pos + length_size : pos + length_size + ln]
+        ln = int.from_bytes(sample[pos: pos + length_size], "big")
+        nal = sample[pos + length_size: pos + length_size + ln]
         pos += length_size + ln
         if not nal:
             continue
@@ -300,35 +1354,5 @@ def decode_sample(sample: bytes, avcc: bytes) -> np.ndarray:
         if typ not in (1, 5):
             continue  # SPS/PPS/SEI in-band: skip
         r = _BitReader(_ep_remove(nal[1:]))
-        r.ue()  # first_mb_in_slice
-        stype = r.ue()
-        if stype % 5 != 2:  # not an I slice
-            raise ValueError("non-I slice: out of I_PCM decode scope")
-        r.ue()  # pps_id
-        r.u(sps["log2_mfn"])  # frame_num
-        if typ == 5:
-            r.ue()  # idr_pic_id
-        if sps["poc_type"] == 0:
-            raise ValueError("poc_type 0 slice headers unsupported")
-        if typ == 5:
-            r.u(1)
-            r.u(1)
-        else:
-            r.u(1)  # adaptive_ref_pic_marking (must be 0 for our shape)
-        r.se()  # slice_qp_delta
-        mbw, mbh = sps["mbw"], sps["mbh"]
-        out = np.empty((mbh * 16, mbw * 16), np.uint8)
-        for my in range(mbh):
-            for mx in range(mbw):
-                mb_type = r.ue()
-                if mb_type != 25:
-                    raise ValueError(
-                        "transform-coded macroblock: out of I_PCM decode scope"
-                    )
-                r.align()
-                luma = np.frombuffer(r.raw(256), np.uint8).reshape(16, 16)
-                r.raw(64)  # Cb
-                r.raw(64)  # Cr
-                out[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = luma
-        return out[: sps["h"], : sps["w"]]
+        return _decode_islice(r, sps, pps, typ)
     raise ValueError("no slice NAL in sample")

@@ -459,12 +459,13 @@ def write_mp4_with_captions(frames: list, fps: int, captions: list[str],
     return ftyp + _box(b"mdat", mdat_payload) + moov
 
 
-def write_h264_mp4(frames: list, fps: int = 10) -> bytes:
+def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None) -> bytes:
     """Gray frames -> single-track 'avc1' MP4 whose samples are REAL
-    I_PCM baseline H.264 (..h264.encode_frames); plays in any decoder."""
+    baseline H.264 (..h264.encode_frames): bit-exact I_PCM when qp is
+    None, CAVLC intra (entropy-coded) at the given qp otherwise."""
     from . import h264 as _h264
 
-    avcc, samples = _h264.encode_frames(frames)
+    avcc, samples = _h264.encode_frames(frames, qp=qp)
     h, w = np.asarray(frames[0]).shape[:2]
     return _assemble_mp4(samples, w, h, fps, fourcc=b"avc1", depth=24,
                          entry_extra=_box(b"avcC", avcc))

@@ -434,9 +434,10 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                     except Exception:  # struct.error/IndexError included
                         parsed = None
                     if parsed is not None and parsed.get("codec") == "h264":
-                        # REAL pixels for I_PCM baseline streams (the
-                        # shape ..h264 encodes); transform-coded samples
-                        # raise ValueError -> the well-formed-unsupported
+                        # REAL pixels for baseline intra streams: I_PCM
+                        # bit-exact, CAVLC I_4x4/I_16x16 entropy-decoded
+                        # (..h264, r5). CABAC / inter slices raise
+                        # ValueError -> the well-formed-unsupported
                         # contract below (real duration either way)
                         try:
                             from .. import h264 as _h264

@@ -1,6 +1,8 @@
-"""H.264 I_PCM baseline subset: real NAL/SPS/PPS/slice structure with
-Exp-Golomb + emulation prevention; pixels bit-exact for I_PCM streams,
-clear ValueError for transform-coded ones (the documented stub path)."""
+"""H.264 baseline intra: real NAL/SPS/PPS/slice structure with
+Exp-Golomb + emulation prevention. I_PCM streams round-trip bit-exactly;
+CAVLC intra streams (I_4x4 / I_16x16, entropy-coded) decode to the
+encoder's reconstruction BIT-EXACTLY and land PSNR >= 40 dB vs the
+source at low QP. CABAC raises the documented stub ValueError."""
 
 import numpy as np
 import pytest
@@ -28,27 +30,124 @@ def test_emulation_prevention_inverse():
     assert b"\x00\x00\x01" not in h264._ep_insert(b"\x00\x00\x01\x00\x00\x01")
 
 
-def test_transform_coded_out_of_scope():
-    """An I-slice whose first mb_type is NOT I_PCM (here I_4x4, which
-    needs entropy decode) raises a clear error instead of garbling."""
+def test_cabac_out_of_scope():
+    """A CABAC PPS raises the documented stub error instead of garbling
+    (entropy_coding_mode_flag = 1 flips the third PPS RBSP bit)."""
     import struct
 
-    avcc = h264.build_avcc(16, 16)
-    bw = h264._BitWriter()
-    bw.ue(0)   # first_mb_in_slice
-    bw.ue(7)   # slice_type I
-    bw.ue(0)   # pps_id
-    bw.u(0, 4)  # frame_num
-    bw.ue(0)   # idr_pic_id
-    bw.u(0, 1)
-    bw.u(0, 1)
-    bw.se(0)   # slice_qp_delta
-    bw.ue(0)   # mb_type 0 = I_4x4 -> entropy-coded residuals follow
-    bw.rbsp_trailing()
-    nal = bytes([0x65]) + h264._ep_insert(bytes(bw.buf))
-    sample = struct.pack(">I", len(nal)) + nal
-    with pytest.raises(ValueError, match="I_PCM"):
-        h264.decode_sample(sample, avcc)
+    avcc = bytearray(h264.build_avcc(16, 16))
+    # locate the PPS RBSP: 6 cfg bytes + sps_len + (1 numPPS byte + 2 len)
+    (sps_len,) = struct.unpack(">H", bytes(avcc[6:8]))
+    pps_off = 8 + sps_len + 1 + 2 + 1  # + NAL header byte
+    first = h264._ep_remove(bytes(avcc[pps_off:]))
+    r = h264._BitReader(first)
+    r.ue(); r.ue()
+    bitpos = r.pos  # entropy_coding_mode_flag position
+    patched = bytearray(first)
+    patched[bitpos >> 3] |= 0x80 >> (bitpos & 7)
+    avcc = bytes(avcc[:pps_off]) + h264._ep_insert(bytes(patched))
+    img = np.zeros((16, 16), np.uint8)
+    _, samples = h264.encode_frames([img])
+    with pytest.raises(ValueError, match="CABAC"):
+        h264.decode_sample(samples[0], avcc)
+
+
+def test_vlc_tables_prefix_free():
+    """Every CAVLC VLC table must be prefix-free or decoding is
+    ambiguous — guards transcription slips in the spec tables."""
+    from collections import Counter
+
+    tabs = [t.values() for t in h264._CT_TABLES.values()]
+    tabs += list(h264._TZ_TABLES.values())
+    tabs += list(h264._TZ_CDC_TABLES.values())
+    tabs += list(h264._RB_TABLES.values())
+    for entries in tabs:
+        codes = [format(b, f"0{l}b") for l, b in entries]
+        assert len(set(codes)) == len(codes)
+        for a in codes:
+            for b in codes:
+                assert a == b or not b.startswith(a)
+
+
+def test_cavlc_residual_roundtrip_property():
+    import random
+
+    random.seed(9)
+    for _ in range(400):
+        n = random.choice([4, 15, 16])
+        nC = -1 if n == 4 else random.choice([0, 1, 3, 5, 9, 17])
+        scan = [0] * n
+        for p in random.sample(range(n), random.randint(0, min(n, 12))):
+            scan[p] = random.choice([1, 2, 7, 300, 2100, 9000]) * random.choice([-1, 1])
+        bw = h264._BitWriter()
+        h264._encode_residual(bw, scan, nC)
+        bw.rbsp_trailing()
+        got = h264._decode_residual(h264._BitReader(bytes(bw.buf)), nC, n)
+        assert got == scan
+
+
+def test_cavlc_roundtrip_decode_equals_encoder_recon():
+    """decode(encode(x)) must equal the encoder's own reconstruction
+    BIT-EXACTLY for any content and QP — the self-consistency contract
+    (deblocking disabled in-stream, so any conformant decoder agrees)."""
+    rng = np.random.default_rng(21)
+    for t in range(40):
+        h = 2 * int(rng.integers(5, 18))
+        w = 2 * int(rng.integers(5, 18))
+        if t % 3 == 0:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        elif t % 3 == 1:
+            img = np.full((h, w), int(rng.integers(0, 256)), np.uint8)
+            img[:4, :4] = rng.integers(0, 256, (4, 4))  # I16 + I4 mix
+        else:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+        qp = int(rng.integers(0, 52))
+        _, recon = h264.encode_idr_cavlc(img, qp=qp)
+        avcc, samples = h264.encode_frames([img], qp=qp)
+        dec = h264.decode_sample(samples[0], avcc)
+        np.testing.assert_array_equal(dec, recon)
+
+
+def test_cavlc_low_qp_psnr_over_40():
+    """VERDICT r4 #3 gate: transform-coded keyframes at low QP decode at
+    PSNR >= 40 dB vs the source (natural-image-like fixture)."""
+    rng = np.random.default_rng(4)
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = (xx * 3.0 + yy * 2.0
+           + 80 * np.exp(-((xx - 32) ** 2 + (yy - 24) ** 2) / 300.0)
+           + rng.normal(0, 2, (48, 64)))
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    for qp in (4, 8, 12):
+        avcc, samples = h264.encode_frames([img], qp=qp)
+        dec = h264.decode_sample(samples[0], avcc)
+        mse = np.mean((dec.astype(np.float64) - img) ** 2)
+        psnr = 10 * np.log10(255.0 ** 2 / mse)
+        assert psnr >= 40.0, f"qp={qp}: {psnr:.1f} dB"
+    # CAVLC actually compresses: entropy-coded stream much smaller than
+    # the I_PCM equivalent
+    ipcm_bytes = sum(len(s) for s in h264.encode_frames([img])[1])
+    cavlc_bytes = sum(len(s) for s in h264.encode_frames([img], qp=8)[1])
+    assert cavlc_bytes < ipcm_bytes / 2
+
+
+def test_sample_frames_cavlc_h264_end_to_end(spark):
+    """Transform-coded avc1 MP4 through the Spark sample_frames path:
+    real entropy decode on executors, PSNR >= 40 at qp=8."""
+    from extractors_geo_spark.operators import multimodal as M
+
+    yy, xx = np.mgrid[0:16, 0:32]
+    src = [((xx * 5 + yy * 3 + 13 * f) % 251).astype(np.uint8) for f in range(4)]
+    data = mp4.write_h264_mp4(src, fps=2, qp=8)
+    df = spark.createDataFrame([("hc1", bytearray(data))], "video_id string, bytes binary")
+    rows = sorted(M.sample_frames(df, every_ms=1000, fake=False).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert [r["ts_ms"] for r in rows] == [0, 1000]
+    for r in rows:
+        got = np.frombuffer(bytes(r["frame"]), np.uint8).reshape(16, 32)
+        ref = src[int(r["ts_ms"] * 2 / 1000)]
+        mse = np.mean((got.astype(np.float64) - ref) ** 2)
+        assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) >= 40.0
 
 
 def test_sample_frames_ipcm_h264_end_to_end(spark):
