@@ -2077,6 +2077,39 @@ def q_mp3_features(spark, sf_dir):
                       F.floor(F.element_at("features", 1) * 1000).cast("long").alias("e0_q"))
 
 
+def q_aac_features(spark, sf_dir):
+    """Real AAC-LC decode through audio_features (VERDICT r04 #6): sine
+    clips AAC-encoded into mp4a MP4s on executors with the in-repo codec
+    (..aac), entropy-decoded back on the feature path (rows-only;
+    ~60 dB SNR parity in tests/test_aac.py)."""
+    import numpy as np
+    import pandas as pd
+
+    base = spark.range(8).select(F.col("id").alias("n"))
+
+    def make(batches):
+        from extractors_geo_spark import mp4 as _mp4
+
+        for b in batches:
+            rows = []
+            for i in b["n"]:
+                i = int(i)
+                rate = 48000
+                secs = 1 + i % 2
+                t = np.arange(rate * secs) / rate
+                sig = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
+                rows.append({"audio_id": f"a{i}",
+                             "bytes": _mp4.write_aac_mp4(sig, rate)})
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    from extractors_geo_spark.operators import multimodal as M
+
+    clips = base.mapInPandas(make, "audio_id string, bytes binary")
+    out = M.audio_features(clips, fake=False)
+    return out.select("audio_id", "duration_s", "n_windows",
+                      F.floor(F.element_at("features", 1) * 1000).cast("long").alias("e0_q"))
+
+
 def q_mjpeg_frames(spark, sf_dir):
     """REAL video path: MJPEG-in-AVI clips synthesized on executors, frame
     pixels decoded by the in-repo JPEG codec through sample_frames
@@ -2220,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mjpeg_frames": q_mjpeg_frames,
         "flac_features": q_flac_features,
         "mp3_features": q_mp3_features,
+        "aac_features": q_aac_features,
     }
 
 

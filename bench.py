@@ -30,6 +30,10 @@ HEADLINE = (
     "tile_assign", "removal_antijoin", "catalog_upsert", "asof_join",
     "sessionize", "band_stats", "exact_dedup", "minhash", "simhash",
     "ngram_jaccard", "embedding_topk", "token_counts", "quality",
+    # r5 breadth (VERDICT r4 #8): the most expensive oracle-gated paths —
+    # the north-star capstone, the tile pyramid, and a decode-heavy
+    # transform-coded video query — regression-guarded round over round
+    "flagship_pip", "tile_pyramid", "h264_frames",
 )
 
 

@@ -511,11 +511,104 @@ def write_pcm_mp4(samples: np.ndarray, rate: int = 8000) -> bytes:
     return ftyp + _box(b"mdat", pcm) + moov
 
 
+def _mp4_descriptor(tag: int, payload: bytes) -> bytes:
+    """MPEG-4 BaseDescriptor with 4-byte expandable length (the
+    0x80-continued form every real muxer emits)."""
+    ln = len(payload)
+    return bytes([tag, 0x80, 0x80, 0x80, ln & 0x7F]) + payload
+
+
+def write_aac_mp4(pcm, rate: int = 48000) -> bytes:
+    """Mono float64 PCM -> single-track 'mp4a' MP4 whose samples are
+    AAC-LC access units (..aac.encode) and whose esds box carries the
+    real AudioSpecificConfig. In-repo canonical Huffman (see ..aac
+    docstring): round trips through read_audio_track, not ffmpeg."""
+    from . import aac as _aac
+
+    asc, aus = _aac.encode(pcm, rate)
+    n_aus = len(aus)
+    payload = b"".join(aus)
+    dur = n_aus * _aac.FRAME
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    chunk_offset = len(ftyp) + 8
+    timescale = rate
+    mvhd = _full(b"mvhd", 0, 0,
+                 struct.pack(">IIII", 0, 0, timescale, dur)
+                 + struct.pack(">iH H 8x 36s 24x", 0x00010000, 0x0100, 0,
+                               _MATRIX) + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 7,
+                 struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", dur)
+                 + b"\x00" * 8 + struct.pack(">hhhh", 0, 0x0100, 0, 0)
+                 + _MATRIX + struct.pack(">II", 0, 0))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, timescale, dur, 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"aud\x00")
+    smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    dinf = _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")))
+    # ES_Descriptor(3) { ES_ID, flags; DecoderConfig(4) { OTI 0x40 =
+    # MPEG-4 Audio, streamType audio; DecoderSpecificInfo(5) = ASC };
+    # SLConfig(6) = 2 }
+    dsi = _mp4_descriptor(0x05, asc)
+    dcd = _mp4_descriptor(
+        0x04, bytes([0x40, 0x15]) + b"\x00\x00\x00"
+        + struct.pack(">II", 128000, 128000) + dsi)
+    es = _mp4_descriptor(0x03, struct.pack(">HB", 1, 0) + dcd
+                         + _mp4_descriptor(0x06, b"\x02"))
+    esds = _full(b"esds", 0, 0, es)
+    ase = (b"\x00" * 6 + struct.pack(">H", 1)
+           + b"\x00" * 8
+           + struct.pack(">HHHH", 1, 16, 0, 0)
+           + struct.pack(">I", rate << 16))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"mp4a", ase + esds))
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n_aus, _aac.FRAME))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n_aus, 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n_aus)
+                 + b"".join(struct.pack(">I", len(a)) for a in aus))
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", smhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", payload) + moov
+
+
+def _parse_esds_asc(data: bytes, lo: int, hi: int) -> bytes | None:
+    """AudioSpecificConfig bytes from the esds inside [lo, hi), or None."""
+    i = data.find(b"esds", lo, hi)
+    if i < 0:
+        return None
+    p = i + 4 + 4  # tag + version/flags
+    def _rd_desc(p):
+        tag = data[p]
+        p += 1
+        ln = 0
+        for _ in range(4):
+            b = data[p]
+            p += 1
+            ln = (ln << 7) | (b & 0x7F)
+            if not b & 0x80:
+                break
+        return tag, ln, p
+    tag, ln, p = _rd_desc(p)
+    if tag != 0x03:
+        return None
+    p += 3  # ES_ID + flags
+    tag, ln, p = _rd_desc(p)
+    if tag != 0x04:
+        return None
+    p += 13  # OTI, streamType, buffer, bitrates
+    tag, ln, p = _rd_desc(p)
+    if tag != 0x05:
+        return None
+    return data[p:p + ln]
+
+
 def read_audio_track(data: bytes) -> dict:
-    """First audio track -> {codec, rate, channels, pcm (float64 mono,
-    PCM codecs only), duration_s}. 'sowt'/'twos' decode for real; 'mp4a'
-    (AAC) returns metadata with pcm=None — the caller decides whether
-    that is the well-formed-unsupported stub."""
+    """First audio track -> {codec, rate, channels, pcm (float64 mono),
+    duration_s}. 'sowt'/'twos' PCM decodes for real; 'mp4a' AAC-LC
+    streams inside the in-repo codec profile (..aac) decode for real
+    too; out-of-profile AAC returns metadata with pcm=None — the caller
+    decides whether that is the well-formed-unsupported stub."""
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an MP4")
     moov = _find(data, 0, len(data), b"moov")
@@ -555,6 +648,22 @@ def read_audio_track(data: bytes) -> dict:
             if channels > 1:
                 a = a[: (a.size // channels) * channels].reshape(-1, channels).mean(axis=1)
             out["pcm"] = a
+        elif fourcc == b"mp4a":
+            # real AAC-LC decode for in-profile streams; anything the
+            # in-repo codec can't entropy-decode (real-world Huffman,
+            # short windows, stereo) leaves pcm=None for the caller's
+            # well-formed-unsupported contract
+            asc = _parse_esds_asc(data, stsd[0], stsd[1])
+            if asc is not None:
+                try:
+                    from . import aac as _aac
+
+                    aus, _ts, _end = _stbl_samples(data, stbl, timescale)
+                    pcm, arate = _aac.decode(list(aus), asc)
+                    out["pcm"] = pcm
+                    out["rate"] = arate
+                except ValueError:
+                    pass
         return out
     raise ValueError("no audio track")
 

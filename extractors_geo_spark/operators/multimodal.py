@@ -677,11 +677,15 @@ def audio_features(audios: DataFrame, fake: bool = True, id_col: str = "audio_id
                             tr = _mp4a.read_audio_track(data)
                             if tr["pcm"] is None:
                                 if not fake:
-                                    # well-formed mp4a/AAC: the documented
+                                    # well-formed mp4a OUTSIDE the in-repo
+                                    # AAC-LC profile (..aac decodes mono
+                                    # long-window LC for real since r5;
+                                    # real-world Huffman/stereo/short
+                                    # windows land here): the documented
                                     # unsupported-codec stub (real deploy:
                                     # ffmpeg). Malformed falls to except.
                                     raise NotImplementedError(
-                                        "AAC audio needs an external decoder"
+                                        "AAC stream outside the in-repo codec profile"
                                     )
                                 raise ValueError("fake fallback")
                             sig, rate = tr["pcm"], tr["rate"]

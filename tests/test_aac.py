@@ -1,0 +1,114 @@
+"""AAC-LC codec: real ISO/IEC 14496-3 structure (ASC, raw_data_block,
+sections, DPCM scalefactors, 4/3-power dequant, sine-window MDCT) with
+in-repo canonical Huffman shared by encoder and decoder (same honesty
+contract as mp3). Round trips ~60+ dB SNR; out-of-profile streams raise
+cleanly and flow to the audio_features well-formed-unsupported stub."""
+
+import numpy as np
+import pytest
+
+from extractors_geo_spark import aac, mp4
+
+
+def _snr(ref, got):
+    n = min(ref.size, got.size)
+    err = got[:n] - ref[:n]
+    return 10 * np.log10(np.mean(ref[:n] ** 2) / max(np.mean(err ** 2), 1e-30))
+
+
+def test_mdct_perfect_reconstruction():
+    """The filterbank alone (no quantization) must reconstruct exactly
+    (Princen-Bradley with the sine window)."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 0.3, aac.FRAME * 6)
+    padded = np.zeros(aac.FRAME * 8)
+    padded[aac.FRAME:aac.FRAME + x.size] = x
+    blocks = np.stack([padded[i * aac.FRAME:i * aac.FRAME + aac.N]
+                       for i in range(7)])
+    out_blocks = aac.imdct(aac.mdct(blocks))
+    out = np.zeros(aac.FRAME * 8)
+    for i in range(7):
+        out[i * aac.FRAME:i * aac.FRAME + aac.N] += out_blocks[i]
+    np.testing.assert_allclose(out[aac.FRAME:aac.FRAME + x.size], x, atol=1e-9)
+
+
+def test_roundtrip_snr_tonal_and_noise():
+    rate = 48000
+    t = np.arange(rate // 2) / rate
+    tonal = (0.5 * np.sin(2 * np.pi * 440 * t)
+             + 0.2 * np.sin(2 * np.pi * 1337 * t))
+    noise = np.random.default_rng(3).normal(0, 0.2, rate // 2)
+    for sig in (tonal, noise):
+        asc, aus = aac.encode(sig, rate)
+        pcm, r2 = aac.decode(aus, asc)
+        assert r2 == rate
+        assert _snr(sig, pcm) >= 55.0
+    # tonal content actually compresses (codebook-0 zero sections)
+    asc, aus = aac.encode(tonal, rate)
+    kbps = sum(map(len, aus)) * 8 / (len(aus) * 1024 / rate) / 1000
+    assert kbps < 200, f"{kbps:.0f} kbps for a 2-tone signal"
+
+
+def test_asc_structure_and_rates():
+    for rate in (8000, 16000, 44100, 48000):
+        asc, _ = aac.encode(np.zeros(2048), rate)
+        info = aac.parse_asc(asc)
+        assert info == {"aot": 2, "rate": rate, "channels": 1}
+    with pytest.raises(ValueError, match="sample rate"):
+        aac.encode(np.zeros(100), 12345)
+
+
+def test_silence_is_all_codebook_zero():
+    asc, aus = aac.encode(np.zeros(aac.FRAME * 3), 48000)
+    # all-zero spectra: every AU is tiny (header + sections only)
+    assert all(len(a) < 40 for a in aus)
+    pcm, _ = aac.decode(aus, asc)
+    assert np.allclose(pcm, 0.0)
+
+
+def test_out_of_profile_raises():
+    sig = np.sin(2 * np.pi * 440 * np.arange(4096) / 48000)
+    asc, aus = aac.encode(sig, 48000)
+    # flip window_sequence bits (EIGHT_SHORT) in the first AU:
+    # layout: 3 (SCE) + 4 (tag) + 8 (gain) + 1 (reserved) -> bits 16..17
+    au = bytearray(aus[0])
+    au[2] |= 0b01100000 >> 4  # set both window_sequence bits
+    bw = aac._BitReader(bytes(au))
+    with pytest.raises(ValueError):
+        aac._decode_au(bytes(au))
+    # stereo channel config in the ASC
+    bad_asc = bytearray(asc)
+    bad_asc[1] = (bad_asc[1] & 0x87) | (2 << 3)  # channelConfiguration = 2
+    with pytest.raises(ValueError, match="mono"):
+        aac.decode(aus, bytes(bad_asc))
+
+
+def test_mp4a_container_roundtrip():
+    rate = 48000
+    t = np.arange(rate) / rate
+    sig = 0.4 * np.sin(2 * np.pi * 523 * t) + 0.2 * np.sin(2 * np.pi * 880 * t)
+    data = mp4.write_aac_mp4(sig, rate)
+    tr = mp4.read_audio_track(data)
+    assert tr["codec"] == "mp4a" and tr["rate"] == rate
+    assert tr["pcm"] is not None
+    assert _snr(sig, tr["pcm"]) >= 55.0
+    assert abs(tr["duration_s"] - 1.024) < 1e-6
+
+
+def test_audio_features_aac_end_to_end(spark):
+    """mp4a clips decode FOR REAL on the feature path; energy of a
+    0.5-amplitude sine's first window ~ 0.125 (WAV parity)."""
+    from extractors_geo_spark.operators import multimodal as M
+
+    rate = 48000
+    t = np.arange(rate) / rate
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    data = mp4.write_aac_mp4(sig, rate)
+    df = spark.createDataFrame([("a1", bytearray(data))],
+                               "audio_id string, bytes binary")
+    rows = M.audio_features(df, fake=False).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # decoded length: ceil(48000/1024)=47 full AUs kept -> 48128 samples
+    assert abs(r["duration_s"] - 48128 / 48000) < 1e-6
+    assert abs(r["features"][0] - 0.125) < 0.01

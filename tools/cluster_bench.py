@@ -30,7 +30,8 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-from tools.scaling_bench import ensure_data, hardware_baseline  # noqa: E402
+from tools.scaling_bench import (ensure_data, hardware_baseline,  # noqa: E402
+                                 workload_baseline)
 
 SPARK_DIR = None
 
@@ -142,11 +143,15 @@ def main() -> None:
     LEVELS = [(2, 2), (8, 2), (8, 8), (32, 8)]
     res: dict[tuple, dict] = {}
     hw: dict[int, float] = {}
+    wl: dict[int, float] = {}
     try:
         for _ in range(rounds):
             h = hardware_baseline()
             for k, v in h.items():
                 hw[k] = min(hw.get(k, 1e18), v)
+            w = workload_baseline(path, reps=16)
+            for k, v in w.items():
+                wl[k] = min(wl.get(k, 1e18), v)
             for lv in LEVELS:
                 r = run_at(lv[0], path, executor_cores=lv[1])
                 if lv not in res or r["seconds"] < res[lv]["seconds"]:
@@ -158,6 +163,10 @@ def main() -> None:
     hw_eff_2_8 = hw[2] / hw[8]
     eff = tp[(32, 8)] / (4 * tp[(8, 8)])
     hw_eff = hw[8] / hw[32]
+    # workload-true ceilings: k independent processes of the engine's OWN
+    # per-image decode+stats (memory-bandwidth-faithful, unlike sha256)
+    wl_eff_2_8 = wl[2] / wl[8]
+    wl_eff = wl[8] / wl[32]
     md = f"""
 
 ## Multi-JVM N -> 4N EXECUTORS: Spark standalone cluster (VERDICT r01 item 9)
@@ -183,7 +192,23 @@ production shared cluster runs with).
 **Multi-JVM scaling efficiency, 1 -> 4 executors at 8 cores each:
 {tp[(32, 8)]:,.0f} / (4 x {tp[(8, 8)]:,.0f}) = {eff:.3f}**
 Machine ceiling for 8 -> 32 this run (sha256 multiprocess probe): {hw_eff:.3f}
-**Normalized: {eff:.3f} / {hw_eff:.3f} = {eff / hw_eff:.3f}**
+**Normalized by sha256 ceiling: {eff:.3f} / {hw_eff:.3f} = {eff / hw_eff:.3f}**
+
+### Workload-true machine ceiling (this run)
+
+The sha256 probe is ALU-only; the pipeline is Arrow/numpy
+memory-bandwidth-heavy, so the honest ceiling is k INDEPENDENT PROCESSES
+of the engine's own per-image decode+stats (fork-inherited blobs, no
+Spark, no shared state — nothing any engine could schedule better):
+
+| k procs | best s | ceiling vs 1/4 the procs |
+|---|---|---|
+| 2  | {wl[2]:.2f} | — |
+| 8  | {wl[8]:.2f} | {wl_eff_2_8:.3f} (2 -> 8) |
+| 32 | {wl[32]:.2f} | {wl_eff:.3f} (8 -> 32) |
+
+**Normalized by workload ceiling, 2 -> 8: {eff_2_8:.3f} / {wl_eff_2_8:.3f} = {eff_2_8 / wl_eff_2_8:.3f}**
+**Normalized by workload ceiling, 8 -> 32: {eff:.3f} / {wl_eff:.3f} = {eff / wl_eff:.3f}**
 
 The 8 -> 32 pair is silicon-limited on this shared-tenancy VM: 32
 independent C-level sha256 processes only deliver {4 * hw_eff:.2f}x the
@@ -202,7 +227,11 @@ north rule's criterion.
                       "normalized_2_8": round(eff_2_8 / hw_eff_2_8, 3),
                       "efficiency_8_32_multijvm": round(eff, 3),
                       "hw_ceiling_8_32": round(hw_eff, 3),
-                      "normalized_8_32": round(eff / hw_eff, 3)}))
+                      "normalized_8_32": round(eff / hw_eff, 3),
+                      "workload_ceiling_2_8": round(wl_eff_2_8, 3),
+                      "workload_ceiling_8_32": round(wl_eff, 3),
+                      "wl_normalized_2_8": round(eff_2_8 / wl_eff_2_8, 3),
+                      "wl_normalized_8_32": round(eff / wl_eff, 3)}))
 
 
 if __name__ == "__main__":

@@ -98,6 +98,59 @@ def _hw_work(n):
     return 1
 
 
+_WL_BLOBS: list | None = None
+
+
+def _wl_work(reps: int) -> int:
+    """One process's share of the workload probe: decode+stats over the
+    inherited blob set, `reps` passes."""
+    from extractors_geo_spark.operators.extract_meta import _decode_header
+
+    c = 0
+    for _ in range(reps):
+        for d, f in _WL_BLOBS:
+            _decode_header(d, f, True)
+            c += 1
+    return c
+
+
+def workload_baseline(parquet_path: str, n_blobs: int = 400,
+                      reps: int = 4) -> dict[int, float]:
+    """Attainable-ceiling probe using THE WORKLOAD ITSELF: k independent
+    processes (fork-inherited blobs, no Spark, no shared state) each run
+    the engine's own per-image decode+stats over the same image set.
+    k copies of the actual per-core work is an upper bound no engine can
+    beat at k cores; unlike the sha256 probe it carries the workload's
+    real memory-bandwidth and allocator footprint, so it captures the
+    part of the silicon ceiling that ALU-only probes miss.
+
+    Returns {k: best seconds for k*reps*n_blobs images}."""
+    global _WL_BLOBS
+    import multiprocessing as mp
+    import time
+
+    import pyarrow.parquet as pq
+
+    import glob
+    part = sorted(glob.glob(os.path.join(parquet_path, "*.parquet")))[0]
+    t = pq.ParquetFile(part).read_row_group(0, columns=["bytes", "fmt"])
+    rows = min(n_blobs, t.num_rows)
+    _WL_BLOBS = [(t.column("bytes")[i].as_py(), t.column("fmt")[i].as_py())
+                 for i in range(rows)]
+    out = {}
+    ctx = mp.get_context("fork")  # children inherit _WL_BLOBS
+    for k in (2, 8, 32):
+        best = 1e18
+        for _ in range(2):
+            t0 = time.time()
+            with ctx.Pool(k) as p:
+                p.map(_wl_work, [reps] * k)
+            best = min(best, time.time() - t0)
+        out[k] = best
+    _WL_BLOBS = None
+    return out
+
+
 def hardware_baseline() -> dict[int, float]:
     """Attainable-ceiling probe: identical CPU-bound work (C-level sha256,
     no shared state, no GIL) per process at k processes. On shared cloud
