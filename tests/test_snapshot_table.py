@@ -160,6 +160,62 @@ def test_expire_snapshots_reclaims_files(spark, tmp_path):
             assert os.path.exists(f["path"])
 
 
+def test_merge_on_read_delete_and_sequence_semantics(spark, tmp_path):
+    """mode='mor' deletes write equality-delete files (no data rewrite);
+    reads apply them seq-aware, so a key re-inserted AFTER the delete
+    survives (Iceberg v2 sequence-number semantics)."""
+    t = SnapshotTable(spark, str(tmp_path / "mtbl"), bucket_key="k", n_buckets=4)
+    t.overwrite(spark.createDataFrame([(f"k{i}", i) for i in range(20)], ["k", "v"]))
+    files_v1 = {f["path"] for f in t.snapshot()["files"]}
+    t.delete_keys(spark.createDataFrame([("k3",), ("k7",)], ["k"]), key="k",
+                  mode="mor")
+    snap = t.snapshot()
+    # no data file rewritten, delete files recorded
+    assert {f["path"] for f in snap["files"]} == files_v1
+    assert snap["operation"] == "delete-mor" and len(snap["deletes"]) >= 1
+    got = {r["k"] for r in t.read().collect()}
+    assert got == {f"k{i}" for i in range(20)} - {"k3", "k7"}
+    # time travel to before the delete still sees everything
+    assert t.read(version=1).count() == 20
+    # re-insert k3 AFTER the delete: newer seq -> must survive
+    t.append(spark.createDataFrame([("k3", 99)], ["k", "v"]))
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows["k3"] == 99 and "k7" not in rows
+
+
+def test_apply_deletes_folds_and_drops_delete_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "atbl"), bucket_key="k", n_buckets=4)
+    t.overwrite(spark.createDataFrame([(f"k{i}", i) for i in range(16)], ["k", "v"]))
+    t.delete_keys(spark.createDataFrame([("k1",), ("k5",)], ["k"]), key="k",
+                  mode="mor")
+    want = {r["k"] for r in t.read().collect()}
+    v = t.apply_deletes()
+    snap = t.snapshot(v)
+    assert snap["operation"] == "apply_deletes" and snap["deletes"] == []
+    assert {r["k"] for r in t.read().collect()} == want
+    # idempotent: nothing pending -> no new snapshot
+    assert t.apply_deletes() == v
+
+
+def test_mor_composes_with_merge_and_compact(spark, tmp_path):
+    """A rewrite path (merge/compact) must not resurrect MoR-deleted rows."""
+    t = SnapshotTable(spark, str(tmp_path / "ctbl2"), bucket_key="k", n_buckets=2)
+    t.overwrite(spark.createDataFrame(
+        [(f"k{i}", i, 1) for i in range(10)], ["k", "v", "ts"]))
+    t.delete_keys(spark.createDataFrame([("k2",), ("k8",)], ["k"]), key="k",
+                  mode="mor")
+    # merge an update to k0 (rewrites k0's bucket, which may hold k2/k8)
+    t.merge(spark.createDataFrame([("k0", 100, 2)], ["k", "v", "ts"]),
+            key="k", order_col="ts")
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows["k0"] == 100 and "k2" not in rows and "k8" not in rows
+    # fragment then compact with a delete still pending
+    t.append(spark.createDataFrame([("k9", 9, 3)], ["k", "v", "ts"]))
+    t.compact(target_rows_per_file=1_000_000)
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert "k2" not in rows and "k8" not in rows and rows["k0"] == 100
+
+
 def test_expire_snapshots_spares_inflight_generation(spark, tmp_path):
     """A CAS committer writes its data generation BEFORE its manifest, so an
     unreferenced generation for version current+1 may be an in-flight commit.
