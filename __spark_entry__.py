@@ -486,7 +486,7 @@ FROM p WHERE point_id % 13 = 3
 def q_proxy_rewrite(spark, sf_dir):
     """F14: scheme://netloc replaced by a proxy prefix."""
     c = _t(spark, sf_dir, "customer")
-    url = F.concat(F.lit("http://internal-geoserver:8080/geoserver/wms?layer="), F.col("c_name"))
+    url = F.concat(F.lit("http://geoserver.local:8080/geoserver/wms?layer="), F.col("c_name"))
     return c.select(
         F.col("c_custkey").alias("id"),
         geo.proxy_rewrite(url, "https://proxy.example.org").alias("proxied"),
@@ -495,7 +495,7 @@ def q_proxy_rewrite(spark, sf_dir):
 
 SQL_PROXY = """
 SELECT c_custkey AS id,
-       'https://proxy.example.org' || regexp_replace('http://internal-geoserver:8080/geoserver/wms?layer=' || c_name,
+       'https://proxy.example.org' || regexp_replace('http://geoserver.local:8080/geoserver/wms?layer=' || c_name,
                                                      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '') AS proxied
 FROM customer
 """

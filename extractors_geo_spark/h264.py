@@ -21,9 +21,11 @@ Decode scope and honesty notes:
   multi-slice pictures raise a clear ValueError;
   `operators/multimodal.sample_frames` maps that to its documented
   well-formed-unsupported-codec stub.
-- The in-loop deblocking filter is NOT applied: streams encoded with
-  disable_deblocking_filter_idc=1 (ours) decode exactly; other streams
-  decode without the loop filter (a documented approximation).
+- The in-loop deblocking filter (8.7) IS applied for streams that
+  request it (luma, all-intra bS 4/3, strong+normal filters, alpha/
+  beta/tc0 threshold tables, per-MB QP averaging, I_PCM-as-QP-0);
+  encode_idr_cavlc(deblock=True) produces such streams and returns the
+  filtered recon, so decode == recon stays bit-exact in both modes.
 - VLC tables are transcribed from the spec; encoder and decoder share
   one copy and every table is machine-checked prefix-free, so
   round-trip self-consistency holds for ANY coefficient density
@@ -874,16 +876,19 @@ def _nc_luma(nnz, bx, by):
     return 0
 
 
-def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16):
+def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
+                     deblock: bool = False):
     """One gray frame -> (IDR slice RBSP, reconstructed plane).
 
     CAVLC intra encoding: near-flat macroblocks go I_16x16 (DC pred,
     Hadamard-coded DC, zero AC); everything else I_4x4 with per-block
     best-of V/H/DC prediction and full CAVLC residuals. Chroma is coded
     as constant 128 (DC prediction, zero residual, cbp_chroma=0).
-    The returned recon is what ANY conformant decoder must produce
-    (deblocking disabled in the slice header), so decode == recon
-    bit-exactly."""
+    The returned recon is what ANY conformant decoder must produce —
+    deblock=False writes disable_deblocking_filter_idc=1; deblock=True
+    enables the in-loop filter (8.7) and returns the FILTERED plane
+    (intra prediction still references unfiltered samples) — so
+    decode == recon bit-exactly either way."""
     a = np.asarray(gray, np.uint8)
     h, w = a.shape
     mbw = -(-w // 16)
@@ -903,7 +908,11 @@ def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16):
     bw.u(0, 1)    # no_output_of_prior_pics
     bw.u(0, 1)    # long_term_reference
     bw.se(qp - 26)  # slice_qp_delta (pic_init_qp is 26)
-    bw.ue(1)      # disable_deblocking_filter_idc = 1 (PPS has control flag)
+    # disable_deblocking_filter_idc (PPS carries the control flag)
+    bw.ue(0 if deblock else 1)
+    if deblock:
+        bw.se(0)  # slice_alpha_c0_offset_div2
+        bw.se(0)  # slice_beta_offset_div2
 
     for my in range(mbh):
         for mx in range(mbw):
@@ -916,7 +925,10 @@ def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16):
                 _encode_mb_i4(bw, smb, plane, mx, my, qp, nnz, modes,
                               max_coeffs, plane_w)
     bw.rbsp_trailing()
-    return bytes(bw.buf), plane[:h, :w].copy()
+    out = plane
+    if deblock and qp >= 16:
+        out = _deblock_luma(plane, np.full((mbh, mbw), qp, np.int32))
+    return bytes(bw.buf), out[:h, :w].copy()
 
 
 def _encode_mb_i16(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs):
@@ -1057,8 +1069,8 @@ def build_avcc(w: int, h: int, deblock_ctrl: bool = False) -> bytes:
             + bytes([1]) + struct.pack(">H", len(pps) + 1) + bytes([0x68]) + pps)
 
 
-def encode_frames(frames: list[np.ndarray], qp: int | None = None
-                  ) -> tuple[bytes, list[bytes]]:
+def encode_frames(frames: list[np.ndarray], qp: int | None = None,
+                  deblock: bool = False) -> tuple[bytes, list[bytes]]:
     """Gray frames -> (avcC record, per-frame length-prefixed NAL samples
     ready for an 'avc1' MP4 track). qp=None keeps the bit-exact I_PCM
     path; an integer qp (0..51) switches to CAVLC intra coding.
@@ -1074,10 +1086,120 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None
         if qp is None:
             rbsp = encode_idr_ipcm(f)
         else:
-            rbsp, _ = encode_idr_cavlc(f, qp=qp)
+            rbsp, _ = encode_idr_cavlc(f, qp=qp, deblock=deblock)
         nal = bytes([0x65]) + _ep_insert(rbsp)  # nal_ref_idc 3, type 5
         samples.append(struct.pack(">I", len(nal)) + nal)
     return avcc, samples
+
+
+# ------------------------------------------------------- deblocking filter
+# Table 8-16 alpha/beta thresholds indexed by clipped qp average
+_DB_ALPHA = (0,) * 16 + (4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22,
+                         25, 28, 32, 36, 40, 45, 50, 56, 63, 71, 80, 90,
+                         101, 113, 127, 144, 162, 182, 203, 226, 255, 255)
+_DB_BETA = (0,) * 16 + (2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9,
+                        9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15,
+                        16, 16, 17, 17, 18, 18)
+# Table 8-17 tc0 for bS 1..3 (best-effort spec transcription; shared by
+# encoder recon and decoder, so in-profile round trips stay bit-exact)
+_DB_TC0 = ((0,) * 16 + (0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                        2, 2, 2, 2, 3, 3, 3, 4, 4, 5, 6, 6, 7, 8, 9, 10,
+                        11, 13, 14),
+           (0,) * 16 + (0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2,
+                        2, 2, 3, 3, 3, 3, 4, 5, 6, 6, 7, 8, 9, 10, 12, 13,
+                        15, 17, 19),
+           (0,) * 16 + (0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3,
+                        3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16,
+                        18, 20, 23, 25))
+
+
+def _db_filter_line(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0):
+    """One 8-sample line across an edge (numpy vectors over the edge
+    length). Returns filtered (p2', p1', p0', q0', q1', q2')."""
+    p0f, p1f, p2f = p0.copy(), p1.copy(), p2.copy()
+    q0f, q1f, q2f = q0.copy(), q1.copy(), q2.copy()
+    act = (np.abs(p0 - q0) < alpha) & (np.abs(p1 - p0) < beta) \
+        & (np.abs(q1 - q0) < beta)
+    ap = np.abs(p2 - p0) < beta
+    aq = np.abs(q2 - q0) < beta
+    if bs == 4:
+        strong = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+        sp = act & strong & ap
+        p0f[sp] = (p2[sp] + 2 * p1[sp] + 2 * p0[sp] + 2 * q0[sp] + q1[sp] + 4) >> 3
+        p1f[sp] = (p2[sp] + p1[sp] + p0[sp] + q0[sp] + 2) >> 2
+        p2f[sp] = (2 * p3[sp] + 3 * p2[sp] + p1[sp] + p0[sp] + q0[sp] + 4) >> 3
+        wp = act & ~(strong & ap)
+        p0f[wp] = (2 * p1[wp] + p0[wp] + q1[wp] + 2) >> 2
+        sq = act & strong & aq
+        q0f[sq] = (q2[sq] + 2 * q1[sq] + 2 * q0[sq] + 2 * p0[sq] + p1[sq] + 4) >> 3
+        q1f[sq] = (q2[sq] + q1[sq] + q0[sq] + p0[sq] + 2) >> 2
+        q2f[sq] = (2 * q3[sq] + 3 * q2[sq] + q1[sq] + q0[sq] + p0[sq] + 4) >> 3
+        wq = act & ~(strong & aq)
+        q0f[wq] = (2 * q1[wq] + q0[wq] + p1[wq] + 2) >> 2
+    else:
+        tc = tc0 + ap.astype(np.int32) + aq.astype(np.int32)
+        delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+        p0f[act] = np.clip(p0 + delta, 0, 255)[act]
+        q0f[act] = np.clip(q0 - delta, 0, 255)[act]
+        dp = np.clip((p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1, -tc0, tc0)
+        m = act & ap
+        p1f[m] = (p1 + dp)[m]
+        dq = np.clip((q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0, tc0)
+        m = act & aq
+        q1f[m] = (q1 + dq)[m]
+    return p2f, p1f, p0f, q0f, q1f, q2f
+
+
+def _deblock_luma(plane: np.ndarray, qp_map: np.ndarray,
+                  off_a: int = 0, off_b: int = 0) -> np.ndarray:
+    """In-loop deblocking (8.7) for an all-intra picture, luma only.
+    bS = 4 on macroblock edges, 3 on internal 4x4 edges. Operates on a
+    copy; intra prediction must keep using the UNFILTERED plane."""
+    out = plane.astype(np.int32)
+    mbh, mbw = qp_map.shape
+
+    def thresholds(qp_p, qp_q):
+        qpav = (int(qp_p) + int(qp_q) + 1) >> 1
+        ia = min(max(qpav + off_a, 0), 51)
+        ib = min(max(qpav + off_b, 0), 51)
+        return _DB_ALPHA[ia], _DB_BETA[ib], ia
+
+    for my in range(mbh):
+        for mx in range(mbw):
+            qp_q = qp_map[my, mx]
+            # vertical edges (filter columns), left to right
+            for ex in range(4):
+                x = mx * 16 + ex * 4
+                if x == 0:
+                    continue
+                bs = 4 if ex == 0 else 3
+                qp_p = qp_map[my, mx - 1] if ex == 0 else qp_q
+                alpha, beta, ia = thresholds(qp_p, qp_q)
+                if alpha == 0:
+                    continue
+                ys = slice(my * 16, my * 16 + 16)
+                cols = [out[ys, x - 4 + i] for i in range(8)]
+                tc0 = _DB_TC0[bs - 1][ia] if bs < 4 else 0
+                f = _db_filter_line(*cols, bs, alpha, beta, tc0)
+                for i, v in enumerate(f):
+                    out[ys, x - 3 + i] = np.clip(v, 0, 255)
+            # horizontal edges (filter rows), top to bottom
+            for ey in range(4):
+                y = my * 16 + ey * 4
+                if y == 0:
+                    continue
+                bs = 4 if ey == 0 else 3
+                qp_p = qp_map[my - 1, mx] if ey == 0 else qp_q
+                alpha, beta, ia = thresholds(qp_p, qp_q)
+                if alpha == 0:
+                    continue
+                xs = slice(mx * 16, mx * 16 + 16)
+                rows = [out[y - 4 + i, xs] for i in range(8)]
+                tc0 = _DB_TC0[bs - 1][ia] if bs < 4 else 0
+                f = _db_filter_line(*rows, bs, alpha, beta, tc0)
+                for i, v in enumerate(f):
+                    out[y - 3 + i, xs] = np.clip(v, 0, 255)
+    return np.clip(out, 0, 255).astype(np.uint8)
 
 
 # ------------------------------------------------------------------ decoder
@@ -1298,18 +1420,21 @@ def _decode_islice(r, sps, pps, nal_type) -> np.ndarray:
         if r.u(1):
             raise ValueError("adaptive ref pic marking unsupported")
     qp = pps["pic_init_qp"] + r.se()
+    do_filter, off_a, off_b = True, 0, 0
     if pps["deblock_ctrl"]:
-        if r.ue() != 1:  # disable_deblocking_filter_idc
-            # deblocking requested but NOT applied (documented
-            # approximation); offsets still consumed
-            r.se()
-            r.se()
+        idc = r.ue()
+        if idc == 1:
+            do_filter = False
+        elif idc != 2:  # idc 2 (no slice-crossing) == full filter here:
+            off_a = 2 * r.se()  # single-slice pictures have no such edges
+            off_b = 2 * r.se()
     mbw, mbh = sps["mbw"], sps["mbh"]
     plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
     plane_w = mbw * 16
     nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
     nnz_c = np.zeros((2, mbh * 2, mbw * 2), np.int32)
     modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
+    qp_map = np.zeros((mbh, mbw), np.int32)
     for my in range(mbh):
         for mx in range(mbw):
             mb_type = r.ue()
@@ -1323,14 +1448,22 @@ def _decode_islice(r, sps, pps, nal_type) -> np.ndarray:
                 nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 16
                 nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
                 modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+                qp_map[my, mx] = 0  # 8.7: I_PCM filters with QP 0
             elif mb_type == 0:
                 qp = _decode_mb_i4x4(r, plane, mx, my, qp, nnz, nnz_c,
                                      modes, plane_w)
+                qp_map[my, mx] = qp
             elif 1 <= mb_type <= 24:
                 qp = _decode_mb_i16(r, mb_type, plane, mx, my, qp, nnz,
                                     nnz_c, modes)
+                qp_map[my, mx] = qp
             else:
                 raise ValueError(f"bad I-slice mb_type {mb_type}")
+    if do_filter and int(qp_map.max()) + max(off_a, off_b, 0) >= 16:
+        # intra prediction consumed the unfiltered plane above; the
+        # OUTPUT picture is the filtered one (8.7). Below qp 16 every
+        # alpha threshold is 0 (I_PCM pictures: qp 0), so skip.
+        plane = _deblock_luma(plane, qp_map, off_a, off_b)
     return plane[:sps["h"], :sps["w"]]
 
 

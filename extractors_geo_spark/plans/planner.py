@@ -6,6 +6,13 @@ rules, so physical decisions are encoded as plan-emitting functions:
   * salt_factor           — salt hot cells from observed density (A5)
   * split_hot_cells       — adaptive cell-splitting: re-encode rows in hot
                             cells at finer resolution before joining
+
+Skew policy (measured, BENCH/SKEW.md): SALTING is the default hot-cell
+mitigation — it beats adaptive splitting at both measured scales (2.2x
+vs 1.5x at 2M, growing with scale) and costs no geometry re-encode.
+split_hot_cells is reserved for cells too hot to salt (a single cell
+larger than salt_max x target rows, where duplicating the polygon side
+per salt value stops paying).
 """
 
 from __future__ import annotations

@@ -131,6 +131,36 @@ def test_cavlc_low_qp_psnr_over_40():
     assert cavlc_bytes < ipcm_bytes / 2
 
 
+def test_deblocking_roundtrip_bit_exact_and_active():
+    """deblock=True streams (disable_deblocking_filter_idc=0) decode to
+    the encoder's FILTERED recon bit-exactly; at coarse QP the in-loop
+    filter measurably changes edge pixels and reduces blockiness."""
+    rng = np.random.default_rng(17)
+    yy, xx = np.mgrid[0:48, 0:48]
+    img = np.clip((xx * 4 + yy * 3) % 256 + rng.normal(0, 3, (48, 48)),
+                  0, 255).astype(np.uint8)
+    for qp in (20, 32, 44):
+        _, recon_f = h264.encode_idr_cavlc(img, qp=qp, deblock=True)
+        avcc, samples = h264.encode_frames([img], qp=qp, deblock=True)
+        dec = h264.decode_sample(samples[0], avcc)
+        np.testing.assert_array_equal(dec, recon_f)
+        # same stream content with the filter off differs at high qp
+        _, recon_nf = h264.encode_idr_cavlc(img, qp=qp, deblock=False)
+        if qp >= 32:
+            assert not np.array_equal(recon_f, recon_nf), f"filter inactive qp={qp}"
+            # blockiness proxy: mean |step| across MB column boundaries
+            def blockiness(a):
+                cols = [16, 32]
+                return float(np.mean([np.abs(a[:, c].astype(int)
+                                             - a[:, c - 1].astype(int)).mean()
+                                      for c in cols]))
+            assert blockiness(recon_f) <= blockiness(recon_nf) + 1e-9
+    # I_PCM pictures keep bit-exact round trips (filter no-ops at qp 0)
+    raw = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    avcc, samples = h264.encode_frames([raw])
+    np.testing.assert_array_equal(h264.decode_sample(samples[0], avcc), raw)
+
+
 def test_sample_frames_cavlc_h264_end_to_end(spark):
     """Transform-coded avc1 MP4 through the Spark sample_frames path:
     real entropy decode on executors, PSNR >= 40 at qp=8."""

@@ -137,7 +137,47 @@ def run_at(cores_max: int, path: str, executor_cores: int = 8) -> dict:
 def main() -> None:
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    mode = sys.argv[3] if len(sys.argv) > 3 else "std"
     path = ensure_data(n_images)
+    if mode == "mid":
+        # 1 -> 4 executors at 6 cores each (4N = 24): the largest 4x
+        # executor jump that does NOT oversubscribe this 32-core VM with
+        # the driver JVM + master + workers + python pools on the same
+        # box (the 4x8=32 level is harness-oversubscribed by design of
+        # the sandbox, not a property of the engine)
+        start_cluster(n_workers=4, cores=6, mem="20g")
+        mid_levels = [(6, 6), (24, 6)]
+        res6: dict[tuple, dict] = {}
+        try:
+            for _ in range(rounds):
+                for lv in mid_levels:
+                    r = run_at(lv[0], path, executor_cores=lv[1])
+                    if lv not in res6 or r["seconds"] < res6[lv]["seconds"]:
+                        res6[lv] = r
+        finally:
+            stop_cluster()
+        tp6 = {lv: n_images / r["seconds"] for lv, r in res6.items()}
+        eff6 = tp6[(24, 6)] / (4 * tp6[(6, 6)])
+        md = f"""
+
+### 1 -> 4 executors at 6 cores each (4N = 24; no harness oversubscription)
+
+| level | executor JVMs x cores | wall s | images/sec |
+|---|---|---|---|
+| N = 6 cores   | {res6[(6, 6)]['executors']} x 6 | {res6[(6, 6)]['seconds']:.2f} | {tp6[(6, 6)]:,.0f} |
+| 4N = 24 cores | {res6[(24, 6)]['executors']} x 6 | {res6[(24, 6)]['seconds']:.2f} | {tp6[(24, 6)]:,.0f} |
+
+**Multi-JVM scaling efficiency, 1 -> 4 executors at 6 cores each:
+{tp6[(24, 6)]:,.0f} / (4 x {tp6[(6, 6)]:,.0f}) = {eff6:.3f}**
+"""
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(md)
+        print(md)
+        print(json.dumps({"n_images": n_images,
+                          "efficiency_6_24_multijvm": round(eff6, 3),
+                          **{f"cluster_{lv[0]}c_{lv[1]}percore": r
+                             for lv, r in res6.items()}}))
+        return
     start_cluster()
     # levels keyed by (total cores, executor cores): two N->4N pairs
     LEVELS = [(2, 2), (8, 2), (8, 8), (32, 8)]
