@@ -400,7 +400,12 @@ def decode(aus: list[bytes], asc: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not AAC-LC (audioObjectType != 2)")
     if info["channels"] != 1:
         raise ValueError("only mono streams in decode profile")
-    spec = np.stack([_decode_au(au) for au in aus]) / 32768.0
+    try:
+        spec = np.stack([_decode_au(au) for au in aus]) / 32768.0
+    except (IndexError, TypeError, KeyError) as e:
+        # corrupted entropy payload desynced the parser: normalize to the
+        # ValueError contract callers map to errors-as-data
+        raise ValueError(f"corrupt AAC access unit ({type(e).__name__})")
     blocks = imdct(spec)
     out = np.zeros((len(aus) + 1) * FRAME)
     for i in range(len(aus)):

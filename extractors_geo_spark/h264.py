@@ -1487,5 +1487,10 @@ def decode_sample(sample: bytes, avcc: bytes) -> np.ndarray:
         if typ not in (1, 5):
             continue  # SPS/PPS/SEI in-band: skip
         r = _BitReader(_ep_remove(nal[1:]))
-        return _decode_islice(r, sps, pps, typ)
+        try:
+            return _decode_islice(r, sps, pps, typ)
+        except (IndexError, TypeError, KeyError, struct.error) as e:
+            # corrupted entropy payload desynced the parser: normalize to
+            # the ValueError contract callers map to errors-as-data
+            raise ValueError(f"corrupt H.264 sample ({type(e).__name__})")
     raise ValueError("no slice NAL in sample")

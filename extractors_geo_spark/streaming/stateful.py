@@ -8,6 +8,9 @@ dedup + per-key counters implemented with applyInPandasWithState
   stateful_dedup_stream   emits each image_id at most once across all
                           micro-batches (state = seen set per key group)
   running_counters_stream per-activity running totals, emitted per batch
+  stateful_sessions       per-user sessionization with inactivity gap +
+                          EVENT-TIME TIMEOUT (bounded state; idle
+                          sessions drain as the watermark advances)
 """
 
 from __future__ import annotations
@@ -80,4 +83,71 @@ def running_counters(stream: DataFrame) -> DataFrame:
     fleet health counters (per-partition metrics, north rule)."""
     return stream.groupBy("activity").applyInPandasWithState(
         _counter_fn, COUNTER_OUT, COUNTER_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def stateful_sessions(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user SESSIONIZATION with an inactivity gap — the streaming twin
+    of the batch `sessionize` query, but with true incremental state.
+
+    Per user_id the state carries (session_start, last_ts, n_events,
+    sum_value). Events with a gap > gap_seconds close the open session
+    (emitted downstream); an EVENT-TIME TIMEOUT closes idle sessions
+    once the watermark passes last_ts + gap, so state is bounded and
+    sessions drain without requiring a newer event from the same user.
+    Input: the events table shape (ts, user_id, value). Output one row
+    per CLOSED session."""
+    out_schema = ("user_id long, session_start timestamp, "
+                  "session_end timestamp, n_events long, sum_value double")
+    state_schema = "start long, last long, n long, sv double"
+    gap_ms = gap_seconds * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start, last, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": key[0],
+                "session_start": pd.Timestamp(start, unit="ms"),
+                "session_end": pd.Timestamp(last, unit="ms"),
+                "n_events": n, "sum_value": sv,
+            }])
+            return
+        ev = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        ts_ms = (ev["ts"].astype("int64") // 1_000_000).tolist()
+        vals = ev["value"].fillna(0.0).tolist()
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start, last, n, sv = ts_ms[0], ts_ms[0] - 1, 0, 0.0
+        closed = []
+        for t, v in zip(ts_ms, vals):
+            if n and t - last > gap_ms:
+                closed.append((start, last, n, sv))
+                start, n, sv = t, 0, 0.0
+            last = max(last, t)
+            n += 1
+            sv += float(v)
+        state.update((start, last, n, sv))
+        # event-time timeout: fire once the watermark passes the gap
+        state.setTimeoutTimestamp(last + gap_ms)
+        if closed:
+            yield pd.DataFrame([{
+                "user_id": key[0],
+                "session_start": pd.Timestamp(s, unit="ms"),
+                "session_end": pd.Timestamp(e, unit="ms"),
+                "n_events": cn, "sum_value": cv,
+            } for s, e, cn, cv in closed])
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .select("ts", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.EventTimeTimeout)
     )

@@ -83,6 +83,29 @@ def test_out_of_profile_raises():
         aac.decode(aus, bytes(bad_asc))
 
 
+def test_fuzzed_aus_never_escape_valueerror():
+    """Corrupted AUs decode-or-ValueError, never IndexError and friends
+    (read_audio_track catches ValueError only)."""
+    import random
+
+    random.seed(7)
+    sig = np.sin(2 * np.pi * 440 * np.arange(4096) / 48000)
+    asc, aus = aac.encode(sig, 48000)
+    for _ in range(200):
+        a = bytearray(aus[0])
+        for _k in range(random.randint(1, 6)):
+            a[random.randrange(len(a))] = random.randrange(256)
+        try:
+            aac.decode([bytes(a)], asc)
+        except ValueError:
+            pass
+    for cut in (0, 1, 3, len(aus[0]) // 2):
+        try:
+            aac.decode([aus[0][:cut]], asc)
+        except ValueError:
+            pass
+
+
 def test_mp4a_container_roundtrip():
     rate = 48000
     t = np.arange(rate) / rate

@@ -161,6 +161,33 @@ def test_deblocking_roundtrip_bit_exact_and_active():
     np.testing.assert_array_equal(h264.decode_sample(samples[0], avcc), raw)
 
 
+def test_fuzzed_samples_never_escape_valueerror():
+    """Randomly corrupted CAVLC samples either decode (aliasing is legal
+    for entropy streams) or raise ValueError — never IndexError/
+    TypeError/hangs that would kill a Spark task (errors-as-data)."""
+    import random
+
+    random.seed(11)
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    avcc, samples = h264.encode_frames([img], qp=8)
+    for _ in range(200):
+        s = bytearray(samples[0])
+        for _k in range(random.randint(1, 8)):
+            s[random.randrange(len(s))] = random.randrange(256)
+        try:
+            out = h264.decode_sample(bytes(s), avcc)
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass
+    # truncations too
+    for cut in (5, 9, 17, len(samples[0]) // 2):
+        try:
+            h264.decode_sample(samples[0][:cut], avcc)
+        except ValueError:
+            pass
+
+
 def test_sample_frames_cavlc_h264_end_to_end(spark):
     """Transform-coded avc1 MP4 through the Spark sample_frames path:
     real entropy decode on executors, PSNR >= 40 at qp=8."""

@@ -272,3 +272,62 @@ def test_streaming_flagship_pipeline(spark, tmp_path):
             for h in table.history()]
     bids = [b for b in bids if b]
     assert len(bids) == len(set(bids)) and len(bids) >= 2
+
+
+def test_stateful_sessions_gap_and_timeout(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gaps close
+    sessions immediately; idle sessions drain via EVENT-TIME TIMEOUT once
+    the watermark passes last_ts + gap (bounded state)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from extractors_geo_spark.streaming import stateful
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    events_dir = str(tmp_path / "ev")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+
+    def m(minutes, sec=0):
+        return base + datetime.timedelta(minutes=minutes, seconds=sec)
+
+    # file 1: user 1 has a gap inside the batch (session A: 2 events,
+    # then 90 min silence, session B starts); user 2 one event
+    spark.createDataFrame(
+        [(m(0), 1, 1.0), (m(5), 1, 2.0), (m(95), 1, 4.0), (m(0), 2, 7.0)],
+        schema).coalesce(1).write.mode("append").parquet(events_dir)
+    # file 2: much later events from user 3 push the watermark far past
+    # user 1's and user 2's last activity -> their sessions time out
+    spark.createDataFrame(
+        [(m(600), 3, 1.0), (m(601), 3, 1.0)],
+        schema).coalesce(1).write.mode("append").parquet(events_dir)
+    # file 3: even later, so the batch containing file-2's watermark
+    # advance actually fires the timeouts
+    spark.createDataFrame(
+        [(m(1200), 3, 1.0)],
+        schema).coalesce(1).write.mode("append").parquet(events_dir)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(events_dir))
+    q = (stateful.stateful_sessions(stream, gap_seconds=1800,
+                                    watermark="1 minute")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    rows = {(r["user_id"], r["session_start"].minute + 60 * r["session_start"].hour):
+            (r["n_events"], r["sum_value"],
+             r["session_end"].minute + 60 * r["session_end"].hour)
+            for r in spark.read.parquet(out).collect()}
+    # user 1 session A: events at minute 0 and 5 (gap to 95 > 30 min)
+    assert rows[(1, 720)] == (2, 3.0, 725)
+    # user 1 session B (single event at 95) closed by timeout
+    assert rows[(1, 815)] == (1, 4.0, 815)
+    # user 2's single event closed by timeout
+    assert rows[(2, 720)] == (1, 7.0, 720)
