@@ -281,8 +281,11 @@ def q_pip_join(spark, sf_dir):
         ],
         datagen.POLY_SCHEMA,
     )
+    # literal rectangle layer: broadcast is trivially right and bbox
+    # refine is already exact for rects -> both probe jobs skipped
     out = pip_join.pip_join(
-        p, polys, point_cols=("point_id",), poly_cols=("poly_id",), res=RES
+        p, polys, point_cols=("point_id",), poly_cols=("poly_id",), res=RES,
+        broadcast_polys=True, exact=False,
     )
     return out.select("point_id", "poly_id")
 
@@ -348,7 +351,8 @@ def q_knn(spark, sf_dir):
     SQL ranking."""
     p = _points(spark, sf_dir)
     q = spark.createDataFrame(_KNN_QUERIES, ["query_id", "lon", "lat"])
-    out = knn.knn_join(q, p, k=3, res=7, ring=1, t_id="point_id")
+    out = knn.knn_join(q, p, k=3, res=7, ring=1, t_id="point_id",
+                       q_size_hint=len(_KNN_QUERIES))
     return out.select("query_id", "point_id", "rank")
 
 
@@ -1383,7 +1387,8 @@ def q_flagship_pip(spark, sf_dir):
     meta = extract_meta.valid_meta(extract_meta.extract_meta(imgs, with_stats=False))
     polys = datagen.polygons_df(spark)
     return pip_join.pip_join(
-        meta, polys, point_cols=("image_id", "caption")
+        meta, polys, point_cols=("image_id", "caption"),
+        broadcast_polys=True, exact=True,  # known 50-poly non-rect layer
     ).select("image_id", "caption", "poly_id", "name")
 
 
@@ -1599,7 +1604,9 @@ def q_exif_pip(spark, sf_dir):
     imgs = base.mapInPandas(make, "image_id string, bytes binary")
     pos = M.exif_geo(imgs).filter(F.col("lon").isNotNull())
     polys = datagen.polygons_df(spark)
-    return pip_join.pip_join(pos, polys).select("image_id", "poly_id", "name")
+    return pip_join.pip_join(
+        pos, polys, broadcast_polys=True, exact=True,  # known 50-poly layer
+    ).select("image_id", "poly_id", "name")
 
 
 def q_mixed_geo_pip(spark, sf_dir):
@@ -1612,7 +1619,8 @@ def q_mixed_geo_pip(spark, sf_dir):
     pos = extract_meta.geo_positions(imgs)
     polys = datagen.polygons_df(spark)
     return pip_join.pip_join(
-        pos, polys, point_cols=("image_id", "src")
+        pos, polys, point_cols=("image_id", "src"),
+        broadcast_polys=True, exact=True,  # known 50-poly layer
     ).select("image_id", "src", "poly_id", "name")
 
 
@@ -2181,7 +2189,9 @@ def entry(spark: SparkSession) -> DataFrame:
     meta = meta.join(F.broadcast(docs), "doc_id", "left")
     polys = datagen.polygons_df(spark)
     joined = pip_join.pip_join(
-        meta, polys, point_cols=("image_id", "doc_caption"), poly_cols=("poly_id", "name")
+        meta, polys, point_cols=("image_id", "doc_caption"),
+        poly_cols=("poly_id", "name"),
+        broadcast_polys=True, exact=True,  # known 50-poly layer
     )
     url = geo.wms_getmap_url(
         "http://gs", "ws", F.col("poly_id"),
