@@ -1485,11 +1485,11 @@ WHERE i % 7 <> 0
 def q_h264_frames(spark, sf_dir):
     """REAL H.264 path (..h264): avc1 MP4s synthesized on executors,
     frame-sampled through sample_frames with fake=False. Odd clips are
-    TRANSFORM-CODED (CAVLC intra at qp=8, entropy decode + intra
-    prediction + inverse transform; PSNR >= 40 asserted in
-    tests/test_h264.py), even clips are bit-exact I_PCM — so the driver
-    row covers both entropy paths. The oracle checks the (clip, frame,
-    timestamp, dims) fan-out."""
+    TRANSFORM-CODED IDR+P GOPs (CAVLC at qp=8, gop=2: entropy decode +
+    intra prediction + motion-compensated P slices; PSNR >= 40 asserted
+    in tests/test_h264.py), even clips are bit-exact I_PCM — so the
+    driver row covers intra, inter, and entropy-free paths. The oracle
+    checks the (clip, frame, timestamp, dims) fan-out."""
     import numpy as np
     import pandas as pd
 
@@ -1506,9 +1506,11 @@ def q_h264_frames(spark, sf_dir):
                 n = 2 + i % 3  # 2..4 frames at 1 fps -> duration n seconds
                 frames = [((np.mgrid[0:16, 0:16][1] * 7 + i + f) % 251).astype(np.uint8)
                           for f in range(n)]
-                qp = 8 if i % 2 else None  # CAVLC intra vs I_PCM
+                qp = 8 if i % 2 else None  # CAVLC IDR+P GOP vs I_PCM
+                gop = 2 if i % 2 else None
                 rows.append({"video_id": f"h{i:04d}",
-                             "bytes": _mp4.write_h264_mp4(frames, fps=1, qp=qp)})
+                             "bytes": _mp4.write_h264_mp4(frames, fps=1,
+                                                          qp=qp, gop=gop)})
             yield pd.DataFrame(rows, columns=["video_id", "bytes"])
 
     vids = base.mapInPandas(make, "video_id string, bytes binary")

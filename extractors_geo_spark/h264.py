@@ -15,10 +15,20 @@ slice headers, avcC records for MP4 'avc1' tracks):
    pipelines. The encoder reconstructs exactly like the decoder, so
    decode(encode(x)) equals the encoder's reconstruction BIT-EXACTLY
    (asserted in tests), and at low QP PSNR vs the source exceeds 40 dB.
+3. **CAVLC P slices** (r5): real IDR+P group-of-pictures — P_SKIP with
+   skip-run coding, motion-compensated P_L0_16x16 with quarter-pel
+   6-tap interpolation (8.4.2.2), median MV prediction + MVD coding,
+   inter CBP mapping and dead-zone quantization, intra-in-P fallback,
+   and the inter bS deblocking rules. encode_frames(gop=N) emits the
+   GOP; decode_samples() decodes it (1-deep DPB); the same bit-exact
+   decode == recon contract holds across the whole chain. Static
+   scenes collapse to ~10-byte all-skip frames; pure pans carry MVs
+   instead of residuals.
 
 Decode scope and honesty notes:
-- CABAC streams, inter (P/B) slices, high-profile SPS, FMO, and
-  multi-slice pictures raise a clear ValueError;
+- CABAC streams, B slices, P sub-partitions (16x8/8x16/8x8), multiple
+  reference frames, high-profile SPS, FMO, and multi-slice pictures
+  raise a clear ValueError;
   `operators/multimodal.sample_frames` maps that to its documented
   well-formed-unsupported-codec stub.
 - The in-loop deblocking filter (8.7) IS applied for streams that
@@ -111,6 +121,20 @@ class _BitReader:
         b = self.data[self.pos >> 3 : (self.pos >> 3) + n]
         self.pos += 8 * n
         return b
+
+    def more_data(self) -> bool:
+        """more_rbsp_data(): true while bits remain BEFORE the final '1'
+        (the rbsp_stop_bit)."""
+        last_one = -1
+        for i in range(len(self.data) - 1, -1, -1):
+            if self.data[i]:
+                byte = self.data[i]
+                low = 0
+                while not (byte >> low) & 1:
+                    low += 1
+                last_one = 8 * i + (7 - low)
+                break
+        return self.pos < last_one
 
 
 def _ep_insert(rbsp: bytes) -> bytes:
@@ -449,9 +473,9 @@ def _inv4(d: np.ndarray) -> np.ndarray:
     return (h.T + 32) >> 6
 
 
-def _quant4(w: np.ndarray, qp: int) -> np.ndarray:
+def _quant4(w: np.ndarray, qp: int, intra: bool = True) -> np.ndarray:
     shift = 15 + qp // 6
-    f = (1 << shift) // 3  # intra rounding
+    f = (1 << shift) // (3 if intra else 6)  # spec dead-zone rounding
     a = np.abs(w).astype(np.int64) * _MF4[qp % 6] + f
     return (np.sign(w) * (a >> shift)).astype(np.int32)
 
@@ -877,7 +901,7 @@ def _nc_luma(nnz, bx, by):
 
 
 def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
-                     deblock: bool = False):
+                     deblock: bool = False, full_recon: bool = False):
     """One gray frame -> (IDR slice RBSP, reconstructed plane).
 
     CAVLC intra encoding: near-flat macroblocks go I_16x16 (DC pred,
@@ -928,7 +952,7 @@ def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
     out = plane
     if deblock and qp >= 16:
         out = _deblock_luma(plane, np.full((mbh, mbw), qp, np.int32))
-    return bytes(bw.buf), out[:h, :w].copy()
+    return bytes(bw.buf), (out if full_recon else out[:h, :w].copy())
 
 
 def _encode_mb_i16(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs):
@@ -993,7 +1017,7 @@ def _i16_dc_dequant(dc_lv, qp):
 
 
 def _encode_mb_i4(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs,
-                  plane_w):
+                  plane_w, mb_type_code=0):
     """I_4x4 macroblock: best-of V/H/DC prediction per block, CAVLC
     residuals, decoder-identical reconstruction."""
     blocks = []  # (chosen_mode, scan, nC) in blkIdx order
@@ -1028,7 +1052,7 @@ def _encode_mb_i4(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs,
         np.clip(rec, 0, 255, rec)
         plane[py:py + 4, px:px + 4] = rec.astype(np.uint8)
     # serialize: mb_type, 16 pred modes, chroma mode, cbp, qp_delta, residuals
-    bw.ue(0)  # I_4x4
+    bw.ue(mb_type_code)  # I_4x4 (5 when inside a P slice)
     for blk in range(16):
         ox, oy = _BLK_XY[blk]
         bx, by = (mx * 16 + ox) // 4, (my * 16 + oy) // 4
@@ -1060,6 +1084,132 @@ def _pred_mode_for_encoded(modes, bx, by, blk, mx, my):
     return _pred_mode_for(modes, bx, by)
 
 
+def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
+                   max_coeffs: int = 16, frame_num: int = 1,
+                   search: int = 8, deblock: bool = False):
+    """One gray frame -> (P-slice RBSP, FULL reconstructed plane).
+
+    Per macroblock: P_SKIP when the residual at the skip-predicted MV
+    quantizes to all-zero; else P_L0_16x16 with an integer-pel full
+    search (+/- `search` around the median predictor) and CAVLC inter
+    residuals; intra (I_4x4-in-P) fallback when motion fails (SAD gate).
+    `ref_full` is the previous frame's FULL (mb-aligned) recon plane.
+    decode == recon bit-exact, same contract as the intra encoder."""
+    a = np.asarray(gray, np.uint8)
+    h, w = a.shape
+    mbw = -(-w // 16)
+    mbh = -(-h // 16)
+    assert ref_full.shape == (mbh * 16, mbw * 16), "reference plane mismatch"
+    src = np.pad(a, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
+    plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
+    plane_w = mbw * 16
+    nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
+    modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
+    mvs = _MvState(mbw, mbh)
+    qp_map = np.full((mbh, mbw), qp, np.int32)
+
+    bw = _BitWriter()
+    bw.ue(0)      # first_mb_in_slice
+    bw.ue(5)      # slice_type: P (all slices in picture)
+    bw.ue(0)      # pps_id
+    bw.u(frame_num & 0xF, 4)
+    bw.u(0, 1)    # num_ref_idx_active_override_flag
+    bw.u(0, 1)    # ref_pic_list_modification_flag_l0
+    bw.u(0, 1)    # adaptive_ref_pic_marking_mode_flag (sliding window)
+    bw.se(qp - 26)
+    bw.ue(0 if deblock else 1)  # disable_deblocking_filter_idc
+    if deblock:
+        bw.se(0)
+        bw.se(0)
+
+    ref_i32 = ref_full.astype(np.int32)
+    pending_skips = 0
+    for my in range(mbh):
+        for mx in range(mbw):
+            smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16].astype(np.int32)
+            # --- P_SKIP candidate
+            smv = mvs.skip_mv(mx, my)
+            pred = _interp_luma(ref_full, mx * 16, my * 16, *smv)
+            if _all_zero_quant(smb - pred, qp):
+                pending_skips += 1
+                plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+                    np.clip(pred, 0, 255).astype(np.uint8)
+                nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                mvs.set_mb(mx, my, smv, 0)
+                modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+                continue
+            # --- integer-pel full search around the median predictor
+            mvp = mvs.mvp_16x16(mx, my)
+            cx, cy = mvp[0] >> 2, mvp[1] >> 2
+            best = None
+            for dy in range(-search, search + 1):
+                for dx in range(-search, search + 1):
+                    cand = _interp_luma(ref_full, mx * 16, my * 16,
+                                        (cx + dx) << 2, (cy + dy) << 2)
+                    sad = int(np.abs(smb - cand).sum())
+                    key = (sad, abs(dx) + abs(dy))
+                    if best is None or key < best[0]:
+                        best = (key, ((cx + dx) << 2, (cy + dy) << 2), cand)
+            (sad, _), mv, pred = best
+            if sad > 28 * 256:  # motion failed (scene cut): intra fallback
+                bw.ue(pending_skips)
+                pending_skips = 0
+                _encode_mb_i4(bw, smb.astype(np.uint8), plane, mx, my, qp,
+                              nnz, modes, max_coeffs, plane_w, mb_type_code=5)
+                mvs.set_mb(mx, my, (0, 0), -1)
+                continue
+            # --- P_L0_16x16
+            blocks = []
+            cbp = 0
+            out = pred.copy()
+            for blk in range(16):
+                ox, oy = _BLK_XY[blk]
+                lv = _thin(_quant4(_fwd4(smb[oy:oy + 4, ox:ox + 4]
+                                         - pred[oy:oy + 4, ox:ox + 4]),
+                                   qp, intra=False), max_coeffs)
+                tc = int(np.count_nonzero(lv))
+                if tc:
+                    cbp |= 1 << (blk >> 2)
+                blocks.append((lv, tc))
+                out[oy:oy + 4, ox:ox + 4] += _inv4(_dequant4(lv, qp)).astype(np.int32)
+            bw.ue(pending_skips)
+            pending_skips = 0
+            bw.ue(0)  # P_L0_16x16
+            bw.se(mv[0] - mvp[0])
+            bw.se(mv[1] - mvp[1])
+            bw.ue(_CBP_INTER_INV[cbp])
+            if cbp:
+                bw.se(0)  # mb_qp_delta
+            for blk in range(16):
+                ox, oy = _BLK_XY[blk]
+                bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
+                lv, tc = blocks[blk]
+                if cbp & (1 << (blk >> 2)):
+                    nc = _nc_luma(nnz, bx, by)
+                    _encode_residual(bw, _scan16(lv), nc)
+                nnz[by, bx] = tc
+            np.clip(out, 0, 255, out)
+            plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
+            mvs.set_mb(mx, my, mv, 0)
+            modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+    if pending_skips:
+        bw.ue(pending_skips)  # trailing skip run
+    bw.rbsp_trailing()
+    out_plane = plane
+    if deblock and qp >= 16:
+        out_plane = _deblock_luma_inter(plane, qp_map, nnz, mvs)
+    return bytes(bw.buf), out_plane
+
+
+def _all_zero_quant(resid: np.ndarray, qp: int) -> bool:
+    for oy in range(0, 16, 4):
+        for ox in range(0, 16, 4):
+            if np.any(_quant4(_fwd4(resid[oy:oy + 4, ox:ox + 4]), qp,
+                              intra=False)):
+                return False
+    return True
+
+
 def build_avcc(w: int, h: int, deblock_ctrl: bool = False) -> bytes:
     """avcC (AVCDecoderConfigurationRecord) for the MP4 sample entry."""
     sps = _ep_insert(_sps(w, h))
@@ -1070,26 +1220,171 @@ def build_avcc(w: int, h: int, deblock_ctrl: bool = False) -> bytes:
 
 
 def encode_frames(frames: list[np.ndarray], qp: int | None = None,
-                  deblock: bool = False) -> tuple[bytes, list[bytes]]:
+                  deblock: bool = False, gop: int | None = None
+                  ) -> tuple[bytes, list[bytes]]:
     """Gray frames -> (avcC record, per-frame length-prefixed NAL samples
     ready for an 'avc1' MP4 track). qp=None keeps the bit-exact I_PCM
-    path; an integer qp (0..51) switches to CAVLC intra coding.
-    Dimensions must be even: 4:2:0 frame cropping works in 2-sample
-    units, so odd sizes are unrepresentable in this chroma format (spec
-    constraint, not an implementation one)."""
+    path; an integer qp (0..51) switches to CAVLC coding. gop=N (CAVLC
+    only) emits a real IDR+P group-of-pictures structure: every Nth
+    frame is an IDR, the rest are P slices (P_SKIP / P_L0_16x16 motion
+    compensation / intra fallback) predicting from the previous frame —
+    decode with decode_samples. Dimensions must be even: 4:2:0 frame
+    cropping works in 2-sample units, so odd sizes are unrepresentable
+    in this chroma format (spec constraint, not an implementation one)."""
     h, w = np.asarray(frames[0]).shape
     if w % 2 or h % 2:
         raise ValueError("4:2:0 H.264 needs even dimensions (crop unit is 2 px)")
     avcc = build_avcc(w, h, deblock_ctrl=qp is not None)
     samples = []
-    for f in frames:
+    ref_full = None
+    frame_num = 0
+    for i, f in enumerate(frames):
         if qp is None:
             rbsp = encode_idr_ipcm(f)
+            nal = bytes([0x65]) + _ep_insert(rbsp)  # ref_idc 3, IDR
+        elif gop is None or i % gop == 0:
+            rbsp, ref_full = encode_idr_cavlc(f, qp=qp, deblock=deblock,
+                                              full_recon=True)
+            frame_num = 1
+            nal = bytes([0x65]) + _ep_insert(rbsp)
         else:
-            rbsp, _ = encode_idr_cavlc(f, qp=qp, deblock=deblock)
-        nal = bytes([0x65]) + _ep_insert(rbsp)  # nal_ref_idc 3, type 5
+            rbsp, ref_full = encode_p_cavlc(f, ref_full, qp=qp,
+                                            frame_num=frame_num,
+                                            deblock=deblock)
+            frame_num = (frame_num + 1) & 0xF
+            nal = bytes([0x41]) + _ep_insert(rbsp)  # ref_idc 2, non-IDR
         samples.append(struct.pack(">I", len(nal)) + nal)
     return avcc, samples
+
+
+# ------------------------------------------------- inter prediction (P)
+# Table 9-4 (me mapping) coded_block_pattern for INTER: codeNum -> cbp
+_CBP_INTER = (0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13, 14,
+              6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46, 17,
+              18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+_CBP_INTER_INV = {v: i for i, v in enumerate(_CBP_INTER)}
+
+
+def _interp_luma(ref: np.ndarray, px: int, py: int, mvx: int, mvy: int,
+                 w: int = 16, h: int = 16) -> np.ndarray:
+    """Motion-compensated w x h luma block at quarter-pel MV (8.4.2.2.1):
+    6-tap (1,-5,20,20,-5,1) half-pel filter + quarter-pel averaging.
+    Integer MVs take the fast path (plain shifted copy with edge clamp)."""
+    H, W = ref.shape
+    ix, fx = mvx >> 2, mvx & 3
+    iy, fy = mvy >> 2, mvy & 3
+    x0, y0 = px + ix, py + iy
+    if fx == 0 and fy == 0:
+        xs = np.clip(np.arange(x0, x0 + w), 0, W - 1)
+        ys = np.clip(np.arange(y0, y0 + h), 0, H - 1)
+        return ref[np.ix_(ys, xs)].astype(np.int32)
+    # padded integer window large enough for the 6-tap support
+    xs = np.clip(np.arange(x0 - 2, x0 + w + 3), 0, W - 1)
+    ys = np.clip(np.arange(y0 - 2, y0 + h + 3), 0, H - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int32)  # (h+5, w+5)
+
+    def tap6(a, axis):
+        s = [a.take(range(i, a.shape[axis] - 5 + i), axis=axis) for i in range(6)]
+        return s[0] - 5 * s[1] + 20 * s[2] + 20 * s[3] - 5 * s[4] + s[5]
+
+    # integer grid G at (2.., 2..); half-pel planes per 8.4.2.2.1
+    G = win[2:2 + h + 1, 2:2 + w + 1]               # (h+1, w+1) incl. +1 px
+    b_full = tap6(win[2:2 + h + 1], 1)              # horizontal halves, rows int
+    b = np.clip((b_full + 16) >> 5, 0, 255)         # (h+1, w)
+    h_full = tap6(win[:, 2:2 + w + 1], 0)           # vertical halves, cols int
+    hh = np.clip((h_full + 16) >> 5, 0, 255)        # (h, w+1)
+    # center half-half j: 6-tap vertically over b_full (unclipped)
+    j_full = tap6(tap6(win, 1), 0)                  # (h+1, w)
+    j = np.clip((j_full + 512) >> 10, 0, 255)       # (h+1, w)
+
+    def avg(a, bb):
+        return (a + bb + 1) >> 1
+
+    # sample positions per fractional offset (Figure 8-4 naming)
+    Gm = G[:h, :w]
+    bm = b[:h, :]
+    hm = hh[:, :w]
+    jm = j[:h, :]
+    if fy == 0:
+        out = {1: avg(Gm, bm), 2: bm, 3: avg(b[:h], G[:h, 1:])}[fx]
+    elif fx == 0:
+        out = {1: avg(Gm, hm), 2: hm, 3: avg(hm, G[1:, :w])}[fy]
+    elif fx == 2 and fy == 2:
+        out = jm
+    elif fx == 2:
+        out = {1: avg(bm, jm), 3: avg(j[:h], b[1:, :])}[fy]
+    elif fy == 2:
+        out = {1: avg(hm, jm), 3: avg(jm, hh[:, 1:])}[fx]
+    else:  # quarter diagonals: average of nearest half-pel b and h
+        bb = bm if fy == 1 else b[1:, :]
+        hx = hm if fx == 1 else hh[:, 1:]
+        out = avg(bb, hx)
+    return out.astype(np.int32)
+
+
+def _median_mv(cands: list[tuple[int, int] | None]) -> tuple[int, int]:
+    """Component-wise median over A, B, C (None -> (0,0) per 8.4.1.3.1
+    after the availability special cases handled by the caller)."""
+    xs = [c[0] if c else 0 for c in cands]
+    ys = [c[1] if c else 0 for c in cands]
+    med = lambda v: sorted(v)[1]
+    return med(xs), med(ys)
+
+
+class _MvState:
+    """Per-4x4-block motion state for MV prediction + deblocking:
+    ref = -1 for intra/unavailable, 0 for the single L0 reference."""
+
+    def __init__(self, mbw: int, mbh: int):
+        self.mv = np.zeros((mbh * 4, mbw * 4, 2), np.int32)
+        self.ref = np.full((mbh * 4, mbw * 4), -1, np.int32)
+
+    def at(self, bx: int, by: int):
+        if bx < 0 or by < 0 or by >= self.ref.shape[0] or bx >= self.ref.shape[1]:
+            return None  # unavailable
+        if self.ref[by, bx] < 0:
+            return None  # intra: treated as unavailable for prediction
+        return (int(self.mv[by, bx, 0]), int(self.mv[by, bx, 1]))
+
+    def neighbors_16x16(self, mbx: int, mby: int):
+        """A (left), B (above), C (above-right; D above-left fallback)."""
+        bx, by = mbx * 4, mby * 4
+        a = self.at(bx - 1, by)
+        b = self.at(bx, by - 1)
+        c = self.at(bx + 4, by - 1)
+        if c is None and (by - 1 < 0 or bx + 4 >= self.ref.shape[1]):
+            c = self.at(bx - 1, by - 1)  # D fallback
+        return a, b, c
+
+    def mvp_16x16(self, mbx: int, mby: int) -> tuple[int, int]:
+        a, b, c = self.neighbors_16x16(mbx, mby)
+        # 8.4.1.3.1: if B and C unavailable and A available -> A
+        if b is None and c is None and a is not None:
+            return a
+        # exactly one neighbor references the target picture -> that one
+        present = [m for m in (a, b, c) if m is not None]
+        if len(present) == 1:
+            return present[0]
+        return _median_mv([a, b, c])
+
+    def skip_mv(self, mbx: int, mby: int) -> tuple[int, int]:
+        """P_SKIP MV (8.4.1.1): zero when a left/above neighbour is
+        missing or is a zero-MV ref-0 block; else the 16x16 predictor."""
+        bx, by = mbx * 4, mby * 4
+        a_out = bx - 1 < 0
+        b_out = by - 1 < 0
+        a = self.at(bx - 1, by)
+        b = self.at(bx, by - 1)
+        if a_out or b_out:
+            return (0, 0)
+        if a == (0, 0) or b == (0, 0):
+            return (0, 0)
+        return self.mvp_16x16(mbx, mby)
+
+    def set_mb(self, mbx: int, mby: int, mv, ref: int):
+        bx, by = mbx * 4, mby * 4
+        self.mv[by:by + 4, bx:bx + 4] = mv
+        self.ref[by:by + 4, bx:bx + 4] = ref
 
 
 # ------------------------------------------------------- deblocking filter
@@ -1199,6 +1494,65 @@ def _deblock_luma(plane: np.ndarray, qp_map: np.ndarray,
                 f = _db_filter_line(*rows, bs, alpha, beta, tc0)
                 for i, v in enumerate(f):
                     out[y - 3 + i, xs] = np.clip(v, 0, 255)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _deblock_luma_inter(plane, qp_map, nnz, mvs, off_a=0, off_b=0):
+    """8.7 for P pictures: per-4x4-segment bS — 4/3 when a side is intra
+    (MB edge / internal), 2 when a side has coded residual, 1 on a
+    >= 1-integer-pel MV difference, else unfiltered."""
+    out = plane.astype(np.int32)
+    mbh, mbw = qp_map.shape
+
+    def seg_bs(bxp, byp, bxq, byq, mb_edge):
+        if mvs.ref[byp, bxp] < 0 or mvs.ref[byq, bxq] < 0:
+            return 4 if mb_edge else 3
+        if nnz[byp, bxp] or nnz[byq, bxq]:
+            return 2
+        dv = np.abs(mvs.mv[byp, bxp] - mvs.mv[byq, bxq])
+        return 1 if int(dv.max()) >= 4 else 0
+
+    for my in range(mbh):
+        for mx in range(mbw):
+            qp_q = qp_map[my, mx]
+            for vert in (True, False):
+                for e in range(4):
+                    x = mx * 16 + e * 4 if vert else mx * 16
+                    y = my * 16 if vert else my * 16 + e * 4
+                    if (vert and x == 0) or (not vert and y == 0):
+                        continue
+                    mb_edge = e == 0
+                    qp_p = (qp_map[my, mx - 1] if vert else qp_map[my - 1, mx]) \
+                        if mb_edge else qp_q
+                    qpav = (int(qp_p) + int(qp_q) + 1) >> 1
+                    ia = min(max(qpav + off_a, 0), 51)
+                    ib = min(max(qpav + off_b, 0), 51)
+                    alpha, beta = _DB_ALPHA[ia], _DB_BETA[ib]
+                    if alpha == 0:
+                        continue
+                    for seg in range(4):  # 4-sample segments along the edge
+                        if vert:
+                            ys = slice(my * 16 + seg * 4, my * 16 + seg * 4 + 4)
+                            bxq_, byq_ = x // 4, (my * 16 + seg * 4) // 4
+                            bxp_, byp_ = bxq_ - 1, byq_
+                        else:
+                            xs = slice(mx * 16 + seg * 4, mx * 16 + seg * 4 + 4)
+                            bxq_, byq_ = (mx * 16 + seg * 4) // 4, y // 4
+                            bxp_, byp_ = bxq_, byq_ - 1
+                        bs = seg_bs(bxp_, byp_, bxq_, byq_, mb_edge)
+                        if bs == 0:
+                            continue
+                        tc0 = _DB_TC0[bs - 1][ia] if bs < 4 else 0
+                        if vert:
+                            lines = [out[ys, x - 4 + i] for i in range(8)]
+                        else:
+                            lines = [out[y - 4 + i, xs] for i in range(8)]
+                        f = _db_filter_line(*lines, bs, alpha, beta, tc0)
+                        for i, v in enumerate(f):
+                            if vert:
+                                out[ys, x - 3 + i] = np.clip(v, 0, 255)
+                            else:
+                                out[y - 3 + i, xs] = np.clip(v, 0, 255)
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
@@ -1393,12 +1747,60 @@ def _decode_mb_i16(r, mb_type, plane, mx, my, qp, nnz, nnz_c, modes):
     return qp
 
 
-def _decode_islice(r, sps, pps, nal_type) -> np.ndarray:
+def _decode_mb_p16(r, plane, ref, mx, my, qp, nnz, nnz_c, modes, mvs):
+    """P_L0_16x16: mvd + optional residual over the MC prediction."""
+    # ref_idx_l0: with one active reference there is no ref_idx field
+    mvp = mvs.mvp_16x16(mx, my)
+    mvd = (r.se(), r.se())
+    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+    cn = r.ue()
+    if cn > 47:
+        raise ValueError("bad coded_block_pattern")
+    cbp = _CBP_INTER[cn]
+    if cbp:
+        qp = (qp + r.se() + 52) % 52
+    pred = _interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
+    out = pred.copy()
+    for blk in range(16):
+        ox, oy = _BLK_XY[blk]
+        bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
+        if cbp & (1 << (blk >> 2)):
+            nc = _nc_luma(nnz, bx, by)
+            lv = _unscan16(_decode_residual(r, nc, 16))
+            tc = int(np.count_nonzero(lv))
+            out[oy:oy + 4, ox:ox + 4] += _inv4(_dequant4(lv, qp)).astype(np.int32)
+        else:
+            tc = 0
+        nnz[by, bx] = tc
+        modes[by, bx] = -1
+    np.clip(out, 0, 255, out)
+    plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
+    mvs.set_mb(mx, my, mv, 0)
+    _parse_chroma_residual(r, cbp >> 4, nnz_c, mx, my)
+    return qp
+
+
+def _skip_mb(plane, ref, mx, my, nnz, nnz_c, modes, mvs):
+    mv = mvs.skip_mv(mx, my)
+    pred = _interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
+    plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+        np.clip(pred, 0, 255).astype(np.uint8)
+    nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+    nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+    modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+    mvs.set_mb(mx, my, mv, 0)
+
+
+def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
+                   nal_ref_idc: int = 3) -> np.ndarray:
     if r.ue() != 0:
         raise ValueError("multi-slice pictures unsupported")
     stype = r.ue()
-    if stype % 5 != 2:
-        raise ValueError("non-I slice: out of intra decode scope")
+    is_p = stype % 5 == 0
+    if not is_p and stype % 5 != 2:
+        raise ValueError("B/SP/SI slice: out of decode scope")
+    if is_p and ref is None:
+        raise ValueError("P slice without a decoded reference frame")
     r.ue()  # pps_id
     r.u(sps["log2_mfn"])  # frame_num
     if nal_type == 5:
@@ -1413,10 +1815,16 @@ def _decode_islice(r, sps, pps, nal_type) -> np.ndarray:
             r.se()
     if pps["redundant"]:
         r.ue()
+    if is_p:
+        if r.u(1):  # num_ref_idx_active_override_flag
+            if r.ue() != 0:  # num_ref_idx_l0_active_minus1
+                raise ValueError("multiple reference frames unsupported")
+        if r.u(1):  # ref_pic_list_modification_flag_l0
+            raise ValueError("ref pic list modification unsupported")
     if nal_type == 5:
         r.u(1)  # no_output_of_prior_pics
         r.u(1)  # long_term_reference
-    else:
+    elif nal_ref_idc:  # dec_ref_pic_marking only for reference pictures
         if r.u(1):
             raise ValueError("adaptive ref pic marking unsupported")
     qp = pps["pic_init_qp"] + r.se()
@@ -1435,9 +1843,30 @@ def _decode_islice(r, sps, pps, nal_type) -> np.ndarray:
     nnz_c = np.zeros((2, mbh * 2, mbw * 2), np.int32)
     modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
     qp_map = np.zeros((mbh, mbw), np.int32)
+    mvs = _MvState(mbw, mbh) if is_p else None
+    run_pending = None  # skip run not yet read for the next coded MB
     for my in range(mbh):
         for mx in range(mbw):
+            if is_p:
+                if run_pending is None:
+                    run_pending = r.ue()  # mb_skip_run
+                if run_pending > 0:
+                    run_pending -= 1
+                    _skip_mb(plane, ref, mx, my, nnz, nnz_c, modes, mvs)
+                    qp_map[my, mx] = qp
+                    continue
+                run_pending = None  # this position is the coded MB
             mb_type = r.ue()
+            if is_p:
+                if mb_type == 0:  # P_L0_16x16
+                    qp = _decode_mb_p16(r, plane, ref, mx, my, qp, nnz,
+                                        nnz_c, modes, mvs)
+                    qp_map[my, mx] = qp
+                    continue
+                if 1 <= mb_type <= 4:
+                    raise ValueError(
+                        "P sub-partitioned mb_type: out of decode scope")
+                mb_type -= 5  # intra in a P slice
             if mb_type == 25:  # I_PCM
                 r.align()
                 luma = np.frombuffer(r.raw(256), np.uint8).reshape(16, 16)
@@ -1458,19 +1887,43 @@ def _decode_islice(r, sps, pps, nal_type) -> np.ndarray:
                                     nnz_c, modes)
                 qp_map[my, mx] = qp
             else:
-                raise ValueError(f"bad I-slice mb_type {mb_type}")
+                raise ValueError(f"bad mb_type {mb_type}")
+            if is_p:
+                mvs.set_mb(mx, my, (0, 0), -1)  # intra: no motion
     if do_filter and int(qp_map.max()) + max(off_a, off_b, 0) >= 16:
-        # intra prediction consumed the unfiltered plane above; the
+        # intra/inter prediction consumed the unfiltered plane above; the
         # OUTPUT picture is the filtered one (8.7). Below qp 16 every
         # alpha threshold is 0 (I_PCM pictures: qp 0), so skip.
-        plane = _deblock_luma(plane, qp_map, off_a, off_b)
-    return plane[:sps["h"], :sps["w"]]
+        if is_p:
+            plane = _deblock_luma_inter(plane, qp_map, nnz, mvs, off_a, off_b)
+        else:
+            plane = _deblock_luma(plane, qp_map, off_a, off_b)
+    # FULL (uncropped) plane: the DPB reference for motion compensation is
+    # the decoded mb-aligned picture; cropping is display-only
+    return plane
 
 
-def decode_sample(sample: bytes, avcc: bytes) -> np.ndarray:
-    """Length-prefixed NAL sample + avcC -> gray frame. Decodes I_PCM
-    and CAVLC intra (I_4x4 / I_16x16) baseline streams; CABAC, inter
-    slices, and high-profile features raise ValueError (the documented
+def decode_samples(samples: list[bytes], avcc: bytes) -> list[np.ndarray]:
+    """Sequential GOP decode: IDR frames reset the (1-deep) DPB, P
+    frames predict from the previous decoded picture. Returns cropped
+    gray frames in decode order."""
+    sps, _pps = _avcc_param_sets(avcc)
+    out = []
+    ref = None
+    for s in samples:
+        full = decode_sample(s, avcc, ref=ref, full_plane=True)
+        ref = full
+        out.append(full[:sps["h"], :sps["w"]])
+    return out
+
+
+def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
+                  full_plane: bool = False) -> np.ndarray:
+    """Length-prefixed NAL sample + avcC -> gray frame. Decodes I_PCM,
+    CAVLC intra (I_4x4 / I_16x16), and CAVLC P slices (P_SKIP +
+    P_L0_16x16, quarter-pel MC, `ref` = previous FULL decoded plane —
+    use decode_samples for GOP streams). CABAC, B slices, and
+    high-profile features raise ValueError (the documented
     well-formed-unsupported stub path in sample_frames)."""
     sps, pps = _avcc_param_sets(avcc)
     if pps["cabac"]:
@@ -1488,9 +1941,13 @@ def decode_sample(sample: bytes, avcc: bytes) -> np.ndarray:
             continue  # SPS/PPS/SEI in-band: skip
         r = _BitReader(_ep_remove(nal[1:]))
         try:
-            return _decode_islice(r, sps, pps, typ)
+            full = _decode_islice(r, sps, pps, typ, ref=ref,
+                                  nal_ref_idc=(nal[0] >> 5) & 3)
         except (IndexError, TypeError, KeyError, struct.error) as e:
             # corrupted entropy payload desynced the parser: normalize to
             # the ValueError contract callers map to errors-as-data
             raise ValueError(f"corrupt H.264 sample ({type(e).__name__})")
+        if full_plane:
+            return full
+        return full[:sps["h"], :sps["w"]]
     raise ValueError("no slice NAL in sample")

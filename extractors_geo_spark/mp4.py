@@ -30,8 +30,9 @@ _JPEG_FOURCC = (b"jpeg", b"mjpa", b"AVDJ", b"MJPG")
 # uncompressed tracks (QuickTime 'raw ' RGB/gray, 'Y800' 8-bit gray):
 # sample bytes ARE the pixels — the cheap real non-JPEG path (VERDICT r03 #7)
 _RAW_FOURCC = (b"raw ", b"Y800")
-# H.264: real NAL/avcC plumbing; PIXELS decode only for I_PCM baseline
-# streams (..h264 module) — transform-coded samples raise downstream
+# H.264: real NAL/avcC plumbing; PIXELS decode for the in-repo baseline
+# subset (I_PCM bit-exact, CAVLC intra, CAVLC P slices) — CABAC/B-slice
+# samples raise downstream
 _AVC_FOURCC = (b"avc1", b"avc3")
 _SUPPORTED_FOURCC = _JPEG_FOURCC + _RAW_FOURCC + _AVC_FOURCC
 
@@ -459,13 +460,15 @@ def write_mp4_with_captions(frames: list, fps: int, captions: list[str],
     return ftyp + _box(b"mdat", mdat_payload) + moov
 
 
-def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None) -> bytes:
+def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
+                   gop: int | None = None) -> bytes:
     """Gray frames -> single-track 'avc1' MP4 whose samples are REAL
     baseline H.264 (..h264.encode_frames): bit-exact I_PCM when qp is
-    None, CAVLC intra (entropy-coded) at the given qp otherwise."""
+    None, CAVLC at the given qp otherwise; gop=N emits a real IDR+P
+    group-of-pictures structure (motion-compensated P slices)."""
     from . import h264 as _h264
 
-    avcc, samples = _h264.encode_frames(frames, qp=qp)
+    avcc, samples = _h264.encode_frames(frames, qp=qp, gop=gop)
     h, w = np.asarray(frames[0]).shape[:2]
     return _assemble_mp4(samples, w, h, fps, fourcc=b"avc1", depth=24,
                          entry_extra=_box(b"avcC", avcc))

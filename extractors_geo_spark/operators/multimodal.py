@@ -444,10 +444,15 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
 
                             dur = parsed["duration_ms"]
                             tss = parsed["timestamps_ms"]
+                            # GOP-aware: decode the track sequentially so
+                            # P frames predict from their references (a
+                            # real deployment decodes per-GOP; fixture
+                            # tracks are short)
+                            arrs = _h264.decode_samples(
+                                list(parsed["frames"]), parsed["avcc"] or b"")
                             for i, ts in enumerate(range(0, dur, every_ms)):
                                 fi = max(0, np.searchsorted(tss, ts, side="right") - 1)
-                                arr = _h264.decode_sample(
-                                    parsed["frames"][int(fi)], parsed["avcc"] or b"")
+                                arr = arrs[int(fi)]
                                 rows.append({"video_id": vid, "frame_idx": i,
                                              "ts_ms": ts, "fw": arr.shape[1],
                                              "fh": arr.shape[0],

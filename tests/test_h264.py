@@ -220,3 +220,92 @@ def test_sample_frames_ipcm_h264_end_to_end(spark):
     for r in rows:
         got = np.frombuffer(bytes(r["frame"]), np.uint8).reshape(16, 32)
         np.testing.assert_array_equal(got, src[int(r["ts_ms"] * 2 / 1000)])
+
+
+def test_gop_idr_p_roundtrip_bit_exact():
+    """IDR+P group-of-pictures: decode_samples must equal the encoder's
+    reconstruction chain BIT-EXACTLY (P_SKIP, motion-compensated
+    P_L0_16x16, and intra-fallback MBs all covered)."""
+    rng = np.random.default_rng(23)
+    yy, xx = np.mgrid[0:48, 0:64]
+    frames = []
+    for f in range(6):
+        img = np.clip((xx - 2 * f) * 3 + (yy + f) * 2
+                      + 60 * np.exp(-(((xx - 30 - 3 * f) ** 2)
+                                      + (yy - 20) ** 2) / 200.0)
+                      + rng.normal(0, 1.5, (48, 64)), 0, 255).astype(np.uint8)
+        frames.append(img)
+    frames[4] = rng.integers(0, 256, (48, 64), dtype=np.uint8)  # scene cut -> intra fallback
+    avcc, samples = h264.encode_frames(frames, qp=8, gop=6)
+    # recon chain from the encoder side
+    _, ref = h264.encode_idr_cavlc(frames[0], qp=8, full_recon=True)
+    recons = [ref[:48, :64].copy()]
+    for i, f in enumerate(frames[1:], start=1):
+        _, ref = h264.encode_p_cavlc(f, ref, qp=8, frame_num=i)
+        recons.append(ref[:48, :64].copy())
+    dec = h264.decode_samples(samples, avcc)
+    for i, (d, r) in enumerate(zip(dec, recons)):
+        np.testing.assert_array_equal(d, r, err_msg=f"frame {i}")
+    # quality: every decoded frame lands PSNR >= 40 vs its source
+    for i, (d, f) in enumerate(zip(dec, frames)):
+        mse = np.mean((d.astype(np.float64) - f) ** 2)
+        assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) >= 40.0, i
+
+
+def test_gop_static_scene_collapses_to_skip_runs():
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.clip(xx * 3 + yy * 2, 0, 255).astype(np.uint8)
+    avcc, samples = h264.encode_frames([img.copy() for _ in range(4)],
+                                       qp=8, gop=4)
+    # all-skip P frames are a handful of bytes (slice header + skip run)
+    assert all(len(s) < 40 for s in samples[1:]), [len(s) for s in samples]
+    dec = h264.decode_samples(samples, avcc)
+    # later P frames are pure skips of the (refined) second frame
+    np.testing.assert_array_equal(dec[2], dec[1])
+    np.testing.assert_array_equal(dec[3], dec[1])
+
+
+def test_gop_translation_is_motion_compensated():
+    """A pure 2px/frame pan: P frames stay small (MVs, not residuals)
+    and decode at high PSNR."""
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = ((xx * 7 + yy * 5) % 251).astype(np.uint8)
+    mov = [np.roll(img, 2 * f, axis=1) for f in range(4)]
+    avcc, samples = h264.encode_frames(mov, qp=8, gop=4)
+    assert all(len(s) < len(samples[0]) // 2 for s in samples[1:]), \
+        [len(s) for s in samples]
+    dec = h264.decode_samples(samples, avcc)
+    for i, (d, f) in enumerate(zip(dec, mov)):
+        # interior only: np.roll wraps, real motion comp clamps at edges
+        mse = np.mean((d[:, 8:-8].astype(np.float64) - f[:, 8:-8]) ** 2)
+        assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) >= 40.0, i
+
+
+def test_p_slice_without_reference_raises():
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = (xx * 9 % 256).astype(np.uint8)
+    avcc, samples = h264.encode_frames([img, img], qp=8, gop=2)
+    with pytest.raises(ValueError, match="reference"):
+        h264.decode_sample(samples[1], avcc)  # P sample alone
+
+
+def test_sample_frames_gop_h264_end_to_end(spark):
+    """GOP avc1 MP4 through Spark sample_frames: mid-GOP (P) frames
+    decode correctly via the sequential track decode."""
+    from extractors_geo_spark import mp4
+    from extractors_geo_spark.operators import multimodal as M
+
+    yy, xx = np.mgrid[0:16, 0:32]
+    src = [np.roll(((xx * 5 + yy * 3) % 251).astype(np.uint8), 2 * f, axis=1)
+           for f in range(4)]
+    data = mp4.write_h264_mp4(src, fps=1, qp=8, gop=4)  # 4 s clip
+    df = spark.createDataFrame([("g1", bytearray(data))],
+                               "video_id string, bytes binary")
+    rows = sorted(M.sample_frames(df, every_ms=1000, fake=False).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert [r["ts_ms"] for r in rows] == [0, 1000, 2000, 3000]
+    for r in rows:
+        got = np.frombuffer(bytes(r["frame"]), np.uint8).reshape(16, 32)
+        ref = src[r["ts_ms"] // 1000]
+        mse = np.mean((got[:, 8:-8].astype(np.float64) - ref[:, 8:-8]) ** 2)
+        assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) >= 38.0
