@@ -2173,6 +2173,136 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# composite oracles (round 6): the six single-expression string/shape
+# operators (P8, F6, F7, F9, F11, F14), the three relational primitives,
+# the two zone-projection forwards, and the two cell primitives each fold
+# into ONE driver query so that EVERY oracle-backed query fits inside the
+# driver's 50-slot correctness window.  The underlying q_* functions and
+# SQL blocks are unchanged (still unit-exercised); the composites union
+# their full result sets, so the value coverage is identical.
+# ---------------------------------------------------------------------------
+def _q1000(col):
+    """Quantize a double to a stable long at 1e-3 (round-half-up); both
+    engines evaluate the identical IEEE expression, so no boundary flips."""
+    return F.floor(col * F.lit(1000) + F.lit(0.5)).cast("long").cast("string")
+
+
+def q_string_ops(spark, sf_dir):
+    """Composite of the six SURVEY-2 string/shape operators — P8
+    (box_reordered), F6 (geojson_ring), F7 (wms_getmap_url), F9
+    (bbox_from_url), F11 (storename), F14 (proxy_rewrite) — unioned into
+    a single (op, id, v) driver row so all six keep a hard CORRECTNESS
+    anchor inside the 50-slot window."""
+    box = q_box_reorder(spark, sf_dir).select(
+        F.lit("box_reorder").alias("op"), F.col("point_id").alias("id"),
+        F.concat_ws(",", *[_q1000(F.col(c)) for c in ("b0", "b1", "b2", "b3")]).alias("v"))
+    ring = q_geojson_ring(spark, sf_dir).select(
+        F.lit("geojson_ring").alias("op"), F.col("point_id").alias("id"),
+        F.concat_ws(",", *[_q1000(F.col(f"r{a}{i}")) for i in range(5) for a in ("x", "y")]).alias("v"))
+    wms = q_wms_url(spark, sf_dir).select(
+        F.lit("wms_url").alias("op"), F.col("point_id").alias("id"),
+        F.col("wms_url").alias("v"))
+    burl = q_bbox_from_url(spark, sf_dir).select(
+        F.lit("bbox_from_url").alias("op"), F.col("point_id").alias("id"),
+        F.concat_ws(",", *[F.col(c).cast("string") for c in ("bx0", "by0", "bx1", "by1")]).alias("v"))
+    prox = q_proxy_rewrite(spark, sf_dir).select(
+        F.lit("proxy_rewrite").alias("op"), F.col("id"), F.col("proxied").alias("v"))
+    store = q_storename(spark, sf_dir).select(
+        F.lit("storename").alias("op"), F.col("id"), F.col("store").alias("v"))
+    return box.unionByName(ring).unionByName(wms).unionByName(burl) \
+              .unionByName(prox).unionByName(store)
+
+
+def _sql_q1000(expr: str) -> str:
+    return f"CAST(CAST(FLOOR(({expr}) * 1000 + 0.5) AS BIGINT) AS VARCHAR)"
+
+
+SQL_STRING_OPS = f"""
+SELECT 'box_reorder' AS op, point_id AS id,
+       {_sql_q1000('b0')} || ',' || {_sql_q1000('b1')} || ',' ||
+       {_sql_q1000('b2')} || ',' || {_sql_q1000('b3')} AS v
+FROM ({SQL_BOX})
+UNION ALL
+SELECT 'geojson_ring' AS op, point_id AS id,
+       {" || ',' || ".join(_sql_q1000(f"r{a}{i}") for i in range(5) for a in ("x", "y"))} AS v
+FROM ({SQL_RING})
+UNION ALL
+SELECT 'wms_url' AS op, point_id AS id, wms_url AS v FROM ({SQL_WMS})
+UNION ALL
+SELECT 'bbox_from_url' AS op, point_id AS id,
+       CAST(bx0 AS VARCHAR) || ',' || CAST(by0 AS VARCHAR) || ',' ||
+       CAST(bx1 AS VARCHAR) || ',' || CAST(by1 AS VARCHAR) AS v
+FROM ({SQL_BBOX_URL})
+UNION ALL
+SELECT 'proxy_rewrite' AS op, id, proxied AS v FROM ({SQL_PROXY})
+UNION ALL
+SELECT 'storename' AS op, id, store AS v FROM ({SQL_STORE})
+"""
+
+
+def q_relational_ops(spark, sf_dir):
+    """Composite of the three relational primitives (EXCEPT, PIVOT,
+    LEFT SEMI) as one (op, k, v) driver row; sub-queries unchanged."""
+    exc = q_set_except(spark, sf_dir).select(
+        F.lit("set_except").alias("op"), F.col("user_id").cast("long").alias("k"),
+        F.col("d").cast("string").alias("v"))
+    piv = q_pivot(spark, sf_dir).select(
+        F.lit("pivot").alias("op"), F.col("ubucket").cast("long").alias("k"),
+        F.concat_ws(",", *[F.col(c).cast("string") for c in PIVOT_KINDS]).alias("v"))
+    semi = q_semi_join(spark, sf_dir).select(
+        F.lit("semi_join").alias("op"), F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_nationkey").cast("string").alias("v"))
+    return exc.unionByName(piv).unionByName(semi)
+
+
+SQL_RELATIONAL_OPS = f"""
+SELECT 'set_except' AS op, CAST(user_id AS BIGINT) AS k, CAST(d AS VARCHAR) AS v
+FROM ({SQL_EXCEPT})
+UNION ALL
+SELECT 'pivot' AS op, CAST(ubucket AS BIGINT) AS k,
+       {" || ',' || ".join(f'CAST("{k}" AS VARCHAR)' for k in PIVOT_KINDS)} AS v
+FROM ({SQL_PIVOT})
+UNION ALL
+SELECT 'semi_join' AS op, CAST(c_custkey AS BIGINT) AS k,
+       CAST(c_nationkey AS VARCHAR) AS v
+FROM ({SQL_SEMI_JOIN})
+"""
+
+
+def q_proj_forward(spark, sf_dir):
+    """Composite of the two zone-projection forwards (F1/F3): Lambert
+    conformal conic EPSG:32139 + polar stereographic EPSG:3413, both the
+    real numpy zone code in mapInPandas, quantized to 10 m."""
+    lcc = q_lcc_forward(spark, sf_dir).select(F.lit("lcc").alias("op"), "point_id", "e_q", "n_q")
+    ps = q_ps_forward(spark, sf_dir).select(F.lit("ps").alias("op"), "point_id", "e_q", "n_q")
+    return lcc.unionByName(ps)
+
+
+def _sql_proj_forward() -> str:
+    return f"""
+SELECT 'lcc' AS op, point_id, e_q, n_q FROM ({_lcc_oracle_sql()})
+UNION ALL
+SELECT 'ps' AS op, point_id, e_q, n_q FROM ({_ps_oracle_sql()})
+"""
+
+
+def q_cell_ops(spark, sf_dir):
+    """Composite of the two cell-set primitives: bbox covering set
+    (polygon_cells coarse phase) + adaptive-split children at res+1."""
+    cover = q_cell_cover(spark, sf_dir).select(F.lit("cover").alias("op"), "point_id", "cell")
+    kids = q_cell_children(spark, sf_dir).select(
+        F.lit("children").alias("op"), "point_id", F.col("child").alias("cell"))
+    return cover.unionByName(kids)
+
+
+SQL_CELL_OPS = f"""
+SELECT 'cover' AS op, point_id, cell FROM ({SQL_COVER})
+UNION ALL
+SELECT 'children' AS op, point_id, child AS cell FROM ({SQL_CHILDREN})
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -2204,17 +2334,40 @@ def entry(spark: SparkSession) -> DataFrame:
                          F.col("doc_caption").alias("caption"), url.alias("wms_url"))
 
 
+# The driver's correctness harness evaluates the FIRST 50 keys of the
+# queries() registry (in order).  Since round 6 every oracle-backed query
+# fits inside that window: the single-expression string/shape operators
+# are composed into `string_ops`, the relational primitives into
+# `relational_ops`, the zone projections into `proj_forward`, and the
+# cell-set primitives into `cell_ops`.  This tuple IS the window —
+# queries() asserts its first 50 keys match it exactly, so any future
+# insertion that would silently evict a query from driver verification
+# fails loudly instead (see tests/test_submit.py).
+DRIVER_WINDOW = (
+    "merc_extent", "inv_mercator", "cell_encode", "cell_density",
+    "cell_ops", "proj_forward", "pip_join", "bbox_join", "knn",
+    "tile_assign", "pyramid_levels", "band_stats_approx",
+    "catalog_record_json", "removal_antijoin", "catalog_upsert",
+    "asof_join", "sessionize", "rollup", "band_stats", "style_range",
+    "lang_id", "token_counts", "quality", "fingerprint", "exact_dedup",
+    "corpus_clean", "minhash", "simhash", "ngram_jaccard",
+    "dedup_canonical", "cosine_pairs", "embedding_dedup", "geojson_parse",
+    "gpkg_parse", "percentiles", "catalog_search", "embedding_topk",
+    "label_centroid_sim", "prj_epsg", "string_ops", "relational_ops",
+    "flagship_pip", "exif_pip", "mixed_geo_pip", "video_captions",
+    "h264_frames", "sidecar_captions", "image_text_meta", "tile_pyramid",
+    "tile_slice",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # NOTE: the driver's correctness harness evaluates the FIRST 50 keys of
-        # this registry (in order).  Keep every non-trivial operator inside the
-        # 50-slot window; near-trivial string/relational oracles live past it.
+    reg = {
         "merc_extent": q_merc_extent,
         "inv_mercator": q_inv_mercator,
         "cell_encode": q_cell_encode,
         "cell_density": q_cell_density,
-        "cell_cover": q_cell_cover,
-        "cell_children": q_cell_children,
+        "cell_ops": q_cell_ops,
+        "proj_forward": q_proj_forward,
         "pip_join": q_pip_join,
         "bbox_join": q_bbox_join,
         "knn": q_knn,
@@ -2248,8 +2401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "label_centroid_sim": q_label_centroid_sim,
         "prj_epsg": q_prj_epsg,
-        "lcc_forward": q_lcc_forward,
-        "ps_forward": q_ps_forward,
+        "string_ops": q_string_ops,
+        "relational_ops": q_relational_ops,
         "flagship_pip": q_flagship_pip,
         "exif_pip": q_exif_pip,
         "mixed_geo_pip": q_mixed_geo_pip,
@@ -2259,18 +2412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_text_meta": q_image_text_meta,
         "tile_pyramid": q_tile_pyramid,
         "tile_slice": q_tile_slice,
-        # --- past the driver's 50-slot window: near-trivial oracles (still
-        # checked by tools/check_oracles.py and pytest) ---
-        "box_reorder": q_box_reorder,
-        "geojson_ring": q_geojson_ring,
-        "wms_url": q_wms_url,
-        "bbox_from_url": q_bbox_from_url,
-        "proxy_rewrite": q_proxy_rewrite,
-        "storename": q_storename,
-        "set_except": q_set_except,
-        "pivot": q_pivot,
-        "semi_join": q_semi_join,
-        # rows-only (no SQL oracle): real image pipeline + approximate ops
+        # --- past the driver window: rows-only (no SQL oracle) real image /
+        # audio / approximate pipelines, verified by pytest goldens ---
         "ann_lsh": q_ann_lsh,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "tile_render_png": q_tile_render_png,
@@ -2281,6 +2424,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp3_features": q_mp3_features,
         "aac_features": q_aac_features,
     }
+    assert tuple(reg)[:50] == DRIVER_WINDOW, (
+        "driver 50-slot window changed — update DRIVER_WINDOW deliberately"
+    )
+    return reg
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2289,8 +2436,8 @@ def oracle_sql() -> dict[str, str]:
         "inv_mercator": SQL_INV_MERC,
         "cell_encode": SQL_CELL,
         "cell_density": SQL_DENSITY,
-        "cell_cover": SQL_COVER,
-        "cell_children": SQL_CHILDREN,
+        "cell_ops": SQL_CELL_OPS,
+        "proj_forward": _sql_proj_forward(),
         "pip_join": SQL_PIP,
         "bbox_join": SQL_BBOX_JOIN,
         "knn": SQL_KNN,
@@ -2324,8 +2471,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": SQL_TOPK,
         "label_centroid_sim": SQL_CENTROID,
         "prj_epsg": SQL_PRJ,
-        "lcc_forward": _lcc_oracle_sql(),
-        "ps_forward": _ps_oracle_sql(),
+        "string_ops": SQL_STRING_OPS,
+        "relational_ops": SQL_RELATIONAL_OPS,
         "flagship_pip": _sql_flagship_pip(),
         "exif_pip": _sql_exif_pip(),
         "mixed_geo_pip": _sql_mixed_geo_pip(),
@@ -2335,14 +2482,4 @@ def oracle_sql() -> dict[str, str]:
         "image_text_meta": SQL_IMAGE_TEXT,
         "tile_pyramid": SQL_TILE_PYRAMID,
         "tile_slice": _sql_tile_slice(),
-        # --- past the driver's 50-slot window (see queries()) ---
-        "box_reorder": SQL_BOX,
-        "geojson_ring": SQL_RING,
-        "wms_url": SQL_WMS,
-        "bbox_from_url": SQL_BBOX_URL,
-        "proxy_rewrite": SQL_PROXY,
-        "storename": SQL_STORE,
-        "set_except": SQL_EXCEPT,
-        "pivot": SQL_PIVOT,
-        "semi_join": SQL_SEMI_JOIN,
     }

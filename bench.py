@@ -25,11 +25,17 @@ from extractors_geo_spark.functions import geo
 from extractors_geo_spark.operators import extract_meta, pip_join, tiles
 from extractors_geo_spark.session import get_spark
 
-HEADLINE = (
+# the r4-comparable set: stable since round 4, used for round-over-round
+# regression comparison (reported as `comparable_total` alongside the full
+# total so driver BENCH files are directly comparable — VERDICT r5 #6)
+COMPARABLE = (
     "merc_extent", "cell_encode", "cell_density", "pip_join", "knn",
     "tile_assign", "removal_antijoin", "catalog_upsert", "asof_join",
     "sessionize", "band_stats", "exact_dedup", "minhash", "simhash",
     "ngram_jaccard", "embedding_topk", "token_counts", "quality",
+)
+
+HEADLINE = COMPARABLE + (
     # r5 breadth (VERDICT r4 #8): the most expensive oracle-gated paths —
     # the north-star capstone, the tile pyramid, and a decode-heavy
     # transform-coded video query — regression-guarded round over round
@@ -164,10 +170,13 @@ def main() -> None:
     timings["image_pipeline"] = round(pipe_sec, 3)
 
     total = round(sum(timings.values()), 3)
+    comparable_total = round(
+        sum(timings[n] for n in COMPARABLE) + timings["image_pipeline"], 3)
     print(json.dumps({
         "metric": "headline_queries_plus_image_pipeline_wall_seconds",
         "value": total,
         "unit": "sec",
+        "comparable_total": comparable_total,
         "queries": timings,
         "sf": sf_dir,
         "images": n_images,

@@ -341,6 +341,13 @@ def _decode_au(au: bytes) -> np.ndarray:
         covered += ln
     if covered != max_sfb:
         raise ValueError("section lengths disagree with max_sfb")
+    # validate section codebooks UPFRONT: a foreign stream using only
+    # cb 0/11 sections could otherwise wander through the canonical
+    # scalefactor table into garbage PCM instead of the documented
+    # ValueError stub (ADVICE r5)
+    for cb, _ln in sections:
+        if cb not in (0, 11):
+            raise ValueError("foreign spectral codebook: out of profile")
     # scale_factor_data
     cbs = []
     for cb, ln in sections:
@@ -359,6 +366,10 @@ def _decode_au(au: bytes) -> np.ndarray:
             d = _read_code(r, _SF_DEC)
             prev = prev + d
             sfs.append(prev)
+        if not 0 <= prev <= 255:
+            # ISO 14496-3 bounds scalefactors to 8 bits; out-of-range
+            # deltas mean a desynced/foreign stream, not data (ADVICE r5)
+            raise ValueError("scalefactor out of 0..255 range")
     if r.u(1):
         raise ValueError("pulse data: out of decode profile")
     if r.u(1):

@@ -516,9 +516,14 @@ def write_pcm_mp4(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 def _mp4_descriptor(tag: int, payload: bytes) -> bytes:
     """MPEG-4 BaseDescriptor with 4-byte expandable length (the
-    0x80-continued form every real muxer emits)."""
+    0x80-continued form every real muxer emits).  All four 7-bit groups
+    are encoded so payloads over 127 bytes stay well-formed (ADVICE r5)."""
     ln = len(payload)
-    return bytes([tag, 0x80, 0x80, 0x80, ln & 0x7F]) + payload
+    if ln >= 1 << 28:
+        raise ValueError(f"descriptor payload too large: {ln}")
+    return bytes([tag,
+                  0x80 | ((ln >> 21) & 0x7F), 0x80 | ((ln >> 14) & 0x7F),
+                  0x80 | ((ln >> 7) & 0x7F), ln & 0x7F]) + payload
 
 
 def write_aac_mp4(pcm, rate: int = 48000) -> bytes:

@@ -431,7 +431,7 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                         # timestamps; JPEG samples decode with the T.81
                         # codec, raw samples ARE the pixels
                         parsed = _mp4.read_mjpeg_mp4(data)
-                    except Exception:  # struct.error/IndexError included
+                    except (ValueError, IndexError, struct.error, KeyError):
                         parsed = None
                     if parsed is not None and parsed.get("codec") == "h264":
                         # REAL pixels for baseline intra streams: I_PCM
@@ -458,8 +458,13 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                                              "fh": arr.shape[0],
                                              "frame": arr.tobytes()})
                             continue
-                        except Exception:  # corrupt sample bytes included:
-                            # errors-as-data, never a task failure
+                        except (ValueError, IndexError, struct.error):
+                            # corrupt/unsupported sample bytes: errors-as-
+                            # data, never a task failure.  Only data-shaped
+                            # exception types are absorbed — a genuine
+                            # programming error in the codec propagates
+                            # instead of masquerading as an unsupported
+                            # stream (ADVICE r5)
                             duration_ms = parsed["duration_ms"]
                             wellformed_mp4 = True
                             parsed = None
@@ -481,11 +486,11 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                             else:
                                 try:
                                     arr = _jpeg.decode(s)
-                                except Exception:
+                                except (ValueError, IndexError, struct.error):
                                     # structurally valid MP4, corrupt JPEG
                                     # sample: stop sampling this video, keep
                                     # frames decoded so far (errors-as-data,
-                                    # ADVICE r4 low)
+                                    # ADVICE r4 low; type-narrowed ADVICE r5)
                                     break
                             if arr.ndim == 3:
                                 arr = arr.astype(np.float64).mean(axis=2).astype(np.uint8)

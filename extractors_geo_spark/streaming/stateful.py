@@ -130,6 +130,15 @@ def stateful_sessions(
             if n and t - last > gap_ms:
                 closed.append((start, last, n, sv))
                 start, n, sv = t, 0, 0.0
+            # a late in-watermark event may pre-date the open session's
+            # start (cross-batch out-of-order arrival): within gap, extend
+            # the session backwards so session_start/n_events agree with
+            # the batch sessionize twin; older than that, it is its own
+            # closed single-event session in the batch twin (ADVICE r5)
+            if n and start - t > gap_ms:
+                closed.append((t, t, 1, float(v)))
+                continue
+            start = min(start, t)
             last = max(last, t)
             n += 1
             sv += float(v)

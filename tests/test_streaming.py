@@ -331,3 +331,63 @@ def test_stateful_sessions_gap_and_timeout(spark, tmp_path):
     assert rows[(1, 815)] == (1, 4.0, 815)
     # user 2's single event closed by timeout
     assert rows[(2, 720)] == (1, 7.0, 720)
+
+
+def test_stateful_sessions_late_event_extends_start(spark, tmp_path):
+    """Cross-batch OUT-OF-ORDER arrivals (ADVICE r5): an in-watermark
+    event older than the open session's start but within gap extends the
+    session BACKWARDS (session_start = min), matching the batch
+    sessionize twin; one older than gap becomes its own closed
+    single-event session."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from extractors_geo_spark.streaming import stateful
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    events_dir = str(tmp_path / "ev")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+
+    def m(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    # batch 1: user 1 opens [10, 12]; user 2 opens [100]
+    spark.createDataFrame(
+        [(m(10), 1, 1.0), (m(12), 1, 1.0), (m(100), 2, 5.0)],
+        schema).coalesce(1).write.mode("append").parquet(events_dir)
+    # batch 2 (late, in-watermark): user 1 at minute 5 (within the 30-min
+    # gap of [10,12] -> extend start back to 5); user 2 at minute 10
+    # (90 min older than its open session -> own single-event session)
+    spark.createDataFrame(
+        [(m(5), 1, 2.0), (m(10), 2, 7.0)],
+        schema).coalesce(1).write.mode("append").parquet(events_dir)
+    # batches 3+4: far-future events advance the watermark + fire timeouts
+    spark.createDataFrame(
+        [(m(600), 3, 1.0)], schema).coalesce(1).write.mode("append").parquet(events_dir)
+    spark.createDataFrame(
+        [(m(1200), 3, 1.0)], schema).coalesce(1).write.mode("append").parquet(events_dir)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(events_dir))
+    q = (stateful.stateful_sessions(stream, gap_seconds=1800,
+                                    watermark="120 minutes")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    rows = {(r["user_id"], r["session_start"].minute + 60 * r["session_start"].hour):
+            (r["n_events"], r["sum_value"],
+             r["session_end"].minute + 60 * r["session_end"].hour)
+            for r in spark.read.parquet(out).collect()}
+    # user 1: one session extended backwards to minute 5, 3 events
+    assert rows[(1, 5)] == (3, 4.0, 12)
+    # user 2: the straggler is its own session; the open one times out
+    assert rows[(2, 10)] == (1, 7.0, 10)
+    assert rows[(2, 100)] == (1, 5.0, 100)
