@@ -11,10 +11,14 @@ block. With ring k and cell edge E, any point within distance E*k of the
 query is guaranteed covered; callers pick (res, ring) so that the expected
 k-th-neighbor distance << E*ring. knn_join reports how many queries
 received fewer than k neighbors so callers can fall back to a coarser res
-(no silent truncation).
+(no silent truncation), or pass ``ensure_k=True`` to have the UNDER-FILLED
+REMAINDER (only) automatically re-run at coarser resolutions until every
+query has k neighbors or the corpus is exhausted (VERDICT r04 #10).
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -29,6 +33,27 @@ def sq_dist(lon1, lat1, lon2, lat2):
     dx = (lon1 - lon2) * 0.7547095802227721  # cos(40 deg)
     dy = lat1 - lat2
     return dx * dx + dy * dy
+
+
+def _ring_topk(q_base, t_sel, k, res, ring, q_id, t_id, t_cols, broadcast_queries):
+    """One candidate-generation + exact-rank pass at a fixed resolution."""
+    q = q_base.withColumn(
+        "cell", F.explode(cells.cell_ring(cells.cell_id(F.col("_qlon"), F.col("_qlat"), res), ring))
+    )
+    t = t_sel.withColumn("cell", cells.cell_id(F.col("_tlon"), F.col("_tlat"), res))
+    joined = t.join(F.broadcast(q) if broadcast_queries else q, "cell")
+
+    d = sq_dist(F.col("_qlon"), F.col("_qlat"), F.col("_tlon"), F.col("_tlat"))
+    w = Window.partitionBy(q_id).orderBy(F.col("dist_sq").asc(), F.col(t_id).asc())
+    return (
+        joined.withColumn("dist_sq", d)
+        # a target can match several ring cells of the same query only if
+        # queries duplicate cells (they don't: ring cells are distinct), so
+        # no dedup needed before ranking
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, t_id, "dist_sq", "rank", *t_cols)
+    )
 
 
 def knn_join(
@@ -46,10 +71,23 @@ def knn_join(
     t_cols: tuple[str, ...] = (),
     broadcast_queries: bool | None = None,
     q_size_hint: int | None = None,
+    ensure_k: bool = False,
+    min_res: int = 0,
 ) -> DataFrame:
     """Top-k targets per query. Output: (query_id, image_id, dist_sq, rank,
     *t_cols). `q_size_hint` (known query count) makes the broadcast
-    decision free (no probe job)."""
+    decision free (no probe job).
+
+    ``ensure_k=True``: after the main pass, queries with fewer than k
+    neighbors (sparse regions) escalate through coarser resolutions
+    (res-2 per step, floor ``min_res``; at res 0 a single cell holds the
+    whole grid, so coverage is guaranteed when the corpus has k rows).
+    The escalation input is the SMALL under-filled remainder — satisfied
+    queries are anti-joined out and never recompute — and each remainder
+    pass broadcasts its query side.  A coarser ring block is a strict
+    superset of the finer one, so replacing an escalated query's rows
+    keeps the candidate semantics.  Note the grid-kNN caveat is unchanged:
+    within one pass, top-k is exact over the ring-block candidates."""
     q_base = queries.select(
         F.col(q_id), F.col(q_lon).alias("_qlon"), F.col(q_lat).alias("_qlat")
     )
@@ -62,25 +100,34 @@ def knn_join(
             broadcast_queries = q_size_hint <= cap
         else:
             broadcast_queries = q_base.limit(cap + 1).count() <= cap
-    q = q_base.withColumn(
-        "cell", F.explode(cells.cell_ring(cells.cell_id(F.col("_qlon"), F.col("_qlat"), res), ring))
-    )
-    t = targets.select(
+    t_sel = targets.select(
         F.col(t_id), F.col(t_lon).alias("_tlon"), F.col(t_lat).alias("_tlat"), *t_cols
-    ).withColumn("cell", cells.cell_id(F.col("_tlon"), F.col("_tlat"), res))
-    joined = t.join(F.broadcast(q) if broadcast_queries else q, "cell")
-
-    d = sq_dist(F.col("_qlon"), F.col("_qlat"), F.col("_tlon"), F.col("_tlat"))
-    w = Window.partitionBy(q_id).orderBy(F.col("dist_sq").asc(), F.col(t_id).asc())
-    return (
-        joined.withColumn("dist_sq", d)
-        # a target can match several ring cells of the same query only if
-        # queries duplicate cells (they don't: ring cells are distinct), so
-        # no dedup needed before ranking
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_id, t_id, "dist_sq", "rank", *t_cols)
     )
+    out = _ring_topk(q_base, t_sel, k, res, ring, q_id, t_id, t_cols, broadcast_queries)
+    if not ensure_k:
+        return out
+
+    parts = []
+    cur_q, cur_out, cur_res = q_base, out, res
+    while True:
+        if cur_res <= min_res:
+            # final (coarsest) pass: everything it produced is final,
+            # including still-under-k queries (corpus exhausted near them)
+            parts.append(cur_out)
+            break
+        found = cur_out.groupBy(q_id).agg(F.count(F.lit(1)).alias("_found"))
+        sat = found.filter(F.col("_found") >= k).select(q_id)
+        under_q = cur_q.join(sat, q_id, "left_anti").cache()
+        if under_q.count() == 0:
+            parts.append(cur_out)
+            break
+        # satisfied rows are final; only the small remainder escalates
+        parts.append(cur_out.join(F.broadcast(under_q.select(q_id)), q_id, "left_anti"))
+        cur_res = max(min_res, cur_res - 2)
+        cur_q = under_q
+        cur_out = _ring_topk(under_q, t_sel, k, cur_res, ring,
+                             q_id, t_id, t_cols, broadcast_queries=True)
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def knn_coverage(knn_out: DataFrame, k: int, q_id: str = "query_id") -> DataFrame:
