@@ -1483,13 +1483,13 @@ WHERE i % 7 <> 0
 
 
 def q_h264_frames(spark, sf_dir):
-    """REAL H.264 path (..h264): avc1 MP4s synthesized on executors,
-    frame-sampled through sample_frames with fake=False. Odd clips are
-    TRANSFORM-CODED IDR+P GOPs (CAVLC at qp=8, gop=2: entropy decode +
-    intra prediction + motion-compensated P slices; PSNR >= 40 asserted
-    in tests/test_h264.py), even clips are bit-exact I_PCM — so the
-    driver row covers intra, inter, and entropy-free paths. The oracle
-    checks the (clip, frame, timestamp, dims) fan-out."""
+    """REAL H.264 path (..h264, ..h264_cabac): avc1 MP4s synthesized on
+    executors, frame-sampled through sample_frames with fake=False.
+    Clips rotate through the three entropy paths (i mod 3): bit-exact
+    I_PCM; CAVLC IDR+P GOPs; CABAC IDR+P GOPs (r6 — context-adaptive
+    binary arithmetic decode + intra prediction + motion-compensated P
+    slices; decode==recon bit-exact asserted in tests/test_h264_cabac).
+    The oracle checks the (clip, frame, timestamp, dims) fan-out."""
     import numpy as np
     import pandas as pd
 
@@ -1506,11 +1506,14 @@ def q_h264_frames(spark, sf_dir):
                 n = 2 + i % 3  # 2..4 frames at 1 fps -> duration n seconds
                 frames = [((np.mgrid[0:16, 0:16][1] * 7 + i + f) % 251).astype(np.uint8)
                           for f in range(n)]
-                qp = 8 if i % 2 else None  # CAVLC IDR+P GOP vs I_PCM
-                gop = 2 if i % 2 else None
+                kind = i % 3  # I_PCM / CAVLC GOP / CABAC GOP
+                qp = None if kind == 0 else 8
+                gop = None if kind == 0 else 2
+                entropy = "cabac" if kind == 2 else "cavlc"
                 rows.append({"video_id": f"h{i:04d}",
                              "bytes": _mp4.write_h264_mp4(frames, fps=1,
-                                                          qp=qp, gop=gop)})
+                                                          qp=qp, gop=gop,
+                                                          entropy=entropy)})
             yield pd.DataFrame(rows, columns=["video_id", "bytes"])
 
     vids = base.mapInPandas(make, "video_id string, bytes binary")

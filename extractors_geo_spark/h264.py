@@ -373,11 +373,11 @@ def _read_vlc(r: "_BitReader", dec: dict):
 
 
 # ------------------------------------------------------------------ encoder
-def _sps(w: int, h: int) -> bytes:
+def _sps(w: int, h: int, profile: int = 66) -> bytes:
     mbw = -(-w // 16)
     mbh = -(-h // 16)
     bw = _BitWriter()
-    bw.u(66, 8)   # profile_idc: Baseline
+    bw.u(profile, 8)   # profile_idc: 66 Baseline / 77 Main (CABAC)
     bw.u(0, 8)    # constraint flags + reserved
     bw.u(20, 8)   # level_idc 2.0
     bw.ue(0)      # sps_id
@@ -404,11 +404,11 @@ def _sps(w: int, h: int) -> bytes:
     return bytes(bw.buf)
 
 
-def _pps(deblock_ctrl: bool = False) -> bytes:
+def _pps(deblock_ctrl: bool = False, cabac: bool = False) -> bytes:
     bw = _BitWriter()
     bw.ue(0)      # pps_id
     bw.ue(0)      # sps_id
-    bw.u(0, 1)    # entropy_coding_mode: CAVLC
+    bw.u(1 if cabac else 0, 1)  # entropy_coding_mode: CAVLC / CABAC
     bw.u(0, 1)    # pic_order_present
     bw.ue(0)      # num_slice_groups_minus1
     bw.ue(0)      # num_ref_idx_l0_active_minus1
@@ -700,6 +700,14 @@ def _pred4(plane, px, py, mode, al, aa, aar, aal):
         else:
             AR = np.full(4, int(A[3]), np.int32)
         A8 = np.concatenate([A, AR])
+    # corrupt streams can request a directional mode whose neighbours are
+    # unavailable (conformant ones never do, 8.3.1.2.1) — errors-as-data
+    if mode in (3, 7) and not aa:
+        raise ValueError(f"intra mode {mode} without above neighbour")
+    if mode in (4, 5, 6) and not (aa and al):
+        raise ValueError(f"intra mode {mode} without both neighbours")
+    if mode == 8 and not al:
+        raise ValueError("intra mode 8 without left neighbour")
     p = np.empty((4, 4), np.int32)
     if mode == 0:  # vertical
         if not aa:
@@ -1210,31 +1218,42 @@ def _all_zero_quant(resid: np.ndarray, qp: int) -> bool:
     return True
 
 
-def build_avcc(w: int, h: int, deblock_ctrl: bool = False) -> bytes:
+def build_avcc(w: int, h: int, deblock_ctrl: bool = False,
+               cabac: bool = False) -> bytes:
     """avcC (AVCDecoderConfigurationRecord) for the MP4 sample entry."""
-    sps = _ep_insert(_sps(w, h))
-    pps = _ep_insert(_pps(deblock_ctrl))
-    return (bytes([1, 66, 0, 20, 0xFF, 0xE1])
+    profile = 77 if cabac else 66  # Main carries CABAC capability
+    sps = _ep_insert(_sps(w, h, profile=profile))
+    pps = _ep_insert(_pps(deblock_ctrl, cabac=cabac))
+    return (bytes([1, profile, 0, 20, 0xFF, 0xE1])
             + struct.pack(">H", len(sps) + 1) + bytes([0x67]) + sps
             + bytes([1]) + struct.pack(">H", len(pps) + 1) + bytes([0x68]) + pps)
 
 
 def encode_frames(frames: list[np.ndarray], qp: int | None = None,
-                  deblock: bool = False, gop: int | None = None
-                  ) -> tuple[bytes, list[bytes]]:
+                  deblock: bool = False, gop: int | None = None,
+                  entropy: str = "cavlc") -> tuple[bytes, list[bytes]]:
     """Gray frames -> (avcC record, per-frame length-prefixed NAL samples
     ready for an 'avc1' MP4 track). qp=None keeps the bit-exact I_PCM
-    path; an integer qp (0..51) switches to CAVLC coding. gop=N (CAVLC
-    only) emits a real IDR+P group-of-pictures structure: every Nth
-    frame is an IDR, the rest are P slices (P_SKIP / P_L0_16x16 motion
-    compensation / intra fallback) predicting from the previous frame —
-    decode with decode_samples. Dimensions must be even: 4:2:0 frame
-    cropping works in 2-sample units, so odd sizes are unrepresentable
-    in this chroma format (spec constraint, not an implementation one)."""
+    path; an integer qp (0..51) switches to transform coding with
+    entropy="cavlc" or "cabac" (h264_cabac, r6). gop=N emits a real
+    IDR+P group-of-pictures structure: every Nth frame is an IDR, the
+    rest are P slices (P_SKIP / P_L0_16x16 motion compensation / intra
+    fallback) predicting from the previous frame — decode with
+    decode_samples. Dimensions must be even: 4:2:0 frame cropping works
+    in 2-sample units, so odd sizes are unrepresentable in this chroma
+    format (spec constraint, not an implementation one)."""
     h, w = np.asarray(frames[0]).shape
     if w % 2 or h % 2:
         raise ValueError("4:2:0 H.264 needs even dimensions (crop unit is 2 px)")
-    avcc = build_avcc(w, h, deblock_ctrl=qp is not None)
+    if entropy not in ("cavlc", "cabac"):
+        raise ValueError(f"unknown entropy mode {entropy!r}")
+    use_cabac = entropy == "cabac" and qp is not None
+    if use_cabac:
+        from . import h264_cabac as C
+        enc_idr, enc_p = C.encode_idr_cabac, C.encode_p_cabac
+    else:
+        enc_idr, enc_p = encode_idr_cavlc, encode_p_cavlc
+    avcc = build_avcc(w, h, deblock_ctrl=qp is not None, cabac=use_cabac)
     samples = []
     ref_full = None
     frame_num = 0
@@ -1243,14 +1262,14 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
             rbsp = encode_idr_ipcm(f)
             nal = bytes([0x65]) + _ep_insert(rbsp)  # ref_idc 3, IDR
         elif gop is None or i % gop == 0:
-            rbsp, ref_full = encode_idr_cavlc(f, qp=qp, deblock=deblock,
-                                              full_recon=True)
+            rbsp, ref_full = enc_idr(f, qp=qp, deblock=deblock,
+                                     full_recon=True)
             frame_num = 1
             nal = bytes([0x65]) + _ep_insert(rbsp)
         else:
-            rbsp, ref_full = encode_p_cavlc(f, ref_full, qp=qp,
-                                            frame_num=frame_num,
-                                            deblock=deblock)
+            rbsp, ref_full = enc_p(f, ref_full, qp=qp,
+                                   frame_num=frame_num,
+                                   deblock=deblock)
             frame_num = (frame_num + 1) & 0xF
             nal = bytes([0x41]) + _ep_insert(rbsp)  # ref_idc 2, non-IDR
         samples.append(struct.pack(">I", len(nal)) + nal)
@@ -1791,16 +1810,15 @@ def _skip_mb(plane, ref, mx, my, nnz, nnz_c, modes, mvs):
     mvs.set_mb(mx, my, mv, 0)
 
 
-def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
-                   nal_ref_idc: int = 3) -> np.ndarray:
+def _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc: int = 3) -> dict:
+    """Slice header (7.3.3) — shared by the CAVLC and CABAC (h264_cabac)
+    slice decoders; the header itself is never CABAC-coded."""
     if r.ue() != 0:
         raise ValueError("multi-slice pictures unsupported")
     stype = r.ue()
     is_p = stype % 5 == 0
     if not is_p and stype % 5 != 2:
         raise ValueError("B/SP/SI slice: out of decode scope")
-    if is_p and ref is None:
-        raise ValueError("P slice without a decoded reference frame")
     r.ue()  # pps_id
     r.u(sps["log2_mfn"])  # frame_num
     if nal_type == 5:
@@ -1827,6 +1845,9 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
     elif nal_ref_idc:  # dec_ref_pic_marking only for reference pictures
         if r.u(1):
             raise ValueError("adaptive ref pic marking unsupported")
+    if pps["cabac"] and is_p:
+        if r.ue() > 2:  # cabac_init_idc (the in-repo uniform init ignores it)
+            raise ValueError("bad cabac_init_idc")
     qp = pps["pic_init_qp"] + r.se()
     do_filter, off_a, off_b = True, 0, 0
     if pps["deblock_ctrl"]:
@@ -1836,6 +1857,18 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
         elif idc != 2:  # idc 2 (no slice-crossing) == full filter here:
             off_a = 2 * r.se()  # single-slice pictures have no such edges
             off_b = 2 * r.se()
+    return {"is_p": is_p, "qp": qp, "do_filter": do_filter,
+            "off_a": off_a, "off_b": off_b}
+
+
+def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
+                   nal_ref_idc: int = 3) -> np.ndarray:
+    hdr = _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc)
+    is_p = hdr["is_p"]
+    if is_p and ref is None:
+        raise ValueError("P slice without a decoded reference frame")
+    qp = hdr["qp"]
+    do_filter, off_a, off_b = hdr["do_filter"], hdr["off_a"], hdr["off_b"]
     mbw, mbh = sps["mbw"], sps["mbh"]
     plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
     plane_w = mbw * 16
@@ -1922,12 +1955,11 @@ def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
     """Length-prefixed NAL sample + avcC -> gray frame. Decodes I_PCM,
     CAVLC intra (I_4x4 / I_16x16), and CAVLC P slices (P_SKIP +
     P_L0_16x16, quarter-pel MC, `ref` = previous FULL decoded plane —
-    use decode_samples for GOP streams). CABAC, B slices, and
-    high-profile features raise ValueError (the documented
-    well-formed-unsupported stub path in sample_frames)."""
+    use decode_samples for GOP streams). CABAC slice data decodes via
+    h264_cabac (in-repo-profile streams, r6); B slices and high-profile
+    features raise ValueError (the documented well-formed-unsupported
+    stub path in sample_frames)."""
     sps, pps = _avcc_param_sets(avcc)
-    if pps["cabac"]:
-        raise ValueError("CABAC entropy coding: out of CAVLC decode scope")
     length_size = (avcc[4] & 3) + 1
     pos = 0
     while pos + length_size <= len(sample):
@@ -1941,8 +1973,18 @@ def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
             continue  # SPS/PPS/SEI in-band: skip
         r = _BitReader(_ep_remove(nal[1:]))
         try:
-            full = _decode_islice(r, sps, pps, typ, ref=ref,
-                                  nal_ref_idc=(nal[0] >> 5) & 3)
+            if pps["cabac"]:
+                from . import h264_cabac
+
+                hdr = _parse_slice_header(r, sps, pps, typ,
+                                          (nal[0] >> 5) & 3)
+                if hdr["is_p"] and ref is None:
+                    raise ValueError("P slice without a decoded reference frame")
+                full = h264_cabac.decode_slice(r, sps, pps, hdr, ref,
+                                               hdr["is_p"])
+            else:
+                full = _decode_islice(r, sps, pps, typ, ref=ref,
+                                      nal_ref_idc=(nal[0] >> 5) & 3)
         except (IndexError, TypeError, KeyError, struct.error) as e:
             # corrupted entropy payload desynced the parser: normalize to
             # the ValueError contract callers map to errors-as-data

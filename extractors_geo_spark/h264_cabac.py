@@ -1,0 +1,1036 @@
+"""H.264 CABAC entropy coding (Rec. ITU-T H.264 clause 9.3) for I and P
+slices — the round-6 extension of the in-repo CAVLC codec (h264.py).
+
+What is REAL spec structure here:
+- the binary arithmetic coding engine (9.3.3.2 decode / 9.3.4 encode):
+  9-bit range/offset state, rangeTabLPS-driven interval subdivision,
+  LPS/MPS state transitions, renormalization with outstanding-bit
+  resolution, bypass coding, and the terminate/flush path (end_of_slice);
+- the binarizations (9.3.2): TU, UEG0 (coeff levels, uCoff 14), UEG3
+  (mvd, uCoff 9), the Table 9-36/9-37 mb_type trees, mapped mb_qp_delta;
+- the context MODELING (9.3.3.1): per-syntax-element adaptive contexts
+  with neighbor-conditioned ctxIdxInc — mb_type/mb_skip from left+above
+  macroblock state, cbp bits from neighbor 8x8 cbp, coded_block_flag
+  from neighbor-block cbf, mvd bin0 from neighbor |mvd| sums, residual
+  significance maps indexed by scan position, and level contexts driven
+  by (numDecodAbsLevelEq1, numDecodAbsLevelGt1);
+- the slice-data layout: cabac_alignment_one_bit, per-MB syntax,
+  end_of_slice_flag after every macroblock (incl. skipped).
+
+Honesty contract (same as the CAVLC/mp3/AAC codecs, SURVEY §12): the
+rangeTabLPS / transIdxLPS tables are a transcription of Tables 9-44/9-45
+machine-checked for shape+monotonicity, and context INITIALIZATION is
+in-repo (every context starts at the uniform state (pStateIdx 0, valMPS
+0) instead of the ~1000-entry (m,n) init tables; cabac_init_idc is
+ignored). Encoder and decoder share one table copy, so in-profile round
+trips are bit-exact by construction — decode == encoder recon is the
+machine-checked gate (tests/test_h264_cabac.py) — but bit-exact ISO
+cross-decode of foreign encoders' streams is NOT claimed. Profile
+boundaries that raise ValueError (the well-formed-unsupported contract):
+I_PCM-in-CABAC, chroma residuals (cbp_chroma != 0), P sub-partitions,
+B slices.
+
+Reference parity note: the reference (preview.geotiff/*) does no video at
+all — this is north-star surface (crawl-scale MP4 sampling), not
+reference parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import h264 as H
+
+# ------------------------------------------------------ engine tables
+# Table 9-44 rangeTabLPS[pStateIdx][qCodIRangeIdx] (transcription; see
+# module docstring for the honesty contract).
+_RANGE_LPS = (
+    (128, 176, 208, 240), (128, 167, 197, 227), (128, 158, 187, 216),
+    (123, 150, 178, 205), (116, 142, 169, 195), (111, 135, 160, 185),
+    (105, 128, 152, 175), (100, 122, 144, 166), (95, 116, 137, 158),
+    (90, 110, 130, 150), (85, 104, 123, 142), (81, 99, 117, 135),
+    (77, 94, 111, 128), (73, 89, 105, 122), (69, 85, 100, 116),
+    (66, 80, 95, 110), (62, 76, 90, 104), (59, 72, 86, 99),
+    (56, 69, 81, 94), (53, 65, 77, 89), (51, 62, 73, 85),
+    (48, 59, 69, 80), (46, 56, 66, 76), (43, 53, 63, 72),
+    (41, 50, 59, 69), (39, 48, 56, 65), (37, 45, 54, 62),
+    (35, 43, 51, 59), (33, 41, 48, 56), (32, 39, 46, 53),
+    (30, 37, 43, 50), (29, 35, 41, 48), (27, 33, 39, 45),
+    (26, 31, 37, 43), (24, 30, 35, 41), (23, 28, 33, 39),
+    (22, 27, 32, 37), (21, 26, 30, 35), (20, 24, 29, 33),
+    (19, 23, 27, 31), (18, 22, 26, 30), (17, 21, 25, 28),
+    (16, 20, 23, 27), (15, 19, 22, 25), (14, 18, 21, 24),
+    (14, 17, 20, 23), (13, 16, 19, 22), (12, 15, 18, 21),
+    (12, 14, 17, 20), (11, 14, 16, 19), (11, 13, 15, 18),
+    (10, 12, 15, 17), (10, 12, 14, 16), (9, 11, 13, 15),
+    (9, 11, 12, 14), (8, 10, 12, 14), (8, 9, 11, 13),
+    (7, 9, 11, 12), (7, 9, 10, 12), (7, 8, 10, 11),
+    (6, 8, 9, 11), (6, 7, 9, 10), (6, 7, 8, 9), (2, 2, 2, 2),
+)
+# Table 9-45 transIdxLPS; transIdxMPS is min(state+1, 62).
+_TRANS_LPS = (
+    0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12, 13, 13, 15, 15,
+    16, 16, 18, 18, 19, 19, 21, 21, 23, 23, 24, 24, 25, 26, 26, 27, 27,
+    28, 29, 29, 30, 30, 30, 31, 32, 32, 33, 33, 33, 34, 34, 35, 35, 35,
+    36, 36, 36, 37, 37, 37, 38, 38, 63, 63,
+)
+
+
+# ------------------------------------------------------ context layout
+# Contiguous context pool; every context initializes to the uniform state
+# (pStateIdx 0, valMPS 0) — in-repo init, see the module docstring.
+def _alloc():
+    ofs = {}
+    n = 0
+    for name, cnt in (
+        ("mbt_i", 8),        # I mb_type: bin0 inc 0..2 + 5 suffix bins
+        ("mbt_p_suf", 8),    # intra-in-P suffix (own block, 9.3.3.1 ctx 17+)
+        ("mb_skip", 3),      # bin0 inc 0..2 from neighbor skip state
+        ("mbt_p", 3),        # P mb_type prefix bins b0 b1 b2
+        ("mvd_x", 7),        # bin0 inc 0..2 + TU bins 3..6
+        ("mvd_y", 7),
+        ("prev_i4", 1),      # prev_intra4x4_pred_mode_flag
+        ("rem_i4", 1),       # rem_intra4x4_pred_mode (3 FL bins, one ctx)
+        ("chroma_mode", 4),  # bin0 inc 0..2 + shared bin ctx
+        ("cbp_luma", 4),     # inc 0..3 from neighbor 8x8 cbp bits
+        ("cbp_chroma", 4),
+        ("qp_delta", 4),
+        ("cbf", 12),         # 3 block cats (I16DC, I16AC, Luma4x4) x inc 0..3
+        ("sig", 45),         # 3 cats x scan positions 0..14
+        ("last", 45),
+        ("lvl", 30),         # 3 cats x (bin0 inc 0..4, bins1+ inc 5..9)
+    ):
+        ofs[name] = n
+        n += cnt
+    return ofs, n
+
+
+_OFS, _NCTX = _alloc()
+
+
+class _Ctx:
+    def __init__(self):
+        self.s = [0] * _NCTX   # pStateIdx
+        self.m = [0] * _NCTX   # valMPS
+
+
+# ------------------------------------------------------ arithmetic coder
+class _Enc:
+    """9.3.4 encoder: 10-bit low / 9-bit range, JM-style first-bit
+    suppression and outstanding-bit resolution."""
+
+    def __init__(self):
+        self.low = 0
+        self.range = 510
+        self.bits: list[int] = []
+        self.outstanding = 0
+        self.first = True
+
+    def _put(self, b: int) -> None:
+        if self.first:
+            self.first = False
+        else:
+            self.bits.append(b)
+        while self.outstanding:
+            self.bits.append(1 - b)
+            self.outstanding -= 1
+
+    def _renorm(self) -> None:
+        while self.range < 256:
+            if self.low >= 512:
+                self._put(1)
+                self.low -= 512
+            elif self.low < 256:
+                self._put(0)
+            else:
+                self.outstanding += 1
+                self.low -= 256
+            self.range <<= 1
+            self.low <<= 1
+
+    def decision(self, ctx: _Ctx, idx: int, b: int) -> None:
+        st = ctx.s[idx]
+        lps = _RANGE_LPS[st][(self.range >> 6) & 3]
+        self.range -= lps
+        if b != ctx.m[idx]:
+            self.low += self.range
+            self.range = lps
+            if st == 0:
+                ctx.m[idx] = 1 - ctx.m[idx]
+            ctx.s[idx] = _TRANS_LPS[st]
+        else:
+            ctx.s[idx] = min(st + 1, 62)
+        self._renorm()
+
+    def bypass(self, b: int) -> None:
+        self.low <<= 1
+        if b:
+            self.low += self.range
+        if self.low >= 1024:
+            self._put(1)
+            self.low -= 1024
+        elif self.low < 512:
+            self._put(0)
+        else:
+            self.outstanding += 1
+            self.low -= 512
+
+    def terminate(self, b: int) -> None:
+        self.range -= 2
+        if b:
+            self.low += self.range
+            self._flush()
+        else:
+            self._renorm()
+
+    def _flush(self) -> None:
+        self.range = 2
+        self._renorm()
+        self._put((self.low >> 9) & 1)
+        self._put((self.low >> 8) & 1)
+        self._put(1)  # rbsp-stop-style final one (9.3.4.5)
+
+    def to_bytes(self) -> bytes:
+        bits = self.bits
+        out = bytearray()
+        acc = 0
+        for i, b in enumerate(bits):
+            acc = (acc << 1) | b
+            if i % 8 == 7:
+                out.append(acc)
+                acc = 0
+        rem = len(bits) % 8
+        if rem:
+            out.append(acc << (8 - rem))
+        return bytes(out)
+
+
+class _Dec:
+    """9.3.3.2 decoder over an h264._BitReader positioned at the aligned
+    start of CABAC slice data. Reads past end-of-stream resolve to 0 bits
+    (bounded; a desynced stream raises ValueError)."""
+
+    def __init__(self, r):
+        self.r = r
+        self.nbits = len(r.data) * 8
+        self.over = 0
+        self.range = 510
+        self.offset = 0
+        for _ in range(9):
+            self.offset = (self.offset << 1) | self._bit()
+        if self.offset >= 510:
+            raise ValueError("illegal CABAC initial offset")
+
+    def _bit(self) -> int:
+        if self.r.pos >= self.nbits:
+            self.over += 1
+            if self.over > 64:
+                raise ValueError("CABAC decode ran past end of slice data")
+            return 0
+        return self.r.u(1)
+
+    def decision(self, ctx: _Ctx, idx: int) -> int:
+        st = ctx.s[idx]
+        lps = _RANGE_LPS[st][(self.range >> 6) & 3]
+        self.range -= lps
+        if self.offset >= self.range:
+            b = 1 - ctx.m[idx]
+            self.offset -= self.range
+            self.range = lps
+            if st == 0:
+                ctx.m[idx] = 1 - ctx.m[idx]
+            ctx.s[idx] = _TRANS_LPS[st]
+        else:
+            b = ctx.m[idx]
+            ctx.s[idx] = min(st + 1, 62)
+        while self.range < 256:
+            self.range <<= 1
+            self.offset = (self.offset << 1) | self._bit()
+        return b
+
+    def bypass(self) -> int:
+        self.offset = (self.offset << 1) | self._bit()
+        if self.offset >= self.range:
+            self.offset -= self.range
+            return 1
+        return 0
+
+    def terminate(self) -> int:
+        self.range -= 2
+        if self.offset >= self.range:
+            return 1
+        while self.range < 256:
+            self.range <<= 1
+            self.offset = (self.offset << 1) | self._bit()
+        return 0
+
+
+# ------------------------------------------------------ binarizations
+def _enc_tu(enc, ctx, base, incs, v, cmax):
+    """Truncated unary: v ones then a zero (omitted at cmax); bin i uses
+    context base + incs[min(i, len(incs)-1)]."""
+    for i in range(v):
+        enc.decision(ctx, base + incs[min(i, len(incs) - 1)], 1)
+    if v < cmax:
+        enc.decision(ctx, base + incs[min(v, len(incs) - 1)], 0)
+
+
+def _dec_tu(dec, ctx, base, incs, cmax):
+    v = 0
+    while v < cmax and dec.decision(ctx, base + incs[min(v, len(incs) - 1)]):
+        v += 1
+    return v
+
+
+def _enc_egk(enc, v, k):
+    """Order-k Exp-Golomb suffix, all bypass bins (9.3.2.3)."""
+    while v >= (1 << k):
+        enc.bypass(1)
+        v -= 1 << k
+        k += 1
+    enc.bypass(0)
+    for i in range(k - 1, -1, -1):
+        enc.bypass((v >> i) & 1)
+
+
+def _dec_egk(dec, k):
+    base = 0
+    while dec.bypass():
+        base += 1 << k
+        k += 1
+        if k > 32:
+            raise ValueError("bad CABAC Exp-Golomb suffix")
+    v = 0
+    for _ in range(k):
+        v = (v << 1) | dec.bypass()
+    return base + v
+
+
+# residual block categories: 0 Intra16x16DCLevel, 1 Intra16x16ACLevel,
+# 2 LumaLevel4x4
+def _enc_residual(enc, ctx, cat, scan, cbf_inc):
+    nz = any(scan)
+    enc.decision(ctx, _OFS["cbf"] + cat * 4 + cbf_inc, 1 if nz else 0)
+    if not nz:
+        return
+    n = len(scan)
+    last_idx = max(i for i, v in enumerate(scan) if v)
+    sig_base = _OFS["sig"] + cat * 15
+    last_base = _OFS["last"] + cat * 15
+    for i in range(n - 1):
+        sig = scan[i] != 0
+        enc.decision(ctx, sig_base + min(i, 14), 1 if sig else 0)
+        if sig:
+            is_last = i == last_idx
+            enc.decision(ctx, last_base + min(i, 14), 1 if is_last else 0)
+            if is_last:
+                break
+    # position n-1 significant-by-implication when the loop completes
+    num_eq1 = num_gt1 = 0
+    lvl_base = _OFS["lvl"] + cat * 10
+    for i in range(last_idx, -1, -1):
+        v = scan[i]
+        if not v:
+            continue
+        a = abs(v) - 1
+        inc0 = 0 if num_gt1 else min(4, 1 + num_eq1)
+        incs = (inc0,) + (5 + min(4, num_gt1),)
+        _enc_tu(enc, ctx, lvl_base, incs, min(a, 14), 14)
+        if a >= 14:
+            _enc_egk(enc, a - 14, 0)
+        enc.bypass(1 if v < 0 else 0)
+        if abs(v) > 1:
+            num_gt1 += 1
+        else:
+            num_eq1 += 1
+
+
+def _dec_residual(dec, ctx, cat, n, cbf_inc):
+    if not dec.decision(ctx, _OFS["cbf"] + cat * 4 + cbf_inc):
+        return [0] * n
+    sig = [False] * n
+    sig_base = _OFS["sig"] + cat * 15
+    last_base = _OFS["last"] + cat * 15
+    last_idx = -1
+    for i in range(n - 1):
+        if dec.decision(dec_ctx := ctx, sig_base + min(i, 14)):
+            sig[i] = True
+            if dec.decision(dec_ctx, last_base + min(i, 14)):
+                last_idx = i
+                break
+    if last_idx < 0:
+        sig[n - 1] = True
+        last_idx = n - 1
+    out = [0] * n
+    num_eq1 = num_gt1 = 0
+    lvl_base = _OFS["lvl"] + cat * 10
+    for i in range(last_idx, -1, -1):
+        if not sig[i]:
+            continue
+        inc0 = 0 if num_gt1 else min(4, 1 + num_eq1)
+        incs = (inc0,) + (5 + min(4, num_gt1),)
+        a = _dec_tu(dec, ctx, lvl_base, incs, 14)
+        if a == 14:
+            a += _dec_egk(dec, 0)
+        mag = a + 1
+        out[i] = -mag if dec.bypass() else mag
+        if mag > 1:
+            num_gt1 += 1
+        else:
+            num_eq1 += 1
+    return out
+
+
+def _enc_mvd(enc, ctx, base, nsum, v):
+    """UEG3 (uCoff 9): TU prefix context-coded, EG3 suffix + sign bypass."""
+    a = abs(v)
+    inc0 = 0 if nsum < 3 else (1 if nsum <= 32 else 2)
+    incs = (inc0, 3, 4, 5, 6, 6, 6, 6, 6)
+    _enc_tu(enc, ctx, base, incs, min(a, 9), 9)
+    if a >= 9:
+        _enc_egk(enc, a - 9, 3)
+    if a:
+        enc.bypass(1 if v < 0 else 0)
+
+
+def _dec_mvd(dec, ctx, base, nsum):
+    inc0 = 0 if nsum < 3 else (1 if nsum <= 32 else 2)
+    incs = (inc0, 3, 4, 5, 6, 6, 6, 6, 6)
+    a = _dec_tu(dec, ctx, base, incs, 9)
+    if a == 9:
+        a += _dec_egk(dec, 3)
+    if a and dec.bypass():
+        return -a
+    return a
+
+
+def _enc_qp_delta(enc, ctx, prev_nz, d):
+    mapped = -2 * d if d <= 0 else 2 * d - 1
+    incs = (1 if prev_nz else 0, 2, 3)
+    _enc_tu(enc, ctx, _OFS["qp_delta"], incs, mapped, 52)
+
+
+def _dec_qp_delta(dec, ctx, prev_nz):
+    incs = (1 if prev_nz else 0, 2, 3)
+    mapped = _dec_tu(dec, ctx, _OFS["qp_delta"], incs, 52)
+    return (mapped + 1) // 2 if mapped % 2 else -(mapped // 2)
+
+
+def _enc_mb_type_i(enc, ctx, base, inc0, mbt):
+    """Table 9-36 I-slice mb_type tree (0 = I_NxN, 1..24 = I_16x16;
+    I_PCM never emitted)."""
+    if mbt == 0:
+        enc.decision(ctx, base + inc0, 0)
+        return
+    enc.decision(ctx, base + inc0, 1)
+    enc.terminate(0)  # the I_PCM bin (ctx 276 decodeTerminate)
+    t = mbt - 1
+    cbpl = 1 if t >= 12 else 0
+    cbpc = (t // 4) % 3
+    pm = t % 4
+    enc.decision(ctx, base + 3, cbpl)
+    enc.decision(ctx, base + 4, 1 if cbpc > 0 else 0)
+    if cbpc:
+        enc.decision(ctx, base + 5, cbpc - 1)
+    enc.decision(ctx, base + 6, (pm >> 1) & 1)
+    enc.decision(ctx, base + 7, pm & 1)
+
+
+def _dec_mb_type_i(dec, ctx, base, inc0):
+    if not dec.decision(ctx, base + inc0):
+        return 0
+    if dec.terminate():
+        raise ValueError("I_PCM in CABAC: out of decode profile")
+    cbpl = dec.decision(ctx, base + 3)
+    cbpc = 0
+    if dec.decision(ctx, base + 4):
+        cbpc = 1 + dec.decision(ctx, base + 5)
+    pm = (dec.decision(ctx, base + 6) << 1) | dec.decision(ctx, base + 7)
+    return 1 + pm + 4 * cbpc + 12 * cbpl
+
+
+# ------------------------------------------------------ per-MB state
+class _MbState:
+    """Neighbor-context state shared by encoder and decoder so both sides
+    derive identical ctxIdxInc values."""
+
+    def __init__(self, mbw, mbh):
+        self.mbw, self.mbh = mbw, mbh
+        self.not_i4 = np.zeros((mbh, mbw), np.int32)   # mb_type != I_NxN
+        self.skip = np.zeros((mbh, mbw), np.int32)
+        self.cbp = np.zeros((mbh, mbw), np.int32)      # luma 4-bit cbp
+        self.mvd = np.zeros((mbh, mbw, 2), np.int32)   # |mvd| per MB
+        self.cbf = np.zeros((mbh * 4, mbw * 4), np.int32)   # 4x4 luma cbf
+        self.cbf_dc = np.zeros((mbh, mbw), np.int32)   # I16 DC cbf
+        self.prev_qp_nz = False
+
+    def mbt_inc(self, mx, my):
+        a = self.not_i4[my, mx - 1] if mx > 0 else 0
+        b = self.not_i4[my - 1, mx] if my > 0 else 0
+        return int(a) + int(b)
+
+    def skip_inc(self, mx, my):
+        # condTermN = !mb_skip_flag(N); unavailable -> 0
+        a = 1 if mx > 0 and not self.skip[my, mx - 1] else 0
+        b = 1 if my > 0 and not self.skip[my - 1, mx] else 0
+        return a + b
+
+    def cbp_inc(self, mx, my, blk8, cur_bits):
+        # 9.3.3.1.1.4: condTermN = 1 when the neighbouring 8x8 bit is 0
+        bx, by = blk8 & 1, blk8 >> 1
+        if bx:  # left neighbour inside this MB
+            a = 0 if (cur_bits >> (by * 2)) & 1 else 1
+        else:
+            a = (0 if (self.cbp[my, mx - 1] >> (by * 2 + 1)) & 1 else 1) \
+                if mx > 0 else 0
+        if by:
+            b = 0 if (cur_bits >> bx) & 1 else 1
+        else:
+            b = (0 if (self.cbp[my - 1, mx] >> (2 + bx)) & 1 else 1) \
+                if my > 0 else 0
+        return a + 2 * b
+
+    def mvd_inc_sum(self, mx, my, comp):
+        a = self.mvd[my, mx - 1, comp] if mx > 0 else 0
+        b = self.mvd[my - 1, mx, comp] if my > 0 else 0
+        return int(a) + int(b)
+
+    def cbf_inc(self, bx, by):
+        a = int(self.cbf[by, bx - 1]) if bx > 0 else 0
+        b = int(self.cbf[by - 1, bx]) if by > 0 else 0
+        return a + 2 * b
+
+    def cbf_dc_inc(self, mx, my):
+        a = int(self.cbf_dc[my, mx - 1]) if mx > 0 else 0
+        b = int(self.cbf_dc[my - 1, mx]) if my > 0 else 0
+        return a + 2 * b
+
+
+def _slice_header(bw, slice_type, qp, frame_num, deblock, idr):
+    bw.ue(0)                    # first_mb_in_slice
+    bw.ue(slice_type)           # 7 = I, 5 = P (all slices in picture)
+    bw.ue(0)                    # pps_id
+    bw.u(frame_num & 0xF, 4)
+    if idr:
+        bw.ue(0)                # idr_pic_id
+    else:
+        bw.u(0, 1)              # num_ref_idx_active_override_flag
+        bw.u(0, 1)              # ref_pic_list_modification_flag_l0
+    if idr:
+        bw.u(0, 1)              # no_output_of_prior_pics
+        bw.u(0, 1)              # long_term_reference
+    else:
+        bw.u(0, 1)              # adaptive_ref_pic_marking_mode_flag
+    # cabac_init_idc (P slices only; value ignored by the in-repo init)
+    if slice_type == 5:
+        bw.ue(0)
+    bw.se(qp - 26)              # slice_qp_delta
+    bw.ue(0 if deblock else 1)  # disable_deblocking_filter_idc
+    if deblock:
+        bw.se(0)
+        bw.se(0)
+    # cabac_alignment_one_bit(s)
+    while bw.n:
+        bw.u(1, 1)
+
+
+# ------------------------------------------------------ encoder
+def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
+                     deblock: bool = False, full_recon: bool = False):
+    """One gray frame -> (IDR slice RBSP, reconstructed plane), CABAC
+    entropy coding. Mode decisions, transforms, and reconstruction are
+    identical to encode_idr_cavlc (h264.py) — only the entropy layer
+    differs. decode == recon bit-exact (the codec gate)."""
+    a = np.asarray(gray, np.uint8)
+    h, w = a.shape
+    mbw = -(-w // 16)
+    mbh = -(-h // 16)
+    src = np.pad(a, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
+    plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
+    plane_w = mbw * 16
+    nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
+    modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
+    st = _MbState(mbw, mbh)
+
+    bw = H._BitWriter()
+    _slice_header(bw, 7, qp, 0, deblock, idr=True)
+    enc = _Enc()
+    ctx = _Ctx()
+    for my in range(mbh):
+        for mx in range(mbw):
+            smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+            done = False
+            if int(smb.max()) - int(smb.min()) <= 8:
+                done = _enc_mb_i16(enc, ctx, st, smb, plane, mx, my, qp,
+                                   nnz, modes, max_coeffs, _OFS["mbt_i"])
+            if not done:
+                _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz,
+                           modes, max_coeffs, plane_w, _OFS["mbt_i"])
+            last = my == mbh - 1 and mx == mbw - 1
+            enc.terminate(1 if last else 0)
+    bw.raw(enc.to_bytes())
+    out = plane
+    if deblock and qp >= 16:
+        out = H._deblock_luma(plane, np.full((mbh, mbw), qp, np.int32))
+    return bytes(bw.buf), (out if full_recon else out[:h, :w].copy())
+
+
+def _enc_mb_i16(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
+                max_coeffs, mbt_base):
+    """I_16x16 DC attempt — same commit rule + recon as h264._encode_mb_i16,
+    CABAC serialization."""
+    pred = H._pred16(plane, mx, my, 2, mx > 0, my > 0)
+    resid = smb.astype(np.int32) - pred
+    dcs = np.empty((4, 4), np.int64)
+    for by in range(4):
+        for bx in range(4):
+            wblk = H._fwd4(resid[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4])
+            if np.any(H._quant4(wblk * 1, qp)[H._AC_MASK]):
+                return False
+            dcs[by, bx] = wblk[0, 0]
+    had = H._H4 @ dcs @ H._H4
+    shift = 15 + qp // 6
+    f2 = 2 * ((1 << shift) // 3)
+    mf00 = H._MF[qp % 6][0]
+    dc_lv = (np.sign(had) * (((np.abs(had) >> 1) * mf00 + f2) >> (shift + 1))
+             ).astype(np.int32)
+    if np.count_nonzero(dc_lv) > max_coeffs:
+        return False
+    _enc_mb_type_i(enc, ctx, mbt_base, st.mbt_inc(mx, my), 1 + 2)
+    # intra_chroma_pred_mode = 0 (DC): single TU bin
+    enc.decision(ctx, _OFS["chroma_mode"], 0)
+    _enc_qp_delta(enc, ctx, st.prev_qp_nz, 0)
+    st.prev_qp_nz = False
+    scan = H._scan16(dc_lv)
+    _enc_residual(enc, ctx, 0, scan, st.cbf_dc_inc(mx, my))
+    st.cbf_dc[my, mx] = 1 if any(scan) else 0
+    # cbp_luma == 0: no AC residuals; Intra16x16AC cbf grid stays 0
+    dcv = H._i16_dc_dequant(dc_lv, qp)
+    out = pred.copy()
+    for by in range(4):
+        for bx in range(4):
+            d = np.zeros((4, 4), np.int64)
+            d[0, 0] = dcv[by, bx]
+            out[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] += H._inv4(d).astype(np.int32)
+    np.clip(out, 0, 255, out)
+    plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
+    nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+    modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+    st.not_i4[my, mx] = 1
+    st.cbf[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+    st.cbp[my, mx] = 0
+    return True
+
+
+def _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
+               max_coeffs, plane_w, mbt_base, in_p=False):
+    """I_4x4 macroblock, CABAC serialization; decisions/recon identical to
+    h264._encode_mb_i4."""
+    blocks = []
+    cbp = 0
+    smb = smb.astype(np.uint8)
+    for blk in range(16):
+        ox, oy = H._BLK_XY[blk]
+        px, py = mx * 16 + ox, my * 16 + oy
+        bx, by = px // 4, py // 4
+        al, aa, aar, aal = H._mb_avail(blk, px, py, plane_w)
+        sblk = smb[oy:oy + 4, ox:ox + 4].astype(np.int32)
+        best = None
+        for mode in (2, 0, 1):
+            if mode == 0 and not aa:
+                continue
+            if mode == 1 and not al:
+                continue
+            p = H._pred4(plane, px, py, mode, al, aa, aar, aal)
+            ssd = int(((sblk - p) ** 2).sum())
+            if best is None or ssd < best[0]:
+                best = (ssd, mode, p)
+        _, mode, pred = best
+        lv = H._thin(H._quant4(H._fwd4(sblk - pred), qp), max_coeffs)
+        scan = H._scan16(lv)
+        tc = int(np.count_nonzero(lv))
+        if tc:
+            cbp |= 1 << (blk >> 2)
+        blocks.append((mode, scan, tc))
+        nnz[by, bx] = tc
+        modes[by, bx] = mode
+        rec = pred + H._inv4(H._dequant4(lv, qp)).astype(np.int32)
+        np.clip(rec, 0, 255, rec)
+        plane[py:py + 4, px:px + 4] = rec.astype(np.uint8)
+    # serialize
+    if in_p:
+        # P mb_type: b0=1 (intra) then the intra suffix tree
+        enc.decision(ctx, _OFS["mbt_p"], 1)
+        _enc_mb_type_i(enc, ctx, _OFS["mbt_p_suf"], 0, 0)
+    else:
+        _enc_mb_type_i(enc, ctx, mbt_base, st.mbt_inc(mx, my), 0)
+    for blk in range(16):
+        ox, oy = H._BLK_XY[blk]
+        bx, by = (mx * 16 + ox) // 4, (my * 16 + oy) // 4
+        mode = blocks[blk][0]
+        pm = H._pred_mode_for(modes, bx, by)
+        if mode == pm:
+            enc.decision(ctx, _OFS["prev_i4"], 1)
+        else:
+            enc.decision(ctx, _OFS["prev_i4"], 0)
+            rem = mode - (1 if mode > pm else 0)
+            for i in range(3):  # 3 FL bins, LSB first (9.3.2)
+                enc.decision(ctx, _OFS["rem_i4"], (rem >> i) & 1)
+    enc.decision(ctx, _OFS["chroma_mode"], 0)  # DC
+    # coded_block_pattern: 4 luma bins (8x8 raster) + chroma bin0 = 0
+    for blk8 in range(4):
+        bit = (cbp >> blk8) & 1
+        enc.decision(ctx, _OFS["cbp_luma"] + st.cbp_inc(mx, my, blk8, cbp),
+                     bit)
+    enc.decision(ctx, _OFS["cbp_chroma"], 0)
+    if cbp:
+        _enc_qp_delta(enc, ctx, st.prev_qp_nz, 0)
+        st.prev_qp_nz = False
+    for blk in range(16):
+        ox, oy = H._BLK_XY[blk]
+        bx, by = (mx * 16 + ox) // 4, (my * 16 + oy) // 4
+        if cbp & (1 << (blk >> 2)):
+            _, scan, tc = blocks[blk]
+            _enc_residual(enc, ctx, 2, scan, st.cbf_inc(bx, by))
+            st.cbf[by, bx] = 1 if tc else 0
+        else:
+            st.cbf[by, bx] = 0
+    st.not_i4[my, mx] = 0
+    st.cbp[my, mx] = cbp
+    st.cbf_dc[my, mx] = 0
+    st.mvd[my, mx] = 0
+
+
+def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
+                   max_coeffs: int = 16, frame_num: int = 1,
+                   search: int = 8, deblock: bool = False):
+    """One gray frame -> (P-slice RBSP, FULL recon plane), CABAC entropy.
+    Same decisions as encode_p_cavlc: P_SKIP (mb_skip_flag=1) / motion-
+    compensated P_L0_16x16 / intra (I_4x4) fallback on SAD failure."""
+    a = np.asarray(gray, np.uint8)
+    h, w = a.shape
+    mbw = -(-w // 16)
+    mbh = -(-h // 16)
+    assert ref_full.shape == (mbh * 16, mbw * 16), "reference plane mismatch"
+    src = np.pad(a, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
+    plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
+    plane_w = mbw * 16
+    nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
+    modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
+    mvs = H._MvState(mbw, mbh)
+    qp_map = np.full((mbh, mbw), qp, np.int32)
+    st = _MbState(mbw, mbh)
+
+    bw = H._BitWriter()
+    _slice_header(bw, 5, qp, frame_num, deblock, idr=False)
+    enc = _Enc()
+    ctx = _Ctx()
+    for my in range(mbh):
+        for mx in range(mbw):
+            smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16].astype(np.int32)
+            last = my == mbh - 1 and mx == mbw - 1
+            # --- P_SKIP candidate
+            smv = mvs.skip_mv(mx, my)
+            pred = H._interp_luma(ref_full, mx * 16, my * 16, *smv)
+            if H._all_zero_quant(smb - pred, qp):
+                enc.decision(ctx, _OFS["mb_skip"] + st.skip_inc(mx, my), 1)
+                plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+                    np.clip(pred, 0, 255).astype(np.uint8)
+                nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                mvs.set_mb(mx, my, smv, 0)
+                modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+                st.skip[my, mx] = 1
+                st.mvd[my, mx] = 0
+                st.cbf[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                st.cbp[my, mx] = 0
+                st.not_i4[my, mx] = 1
+                enc.terminate(1 if last else 0)
+                continue
+            enc.decision(ctx, _OFS["mb_skip"] + st.skip_inc(mx, my), 0)
+            # --- integer-pel search around the median predictor
+            mvp = mvs.mvp_16x16(mx, my)
+            cx, cy = mvp[0] >> 2, mvp[1] >> 2
+            best = None
+            for dy in range(-search, search + 1):
+                for dx in range(-search, search + 1):
+                    cand = H._interp_luma(ref_full, mx * 16, my * 16,
+                                          (cx + dx) << 2, (cy + dy) << 2)
+                    sad = int(np.abs(smb - cand).sum())
+                    key = (sad, abs(dx) + abs(dy))
+                    if best is None or key < best[0]:
+                        best = (key, ((cx + dx) << 2, (cy + dy) << 2), cand)
+            (sad, _), mv, pred = best
+            if sad > 28 * 256:  # scene cut: intra fallback
+                _enc_mb_i4(enc, ctx, st, smb.astype(np.uint8), plane, mx, my,
+                           qp, nnz, modes, max_coeffs, plane_w,
+                           _OFS["mbt_i"], in_p=True)
+                mvs.set_mb(mx, my, (0, 0), -1)
+                st.skip[my, mx] = 0
+                enc.terminate(1 if last else 0)
+                continue
+            # --- P_L0_16x16
+            blocks = []
+            cbp = 0
+            out = pred.copy()
+            for blk in range(16):
+                ox, oy = H._BLK_XY[blk]
+                lv = H._thin(H._quant4(H._fwd4(smb[oy:oy + 4, ox:ox + 4]
+                                               - pred[oy:oy + 4, ox:ox + 4]),
+                                       qp, intra=False), max_coeffs)
+                tc = int(np.count_nonzero(lv))
+                if tc:
+                    cbp |= 1 << (blk >> 2)
+                blocks.append((lv, tc))
+                out[oy:oy + 4, ox:ox + 4] += H._inv4(H._dequant4(lv, qp)).astype(np.int32)
+            enc.decision(ctx, _OFS["mbt_p"], 0)      # b0: inter
+            enc.decision(ctx, _OFS["mbt_p"] + 1, 0)  # "000" = P_L0_16x16
+            enc.decision(ctx, _OFS["mbt_p"] + 2, 0)
+            mvd = (mv[0] - mvp[0], mv[1] - mvp[1])
+            _enc_mvd(enc, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0), mvd[0])
+            _enc_mvd(enc, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1), mvd[1])
+            st.mvd[my, mx] = (abs(mvd[0]), abs(mvd[1]))
+            for blk8 in range(4):
+                enc.decision(ctx, _OFS["cbp_luma"]
+                             + st.cbp_inc(mx, my, blk8, cbp), (cbp >> blk8) & 1)
+            enc.decision(ctx, _OFS["cbp_chroma"], 0)
+            if cbp:
+                _enc_qp_delta(enc, ctx, st.prev_qp_nz, 0)
+                st.prev_qp_nz = False
+            for blk in range(16):
+                ox, oy = H._BLK_XY[blk]
+                bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
+                lv, tc = blocks[blk]
+                if cbp & (1 << (blk >> 2)):
+                    _enc_residual(enc, ctx, 2, H._scan16(lv), st.cbf_inc(bx, by))
+                st.cbf[by, bx] = 1 if (cbp & (1 << (blk >> 2))) and tc else 0
+                nnz[by, bx] = tc
+            np.clip(out, 0, 255, out)
+            plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
+            mvs.set_mb(mx, my, mv, 0)
+            modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+            st.skip[my, mx] = 0
+            st.not_i4[my, mx] = 1
+            st.cbp[my, mx] = cbp
+            enc.terminate(1 if last else 0)
+    bw.raw(enc.to_bytes())
+    out_plane = plane
+    if deblock and qp >= 16:
+        out_plane = H._deblock_luma_inter(plane, qp_map, nnz, mvs)
+    return bytes(bw.buf), out_plane
+
+
+# ------------------------------------------------------ decoder
+def decode_slice(r, sps, pps, hdr, ref, is_p):
+    """CABAC slice-data decode; `r` is positioned right after the parsed
+    slice header (h264._parse_slice_header). Returns the FULL plane."""
+    # cabac_alignment_one_bit(s)
+    while r.pos & 7:
+        if r.u(1) != 1:
+            raise ValueError("bad cabac_alignment_one_bit")
+    dec = _Dec(r)
+    ctx = _Ctx()
+    mbw, mbh = sps["mbw"], sps["mbh"]
+    qp = hdr["qp"]
+    plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
+    plane_w = mbw * 16
+    nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
+    modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
+    qp_map = np.zeros((mbh, mbw), np.int32)
+    mvs = H._MvState(mbw, mbh) if is_p else None
+    st = _MbState(mbw, mbh)
+    for my in range(mbh):
+        for mx in range(mbw):
+            if is_p:
+                if dec.decision(ctx, _OFS["mb_skip"] + st.skip_inc(mx, my)):
+                    mv = mvs.skip_mv(mx, my)
+                    pred = H._interp_luma(ref, mx * 16, my * 16, *mv)
+                    plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+                        np.clip(pred, 0, 255).astype(np.uint8)
+                    nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                    modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+                    mvs.set_mb(mx, my, mv, 0)
+                    st.skip[my, mx] = 1
+                    st.mvd[my, mx] = 0
+                    st.cbf[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                    st.cbp[my, mx] = 0
+                    st.not_i4[my, mx] = 1
+                    qp_map[my, mx] = qp
+                    if dec.terminate():
+                        if not (my == mbh - 1 and mx == mbw - 1):
+                            raise ValueError("early end_of_slice_flag")
+                    continue
+                st.skip[my, mx] = 0
+                if dec.decision(ctx, _OFS["mbt_p"]):
+                    mbt = _dec_mb_type_i(dec, ctx, _OFS["mbt_p_suf"], 0)
+                    if mbt != 0:
+                        raise ValueError(
+                            "I_16x16-in-P CABAC: out of decode profile")
+                    qp = _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz,
+                                    modes, plane_w, in_p=True)
+                    mvs.set_mb(mx, my, (0, 0), -1)
+                else:
+                    if dec.decision(ctx, _OFS["mbt_p"] + 1) or \
+                       dec.decision(ctx, _OFS["mbt_p"] + 2):
+                        raise ValueError(
+                            "P sub-partitioned mb_type: out of decode scope")
+                    qp = _dec_mb_p16(dec, ctx, st, plane, ref, mx, my, qp,
+                                     nnz, modes, mvs)
+            else:
+                mbt = _dec_mb_type_i(dec, ctx, _OFS["mbt_i"],
+                                     st.mbt_inc(mx, my))
+                if mbt == 0:
+                    qp = _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz,
+                                    modes, plane_w)
+                else:
+                    qp = _dec_mb_i16(dec, ctx, st, mbt, plane, mx, my, qp,
+                                     nnz, modes)
+            qp_map[my, mx] = qp
+            eos = dec.terminate()
+            last = my == mbh - 1 and mx == mbw - 1
+            if eos != (1 if last else 0):
+                raise ValueError("end_of_slice_flag desync")
+    if hdr["do_filter"] and int(qp_map.max()) + max(hdr["off_a"], hdr["off_b"], 0) >= 16:
+        if is_p:
+            plane = H._deblock_luma_inter(plane, qp_map, nnz, mvs,
+                                          hdr["off_a"], hdr["off_b"])
+        else:
+            plane = H._deblock_luma(plane, qp_map, hdr["off_a"], hdr["off_b"])
+    return plane
+
+
+def _dec_cbp(dec, ctx, st, mx, my):
+    cbp = 0
+    for blk8 in range(4):
+        if dec.decision(ctx, _OFS["cbp_luma"] + st.cbp_inc(mx, my, blk8, cbp)):
+            cbp |= 1 << blk8
+    if dec.decision(ctx, _OFS["cbp_chroma"]):
+        raise ValueError("CABAC chroma residual: out of decode profile")
+    return cbp
+
+
+def _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz, modes, plane_w,
+               in_p=False):
+    prev = []
+    for _blk in range(16):
+        if dec.decision(ctx, _OFS["prev_i4"]):
+            prev.append(None)
+        else:
+            rem = 0
+            for i in range(3):
+                rem |= dec.decision(ctx, _OFS["rem_i4"]) << i
+            prev.append(rem)
+    if dec.decision(ctx, _OFS["chroma_mode"]):
+        raise ValueError("non-DC intra_chroma_pred_mode: out of profile")
+    cbp = _dec_cbp(dec, ctx, st, mx, my)
+    if cbp:
+        d = _dec_qp_delta(dec, ctx, st.prev_qp_nz)
+        st.prev_qp_nz = d != 0
+        qp = (qp + d + 52) % 52
+    for blk in range(16):
+        ox, oy = H._BLK_XY[blk]
+        px, py = mx * 16 + ox, my * 16 + oy
+        bx, by = px // 4, py // 4
+        pm = H._pred_mode_for(modes, bx, by)
+        rem = prev[blk]
+        mode = pm if rem is None else rem + (1 if rem >= pm else 0)
+        if mode > 8:
+            raise ValueError("bad intra 4x4 pred mode")
+        modes[by, bx] = mode
+        al, aa, aar, aal = H._mb_avail(blk, px, py, plane_w)
+        pred = H._pred4(plane, px, py, mode, al, aa, aar, aal)
+        if cbp & (1 << (blk >> 2)):
+            scan = _dec_residual(dec, ctx, 2, 16, st.cbf_inc(bx, by))
+            lv = H._unscan16(scan)
+            tc = int(np.count_nonzero(lv))
+            st.cbf[by, bx] = 1 if tc else 0
+            rec = pred + H._inv4(H._dequant4(lv, qp)).astype(np.int32)
+        else:
+            tc = 0
+            st.cbf[by, bx] = 0
+            rec = pred.copy()
+        nnz[by, bx] = tc
+        np.clip(rec, 0, 255, rec)
+        plane[py:py + 4, px:px + 4] = rec.astype(np.uint8)
+    st.not_i4[my, mx] = 0
+    st.cbp[my, mx] = cbp
+    st.cbf_dc[my, mx] = 0
+    st.mvd[my, mx] = 0
+    return qp
+
+
+def _dec_mb_i16(dec, ctx, st, mbt, plane, mx, my, qp, nnz, modes):
+    t = mbt - 1
+    pm16 = t % 4
+    cbpc = (t // 4) % 3
+    cbpl = 15 if t >= 12 else 0
+    if cbpc:
+        raise ValueError("CABAC chroma residual: out of decode profile")
+    if dec.decision(ctx, _OFS["chroma_mode"]):
+        raise ValueError("non-DC intra_chroma_pred_mode: out of profile")
+    d = _dec_qp_delta(dec, ctx, st.prev_qp_nz)
+    st.prev_qp_nz = d != 0
+    qp = (qp + d + 52) % 52
+    scan = _dec_residual(dec, ctx, 0, 16, st.cbf_dc_inc(mx, my))
+    st.cbf_dc[my, mx] = 1 if any(scan) else 0
+    dc_lv = H._unscan16(scan)
+    dcv = H._i16_dc_dequant(dc_lv, qp)
+    pred = H._pred16(plane, mx, my, pm16, mx > 0, my > 0)
+    out = pred.copy()
+    for blk in range(16):
+        ox, oy = H._BLK_XY[blk]
+        bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
+        if cbpl:
+            ac = _dec_residual(dec, ctx, 1, 15, st.cbf_inc(bx, by))
+            lv = H._unscan15(ac)
+            tc = int(np.count_nonzero(lv))
+            st.cbf[by, bx] = 1 if tc else 0
+            d4 = H._dequant4(lv, qp)
+        else:
+            tc = 0
+            st.cbf[by, bx] = 0
+            d4 = np.zeros((4, 4), np.int64)
+        d4[0, 0] = dcv[oy // 4, ox // 4]
+        nnz[by, bx] = tc
+        modes[by, bx] = -1
+        out[oy:oy + 4, ox:ox + 4] += H._inv4(d4).astype(np.int32)
+    np.clip(out, 0, 255, out)
+    plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
+    st.not_i4[my, mx] = 1
+    st.cbp[my, mx] = 0xF if cbpl else 0
+    st.mvd[my, mx] = 0
+    return qp
+
+
+def _dec_mb_p16(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs):
+    mvp = mvs.mvp_16x16(mx, my)
+    mvd = (_dec_mvd(dec, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0)),
+           _dec_mvd(dec, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1)))
+    st.mvd[my, mx] = (abs(mvd[0]), abs(mvd[1]))
+    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+    cbp = _dec_cbp(dec, ctx, st, mx, my)
+    if cbp:
+        d = _dec_qp_delta(dec, ctx, st.prev_qp_nz)
+        st.prev_qp_nz = d != 0
+        qp = (qp + d + 52) % 52
+    pred = H._interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
+    out = pred.copy()
+    for blk in range(16):
+        ox, oy = H._BLK_XY[blk]
+        bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
+        if cbp & (1 << (blk >> 2)):
+            scan = _dec_residual(dec, ctx, 2, 16, st.cbf_inc(bx, by))
+            lv = H._unscan16(scan)
+            tc = int(np.count_nonzero(lv))
+            st.cbf[by, bx] = 1 if tc else 0
+            out[oy:oy + 4, ox:ox + 4] += H._inv4(H._dequant4(lv, qp)).astype(np.int32)
+        else:
+            tc = 0
+            st.cbf[by, bx] = 0
+        nnz[by, bx] = tc
+        modes[by, bx] = -1
+    np.clip(out, 0, 255, out)
+    plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
+    mvs.set_mb(mx, my, mv, 0)
+    st.not_i4[my, mx] = 1
+    st.cbp[my, mx] = cbp
+    return qp

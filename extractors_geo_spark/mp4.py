@@ -461,14 +461,16 @@ def write_mp4_with_captions(frames: list, fps: int, captions: list[str],
 
 
 def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
-                   gop: int | None = None) -> bytes:
+                   gop: int | None = None, entropy: str = "cavlc") -> bytes:
     """Gray frames -> single-track 'avc1' MP4 whose samples are REAL
-    baseline H.264 (..h264.encode_frames): bit-exact I_PCM when qp is
-    None, CAVLC at the given qp otherwise; gop=N emits a real IDR+P
-    group-of-pictures structure (motion-compensated P slices)."""
+    H.264 (..h264.encode_frames): bit-exact I_PCM when qp is None,
+    CAVLC or CABAC (entropy=) at the given qp otherwise; gop=N emits a
+    real IDR+P group-of-pictures structure (motion-compensated P
+    slices)."""
     from . import h264 as _h264
 
-    avcc, samples = _h264.encode_frames(frames, qp=qp, gop=gop)
+    avcc, samples = _h264.encode_frames(frames, qp=qp, gop=gop,
+                                        entropy=entropy)
     h, w = np.asarray(frames[0]).shape[:2]
     return _assemble_mp4(samples, w, h, fps, fourcc=b"avc1", depth=24,
                          entry_extra=_box(b"avcC", avcc))

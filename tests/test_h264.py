@@ -30,9 +30,11 @@ def test_emulation_prevention_inverse():
     assert b"\x00\x00\x01" not in h264._ep_insert(b"\x00\x00\x01\x00\x00\x01")
 
 
-def test_cabac_out_of_scope():
-    """A CABAC PPS raises the documented stub error instead of garbling
-    (entropy_coding_mode_flag = 1 flips the third PPS RBSP bit)."""
+def test_cabac_flag_mismatch_is_errors_as_data():
+    """A CABAC-flagged PPS over CAVLC slice data (mismatched container
+    metadata) raises ValueError instead of garbling — since r6 the CABAC
+    path is real (h264_cabac), so the failure is an alignment/desync
+    error rather than an unsupported-feature stub."""
     import struct
 
     avcc = bytearray(h264.build_avcc(16, 16))
@@ -48,7 +50,7 @@ def test_cabac_out_of_scope():
     avcc = bytes(avcc[:pps_off]) + h264._ep_insert(bytes(patched))
     img = np.zeros((16, 16), np.uint8)
     _, samples = h264.encode_frames([img])
-    with pytest.raises(ValueError, match="CABAC"):
+    with pytest.raises(ValueError):
         h264.decode_sample(samples[0], avcc)
 
 
