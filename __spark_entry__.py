@@ -2105,14 +2105,15 @@ def q_mp3_features(spark, sf_dir):
 
 
 def q_aac_features(spark, sf_dir):
-    """Real AAC-LC decode through audio_features (VERDICT r04 #6): sine
-    clips AAC-encoded into mp4a MP4s on executors with the in-repo codec
-    (..aac), entropy-decoded back on the feature path (rows-only;
-    ~60 dB SNR parity in tests/test_aac.py)."""
+    """Real AAC-LC decode through audio_features (VERDICT r04 #6 / r5 #3):
+    sine clips AAC-encoded into mp4a MP4s on executors with the in-repo
+    codec (..aac), rotating mono-SCE / stereo-CPE x long / EIGHT_SHORT
+    windows (i mod 4), entropy-decoded back on the feature path
+    (rows-only; ~60 dB SNR + WAV feature parity in tests/test_aac.py)."""
     import numpy as np
     import pandas as pd
 
-    base = spark.range(8).select(F.col("id").alias("n"))
+    base = spark.range(12).select(F.col("id").alias("n"))
 
     def make(batches):
         from extractors_geo_spark import mp4 as _mp4
@@ -2125,8 +2126,13 @@ def q_aac_features(spark, sf_dir):
                 secs = 1 + i % 2
                 t = np.arange(rate * secs) / rate
                 sig = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
+                if i % 4 >= 2:  # stereo CPE
+                    sig = np.stack(
+                        [sig, 0.4 * np.sin(2 * np.pi * (440 + 20 * i) * t)],
+                        axis=1)
                 rows.append({"audio_id": f"a{i}",
-                             "bytes": _mp4.write_aac_mp4(sig, rate)})
+                             "bytes": _mp4.write_aac_mp4(
+                                 sig, rate, short=bool(i % 2))})
             yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
 
     from extractors_geo_spark.operators import multimodal as M

@@ -4,30 +4,41 @@ Scope and honesty (same contract as ..mp3, VERDICT r03 #6 / r04 #6):
 
 * ISO/IEC 14496-3 STRUCTURE throughout: AudioSpecificConfig (AOT 2 =
   LC, sampling-frequency index, channelConfiguration, GASpecificConfig),
-  raw_data_block syntax (SCE + TERM elements, element_instance_tag),
-  ics_info (window_sequence / window_shape / max_sfb /
-  predictor_data_present), section_data with escape-coded section
-  lengths, DPCM scalefactor coding rooted at global_gain, the
-  |x|^(4/3) * 2^((sf-100)/4) non-uniform dequantizer, 2048-point
-  sine-windowed MDCT/IMDCT with 50% overlap-add, and pulse/TNS/gain
-  presence flags. 1024-sample access units, mp4a/esds carriage.
-* The HUFFMAN CODE ASSIGNMENTS (spectral pairs + scalefactor deltas)
+  raw_data_block syntax (SCE / CPE / FIL / TERM elements,
+  element_instance_tag, common_window + ms_mask_present for channel
+  pairs), ics_info (window_sequence incl. EIGHT_SHORT_SEQUENCE with
+  scale_factor_grouping, window_shape, max_sfb,
+  predictor_data_present), section_data with per-window-group
+  escape-coded section lengths (3-bit short / 5-bit long), DPCM
+  scalefactor coding rooted at global_gain, the |x|^(4/3) *
+  2^((sf-100)/4) non-uniform dequantizer, sine-windowed MDCT/IMDCT
+  (2048 long / 8x256 short with the ISO 448-sample short-block offset)
+  with 50% overlap-add, and pulse/TNS/gain presence flags. 1024-sample
+  access units, mp4a/esds carriage.
+* The full spectral codebook FAMILY 1..11 is carried with the ISO
+  structure (quad books 1-4 at LAV 1/2, pair books 5-10 at LAV 4/7/12,
+  escape book 11 at LAV 16; signed books carry signs in-symbol,
+  unsigned books append sign bits) — but the HUFFMAN CODE ASSIGNMENTS
   are in-repo canonical constructions, NOT bit-exact ISO codebooks:
-  deterministic canonical Huffman codes over the codebook-11-shaped
-  pair alphabet (LAV 16 with escape) and the [-60, 60] scalefactor
-  delta alphabet. Encoder and decoder share both, so encode->decode
-  round trips are faithful (measured ~60 dB SNR on band-limited
-  signals); REAL-WORLD AAC entropy payloads are NOT decodable by this
-  module, and decode raises a clear ValueError for them — the caller
+  deterministic canonical Huffman over each book's alphabet with
+  geometric weights, shared by encoder and decoder, so encode->decode
+  round trips are faithful (~60 dB SNR on band-limited signals).
+  REAL-WORLD AAC entropy payloads are NOT decodable by this module, and
+  decode raises a clear ValueError for them (upfront codebook/
+  scalefactor validation, ADVICE r5) — the caller
   (operators/multimodal.audio_features) maps that to its documented
   well-formed-unsupported stub. A real deployment swaps decode() for
   ffmpeg/fdk-aac behind the same contract.
-* Decoder limits (clear ValueError, never silent garbage): mono SCE,
-  ONLY_LONG_SEQUENCE windows, sine window shape, no pulse/TNS/gain
-  control — exactly the streams this encoder emits.
+* In-profile since r6: mono SCE and STEREO CPE (common_window, L/R —
+  ms_mask_present must be 0), ONLY_LONG and EIGHT_SHORT window
+  sequences (any scale_factor_grouping), codebooks 0..11, FIL skip.
+  Out of profile (clear ValueError, never silent garbage): M/S and
+  intensity stereo, PNS (cb 13), LTP, START/STOP window sequences,
+  pulse/TNS/gain control, >2 channels — exactly the boundary the
+  encoder never crosses.
 
-Scalefactor-band layout: the LC long-window swb_offset table for the
-48/44.1 kHz family (49 bands to 1024); other rates reuse it (in-repo
+Scalefactor-band layouts: the LC long- and short-window swb_offset
+tables for the 48/44.1 kHz family; other rates reuse them (in-repo
 simplification — the layout is shared encoder/decoder so round trips
 are exact regardless).
 """
@@ -39,7 +50,9 @@ import heapq
 import numpy as np
 
 FRAME = 1024  # samples per access unit
-N = 2048      # MDCT size
+N = 2048      # long MDCT size
+N_S = 256     # short MDCT size
+FRAME_S = 128
 
 # LC long-window scalefactor band offsets (48/44.1 kHz family)
 SWB_OFFSETS = (
@@ -49,14 +62,16 @@ SWB_OFFSETS = (
     864, 896, 928, 1024,
 )
 N_SFB = len(SWB_OFFSETS) - 1  # 49
+# LC short-window offsets (48/44.1 kHz family), 14 bands to 128
+SWB_OFFSETS_SHORT = (0, 4, 8, 12, 16, 20, 28, 36, 44, 56, 68, 80, 96, 112, 128)
+N_SFB_SHORT = len(SWB_OFFSETS_SHORT) - 1  # 14
 
 FREQ_INDEX = {96000: 0, 88200: 1, 64000: 2, 48000: 3, 44100: 4, 32000: 5,
               24000: 6, 22050: 7, 16000: 8, 12000: 9, 11025: 10, 8000: 11}
 FREQ_OF_INDEX = {v: k for k, v in FREQ_INDEX.items()}
 
 SF_OFFSET = 100
-LAV = 15          # largest absolute value coded directly; 16 = escape
-ESC = 16
+ESC = 16  # escape symbol magnitude slot in codebook 11
 
 # ----------------------------------------------------------- bit plumbing
 from .h264 import _BitReader, _BitWriter  # noqa: E402  (same RBSP-free I/O)
@@ -90,15 +105,37 @@ def _canonical(symbols_with_weight):
     return enc, dec
 
 
-def _spectral_table():
-    """Pair alphabet (a, b), a,b in 0..16 (16 = escape). Weights favour
-    small magnitudes the way real spectra do (geometric decay)."""
+# Spectral codebook structure (dim, LAV, signed) per ISO Table 4.84's
+# shape; code assignments are in-repo canonical (module docstring).
+CB_INFO = {
+    1: (4, 1, True), 2: (4, 1, True), 3: (4, 2, False), 4: (4, 2, False),
+    5: (2, 4, True), 6: (2, 4, True), 7: (2, 7, False), 8: (2, 7, False),
+    9: (2, 12, False), 10: (2, 12, False), 11: (2, 16, False),
+}
+
+
+def _book_table(dim, lav, signed):
+    rng = range(-lav, lav + 1) if signed else range(lav + 1)
     syms = []
-    for a in range(17):
-        for b in range(17):
-            w = 1_000_000 // ((1 + a) * (1 + b))
-            syms.append(((a, b), max(w, 1)))
+    if dim == 2:
+        for a in rng:
+            for b in rng:
+                w = 1_000_000 // ((1 + abs(a)) * (1 + abs(b)))
+                syms.append(((a, b), max(w, 1)))
+    else:
+        for a in rng:
+            for b in rng:
+                for c in rng:
+                    for d in rng:
+                        w = 1_000_000 // ((1 + abs(a)) * (1 + abs(b))
+                                          * (1 + abs(c)) * (1 + abs(d)))
+                        syms.append(((a, b, c, d), max(w, 1)))
     return _canonical(syms)
+
+
+_BOOKS = {cb: _book_table(*info) for cb, info in CB_INFO.items()}
+# book 11 keeps the r5 pair alphabet/weights, so the table is identical
+_SPEC_ENC, _SPEC_DEC = _BOOKS[11]
 
 
 def _sf_table():
@@ -106,7 +143,6 @@ def _sf_table():
     return _canonical(syms)
 
 
-_SPEC_ENC, _SPEC_DEC = _spectral_table()
 _SF_ENC, _SF_DEC = _sf_table()
 
 
@@ -140,10 +176,17 @@ def _read_esc(r: _BitReader) -> int:
 
 
 # ----------------------------------------------------------- MDCT filterbank
-_WIN = np.sin(np.pi / N * (np.arange(N) + 0.5))
-_K = np.arange(FRAME)
-_N0 = N / 4 + 0.5
-_COS = np.cos(2 * np.pi / N * np.outer(_K + 0.5, np.arange(N) + _N0))  # (1024, 2048)
+def _mdct_mats(n):
+    win = np.sin(np.pi / n * (np.arange(n) + 0.5))
+    half = n // 2
+    k = np.arange(half)
+    n0 = n / 4 + 0.5
+    cos = np.cos(2 * np.pi / n * np.outer(k + 0.5, np.arange(n) + n0))
+    return win, cos
+
+
+_WIN, _COS = _mdct_mats(N)
+_WIN_S, _COS_S = _mdct_mats(N_S)
 
 
 def mdct(frames: np.ndarray) -> np.ndarray:
@@ -155,6 +198,20 @@ def imdct(coeffs: np.ndarray) -> np.ndarray:
     """(n_frames, 1024) -> (n_frames, 2048) windowed output blocks
     ready for 50% overlap-add (4/N scaling closes the round trip)."""
     return (coeffs @ _COS) * _WIN * (4.0 / N)
+
+
+def mdct_short(blocks: np.ndarray) -> np.ndarray:
+    """(n, 256) -> (n, 128) short-window coefficients."""
+    return (blocks * _WIN_S) @ _COS_S.T
+
+
+def imdct_short(coeffs: np.ndarray) -> np.ndarray:
+    return (coeffs @ _COS_S) * _WIN_S * (4.0 / N_S)
+
+
+# the ISO short-block alignment: short window j spans
+# [SHORT_OFS + 128*j, SHORT_OFS + 128*j + 256) within the 2048 frame
+SHORT_OFS = 448
 
 
 # ------------------------------------------------------------ quantization
@@ -187,107 +244,192 @@ def _pick_sf(x: np.ndarray, base_sf: int) -> int:
     return max(0, min(255, max(base_sf, _sf_for_max(m))))
 
 
+def _book_for(maxabs: int) -> int:
+    """Smallest structural codebook covering the band's max magnitude
+    (odd-numbered books; 11 escapes above LAV 12)."""
+    for cb in (1, 3, 5, 7, 9):
+        if maxabs <= CB_INFO[cb][1]:
+            return cb
+    return 11
+
+
 # ------------------------------------------------------------------ encoder
-def encode(pcm: np.ndarray, rate: int = 48000) -> tuple[bytes, list[bytes]]:
-    """Mono float64 PCM in [-1, 1] -> (AudioSpecificConfig, raw AUs).
-    ONLY_LONG windows, one SCE per AU."""
+def encode(pcm: np.ndarray, rate: int = 48000,
+           short: bool = False) -> tuple[bytes, list[bytes]]:
+    """PCM in [-1, 1] -> (AudioSpecificConfig, raw AUs).
+    Mono (n,) emits SCE elements; stereo (n, 2) emits CPE
+    (common_window, L/R — no M/S). short=True codes every frame as
+    EIGHT_SHORT_SEQUENCE (8x128 grouped short windows)."""
     if rate not in FREQ_INDEX:
         raise ValueError(f"unsupported sample rate {rate}")
     x = np.asarray(pcm, np.float64)
-    n_frames = -(-x.size // FRAME) + 1  # +1 flush frame for MDCT overlap
-    padded = np.zeros((n_frames + 1) * FRAME)
-    padded[FRAME:FRAME + x.size] = x  # one leading zero block (encoder delay)
-    blocks = np.stack([padded[i * FRAME:i * FRAME + N] for i in range(n_frames)])
-    spec = mdct(blocks) * 32768.0  # 16-bit-ish integer domain
-    aus = [_encode_au(spec[i]) for i in range(n_frames)]
-    return _audio_specific_config(rate), aus
-
-
-def _encode_au(coeffs: np.ndarray) -> bytes:
-    bw = _BitWriter()
-    bw.u(0, 3)   # id_syn_ele SCE
-    bw.u(0, 4)   # element_instance_tag
-    # quantize per band; all-zero bands become codebook-0 sections
-    peak = float(np.max(np.abs(coeffs))) if coeffs.size else 0.0
-    base_sf = SF_OFFSET if peak == 0.0 else max(0, min(255, _sf_for_max(peak)))
-    sfs, bands = [], []
-    for b in range(N_SFB):
-        lo, hi = SWB_OFFSETS[b], SWB_OFFSETS[b + 1]
-        sf = _pick_sf(coeffs[lo:hi], base_sf)
-        q = _quant_band(coeffs[lo:hi], sf)
-        if not np.any(q):
-            sfs.append(None)
-            bands.append(None)
+    if x.ndim == 1:
+        chans = [x]
+    elif x.ndim == 2 and x.shape[1] in (1, 2):
+        chans = [x[:, c] for c in range(x.shape[1])]
+    else:
+        raise ValueError("pcm must be (n,) mono or (n, 2) stereo")
+    size = chans[0].size
+    n_frames = -(-size // FRAME) + 1  # +1 flush frame for MDCT overlap
+    specs = []
+    for ch in chans:
+        padded = np.zeros((n_frames + 1) * FRAME)
+        padded[FRAME:FRAME + size] = ch  # one leading zero block (delay)
+        if short:
+            blocks = np.stack([
+                padded[i * FRAME + SHORT_OFS + FRAME_S * j:
+                       i * FRAME + SHORT_OFS + FRAME_S * j + N_S]
+                for i in range(n_frames) for j in range(8)])
+            specs.append(mdct_short(blocks).reshape(n_frames, 8, FRAME_S)
+                         * 32768.0)
         else:
-            sfs.append(sf)
-            bands.append(q)
-    nz = [b for b in range(N_SFB) if bands[b] is not None]
-    global_gain = sfs[nz[0]] if nz else SF_OFFSET
-    bw.u(global_gain, 8)
-    # ics_info
-    bw.u(0, 1)   # ics_reserved_bit
-    bw.u(0, 2)   # window_sequence = ONLY_LONG_SEQUENCE
-    bw.u(0, 1)   # window_shape = sine
-    bw.u(N_SFB, 6)  # max_sfb
-    bw.u(0, 1)   # predictor_data_present
-    # section_data: run-length sections — codebook 0 for zero bands (no
-    # scalefactor, no spectral bits), our canonical pair codebook in the
-    # cb-11 slot otherwise
-    b = 0
-    while b < N_SFB:
-        cb = 0 if bands[b] is None else 11
-        ln = 1
-        while b + ln < N_SFB and (bands[b + ln] is None) == (cb == 0):
-            ln += 1
-        bw.u(cb, 4)
-        rem = ln
-        while rem >= 31:
-            bw.u(31, 5)
-            rem -= 31
-        bw.u(rem, 5)
-        b += ln
-    # scale_factor_data: DPCM across CODED bands, rooted at global_gain
-    prev = global_gain
-    for b in nz[1:]:
-        d = sfs[b] - prev
-        if not -60 <= d <= 60:
-            raise ValueError("scalefactor delta out of range")
-        ln, code = _SF_ENC[d]
-        bw.u(code, ln)
-        prev = sfs[b]
-    bw.u(0, 1)   # pulse_data_present
-    bw.u(0, 1)   # tns_data_present
-    bw.u(0, 1)   # gain_control_data_present
-    # spectral_data: pairs over the coded bands only
-    for band in bands:
-        if band is None:
-            continue
-        q = band
-        for i in range(0, q.size, 2):
-            a = int(abs(q[i]))
-            b = int(abs(q[i + 1])) if i + 1 < q.size else 0
-            sa = ESC if a > LAV else a
-            sb = ESC if b > LAV else b
-            ln, code = _SPEC_ENC[(sa, sb)]
+            blocks = np.stack([padded[i * FRAME:i * FRAME + N]
+                               for i in range(n_frames)])
+            specs.append(mdct(blocks)[:, None, :] * 32768.0)
+    aus = [_encode_au([s[i] for s in specs], short) for i in range(n_frames)]
+    return _audio_specific_config(rate, len(chans)), aus
+
+
+def _quantize_channel(spec, short):
+    """spec: (n_windows, bins). Returns (global_gain, groups) where
+    groups is a list (one per window group; short uses ONE group of 8)
+    of per-band dicts {cb, sf, q}."""
+    swb = SWB_OFFSETS_SHORT if short else SWB_OFFSETS
+    n_sfb = N_SFB_SHORT if short else N_SFB
+    peak = float(np.max(np.abs(spec))) if spec.size else 0.0
+    base_sf = SF_OFFSET if peak == 0.0 else max(0, min(255, _sf_for_max(peak)))
+    groups = []
+    bands = []
+    for b in range(n_sfb):
+        lo, hi = swb[b], swb[b + 1]
+        x = spec[:, lo:hi].reshape(-1)  # windows interleaved per band
+        sf = _pick_sf(x, base_sf)
+        q = _quant_band(x, sf)
+        if not np.any(q):
+            bands.append({"cb": 0, "sf": None, "q": None})
+        else:
+            bands.append({"cb": _book_for(int(np.max(np.abs(q)))),
+                          "sf": sf, "q": q})
+    groups.append(bands)
+    first_sf = next((bd["sf"] for bd in bands if bd["sf"] is not None), None)
+    return (first_sf if first_sf is not None else SF_OFFSET), groups
+
+
+def _write_ics_info(bw, short):
+    bw.u(0, 1)                    # ics_reserved_bit
+    if short:
+        bw.u(2, 2)                # EIGHT_SHORT_SEQUENCE
+        bw.u(0, 1)                # window_shape = sine
+        bw.u(N_SFB_SHORT, 4)      # max_sfb
+        bw.u(0x7F, 7)             # scale_factor_grouping: one group of 8
+    else:
+        bw.u(0, 2)                # ONLY_LONG_SEQUENCE
+        bw.u(0, 1)                # window_shape = sine
+        bw.u(N_SFB, 6)            # max_sfb
+        bw.u(0, 1)                # predictor_data_present
+
+
+def _write_band(bw, cb, q):
+    dim, lav, signed = CB_INFO[cb]
+    enc = _BOOKS[cb][0]
+    n = q.size
+    for i in range(0, n, dim):
+        chunk = [int(q[i + d]) if i + d < n else 0 for d in range(dim)]
+        if signed:
+            ln, code = enc[tuple(chunk)]
             bw.u(code, ln)
-            if sa == ESC:
-                _write_esc(bw, a)
-            if sb == ESC:
-                _write_esc(bw, b)
-            if a:
-                bw.u(1 if q[i] < 0 else 0, 1)
-            if b and i + 1 < q.size:
-                bw.u(1 if q[i + 1] < 0 else 0, 1)
+        else:
+            mags = [abs(v) for v in chunk]
+            if cb == 11:
+                sym = tuple(ESC if m > 15 else m for m in mags)
+            else:
+                sym = tuple(mags)
+            ln, code = enc[sym]
+            bw.u(code, ln)
+            if cb == 11:
+                for m, s in zip(mags, sym):
+                    if s == ESC:
+                        _write_esc(bw, m)
+            for d, v in enumerate(chunk):
+                if v and i + d < n:
+                    bw.u(1 if v < 0 else 0, 1)
+
+
+def _encode_au(chan_specs: list[np.ndarray], short: bool) -> bytes:
+    bw = _BitWriter()
+    qdata = [_quantize_channel(s, short) for s in chan_specs]
+    if len(chan_specs) == 1:
+        bw.u(0, 3)   # id_syn_ele SCE
+        bw.u(0, 4)   # element_instance_tag
+        gg, groups = qdata[0]
+        # individual_channel_stream: global_gain, ics_info, then the tail
+        bw.u(gg, 8)
+        _write_ics_info(bw, short)
+        _write_stream_tail(bw, gg, groups, short)
+    else:
+        bw.u(1, 3)   # id_syn_ele CPE
+        bw.u(0, 4)   # element_instance_tag
+        bw.u(1, 1)   # common_window
+        _write_ics_info(bw, short)
+        bw.u(0, 2)   # ms_mask_present = 0 (no M/S)
+        for gg, groups in qdata:
+            bw.u(gg, 8)
+            _write_stream_tail(bw, gg, groups, short)
     bw.u(7, 3)   # id_syn_ele TERM
     bw.align()
     return bytes(bw.buf)
 
 
-def _audio_specific_config(rate: int) -> bytes:
+def _write_stream_tail(bw, gg, groups, short):
+    """section_data + scalefactors + flags + spectral (everything in
+    individual_channel_stream after global_gain/ics_info)."""
+    sect_bits = 3 if short else 5
+    sect_esc = (1 << sect_bits) - 1
+    for bands in groups:
+        n_sfb = len(bands)
+        b = 0
+        while b < n_sfb:
+            cb = bands[b]["cb"]
+            ln = 1
+            while b + ln < n_sfb and bands[b + ln]["cb"] == cb:
+                ln += 1
+            bw.u(cb, 4)
+            rem = ln
+            while rem >= sect_esc:
+                bw.u(sect_esc, sect_bits)
+                rem -= sect_esc
+            bw.u(rem, sect_bits)
+            b += ln
+    prev = gg
+    first = True
+    for bands in groups:
+        for bd in bands:
+            if bd["sf"] is None:
+                continue
+            if first:
+                first = False
+                prev = bd["sf"]
+                continue
+            d = bd["sf"] - prev
+            if not -60 <= d <= 60:
+                raise ValueError("scalefactor delta out of range")
+            ln, code = _SF_ENC[d]
+            bw.u(code, ln)
+            prev = bd["sf"]
+    bw.u(0, 1)   # pulse_data_present
+    bw.u(0, 1)   # tns_data_present
+    bw.u(0, 1)   # gain_control_data_present
+    for bands in groups:
+        for bd in bands:
+            if bd["cb"] != 0:
+                _write_band(bw, bd["cb"], bd["q"])
+
+
+def _audio_specific_config(rate: int, channels: int = 1) -> bytes:
     bw = _BitWriter()
     bw.u(2, 5)                  # audioObjectType = AAC LC
     bw.u(FREQ_INDEX[rate], 4)   # samplingFrequencyIndex
-    bw.u(1, 4)                  # channelConfiguration = mono
+    bw.u(channels, 4)           # channelConfiguration
     # GASpecificConfig
     bw.u(0, 1)                  # frameLengthFlag (1024)
     bw.u(0, 1)                  # dependsOnCoreCoder
@@ -310,66 +452,101 @@ def parse_asc(asc: bytes) -> dict:
     return {"aot": aot, "rate": rate, "channels": chans}
 
 
-def _decode_au(au: bytes) -> np.ndarray:
-    r = _BitReader(au)
-    if r.u(3) != 0:
-        raise ValueError("expected SCE (mono LC profile only)")
-    r.u(4)  # element_instance_tag
-    global_gain = r.u(8)
+def _parse_ics_info(r) -> dict:
     if r.u(1):
         raise ValueError("ics_reserved_bit set")
-    if r.u(2) != 0:
-        raise ValueError("non-long window sequence: out of decode profile")
+    wseq = r.u(2)
+    if wseq in (1, 3):
+        raise ValueError("START/STOP window sequence: out of decode profile")
+    short = wseq == 2
     r.u(1)  # window_shape (sine assumed; Kaiser streams decode approx.)
-    max_sfb = r.u(6)
-    if max_sfb > N_SFB:
-        raise ValueError("max_sfb out of range")
-    if r.u(1):
-        raise ValueError("predictor data: not LC")
-    # section_data
-    sections = []  # (cb, n_bands)
-    covered = 0
-    while covered < max_sfb:
-        cb = r.u(4)
-        ln = 0
-        while True:
-            inc = r.u(5)
-            ln += inc
-            if inc != 31:
-                break
-        sections.append((cb, ln))
-        covered += ln
-    if covered != max_sfb:
-        raise ValueError("section lengths disagree with max_sfb")
-    # validate section codebooks UPFRONT: a foreign stream using only
-    # cb 0/11 sections could otherwise wander through the canonical
-    # scalefactor table into garbage PCM instead of the documented
-    # ValueError stub (ADVICE r5)
-    for cb, _ln in sections:
-        if cb not in (0, 11):
-            raise ValueError("foreign spectral codebook: out of profile")
+    if short:
+        max_sfb = r.u(4)
+        if max_sfb > N_SFB_SHORT:
+            raise ValueError("max_sfb out of range")
+        grouping = r.u(7)
+        # window w starts a new group when its grouping bit is 0
+        wins_per_group = []
+        cur = 1
+        for w in range(7):
+            if (grouping >> (6 - w)) & 1:
+                cur += 1
+            else:
+                wins_per_group.append(cur)
+                cur = 1
+        wins_per_group.append(cur)
+    else:
+        max_sfb = r.u(6)
+        if max_sfb > N_SFB:
+            raise ValueError("max_sfb out of range")
+        if r.u(1):
+            raise ValueError("predictor data: not LC")
+        wins_per_group = [1]
+    return {"short": short, "max_sfb": max_sfb,
+            "wins_per_group": wins_per_group}
+
+
+def _read_channel_stream(r, info, gg=None) -> np.ndarray:
+    """individual_channel_stream -> (n_windows, bins). For the CPE
+    common_window layout ics_info was already parsed and global_gain
+    leads each channel stream (gg=None reads it); for SCE the caller
+    read global_gain before ics_info and passes it in."""
+    short = info["short"]
+    max_sfb = info["max_sfb"]
+    swb = SWB_OFFSETS_SHORT if short else SWB_OFFSETS
+    bins = FRAME_S if short else FRAME
+    sect_bits = 3 if short else 5
+    sect_esc = (1 << sect_bits) - 1
+    if gg is None:
+        gg = r.u(8)
+    groups = info["wins_per_group"]
+    # section_data per group
+    sections = []  # per group: list of per-band cb
+    for _g in groups:
+        cbs = []
+        while len(cbs) < max_sfb:
+            cb = r.u(4)
+            ln = 0
+            while True:
+                inc = r.u(sect_bits)
+                ln += inc
+                if inc != sect_esc:
+                    break
+            if ln == 0 or len(cbs) + ln > max_sfb:
+                raise ValueError("section lengths disagree with max_sfb")
+            cbs.extend([cb] * ln)
+        sections.append(cbs)
+    # validate codebooks UPFRONT (ADVICE r5): anything outside the
+    # carried family means a foreign/desynced stream
+    for cbs in sections:
+        for cb in cbs:
+            if cb in (13, 14, 15):
+                raise ValueError("PNS/intensity stereo: out of profile")
+            if cb == 12 or cb > 15:
+                raise ValueError("reserved spectral codebook")
     # scale_factor_data
-    cbs = []
-    for cb, ln in sections:
-        cbs.extend([cb] * ln)
-    sfs, prev = [], global_gain
+    sfs = []  # per group list of per-band sf (None for cb 0)
+    prev = gg
     first = True
-    for b in range(max_sfb):
-        if cbs[b] == 0:
-            sfs.append(None)
-            continue
-        if first:
-            sfs.append(global_gain)
-            prev = global_gain
-            first = False
-        else:
-            d = _read_code(r, _SF_DEC)
-            prev = prev + d
-            sfs.append(prev)
-        if not 0 <= prev <= 255:
-            # ISO 14496-3 bounds scalefactors to 8 bits; out-of-range
-            # deltas mean a desynced/foreign stream, not data (ADVICE r5)
-            raise ValueError("scalefactor out of 0..255 range")
+    for cbs in sections:
+        row = []
+        for cb in cbs:
+            if cb == 0:
+                row.append(None)
+                continue
+            if first:
+                first = False
+                row.append(gg)
+                prev = gg
+            else:
+                d = _read_code(r, _SF_DEC)
+                prev = prev + d
+                row.append(prev)
+            if not 0 <= prev <= 255:
+                # ISO bounds scalefactors to 8 bits; out-of-range deltas
+                # mean a desynced/foreign stream, not data (ADVICE r5)
+                raise ValueError("scalefactor out of 0..255 range")
+        sfs.append(row)
     if r.u(1):
         raise ValueError("pulse data: out of decode profile")
     if r.u(1):
@@ -377,49 +554,128 @@ def _decode_au(au: bytes) -> np.ndarray:
     if r.u(1):
         raise ValueError("gain control: out of decode profile")
     # spectral_data
-    coeffs = np.zeros(FRAME)
-    for b in range(max_sfb):
-        cb = cbs[b]
-        lo, hi = SWB_OFFSETS[b], SWB_OFFSETS[b + 1]
-        if cb == 0:
-            continue
-        if cb != 11:
-            raise ValueError("foreign spectral codebook: out of profile")
-        vals = np.zeros(hi - lo, np.int64)
-        for i in range(0, hi - lo, 2):
-            sa, sb = _read_code(r, _SPEC_DEC)
-            a = _read_esc(r) if sa == ESC else sa
-            bval = _read_esc(r) if sb == ESC else sb
-            if a:
-                if r.u(1):
-                    a = -a
-            if bval and i + 1 < hi - lo:
-                if r.u(1):
-                    bval = -bval
-            vals[i] = a
-            if i + 1 < hi - lo:
-                vals[i + 1] = bval
-        coeffs[lo:hi] = _dequant_band(vals, sfs[b])
-    # TERM + alignment (tolerate trailing fill)
+    n_windows = sum(groups)
+    coeffs = np.zeros((n_windows, bins))
+    w0 = 0
+    for g, wins in enumerate(groups):
+        for b in range(max_sfb):
+            cb = sections[g][b]
+            lo, hi = swb[b], swb[b + 1]
+            if cb == 0:
+                continue
+            vals = _read_band(r, cb, wins * (hi - lo))
+            deq = _dequant_band(np.asarray(vals, np.int64), sfs[g][b])
+            coeffs[w0:w0 + wins, lo:hi] = deq.reshape(wins, hi - lo)
+        w0 += wins
     return coeffs
 
 
-def decode(aus: list[bytes], asc: bytes) -> tuple[np.ndarray, int]:
-    """Raw AUs + AudioSpecificConfig -> (float64 mono PCM, rate)."""
+def _read_band(r, cb, n):
+    """One band's values (mirror of _write_band: signed books carry sign
+    in-symbol; unsigned books read cb-11 escapes first, then one sign
+    bit per in-range nonzero magnitude; pad slots beyond n are zero)."""
+    _dim, _lav, signed = CB_INFO[cb]
+    dec = _BOOKS[cb][1]
+    out = []
+    while len(out) < n:
+        sym = _read_code(r, dec)
+        if signed:
+            vals = list(sym)
+        else:
+            mags = [(_read_esc(r) if cb == 11 and m == ESC else m)
+                    for m in sym]
+            vals = []
+            for d, m in enumerate(mags):
+                if m and len(out) + d < n:
+                    vals.append(-m if r.u(1) else m)
+                else:
+                    vals.append(m)
+        out.extend(vals)
+    if len(out) > n:
+        if any(out[n:]):
+            raise ValueError("nonzero pad in spectral chunk")
+        del out[n:]
+    return out
+
+
+def _decode_au(au: bytes, exp_channels: int) -> np.ndarray:
+    """One raw_data_block -> (channels, n_windows, bins) dequantized
+    spectra plus the window mode, as (short, array)."""
+    r = _BitReader(au)
+    chans = []
+    short = False
+    while True:
+        ele = r.u(3)
+        if ele == 7:  # TERM
+            break
+        if ele == 0:  # SCE
+            r.u(4)
+            gg = r.u(8)  # SCE: global_gain precedes ics_info
+            info = _parse_ics_info(r)
+            short = info["short"]
+            chans.append(_read_channel_stream(r, info, gg=gg))
+        elif ele == 1:  # CPE
+            r.u(4)
+            if not r.u(1):
+                raise ValueError("CPE without common_window: out of profile")
+            info = _parse_ics_info(r)
+            short = info["short"]
+            ms = r.u(2)
+            if ms != 0:
+                raise ValueError("M/S stereo: out of decode profile")
+            chans.append(_read_channel_stream(r, info))
+            chans.append(_read_channel_stream(r, info))
+        elif ele == 6:  # FIL: skip
+            cnt = r.u(4)
+            if cnt == 15:
+                cnt += r.u(8) - 1
+            for _ in range(cnt):
+                r.u(8)
+        else:
+            raise ValueError(f"syntactic element {ele}: out of decode profile")
+        if len(chans) >= exp_channels:
+            break
+    if len(chans) != exp_channels:
+        raise ValueError("channel count mismatch in raw_data_block")
+    return short, np.stack(chans)
+
+
+def decode(aus: list[bytes], asc: bytes,
+           downmix: bool = True) -> tuple[np.ndarray, int]:
+    """Raw AUs + AudioSpecificConfig -> (float64 PCM, rate). Stereo CPE
+    streams decode both channels; downmix=True (default) averages to
+    mono (the pipeline's analysis shape), downmix=False returns
+    (n, channels)."""
     info = parse_asc(asc)
     if info["aot"] != 2:
         raise ValueError("not AAC-LC (audioObjectType != 2)")
-    if info["channels"] != 1:
-        raise ValueError("only mono streams in decode profile")
+    n_ch = info["channels"]
+    if n_ch not in (1, 2):
+        raise ValueError("only mono/stereo streams in decode profile")
     try:
-        spec = np.stack([_decode_au(au) for au in aus]) / 32768.0
+        decoded = [_decode_au(au, n_ch) for au in aus]
     except (IndexError, TypeError, KeyError) as e:
         # corrupted entropy payload desynced the parser: normalize to the
         # ValueError contract callers map to errors-as-data
         raise ValueError(f"corrupt AAC access unit ({type(e).__name__})")
-    blocks = imdct(spec)
-    out = np.zeros((len(aus) + 1) * FRAME)
-    for i in range(len(aus)):
-        out[i * FRAME:i * FRAME + N] += blocks[i]
+    n_frames = len(aus)
+    out = np.zeros(((n_frames + 1) * FRAME, n_ch))
+    for i, (short, spec) in enumerate(decoded):
+        spec = spec / 32768.0
+        for c in range(n_ch):
+            if short:
+                if spec.shape[1] != 8:
+                    raise ValueError("EIGHT_SHORT frame without 8 windows")
+                blocks = imdct_short(spec[c])  # (8, 256)
+                for j in range(8):
+                    o = i * FRAME + SHORT_OFS + FRAME_S * j
+                    out[o:o + N_S, c] += blocks[j]
+            else:
+                out[i * FRAME:i * FRAME + N, c] += imdct(spec[c])[0]
     # drop the encoder-delay block and the flush tail
-    return out[FRAME:len(aus) * FRAME], info["rate"]
+    pcm = out[FRAME:n_frames * FRAME]
+    if n_ch == 1:
+        return pcm[:, 0], info["rate"]
+    if downmix:
+        return pcm.mean(axis=1), info["rate"]
+    return pcm, info["rate"]

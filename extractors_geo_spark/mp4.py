@@ -528,14 +528,17 @@ def _mp4_descriptor(tag: int, payload: bytes) -> bytes:
                   0x80 | ((ln >> 7) & 0x7F), ln & 0x7F]) + payload
 
 
-def write_aac_mp4(pcm, rate: int = 48000) -> bytes:
-    """Mono float64 PCM -> single-track 'mp4a' MP4 whose samples are
-    AAC-LC access units (..aac.encode) and whose esds box carries the
+def write_aac_mp4(pcm, rate: int = 48000, short: bool = False) -> bytes:
+    """Float64 PCM — (n,) mono SCE or (n, 2) stereo CPE — -> single-track
+    'mp4a' MP4 whose samples are AAC-LC access units (..aac.encode;
+    short=True codes EIGHT_SHORT windows) and whose esds box carries the
     real AudioSpecificConfig. In-repo canonical Huffman (see ..aac
     docstring): round trips through read_audio_track, not ffmpeg."""
     from . import aac as _aac
 
-    asc, aus = _aac.encode(pcm, rate)
+    arr = np.asarray(pcm)
+    channels = 1 if arr.ndim == 1 else arr.shape[1]
+    asc, aus = _aac.encode(pcm, rate, short=short)
     n_aus = len(aus)
     payload = b"".join(aus)
     dur = n_aus * _aac.FRAME
@@ -566,7 +569,7 @@ def write_aac_mp4(pcm, rate: int = 48000) -> bytes:
     esds = _full(b"esds", 0, 0, es)
     ase = (b"\x00" * 6 + struct.pack(">H", 1)
            + b"\x00" * 8
-           + struct.pack(">HHHH", 1, 16, 0, 0)
+           + struct.pack(">HHHH", channels, 16, 0, 0)
            + struct.pack(">I", rate << 16))
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"mp4a", ase + esds))
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n_aus, _aac.FRAME))

@@ -689,9 +689,12 @@ def audio_features(audios: DataFrame, fake: bool = True, id_col: str = "audio_id
                                 if not fake:
                                     # well-formed mp4a OUTSIDE the in-repo
                                     # AAC-LC profile (..aac decodes mono
-                                    # long-window LC for real since r5;
-                                    # real-world Huffman/stereo/short
-                                    # windows land here): the documented
+                                    # SCE + stereo CPE, long and
+                                    # EIGHT_SHORT windows, codebooks
+                                    # 0..11 for real since r6; real-world
+                                    # ISO Huffman assignments, M/S or
+                                    # intensity stereo, PNS, TNS, and
+                                    # >2ch land here): the documented
                                     # unsupported-codec stub (real deploy:
                                     # ffmpeg). Malformed falls to except.
                                     raise NotImplementedError(
