@@ -2071,8 +2071,9 @@ def q_flac_features(spark, sf_dir):
 
 
 def q_mp3_features(spark, sf_dir):
-    """Real MPEG-1 Layer III decode through audio_features (VERDICT r03
-    #6): sine clips mp3-encoded on executors with the in-repo codec,
+    """Real Layer III decode through audio_features (VERDICT r03 #6 /
+    r5 #8): sine clips mp3-encoded on executors with the in-repo codec,
+    rotating mono / M-S joint stereo x MPEG-1 / MPEG-2 LSF (i mod 4),
     decoded back on the feature path (rows-only; WAV-parity tolerance in
     tests/test_mp3.py)."""
     import numpy as np
@@ -2087,11 +2088,16 @@ def q_mp3_features(spark, sf_dir):
             rows = []
             for i in b["n"]:
                 i = int(i)
-                rate = 32000
+                rate = 16000 if i % 2 else 32000  # LSF / MPEG-1
                 secs = 1 + i % 2
                 t = np.arange(rate * secs) / rate
                 sig = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
-                rows.append({"audio_id": f"m{i}", "bytes": _mp3.encode(sig, rate)})
+                if i % 4 >= 2:  # M/S joint stereo
+                    sig = np.stack(
+                        [sig, 0.4 * np.sin(2 * np.pi * (330 + 20 * i) * t)],
+                        axis=1)
+                rows.append({"audio_id": f"m{i}",
+                             "bytes": _mp3.encode(sig, rate, joint=True)})
             yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
 
     from extractors_geo_spark.operators import multimodal as M

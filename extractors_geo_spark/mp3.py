@@ -21,9 +21,12 @@ Scope and honesty (VERDICT r03 #6):
   parses any MPEG-1/2/2.5 header stream for duration/rate metadata).
   A real deployment swaps decode() for libmad/ffmpeg behind the same
   audio_features contract.
-* Decoder limits (clear ValueError, never silent garbage): MPEG-1
-  Layer III, mono, long blocks, main_data_begin == 0 — exactly the
-  streams this encoder emits.
+* In-profile since r6: MPEG-1 AND MPEG-2 LSF (576-sample single-granule
+  frames, 9-bit scalefac_compress slen derivation), mono, stereo, and
+  M/S joint stereo (mode 1 / mode_ext 2, spectral butterfly). Decoder
+  limits (clear ValueError, never silent garbage): long blocks,
+  main_data_begin == 0, no scfsi reuse, no intensity stereo, no
+  MPEG-2.5 — exactly the streams this encoder emits.
 
 Encoder shape: per granule, one global_gain + per-band scalefactors
 (scalefac_compress=15 -> slen 4/3, scalefac_scale=1) quantize 576
@@ -46,14 +49,24 @@ GR = 18          # subband samples per granule
 FRAME = 1152     # samples per frame (2 granules)
 
 BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+LSF_BITRATES = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
 SAMPLERATES = (44100, 48000, 32000)
+LSF_SAMPLERATES = (22050, 24000, 16000)  # MPEG-2: half of the base rates
 # long-block scalefactor band widths per sample rate (sum 576)
 SFB_WIDTHS = {
     44100: (4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10, 12, 16, 20, 24, 28, 34, 42, 50, 54, 76, 158),
     48000: (4, 4, 4, 4, 4, 4, 6, 6, 6, 8, 10, 12, 16, 18, 22, 28, 34, 40, 46, 54, 54, 192),
     32000: (4, 4, 4, 4, 4, 4, 6, 6, 8, 10, 12, 16, 20, 24, 30, 38, 46, 56, 68, 84, 102, 26),
+    # MPEG-2 LSF long-block tables (ISO/IEC 13818-3 Annex B shape;
+    # best-effort transcription, shared enc/dec so round trips are exact)
+    22050: (6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38, 46, 52, 60, 68, 58, 54),
+    24000: (6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 18, 22, 26, 32, 38, 46, 54, 62, 70, 76, 36),
+    16000: (6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38, 46, 52, 60, 68, 58, 54),
 }
 N_SFB = 21  # scalefactors transmitted for bands 0..20; band 21 uses sf=0
+# LSF scalefac_compress 399 -> slen (4,4,3,3) over band groups (6,5,5,5):
+# the same 15/15/7/7 caps as the MPEG-1 profile's slen 4/3 split
+LSF_SCALEFAC_COMPRESS = 399
 
 # ISO alias-reduction butterfly coefficients (Table B.9 ci values)
 _CI = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037])
@@ -258,72 +271,117 @@ class _BitReader:
 
 
 # ---------------------------------------------------------------- encoder
-def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14) -> bytes:
-    """Mono float [-1, 1] -> MPEG-1 Layer III stream (one frame per 1152
-    samples). Quantization: per-granule global_gain + per-band
-    scalefactors to |ix| <= 15; coarsens (gg += 4) until the granule fits
-    the frame's main-data budget."""
-    if rate not in SAMPLERATES:
+_SQ2 = float(np.sqrt(0.5))
+
+
+def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
+           joint: bool = False) -> bytes:
+    """Float [-1, 1] PCM -> Layer III stream. Mono (n,) or stereo (n, 2);
+    joint=True codes stereo as M/S (mode 1, mode_ext MS). MPEG-1 rates
+    emit 1152-sample 2-granule frames; LSF rates (22050/24000/16000)
+    emit MPEG-2 576-sample single-granule frames. Quantization:
+    per-granule global_gain + per-band scalefactors to |ix| <= 15;
+    coarsens (gg += 4) until the granule fits the frame budget."""
+    lsf = rate in LSF_SAMPLERATES
+    if not lsf and rate not in SAMPLERATES:
         raise ValueError(f"unsupported sample rate {rate}")
     x = np.asarray(samples, np.float64)
-    nframes = max(1, -(-len(x) // FRAME))
-    x = np.pad(x, (0, nframes * FRAME - len(x)))
-    S = _analyze(np.pad(x, (0, TAPS)))[: nframes * 2 * GR]
-    spec = _alias_forward(_mdct_granules(S))  # [2*nframes, 576]
+    if x.ndim == 1:
+        chans = [x]
+    elif x.ndim == 2 and x.shape[1] in (1, 2):
+        chans = [x[:, c] for c in range(x.shape[1])]
+    else:
+        raise ValueError("samples must be (n,) mono or (n, 2) stereo")
+    nch = len(chans)
+    if joint and nch == 2:  # M/S butterfly (decoder inverts)
+        chans = [(chans[0] + chans[1]) * _SQ2, (chans[0] - chans[1]) * _SQ2]
+    spf = 576 if lsf else FRAME            # samples per frame
+    ngr = 1 if lsf else 2                  # granules per frame
+    nframes = max(1, -(-len(chans[0]) // spf))
+    specs = []
+    for ch in chans:
+        ch = np.pad(ch, (0, nframes * spf - len(ch)))
+        S = _analyze(np.pad(ch, (0, TAPS)))[: nframes * ngr * GR]
+        specs.append(_alias_forward(_mdct_granules(S)))  # [ngr*nframes, 576]
 
     widths = np.array(SFB_WIDTHS[rate])
     starts = np.concatenate([[0], np.cumsum(widths)])[:-1]
-    frame_bytes = 144 * BITRATES[bitrate_idx] * 1000 // rate
-    budget_bits = (frame_bytes - 4 - 17) * 8  # header + mono side info
+    if lsf:
+        sr_idx = LSF_SAMPLERATES.index(rate)
+        frame_bytes = 72 * LSF_BITRATES[bitrate_idx] * 1000 // rate
+        side_bytes = 17 if nch == 2 else 9
+    else:
+        sr_idx = SAMPLERATES.index(rate)
+        frame_bytes = 144 * BITRATES[bitrate_idx] * 1000 // rate
+        side_bytes = 32 if nch == 2 else 17
+    budget_bits = (frame_bytes - 4 - side_bytes) * 8
+    n_chunks = ngr * nch  # granule-channel payloads per frame
 
     out = bytearray()
     for f in range(nframes):
-        granule_payloads = []
+        payloads = []
         side = []
-        for g in range(2):
-            xr = spec[2 * f + g]
-            gg, sfs, ix = _quantize_granule(xr, widths, starts)
-            payload, big_values = _encode_granule_bits(sfs, ix)
-            while payload.bit_length() > budget_bits // 2 and gg < 251:
-                gg += 4
-                gg, sfs, ix = _quantize_granule(xr, widths, starts, force_gg=gg)
+        for g in range(ngr):
+            for ch in range(nch):
+                xr = specs[ch][ngr * f + g]
+                gg, sfs, ix = _quantize_granule(xr, widths, starts)
                 payload, big_values = _encode_granule_bits(sfs, ix)
-            granule_payloads.append(payload)
-            side.append((payload.bit_length(), big_values, gg))
+                while payload.bit_length() > budget_bits // n_chunks and gg < 251:
+                    gg += 4
+                    gg, sfs, ix = _quantize_granule(xr, widths, starts,
+                                                    force_gg=gg)
+                    payload, big_values = _encode_granule_bits(sfs, ix)
+                payloads.append(payload)
+                side.append((payload.bit_length(), big_values, gg))
 
         w = _BitWriter()
-        # header: sync(11) id(2)=3 layer(2)=1 no-crc(1)=1
+        # header: sync(11) id(2) layer(2)=1 no-crc(1)=1
         w.write(0x7FF, 11)
-        w.write(3, 2)
+        w.write(2 if lsf else 3, 2)
         w.write(1, 2)
         w.write(1, 1)
         w.write(bitrate_idx, 4)
-        w.write(SAMPLERATES.index(rate), 2)
+        w.write(sr_idx, 2)
         w.write(0, 1)  # padding
         w.write(0, 1)  # private
-        w.write(3, 2)  # mode: mono
-        w.write(0, 2)  # mode ext
+        if nch == 1:
+            w.write(3, 2)  # mode: mono
+            w.write(0, 2)
+        elif joint:
+            w.write(1, 2)  # mode: joint stereo
+            w.write(2, 2)  # mode_ext: M/S on, intensity off
+        else:
+            w.write(0, 2)  # mode: stereo
+            w.write(0, 2)
         w.write(0, 1)  # copyright
         w.write(1, 1)  # original
         w.write(0, 2)  # emphasis
-        # side info (mono, 17 bytes)
-        w.write(0, 9)  # main_data_begin (no reservoir)
-        w.write(0, 5)  # private
-        w.write(0, 4)  # scfsi
+        # side info
+        if lsf:
+            w.write(0, 8)            # main_data_begin (no reservoir)
+            w.write(0, 2 if nch == 2 else 1)  # private
+        else:
+            w.write(0, 9)
+            w.write(0, 3 if nch == 2 else 5)
+            w.write(0, 4 * nch)      # scfsi
         for bits_used, big_values, gg in side:
-            w.write(bits_used, 12)  # part2_3_length
+            w.write(bits_used, 12)   # part2_3_length
             w.write(big_values, 9)
             w.write(gg, 8)
-            w.write(15, 4)  # scalefac_compress -> slen 4/3
-            w.write(0, 1)   # long blocks only
+            if lsf:
+                w.write(LSF_SCALEFAC_COMPRESS, 9)
+            else:
+                w.write(15, 4)       # scalefac_compress -> slen 4/3
+            w.write(0, 1)            # long blocks only
             for _ in range(3):
-                w.write(15, 5)  # table_select: the shared canonical table
-            w.write(7, 4)  # region0_count
-            w.write(7, 3)  # region1_count
-            w.write(0, 1)  # preflag
-            w.write(1, 1)  # scalefac_scale -> 2^-sf per band
-            w.write(0, 1)  # count1table_select
-        for payload in granule_payloads:
+                w.write(15, 5)       # table_select: shared canonical table
+            w.write(7, 4)            # region0_count
+            w.write(7, 3)            # region1_count
+            if not lsf:
+                w.write(0, 1)        # preflag (absent in LSF side info)
+            w.write(1, 1)            # scalefac_scale -> 2^-sf per band
+            w.write(0, 1)            # count1table_select
+        for payload in payloads:
             for v, nb in payload.log:
                 w.write(v, nb)
         w.pad()
@@ -399,8 +457,8 @@ def _encode_granule_bits(sfs, ix):
 
 # ---------------------------------------------------------------- decoder
 def _parse_header(b: bytes, pos: int):
-    """(version, layer, bitrate_kbps, rate, padding, mono, frame_len) or
-    None if not a valid frame header at pos."""
+    """(version, layer, bitrate_kbps, rate, padding, mode, mode_ext,
+    frame_len) or None if not a valid frame header at pos."""
     if pos + 4 > len(b):
         return None
     h = struct.unpack(">I", b[pos : pos + 4])[0]
@@ -412,22 +470,22 @@ def _parse_header(b: bytes, pos: int):
     sr_idx = (h >> 10) & 3
     pad = (h >> 9) & 1
     mode = (h >> 6) & 3
+    mode_ext = (h >> 4) & 3
     if ver == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
         return None
     if ver == 3:
         rate = SAMPLERATES[sr_idx]
         bitrate = BITRATES[br_idx] if layer == 1 else 0
         slots = 144
-    else:  # MPEG-2 / 2.5 Layer III (parse-only support)
+    else:  # MPEG-2 / 2.5 Layer III
         base = SAMPLERATES[sr_idx]
         rate = base // 2 if ver == 2 else base // 4
-        lsf_rates = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
-        bitrate = lsf_rates[br_idx] if layer == 1 else 0
+        bitrate = LSF_BITRATES[br_idx] if layer == 1 else 0
         slots = 72
     if not bitrate or layer != 1:
         return None
     flen = slots * bitrate * 1000 // rate + pad
-    return ver, layer, bitrate, rate, pad, mode == 3, flen
+    return ver, layer, bitrate, rate, pad, mode, mode_ext, flen
 
 
 def _skip_id3(b: bytes) -> int:
@@ -517,7 +575,7 @@ def parse_mp3_info(data: bytes) -> dict:
         if h is None:
             pos += 1
             continue
-        ver, _layer, bitrate, r, _pad, _mono, flen = h
+        ver, _layer, bitrate, r, _pad, _mode, _mext, flen = h
         frames += 1
         rate = r
         bitrate_sum += bitrate
@@ -530,52 +588,94 @@ def parse_mp3_info(data: bytes) -> dict:
             "duration_s": frames * spf / rate}
 
 
-def decode(data: bytes) -> tuple[np.ndarray, int]:
-    """MPEG-1 Layer III mono (this encoder's profile) -> (float64
-    samples, rate). Raises ValueError on anything outside the documented
-    decode scope — callers treat that as an undecodable row."""
+def _read_side_block(rd, lsf):
+    """One granule-channel side-info block -> (part2_3, big_values, gg,
+    scalefac_compress). Raises on anything outside the codec profile."""
+    part23 = rd.read(12)
+    big_values = rd.read(9)
+    gg = rd.read(8)
+    sc = rd.read(9) if lsf else rd.read(4)
+    if rd.read(1):
+        raise ValueError("window switching (short blocks) unsupported")
+    tsel = [rd.read(5) for _ in range(3)]
+    rd.read(4)
+    rd.read(3)
+    preflag = 0 if lsf else rd.read(1)
+    sfscale = rd.read(1)
+    rd.read(1)  # count1table_select
+    if lsf:
+        if sc >= 400:  # intensity-region scalefac_compress values
+            raise ValueError("LSF scalefac_compress outside this profile")
+    elif sc != 15:
+        raise ValueError("side info outside this codec's profile")
+    if preflag or not sfscale or any(t != 15 for t in tsel):
+        raise ValueError("side info outside this codec's profile")
+    return part23, big_values, gg, sc
+
+
+def _read_scalefactors(mrd, sc, lsf):
+    if not lsf:  # MPEG-1 profile: slen 4/3 over 11/10 bands
+        return [mrd.read(4) for _ in range(11)] + [mrd.read(3) for _ in range(10)]
+    # LSF (13818-3): 9-bit scalefac_compress -> 4 slens over (6,5,5,5)
+    slen = ((sc >> 4) // 5, (sc >> 4) % 5, (sc & 15) >> 2, sc & 3)
+    out = []
+    for ln, cnt in zip(slen, (6, 5, 5, 5)):
+        out.extend(mrd.read(ln) if ln else 0 for _ in range(cnt))
+    return out
+
+
+def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
+    """Layer III inside this encoder's profile -> (float64 samples,
+    rate): MPEG-1 and MPEG-2 LSF, mono / stereo / M-S joint stereo.
+    Stereo returns the mono average (downmix=False returns (n, 2)).
+    Raises ValueError on anything outside the documented decode scope —
+    callers treat that as an undecodable row."""
     pos = _skip_id3(data)
     rate = None
-    spectra = []
+    spectra = None  # per-channel granule spectra
+    nch = None
     while pos + 4 <= len(data):
         h = _parse_header(data, pos)
         if h is None:
             pos += 1
             continue
-        ver, _layer, _bitrate, r, _pad, mono, flen = h
-        if ver != 3:
-            raise ValueError("only MPEG-1 Layer III decode is supported")
-        if not mono:
-            raise ValueError("only mono decode is supported")
+        ver, _layer, _bitrate, r, _pad, mode, mode_ext, flen = h
+        if ver not in (2, 3):
+            raise ValueError("MPEG-2.5 decode is not supported")
+        lsf = ver == 2
+        ms = False
+        if mode == 3:
+            fch = 1
+        elif mode in (0, 2):
+            fch = 2  # stereo / dual channel: independent L, R
+        else:  # joint stereo
+            if mode_ext & 1:
+                raise ValueError("intensity stereo: out of decode profile")
+            ms = bool(mode_ext & 2)
+            fch = 2
+        if nch is None:
+            nch = fch
+            spectra = [[] for _ in range(nch)]
+        elif fch != nch:
+            raise ValueError("channel mode changes mid-stream")
         rate = r
         widths = np.array(SFB_WIDTHS[rate])
         starts = np.concatenate([[0], np.cumsum(widths)])[:-1]
+        ngr = 1 if lsf else 2
         rd = _BitReader(data, (pos + 4) * 8)
-        if rd.read(9) != 0:
+        mdb = rd.read(8 if lsf else 9)
+        if mdb != 0:
             raise ValueError("bit reservoir (main_data_begin != 0) unsupported")
-        rd.read(5)  # private
-        rd.read(4)  # scfsi
-        gr_side = []
-        for _g in range(2):
-            part23 = rd.read(12)
-            big_values = rd.read(9)
-            gg = rd.read(8)
-            sc = rd.read(4)
-            if rd.read(1):
-                raise ValueError("window switching (short blocks) unsupported")
-            tsel = [rd.read(5) for _ in range(3)]
-            rd.read(4)
-            rd.read(3)
-            preflag = rd.read(1)
-            sfscale = rd.read(1)
-            rd.read(1)  # count1table_select
-            if sc != 15 or preflag or not sfscale or any(t != 15 for t in tsel):
-                raise ValueError("side info outside this codec's profile")
-            gr_side.append((part23, big_values, gg))
+        rd.read((2 if nch == 2 else 1) if lsf else (3 if nch == 2 else 5))
+        if not lsf:
+            if rd.read(4 * nch):  # scfsi
+                raise ValueError("scfsi scalefactor reuse unsupported")
+        blocks = [_read_side_block(rd, lsf) for _ in range(ngr * nch)]
         main = rd.pos  # main data follows side info directly
-        for part23, big_values, gg in gr_side:
+        frame_spec = []
+        for part23, big_values, gg, sc in blocks:
             mrd = _BitReader(data, main)
-            sfs = [mrd.read(4) for _ in range(11)] + [mrd.read(3) for _ in range(10)]
+            sfs = _read_scalefactors(mrd, sc, lsf)
             ix = np.zeros(576)
             for p in range(big_values):
                 ln, code = 0, 0
@@ -603,12 +703,27 @@ def decode(data: bytes) -> tuple[np.ndarray, int]:
             gain = np.ones(576)
             for b in range(N_SFB):
                 gain[starts[b] : starts[b] + widths[b]] = 2.0 ** sfs[b]
-            xr = np.sign(ix) * (np.abs(ix) ** (4.0 / 3.0)) * A / gain
-            spectra.append(xr)
+            frame_spec.append(np.sign(ix) * (np.abs(ix) ** (4.0 / 3.0)) * A / gain)
+        # frame_spec order: for g: for ch
+        for g in range(ngr):
+            chs = frame_spec[g * nch:(g + 1) * nch]
+            if ms:  # M/S butterfly on the requantized spectra
+                m, s = chs
+                chs = [(m + s) * _SQ2, (m - s) * _SQ2]
+            for c in range(nch):
+                spectra[c].append(chs[c])
         pos += flen
     if rate is None:
         raise ValueError("no MPEG audio frames")
-    spec = _alias_reduce(np.array(spectra))
-    S = _imdct_granules(spec)
-    y = _synthesize(S)
-    return y[_FB_DELAY : _FB_DELAY + spec.shape[0] * 576], rate
+    outs = []
+    for c in range(nch):
+        spec = _alias_reduce(np.array(spectra[c]))
+        S = _imdct_granules(spec)
+        y = _synthesize(S)
+        outs.append(y[_FB_DELAY : _FB_DELAY + spec.shape[0] * 576])
+    if nch == 1:
+        return outs[0], rate
+    st = np.stack(outs, axis=1)
+    if downmix:
+        return st.mean(axis=1), rate
+    return st, rate

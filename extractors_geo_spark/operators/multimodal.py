@@ -726,10 +726,13 @@ def audio_features(audios: DataFrame, fake: bool = True, id_col: str = "audio_id
                             except Exception:
                                 continue  # malformed mp3: drop the row
                             # well-formed MPEG stream outside the in-repo
-                            # codec profile (stereo/LSF/foreign Huffman):
-                            # the same well-formed-but-unsupported raise
-                            # contract as video codecs. STUB: a real
-                            # deployment decodes via libmad/ffmpeg here.
+                            # codec profile (foreign Huffman, short
+                            # blocks, bit reservoir, intensity stereo,
+                            # MPEG-2.5 — mono/stereo/M-S and MPEG-2 LSF
+                            # decode for real since r6): the same
+                            # well-formed-but-unsupported raise contract
+                            # as video codecs. STUB: a real deployment
+                            # decodes via libmad/ffmpeg here.
                             raise NotImplementedError(
                                 "mp3 stream outside the in-repo codec profile"
                             )

@@ -63,9 +63,17 @@ def test_decoder_rejects_out_of_profile():
         mp3.decode(b"\x00" * 64)
     sig = _tone(0.5)
     enc = bytearray(mp3.encode(sig, 44100))
+    # relabeling a mono stream as stereo desyncs the (mono-sized) side
+    # info -> corrupt-stream ValueError (stereo itself decodes since r6)
     enc[3] = (enc[3] & 0x3F) | 0x00  # mode 0 = stereo
-    with pytest.raises(ValueError, match="mono"):
+    with pytest.raises(ValueError):
         mp3.decode(bytes(enc))
+    # intensity joint stereo stays out of profile
+    enc2 = bytearray(mp3.encode(np.stack([sig, sig], axis=1), 44100))
+    # byte 3: mode(7-6)=01 joint, mode_ext(5-4)=01 intensity
+    enc2[3] = (enc2[3] & 0x0F) | 0x40 | 0x10
+    with pytest.raises(ValueError, match="intensity"):
+        mp3.decode(bytes(enc2))
 
 
 def test_real_world_header_walk_if_present():
@@ -146,3 +154,61 @@ def test_id3_tags_roundtrip_and_versions():
            + frame)
     assert mp3.parse_id3_tags(blk)["TIT2"] == "Grüße"
     assert mp3.parse_id3_tags(b"\xff\xfb" + b"\x00" * 8) == {}
+
+
+# ---------------------------------------------------- r6: stereo + LSF
+def _snr2(ref, got):
+    n = min(ref.shape[0], got.shape[0])
+    ref, got = ref[:n], got[:n]
+    return 10 * np.log10(np.mean(ref ** 2) / max(np.mean((ref - got) ** 2), 1e-30))
+
+
+def test_stereo_roundtrip_lr_and_ms():
+    rate = 44100
+    t = np.arange(rate // 2) / rate
+    st = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                   0.4 * np.sin(2 * np.pi * 880 * t)], axis=1)
+    for joint in (False, True):
+        enc = mp3.encode(st, rate, joint=joint)
+        pcm, r = mp3.decode(enc, downmix=False)
+        assert r == rate and pcm.shape[1] == 2
+        assert _snr2(st[:, 0], pcm[:, 0]) >= 20.0, joint
+        assert _snr2(st[:, 1], pcm[:, 1]) >= 20.0, joint
+    # header says joint stereo + M/S for joint=True
+    h = mp3._parse_header(mp3.encode(st, rate, joint=True), 0)
+    assert h[5] == 1 and h[6] == 2  # mode, mode_ext
+    # default decode downmixes
+    mono, _ = mp3.decode(mp3.encode(st, rate))
+    assert mono.ndim == 1
+    assert _snr2(st.mean(axis=1), mono) >= 15.0
+
+
+def test_lsf_roundtrip_mono_and_stereo():
+    for rate in (22050, 24000, 16000):
+        assert sum(mp3.SFB_WIDTHS[rate]) == 576
+        t = np.arange(rate // 2) / rate
+        m = 0.5 * np.sin(2 * np.pi * 330 * t)
+        enc = mp3.encode(m, rate, bitrate_idx=13)
+        info = mp3.parse_mp3_info(enc)
+        assert info["rate"] == rate
+        pcm, r = mp3.decode(enc)
+        assert r == rate and _snr2(m, pcm) >= 10.0
+        st = np.stack([m, 0.4 * np.sin(2 * np.pi * 550 * t)], axis=1)
+        pcm2, _ = mp3.decode(mp3.encode(st, rate, bitrate_idx=14, joint=True),
+                             downmix=False)
+        assert _snr2(st[:, 0], pcm2[:, 0]) >= 10.0
+        assert _snr2(st[:, 1], pcm2[:, 1]) >= 10.0
+
+
+def test_stereo_mp3_through_audio_features(spark):
+    from extractors_geo_spark.operators import multimodal as M
+
+    rate = 44100
+    t = np.arange(rate) / rate
+    st = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                   0.4 * np.sin(2 * np.pi * 880 * t)], axis=1)
+    enc = mp3.encode(st, rate, joint=True)
+    df = spark.createDataFrame([("s1", bytearray(enc))],
+                               "audio_id string, bytes binary")
+    rows = M.audio_features(df, fake=False).collect()
+    assert len(rows) == 1 and rows[0]["n_windows"] >= 9
