@@ -97,11 +97,21 @@ class SnapshotTable:
 
     def __init__(self, spark: SparkSession, root: str,
                  bucket_key: str | None = None, n_buckets: int = 16,
-                 metadata_fs=None, metadata_root: str | None = None):
+                 metadata_fs=None, metadata_root: str | None = None,
+                 delete_compact_threshold: int = 16):
         self.spark = spark
         self.root = root
         self.bucket_key = bucket_key
         self.n_buckets = n_buckets
+        # MoR maintenance guard (VERDICT r5 #7): once this many pending
+        # delete files accumulate, the next MoR delete auto-folds them
+        # back into data files (apply_deletes) so reads can't degrade
+        # unboundedly. 0/None disables. Default from tools/mor_bench.py:
+        # read overhead grows ~linearly with pending delete-file count
+        # (~0.15 s/file on the 2M-row bench, 7x a clean scan at 8 files)
+        # while each MoR commit saves ~1.25 s vs CoW — 16 keeps the
+        # worst-case read under ~2 clean-scan multiples between folds.
+        self.delete_compact_threshold = delete_compact_threshold
         self.fs, self.meta_root = xfs.resolve(
             metadata_root if metadata_root is not None else root, metadata_fs
         )
@@ -150,9 +160,11 @@ class SnapshotTable:
                                            "min_key": None, "max_key": None, "rows": None}
             for f in snap["files"]
         ]
-        # merge-on-read equality-delete files (r5); legacy manifests: none,
-        # and their data files predate any delete (seq 0)
+        # merge-on-read delete files (r5 equality, r6 positional); legacy
+        # manifests: none, and their data files predate any delete (seq 0)
         snap.setdefault("deletes", [])
+        for d in snap["deletes"]:
+            d.setdefault("kind", "eq")
         for f in snap["files"]:
             f.setdefault("seq", 0)
         return snap
@@ -185,14 +197,20 @@ class SnapshotTable:
             out["max_key"] = _norm_key(max(maxs))
         return out
 
-    def _write_files(self, df: DataFrame, v: int) -> list[dict]:
+    def _write_files(self, df: DataFrame, v: int,
+                     bucketed: bool = True, stamp_pos: bool = True) -> list[dict]:
         """Write df as immutable data files; bucketed by key when the table
         has a bucket_key (one hive dir per bucket so the file->bucket map is
-        exact), flat otherwise. Returns manifest entries with footer stats."""
+        exact), flat otherwise. Every data row is stamped with a hidden
+        `_pos` ordinal (unique within its file) so positional deletes can
+        address it; read() hides the column. Returns manifest entries with
+        footer stats."""
         gen = f"{v:06d}-{uuid.uuid4().hex[:8]}"
         d_spark = f"{self.root.rstrip('/')}/data/{gen}"  # Spark writes here
         d = xfs.join(self.data_root, "data", gen)  # data-fs view of it
-        key = self.bucket_key
+        key = self.bucket_key if bucketed else None
+        if stamp_pos and "_pos" not in df.columns:
+            df = df.withColumn("_pos", F.monotonically_increasing_id())
         targets: list[tuple[str, int | None]] = []  # (data-fs path, bucket)
         if key is not None:
             (df.withColumn("_bucket", self._bucket_expr(key))
@@ -302,7 +320,12 @@ class SnapshotTable:
         return touched, carried, stats
 
     # ------------------------------------------------------------ operations
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None,
+             with_positions: bool = False) -> DataFrame:
+        """Current (or time-travel) table state. with_positions=True
+        exposes the row-address columns (`_file`, `_pos`) that
+        delete_positions() consumes — the Iceberg positional-delete
+        producer shape."""
         snap = self.snapshot(version)
         if not snap["files"]:
             raise ValueError("empty table")
@@ -310,18 +333,31 @@ class SnapshotTable:
             # no pending MoR deletes: zero-overhead direct scan
             # (mergeSchema: files written before a column was added
             # project NULL for it, Iceberg-style)
-            return (self.spark.read.option("mergeSchema", "true")
-                    .parquet(*[self._spark_path(f["path"]) for f in snap["files"]]))
-        return self._read_datafiles(snap["files"], snap["deletes"])
+            df = (self.spark.read.option("mergeSchema", "true")
+                  .parquet(*[self._spark_path(f["path"]) for f in snap["files"]]))
+            return self._finish_positions(df, with_positions)
+        return self._read_datafiles(snap["files"], snap["deletes"],
+                                    with_positions=with_positions)
 
-    def _read_datafiles(self, files: list[dict],
-                        deletes: list[dict]) -> DataFrame:
-        """Data files with pending equality deletes applied: rows are
-        dropped when a delete file with a NEWER sequence number carries
-        their key (Iceberg v2 merge-on-read semantics). Files are grouped
-        by seq so the per-row seq is a literal, not a join; the delete
-        side is one key-equi anti-join (broadcast by Catalyst/AQE when
-        small — the usual case)."""
+    @staticmethod
+    def _finish_positions(df: DataFrame, with_positions: bool) -> DataFrame:
+        if not with_positions:
+            return df.drop(*[c for c in ("_pos", "_file") if c in df.columns])
+        if "_file" not in df.columns:
+            df = df.withColumn("_file", F.input_file_name())
+        if "_pos" not in df.columns:  # pre-r6 files: not pos-addressable
+            df = df.withColumn("_pos", F.lit(None).cast("long"))
+        return df
+
+    def _read_datafiles(self, files: list[dict], deletes: list[dict],
+                        with_positions: bool = False) -> DataFrame:
+        """Data files with pending MoR deletes applied (Iceberg v2):
+        EQUALITY deletes drop rows whose key appears in a delete file
+        with a NEWER sequence number (files are grouped by seq so the
+        per-row seq is a literal, not a join; one key-equi anti-join,
+        broadcast by Catalyst/AQE when small — the usual case).
+        POSITIONAL deletes drop the exact (file, _pos) rows they name —
+        seq-independent, since a path pins the row's generation."""
         groups: dict[int, list[str]] = {}
         for f in files:
             groups.setdefault(int(f.get("seq") or 0), []).append(f["path"])
@@ -329,14 +365,19 @@ class SnapshotTable:
         for s, paths in sorted(groups.items()):
             df = (self.spark.read.option("mergeSchema", "true")
                   .parquet(*[self._spark_path(p) for p in paths]))
+            # input_file_name() only resolves against a single source:
+            # stamp the row address at the scan, before any union/join
+            df = df.withColumn("_file", F.input_file_name())
             parts.append(df.withColumn("_seq", F.lit(s)))
         data = parts[0]
         for p in parts[1:]:
             data = data.unionByName(p, allowMissingColumns=True)
-        if deletes:
+        eq_dels = [d for d in deletes if d.get("kind", "eq") == "eq"]
+        pos_dels = [d for d in deletes if d.get("kind", "eq") == "pos"]
+        if eq_dels:
             key = self.bucket_key
             dgroups: dict[int, list[str]] = {}
-            for d in deletes:
+            for d in eq_dels:
                 dgroups.setdefault(int(d["seq"]), []).append(d["path"])
             dparts = []
             for s, paths in sorted(dgroups.items()):
@@ -352,7 +393,20 @@ class SnapshotTable:
                 (F.col(key) == F.col("_dk")) & (F.col("_dseq") > F.col("_seq")),
                 "left_anti",
             )
-        return data.drop("_seq")
+        if pos_dels:
+            if "_pos" not in data.columns:
+                data = data.withColumn("_pos", F.lit(None).cast("long"))
+            pdf = (self.spark.read
+                   .parquet(*[self._spark_path(d["path"]) for d in pos_dels])
+                   .select(F.col("_file").alias("_pf"),
+                           F.col("_pos").alias("_pp")))
+            data = data.join(
+                pdf,
+                (F.col("_file") == F.col("_pf")) & (F.col("_pos") == F.col("_pp")),
+                "left_anti",
+            )
+        data = data.drop("_seq")
+        return self._finish_positions(data, with_positions)
 
     @staticmethod
     def _align_schemas(current: DataFrame, updates: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -444,16 +498,18 @@ class SnapshotTable:
 
             def attempt_mor(base: int) -> int:
                 snap = self.snapshot(base)
-                dels = self._write_files(keys.select(key).distinct(), base + 1)
+                dels = self._write_files(keys.select(key).distinct(), base + 1,
+                                         stamp_pos=False)
                 for d in dels:
                     d["seq"] = base + 1
+                    d["kind"] = "eq"
                 return self._commit(
                     snap["files"], "delete-mor",
                     {"key": key, "delete_files": len(dels),
                      **(summary_extra or {})},
                     base=base, deletes=snap["deletes"] + dels)
 
-            return self._retrying(attempt_mor)
+            return self._maybe_autocompact(self._retrying(attempt_mor))
 
         def attempt(base: int) -> int:
             if self.bucket_key is None:
@@ -475,20 +531,79 @@ class SnapshotTable:
 
         return self._retrying(attempt)
 
+    def delete_positions(self, positions: DataFrame,
+                         summary_extra: dict | None = None) -> int:
+        """Iceberg v2 POSITIONAL deletes: drop the exact rows addressed
+        by (`_file`, `_pos`) pairs — the shape read(with_positions=True)
+        exposes, so `read(...).filter(pred).select("_file", "_pos")` is a
+        DELETE WHERE pred with an O(|matches|) commit and zero data-file
+        rewrites. Readers anti-join on the row address; apply_deletes()/
+        compact() folds them back. Rows from pre-r6 files carry a NULL
+        `_pos` and cannot be positionally addressed (delete_keys covers
+        them)."""
+        cols = set(positions.columns)
+        if not {"_file", "_pos"} <= cols:
+            raise ValueError("positions needs _file and _pos columns "
+                             "(from read(with_positions=True))")
+
+        def attempt(base: int) -> int:
+            snap = self.snapshot(base)
+            dels = self._write_files(
+                positions.select("_file", "_pos")
+                         .filter(F.col("_pos").isNotNull()).distinct(),
+                base + 1, bucketed=False, stamp_pos=False)
+            for d in dels:
+                d["seq"] = base + 1
+                d["kind"] = "pos"
+            return self._commit(
+                snap["files"], "delete-pos",
+                {"delete_files": len(dels), **(summary_extra or {})},
+                base=base, deletes=snap["deletes"] + dels)
+
+        return self._maybe_autocompact(self._retrying(attempt))
+
+    def _maybe_autocompact(self, v: int) -> int:
+        thr = self.delete_compact_threshold
+        if thr and len(self.snapshot(v)["deletes"]) >= thr:
+            return self.apply_deletes()
+        return v
+
+    def _pos_delete_paths(self, pos_dels: list[dict]) -> set[str] | None:
+        """Data-file fs-paths referenced by positional delete files, or
+        None when the reference set is too large to collect (callers must
+        then treat every file as touched)."""
+        if not pos_dels:
+            return set()
+        refs = (self.spark.read
+                .parquet(*[self._spark_path(d["path"]) for d in pos_dels])
+                .select("_file").distinct().limit(_KEY_PRUNE_CAP + 1).collect())
+        if len(refs) > _KEY_PRUNE_CAP:
+            return None
+        # input_file_name URIs -> data-fs paths (strip the scheme)
+        return {r[0].split("://", 1)[-1] for r in refs if r[0]}
+
     def apply_deletes(self) -> int:
         """Fold pending merge-on-read delete files back into data files
         (Iceberg rewrite-deletes maintenance): rewrites only data files a
-        delete could hit (bucket match AND older sequence), drops every
-        delete entry. No-op when there are none."""
+        delete could hit (equality: bucket match AND older sequence;
+        positional: the referenced paths), drops every delete entry.
+        No-op when there are none."""
         def attempt(base: int) -> int:
             snap = self.snapshot(base)
             dels = snap["deletes"]
             if not dels:
                 return base
-            dbuckets = {d["bucket"] for d in dels}
-            max_seq = max(int(d["seq"]) for d in dels)
-            touched = [f for f in snap["files"]
-                       if f["bucket"] in dbuckets and int(f.get("seq") or 0) < max_seq]
+            eq_dels = [d for d in dels if d.get("kind", "eq") == "eq"]
+            pos_dels = [d for d in dels if d.get("kind", "eq") == "pos"]
+            dbuckets = {d["bucket"] for d in eq_dels}
+            max_seq = max((int(d["seq"]) for d in eq_dels), default=0)
+            pos_paths = self._pos_delete_paths(pos_dels)
+            touched = [
+                f for f in snap["files"]
+                if (eq_dels and f["bucket"] in dbuckets
+                    and int(f.get("seq") or 0) < max_seq)
+                or (pos_paths is None or f["path"] in pos_paths)
+            ]
             carried = [f for f in snap["files"] if f not in touched]
             new_files: list[dict] = []
             if touched:
