@@ -424,12 +424,13 @@ class SnapshotTable:
                 updates = updates.withColumn(name, F.lit(None).cast(fld.dataType))
         return current, updates.select(*current.columns)
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, summary_extra: dict | None = None) -> int:
         def attempt(base: int) -> int:
             snap = self.snapshot(base)
             new_files = self._write_files(df, base + 1)
             return self._commit(snap["files"] + new_files, "append",
-                                {"added_files": len(new_files)}, base=base,
+                                {"added_files": len(new_files),
+                                 **(summary_extra or {})}, base=base,
                                 deletes=snap["deletes"])
 
         return self._retrying(attempt)

@@ -160,3 +160,44 @@ def stateful_sessions(
         .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                 GroupStateTimeout.EventTimeTimeout)
     )
+
+
+def sessions_to_table(
+    spark,
+    stream: DataFrame,
+    table,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+):
+    """Sessionization end-to-end (VERDICT r5 #9): stateful_sessions ->
+    SnapshotTable APPEND per micro-batch with EXACTLY-ONCE semantics,
+    reusing the removal path's idempotence machinery — batch ids are
+    namespaced by checkpoint location, recorded in the commit summary,
+    and re-delivered batches (crash after table commit, before
+    checkpoint ack) are skipped on restart. Returns the StreamingQuery.
+
+    `table` is a SnapshotTable bucketed on user_id (or its root path)."""
+    from ..sources.snapshot_table import SnapshotTable
+    from .removal import _applied_batch_ids
+
+    if isinstance(table, str):
+        table = SnapshotTable(spark, table, bucket_key="user_id")
+    applied = _applied_batch_ids(table)
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        bid = f"{checkpoint_dir}:{batch_id}"
+        if bid in applied:
+            return  # re-delivered batch: already committed to the table
+        if batch.isEmpty():
+            return
+        table.append(batch, summary_extra={"stream_batch_id": bid})
+        applied.add(bid)
+
+    return (
+        stateful_sessions(stream, gap_seconds=gap_seconds, watermark=watermark)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
