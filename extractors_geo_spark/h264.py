@@ -1148,17 +1148,8 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 continue
             # --- integer-pel full search around the median predictor
             mvp = mvs.mvp_16x16(mx, my)
-            cx, cy = mvp[0] >> 2, mvp[1] >> 2
-            best = None
-            for dy in range(-search, search + 1):
-                for dx in range(-search, search + 1):
-                    cand = _interp_luma(ref_full, mx * 16, my * 16,
-                                        (cx + dx) << 2, (cy + dy) << 2)
-                    sad = int(np.abs(smb - cand).sum())
-                    key = (sad, abs(dx) + abs(dy))
-                    if best is None or key < best[0]:
-                        best = (key, ((cx + dx) << 2, (cy + dy) << 2), cand)
-            (sad, _), mv, pred = best
+            sad, mv, pred = _search_block(ref_full, smb, mx * 16, my * 16,
+                                          mvp, search)
             if sad > 28 * 256:  # motion failed (scene cut): intra fallback
                 bw.ue(pending_skips)
                 pending_skips = 0
@@ -1166,7 +1157,26 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                               nnz, modes, max_coeffs, plane_w, mb_type_code=5)
                 mvs.set_mb(mx, my, (0, 0), -1)
                 continue
-            # --- P_L0_16x16
+            # --- partition decision: 16x8 / 8x16 when they clearly beat
+            # the 16x16 block (moving edges, shear; deterministic gate)
+            chosen = None
+            if sad > 6 * 256:
+                tot, ptype, parts = _eval_partitions(mvs, ref_full, smb,
+                                                     mx, my, search)
+                if tot < sad * 0.92:
+                    chosen = (ptype, parts)
+            if chosen:
+                ptype, parts = chosen
+                mb_type_code = 1 if ptype == "16x8" else 2
+                pred = np.zeros((16, 16), np.int32)
+                mvds = []
+                for (ox, oy, w, h), (mvp_i, mv_i, pred_i) in zip(
+                        _PART_GEOM[ptype], parts):
+                    pred[oy:oy + h, ox:ox + w] = pred_i
+                    mvds.append((mv_i[0] - mvp_i[0], mv_i[1] - mvp_i[1]))
+            else:
+                mb_type_code = 0
+                mvds = [(mv[0] - mvp[0], mv[1] - mvp[1])]
             blocks = []
             cbp = 0
             out = pred.copy()
@@ -1182,9 +1192,10 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 out[oy:oy + 4, ox:ox + 4] += _inv4(_dequant4(lv, qp)).astype(np.int32)
             bw.ue(pending_skips)
             pending_skips = 0
-            bw.ue(0)  # P_L0_16x16
-            bw.se(mv[0] - mvp[0])
-            bw.se(mv[1] - mvp[1])
+            bw.ue(mb_type_code)
+            for dx_, dy_ in mvds:
+                bw.se(dx_)
+                bw.se(dy_)
             bw.ue(_CBP_INTER_INV[cbp])
             if cbp:
                 bw.se(0)  # mb_qp_delta
@@ -1198,7 +1209,14 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 nnz[by, bx] = tc
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
-            mvs.set_mb(mx, my, mv, 0)
+            if chosen:
+                ptype, parts = chosen
+                for (ox, oy, w, h), (_mvp_i, mv_i, _p) in zip(
+                        _PART_GEOM[ptype], parts):
+                    mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
+                                 w // 4, h // 4, mv_i, 0)
+            else:
+                mvs.set_mb(mx, my, mv, 0)
             modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
     if pending_skips:
         bw.ue(pending_skips)  # trailing skip run
@@ -1277,6 +1295,55 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
 
 
 # ------------------------------------------------- inter prediction (P)
+# P macroblock partition geometries (x, y, w, h) for mb_type 1 / 2
+_PART_GEOM = {"16x8": ((0, 0, 16, 8), (0, 8, 16, 8)),
+              "8x16": ((0, 0, 8, 16), (8, 0, 8, 16))}
+
+
+def _search_block(ref_full, tgt, px, py, mvp, search):
+    """Integer-pel full search of `tgt` around the median predictor.
+    Returns (sad, mv, prediction)."""
+    cx, cy = mvp[0] >> 2, mvp[1] >> 2
+    h, w = tgt.shape
+    best = None
+    for dy in range(-search, search + 1):
+        for dx in range(-search, search + 1):
+            cand = _interp_luma(ref_full, px, py, (cx + dx) << 2,
+                                (cy + dy) << 2, w, h)
+            sad = int(np.abs(tgt - cand).sum())
+            key = (sad, abs(dx) + abs(dy))
+            if best is None or key < best[0]:
+                best = (key, ((cx + dx) << 2, (cy + dy) << 2), cand)
+    (sad, _), mv, pred = best
+    return sad, mv, pred
+
+
+def _eval_partitions(mvs, ref_full, smb, mx, my, search):
+    """Try 16x8 and 8x16 (progressively committing partition MVs so the
+    second partition's predictor matches what the decoder will compute,
+    then restoring state). Returns (total_sad, ptype, parts) for the
+    better of the two; parts = [(mvp, mv, pred), ...]."""
+    best = None
+    for ptype, geom in _PART_GEOM.items():
+        save_mv = mvs.mv[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
+        save_ref = mvs.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
+        tot, parts = 0, []
+        for idx, (ox, oy, w, h) in enumerate(geom):
+            mvp_i = mvs.mvp_part(mx, my, ptype, idx)
+            sad_i, mv_i, pred_i = _search_block(
+                ref_full, smb[oy:oy + h, ox:ox + w],
+                mx * 16 + ox, my * 16 + oy, mvp_i, search)
+            parts.append((mvp_i, mv_i, pred_i))
+            tot += sad_i
+            mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
+                         w // 4, h // 4, mv_i, 0)
+        mvs.mv[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = save_mv
+        mvs.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = save_ref
+        if best is None or tot < best[0]:
+            best = (tot, ptype, parts)
+    return best
+
+
 # Table 9-4 (me mapping) coded_block_pattern for INTER: codeNum -> cbp
 _CBP_INTER = (0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13, 14,
               6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46, 17,
@@ -1385,6 +1452,48 @@ class _MvState:
         if len(present) == 1:
             return present[0]
         return _median_mv([a, b, c])
+
+    def mvp_part(self, mbx: int, mby: int, ptype: str, idx: int) -> tuple[int, int]:
+        """MV predictor for a 16x8 / 8x16 partition (8.4.1.3: the
+        partition adjacent to its designated neighbour uses that
+        neighbour directly when available; else the median over the
+        partition's own A/B/C). Call AFTER the earlier partition of the
+        same MB has been committed via set_rect (the decoder sees its MVs
+        when predicting the second partition)."""
+        bx, by = mbx * 4, mby * 4
+        if ptype == "16x8":
+            if idx == 0:
+                ox, oy, w4, special = 0, 0, 4, "b"
+            else:
+                ox, oy, w4, special = 0, 2, 4, "a"
+        else:  # 8x16
+            if idx == 0:
+                ox, oy, w4, special = 0, 0, 2, "a"
+            else:
+                ox, oy, w4, special = 2, 0, 2, "c"
+        px, py = bx + ox, by + oy
+        a = self.at(px - 1, py)
+        b = self.at(px, py - 1)
+        c = self.at(px + w4, py - 1)
+        if c is None:
+            c = self.at(px - 1, py - 1)  # D fallback
+        if special == "b" and b is not None:
+            return b
+        if special == "a" and a is not None:
+            return a
+        if special == "c" and c is not None:
+            return c
+        if b is None and c is None and a is not None:
+            return a
+        present = [m for m in (a, b, c) if m is not None]
+        if len(present) == 1:
+            return present[0]
+        return _median_mv([a, b, c])
+
+    def set_rect(self, bx: int, by: int, w4: int, h4: int, mv, ref: int):
+        """Commit MVs for a sub-MB rectangle (4x4-block units)."""
+        self.mv[by:by + h4, bx:bx + w4] = mv
+        self.ref[by:by + h4, bx:bx + w4] = ref
 
     def skip_mv(self, mbx: int, mby: int) -> tuple[int, int]:
         """P_SKIP MV (8.4.1.1): zero when a left/above neighbour is
@@ -1766,19 +1875,15 @@ def _decode_mb_i16(r, mb_type, plane, mx, my, qp, nnz, nnz_c, modes):
     return qp
 
 
-def _decode_mb_p16(r, plane, ref, mx, my, qp, nnz, nnz_c, modes, mvs):
-    """P_L0_16x16: mvd + optional residual over the MC prediction."""
-    # ref_idx_l0: with one active reference there is no ref_idx field
-    mvp = mvs.mvp_16x16(mx, my)
-    mvd = (r.se(), r.se())
-    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+def _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes):
+    """Shared inter-MB tail: cbp + mb_qp_delta + luma residuals over an
+    already-built MC prediction, then reconstruction."""
     cn = r.ue()
     if cn > 47:
         raise ValueError("bad coded_block_pattern")
     cbp = _CBP_INTER[cn]
     if cbp:
         qp = (qp + r.se() + 52) % 52
-    pred = _interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
     out = pred.copy()
     for blk in range(16):
         ox, oy = _BLK_XY[blk]
@@ -1794,9 +1899,37 @@ def _decode_mb_p16(r, plane, ref, mx, my, qp, nnz, nnz_c, modes, mvs):
         modes[by, bx] = -1
     np.clip(out, 0, 255, out)
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
-    mvs.set_mb(mx, my, mv, 0)
     _parse_chroma_residual(r, cbp >> 4, nnz_c, mx, my)
     return qp
+
+
+def _decode_mb_p16(r, plane, ref, mx, my, qp, nnz, nnz_c, modes, mvs):
+    """P_L0_16x16: mvd + optional residual over the MC prediction."""
+    # ref_idx_l0: with one active reference there is no ref_idx field
+    mvp = mvs.mvp_16x16(mx, my)
+    mvd = (r.se(), r.se())
+    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+    pred = _interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
+    mvs.set_mb(mx, my, mv, 0)
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes)
+
+
+def _decode_mb_p_part(r, mb_type, plane, ref, mx, my, qp, nnz, nnz_c,
+                      modes, mvs):
+    """P_L0_L0_16x8 / P_L0_L0_8x16 (mb_type 1 / 2): one mvd per
+    partition; the second partition's predictor sees the first's
+    committed MVs (8.4.1.3)."""
+    ptype = "16x8" if mb_type == 1 else "8x16"
+    pred = np.zeros((16, 16), np.int32)
+    for idx, (ox, oy, w, h) in enumerate(_PART_GEOM[ptype]):
+        mvp = mvs.mvp_part(mx, my, ptype, idx)
+        mvd = (r.se(), r.se())
+        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        pred[oy:oy + h, ox:ox + w] = _interp_luma(
+            ref, mx * 16 + ox, my * 16 + oy, mv[0], mv[1], w, h)
+        mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, w // 4, h // 4,
+                     mv, 0)
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes)
 
 
 def _skip_mb(plane, ref, mx, my, nnz, nnz_c, modes, mvs):
@@ -1896,9 +2029,14 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                                         nnz_c, modes, mvs)
                     qp_map[my, mx] = qp
                     continue
-                if 1 <= mb_type <= 4:
+                if mb_type in (1, 2):  # P_L0_L0_16x8 / P_L0_L0_8x16 (r6)
+                    qp = _decode_mb_p_part(r, mb_type, plane, ref, mx, my,
+                                           qp, nnz, nnz_c, modes, mvs)
+                    qp_map[my, mx] = qp
+                    continue
+                if mb_type in (3, 4):
                     raise ValueError(
-                        "P sub-partitioned mb_type: out of decode scope")
+                        "P_8x8 sub-macroblock types: out of decode scope")
                 mb_type -= 5  # intra in a P slice
             if mb_type == 25:  # I_PCM
                 r.align()
@@ -1954,7 +2092,8 @@ def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
                   full_plane: bool = False) -> np.ndarray:
     """Length-prefixed NAL sample + avcC -> gray frame. Decodes I_PCM,
     CAVLC intra (I_4x4 / I_16x16), and CAVLC P slices (P_SKIP +
-    P_L0_16x16, quarter-pel MC, `ref` = previous FULL decoded plane —
+    P_L0_16x16 + 16x8/8x16 partitions, quarter-pel MC, `ref` =
+    previous FULL decoded plane —
     use decode_samples for GOP streams). CABAC slice data decodes via
     h264_cabac (in-repo-profile streams, r6); B slices and high-profile
     features raise ValueError (the documented well-formed-unsupported

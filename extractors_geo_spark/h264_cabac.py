@@ -27,8 +27,9 @@ trips are bit-exact by construction — decode == encoder recon is the
 machine-checked gate (tests/test_h264_cabac.py) — but bit-exact ISO
 cross-decode of foreign encoders' streams is NOT claimed. Profile
 boundaries that raise ValueError (the well-formed-unsupported contract):
-I_PCM-in-CABAC, chroma residuals (cbp_chroma != 0), P sub-partitions,
-B slices.
+I_PCM-in-CABAC, chroma residuals (cbp_chroma != 0), P_8x8
+sub-macroblock types, B slices. 16x8 / 8x16 P partitions are IN
+profile since r6 (Table 9-37 mb_type tree, per-partition mvds).
 
 Reference parity note: the reference (preview.geotiff/*) does no video at
 all — this is north-star surface (crawl-scale MP4 sampling), not
@@ -749,17 +750,8 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             enc.decision(ctx, _OFS["mb_skip"] + st.skip_inc(mx, my), 0)
             # --- integer-pel search around the median predictor
             mvp = mvs.mvp_16x16(mx, my)
-            cx, cy = mvp[0] >> 2, mvp[1] >> 2
-            best = None
-            for dy in range(-search, search + 1):
-                for dx in range(-search, search + 1):
-                    cand = H._interp_luma(ref_full, mx * 16, my * 16,
-                                          (cx + dx) << 2, (cy + dy) << 2)
-                    sad = int(np.abs(smb - cand).sum())
-                    key = (sad, abs(dx) + abs(dy))
-                    if best is None or key < best[0]:
-                        best = (key, ((cx + dx) << 2, (cy + dy) << 2), cand)
-            (sad, _), mv, pred = best
+            sad, mv, pred = H._search_block(ref_full, smb, mx * 16, my * 16,
+                                            mvp, search)
             if sad > 28 * 256:  # scene cut: intra fallback
                 _enc_mb_i4(enc, ctx, st, smb.astype(np.uint8), plane, mx, my,
                            qp, nnz, modes, max_coeffs, plane_w,
@@ -768,7 +760,23 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 st.skip[my, mx] = 0
                 enc.terminate(1 if last else 0)
                 continue
-            # --- P_L0_16x16
+            # --- partition decision (same gate as the CAVLC encoder)
+            chosen = None
+            if sad > 6 * 256:
+                tot, ptype, parts = H._eval_partitions(mvs, ref_full, smb,
+                                                       mx, my, search)
+                if tot < sad * 0.92:
+                    chosen = (ptype, parts)
+            if chosen:
+                ptype, parts = chosen
+                pred = np.zeros((16, 16), np.int32)
+                mvds = []
+                for (ox, oy, w, h), (mvp_i, mv_i, pred_i) in zip(
+                        H._PART_GEOM[ptype], parts):
+                    pred[oy:oy + h, ox:ox + w] = pred_i
+                    mvds.append((mv_i[0] - mvp_i[0], mv_i[1] - mvp_i[1]))
+            else:
+                mvds = [(mv[0] - mvp[0], mv[1] - mvp[1])]
             blocks = []
             cbp = 0
             out = pred.copy()
@@ -782,13 +790,21 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                     cbp |= 1 << (blk >> 2)
                 blocks.append((lv, tc))
                 out[oy:oy + 4, ox:ox + 4] += H._inv4(H._dequant4(lv, qp)).astype(np.int32)
+            # mb_type (Table 9-37): "000" 16x16, "011" 16x8, "010" 8x16
             enc.decision(ctx, _OFS["mbt_p"], 0)      # b0: inter
-            enc.decision(ctx, _OFS["mbt_p"] + 1, 0)  # "000" = P_L0_16x16
-            enc.decision(ctx, _OFS["mbt_p"] + 2, 0)
-            mvd = (mv[0] - mvp[0], mv[1] - mvp[1])
-            _enc_mvd(enc, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0), mvd[0])
-            _enc_mvd(enc, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1), mvd[1])
-            st.mvd[my, mx] = (abs(mvd[0]), abs(mvd[1]))
+            if chosen:
+                enc.decision(ctx, _OFS["mbt_p"] + 1, 1)
+                enc.decision(ctx, _OFS["mbt_p"] + 2, 1 if ptype == "16x8" else 0)
+            else:
+                enc.decision(ctx, _OFS["mbt_p"] + 1, 0)
+                enc.decision(ctx, _OFS["mbt_p"] + 2, 0)
+            # mvd contexts use the MB-level neighbor |mvd| sums for every
+            # partition (in-repo granularity, shared enc/dec)
+            for dx_, dy_ in mvds:
+                _enc_mvd(enc, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0), dx_)
+                _enc_mvd(enc, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1), dy_)
+            st.mvd[my, mx] = (sum(abs(d[0]) for d in mvds),
+                              sum(abs(d[1]) for d in mvds))
             for blk8 in range(4):
                 enc.decision(ctx, _OFS["cbp_luma"]
                              + st.cbp_inc(mx, my, blk8, cbp), (cbp >> blk8) & 1)
@@ -806,7 +822,13 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 nnz[by, bx] = tc
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
-            mvs.set_mb(mx, my, mv, 0)
+            if chosen:
+                for (ox, oy, w, h), (_mvp_i, mv_i, _p) in zip(
+                        H._PART_GEOM[ptype], parts):
+                    mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
+                                 w // 4, h // 4, mv_i, 0)
+            else:
+                mvs.set_mb(mx, my, mv, 0)
             modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
             st.skip[my, mx] = 0
             st.not_i4[my, mx] = 1
@@ -869,12 +891,18 @@ def decode_slice(r, sps, pps, hdr, ref, is_p):
                                     modes, plane_w, in_p=True)
                     mvs.set_mb(mx, my, (0, 0), -1)
                 else:
-                    if dec.decision(ctx, _OFS["mbt_p"] + 1) or \
-                       dec.decision(ctx, _OFS["mbt_p"] + 2):
+                    b1 = dec.decision(ctx, _OFS["mbt_p"] + 1)
+                    b2 = dec.decision(ctx, _OFS["mbt_p"] + 2)
+                    if b1:  # "011" = 16x8, "010" = 8x16 (Table 9-37)
+                        qp = _dec_mb_p_part(dec, ctx, st, plane, ref, mx, my,
+                                            qp, nnz, modes, mvs,
+                                            "16x8" if b2 else "8x16")
+                    elif b2:
                         raise ValueError(
-                            "P sub-partitioned mb_type: out of decode scope")
-                    qp = _dec_mb_p16(dec, ctx, st, plane, ref, mx, my, qp,
-                                     nnz, modes, mvs)
+                            "P_8x8 sub-macroblock types: out of decode scope")
+                    else:
+                        qp = _dec_mb_p16(dec, ctx, st, plane, ref, mx, my,
+                                         qp, nnz, modes, mvs)
             else:
                 mbt = _dec_mb_type_i(dec, ctx, _OFS["mbt_i"],
                                      st.mbt_inc(mx, my))
@@ -1001,18 +1029,13 @@ def _dec_mb_i16(dec, ctx, st, mbt, plane, mx, my, qp, nnz, modes):
     return qp
 
 
-def _dec_mb_p16(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs):
-    mvp = mvs.mvp_16x16(mx, my)
-    mvd = (_dec_mvd(dec, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0)),
-           _dec_mvd(dec, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1)))
-    st.mvd[my, mx] = (abs(mvd[0]), abs(mvd[1]))
-    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+def _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes):
+    """Shared inter-MB tail: cbp + qp_delta + residuals + recon."""
     cbp = _dec_cbp(dec, ctx, st, mx, my)
     if cbp:
         d = _dec_qp_delta(dec, ctx, st.prev_qp_nz)
         st.prev_qp_nz = d != 0
         qp = (qp + d + 52) % 52
-    pred = H._interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
     out = pred.copy()
     for blk in range(16):
         ox, oy = H._BLK_XY[blk]
@@ -1030,7 +1053,38 @@ def _dec_mb_p16(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs):
         modes[by, bx] = -1
     np.clip(out, 0, 255, out)
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
-    mvs.set_mb(mx, my, mv, 0)
     st.not_i4[my, mx] = 1
     st.cbp[my, mx] = cbp
     return qp
+
+
+def _dec_mb_p16(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs):
+    mvp = mvs.mvp_16x16(mx, my)
+    mvd = (_dec_mvd(dec, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0)),
+           _dec_mvd(dec, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1)))
+    st.mvd[my, mx] = (abs(mvd[0]), abs(mvd[1]))
+    mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+    pred = H._interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
+    mvs.set_mb(mx, my, mv, 0)
+    return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes)
+
+
+def _dec_mb_p_part(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs,
+                   ptype):
+    """P_L0_L0_16x8 / 8x16: one mvd per partition; the mvd contexts use
+    MB-level neighbor sums (matches the encoder's in-repo granularity)."""
+    pred = np.zeros((16, 16), np.int32)
+    abs_sum = [0, 0]
+    for idx, (ox, oy, w, h) in enumerate(H._PART_GEOM[ptype]):
+        mvp = mvs.mvp_part(mx, my, ptype, idx)
+        mvd = (_dec_mvd(dec, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0)),
+               _dec_mvd(dec, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1)))
+        abs_sum[0] += abs(mvd[0])
+        abs_sum[1] += abs(mvd[1])
+        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        pred[oy:oy + h, ox:ox + w] = H._interp_luma(
+            ref, mx * 16 + ox, my * 16 + oy, mv[0], mv[1], w, h)
+        mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, w // 4, h // 4,
+                     mv, 0)
+    st.mvd[my, mx] = tuple(abs_sum)
+    return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes)

@@ -8,11 +8,13 @@ rules, so physical decisions are encoded as plan-emitting functions:
                             cells at finer resolution before joining
 
 Skew policy (measured, BENCH/SKEW.md): SALTING is the default hot-cell
-mitigation — it beats adaptive splitting at both measured scales (2.2x
-vs 1.5x at 2M, growing with scale) and costs no geometry re-encode.
-split_hot_cells is reserved for cells too hot to salt (a single cell
-larger than salt_max x target rows, where duplicating the polygon side
-per salt value stops paying).
+mitigation — on polygon-sparse layers it beats adaptive splitting at
+both measured scales (2.7x vs 1.3x at 2M, 3.7x vs 1.5x at 4M) and
+costs no geometry re-encode. split_hot_cells owns a MEASURED niche:
+hot cells densely packed with polygons (~1,000+ co-celled), where
+finer cells REDUCE each point's candidate set instead of merely
+spreading it — 6.2x vs salting's 3.3x at 3,200 polygons in one cell,
+margin growing with density (r6 niche bench).
 """
 
 from __future__ import annotations

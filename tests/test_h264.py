@@ -311,3 +311,75 @@ def test_sample_frames_gop_h264_end_to_end(spark):
         ref = src[r["ts_ms"] // 1000]
         mse = np.mean((got[:, 8:-8].astype(np.float64) - ref[:, 8:-8]) ** 2)
         assert 10 * np.log10(255.0 ** 2 / max(mse, 1e-9)) >= 38.0
+
+
+def test_p_partitions_16x8_8x16_roundtrip_bit_exact():
+    """r6: P_L0_L0_16x8 / 8x16 partitions — a scene whose halves move in
+    opposite directions makes the partition gate fire; decode == recon
+    bit-exact and the partitioned decode path is actually exercised."""
+    yy, xx = np.mgrid[0:48, 0:64]
+
+    def frame(f):
+        a = np.clip(128 + 90 * np.sin((xx + 4 * f) / 5), 0, 255)
+        b = np.clip(128 + 90 * np.sin((xx - 4 * f) / 5 + 1), 0, 255)
+        return np.where(yy < 24, a, b).astype(np.uint8)
+
+    frames = [frame(f) for f in range(4)]
+    avcc = h264.build_avcc(64, 48, deblock_ctrl=True)
+    import struct
+
+    def dec(rbsp, idr, ref=None):
+        nal = bytes([0x65 if idr else 0x41]) + h264._ep_insert(rbsp)
+        return h264.decode_sample(struct.pack(">I", len(nal)) + nal, avcc,
+                                  ref=ref, full_plane=True)
+
+    hits = []
+    orig = h264._decode_mb_p_part
+
+    def spy(*a, **k):
+        hits.append(a[1])
+        return orig(*a, **k)
+
+    h264._decode_mb_p_part = spy
+    try:
+        rbsp, ref = h264.encode_idr_cavlc(frames[0], qp=12, full_recon=True)
+        assert np.array_equal(dec(rbsp, True), ref)
+        for fn, f in enumerate(frames[1:], 1):
+            prbsp, recon = h264.encode_p_cavlc(f, ref, qp=12, frame_num=fn)
+            assert np.array_equal(dec(prbsp, False, ref), recon), fn
+            ref = recon
+    finally:
+        h264._decode_mb_p_part = orig
+    assert hits, "partition mb_types never chosen — gate regressed"
+
+
+def test_p_partition_mvp_rules_roundtrip_random():
+    """Property: random-ish motion content round-trips bit-exactly with
+    partitions enabled (exercises the 8.4.1.3 directional predictors)."""
+    import struct
+
+    rng = np.random.default_rng(21)
+    yy, xx = np.mgrid[0:48, 0:64]
+    smooth = np.clip(128 + 70 * np.sin(xx / 6) + 40 * np.cos(yy / 9)
+                     + rng.normal(0, 4, (48, 64)), 0, 255).astype(np.uint8)
+    frames = [smooth]
+    for f in range(1, 4):
+        # shear: rows shift by different amounts -> partitions pay off
+        shifted = np.empty_like(smooth)
+        for r in range(48):
+            s = (f * (1 + r // 16)) % 64
+            shifted[r] = np.roll(smooth[r], s)
+        frames.append(shifted)
+    avcc = h264.build_avcc(64, 48, deblock_ctrl=True)
+
+    def dec(rbsp, idr, ref=None):
+        nal = bytes([0x65 if idr else 0x41]) + h264._ep_insert(rbsp)
+        return h264.decode_sample(struct.pack(">I", len(nal)) + nal, avcc,
+                                  ref=ref, full_plane=True)
+
+    rbsp, ref = h264.encode_idr_cavlc(frames[0], qp=14, full_recon=True)
+    assert np.array_equal(dec(rbsp, True), ref)
+    for fn, f in enumerate(frames[1:], 1):
+        prbsp, recon = h264.encode_p_cavlc(f, ref, qp=14, frame_num=fn)
+        assert np.array_equal(dec(prbsp, False, ref), recon), fn
+        ref = recon

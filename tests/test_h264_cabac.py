@@ -251,3 +251,36 @@ def test_out_of_profile_streams_raise():
     avcc = h264.build_avcc(16, 16, deblock_ctrl=True, cabac=True)
     with pytest.raises(ValueError):
         h264.decode_sample(_sample(prbsp, idr=False), avcc, ref=None)
+
+
+def test_cabac_p_partitions_roundtrip_bit_exact():
+    """r6: 16x8 / 8x16 partitions through the CABAC mb_type tree
+    ("011"/"010"), mvds per partition, decode == recon bit-exact; the
+    partitioned CABAC decode path is actually exercised."""
+    yy, xx = np.mgrid[0:48, 0:64]
+
+    def fr(f):
+        a = np.clip(128 + 90 * np.sin((xx + 4 * f) / 5), 0, 255)
+        b = np.clip(128 + 90 * np.sin((xx - 4 * f) / 5 + 1), 0, 255)
+        return np.where(yy < 24, a, b).astype(np.uint8)
+
+    frames = [fr(f) for f in range(4)]
+    hits = []
+    orig = C._dec_mb_p_part
+
+    def spy(*a, **k):
+        hits.append(a[-1])
+        return orig(*a, **k)
+
+    C._dec_mb_p_part = spy
+    try:
+        rbsp, ref = C.encode_idr_cabac(frames[0], qp=12, full_recon=True)
+        assert np.array_equal(_decode(rbsp, 64, 48), ref)
+        for fn, f in enumerate(frames[1:], 1):
+            prbsp, recon = C.encode_p_cabac(f, ref, qp=12, frame_num=fn)
+            assert np.array_equal(_decode(prbsp, 64, 48, idr=False, ref=ref),
+                                  recon), fn
+            ref = recon
+    finally:
+        C._dec_mb_p_part = orig
+    assert hits and set(hits) <= {"16x8", "8x16"}
