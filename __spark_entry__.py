@@ -1485,11 +1485,12 @@ WHERE i % 7 <> 0
 def q_h264_frames(spark, sf_dir):
     """REAL H.264 path (..h264, ..h264_cabac): avc1 MP4s synthesized on
     executors, frame-sampled through sample_frames with fake=False.
-    Clips rotate through the three entropy paths (i mod 3): bit-exact
-    I_PCM; CAVLC IDR+P GOPs; CABAC IDR+P GOPs (r6 — context-adaptive
-    binary arithmetic decode + intra prediction + motion-compensated P
-    slices; decode==recon bit-exact asserted in tests/test_h264_cabac).
-    The oracle checks the (clip, frame, timestamp, dims) fan-out."""
+    Clips rotate through four coding shapes (i mod 4): bit-exact I_PCM;
+    CAVLC IDR+P GOPs; CABAC IDR+P GOPs (r6 — context-adaptive binary
+    arithmetic decode); CAVLC IBBP GOPs with B slices + ctts display
+    reordering (r6 — bi-prediction, 2-deep DPB). decode==recon
+    bit-exactness for every path is asserted in tests/test_h264*. The
+    oracle checks the (clip, frame, timestamp, dims) fan-out."""
     import numpy as np
     import pandas as pd
 
@@ -1506,14 +1507,17 @@ def q_h264_frames(spark, sf_dir):
                 n = 2 + i % 3  # 2..4 frames at 1 fps -> duration n seconds
                 frames = [((np.mgrid[0:16, 0:16][1] * 7 + i + f) % 251).astype(np.uint8)
                           for f in range(n)]
-                kind = i % 3  # I_PCM / CAVLC GOP / CABAC GOP
-                qp = None if kind == 0 else 8
-                gop = None if kind == 0 else 2
-                entropy = "cabac" if kind == 2 else "cavlc"
-                rows.append({"video_id": f"h{i:04d}",
-                             "bytes": _mp4.write_h264_mp4(frames, fps=1,
-                                                          qp=qp, gop=gop,
-                                                          entropy=entropy)})
+                kind = i % 4  # I_PCM / CAVLC / CABAC / B-GOP
+                if kind == 0:
+                    data = _mp4.write_h264_mp4(frames, fps=1)
+                elif kind == 3:
+                    data = _mp4.write_h264_mp4(frames, fps=1, qp=8, gop=4,
+                                               bframes=1)
+                else:
+                    data = _mp4.write_h264_mp4(
+                        frames, fps=1, qp=8, gop=2,
+                        entropy="cabac" if kind == 2 else "cavlc")
+                rows.append({"video_id": f"h{i:04d}", "bytes": data})
             yield pd.DataFrame(rows, columns=["video_id", "bytes"])
 
     vids = base.mapInPandas(make, "video_id string, bytes binary")

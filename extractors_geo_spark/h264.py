@@ -373,17 +373,23 @@ def _read_vlc(r: "_BitReader", dec: dict):
 
 
 # ------------------------------------------------------------------ encoder
-def _sps(w: int, h: int, profile: int = 66) -> bytes:
+def _sps(w: int, h: int, profile: int = 66, bpoc: bool = False) -> bytes:
     mbw = -(-w // 16)
     mbh = -(-h // 16)
     bw = _BitWriter()
-    bw.u(profile, 8)   # profile_idc: 66 Baseline / 77 Main (CABAC)
+    bw.u(profile, 8)   # profile_idc: 66 Baseline / 77 Main (CABAC/B)
     bw.u(0, 8)    # constraint flags + reserved
     bw.u(20, 8)   # level_idc 2.0
     bw.ue(0)      # sps_id
     bw.ue(0)      # log2_max_frame_num_minus4 -> frame_num is u(4)
-    bw.ue(2)      # pic_order_cnt_type 2 (order = decode order)
-    bw.ue(0)      # max_num_ref_frames
+    if bpoc:
+        # B-enabled streams carry explicit picture order (display can
+        # differ from decode order): poc_type 0, 16-bit poc_lsb
+        bw.ue(0)
+        bw.ue(12)  # log2_max_pic_order_cnt_lsb_minus4 -> u(16)
+    else:
+        bw.ue(2)  # pic_order_cnt_type 2 (order = decode order)
+    bw.ue(2 if bpoc else 0)  # max_num_ref_frames (2-deep DPB for B)
     bw.u(0, 1)    # gaps_in_frame_num_value_allowed
     bw.ue(mbw - 1)
     bw.ue(mbh - 1)
@@ -909,7 +915,8 @@ def _nc_luma(nnz, bx, by):
 
 
 def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
-                     deblock: bool = False, full_recon: bool = False):
+                     deblock: bool = False, full_recon: bool = False,
+                     poc_lsb: int | None = None):
     """One gray frame -> (IDR slice RBSP, reconstructed plane).
 
     CAVLC intra encoding: near-flat macroblocks go I_16x16 (DC pred,
@@ -937,6 +944,8 @@ def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
     bw.ue(0)      # pps_id
     bw.u(0, 4)    # frame_num
     bw.ue(0)      # idr_pic_id
+    if poc_lsb is not None:  # poc_type-0 SPS (B-enabled streams)
+        bw.u(poc_lsb & 0xFFFF, 16)
     bw.u(0, 1)    # no_output_of_prior_pics
     bw.u(0, 1)    # long_term_reference
     bw.se(qp - 26)  # slice_qp_delta (pic_init_qp is 26)
@@ -1094,7 +1103,8 @@ def _pred_mode_for_encoded(modes, bx, by, blk, mx, my):
 
 def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                    max_coeffs: int = 16, frame_num: int = 1,
-                   search: int = 8, deblock: bool = False):
+                   search: int = 8, deblock: bool = False,
+                   poc_lsb: int | None = None):
     """One gray frame -> (P-slice RBSP, FULL reconstructed plane).
 
     Per macroblock: P_SKIP when the residual at the skip-predicted MV
@@ -1121,6 +1131,8 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     bw.ue(5)      # slice_type: P (all slices in picture)
     bw.ue(0)      # pps_id
     bw.u(frame_num & 0xF, 4)
+    if poc_lsb is not None:  # poc_type-0 SPS (B-enabled streams)
+        bw.u(poc_lsb & 0xFFFF, 16)
     bw.u(0, 1)    # num_ref_idx_active_override_flag
     bw.u(0, 1)    # ref_pic_list_modification_flag_l0
     bw.u(0, 1)    # adaptive_ref_pic_marking_mode_flag (sliding window)
@@ -1227,6 +1239,172 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     return bytes(bw.buf), out_plane
 
 
+def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
+                   ref1_full: np.ndarray, qp: int = 10,
+                   max_coeffs: int = 16, frame_num: int = 1,
+                   search: int = 8, poc_lsb: int = 0):
+    """One gray frame -> (B-slice RBSP, FULL recon plane). Per MB the
+    encoder picks the cheapest of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
+    (bi-prediction averages the two MC blocks) with an I_4x4 fallback on
+    SAD failure; no B_SKIP/direct modes are emitted. B pictures are
+    NON-REFERENCE (nal_ref_idc 0) and always disable the in-loop filter
+    in-slice, so decode == recon holds without two-list bS rules."""
+    a = np.asarray(gray, np.uint8)
+    h, w = a.shape
+    mbw = -(-w // 16)
+    mbh = -(-h // 16)
+    assert ref0_full.shape == ref1_full.shape == (mbh * 16, mbw * 16)
+    src = np.pad(a, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
+    plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
+    plane_w = mbw * 16
+    nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
+    modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
+    mvs0 = _MvState(mbw, mbh)
+    mvs1 = _MvState(mbw, mbh)
+
+    bw = _BitWriter()
+    bw.ue(0)      # first_mb_in_slice
+    bw.ue(6)      # slice_type: B (all slices in picture)
+    bw.ue(0)      # pps_id
+    bw.u(frame_num & 0xF, 4)
+    bw.u(poc_lsb & 0xFFFF, 16)  # pic_order_cnt_lsb (poc_type 0 SPS)
+    bw.u(1, 1)    # direct_spatial_mv_pred_flag
+    bw.u(0, 1)    # num_ref_idx_active_override_flag
+    bw.u(0, 1)    # ref_pic_list_modification_flag_l0
+    bw.u(0, 1)    # ref_pic_list_modification_flag_l1
+    # nal_ref_idc = 0: no dec_ref_pic_marking
+    bw.se(qp - 26)
+    bw.ue(1)      # disable_deblocking_filter_idc (always off for B)
+
+    for my in range(mbh):
+        for mx in range(mbw):
+            smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16].astype(np.int32)
+            mvp0 = mvs0.mvp_16x16(mx, my)
+            sad0, mv0, pred0 = _search_block(ref0_full, smb, mx * 16, my * 16,
+                                             mvp0, search)
+            mvp1 = mvs1.mvp_16x16(mx, my)
+            sad1, mv1, pred1 = _search_block(ref1_full, smb, mx * 16, my * 16,
+                                             mvp1, search)
+            bi = (pred0 + pred1 + 1) >> 1
+            sad_bi = int(np.abs(smb - bi).sum())
+            cand = min(((sad0, 1), (sad1, 2), (sad_bi, 3)))
+            if cand[0] > 28 * 256:  # nothing predicts it: intra fallback
+                bw.ue(0)  # mb_skip_run
+                _encode_mb_i4(bw, smb.astype(np.uint8), plane, mx, my, qp,
+                              nnz, modes, max_coeffs, plane_w,
+                              mb_type_code=23)
+                mvs0.set_mb(mx, my, (0, 0), -1)
+                mvs1.set_mb(mx, my, (0, 0), -1)
+                continue
+            mb_type = cand[1]
+            pred = (pred0, pred1, bi)[mb_type - 1]
+            blocks = []
+            cbp = 0
+            out = pred.copy()
+            for blk in range(16):
+                ox, oy = _BLK_XY[blk]
+                lv = _thin(_quant4(_fwd4(smb[oy:oy + 4, ox:ox + 4]
+                                         - pred[oy:oy + 4, ox:ox + 4]),
+                                   qp, intra=False), max_coeffs)
+                tc = int(np.count_nonzero(lv))
+                if tc:
+                    cbp |= 1 << (blk >> 2)
+                blocks.append((lv, tc))
+                out[oy:oy + 4, ox:ox + 4] += _inv4(_dequant4(lv, qp)).astype(np.int32)
+            bw.ue(0)  # mb_skip_run (no B_SKIP emitted)
+            bw.ue(mb_type)
+            if mb_type in (1, 3):
+                bw.se(mv0[0] - mvp0[0])
+                bw.se(mv0[1] - mvp0[1])
+            if mb_type in (2, 3):
+                bw.se(mv1[0] - mvp1[0])
+                bw.se(mv1[1] - mvp1[1])
+            bw.ue(_CBP_INTER_INV[cbp])
+            if cbp:
+                bw.se(0)  # mb_qp_delta
+            for blk in range(16):
+                ox, oy = _BLK_XY[blk]
+                bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
+                lv, tc = blocks[blk]
+                if cbp & (1 << (blk >> 2)):
+                    nc = _nc_luma(nnz, bx, by)
+                    _encode_residual(bw, _scan16(lv), nc)
+                nnz[by, bx] = tc
+            np.clip(out, 0, 255, out)
+            plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
+            mvs0.set_mb(mx, my, mv0 if mb_type in (1, 3) else (0, 0),
+                        0 if mb_type in (1, 3) else -1)
+            mvs1.set_mb(mx, my, mv1 if mb_type in (2, 3) else (0, 0),
+                        0 if mb_type in (2, 3) else -1)
+            modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+    bw.rbsp_trailing()
+    return bytes(bw.buf), plane
+
+
+def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
+                       gop: int = 8, bframes: int = 1,
+                       deblock: bool = False
+                       ) -> tuple[bytes, list[bytes], list[int]]:
+    """Gray frames -> (avcC, DECODE-ORDER length-prefixed samples,
+    display index per sample). Real IBBP-style GOPs: reference frames
+    (IDR every `gop` display frames, P in between) are coded first, the
+    `bframes` B pictures between each reference pair follow, predicting
+    from BOTH surrounding references (L0 past / L1 future). Feed the
+    display indices to the MP4 muxer as composition offsets (ctts);
+    decode with decode_samples (returns display order)."""
+    h, w = np.asarray(frames[0]).shape
+    if w % 2 or h % 2:
+        raise ValueError("4:2:0 H.264 needs even dimensions (crop unit is 2 px)")
+    if bframes < 1:
+        raise ValueError("bframes >= 1 (use encode_frames for P-only GOPs)")
+    avcc = build_avcc(w, h, deblock_ctrl=True, bpoc=True)
+    samples: list[bytes] = []
+    display: list[int] = []
+    recons: dict[int, np.ndarray] = {}  # display idx -> FULL recon (refs)
+    frame_num = 0
+
+    def emit(rbsp, idr, ref_pic, disp):
+        nal_ref_idc = (3 if idr else 2) if ref_pic else 0
+        typ = 5 if idr else 1
+        nal = bytes([(nal_ref_idc << 5) | typ]) + _ep_insert(rbsp)
+        samples.append(struct.pack(">I", len(nal)) + nal)
+        display.append(disp)
+
+    n = len(frames)
+    prev_ref_disp = None
+    i = 0
+    while i < n:
+        if i % gop == 0:  # closed-GOP IDR; B frames never cross it
+            rbsp, recon = encode_idr_cavlc(frames[i], qp=qp, deblock=deblock,
+                                           full_recon=True, poc_lsb=2 * i)
+            frame_num = 1
+            emit(rbsp, True, True, i)
+            recons[i] = recon
+            prev_ref_disp = i
+            i += 1
+            continue
+        # last display position of the current GOP is always a reference,
+        # so B pictures stay strictly inside the GOP
+        gop_last = min(n - 1, (prev_ref_disp // gop) * gop + gop - 1)
+        nxt = min(prev_ref_disp + bframes + 1, gop_last)
+        rbsp, recon = encode_p_cavlc(frames[nxt], recons[prev_ref_disp],
+                                     qp=qp, frame_num=frame_num,
+                                     deblock=deblock, poc_lsb=2 * nxt)
+        frame_num = (frame_num + 1) & 0xF
+        emit(rbsp, False, True, nxt)
+        recons[nxt] = recon
+        # B pictures between the two references (display order)
+        for b in range(prev_ref_disp + 1, nxt):
+            rbsp, _brec = encode_b_cavlc(frames[b], recons[prev_ref_disp],
+                                         recons[nxt], qp=qp,
+                                         frame_num=frame_num,
+                                         poc_lsb=2 * b)
+            emit(rbsp, False, False, b)
+        prev_ref_disp = nxt
+        i = nxt + 1
+    return avcc, samples, display
+
+
 def _all_zero_quant(resid: np.ndarray, qp: int) -> bool:
     for oy in range(0, 16, 4):
         for ox in range(0, 16, 4):
@@ -1237,10 +1415,10 @@ def _all_zero_quant(resid: np.ndarray, qp: int) -> bool:
 
 
 def build_avcc(w: int, h: int, deblock_ctrl: bool = False,
-               cabac: bool = False) -> bytes:
+               cabac: bool = False, bpoc: bool = False) -> bytes:
     """avcC (AVCDecoderConfigurationRecord) for the MP4 sample entry."""
-    profile = 77 if cabac else 66  # Main carries CABAC capability
-    sps = _ep_insert(_sps(w, h, profile=profile))
+    profile = 77 if (cabac or bpoc) else 66  # Main: CABAC and/or B slices
+    sps = _ep_insert(_sps(w, h, profile=profile, bpoc=bpoc))
     pps = _ep_insert(_pps(deblock_ctrl, cabac=cabac))
     return (bytes([1, profile, 0, 20, 0xFF, 0xE1])
             + struct.pack(">H", len(sps) + 1) + bytes([0x67]) + sps
@@ -1932,6 +2110,26 @@ def _decode_mb_p_part(r, mb_type, plane, ref, mx, my, qp, nnz, nnz_c,
     return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes)
 
 
+def _decode_mb_b16(r, mb_type, plane, ref0, ref1, mx, my, qp, nnz, nnz_c,
+                   modes, mvs0, mvs1):
+    """B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (mb_type 1/2/3): one mvd per
+    used list, per-list median MV prediction, bi-prediction averages the
+    two MC blocks ((a + b + 1) >> 1, default weights)."""
+    use = (mb_type in (1, 3), mb_type in (2, 3))  # (L0, L1)
+    preds = []
+    for u, mvsx, refx in zip(use, (mvs0, mvs1), (ref0, ref1)):
+        if not u:
+            mvsx.set_mb(mx, my, (0, 0), -1)
+            continue
+        mvp = mvsx.mvp_16x16(mx, my)
+        mvd = (r.se(), r.se())
+        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        preds.append(_interp_luma(refx, mx * 16, my * 16, mv[0], mv[1]))
+        mvsx.set_mb(mx, my, mv, 0)
+    pred = preds[0] if len(preds) == 1 else (preds[0] + preds[1] + 1) >> 1
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes)
+
+
 def _skip_mb(plane, ref, mx, my, nnz, nnz_c, modes, mvs):
     mv = mvs.skip_mv(mx, my)
     pred = _interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
@@ -1950,14 +2148,16 @@ def _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc: int = 3) -> dict:
         raise ValueError("multi-slice pictures unsupported")
     stype = r.ue()
     is_p = stype % 5 == 0
-    if not is_p and stype % 5 != 2:
-        raise ValueError("B/SP/SI slice: out of decode scope")
+    is_b = stype % 5 == 1
+    if not is_p and not is_b and stype % 5 != 2:
+        raise ValueError("SP/SI slice: out of decode scope")
     r.ue()  # pps_id
     r.u(sps["log2_mfn"])  # frame_num
     if nal_type == 5:
         r.ue()  # idr_pic_id
+    poc = None
     if sps["poc_type"] == 0:
-        r.u(sps["log2_poc"])  # pic_order_cnt_lsb
+        poc = r.u(sps["log2_poc"])  # pic_order_cnt_lsb
         if pps["pic_order_present"]:
             r.se()  # delta_pic_order_cnt_bottom
     elif sps["poc_type"] == 1 and not sps["delta_always_zero"]:
@@ -1966,11 +2166,18 @@ def _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc: int = 3) -> dict:
             r.se()
     if pps["redundant"]:
         r.ue()
-    if is_p:
+    if is_b:
+        if not r.u(1):  # direct_spatial_mv_pred_flag
+            raise ValueError("temporal direct B prediction: out of scope")
+    if is_p or is_b:
         if r.u(1):  # num_ref_idx_active_override_flag
             if r.ue() != 0:  # num_ref_idx_l0_active_minus1
                 raise ValueError("multiple reference frames unsupported")
+            if is_b and r.ue() != 0:  # num_ref_idx_l1_active_minus1
+                raise ValueError("multiple reference frames unsupported")
         if r.u(1):  # ref_pic_list_modification_flag_l0
+            raise ValueError("ref pic list modification unsupported")
+        if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
             raise ValueError("ref pic list modification unsupported")
     if nal_type == 5:
         r.u(1)  # no_output_of_prior_pics
@@ -1978,7 +2185,7 @@ def _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc: int = 3) -> dict:
     elif nal_ref_idc:  # dec_ref_pic_marking only for reference pictures
         if r.u(1):
             raise ValueError("adaptive ref pic marking unsupported")
-    if pps["cabac"] and is_p:
+    if pps["cabac"] and (is_p or is_b):
         if r.ue() > 2:  # cabac_init_idc (the in-repo uniform init ignores it)
             raise ValueError("bad cabac_init_idc")
     qp = pps["pic_init_qp"] + r.se()
@@ -1990,16 +2197,19 @@ def _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc: int = 3) -> dict:
         elif idc != 2:  # idc 2 (no slice-crossing) == full filter here:
             off_a = 2 * r.se()  # single-slice pictures have no such edges
             off_b = 2 * r.se()
-    return {"is_p": is_p, "qp": qp, "do_filter": do_filter,
-            "off_a": off_a, "off_b": off_b}
+    return {"is_p": is_p, "is_b": is_b, "qp": qp, "do_filter": do_filter,
+            "off_a": off_a, "off_b": off_b, "poc": poc}
 
 
 def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
-                   nal_ref_idc: int = 3) -> np.ndarray:
+                   nal_ref_idc: int = 3,
+                   ref2: np.ndarray | None = None) -> np.ndarray:
     hdr = _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc)
-    is_p = hdr["is_p"]
+    is_p, is_b = hdr["is_p"], hdr["is_b"]
     if is_p and ref is None:
         raise ValueError("P slice without a decoded reference frame")
+    if is_b and (ref is None or ref2 is None):
+        raise ValueError("B slice without both reference frames")
     qp = hdr["qp"]
     do_filter, off_a, off_b = hdr["do_filter"], hdr["off_a"], hdr["off_b"]
     mbw, mbh = sps["mbw"], sps["mbh"]
@@ -2009,11 +2219,27 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
     nnz_c = np.zeros((2, mbh * 2, mbw * 2), np.int32)
     modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
     qp_map = np.zeros((mbh, mbw), np.int32)
-    mvs = _MvState(mbw, mbh) if is_p else None
+    mvs = _MvState(mbw, mbh) if (is_p or is_b) else None
+    mvs1 = _MvState(mbw, mbh) if is_b else None  # L1 motion state
     run_pending = None  # skip run not yet read for the next coded MB
     for my in range(mbh):
         for mx in range(mbw):
-            if is_p:
+            if is_b:
+                if r.ue() != 0:  # mb_skip_run (B_SKIP -> direct pred)
+                    raise ValueError("B_SKIP/direct: out of decode scope")
+                mb_type = r.ue()
+                if mb_type == 0:
+                    raise ValueError("B_Direct_16x16: out of decode scope")
+                if 1 <= mb_type <= 3:  # B_L0 / B_L1 / B_Bi 16x16
+                    qp = _decode_mb_b16(r, mb_type, plane, ref, ref2, mx, my,
+                                        qp, nnz, nnz_c, modes, mvs, mvs1)
+                    qp_map[my, mx] = qp
+                    continue
+                if mb_type < 23:
+                    raise ValueError(
+                        "B partitioned mb_type: out of decode scope")
+                mb_type -= 23  # intra in a B slice
+            elif is_p:
                 if run_pending is None:
                     run_pending = r.ue()  # mb_skip_run
                 if run_pending > 0:
@@ -2022,7 +2248,8 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                     qp_map[my, mx] = qp
                     continue
                 run_pending = None  # this position is the coded MB
-            mb_type = r.ue()
+            if not is_b:
+                mb_type = r.ue()
             if is_p:
                 if mb_type == 0:  # P_L0_16x16
                     qp = _decode_mb_p16(r, plane, ref, mx, my, qp, nnz,
@@ -2059,13 +2286,18 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                 qp_map[my, mx] = qp
             else:
                 raise ValueError(f"bad mb_type {mb_type}")
-            if is_p:
+            if is_p or is_b:
                 mvs.set_mb(mx, my, (0, 0), -1)  # intra: no motion
+                if is_b:
+                    mvs1.set_mb(mx, my, (0, 0), -1)
     if do_filter and int(qp_map.max()) + max(off_a, off_b, 0) >= 16:
         # intra/inter prediction consumed the unfiltered plane above; the
         # OUTPUT picture is the filtered one (8.7). Below qp 16 every
         # alpha threshold is 0 (I_PCM pictures: qp 0), so skip.
-        if is_p:
+        if is_p or is_b:
+            # B pictures filter with the L0 motion state (in-repo
+            # approximation of the two-list bS rules; the in-repo encoder
+            # always disables the filter for B slices, so decode == recon)
             plane = _deblock_luma_inter(plane, qp_map, nnz, mvs, off_a, off_b)
         else:
             plane = _deblock_luma(plane, qp_map, off_a, off_b)
@@ -2074,30 +2306,84 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
     return plane
 
 
+def _peek_slice(sample: bytes, avcc: bytes, sps: dict, pps: dict):
+    """(nal_type, nal_ref_idc, parsed header) of the first slice NAL —
+    non-consuming: decode_sample re-parses."""
+    length_size = (avcc[4] & 3) + 1
+    pos = 0
+    while pos + length_size <= len(sample):
+        ln = int.from_bytes(sample[pos: pos + length_size], "big")
+        nal = sample[pos + length_size: pos + length_size + ln]
+        pos += length_size + ln
+        if not nal:
+            continue
+        typ = nal[0] & 0x1F
+        if typ not in (1, 5):
+            continue
+        r = _BitReader(_ep_remove(nal[1:]))
+        try:
+            hdr = _parse_slice_header(r, sps, pps, typ, (nal[0] >> 5) & 3)
+        except (IndexError, TypeError, KeyError, struct.error) as e:
+            raise ValueError(f"corrupt H.264 sample ({type(e).__name__})")
+        return typ, (nal[0] >> 5) & 3, hdr
+    raise ValueError("no slice NAL in sample")
+
+
 def decode_samples(samples: list[bytes], avcc: bytes) -> list[np.ndarray]:
-    """Sequential GOP decode: IDR frames reset the (1-deep) DPB, P
-    frames predict from the previous decoded picture. Returns cropped
-    gray frames in decode order."""
-    sps, _pps = _avcc_param_sets(avcc)
-    out = []
-    ref = None
-    for s in samples:
-        full = decode_sample(s, avcc, ref=ref, full_plane=True)
-        ref = full
-        out.append(full[:sps["h"], :sps["w"]])
-    return out
+    """Sequential GOP decode. poc_type-2 streams (I/P only): 1-deep DPB,
+    decode order == display order. poc_type-0 streams (B-enabled, r6):
+    a 2-deep reference DPB; each B picture predicts from the nearest
+    reference before (L0) and after (L1) its POC, IDRs reset the DPB
+    (closed GOPs), and the output is reordered to DISPLAY order by POC.
+    Returns cropped gray frames."""
+    sps, pps = _avcc_param_sets(avcc)
+    if sps["poc_type"] != 0:
+        out = []
+        ref = None
+        for s in samples:
+            full = decode_sample(s, avcc, ref=ref, full_plane=True)
+            ref = full
+            out.append(full[:sps["h"], :sps["w"]])
+        return out
+    dpb: list[tuple[int, np.ndarray]] = []  # (poc, FULL plane) references
+    outputs: list[tuple[int, int, np.ndarray]] = []  # (poc, seq, cropped)
+    for seq, s in enumerate(samples):
+        typ, ref_idc, hdr = _peek_slice(s, avcc, sps, pps)
+        poc = hdr["poc"] if hdr["poc"] is not None else 2 * seq
+        if typ == 5:
+            dpb = []  # IDR: closed GOP, reset references
+        if hdr["is_b"]:
+            before = [e for e in dpb if e[0] < poc]
+            after = [e for e in dpb if e[0] > poc]
+            if not before or not after:
+                raise ValueError("B picture without surrounding references")
+            l0 = max(before, key=lambda e: e[0])[1]
+            l1 = min(after, key=lambda e: e[0])[1]
+            full = decode_sample(s, avcc, ref=l0, ref2=l1, full_plane=True)
+        else:
+            ref = dpb[-1][1] if dpb else None
+            full = decode_sample(s, avcc, ref=ref, full_plane=True)
+        if ref_idc:
+            dpb.append((poc, full))
+            dpb = dpb[-2:]  # sliding window, 2-deep
+        outputs.append((poc, seq, full[:sps["h"], :sps["w"]]))
+    outputs.sort(key=lambda e: (e[0], e[1]))
+    return [p for _poc, _seq, p in outputs]
 
 
 def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
-                  full_plane: bool = False) -> np.ndarray:
+                  full_plane: bool = False,
+                  ref2: np.ndarray | None = None) -> np.ndarray:
     """Length-prefixed NAL sample + avcC -> gray frame. Decodes I_PCM,
     CAVLC intra (I_4x4 / I_16x16), and CAVLC P slices (P_SKIP +
     P_L0_16x16 + 16x8/8x16 partitions, quarter-pel MC, `ref` =
     previous FULL decoded plane —
-    use decode_samples for GOP streams). CABAC slice data decodes via
-    h264_cabac (in-repo-profile streams, r6); B slices and high-profile
-    features raise ValueError (the documented well-formed-unsupported
-    stub path in sample_frames)."""
+    use decode_samples for GOP streams; B slices additionally take
+    `ref2` = the future reference). CABAC slice data decodes via
+    h264_cabac (in-repo-profile streams, r6). Out-of-profile features
+    (CABAC B slices, B_SKIP/direct, P_8x8/B partitions, high-profile
+    tools) raise ValueError — the documented well-formed-unsupported
+    stub path in sample_frames."""
     sps, pps = _avcc_param_sets(avcc)
     length_size = (avcc[4] & 3) + 1
     pos = 0
@@ -2117,13 +2403,16 @@ def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
 
                 hdr = _parse_slice_header(r, sps, pps, typ,
                                           (nal[0] >> 5) & 3)
+                if hdr["is_b"]:
+                    raise ValueError("CABAC B slices: out of decode scope")
                 if hdr["is_p"] and ref is None:
                     raise ValueError("P slice without a decoded reference frame")
                 full = h264_cabac.decode_slice(r, sps, pps, hdr, ref,
                                                hdr["is_p"])
             else:
                 full = _decode_islice(r, sps, pps, typ, ref=ref,
-                                      nal_ref_idc=(nal[0] >> 5) & 3)
+                                      nal_ref_idc=(nal[0] >> 5) & 3,
+                                      ref2=ref2)
         except (IndexError, TypeError, KeyError, struct.error) as e:
             # corrupted entropy payload desynced the parser: normalize to
             # the ValueError contract callers map to errors-as-data

@@ -30,9 +30,10 @@ _JPEG_FOURCC = (b"jpeg", b"mjpa", b"AVDJ", b"MJPG")
 # uncompressed tracks (QuickTime 'raw ' RGB/gray, 'Y800' 8-bit gray):
 # sample bytes ARE the pixels — the cheap real non-JPEG path (VERDICT r03 #7)
 _RAW_FOURCC = (b"raw ", b"Y800")
-# H.264: real NAL/avcC plumbing; PIXELS decode for the in-repo baseline
-# subset (I_PCM bit-exact, CAVLC intra, CAVLC P slices) — CABAC/B-slice
-# samples raise downstream
+# H.264: real NAL/avcC plumbing; PIXELS decode for the in-repo profile
+# (I_PCM bit-exact, CAVLC/CABAC intra + P incl. 16x8/8x16 partitions,
+# CAVLC B slices with ctts reordering) — out-of-profile samples raise
+# downstream
 _AVC_FOURCC = (b"avc1", b"avc3")
 _SUPPORTED_FOURCC = _JPEG_FOURCC + _RAW_FOURCC + _AVC_FOURCC
 
@@ -96,7 +97,8 @@ def write_raw_mp4(frames: list[np.ndarray], fps: int = 10) -> bytes:
 
 
 def _assemble_mp4(samples: list[bytes], w: int, h: int, fps: int,
-                  fourcc: bytes, depth: int, entry_extra: bytes = b"") -> bytes:
+                  fourcc: bytes, depth: int, entry_extra: bytes = b"",
+                  ctts_offsets: list[int] | None = None) -> bytes:
     n = len(samples)
     timescale = 90000
     delta = timescale // fps
@@ -127,11 +129,16 @@ def _assemble_mp4(samples: list[bytes], w: int, h: int, fps: int,
            + struct.pack(">Hh", depth, -1))
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + _box(fourcc, vse + entry_extra))
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    ctts = b""
+    if ctts_offsets is not None:
+        assert len(ctts_offsets) == n
+        ctts = _full(b"ctts", 0, 0, struct.pack(">I", n) + b"".join(
+            struct.pack(">Ii", 1, o) for o in ctts_offsets))
     stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
     stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
                  + b"".join(struct.pack(">I", len(s)) for s in samples))
     stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    stbl = _box(b"stbl", stsd + stts + ctts + stsc + stsz + stco)
     minf = _box(b"minf", vmhd + dinf + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)
@@ -338,12 +345,29 @@ def _stbl_samples(data: bytes, stbl, timescale: int):
             samples.append(data[pos : pos + sizes[si]])
             pos += sizes[si]
             si += 1
-    ts = []
+    dts = []
     t_acc = 0
     for cnt2, delta in tt_rows:
         for _ in range(cnt2):
-            ts.append(int(t_acc * 1000 / timescale))
+            dts.append(t_acc)
             t_acc += delta
+    # ctts (composition offsets, B-frame reordering): presentation time =
+    # dts + offset, normalized so the earliest presentation is 0
+    ct = _find(data, *stbl, b"ctts")
+    if ct is not None:
+        p = full_payload(ct)
+        (nct,) = struct.unpack(">I", data[p : p + 4])
+        offs = []
+        for i in range(nct):
+            cnt3, off = struct.unpack(">Ii", data[p + 4 + 8 * i : p + 12 + 8 * i])
+            offs.extend([off] * cnt3)
+        cts = [d + (offs[i] if i < len(offs) else 0)
+               for i, d in enumerate(dts)]
+        base = min(cts) if cts else 0
+        cts = [c - base for c in cts]
+    else:
+        cts = dts
+    ts = [int(c * 1000 / timescale) for c in cts]
     return samples, ts, t_acc
 
 
@@ -461,17 +485,32 @@ def write_mp4_with_captions(frames: list, fps: int, captions: list[str],
 
 
 def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
-                   gop: int | None = None, entropy: str = "cavlc") -> bytes:
+                   gop: int | None = None, entropy: str = "cavlc",
+                   bframes: int = 0) -> bytes:
     """Gray frames -> single-track 'avc1' MP4 whose samples are REAL
     H.264 (..h264.encode_frames): bit-exact I_PCM when qp is None,
     CAVLC or CABAC (entropy=) at the given qp otherwise; gop=N emits a
     real IDR+P group-of-pictures structure (motion-compensated P
-    slices)."""
+    slices). bframes=N (CAVLC, requires qp+gop) emits IBBP GOPs:
+    samples land in DECODE order with ctts composition offsets carrying
+    the display reordering (r6)."""
     from . import h264 as _h264
 
+    h, w = np.asarray(frames[0]).shape[:2]
+    if bframes:
+        if qp is None or gop is None:
+            raise ValueError("bframes needs qp and gop")
+        avcc, samples, disp = _h264.encode_frames_bgop(
+            frames, qp=qp, gop=gop, bframes=bframes)
+        timescale = 90000
+        delta = timescale // fps
+        shift = max((i - d) * delta for i, d in enumerate(disp))
+        offsets = [(d - i) * delta + shift for i, d in enumerate(disp)]
+        return _assemble_mp4(samples, w, h, fps, fourcc=b"avc1", depth=24,
+                             entry_extra=_box(b"avcC", avcc),
+                             ctts_offsets=offsets)
     avcc, samples = _h264.encode_frames(frames, qp=qp, gop=gop,
                                         entropy=entropy)
-    h, w = np.asarray(frames[0]).shape[:2]
     return _assemble_mp4(samples, w, h, fps, fourcc=b"avc1", depth=24,
                          entry_extra=_box(b"avcC", avcc))
 

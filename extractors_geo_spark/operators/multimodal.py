@@ -443,9 +443,14 @@ def sample_frames(videos: DataFrame, every_ms: int = 1000, fake: bool = True,
                             from .. import h264 as _h264
 
                             dur = parsed["duration_ms"]
-                            tss = parsed["timestamps_ms"]
+                            # decode_samples returns DISPLAY order; the
+                            # container timestamps are per-sample
+                            # composition times in DECODE order — sorting
+                            # them yields the display-order timeline
+                            # (B-frame ctts reordering, r6)
+                            tss = sorted(parsed["timestamps_ms"])
                             # GOP-aware: decode the track sequentially so
-                            # P frames predict from their references (a
+                            # P/B frames predict from their references (a
                             # real deployment decodes per-GOP; fixture
                             # tracks are short)
                             arrs = _h264.decode_samples(

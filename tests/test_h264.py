@@ -383,3 +383,116 @@ def test_p_partition_mvp_rules_roundtrip_random():
         prbsp, recon = h264.encode_p_cavlc(f, ref, qp=14, frame_num=fn)
         assert np.array_equal(dec(prbsp, False, ref), recon), fn
         ref = recon
+
+
+# ---------------------------------------------------------- r6: B slices
+def _bgop_frames(n=10, w=64, h=48):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return [np.clip(128 + 100 * np.sin((xx + 3 * f) / 5) + yy / 4, 0, 255)
+            .astype(np.uint8) for f in range(n)]
+
+
+def test_b_slices_decode_equals_recon_bit_exact():
+    """B_L0/B_L1/B_Bi 16x16: each B sample decodes to the encoder's
+    reconstruction bit-exactly given the same two reference planes."""
+    import struct
+
+    frames = _bgop_frames(4)
+    avcc = h264.build_avcc(64, 48, deblock_ctrl=True, bpoc=True)
+
+    def dec(rbsp, typ, ref_idc, ref=None, ref2=None):
+        nal = bytes([(ref_idc << 5) | typ]) + h264._ep_insert(rbsp)
+        return h264.decode_sample(struct.pack(">I", len(nal)) + nal, avcc,
+                                  ref=ref, ref2=ref2, full_plane=True)
+
+    _, r0 = h264.encode_idr_cavlc(frames[0], qp=12, full_recon=True,
+                                  poc_lsb=0)
+    _, r3 = h264.encode_p_cavlc(frames[3], r0, qp=12, frame_num=1,
+                                poc_lsb=6)
+    for b in (1, 2):
+        rb, rec = h264.encode_b_cavlc(frames[b], r0, r3, qp=12,
+                                      poc_lsb=2 * b)
+        assert np.array_equal(dec(rb, 1, 0, ref=r0, ref2=r3), rec), b
+    # missing references raise
+    rb, _ = h264.encode_b_cavlc(frames[1], r0, r3, qp=12, poc_lsb=2)
+    with pytest.raises(ValueError, match="reference"):
+        dec(rb, 1, 0, ref=r0)
+
+
+def test_bgop_display_reordering_and_quality():
+    """encode_frames_bgop emits decode-order IBBP samples; decode_samples
+    reorders to display by POC; every display frame lands PSNR >= 40 and
+    all three B prediction modes appear across the stream."""
+    frames = _bgop_frames(10)
+    avcc, samples, disp = h264.encode_frames_bgop(frames, qp=12, gop=8,
+                                                  bframes=2)
+    assert sorted(disp) == list(range(10)) and disp != list(range(10))
+    seen = []
+    orig = h264._decode_mb_b16
+
+    def spy(r, mb_type, *a, **k):
+        seen.append(mb_type)
+        return orig(r, mb_type, *a, **k)
+
+    h264._decode_mb_b16 = spy
+    try:
+        decs = h264.decode_samples(samples, avcc)
+    finally:
+        h264._decode_mb_b16 = orig
+    assert len(decs) == 10 and seen
+    for i, (f, d) in enumerate(zip(frames, decs)):
+        mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 40, i
+    # B pictures compress harder than the P they sit between
+    b_sizes = [len(s) for s, dx in zip(samples, disp) if dx % 3 != 0]
+    p_sizes = [len(s) for s, dx in zip(samples, disp)
+               if dx % 3 == 0 and dx != 0 and dx % 8 != 0]
+    assert b_sizes and p_sizes
+    assert float(np.mean(b_sizes)) < float(np.mean(p_sizes))
+
+
+def test_bgop_closed_gop_boundaries():
+    """B frames never cross an IDR: every GOP's last display frame is a
+    reference, so a multi-GOP stream decodes with a DPB that resets at
+    each IDR."""
+    frames = _bgop_frames(19)
+    avcc, samples, disp = h264.encode_frames_bgop(frames, qp=14, gop=8,
+                                                  bframes=2)
+    decs = h264.decode_samples(samples, avcc)
+    assert len(decs) == 19
+    for i, (f, d) in enumerate(zip(frames, decs)):
+        mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 38, i
+
+
+def test_bgop_mp4_ctts_roundtrip():
+    """write_h264_mp4(bframes=2) carries decode-order samples + ctts;
+    read_mjpeg_mp4 exposes composition timestamps; decode_samples +
+    sorted timestamps reconstruct the display timeline."""
+    frames = _bgop_frames(9, 32, 32)
+    data = mp4.write_h264_mp4(frames, fps=2, qp=12, gop=8, bframes=2)
+    parsed = mp4.read_mjpeg_mp4(data)
+    assert parsed["codec"] == "h264" and len(parsed["frames"]) == 9
+    ts = parsed["timestamps_ms"]
+    assert sorted(ts) == [500 * i for i in range(9)]
+    assert ts != sorted(ts)  # decode order differs from display order
+    decs = h264.decode_samples(list(parsed["frames"]), parsed["avcc"])
+    for i, (f, d) in enumerate(zip(frames, decs)):
+        mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 40, i
+
+
+def test_sample_frames_bframes_end_to_end(spark):
+    from extractors_geo_spark.operators import multimodal as M
+
+    frames = _bgop_frames(9, 32, 32)
+    data = mp4.write_h264_mp4(frames, fps=2, qp=12, gop=8, bframes=2)
+    df = spark.createDataFrame([("vb", bytearray(data))],
+                               "video_id string, bytes binary")
+    out = M.sample_frames(df, every_ms=500, fake=False).collect()
+    assert len(out) == 9
+    for r in out:
+        arr = np.frombuffer(r["frame"], np.uint8).reshape(r["fh"], r["fw"])
+        src = frames[r["ts_ms"] // 500]  # display-order source frame
+        mse = float(np.mean((arr.astype(np.float64) - src) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 40, r["ts_ms"]
