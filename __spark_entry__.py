@@ -1511,8 +1511,9 @@ def q_h264_frames(spark, sf_dir):
                 if kind == 0:
                     data = _mp4.write_h264_mp4(frames, fps=1)
                 elif kind == 3:
-                    data = _mp4.write_h264_mp4(frames, fps=1, qp=8, gop=4,
-                                               bframes=1)
+                    data = _mp4.write_h264_mp4(
+                        frames, fps=1, qp=8, gop=4, bframes=1,
+                        entropy="cabac" if (i // 4) % 2 else "cavlc")
                 else:
                     data = _mp4.write_h264_mp4(
                         frames, fps=1, qp=8, gop=2,

@@ -1343,7 +1343,7 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
 
 def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
                        gop: int = 8, bframes: int = 1,
-                       deblock: bool = False
+                       deblock: bool = False, entropy: str = "cavlc"
                        ) -> tuple[bytes, list[bytes], list[int]]:
     """Gray frames -> (avcC, DECODE-ORDER length-prefixed samples,
     display index per sample). Real IBBP-style GOPs: reference frames
@@ -1357,7 +1357,18 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
         raise ValueError("4:2:0 H.264 needs even dimensions (crop unit is 2 px)")
     if bframes < 1:
         raise ValueError("bframes >= 1 (use encode_frames for P-only GOPs)")
-    avcc = build_avcc(w, h, deblock_ctrl=True, bpoc=True)
+    if entropy not in ("cavlc", "cabac"):
+        raise ValueError(f"unknown entropy mode {entropy!r}")
+    if entropy == "cabac":
+        from . import h264_cabac as _C
+
+        enc_idr, enc_p, enc_b = (_C.encode_idr_cabac, _C.encode_p_cabac,
+                                 _C.encode_b_cabac)
+    else:
+        enc_idr, enc_p, enc_b = (encode_idr_cavlc, encode_p_cavlc,
+                                 encode_b_cavlc)
+    avcc = build_avcc(w, h, deblock_ctrl=True, bpoc=True,
+                      cabac=entropy == "cabac")
     samples: list[bytes] = []
     display: list[int] = []
     recons: dict[int, np.ndarray] = {}  # display idx -> FULL recon (refs)
@@ -1375,8 +1386,8 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
     i = 0
     while i < n:
         if i % gop == 0:  # closed-GOP IDR; B frames never cross it
-            rbsp, recon = encode_idr_cavlc(frames[i], qp=qp, deblock=deblock,
-                                           full_recon=True, poc_lsb=2 * i)
+            rbsp, recon = enc_idr(frames[i], qp=qp, deblock=deblock,
+                                  full_recon=True, poc_lsb=2 * i)
             frame_num = 1
             emit(rbsp, True, True, i)
             recons[i] = recon
@@ -1387,18 +1398,17 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
         # so B pictures stay strictly inside the GOP
         gop_last = min(n - 1, (prev_ref_disp // gop) * gop + gop - 1)
         nxt = min(prev_ref_disp + bframes + 1, gop_last)
-        rbsp, recon = encode_p_cavlc(frames[nxt], recons[prev_ref_disp],
-                                     qp=qp, frame_num=frame_num,
-                                     deblock=deblock, poc_lsb=2 * nxt)
+        rbsp, recon = enc_p(frames[nxt], recons[prev_ref_disp],
+                            qp=qp, frame_num=frame_num,
+                            deblock=deblock, poc_lsb=2 * nxt)
         frame_num = (frame_num + 1) & 0xF
         emit(rbsp, False, True, nxt)
         recons[nxt] = recon
         # B pictures between the two references (display order)
         for b in range(prev_ref_disp + 1, nxt):
-            rbsp, _brec = encode_b_cavlc(frames[b], recons[prev_ref_disp],
-                                         recons[nxt], qp=qp,
-                                         frame_num=frame_num,
-                                         poc_lsb=2 * b)
+            rbsp, _brec = enc_b(frames[b], recons[prev_ref_disp],
+                                recons[nxt], qp=qp, frame_num=frame_num,
+                                poc_lsb=2 * b)
             emit(rbsp, False, False, b)
         prev_ref_disp = nxt
         i = nxt + 1
@@ -2403,12 +2413,12 @@ def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
 
                 hdr = _parse_slice_header(r, sps, pps, typ,
                                           (nal[0] >> 5) & 3)
-                if hdr["is_b"]:
-                    raise ValueError("CABAC B slices: out of decode scope")
                 if hdr["is_p"] and ref is None:
                     raise ValueError("P slice without a decoded reference frame")
+                if hdr["is_b"] and (ref is None or ref2 is None):
+                    raise ValueError("B slice without both reference frames")
                 full = h264_cabac.decode_slice(r, sps, pps, hdr, ref,
-                                               hdr["is_p"])
+                                               hdr["is_p"], ref2=ref2)
             else:
                 full = _decode_islice(r, sps, pps, typ, ref=ref,
                                       nal_ref_idc=(nal[0] >> 5) & 3,

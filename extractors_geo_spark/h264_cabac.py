@@ -28,8 +28,11 @@ machine-checked gate (tests/test_h264_cabac.py) — but bit-exact ISO
 cross-decode of foreign encoders' streams is NOT claimed. Profile
 boundaries that raise ValueError (the well-formed-unsupported contract):
 I_PCM-in-CABAC, chroma residuals (cbp_chroma != 0), P_8x8
-sub-macroblock types, B slices. 16x8 / 8x16 P partitions are IN
-profile since r6 (Table 9-37 mb_type tree, per-partition mvds).
+sub-macroblock types, B_SKIP/direct modes, partitioned B types. IN
+profile since r6: 16x8 / 8x16 P partitions (Table 9-37 tree,
+per-partition mvds) and B slices (B_L0/B_L1/B_Bi 16x16 via the
+Table 9-37 B tree with the '111101' intra escape, two mvd lists,
+bi-prediction).
 
 Reference parity note: the reference (preview.geotiff/*) does no video at
 all — this is north-star surface (crawl-scale MP4 sampling), not
@@ -88,6 +91,8 @@ def _alloc():
         ("mbt_p_suf", 8),    # intra-in-P suffix (own block, 9.3.3.1 ctx 17+)
         ("mb_skip", 3),      # bin0 inc 0..2 from neighbor skip state
         ("mbt_p", 3),        # P mb_type prefix bins b0 b1 b2
+        ("mb_skip_b", 3),    # B mb_skip_flag (own block, ctx 24..26)
+        ("mbt_b", 6),        # B mb_type tree bins (Table 9-37)
         ("mvd_x", 7),        # bin0 inc 0..2 + TU bins 3..6
         ("mvd_y", 7),
         ("prev_i4", 1),      # prev_intra4x4_pred_mode_flag
@@ -507,23 +512,30 @@ class _MbState:
         return a + 2 * b
 
 
-def _slice_header(bw, slice_type, qp, frame_num, deblock, idr):
+def _slice_header(bw, slice_type, qp, frame_num, deblock, idr,
+                  poc_lsb=None):
     bw.ue(0)                    # first_mb_in_slice
-    bw.ue(slice_type)           # 7 = I, 5 = P (all slices in picture)
+    bw.ue(slice_type)           # 7 = I, 5 = P, 6 = B (all slices)
     bw.ue(0)                    # pps_id
     bw.u(frame_num & 0xF, 4)
     if idr:
         bw.ue(0)                # idr_pic_id
-    else:
+    if poc_lsb is not None:     # poc_type-0 SPS (B-enabled streams)
+        bw.u(poc_lsb & 0xFFFF, 16)
+    if slice_type == 6:
+        bw.u(1, 1)              # direct_spatial_mv_pred_flag
+    if not idr:
         bw.u(0, 1)              # num_ref_idx_active_override_flag
         bw.u(0, 1)              # ref_pic_list_modification_flag_l0
+        if slice_type == 6:
+            bw.u(0, 1)          # ref_pic_list_modification_flag_l1
     if idr:
         bw.u(0, 1)              # no_output_of_prior_pics
         bw.u(0, 1)              # long_term_reference
-    else:
+    elif slice_type != 6:       # B pictures here are non-reference
         bw.u(0, 1)              # adaptive_ref_pic_marking_mode_flag
-    # cabac_init_idc (P slices only; value ignored by the in-repo init)
-    if slice_type == 5:
+    # cabac_init_idc (P/B slices; value ignored by the in-repo init)
+    if slice_type in (5, 6):
         bw.ue(0)
     bw.se(qp - 26)              # slice_qp_delta
     bw.ue(0 if deblock else 1)  # disable_deblocking_filter_idc
@@ -537,7 +549,8 @@ def _slice_header(bw, slice_type, qp, frame_num, deblock, idr):
 
 # ------------------------------------------------------ encoder
 def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
-                     deblock: bool = False, full_recon: bool = False):
+                     deblock: bool = False, full_recon: bool = False,
+                     poc_lsb: int | None = None):
     """One gray frame -> (IDR slice RBSP, reconstructed plane), CABAC
     entropy coding. Mode decisions, transforms, and reconstruction are
     identical to encode_idr_cavlc (h264.py) — only the entropy layer
@@ -554,7 +567,7 @@ def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
     st = _MbState(mbw, mbh)
 
     bw = H._BitWriter()
-    _slice_header(bw, 7, qp, 0, deblock, idr=True)
+    _slice_header(bw, 7, qp, 0, deblock, idr=True, poc_lsb=poc_lsb)
     enc = _Enc()
     ctx = _Ctx()
     for my in range(mbh):
@@ -704,7 +717,8 @@ def _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
 
 def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                    max_coeffs: int = 16, frame_num: int = 1,
-                   search: int = 8, deblock: bool = False):
+                   search: int = 8, deblock: bool = False,
+                   poc_lsb: int | None = None):
     """One gray frame -> (P-slice RBSP, FULL recon plane), CABAC entropy.
     Same decisions as encode_p_cavlc: P_SKIP (mb_skip_flag=1) / motion-
     compensated P_L0_16x16 / intra (I_4x4) fallback on SAD failure."""
@@ -723,7 +737,8 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     st = _MbState(mbw, mbh)
 
     bw = H._BitWriter()
-    _slice_header(bw, 5, qp, frame_num, deblock, idr=False)
+    _slice_header(bw, 5, qp, frame_num, deblock, idr=False,
+                  poc_lsb=poc_lsb)
     enc = _Enc()
     ctx = _Ctx()
     for my in range(mbh):
@@ -841,10 +856,157 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     return bytes(bw.buf), out_plane
 
 
+def _enc_b_mb_type(enc, ctx, mbt):
+    """Table 9-37 B mb_type subset: '100' B_L0_16x16, '101' B_L1_16x16,
+    '110000' B_Bi_16x16, '111101' + intra suffix. (B_Direct '0' and the
+    partitioned types are never emitted.)"""
+    base = _OFS["mbt_b"]
+    enc.decision(ctx, base, 1)  # not direct
+    if mbt == 1:    # B_L0_16x16
+        enc.decision(ctx, base + 1, 0)
+        enc.decision(ctx, base + 2, 0)
+    elif mbt == 2:  # B_L1_16x16
+        enc.decision(ctx, base + 1, 0)
+        enc.decision(ctx, base + 2, 1)
+    elif mbt == 3:  # B_Bi_16x16: '110000'
+        enc.decision(ctx, base + 1, 1)
+        for i, b in enumerate((0, 0, 0, 0)):
+            enc.decision(ctx, base + 2 + min(i, 3), b)
+    else:           # intra escape '111101'
+        enc.decision(ctx, base + 1, 1)
+        for i, b in enumerate((1, 1, 0, 1)):
+            enc.decision(ctx, base + 2 + min(i, 3), b)
+
+
+def _dec_b_mb_type(dec, ctx):
+    """Returns 1/2/3 for the 16x16 inter types, 'intra' for the escape;
+    raises for direct and partitioned types."""
+    base = _OFS["mbt_b"]
+    if not dec.decision(ctx, base):
+        raise ValueError("B_Direct_16x16: out of decode scope")
+    if not dec.decision(ctx, base + 1):
+        return 2 if dec.decision(ctx, base + 2) else 1
+    bits = tuple(dec.decision(ctx, base + 2 + min(i, 3)) for i in range(4))
+    if bits == (0, 0, 0, 0):
+        return 3
+    if bits == (1, 1, 0, 1):
+        return "intra"
+    raise ValueError("B partitioned mb_type: out of decode scope")
+
+
+def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
+                   ref1_full: np.ndarray, qp: int = 10,
+                   max_coeffs: int = 16, frame_num: int = 1,
+                   search: int = 8, poc_lsb: int = 0):
+    """One gray frame -> (CABAC B-slice RBSP, FULL recon plane). Same
+    decisions as h264.encode_b_cavlc (B_L0/L1/Bi 16x16, I_4x4 fallback,
+    non-reference, in-loop filter off) with CABAC serialization."""
+    a = np.asarray(gray, np.uint8)
+    h, w = a.shape
+    mbw = -(-w // 16)
+    mbh = -(-h // 16)
+    assert ref0_full.shape == ref1_full.shape == (mbh * 16, mbw * 16)
+    src = np.pad(a, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
+    plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
+    plane_w = mbw * 16
+    nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
+    modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
+    mvs0 = H._MvState(mbw, mbh)
+    mvs1 = H._MvState(mbw, mbh)
+    st = _MbState(mbw, mbh)
+
+    bw = H._BitWriter()
+    _slice_header(bw, 6, qp, frame_num, False, idr=False, poc_lsb=poc_lsb)
+    enc = _Enc()
+    ctx = _Ctx()
+    for my in range(mbh):
+        for mx in range(mbw):
+            smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16].astype(np.int32)
+            last = my == mbh - 1 and mx == mbw - 1
+            enc.decision(ctx, _OFS["mb_skip_b"] + st.skip_inc(mx, my), 0)
+            st.skip[my, mx] = 0
+            mvp0 = mvs0.mvp_16x16(mx, my)
+            sad0, mv0, pred0 = H._search_block(ref0_full, smb, mx * 16,
+                                               my * 16, mvp0, search)
+            mvp1 = mvs1.mvp_16x16(mx, my)
+            sad1, mv1, pred1 = H._search_block(ref1_full, smb, mx * 16,
+                                               my * 16, mvp1, search)
+            bi = (pred0 + pred1 + 1) >> 1
+            sad_bi = int(np.abs(smb - bi).sum())
+            cand = min(((sad0, 1), (sad1, 2), (sad_bi, 3)))
+            if cand[0] > 28 * 256:  # intra fallback
+                _enc_b_mb_type(enc, ctx, "intra")
+                _enc_mb_i4(enc, ctx, st, smb.astype(np.uint8), plane, mx, my,
+                           qp, nnz, modes, max_coeffs, plane_w,
+                           _OFS["mbt_p_suf"], in_p=False)
+                mvs0.set_mb(mx, my, (0, 0), -1)
+                mvs1.set_mb(mx, my, (0, 0), -1)
+                enc.terminate(1 if last else 0)
+                continue
+            mb_type = cand[1]
+            pred = (pred0, pred1, bi)[mb_type - 1]
+            blocks = []
+            cbp = 0
+            out = pred.copy()
+            for blk in range(16):
+                ox, oy = H._BLK_XY[blk]
+                lv = H._thin(H._quant4(H._fwd4(smb[oy:oy + 4, ox:ox + 4]
+                                               - pred[oy:oy + 4, ox:ox + 4]),
+                                       qp, intra=False), max_coeffs)
+                tc = int(np.count_nonzero(lv))
+                if tc:
+                    cbp |= 1 << (blk >> 2)
+                blocks.append((lv, tc))
+                out[oy:oy + 4, ox:ox + 4] += H._inv4(H._dequant4(lv, qp)).astype(np.int32)
+            _enc_b_mb_type(enc, ctx, mb_type)
+            asum = [0, 0]
+            if mb_type in (1, 3):
+                d = (mv0[0] - mvp0[0], mv0[1] - mvp0[1])
+                _enc_mvd(enc, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0), d[0])
+                _enc_mvd(enc, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1), d[1])
+                asum = [asum[0] + abs(d[0]), asum[1] + abs(d[1])]
+            if mb_type in (2, 3):
+                d = (mv1[0] - mvp1[0], mv1[1] - mvp1[1])
+                _enc_mvd(enc, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0), d[0])
+                _enc_mvd(enc, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1), d[1])
+                asum = [asum[0] + abs(d[0]), asum[1] + abs(d[1])]
+            st.mvd[my, mx] = tuple(asum)
+            for blk8 in range(4):
+                enc.decision(ctx, _OFS["cbp_luma"]
+                             + st.cbp_inc(mx, my, blk8, cbp), (cbp >> blk8) & 1)
+            enc.decision(ctx, _OFS["cbp_chroma"], 0)
+            if cbp:
+                _enc_qp_delta(enc, ctx, st.prev_qp_nz, 0)
+                st.prev_qp_nz = False
+            for blk in range(16):
+                ox, oy = H._BLK_XY[blk]
+                bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
+                lv, tc = blocks[blk]
+                if cbp & (1 << (blk >> 2)):
+                    _enc_residual(enc, ctx, 2, H._scan16(lv), st.cbf_inc(bx, by))
+                st.cbf[by, bx] = 1 if (cbp & (1 << (blk >> 2))) and tc else 0
+                nnz[by, bx] = tc
+            np.clip(out, 0, 255, out)
+            plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
+            mvs0.set_mb(mx, my, mv0 if mb_type in (1, 3) else (0, 0),
+                        0 if mb_type in (1, 3) else -1)
+            mvs1.set_mb(mx, my, mv1 if mb_type in (2, 3) else (0, 0),
+                        0 if mb_type in (2, 3) else -1)
+            modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+            st.not_i4[my, mx] = 1
+            st.cbp[my, mx] = cbp
+            enc.terminate(1 if last else 0)
+    bw.raw(enc.to_bytes())
+    return bytes(bw.buf), plane
+
+
 # ------------------------------------------------------ decoder
-def decode_slice(r, sps, pps, hdr, ref, is_p):
+def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None):
     """CABAC slice-data decode; `r` is positioned right after the parsed
-    slice header (h264._parse_slice_header). Returns the FULL plane."""
+    slice header (h264._parse_slice_header). Returns the FULL plane.
+    B slices (hdr['is_b']) take both reference planes (ref = L0 past,
+    ref2 = L1 future)."""
+    is_b = hdr.get("is_b", False)
     # cabac_alignment_one_bit(s)
     while r.pos & 7:
         if r.u(1) != 1:
@@ -858,10 +1020,35 @@ def decode_slice(r, sps, pps, hdr, ref, is_p):
     nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
     modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
     qp_map = np.zeros((mbh, mbw), np.int32)
-    mvs = H._MvState(mbw, mbh) if is_p else None
+    mvs = H._MvState(mbw, mbh) if (is_p or is_b) else None
+    mvs1 = H._MvState(mbw, mbh) if is_b else None
     st = _MbState(mbw, mbh)
     for my in range(mbh):
         for mx in range(mbw):
+            if is_b:
+                if dec.decision(ctx, _OFS["mb_skip_b"] + st.skip_inc(mx, my)):
+                    raise ValueError("B_SKIP/direct: out of decode scope")
+                st.skip[my, mx] = 0
+                mbt = _dec_b_mb_type(dec, ctx)
+                if mbt == "intra":
+                    imbt = _dec_mb_type_i(dec, ctx, _OFS["mbt_p_suf"],
+                                          st.mbt_inc(mx, my))
+                    if imbt != 0:
+                        raise ValueError(
+                            "I_16x16-in-B CABAC: out of decode profile")
+                    qp = _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz,
+                                    modes, plane_w)
+                    mvs.set_mb(mx, my, (0, 0), -1)
+                    mvs1.set_mb(mx, my, (0, 0), -1)
+                else:
+                    qp = _dec_mb_b16(dec, ctx, st, plane, ref, ref2, mx, my,
+                                     qp, nnz, modes, mvs, mvs1, mbt)
+                qp_map[my, mx] = qp
+                eos = dec.terminate()
+                last = my == mbh - 1 and mx == mbw - 1
+                if eos != (1 if last else 0):
+                    raise ValueError("end_of_slice_flag desync")
+                continue
             if is_p:
                 if dec.decision(ctx, _OFS["mb_skip"] + st.skip_inc(mx, my)):
                     mv = mvs.skip_mv(mx, my)
@@ -1066,6 +1253,30 @@ def _dec_mb_p16(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs):
     mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
     pred = H._interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
     mvs.set_mb(mx, my, mv, 0)
+    return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes)
+
+
+def _dec_mb_b16(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz, modes,
+                mvs0, mvs1, mbt):
+    """B_L0/B_L1/B_Bi 16x16 (CABAC): one mvd per used list, per-list
+    median prediction, bi-prediction averages the MC blocks."""
+    use = (mbt in (1, 3), mbt in (2, 3))
+    preds = []
+    asum = [0, 0]
+    for u, mvsx, refx in zip(use, (mvs0, mvs1), (ref0, ref1)):
+        if not u:
+            mvsx.set_mb(mx, my, (0, 0), -1)
+            continue
+        mvp = mvsx.mvp_16x16(mx, my)
+        mvd = (_dec_mvd(dec, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0)),
+               _dec_mvd(dec, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1)))
+        asum[0] += abs(mvd[0])
+        asum[1] += abs(mvd[1])
+        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        preds.append(H._interp_luma(refx, mx * 16, my * 16, mv[0], mv[1]))
+        mvsx.set_mb(mx, my, mv, 0)
+    st.mvd[my, mx] = tuple(asum)
+    pred = preds[0] if len(preds) == 1 else (preds[0] + preds[1] + 1) >> 1
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes)
 
 

@@ -501,7 +501,7 @@ def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
         if qp is None or gop is None:
             raise ValueError("bframes needs qp and gop")
         avcc, samples, disp = _h264.encode_frames_bgop(
-            frames, qp=qp, gop=gop, bframes=bframes)
+            frames, qp=qp, gop=gop, bframes=bframes, entropy=entropy)
         timescale = 90000
         delta = timescale // fps
         shift = max((i - d) * delta for i, d in enumerate(disp))

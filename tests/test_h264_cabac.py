@@ -284,3 +284,48 @@ def test_cabac_p_partitions_roundtrip_bit_exact():
     finally:
         C._dec_mb_p_part = orig
     assert hits and set(hits) <= {"16x8", "8x16"}
+
+
+def test_cabac_b_slices_bit_exact_and_gop():
+    """r6: the CABAC entropy x slice-type matrix is complete — B_L0/
+    B_L1/B_Bi decode == recon bit-exactly and a full CABAC IBBP GOP
+    round-trips in display order."""
+    yy, xx = np.mgrid[0:48, 0:64]
+    frames = [np.clip(128 + 100 * np.sin((xx + 3 * f) / 5) + yy / 4, 0, 255)
+              .astype(np.uint8) for f in range(10)]
+    avcc = h264.build_avcc(64, 48, deblock_ctrl=True, cabac=True, bpoc=True)
+
+    def dec(rbsp, typ, ref_idc, ref=None, ref2=None):
+        nal = bytes([(ref_idc << 5) | typ]) + h264._ep_insert(rbsp)
+        return h264.decode_sample(struct.pack(">I", len(nal)) + nal, avcc,
+                                  ref=ref, ref2=ref2, full_plane=True)
+
+    rb0, r0 = C.encode_idr_cabac(frames[0], qp=12, full_recon=True, poc_lsb=0)
+    rb3, r3 = C.encode_p_cabac(frames[3], r0, qp=12, frame_num=1, poc_lsb=6)
+    assert np.array_equal(dec(rb0, 5, 3), r0)
+    assert np.array_equal(dec(rb3, 1, 2, ref=r0), r3)
+    for b in (1, 2):
+        rb, rec = C.encode_b_cabac(frames[b], r0, r3, qp=12, poc_lsb=2 * b)
+        assert np.array_equal(dec(rb, 1, 0, ref=r0, ref2=r3), rec), b
+    with pytest.raises(ValueError, match="reference"):
+        dec(rb, 1, 0, ref=r0)
+    avcc2, samples, disp = h264.encode_frames_bgop(frames, qp=12, gop=8,
+                                                   bframes=2, entropy="cabac")
+    assert sorted(disp) == list(range(10)) and disp != list(range(10))
+    decs = h264.decode_samples(samples, avcc2)
+    for i, (f, d) in enumerate(zip(frames, decs)):
+        mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 40, i
+
+
+def test_cabac_b_mb_type_tree_roundtrip():
+    """The Table 9-37 B tree subset inverts for every emitted symbol."""
+    enc, ctx = C._Enc(), C._Ctx()
+    seq = [1, 2, 3, "intra", 3, 1, "intra", 2]
+    for s in seq:
+        C._enc_b_mb_type(enc, ctx, s)
+    enc.terminate(1)
+    dec = C._Dec(h264._BitReader(enc.to_bytes()))
+    ctx2 = C._Ctx()
+    for s in seq:
+        assert C._dec_b_mb_type(dec, ctx2) == s
