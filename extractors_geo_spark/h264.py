@@ -1276,9 +1276,22 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
     bw.se(qp - 26)
     bw.ue(1)      # disable_deblocking_filter_idc (always off for B)
 
+    pending_skips = 0
     for my in range(mbh):
         for mx in range(mbw):
             smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16].astype(np.int32)
+            # --- spatial direct first: B_SKIP when its residual is zero
+            dmv0, dmv1 = _b_direct_mvs(mvs0, mvs1, mx, my)
+            dpred = _b_direct_pred(ref0_full, ref1_full, mx, my, dmv0, dmv1)
+            if _all_zero_quant(smb - dpred, qp):
+                pending_skips += 1
+                plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+                    np.clip(dpred, 0, 255).astype(np.uint8)
+                nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                _b_commit_direct(mvs0, mvs1, mx, my, dmv0, dmv1)
+                modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+                continue
+            sad_d = int(np.abs(smb - dpred).sum())
             mvp0 = mvs0.mvp_16x16(mx, my)
             sad0, mv0, pred0 = _search_block(ref0_full, smb, mx * 16, my * 16,
                                              mvp0, search)
@@ -1287,9 +1300,11 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                                              mvp1, search)
             bi = (pred0 + pred1 + 1) >> 1
             sad_bi = int(np.abs(smb - bi).sum())
-            cand = min(((sad0, 1), (sad1, 2), (sad_bi, 3)))
+            # direct wins ties: it costs no mvd bits
+            cand = min(((sad_d, 0), (sad0, 1), (sad1, 2), (sad_bi, 3)))
             if cand[0] > 28 * 256:  # nothing predicts it: intra fallback
-                bw.ue(0)  # mb_skip_run
+                bw.ue(pending_skips)
+                pending_skips = 0
                 _encode_mb_i4(bw, smb.astype(np.uint8), plane, mx, my, qp,
                               nnz, modes, max_coeffs, plane_w,
                               mb_type_code=23)
@@ -1297,7 +1312,7 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                 mvs1.set_mb(mx, my, (0, 0), -1)
                 continue
             mb_type = cand[1]
-            pred = (pred0, pred1, bi)[mb_type - 1]
+            pred = (dpred, pred0, pred1, bi)[mb_type]
             blocks = []
             cbp = 0
             out = pred.copy()
@@ -1311,7 +1326,8 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                     cbp |= 1 << (blk >> 2)
                 blocks.append((lv, tc))
                 out[oy:oy + 4, ox:ox + 4] += _inv4(_dequant4(lv, qp)).astype(np.int32)
-            bw.ue(0)  # mb_skip_run (no B_SKIP emitted)
+            bw.ue(pending_skips)
+            pending_skips = 0
             bw.ue(mb_type)
             if mb_type in (1, 3):
                 bw.se(mv0[0] - mvp0[0])
@@ -1332,11 +1348,16 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                 nnz[by, bx] = tc
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
-            mvs0.set_mb(mx, my, mv0 if mb_type in (1, 3) else (0, 0),
-                        0 if mb_type in (1, 3) else -1)
-            mvs1.set_mb(mx, my, mv1 if mb_type in (2, 3) else (0, 0),
-                        0 if mb_type in (2, 3) else -1)
+            if mb_type == 0:
+                _b_commit_direct(mvs0, mvs1, mx, my, dmv0, dmv1)
+            else:
+                mvs0.set_mb(mx, my, mv0 if mb_type in (1, 3) else (0, 0),
+                            0 if mb_type in (1, 3) else -1)
+                mvs1.set_mb(mx, my, mv1 if mb_type in (2, 3) else (0, 0),
+                            0 if mb_type in (2, 3) else -1)
             modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+    if pending_skips:
+        bw.ue(pending_skips)  # trailing skip run
     bw.rbsp_trailing()
     return bytes(bw.buf), plane
 
@@ -2120,11 +2141,50 @@ def _decode_mb_p_part(r, mb_type, plane, ref, mx, my, qp, nnz, nnz_c,
     return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes)
 
 
+def _b_direct_mvs(mvs0, mvs1, mx, my):
+    """Simplified SPATIAL direct motion (8.4.1.2.2 shape): per list, the
+    median predictor over the MB's neighbors (all-unavailable -> zero),
+    always bi-predictive with both references. In-repo simplification:
+    no colocated-MB/temporal conditions — shared by encoder and decoder,
+    so round trips stay bit-exact; foreign direct-mode streams are out
+    of profile anyway (temporal direct raises at the slice header)."""
+    return mvs0.mvp_16x16(mx, my), mvs1.mvp_16x16(mx, my)
+
+
+def _b_direct_pred(ref0, ref1, mx, my, mv0, mv1):
+    p0 = _interp_luma(ref0, mx * 16, my * 16, mv0[0], mv0[1])
+    p1 = _interp_luma(ref1, mx * 16, my * 16, mv1[0], mv1[1])
+    return (p0 + p1 + 1) >> 1
+
+
+def _b_commit_direct(mvs0, mvs1, mx, my, mv0, mv1):
+    mvs0.set_mb(mx, my, mv0, 0)
+    mvs1.set_mb(mx, my, mv1, 0)
+
+
+def _skip_mb_b(plane, ref0, ref1, mx, my, nnz, nnz_c, modes, mvs0, mvs1):
+    """B_SKIP: spatial-direct bi-prediction, zero residual."""
+    mv0, mv1 = _b_direct_mvs(mvs0, mvs1, mx, my)
+    pred = _b_direct_pred(ref0, ref1, mx, my, mv0, mv1)
+    plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+        np.clip(pred, 0, 255).astype(np.uint8)
+    nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+    nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+    modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+    _b_commit_direct(mvs0, mvs1, mx, my, mv0, mv1)
+
+
 def _decode_mb_b16(r, mb_type, plane, ref0, ref1, mx, my, qp, nnz, nnz_c,
                    modes, mvs0, mvs1):
-    """B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (mb_type 1/2/3): one mvd per
-    used list, per-list median MV prediction, bi-prediction averages the
-    two MC blocks ((a + b + 1) >> 1, default weights)."""
+    """B_Direct_16x16 (0: spatial direct + residual) / B_L0_16x16 /
+    B_L1_16x16 / B_Bi_16x16 (1/2/3: one mvd per used list, per-list
+    median MV prediction); bi-prediction averages the two MC blocks
+    ((a + b + 1) >> 1, default weights)."""
+    if mb_type == 0:
+        mv0, mv1 = _b_direct_mvs(mvs0, mvs1, mx, my)
+        pred = _b_direct_pred(ref0, ref1, mx, my, mv0, mv1)
+        _b_commit_direct(mvs0, mvs1, mx, my, mv0, mv1)
+        return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes)
     use = (mb_type in (1, 3), mb_type in (2, 3))  # (L0, L1)
     preds = []
     for u, mvsx, refx in zip(use, (mvs0, mvs1), (ref0, ref1)):
@@ -2235,12 +2295,17 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
     for my in range(mbh):
         for mx in range(mbw):
             if is_b:
-                if r.ue() != 0:  # mb_skip_run (B_SKIP -> direct pred)
-                    raise ValueError("B_SKIP/direct: out of decode scope")
+                if run_pending is None:
+                    run_pending = r.ue()  # mb_skip_run (B_SKIP = direct)
+                if run_pending > 0:
+                    run_pending -= 1
+                    _skip_mb_b(plane, ref, ref2, mx, my, nnz, nnz_c, modes,
+                               mvs, mvs1)
+                    qp_map[my, mx] = qp
+                    continue
+                run_pending = None  # this position is the coded MB
                 mb_type = r.ue()
-                if mb_type == 0:
-                    raise ValueError("B_Direct_16x16: out of decode scope")
-                if 1 <= mb_type <= 3:  # B_L0 / B_L1 / B_Bi 16x16
+                if 0 <= mb_type <= 3:  # B_Direct / B_L0 / B_L1 / B_Bi 16x16
                     qp = _decode_mb_b16(r, mb_type, plane, ref, ref2, mx, my,
                                         qp, nnz, nnz_c, modes, mvs, mvs1)
                     qp_map[my, mx] = qp

@@ -28,11 +28,12 @@ machine-checked gate (tests/test_h264_cabac.py) — but bit-exact ISO
 cross-decode of foreign encoders' streams is NOT claimed. Profile
 boundaries that raise ValueError (the well-formed-unsupported contract):
 I_PCM-in-CABAC, chroma residuals (cbp_chroma != 0), P_8x8
-sub-macroblock types, B_SKIP/direct modes, partitioned B types. IN
-profile since r6: 16x8 / 8x16 P partitions (Table 9-37 tree,
-per-partition mvds) and B slices (B_L0/B_L1/B_Bi 16x16 via the
-Table 9-37 B tree with the '111101' intra escape, two mvd lists,
-bi-prediction).
+sub-macroblock types, partitioned B types, temporal direct. IN profile
+since r6: 16x8 / 8x16 P partitions (Table 9-37 tree, per-partition
+mvds) and B slices — B_SKIP + spatial B_Direct_16x16 (simplified
+8.4.1.2.2 derivation, see h264._b_direct_mvs) and B_L0/B_L1/B_Bi
+16x16 via the Table 9-37 B tree with the '111101' intra escape, two
+mvd lists, bi-prediction.
 
 Reference parity note: the reference (preview.geotiff/*) does no video at
 all — this is north-star surface (crawl-scale MP4 sampling), not
@@ -857,11 +858,14 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
 
 
 def _enc_b_mb_type(enc, ctx, mbt):
-    """Table 9-37 B mb_type subset: '100' B_L0_16x16, '101' B_L1_16x16,
-    '110000' B_Bi_16x16, '111101' + intra suffix. (B_Direct '0' and the
-    partitioned types are never emitted.)"""
+    """Table 9-37 B mb_type subset: '0' B_Direct_16x16, '100' B_L0,
+    '101' B_L1, '110000' B_Bi, '111101' + intra suffix. (Partitioned B
+    types are never emitted and raise on decode.)"""
     base = _OFS["mbt_b"]
-    enc.decision(ctx, base, 1)  # not direct
+    if mbt == 0:    # B_Direct_16x16
+        enc.decision(ctx, base, 0)
+        return
+    enc.decision(ctx, base, 1)
     if mbt == 1:    # B_L0_16x16
         enc.decision(ctx, base + 1, 0)
         enc.decision(ctx, base + 2, 0)
@@ -879,11 +883,11 @@ def _enc_b_mb_type(enc, ctx, mbt):
 
 
 def _dec_b_mb_type(dec, ctx):
-    """Returns 1/2/3 for the 16x16 inter types, 'intra' for the escape;
-    raises for direct and partitioned types."""
+    """Returns 0..3 for the 16x16 inter types (0 = spatial direct),
+    'intra' for the escape; raises for partitioned types."""
     base = _OFS["mbt_b"]
     if not dec.decision(ctx, base):
-        raise ValueError("B_Direct_16x16: out of decode scope")
+        return 0  # B_Direct_16x16
     if not dec.decision(ctx, base + 1):
         return 2 if dec.decision(ctx, base + 2) else 1
     bits = tuple(dec.decision(ctx, base + 2 + min(i, 3)) for i in range(4))
@@ -923,8 +927,26 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
         for mx in range(mbw):
             smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16].astype(np.int32)
             last = my == mbh - 1 and mx == mbw - 1
+            # --- spatial direct first: B_SKIP when its residual is zero
+            dmv0, dmv1 = H._b_direct_mvs(mvs0, mvs1, mx, my)
+            dpred = H._b_direct_pred(ref0_full, ref1_full, mx, my, dmv0, dmv1)
+            if H._all_zero_quant(smb - dpred, qp):
+                enc.decision(ctx, _OFS["mb_skip_b"] + st.skip_inc(mx, my), 1)
+                plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+                    np.clip(dpred, 0, 255).astype(np.uint8)
+                nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                H._b_commit_direct(mvs0, mvs1, mx, my, dmv0, dmv1)
+                modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+                st.skip[my, mx] = 1
+                st.mvd[my, mx] = 0
+                st.cbf[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                st.cbp[my, mx] = 0
+                st.not_i4[my, mx] = 1
+                enc.terminate(1 if last else 0)
+                continue
             enc.decision(ctx, _OFS["mb_skip_b"] + st.skip_inc(mx, my), 0)
             st.skip[my, mx] = 0
+            sad_d = int(np.abs(smb - dpred).sum())
             mvp0 = mvs0.mvp_16x16(mx, my)
             sad0, mv0, pred0 = H._search_block(ref0_full, smb, mx * 16,
                                                my * 16, mvp0, search)
@@ -933,7 +955,7 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                                                my * 16, mvp1, search)
             bi = (pred0 + pred1 + 1) >> 1
             sad_bi = int(np.abs(smb - bi).sum())
-            cand = min(((sad0, 1), (sad1, 2), (sad_bi, 3)))
+            cand = min(((sad_d, 0), (sad0, 1), (sad1, 2), (sad_bi, 3)))
             if cand[0] > 28 * 256:  # intra fallback
                 _enc_b_mb_type(enc, ctx, "intra")
                 _enc_mb_i4(enc, ctx, st, smb.astype(np.uint8), plane, mx, my,
@@ -944,7 +966,7 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                 enc.terminate(1 if last else 0)
                 continue
             mb_type = cand[1]
-            pred = (pred0, pred1, bi)[mb_type - 1]
+            pred = (dpred, pred0, pred1, bi)[mb_type]
             blocks = []
             cbp = 0
             out = pred.copy()
@@ -988,10 +1010,13 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                 nnz[by, bx] = tc
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
-            mvs0.set_mb(mx, my, mv0 if mb_type in (1, 3) else (0, 0),
-                        0 if mb_type in (1, 3) else -1)
-            mvs1.set_mb(mx, my, mv1 if mb_type in (2, 3) else (0, 0),
-                        0 if mb_type in (2, 3) else -1)
+            if mb_type == 0:
+                H._b_commit_direct(mvs0, mvs1, mx, my, dmv0, dmv1)
+            else:
+                mvs0.set_mb(mx, my, mv0 if mb_type in (1, 3) else (0, 0),
+                            0 if mb_type in (1, 3) else -1)
+                mvs1.set_mb(mx, my, mv1 if mb_type in (2, 3) else (0, 0),
+                            0 if mb_type in (2, 3) else -1)
             modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
             st.not_i4[my, mx] = 1
             st.cbp[my, mx] = cbp
@@ -1027,7 +1052,24 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None):
         for mx in range(mbw):
             if is_b:
                 if dec.decision(ctx, _OFS["mb_skip_b"] + st.skip_inc(mx, my)):
-                    raise ValueError("B_SKIP/direct: out of decode scope")
+                    dmv0, dmv1 = H._b_direct_mvs(mvs, mvs1, mx, my)
+                    dpred = H._b_direct_pred(ref, ref2, mx, my, dmv0, dmv1)
+                    plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+                        np.clip(dpred, 0, 255).astype(np.uint8)
+                    nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                    H._b_commit_direct(mvs, mvs1, mx, my, dmv0, dmv1)
+                    modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+                    st.skip[my, mx] = 1
+                    st.mvd[my, mx] = 0
+                    st.cbf[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                    st.cbp[my, mx] = 0
+                    st.not_i4[my, mx] = 1
+                    qp_map[my, mx] = qp
+                    eos = dec.terminate()
+                    last = my == mbh - 1 and mx == mbw - 1
+                    if eos != (1 if last else 0):
+                        raise ValueError("end_of_slice_flag desync")
+                    continue
                 st.skip[my, mx] = 0
                 mbt = _dec_b_mb_type(dec, ctx)
                 if mbt == "intra":
@@ -1258,8 +1300,15 @@ def _dec_mb_p16(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs):
 
 def _dec_mb_b16(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz, modes,
                 mvs0, mvs1, mbt):
-    """B_L0/B_L1/B_Bi 16x16 (CABAC): one mvd per used list, per-list
-    median prediction, bi-prediction averages the MC blocks."""
+    """B_Direct/B_L0/B_L1/B_Bi 16x16 (CABAC): direct derives spatial
+    MVs (no mvd); the explicit types read one mvd per used list;
+    bi-prediction averages the MC blocks."""
+    if mbt == 0:
+        dmv0, dmv1 = H._b_direct_mvs(mvs0, mvs1, mx, my)
+        pred = H._b_direct_pred(ref0, ref1, mx, my, dmv0, dmv1)
+        H._b_commit_direct(mvs0, mvs1, mx, my, dmv0, dmv1)
+        st.mvd[my, mx] = 0
+        return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes)
     use = (mbt in (1, 3), mbt in (2, 3))
     preds = []
     asum = [0, 0]

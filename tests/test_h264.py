@@ -496,3 +496,46 @@ def test_sample_frames_bframes_end_to_end(spark):
         src = frames[r["ts_ms"] // 500]  # display-order source frame
         mse = float(np.mean((arr.astype(np.float64) - src) ** 2))
         assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 40, r["ts_ms"]
+
+
+def test_b_skip_and_direct_modes():
+    """r6: B_SKIP collapses static B pictures to a handful of bytes in
+    both entropy modes, and B_Direct_16x16 (spatial) round-trips
+    bit-exactly with residuals."""
+    import struct
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.clip(128 + 80 * np.sin(xx / 6), 0, 255).astype(np.uint8)
+    static = [img] * 5
+    for entropy in ("cavlc", "cabac"):
+        avcc, samples, disp = h264.encode_frames_bgop(
+            static, qp=12, gop=8, bframes=2, entropy=entropy)
+        b_sizes = [len(s) for s, d in zip(samples, disp) if d in (1, 2)]
+        assert b_sizes and all(b < 40 for b in b_sizes), (entropy, b_sizes)
+        decs = h264.decode_samples(samples, avcc)
+        for d in decs:  # B recon averages the two refs: near-identical
+            mse = float(np.mean((d.astype(np.float64) - img) ** 2))
+            assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 45
+    # direct WITH residual: slight global brightness change -> direct MVs
+    # predict perfectly modulo a DC shift the residual carries
+    brighter = np.clip(img.astype(np.int32) + 6, 0, 255).astype(np.uint8)
+    _, r0 = h264.encode_idr_cavlc(img, qp=8, full_recon=True, poc_lsb=0)
+    _, r2 = h264.encode_p_cavlc(img, r0, qp=8, frame_num=1, poc_lsb=4)
+    hits = []
+    orig = h264._decode_mb_b16
+
+    def spy(r, mb_type, *a, **k):
+        hits.append(mb_type)
+        return orig(r, mb_type, *a, **k)
+
+    rb, rec = h264.encode_b_cavlc(brighter, r0, r2, qp=8, poc_lsb=2)
+    avcc = h264.build_avcc(64, 48, deblock_ctrl=True, bpoc=True)
+    nal = bytes([0x01]) + h264._ep_insert(rb)
+    h264._decode_mb_b16 = spy
+    try:
+        dec = h264.decode_sample(struct.pack(">I", len(nal)) + nal, avcc,
+                                 ref=r0, ref2=r2, full_plane=True)
+    finally:
+        h264._decode_mb_b16 = orig
+    assert np.array_equal(dec, rec)
+    assert 0 in hits  # B_Direct_16x16 actually chosen
