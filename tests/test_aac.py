@@ -277,3 +277,24 @@ def test_aac_wav_feature_parity_stereo(spark):
         b = np.array(ref["features"])
         n = min(ref["n_windows"], 16)
         np.testing.assert_allclose(a[:n], b[:n], atol=2e-3)
+
+
+def test_fuzzed_stereo_short_aus_never_escape_valueerror():
+    """r6 paths (CPE, EIGHT_SHORT, small codebooks) under corruption:
+    decode-or-ValueError only."""
+    import random
+
+    random.seed(11)
+    t = np.arange(8192) / 48000
+    st = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                   0.4 * np.sin(2 * np.pi * 880 * t)], axis=1)
+    for short in (False, True):
+        asc, aus = aac.encode(st, 48000, short=short)
+        for _ in range(150):
+            a = bytearray(aus[0])
+            for _k in range(random.randint(1, 6)):
+                a[random.randrange(len(a))] = random.randrange(256)
+            try:
+                aac.decode([bytes(a)], asc)
+            except ValueError:
+                pass

@@ -539,3 +539,25 @@ def test_b_skip_and_direct_modes():
         h264._decode_mb_b16 = orig
     assert np.array_equal(dec, rec)
     assert 0 in hits  # B_Direct_16x16 actually chosen
+
+
+def test_fuzzed_bgop_samples_never_escape_valueerror():
+    """Corrupted B-GOP samples (both entropy modes) decode-or-ValueError,
+    never IndexError/TypeError (errors-as-data for Spark tasks)."""
+    rng = np.random.default_rng(31)
+    yy, xx = np.mgrid[0:32, 0:32]
+    frames = [np.clip(128 + 90 * np.sin((xx + 3 * f) / 5), 0, 255)
+              .astype(np.uint8) for f in range(6)]
+    for entropy in ("cavlc", "cabac"):
+        avcc, samples, _disp = h264.encode_frames_bgop(
+            frames, qp=10, gop=8, bframes=2, entropy=entropy)
+        for _ in range(120):
+            si = int(rng.integers(0, len(samples)))
+            mut = bytearray(samples[si])
+            mut[int(rng.integers(5, len(mut)))] ^= 1 << int(rng.integers(0, 8))
+            muts = list(samples)
+            muts[si] = bytes(mut)
+            try:
+                h264.decode_samples(muts, avcc)
+            except ValueError:
+                pass

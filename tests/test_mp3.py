@@ -212,3 +212,24 @@ def test_stereo_mp3_through_audio_features(spark):
                                "audio_id string, bytes binary")
     rows = M.audio_features(df, fake=False).collect()
     assert len(rows) == 1 and rows[0]["n_windows"] >= 9
+
+
+def test_fuzzed_stereo_lsf_frames_never_escape_valueerror():
+    """r6 paths (stereo/M-S, LSF) under corruption: decode-or-ValueError
+    only."""
+    import random
+
+    random.seed(13)
+    for rate, joint in ((44100, True), (22050, True), (16000, False)):
+        t = np.arange(rate // 4) / rate
+        st = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                       0.4 * np.sin(2 * np.pi * 550 * t)], axis=1)
+        enc = mp3.encode(st, rate, bitrate_idx=13, joint=joint)
+        for _ in range(120):
+            a = bytearray(enc)
+            for _k in range(random.randint(1, 5)):
+                a[random.randrange(len(a))] = random.randrange(256)
+            try:
+                mp3.decode(bytes(a))
+            except ValueError:
+                pass
