@@ -1169,15 +1169,27 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                               nnz, modes, max_coeffs, plane_w, mb_type_code=5)
                 mvs.set_mb(mx, my, (0, 0), -1)
                 continue
-            # --- partition decision: 16x8 / 8x16 when they clearly beat
-            # the 16x16 block (moving edges, shear; deterministic gate)
-            chosen = None
+            # --- partition decision: 16x8 / 8x16 / 8x8 when they clearly
+            # beat the 16x16 block (deterministic gates; finer partitions
+            # carry more mvd bits, so they must win by a larger margin)
+            chosen = None    # 2-way: (ptype, parts)
+            chosen8 = None   # 4-way 8x8: parts
             if sad > 6 * 256:
                 tot, ptype, parts = _eval_partitions(mvs, ref_full, smb,
                                                      mx, my, search)
-                if tot < sad * 0.92:
+                tot8, parts8 = _eval_p8x8(mvs, ref_full, smb, mx, my, search)
+                if tot8 < 0.85 * min(sad, tot):
+                    chosen8 = parts8
+                elif tot < sad * 0.92:
                     chosen = (ptype, parts)
-            if chosen:
+            if chosen8:
+                mb_type_code = 3  # P_8x8
+                pred = np.zeros((16, 16), np.int32)
+                mvds = []
+                for (ox, oy), (mvp_i, mv_i, pred_i) in zip(_P8_GEOM, chosen8):
+                    pred[oy:oy + 8, ox:ox + 8] = pred_i
+                    mvds.append((mv_i[0] - mvp_i[0], mv_i[1] - mvp_i[1]))
+            elif chosen:
                 ptype, parts = chosen
                 mb_type_code = 1 if ptype == "16x8" else 2
                 pred = np.zeros((16, 16), np.int32)
@@ -1205,6 +1217,9 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             bw.ue(pending_skips)
             pending_skips = 0
             bw.ue(mb_type_code)
+            if chosen8:
+                for _ in range(4):
+                    bw.ue(0)  # sub_mb_type: P_L0_8x8 (one 8x8 partition)
             for dx_, dy_ in mvds:
                 bw.se(dx_)
                 bw.se(dy_)
@@ -1221,7 +1236,11 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 nnz[by, bx] = tc
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
-            if chosen:
+            if chosen8:
+                for (ox, oy), (_mvp_i, mv_i, _p) in zip(_P8_GEOM, chosen8):
+                    mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
+                                 2, 2, mv_i, 0)
+            elif chosen:
                 ptype, parts = chosen
                 for (ox, oy, w, h), (_mvp_i, mv_i, _p) in zip(
                         _PART_GEOM[ptype], parts):
@@ -1553,6 +1572,30 @@ def _eval_partitions(mvs, ref_full, smb, mx, my, search):
     return best
 
 
+# 8x8 sub-partition origins (x, y) in raster order for P_8x8
+_P8_GEOM = ((0, 0), (8, 0), (0, 8), (8, 8))
+
+
+def _eval_p8x8(mvs, ref_full, smb, mx, my, search):
+    """Try P_8x8 with one 8x8 partition per sub-macroblock (progressive
+    commits for decoder-identical predictors, state restored). Returns
+    (total_sad, parts) with parts = [(mvp, mv, pred), ...] raster."""
+    save_mv = mvs.mv[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
+    save_ref = mvs.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
+    tot, parts = 0, []
+    for idx, (ox, oy) in enumerate(_P8_GEOM):
+        mvp_i = mvs.mvp_8x8(mx, my, idx)
+        sad_i, mv_i, pred_i = _search_block(
+            ref_full, smb[oy:oy + 8, ox:ox + 8],
+            mx * 16 + ox, my * 16 + oy, mvp_i, search)
+        parts.append((mvp_i, mv_i, pred_i))
+        tot += sad_i
+        mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, 2, 2, mv_i, 0)
+    mvs.mv[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = save_mv
+    mvs.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = save_ref
+    return tot, parts
+
+
 # Table 9-4 (me mapping) coded_block_pattern for INTER: codeNum -> cbp
 _CBP_INTER = (0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13, 14,
               6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46, 17,
@@ -1692,6 +1735,24 @@ class _MvState:
             return a
         if special == "c" and c is not None:
             return c
+        if b is None and c is None and a is not None:
+            return a
+        present = [m for m in (a, b, c) if m is not None]
+        if len(present) == 1:
+            return present[0]
+        return _median_mv([a, b, c])
+
+    def mvp_8x8(self, mbx: int, mby: int, idx: int) -> tuple[int, int]:
+        """Generic median predictor for the idx-th (raster) 8x8 partition
+        (8.4.1.3 has no directional special case for 8x8). Call AFTER
+        earlier sub-partitions of the same MB were committed."""
+        px = mbx * 4 + (idx % 2) * 2
+        py = mby * 4 + (idx // 2) * 2
+        a = self.at(px - 1, py)
+        b = self.at(px, py - 1)
+        c = self.at(px + 2, py - 1)
+        if c is None:
+            c = self.at(px - 1, py - 1)  # D fallback
         if b is None and c is None and a is not None:
             return a
         present = [m for m in (a, b, c) if m is not None]
@@ -2141,6 +2202,25 @@ def _decode_mb_p_part(r, mb_type, plane, ref, mx, my, qp, nnz, nnz_c,
     return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes)
 
 
+def _decode_mb_p8x8(r, plane, ref, mx, my, qp, nnz, nnz_c, modes, mvs):
+    """P_8x8 / P_8x8ref0 (mb_type 3 / 4) with one 8x8 partition per
+    sub-macroblock (sub_mb_type 0); the finer 8x4/4x8/4x4 shapes stay
+    out of profile."""
+    for _ in range(4):
+        if r.ue() != 0:
+            raise ValueError(
+                "P sub-8x8 partitions (8x4/4x8/4x4): out of decode scope")
+    pred = np.zeros((16, 16), np.int32)
+    for idx, (ox, oy) in enumerate(_P8_GEOM):
+        mvp = mvs.mvp_8x8(mx, my, idx)
+        mvd = (r.se(), r.se())
+        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        pred[oy:oy + 8, ox:ox + 8] = _interp_luma(
+            ref, mx * 16 + ox, my * 16 + oy, mv[0], mv[1], 8, 8)
+        mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, 2, 2, mv, 0)
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes)
+
+
 def _b_direct_mvs(mvs0, mvs1, mx, my):
     """Simplified SPATIAL direct motion (8.4.1.2.2 shape): per list, the
     median predictor over the MB's neighbors (all-unavailable -> zero),
@@ -2336,9 +2416,11 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                                            qp, nnz, nnz_c, modes, mvs)
                     qp_map[my, mx] = qp
                     continue
-                if mb_type in (3, 4):
-                    raise ValueError(
-                        "P_8x8 sub-macroblock types: out of decode scope")
+                if mb_type in (3, 4):  # P_8x8 / P_8x8ref0 (r6)
+                    qp = _decode_mb_p8x8(r, plane, ref, mx, my, qp, nnz,
+                                         nnz_c, modes, mvs)
+                    qp_map[my, mx] = qp
+                    continue
                 mb_type -= 5  # intra in a P slice
             if mb_type == 25:  # I_PCM
                 r.align()

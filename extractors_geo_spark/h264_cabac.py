@@ -27,10 +27,10 @@ trips are bit-exact by construction — decode == encoder recon is the
 machine-checked gate (tests/test_h264_cabac.py) — but bit-exact ISO
 cross-decode of foreign encoders' streams is NOT claimed. Profile
 boundaries that raise ValueError (the well-formed-unsupported contract):
-I_PCM-in-CABAC, chroma residuals (cbp_chroma != 0), P_8x8
-sub-macroblock types, partitioned B types, temporal direct. IN profile
-since r6: 16x8 / 8x16 P partitions (Table 9-37 tree, per-partition
-mvds) and B slices — B_SKIP + spatial B_Direct_16x16 (simplified
+I_PCM-in-CABAC, chroma residuals (cbp_chroma != 0), sub-8x8 P
+partitions (8x4/4x8/4x4), partitioned B types, temporal direct. IN
+profile since r6: 16x8 / 8x16 / 8x8 P partitions (Table 9-37 tree +
+sub_mb_type, per-partition mvds) and B slices — B_SKIP + spatial B_Direct_16x16 (simplified
 8.4.1.2.2 derivation, see h264._b_direct_mvs) and B_L0/B_L1/B_Bi
 16x16 via the Table 9-37 B tree with the '111101' intra escape, two
 mvd lists, bi-prediction.
@@ -93,6 +93,7 @@ def _alloc():
         ("mb_skip", 3),      # bin0 inc 0..2 from neighbor skip state
         ("mbt_p", 3),        # P mb_type prefix bins b0 b1 b2
         ("mb_skip_b", 3),    # B mb_skip_flag (own block, ctx 24..26)
+        ("sub_mbt_p", 1),    # P sub_mb_type first bin ('1' = P_L0_8x8)
         ("mbt_b", 6),        # B mb_type tree bins (Table 9-37)
         ("mvd_x", 7),        # bin0 inc 0..2 + TU bins 3..6
         ("mvd_y", 7),
@@ -776,14 +777,26 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 st.skip[my, mx] = 0
                 enc.terminate(1 if last else 0)
                 continue
-            # --- partition decision (same gate as the CAVLC encoder)
+            # --- partition decision (same gates as the CAVLC encoder)
             chosen = None
+            chosen8 = None
             if sad > 6 * 256:
                 tot, ptype, parts = H._eval_partitions(mvs, ref_full, smb,
                                                        mx, my, search)
-                if tot < sad * 0.92:
+                tot8, parts8 = H._eval_p8x8(mvs, ref_full, smb, mx, my,
+                                            search)
+                if tot8 < 0.85 * min(sad, tot):
+                    chosen8 = parts8
+                elif tot < sad * 0.92:
                     chosen = (ptype, parts)
-            if chosen:
+            if chosen8:
+                pred = np.zeros((16, 16), np.int32)
+                mvds = []
+                for (ox, oy), (mvp_i, mv_i, pred_i) in zip(H._P8_GEOM,
+                                                           chosen8):
+                    pred[oy:oy + 8, ox:ox + 8] = pred_i
+                    mvds.append((mv_i[0] - mvp_i[0], mv_i[1] - mvp_i[1]))
+            elif chosen:
                 ptype, parts = chosen
                 pred = np.zeros((16, 16), np.int32)
                 mvds = []
@@ -806,9 +819,15 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                     cbp |= 1 << (blk >> 2)
                 blocks.append((lv, tc))
                 out[oy:oy + 4, ox:ox + 4] += H._inv4(H._dequant4(lv, qp)).astype(np.int32)
-            # mb_type (Table 9-37): "000" 16x16, "011" 16x8, "010" 8x16
+            # mb_type (Table 9-37): "000" 16x16, "011" 16x8, "010" 8x16,
+            # "001" P_8x8 (+ sub_mb_type '1' x4 = P_L0_8x8)
             enc.decision(ctx, _OFS["mbt_p"], 0)      # b0: inter
-            if chosen:
+            if chosen8:
+                enc.decision(ctx, _OFS["mbt_p"] + 1, 0)
+                enc.decision(ctx, _OFS["mbt_p"] + 2, 1)
+                for _ in range(4):
+                    enc.decision(ctx, _OFS["sub_mbt_p"], 1)
+            elif chosen:
                 enc.decision(ctx, _OFS["mbt_p"] + 1, 1)
                 enc.decision(ctx, _OFS["mbt_p"] + 2, 1 if ptype == "16x8" else 0)
             else:
@@ -838,7 +857,11 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 nnz[by, bx] = tc
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
-            if chosen:
+            if chosen8:
+                for (ox, oy), (_mvp_i, mv_i, _p) in zip(H._P8_GEOM, chosen8):
+                    mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
+                                 2, 2, mv_i, 0)
+            elif chosen:
                 for (ox, oy, w, h), (_mvp_i, mv_i, _p) in zip(
                         H._PART_GEOM[ptype], parts):
                     mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
@@ -1126,9 +1149,9 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None):
                         qp = _dec_mb_p_part(dec, ctx, st, plane, ref, mx, my,
                                             qp, nnz, modes, mvs,
                                             "16x8" if b2 else "8x16")
-                    elif b2:
-                        raise ValueError(
-                            "P_8x8 sub-macroblock types: out of decode scope")
+                    elif b2:  # "001" = P_8x8 (r6)
+                        qp = _dec_mb_p8x8(dec, ctx, st, plane, ref, mx, my,
+                                          qp, nnz, modes, mvs)
                     else:
                         qp = _dec_mb_p16(dec, ctx, st, plane, ref, mx, my,
                                          qp, nnz, modes, mvs)
@@ -1326,6 +1349,29 @@ def _dec_mb_b16(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz, modes,
         mvsx.set_mb(mx, my, mv, 0)
     st.mvd[my, mx] = tuple(asum)
     pred = preds[0] if len(preds) == 1 else (preds[0] + preds[1] + 1) >> 1
+    return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes)
+
+
+def _dec_mb_p8x8(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs):
+    """P_8x8 (CABAC): sub_mb_type bin '1' x4 = one 8x8 partition each;
+    finer sub-partitions raise."""
+    for _ in range(4):
+        if not dec.decision(ctx, _OFS["sub_mbt_p"]):
+            raise ValueError(
+                "P sub-8x8 partitions (8x4/4x8/4x4): out of decode scope")
+    pred = np.zeros((16, 16), np.int32)
+    asum = [0, 0]
+    for idx, (ox, oy) in enumerate(H._P8_GEOM):
+        mvp = mvs.mvp_8x8(mx, my, idx)
+        mvd = (_dec_mvd(dec, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0)),
+               _dec_mvd(dec, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1)))
+        asum[0] += abs(mvd[0])
+        asum[1] += abs(mvd[1])
+        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        pred[oy:oy + 8, ox:ox + 8] = H._interp_luma(
+            ref, mx * 16 + ox, my * 16 + oy, mv[0], mv[1], 8, 8)
+        mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, 2, 2, mv, 0)
+    st.mvd[my, mx] = tuple(asum)
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes)
 
 

@@ -561,3 +561,52 @@ def test_fuzzed_bgop_samples_never_escape_valueerror():
                 h264.decode_samples(muts, avcc)
             except ValueError:
                 pass
+
+
+def test_p8x8_partitions_roundtrip_both_entropy_modes():
+    """r6: P_8x8 (one 8x8 partition per sub-MB, quad motion) decodes
+    bit-exactly in CAVLC and CABAC, with the P_8x8 path exercised."""
+    import struct
+
+    from extractors_geo_spark import h264_cabac as C
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    base = np.clip(128 + 90 * np.sin(xx / 3.5) + 20 * np.cos(yy / 5),
+                   0, 255).astype(np.uint8)
+
+    def frame(f):
+        out = np.empty((32, 32), np.uint8)
+        for ry in range(0, 32, 8):
+            for rx_ in range(0, 32, 8):
+                sx = (f * (1 + (rx_ // 8 + ry // 8) % 4)) % 32
+                out[ry:ry + 8, rx_:rx_ + 8] = \
+                    np.roll(base, sx, axis=1)[ry:ry + 8, rx_:rx_ + 8]
+        return out
+
+    frames = [frame(f) for f in range(4)]
+    for cabac in (False, True):
+        avcc = h264.build_avcc(32, 32, deblock_ctrl=True, cabac=cabac)
+        enc_i = C.encode_idr_cabac if cabac else h264.encode_idr_cavlc
+        enc_p = C.encode_p_cabac if cabac else h264.encode_p_cavlc
+        target = C if cabac else h264
+        name = "_dec_mb_p8x8" if cabac else "_decode_mb_p8x8"
+        hits = []
+        orig = getattr(target, name)
+
+        def spy(*a, **k):
+            hits.append(1)
+            return orig(*a, **k)
+
+        setattr(target, name, spy)
+        try:
+            _, ref = enc_i(frames[0], qp=12, full_recon=True)
+            for fn, f in enumerate(frames[1:], 1):
+                prbsp, recon = enc_p(f, ref, qp=12, frame_num=fn)
+                nal = bytes([0x41]) + h264._ep_insert(prbsp)
+                d = h264.decode_sample(struct.pack(">I", len(nal)) + nal,
+                                       avcc, ref=ref, full_plane=True)
+                assert np.array_equal(d, recon), (cabac, fn)
+                ref = recon
+        finally:
+            setattr(target, name, orig)
+        assert hits, ("P_8x8 never chosen", cabac)
