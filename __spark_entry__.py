@@ -2360,9 +2360,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # are composed into `string_ops`, the relational primitives into
 # `relational_ops`, the zone projections into `proj_forward`, and the
 # cell-set primitives into `cell_ops`.  This tuple IS the window —
-# queries() asserts its first 50 keys match it exactly, so any future
+# queries() checks its first 50 keys match it exactly, so any future
 # insertion that would silently evict a query from driver verification
-# fails loudly instead (see tests/test_submit.py).
+# fails loudly instead (see tests/test_registry.py).
 DRIVER_WINDOW = (
     "merc_extent", "inv_mercator", "cell_encode", "cell_density",
     "cell_ops", "proj_forward", "pip_join", "bbox_join", "knn",
@@ -2444,9 +2444,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp3_features": q_mp3_features,
         "aac_features": q_aac_features,
     }
-    assert tuple(reg)[:50] == DRIVER_WINDOW, (
-        "driver 50-slot window changed — update DRIVER_WINDOW deliberately"
-    )
+    # RuntimeError (not assert): the guard must survive `python -O`
+    if tuple(reg)[:50] != DRIVER_WINDOW:
+        raise RuntimeError(
+            "driver 50-slot window changed — update DRIVER_WINDOW deliberately"
+        )
     return reg
 
 

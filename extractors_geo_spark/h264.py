@@ -2486,6 +2486,17 @@ def _peek_slice(sample: bytes, avcc: bytes, sps: dict, pps: dict):
     raise ValueError("no slice NAL in sample")
 
 
+def _poc_msb(lsb: int, prev_msb: int, prev_lsb: int, max_lsb: int) -> int:
+    """PicOrderCntMsb derivation (8.2.1.1) for poc_type 0: a big backward
+    jump of the lsb means it wrapped forward (+max_lsb), a big forward
+    jump means the reference was past a wrap (−max_lsb)."""
+    if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+        return prev_msb + max_lsb
+    if lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+        return prev_msb - max_lsb
+    return prev_msb
+
+
 def decode_samples(samples: list[bytes], avcc: bytes) -> list[np.ndarray]:
     """Sequential GOP decode. poc_type-2 streams (I/P only): 1-deep DPB,
     decode order == display order. poc_type-0 streams (B-enabled, r6):
@@ -2504,11 +2515,24 @@ def decode_samples(samples: list[bytes], avcc: bytes) -> list[np.ndarray]:
         return out
     dpb: list[tuple[int, np.ndarray]] = []  # (poc, FULL plane) references
     outputs: list[tuple[int, int, np.ndarray]] = []  # (poc, seq, cropped)
+    # poc_type-0 PicOrderCntMsb derivation (8.2.1.1): the lsb wraps at
+    # MaxPicOrderCntLsb, so streams longer than MaxPicOrderCntLsb/2
+    # display frames would interleave GOPs if sorted by raw lsb;
+    # prev_{msb,lsb} track the previous REFERENCE picture in decode order
+    max_lsb = 1 << sps["log2_poc"]
+    prev_msb = prev_lsb = 0
     for seq, s in enumerate(samples):
         typ, ref_idc, hdr = _peek_slice(s, avcc, sps, pps)
-        poc = hdr["poc"] if hdr["poc"] is not None else 2 * seq
         if typ == 5:
             dpb = []  # IDR: closed GOP, reset references
+            prev_msb = prev_lsb = 0  # POC restarts at an IDR
+        if hdr["poc"] is not None:
+            msb = _poc_msb(hdr["poc"], prev_msb, prev_lsb, max_lsb)
+            poc = msb + hdr["poc"]
+            if ref_idc:
+                prev_msb, prev_lsb = msb, hdr["poc"]
+        else:
+            poc = 2 * seq
         if hdr["is_b"]:
             before = [e for e in dpb if e[0] < poc]
             after = [e for e in dpb if e[0] > poc]

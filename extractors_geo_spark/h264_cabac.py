@@ -1170,7 +1170,12 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None):
             if eos != (1 if last else 0):
                 raise ValueError("end_of_slice_flag desync")
     if hdr["do_filter"] and int(qp_map.max()) + max(hdr["off_a"], hdr["off_b"], 0) >= 16:
-        if is_p:
+        if is_p or is_b:
+            # B pictures route through the inter filter with the L0 motion
+            # state — same approximation as the CAVLC decoder (h264.py
+            # decode path); the in-repo encoder disables the filter for B,
+            # so decode == recon regardless, but foreign filtered-B streams
+            # get the inter bS rules, not the intra ones (ADVICE r6)
             plane = H._deblock_luma_inter(plane, qp_map, nnz, mvs,
                                           hdr["off_a"], hdr["off_b"])
         else:

@@ -84,18 +84,19 @@ def knn_join(
     whole grid, so coverage is guaranteed when the corpus has k rows).
     The escalation input is the SMALL under-filled remainder — satisfied
     queries are anti-joined out and never recompute — and each remainder
-    pass broadcasts its query side.  A coarser ring block is a strict
+    pass broadcasts its query side iff the remainder fits the same
+    broadcast cap as the main pass.  A coarser ring block is a strict
     superset of the finer one, so replacing an escalated query's rows
     keeps the candidate semantics.  Note the grid-kNN caveat is unchanged:
     within one pass, top-k is exact over the ring-block candidates."""
     q_base = queries.select(
         F.col(q_id), F.col(q_lon).alias("_qlon"), F.col(q_lat).alias("_qlat")
     )
+    ring_rows = (2 * ring + 1) ** 2
+    cap = 1_000_000 // ring_rows
     if broadcast_queries is None:
         # size probe BEFORE the (2k+1)^2 ring explode — counting after it
         # costs a ~9x-inflated extra job on the hot path (VERDICT r01 #6)
-        ring_rows = (2 * ring + 1) ** 2
-        cap = 1_000_000 // ring_rows
         if q_size_hint is not None:
             broadcast_queries = q_size_hint <= cap
         else:
@@ -108,6 +109,7 @@ def knn_join(
         return out
 
     parts = []
+    cached: list[DataFrame] = []
     cur_q, cur_out, cur_res = q_base, out, res
     while True:
         if cur_res <= min_res:
@@ -118,15 +120,28 @@ def knn_join(
         found = cur_out.groupBy(q_id).agg(F.count(F.lit(1)).alias("_found"))
         sat = found.filter(F.col("_found") >= k).select(q_id)
         under_q = cur_q.join(sat, q_id, "left_anti").cache()
-        if under_q.count() == 0:
+        cached.append(under_q)
+        under_count = under_q.count()
+        if under_count == 0:
             parts.append(cur_out)
             break
         # satisfied rows are final; only the small remainder escalates
         parts.append(cur_out.join(F.broadcast(under_q.select(q_id)), q_id, "left_anti"))
         cur_res = max(min_res, cur_res - 2)
         cur_q = under_q
+        # gate the escalated pass on the same broadcast cap as the main
+        # pass — a pathological corpus where most queries are under-filled
+        # must not broadcast a huge query side (ADVICE r6)
         cur_out = _ring_topk(under_q, t_sel, k, cur_res, ring,
-                             q_id, t_id, t_cols, broadcast_queries=True)
+                             q_id, t_id, t_cols,
+                             broadcast_queries=under_count <= cap)
+    # the caches exist to serve the in-loop count()s and next-level
+    # derivations; unpersist before returning so no persisted blocks leak
+    # past the call (ADVICE r6). The caller's final evaluation recomputes
+    # the (small) remainder lineage instead of hitting a cache — correct
+    # by lineage, and bounded: only the rare ensure_k remainder path pays.
+    for df in cached:
+        df.unpersist()
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 

@@ -610,3 +610,22 @@ def test_p8x8_partitions_roundtrip_both_entropy_modes():
         finally:
             setattr(target, name, orig)
         assert hits, ("P_8x8 never chosen", cabac)
+
+
+def test_poc_msb_wrap_derivation():
+    """8.2.1.1 PicOrderCntMsb: lsb wrap must not interleave GOPs (ADVICE
+    r6 — previously display order used the raw 16-bit lsb)."""
+    max_lsb = 16
+    # increasing stream crossing two wraps: lsb = 2*i mod 16
+    prev_msb = prev_lsb = 0
+    pocs = []
+    for i in range(24):
+        lsb = (2 * i) % max_lsb
+        msb = h264._poc_msb(lsb, prev_msb, prev_lsb, max_lsb)
+        pocs.append(msb + lsb)
+        prev_msb, prev_lsb = msb, lsb  # every picture a reference
+    assert pocs == [2 * i for i in range(24)]
+    # backward jump smaller than half the range is reordering, not a wrap
+    assert h264._poc_msb(4, 0, 8, 16) == 0
+    # reference past a wrap, current before it: msb steps back
+    assert h264._poc_msb(14, 16, 0, 16) == 0

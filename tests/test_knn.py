@@ -139,3 +139,18 @@ def test_knn_dist_monotone_in_rank(spark, queries, targets):
         by_q.setdefault(r["query_id"], []).append(r["dist_sq"])
     for dists in by_q.values():
         assert dists == sorted(dists)
+
+
+def test_knn_ensure_k_leaves_no_cached_rdds(spark, targets):
+    """ADVICE r6: escalation caches serve only the in-loop counts and are
+    unpersisted before knn_join returns — no persisted RDDs survive the
+    call (previously one leaked per escalation level)."""
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0  # clean slate
+    q = spark.createDataFrame([("lonely", 170.0, -80.0), ("q1", -100.0, 35.0)],
+                              ["query_id", "lon", "lat"])
+    out = knn.knn_join(q, targets, k=3, res=7, ring=1, ensure_k=True)
+    assert jsc.getPersistentRDDs().size() == 0, "escalation leaked a cache"
+    assert out.count() > 0  # result still evaluates correctly (by lineage)
+    assert jsc.getPersistentRDDs().size() == 0
