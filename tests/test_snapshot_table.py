@@ -453,3 +453,95 @@ def test_delete_compact_threshold_autofolds(spark, tmp_path):
     assert snap["operation"] == "apply_deletes" and snap["deletes"] == []
     assert {r["k"] for r in t.read().collect()} == \
         {f"k{i}" for i in range(12)} - {"k1", "k2"}
+
+
+def test_delete_positions_stale_after_rewrite_raises(spark, tmp_path):
+    """ADVICE r6 (medium): positions derived before a rewrite commit must
+    be rejected at commit time — silently matching nothing would let the
+    rows survive a DELETE."""
+    from extractors_geo_spark.sources.snapshot_table import StalePositions
+
+    t = SnapshotTable(spark, str(tmp_path / "stale"), bucket_key="k",
+                      n_buckets=2)
+    t.overwrite(spark.createDataFrame(
+        [(f"k{i}", i) for i in range(10)], ["k", "v"]))
+    pos = (t.read(with_positions=True)
+           .filter(F.col("v") < 4).select("_file", "_pos")
+           .collect())  # pin the addresses as of v1
+    # a rewrite lands in between: CoW delete rewrites the touched bucket
+    t.delete_keys(spark.createDataFrame([("k9",)], ["k"]), key="k")
+    stale = spark.createDataFrame(pos, ["_file", "_pos"])
+    with pytest.raises(StalePositions):
+        t.delete_positions(stale)
+    # nothing was committed; re-deriving from the current snapshot works
+    assert t.snapshot()["operation"] == "delete"
+    fresh = (t.read(with_positions=True)
+             .filter(F.col("v") < 4).select("_file", "_pos"))
+    t.delete_positions(fresh)
+    assert {r["v"] for r in t.read().collect()} == set(range(4, 9))
+
+
+def test_pos_delete_ref_files_stamped(spark, tmp_path):
+    """r7: positional delete manifest entries carry the referenced
+    data-file set so readers and apply_deletes prune without re-reading
+    the delete parquet."""
+    t = SnapshotTable(spark, str(tmp_path / "refs"), bucket_key="k",
+                      n_buckets=2)
+    t.overwrite(spark.createDataFrame(
+        [(f"k{i}", i) for i in range(10)], ["k", "v"]))
+    pos = (t.read(with_positions=True)
+           .filter(F.col("v") == 3).select("_file", "_pos"))
+    t.delete_positions(pos)
+    dels = t.snapshot()["deletes"]
+    assert dels and all(d.get("ref_files") for d in dels)
+    valid = {f["path"] for f in t.snapshot()["files"]}
+    refs = {p for d in dels for p in d["ref_files"]}
+    assert refs and refs <= valid
+    # _pos_delete_paths answers from the manifest stamp (no parquet read)
+    assert t._pos_delete_paths(dels) == refs
+
+
+def test_eq_delete_file_pruning_rules():
+    """Driver-side manifest check: seq, bucket, and key-range each prune;
+    anything unprovable stays dirty (over-approximation only)."""
+    t = SnapshotTable.__new__(SnapshotTable)  # helpers are self-free
+    f = {"path": "p", "bucket": 3, "seq": 1, "min_key": "k10", "max_key": "k19"}
+    hit = {"seq": 2, "bucket": 3, "min_key": "k15", "max_key": "k15"}
+    assert t._eq_del_hits(f, hit)
+    assert not t._eq_del_hits(f, {**hit, "seq": 1})        # not newer
+    assert not t._eq_del_hits(f, {**hit, "bucket": 4})     # other bucket
+    assert not t._eq_del_hits(f, {**hit, "min_key": "k40",
+                                  "max_key": "k99"})       # disjoint range
+    # unprovable cases stay dirty
+    assert t._eq_del_hits(f, {**hit, "min_key": None, "max_key": None})
+    assert t._eq_del_hits({**f, "bucket": None, "min_key": None,
+                           "max_key": None}, hit)
+    assert t._eq_del_hits(f, {**hit, "min_key": 5, "max_key": 9})  # mixed types
+    # positional: ref_files stamp decides; missing stamp -> dirty
+    assert t._pos_del_hits(f, {"ref_files": ["p", "q"]})
+    assert not t._pos_del_hits(f, {"ref_files": ["q"]})
+    assert t._pos_del_hits(f, {"ref_files": None})
+    assert t._pos_del_hits(f, {})
+
+
+def test_read_skips_irrelevant_delete_files(spark, tmp_path):
+    """r7 (VERDICT r06 #3): a delete confined to keys disjoint from every
+    data file leaves the read plan join-free; deletes confined to one
+    bucket anti-join only that bucket's files."""
+    t = SnapshotTable(spark, str(tmp_path / "prune"), bucket_key="k",
+                      n_buckets=4, delete_compact_threshold=0)
+    t.overwrite(spark.createDataFrame(
+        [(f"k{i:02d}", i) for i in range(40)], ["k", "v"]))
+    # keys that don't exist: every data file min/max-prunes the delete
+    t.delete_keys(spark.createDataFrame([("zz99",)], ["k"]), key="k",
+                  mode="mor")
+    df = t.read()
+    assert "LeftAnti" not in df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() == 40
+    # a real delete: correct rows AND exactly one anti-join in the plan
+    t.delete_keys(spark.createDataFrame([("k05",)], ["k"]), key="k",
+                  mode="mor")
+    df2 = t.read()
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftAnti") == 1
+    assert {r["v"] for r in df2.collect()} == set(range(40)) - {5}

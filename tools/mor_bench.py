@@ -74,6 +74,23 @@ def main():
                 entry["read_after_fold_s"] = timed_read(t)[0]
                 entry["pending_after_fold"] = len(t.snapshot()["deletes"])
             out[mode] = entry
+        # r7 (VERDICT r06 #3): delete-file pruning — batches confined to
+        # ONE bucket; reads should pay ~one bucket's anti-join, not one
+        # per pending delete file
+        t = build(spark, os.path.join(work, "mor_hot"), rows)
+        timed_read(t)  # warm
+        cand = (spark.range(rows)
+                .select(F.concat(F.lit("k"), F.col("id")).alias("k"),
+                        F.col("id").alias("id"))
+                .filter(F.pmod(F.xxhash64(F.col("k")), F.lit(16)) == 3))
+        hot_reads = [timed_read(t)[0]]
+        for b in range(batches):
+            keys = (cand.filter(F.col("id") % batches == b)
+                    .limit(batch_keys).select("k"))
+            t.delete_keys(keys, key="k", mode="mor")
+            hot_reads.append(timed_read(t)[0])
+        out["mor_hot_bucket"] = {"read_s_by_pending": hot_reads,
+                                 "pending": len(t.snapshot()["deletes"])}
         print(json.dumps(out))
     finally:
         shutil.rmtree(work, ignore_errors=True)
