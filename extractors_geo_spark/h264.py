@@ -506,6 +506,236 @@ def _thin(levels: np.ndarray, max_coeffs: int) -> np.ndarray:
     return out.reshape(levels.shape)
 
 
+# ------------------------------------------------ chroma (4:2:0) coding
+# Table 8-15: QPc from qPI (chroma_qp_index_offset is 0 in the in-repo
+# PPS, so qPI == the luma QP)
+_QPC_TAB = tuple(range(30)) + (29, 30, 31, 32, 32, 33, 34, 34, 35, 35,
+                               36, 36, 37, 37, 37, 38, 38, 38, 39, 39,
+                               39, 39)
+
+
+def _qpc(qp_y: int) -> int:
+    return _QPC_TAB[min(51, max(0, qp_y))]
+
+
+_H2 = np.array([[1, 1], [1, -1]], np.int32)  # 2x2 chroma DC Hadamard
+
+
+def _quant_dc2(f: np.ndarray, qp: int, intra: bool = True) -> np.ndarray:
+    """Encoder chroma-DC quant (mirror of 8.5.11: the forward Hadamard
+    carries a 4x gain closed by the inverse's >>1 scaling, hence the
+    doubled dead-zone and the +1 shift)."""
+    shift = 15 + qp // 6
+    fdz = 2 * ((1 << shift) // (3 if intra else 6))
+    a = np.abs(f).astype(np.int64) * _MF[qp % 6][0] + fdz
+    return (np.sign(f) * (a >> (shift + 1))).astype(np.int32)
+
+
+def _dequant_dc2(lv: np.ndarray, qp: int) -> np.ndarray:
+    """8.5.11.2 (4:2:0): inverse 2x2 Hadamard, then dcC = (f*LS << qp/6)
+    >> 5 with LevelScale = 16*V — in this file's convention (V tables
+    without the x16 weightScale) that is (f*V << qp/6) >> 1."""
+    f = _H2.astype(np.int64) @ lv.astype(np.int64) @ _H2
+    return (f * _V[qp % 6][0] << (qp // 6)) >> 1
+
+
+# chroma DC 2x2 coding order: raster c00 c01 c10 c11 (9.2, 4:2:0)
+def _scan_cdc(blk: np.ndarray) -> list[int]:
+    return [int(v) for v in blk.ravel()]
+
+
+def _unscan_cdc(scan: list[int]) -> np.ndarray:
+    return np.array(scan, np.int32).reshape(2, 2)
+
+
+def _pred_chroma8(cp: np.ndarray, cmx: int, cmy: int, mode: int,
+                  al: bool, aa: bool) -> np.ndarray:
+    """8.3.4: 8x8 chroma intra prediction on a half-res component plane.
+    Modes: 0 DC (per-4x4-quadrant neighbour rules), 1 horizontal,
+    2 vertical. Mode 3 (plane) raises — the in-repo encoder never emits
+    it (documented boundary, same class as foreign-entropy payloads)."""
+    px, py = cmx * 8, cmy * 8
+    L = cp[py:py + 8, px - 1].astype(np.int32) if al else None
+    A = cp[py - 1, px:px + 8].astype(np.int32) if aa else None
+    p = np.empty((8, 8), np.int32)
+    if mode == 0:
+        for qy in (0, 4):
+            for qx in (0, 4):
+                lsum = int(L[qy:qy + 4].sum()) if al else None
+                asum = int(A[qx:qx + 4].sum()) if aa else None
+                if qx == qy:  # corner blocks prefer both neighbours
+                    if al and aa:
+                        v = (lsum + asum + 4) >> 3
+                    elif aa:
+                        v = (asum + 2) >> 2
+                    elif al:
+                        v = (lsum + 2) >> 2
+                    else:
+                        v = 128
+                elif qx > qy:  # top-right: prefer above
+                    v = (asum + 2) >> 2 if aa else (
+                        (lsum + 2) >> 2 if al else 128)
+                else:  # bottom-left: prefer left
+                    v = (lsum + 2) >> 2 if al else (
+                        (asum + 2) >> 2 if aa else 128)
+                p[qy:qy + 4, qx:qx + 4] = v
+    elif mode == 1:
+        if not al:
+            raise ValueError("chroma H pred without left neighbour")
+        p[:] = L[:, None]
+    elif mode == 2:
+        if not aa:
+            raise ValueError("chroma V pred without above neighbour")
+        p[:] = A
+    else:
+        raise ValueError("chroma plane prediction: out of decode profile")
+    return p
+
+
+def _interp_chroma(cref: np.ndarray, px: int, py: int, mvx: int, mvy: int,
+                   w: int = 8, h: int = 8) -> np.ndarray:
+    """8.4.2.2.2: w x h chroma MC block on the half-res plane. The luma
+    quarter-pel MV is an eighth-pel chroma MV; bilinear weights with
+    (+32)>>6 rounding, edge-clamped."""
+    H, W = cref.shape
+    ix, fx = mvx >> 3, mvx & 7
+    iy, fy = mvy >> 3, mvy & 7
+    x0, y0 = px + ix, py + iy
+    xs = np.clip(np.arange(x0, x0 + w + 1), 0, W - 1)
+    ys = np.clip(np.arange(y0, y0 + h + 1), 0, H - 1)
+    win = cref[np.ix_(ys, xs)].astype(np.int32)
+    A = win[:h, :w]
+    B = win[:h, 1:]
+    C = win[1:, :w]
+    D = win[1:, 1:]
+    return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
+            + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
+
+
+def _encode_chroma_mb(csrc, cpred, qp_y, intra, max_coeffs=15):
+    """Quantize one MB's chroma residual (both components).
+
+    csrc/cpred: (2, 8, 8) source and prediction.
+    Returns (cbpc, per-component dict) where each component carries the
+    2x2 DC levels, the 4 AC level blocks, and the RECONSTRUCTED 8x8 —
+    built with the decoder's exact dequant path, so decode == recon."""
+    qc = _qpc(qp_y)
+    comps = []
+    any_dc = any_ac = False
+    for ci in range(2):
+        resid = csrc[ci].astype(np.int32) - cpred[ci]
+        dcs = np.empty((2, 2), np.int64)
+        acs = []
+        for blk in range(4):
+            ox, oy = (blk % 2) * 4, (blk // 2) * 4
+            wblk = _fwd4(resid[oy:oy + 4, ox:ox + 4])
+            dcs[blk // 2, blk % 2] = wblk[0, 0]
+            lv = wblk.copy()
+            lv[0, 0] = 0
+            lv = _thin(_quant4(lv, qc, intra=intra), max_coeffs)
+            lv[0, 0] = 0  # DC rides in the 2x2 Hadamard block
+            acs.append(lv)
+        dc_lv = _quant_dc2(_H2.astype(np.int64) @ dcs @ _H2, qc,
+                           intra=intra)
+        any_dc |= bool(np.any(dc_lv))
+        any_ac |= any(np.any(a) for a in acs)
+        comps.append({"dc": dc_lv, "ac": acs})
+    cbpc = 2 if any_ac else (1 if any_dc else 0)
+    # reconstruct exactly like the decoder, honouring cbpc semantics
+    for ci in range(2):
+        c = comps[ci]
+        dcv = (_dequant_dc2(c["dc"], qc) if cbpc >= 1
+               else np.zeros((2, 2), np.int64))
+        rec = cpred[ci].copy()
+        nnz_blk = []
+        for blk in range(4):
+            ox, oy = (blk % 2) * 4, (blk // 2) * 4
+            if cbpc == 2:
+                d = _dequant4(c["ac"][blk], qc)
+                nnz_blk.append(int(np.count_nonzero(c["ac"][blk])))
+            else:
+                d = np.zeros((4, 4), np.int64)
+                nnz_blk.append(0)
+            d[0, 0] = dcv[blk // 2, blk % 2]
+            rec[oy:oy + 4, ox:ox + 4] += _inv4(d).astype(np.int32)
+        np.clip(rec, 0, 255, rec)
+        c["recon"] = rec.astype(np.uint8)
+        c["nnz"] = nnz_blk
+    return cbpc, comps
+
+
+def _write_chroma_residual(bw, cbpc, comps, nnz_c, mx, my):
+    """CAVLC chroma residual serialization (DC both components, then AC
+    both components) + TotalCoeff context upkeep — the exact mirror of
+    _decode_chroma_residual / _parse_chroma_residual."""
+    if cbpc == 0:
+        nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+        return
+    for ci in range(2):
+        _encode_residual(bw, _scan_cdc(comps[ci]["dc"]), -1)
+    if cbpc == 2:
+        for ci in range(2):
+            for blk in range(4):
+                bx, by = mx * 2 + blk % 2, my * 2 + blk // 2
+                nc = _nc_chroma(nnz_c[ci], bx, by)
+                _encode_residual(bw, _scan15(comps[ci]["ac"][blk]), nc)
+                nnz_c[ci, by, bx] = comps[ci]["nnz"][blk]
+    else:
+        nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+
+
+def _decode_chroma_residual(r, cbpc, nnz_c, mx, my, qp_y):
+    """Parse one MB's chroma residual and return the (2, 8, 8) int32
+    RESIDUAL planes (inverse-transformed, ready to add to the chroma
+    prediction). Replaces the parse-only path now that chroma pixels
+    reconstruct for real (r7)."""
+    out = np.zeros((2, 8, 8), np.int32)
+    if cbpc == 0:
+        nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+        return out
+    qc = _qpc(qp_y)
+    dcvs = []
+    for _ci in range(2):
+        dc_lv = _unscan_cdc(_decode_residual(r, -1, 4))
+        dcvs.append(_dequant_dc2(dc_lv, qc))
+    for ci in range(2):
+        for blk in range(4):
+            ox, oy = (blk % 2) * 4, (blk // 2) * 4
+            bx, by = mx * 2 + blk % 2, my * 2 + blk // 2
+            if cbpc == 2:
+                nc = _nc_chroma(nnz_c[ci], bx, by)
+                lv = _unscan15(_decode_residual(r, nc, 15))
+                nnz_c[ci, by, bx] = int(np.count_nonzero(lv))
+                d = _dequant4(lv, qc)
+            else:
+                nnz_c[ci, by, bx] = 0
+                d = np.zeros((4, 4), np.int64)
+            d[0, 0] = dcvs[ci][blk // 2, blk % 2]
+            out[ci, oy:oy + 4, ox:ox + 4] = _inv4(d)
+    return out
+
+
+class _ChromaState:
+    """Per-slice chroma decode state: recon planes (start at mid-grey,
+    as intra DC prediction with no neighbours yields), per-component AC
+    TotalCoeff grid for CAVLC nC, and the reference chroma planes for
+    inter slices."""
+
+    def __init__(self, mbw, mbh, ref=None, ref2=None):
+        self.planes = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+        self.nnz = np.zeros((2, mbh * 2, mbw * 2), np.int32)
+        self.ref = ref
+        self.ref2 = ref2
+
+    def mc(self, ci, mx, my, mv, which=0):
+        ref = self.ref2 if which == 1 else self.ref
+        return _interp_chroma(ref[ci], mx * 8, my * 8, mv[0], mv[1])
+
+    def store(self, ci, mx, my, block):
+        self.planes[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+            np.clip(block, 0, 255).astype(np.uint8)
+
+
 # --------------------------------------------------------- CAVLC residual
 def _write_vlc(bw: _BitWriter, entry: tuple[int, int]) -> None:
     bw.u(entry[1], entry[0])
@@ -846,14 +1076,17 @@ def _pred16(plane, mx, my, mode, al, aa):
     return p
 
 
-def encode_idr_ipcm(gray: np.ndarray) -> bytes:
-    """One gray frame -> IDR slice RBSP, all macroblocks I_PCM
-    (chroma planes constant 128)."""
+def encode_idr_ipcm(gray: np.ndarray,
+                    chroma: np.ndarray | None = None) -> bytes:
+    """One frame -> IDR slice RBSP, all macroblocks I_PCM (bit-exact;
+    `chroma` (2, h/2, w/2) writes real Cb/Cr samples, None writes
+    constant 128)."""
     a = np.asarray(gray, np.uint8)
     h, w = a.shape
     mbw = -(-w // 16)
     mbh = -(-h // 16)
     pad = np.pad(a, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
+    cpad = _pad_chroma(chroma, mbw, mbh, h, w)
     bw = _BitWriter()
     bw.ue(0)      # first_mb_in_slice
     bw.ue(7)      # slice_type: I (all slices in picture)
@@ -864,15 +1097,15 @@ def encode_idr_ipcm(gray: np.ndarray) -> bytes:
     bw.u(0, 1)    # no_output_of_prior_pics
     bw.u(0, 1)    # long_term_reference
     bw.se(0)      # slice_qp_delta
-    chroma = bytes([128] * 64)
     for my in range(mbh):
         for mx in range(mbw):
             bw.ue(25)  # mb_type I_PCM
             bw.align()  # pcm_alignment_zero_bit(s)
             mb = pad[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
             bw.raw(mb.tobytes())
-            bw.raw(chroma)  # Cb
-            bw.raw(chroma)  # Cr
+            for ci in range(2):  # Cb then Cr samples
+                bw.raw(cpad[ci, my * 8:my * 8 + 8,
+                            mx * 8:mx * 8 + 8].tobytes())
     bw.rbsp_trailing()
     return bytes(bw.buf)
 
@@ -914,15 +1147,32 @@ def _nc_luma(nnz, bx, by):
     return 0
 
 
+def _pad_chroma(chroma, mbw, mbh, h, w):
+    """(2, ceil(h/2), ceil(w/2)) chroma source -> MB-grid-padded planes;
+    None -> flat mid-grey (the gray-stream default, which quantizes to
+    cbp_chroma 0 everywhere and reproduces the pre-r7 bitstreams)."""
+    if chroma is None:
+        return np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    c = np.asarray(chroma, np.uint8)
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
+    assert c.shape == (2, h2, w2), f"chroma must be (2, {h2}, {w2})"
+    return np.stack([np.pad(c[ci], ((0, mbh * 8 - h2), (0, mbw * 8 - w2)),
+                            mode="edge") for ci in range(2)])
+
+
 def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
                      deblock: bool = False, full_recon: bool = False,
-                     poc_lsb: int | None = None):
-    """One gray frame -> (IDR slice RBSP, reconstructed plane).
+                     poc_lsb: int | None = None,
+                     chroma: np.ndarray | None = None):
+    """One frame -> (IDR slice RBSP, reconstructed plane).
 
     CAVLC intra encoding: near-flat macroblocks go I_16x16 (DC pred,
     Hadamard-coded DC, zero AC); everything else I_4x4 with per-block
-    best-of V/H/DC prediction and full CAVLC residuals. Chroma is coded
-    as constant 128 (DC prediction, zero residual, cbp_chroma=0).
+    best-of V/H/DC prediction and full CAVLC residuals. `chroma`
+    (2, h/2, w/2) codes REAL 4:2:0 residuals (r7): chroma DC intra
+    prediction, 2x2 Hadamard DC + AC levels, cbp_chroma in mb_type/cbp;
+    None keeps the pre-r7 gray contract (cbp_chroma 0 throughout).
+    Returns recon as luma, or (luma, chroma) when chroma was given.
     The returned recon is what ANY conformant decoder must produce —
     deblock=False writes disable_deblocking_filter_idc=1; deblock=True
     enables the in-loop filter (8.7) and returns the FILTERED plane
@@ -937,6 +1187,10 @@ def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
     plane_w = mbw * 16
     nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
     modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
+    csrc = _pad_chroma(chroma, mbw, mbh, h, w)
+    crec = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    nnz_c = np.zeros((2, mbh * 2, mbw * 2), np.int32)
+    ch = (csrc, crec, nnz_c)
 
     bw = _BitWriter()
     bw.ue(0)      # first_mb_in_slice
@@ -961,18 +1215,22 @@ def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
             done = False
             if int(smb.max()) - int(smb.min()) <= 8:
                 done = _encode_mb_i16(bw, smb, plane, mx, my, qp, nnz, modes,
-                                      max_coeffs)
+                                      max_coeffs, ch)
             if not done:
                 _encode_mb_i4(bw, smb, plane, mx, my, qp, nnz, modes,
-                              max_coeffs, plane_w)
+                              max_coeffs, plane_w, ch)
     bw.rbsp_trailing()
     out = plane
     if deblock and qp >= 16:
         out = _deblock_luma(plane, np.full((mbh, mbw), qp, np.int32))
-    return bytes(bw.buf), (out if full_recon else out[:h, :w].copy())
+    y = out if full_recon else out[:h, :w].copy()
+    if chroma is None:
+        return bytes(bw.buf), y
+    crop = crec if full_recon else crec[:, :(h + 1) // 2, :(w + 1) // 2].copy()
+    return bytes(bw.buf), (y, crop)
 
 
-def _encode_mb_i16(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs):
+def _encode_mb_i16(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs, ch):
     """Try I_16x16 DC: commit only when all AC quantize to zero and the
     DC block stays inside the thinning budget. Returns True on commit."""
     al = mx > 0
@@ -999,8 +1257,15 @@ def _encode_mb_i16(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs):
     # the per-block 1/64 close the 256x Hadamard round-trip gain exactly)
     if np.count_nonzero(dc_lv) > max_coeffs:
         return False
-    # mb_type: 1 + pred(2) + 4*cbp_chroma(0) + 12*(cbp_luma != 0 -> 0)
-    bw.ue(1 + 2)
+    # chroma: DC intra prediction + residual (r7); flat-128 sources
+    # quantize to cbpc 0 and reproduce the pre-r7 bitstream exactly
+    csrc, crec, nnz_c = ch
+    cpred = np.stack([_pred_chroma8(crec[ci], mx, my, 0, al, aa)
+                      for ci in range(2)])
+    csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+    cbpc, comps = _encode_chroma_mb(csrc_mb, cpred, qp, intra=True)
+    # mb_type: 1 + pred(2) + 4*cbp_chroma + 12*(cbp_luma != 0 -> 0)
+    bw.ue(1 + 2 + 4 * cbpc)
     bw.ue(0)   # intra_chroma_pred_mode: DC
     bw.se(0)   # mb_qp_delta (always present for I_16x16)
     nc = _nc_luma(nnz, mx * 4, my * 4)
@@ -1015,6 +1280,9 @@ def _encode_mb_i16(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs):
             out[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] += _inv4(d).astype(np.int32)
     np.clip(out, 0, 255, out)
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
+    _write_chroma_residual(bw, cbpc, comps, nnz_c, mx, my)
+    for ci in range(2):
+        crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = comps[ci]["recon"]
     nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0  # AC TotalCoeff per block
     modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1  # not I4x4 -> DC for pred
     return True
@@ -1034,7 +1302,7 @@ def _i16_dc_dequant(dc_lv, qp):
 
 
 def _encode_mb_i4(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs,
-                  plane_w, mb_type_code=0):
+                  plane_w, ch, mb_type_code=0):
     """I_4x4 macroblock: best-of V/H/DC prediction per block, CAVLC
     residuals, decoder-identical reconstruction."""
     blocks = []  # (chosen_mode, scan, nC) in blkIdx order
@@ -1083,15 +1351,23 @@ def _encode_mb_i4(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs,
             bw.u(0, 1)
             bw.u(mode - (1 if mode > pm else 0), 3)
     bw.ue(0)  # intra_chroma_pred_mode: DC
-    bw.ue(_CBP_INTRA_INV[cbp])
-    if cbp:
+    # chroma residual (r7): DC prediction from the recon plane; a flat
+    # source quantizes to cbpc 0, reproducing the pre-r7 bitstream
+    csrc, crec, nnz_c = ch
+    cpred = np.stack([_pred_chroma8(crec[ci], mx, my, 0, mx > 0, my > 0)
+                      for ci in range(2)])
+    csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+    cbpc, comps = _encode_chroma_mb(csrc_mb, cpred, qp, intra=True)
+    bw.ue(_CBP_INTRA_INV[cbp | (cbpc << 4)])
+    if cbp | cbpc:
         bw.se(0)  # mb_qp_delta
     for blk in range(16):
         if cbp & (1 << (blk >> 2)):
             _, scan, nc, _tc = blocks[blk]
             _encode_residual(bw, scan, nc)
-    # cbp_chroma == 0: no chroma residual; chroma stays at its DC
-    # prediction (constant 128 for a grey-start picture)
+    _write_chroma_residual(bw, cbpc, comps, nnz_c, mx, my)
+    for ci in range(2):
+        crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = comps[ci]["recon"]
 
 
 def _pred_mode_for_encoded(modes, bx, by, blk, mx, my):
@@ -1104,7 +1380,9 @@ def _pred_mode_for_encoded(modes, bx, by, blk, mx, my):
 def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                    max_coeffs: int = 16, frame_num: int = 1,
                    search: int = 8, deblock: bool = False,
-                   poc_lsb: int | None = None):
+                   poc_lsb: int | None = None,
+                   chroma: np.ndarray | None = None,
+                   cref: np.ndarray | None = None):
     """One gray frame -> (P-slice RBSP, FULL reconstructed plane).
 
     Per macroblock: P_SKIP when the residual at the skip-predicted MV
@@ -1125,6 +1403,26 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
     mvs = _MvState(mbw, mbh)
     qp_map = np.full((mbh, mbw), qp, np.int32)
+    csrc = _pad_chroma(chroma, mbw, mbh, h, w)
+    if cref is None:
+        cref = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    crec = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    nnz_c = np.zeros((2, mbh * 2, mbw * 2), np.int32)
+    ch = (csrc, crec, nnz_c)
+
+    def cmc(mv, parts=None):
+        """(2, 8, 8) chroma MC prediction for one MB; `parts` is a list
+        of (ox, oy, w, h, mv) luma-geometry partitions."""
+        out = np.empty((2, 8, 8), np.int32)
+        for ci in range(2):
+            if parts is None:
+                out[ci] = _interp_chroma(cref[ci], mx * 8, my * 8, *mv)
+            else:
+                for (ox, oy, pw, ph, pmv) in parts:
+                    out[ci, oy // 2:(oy + ph) // 2, ox // 2:(ox + pw) // 2] =                         _interp_chroma(cref[ci], mx * 8 + ox // 2,
+                                       my * 8 + oy // 2, pmv[0], pmv[1],
+                                       pw // 2, ph // 2)
+        return out
 
     bw = _BitWriter()
     bw.ue(0)      # first_mb_in_slice
@@ -1150,11 +1448,18 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             # --- P_SKIP candidate
             smv = mvs.skip_mv(mx, my)
             pred = _interp_luma(ref_full, mx * 16, my * 16, *smv)
-            if _all_zero_quant(smb - pred, qp):
+            cpred_skip = cmc(smv)
+            csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+            if _all_zero_quant(smb - pred, qp) and \
+                    _chroma_zero(csrc_mb, cpred_skip, qp):
                 pending_skips += 1
                 plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
                     np.clip(pred, 0, 255).astype(np.uint8)
+                for ci in range(2):
+                    crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                        np.clip(cpred_skip[ci], 0, 255).astype(np.uint8)
                 nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
                 mvs.set_mb(mx, my, smv, 0)
                 modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
                 continue
@@ -1166,7 +1471,8 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 bw.ue(pending_skips)
                 pending_skips = 0
                 _encode_mb_i4(bw, smb.astype(np.uint8), plane, mx, my, qp,
-                              nnz, modes, max_coeffs, plane_w, mb_type_code=5)
+                              nnz, modes, max_coeffs, plane_w, ch,
+                              mb_type_code=5)
                 mvs.set_mb(mx, my, (0, 0), -1)
                 continue
             # --- partition decision: 16x8 / 8x16 / 8x8 when they clearly
@@ -1186,21 +1492,28 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 mb_type_code = 3  # P_8x8
                 pred = np.zeros((16, 16), np.int32)
                 mvds = []
+                cparts = []
                 for (ox, oy), (mvp_i, mv_i, pred_i) in zip(_P8_GEOM, chosen8):
                     pred[oy:oy + 8, ox:ox + 8] = pred_i
                     mvds.append((mv_i[0] - mvp_i[0], mv_i[1] - mvp_i[1]))
+                    cparts.append((ox, oy, 8, 8, mv_i))
+                cpred = cmc(None, cparts)
             elif chosen:
                 ptype, parts = chosen
                 mb_type_code = 1 if ptype == "16x8" else 2
                 pred = np.zeros((16, 16), np.int32)
                 mvds = []
-                for (ox, oy, w, h), (mvp_i, mv_i, pred_i) in zip(
+                cparts = []
+                for (ox, oy, w_, h_), (mvp_i, mv_i, pred_i) in zip(
                         _PART_GEOM[ptype], parts):
-                    pred[oy:oy + h, ox:ox + w] = pred_i
+                    pred[oy:oy + h_, ox:ox + w_] = pred_i
                     mvds.append((mv_i[0] - mvp_i[0], mv_i[1] - mvp_i[1]))
+                    cparts.append((ox, oy, w_, h_, mv_i))
+                cpred = cmc(None, cparts)
             else:
                 mb_type_code = 0
                 mvds = [(mv[0] - mvp[0], mv[1] - mvp[1])]
+                cpred = cmc(mv)
             blocks = []
             cbp = 0
             out = pred.copy()
@@ -1214,6 +1527,7 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                     cbp |= 1 << (blk >> 2)
                 blocks.append((lv, tc))
                 out[oy:oy + 4, ox:ox + 4] += _inv4(_dequant4(lv, qp)).astype(np.int32)
+            cbpc, comps = _encode_chroma_mb(csrc_mb, cpred, qp, intra=False)
             bw.ue(pending_skips)
             pending_skips = 0
             bw.ue(mb_type_code)
@@ -1223,8 +1537,8 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             for dx_, dy_ in mvds:
                 bw.se(dx_)
                 bw.se(dy_)
-            bw.ue(_CBP_INTER_INV[cbp])
-            if cbp:
+            bw.ue(_CBP_INTER_INV[cbp | (cbpc << 4)])
+            if cbp | cbpc:
                 bw.se(0)  # mb_qp_delta
             for blk in range(16):
                 ox, oy = _BLK_XY[blk]
@@ -1234,6 +1548,10 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                     nc = _nc_luma(nnz, bx, by)
                     _encode_residual(bw, _scan16(lv), nc)
                 nnz[by, bx] = tc
+            _write_chroma_residual(bw, cbpc, comps, nnz_c, mx, my)
+            for ci in range(2):
+                crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                    comps[ci]["recon"]
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
             if chosen8:
@@ -1255,13 +1573,18 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     out_plane = plane
     if deblock and qp >= 16:
         out_plane = _deblock_luma_inter(plane, qp_map, nnz, mvs)
-    return bytes(bw.buf), out_plane
+    if chroma is None:
+        return bytes(bw.buf), out_plane
+    return bytes(bw.buf), (out_plane, crec)
 
 
 def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                    ref1_full: np.ndarray, qp: int = 10,
                    max_coeffs: int = 16, frame_num: int = 1,
-                   search: int = 8, poc_lsb: int = 0):
+                   search: int = 8, poc_lsb: int = 0,
+                   chroma: np.ndarray | None = None,
+                   cref0: np.ndarray | None = None,
+                   cref1: np.ndarray | None = None):
     """One gray frame -> (B-slice RBSP, FULL recon plane). Per MB the
     encoder picks the cheapest of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
     (bi-prediction averages the two MC blocks) with an I_4x4 fallback on
@@ -1280,6 +1603,18 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
     modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
     mvs0 = _MvState(mbw, mbh)
     mvs1 = _MvState(mbw, mbh)
+    csrc = _pad_chroma(chroma, mbw, mbh, h, w)
+    if cref0 is None:
+        cref0 = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    if cref1 is None:
+        cref1 = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    crec = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    nnz_c = np.zeros((2, mbh * 2, mbw * 2), np.int32)
+    ch = (csrc, crec, nnz_c)
+
+    def cmc1(cref, mv):
+        return np.stack([_interp_chroma(cref[ci], mx * 8, my * 8, *mv)
+                         for ci in range(2)])
 
     bw = _BitWriter()
     bw.ue(0)      # first_mb_in_slice
@@ -1302,11 +1637,18 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
             # --- spatial direct first: B_SKIP when its residual is zero
             dmv0, dmv1 = _b_direct_mvs(mvs0, mvs1, mx, my)
             dpred = _b_direct_pred(ref0_full, ref1_full, mx, my, dmv0, dmv1)
-            if _all_zero_quant(smb - dpred, qp):
+            dcpred = (cmc1(cref0, dmv0) + cmc1(cref1, dmv1) + 1) >> 1
+            csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+            if _all_zero_quant(smb - dpred, qp) and \
+                    _chroma_zero(csrc_mb, dcpred, qp):
                 pending_skips += 1
                 plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
                     np.clip(dpred, 0, 255).astype(np.uint8)
+                for ci in range(2):
+                    crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                        np.clip(dcpred[ci], 0, 255).astype(np.uint8)
                 nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+                nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
                 _b_commit_direct(mvs0, mvs1, mx, my, dmv0, dmv1)
                 modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
                 continue
@@ -1325,13 +1667,21 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                 bw.ue(pending_skips)
                 pending_skips = 0
                 _encode_mb_i4(bw, smb.astype(np.uint8), plane, mx, my, qp,
-                              nnz, modes, max_coeffs, plane_w,
+                              nnz, modes, max_coeffs, plane_w, ch,
                               mb_type_code=23)
                 mvs0.set_mb(mx, my, (0, 0), -1)
                 mvs1.set_mb(mx, my, (0, 0), -1)
                 continue
             mb_type = cand[1]
             pred = (dpred, pred0, pred1, bi)[mb_type]
+            if mb_type == 0:
+                cpred = dcpred
+            elif mb_type == 1:
+                cpred = cmc1(cref0, mv0)
+            elif mb_type == 2:
+                cpred = cmc1(cref1, mv1)
+            else:
+                cpred = (cmc1(cref0, mv0) + cmc1(cref1, mv1) + 1) >> 1
             blocks = []
             cbp = 0
             out = pred.copy()
@@ -1345,6 +1695,7 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                     cbp |= 1 << (blk >> 2)
                 blocks.append((lv, tc))
                 out[oy:oy + 4, ox:ox + 4] += _inv4(_dequant4(lv, qp)).astype(np.int32)
+            cbpc, comps = _encode_chroma_mb(csrc_mb, cpred, qp, intra=False)
             bw.ue(pending_skips)
             pending_skips = 0
             bw.ue(mb_type)
@@ -1354,8 +1705,8 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
             if mb_type in (2, 3):
                 bw.se(mv1[0] - mvp1[0])
                 bw.se(mv1[1] - mvp1[1])
-            bw.ue(_CBP_INTER_INV[cbp])
-            if cbp:
+            bw.ue(_CBP_INTER_INV[cbp | (cbpc << 4)])
+            if cbp | cbpc:
                 bw.se(0)  # mb_qp_delta
             for blk in range(16):
                 ox, oy = _BLK_XY[blk]
@@ -1365,6 +1716,10 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                     nc = _nc_luma(nnz, bx, by)
                     _encode_residual(bw, _scan16(lv), nc)
                 nnz[by, bx] = tc
+            _write_chroma_residual(bw, cbpc, comps, nnz_c, mx, my)
+            for ci in range(2):
+                crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                    comps[ci]["recon"]
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
             if mb_type == 0:
@@ -1378,12 +1733,15 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
     if pending_skips:
         bw.ue(pending_skips)  # trailing skip run
     bw.rbsp_trailing()
-    return bytes(bw.buf), plane
+    if chroma is None:
+        return bytes(bw.buf), plane
+    return bytes(bw.buf), (plane, crec)
 
 
 def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
                        gop: int = 8, bframes: int = 1,
-                       deblock: bool = False, entropy: str = "cavlc"
+                       deblock: bool = False, entropy: str = "cavlc",
+                       chromas: list | None = None
                        ) -> tuple[bytes, list[bytes], list[int]]:
     """Gray frames -> (avcC, DECODE-ORDER length-prefixed samples,
     display index per sample). Real IBBP-style GOPs: reference frames
@@ -1404,14 +1762,21 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
 
         enc_idr, enc_p, enc_b = (_C.encode_idr_cabac, _C.encode_p_cabac,
                                  _C.encode_b_cabac)
+        if chromas is not None:
+            raise ValueError(
+                "CABAC chroma residual: use entropy='cavlc' for 4:2:0 "
+                "color (h264_cabac boundary)")
     else:
         enc_idr, enc_p, enc_b = (encode_idr_cavlc, encode_p_cavlc,
                                  encode_b_cavlc)
+    if chromas is not None:
+        assert len(chromas) == len(frames), "one chroma pair per frame"
     avcc = build_avcc(w, h, deblock_ctrl=True, bpoc=True,
                       cabac=entropy == "cabac")
     samples: list[bytes] = []
     display: list[int] = []
-    recons: dict[int, np.ndarray] = {}  # display idx -> FULL recon (refs)
+    recons: dict[int, object] = {}  # display idx -> FULL recon (refs)
+    crecons: dict[int, np.ndarray] = {}  # display idx -> chroma recon
     frame_num = 0
 
     def emit(rbsp, idr, ref_pic, disp):
@@ -1426,8 +1791,14 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
     i = 0
     while i < n:
         if i % gop == 0:  # closed-GOP IDR; B frames never cross it
-            rbsp, recon = enc_idr(frames[i], qp=qp, deblock=deblock,
-                                  full_recon=True, poc_lsb=2 * i)
+            if chromas is None:
+                rbsp, recon = enc_idr(frames[i], qp=qp, deblock=deblock,
+                                      full_recon=True, poc_lsb=2 * i)
+            else:
+                rbsp, (recon, crec) = enc_idr(
+                    frames[i], qp=qp, deblock=deblock, full_recon=True,
+                    poc_lsb=2 * i, chroma=chromas[i])
+                crecons[i] = crec
             frame_num = 1
             emit(rbsp, True, True, i)
             recons[i] = recon
@@ -1438,21 +1809,41 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
         # so B pictures stay strictly inside the GOP
         gop_last = min(n - 1, (prev_ref_disp // gop) * gop + gop - 1)
         nxt = min(prev_ref_disp + bframes + 1, gop_last)
-        rbsp, recon = enc_p(frames[nxt], recons[prev_ref_disp],
-                            qp=qp, frame_num=frame_num,
-                            deblock=deblock, poc_lsb=2 * nxt)
+        if chromas is None:
+            rbsp, recon = enc_p(frames[nxt], recons[prev_ref_disp],
+                                qp=qp, frame_num=frame_num,
+                                deblock=deblock, poc_lsb=2 * nxt)
+        else:
+            rbsp, (recon, crec) = enc_p(
+                frames[nxt], recons[prev_ref_disp], qp=qp,
+                frame_num=frame_num, deblock=deblock, poc_lsb=2 * nxt,
+                chroma=chromas[nxt], cref=crecons[prev_ref_disp])
+            crecons[nxt] = crec
         frame_num = (frame_num + 1) & 0xF
         emit(rbsp, False, True, nxt)
         recons[nxt] = recon
         # B pictures between the two references (display order)
         for b in range(prev_ref_disp + 1, nxt):
-            rbsp, _brec = enc_b(frames[b], recons[prev_ref_disp],
-                                recons[nxt], qp=qp, frame_num=frame_num,
-                                poc_lsb=2 * b)
+            if chromas is None:
+                rbsp, _brec = enc_b(frames[b], recons[prev_ref_disp],
+                                    recons[nxt], qp=qp,
+                                    frame_num=frame_num, poc_lsb=2 * b)
+            else:
+                rbsp, _brec = enc_b(
+                    frames[b], recons[prev_ref_disp], recons[nxt], qp=qp,
+                    frame_num=frame_num, poc_lsb=2 * b, chroma=chromas[b],
+                    cref0=crecons[prev_ref_disp], cref1=crecons[nxt])
             emit(rbsp, False, False, b)
         prev_ref_disp = nxt
         i = nxt + 1
     return avcc, samples, display
+
+
+def _chroma_zero(csrc_mb, cpred, qp) -> bool:
+    """True iff the MB's chroma residual quantizes to nothing (cbpc 0) —
+    the extra gate P_SKIP/B_SKIP need now that chroma codes for real."""
+    cbpc, _ = _encode_chroma_mb(csrc_mb, cpred, qp, intra=False)
+    return cbpc == 0
 
 
 def _all_zero_quant(resid: np.ndarray, qp: int) -> bool:
@@ -1477,7 +1868,8 @@ def build_avcc(w: int, h: int, deblock_ctrl: bool = False,
 
 def encode_frames(frames: list[np.ndarray], qp: int | None = None,
                   deblock: bool = False, gop: int | None = None,
-                  entropy: str = "cavlc") -> tuple[bytes, list[bytes]]:
+                  entropy: str = "cavlc",
+                  chromas: list | None = None) -> tuple[bytes, list[bytes]]:
     """Gray frames -> (avcC record, per-frame length-prefixed NAL samples
     ready for an 'avc1' MP4 track). qp=None keeps the bit-exact I_PCM
     path; an integer qp (0..51) switches to transform coding with
@@ -1499,23 +1891,40 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
         enc_idr, enc_p = C.encode_idr_cabac, C.encode_p_cabac
     else:
         enc_idr, enc_p = encode_idr_cavlc, encode_p_cavlc
+    if chromas is not None:
+        assert len(chromas) == len(frames), "one chroma pair per frame"
+        if use_cabac:
+            raise ValueError(
+                "CABAC chroma residual: use entropy='cavlc' for 4:2:0 "
+                "color (h264_cabac boundary)")
     avcc = build_avcc(w, h, deblock_ctrl=qp is not None, cabac=use_cabac)
     samples = []
     ref_full = None
+    cref_full = None
     frame_num = 0
     for i, f in enumerate(frames):
+        cf = chromas[i] if chromas is not None else None
         if qp is None:
-            rbsp = encode_idr_ipcm(f)
+            rbsp = encode_idr_ipcm(f, chroma=cf)
             nal = bytes([0x65]) + _ep_insert(rbsp)  # ref_idc 3, IDR
         elif gop is None or i % gop == 0:
-            rbsp, ref_full = enc_idr(f, qp=qp, deblock=deblock,
-                                     full_recon=True)
+            if chromas is None:
+                rbsp, ref_full = enc_idr(f, qp=qp, deblock=deblock,
+                                         full_recon=True)
+            else:
+                rbsp, (ref_full, cref_full) = enc_idr(
+                    f, qp=qp, deblock=deblock, full_recon=True, chroma=cf)
             frame_num = 1
             nal = bytes([0x65]) + _ep_insert(rbsp)
         else:
-            rbsp, ref_full = enc_p(f, ref_full, qp=qp,
-                                   frame_num=frame_num,
-                                   deblock=deblock)
+            if chromas is None:
+                rbsp, ref_full = enc_p(f, ref_full, qp=qp,
+                                       frame_num=frame_num,
+                                       deblock=deblock)
+            else:
+                rbsp, (ref_full, cref_full) = enc_p(
+                    f, ref_full, qp=qp, frame_num=frame_num,
+                    deblock=deblock, chroma=cf, cref=cref_full)
             frame_num = (frame_num + 1) & 0xF
             nal = bytes([0x41]) + _ep_insert(rbsp)  # ref_idc 2, non-IDR
         samples.append(struct.pack(">I", len(nal)) + nal)
@@ -2071,14 +2480,15 @@ def _parse_chroma_residual(r, cbpc, nnz_c, mx, my):
         nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
 
 
-def _decode_mb_i4x4(r, plane, mx, my, qp, nnz, nnz_c, modes, plane_w):
+def _decode_mb_i4x4(r, plane, mx, my, qp, nnz, cc, modes, plane_w):
     prev_flags = []
     for _blk in range(16):
         if r.u(1):
             prev_flags.append(None)  # use predicted mode
         else:
             prev_flags.append(r.u(3))
-    if r.ue() > 3:
+    icp = r.ue()
+    if icp > 3:
         raise ValueError("bad intra_chroma_pred_mode")
     cn = r.ue()
     if cn > 47:
@@ -2107,16 +2517,20 @@ def _decode_mb_i4x4(r, plane, mx, my, qp, nnz, nnz_c, modes, plane_w):
         nnz[by, bx] = tc
         np.clip(rec, 0, 255, rec)
         plane[py:py + 4, px:px + 4] = rec.astype(np.uint8)
-    _parse_chroma_residual(r, cbp >> 4, nnz_c, mx, my)
+    cres = _decode_chroma_residual(r, cbp >> 4, cc.nnz, mx, my, qp)
+    for ci in range(2):
+        cpred = _pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0, my > 0)
+        cc.store(ci, mx, my, cpred + cres[ci])
     return qp
 
 
-def _decode_mb_i16(r, mb_type, plane, mx, my, qp, nnz, nnz_c, modes):
+def _decode_mb_i16(r, mb_type, plane, mx, my, qp, nnz, cc, modes):
     t = mb_type - 1
     pm16 = t % 4
     cbpc = (t // 4) % 3
     cbpl = 15 if t >= 12 else 0
-    if r.ue() > 3:
+    icp = r.ue()
+    if icp > 3:
         raise ValueError("bad intra_chroma_pred_mode")
     qp = (qp + r.se() + 52) % 52  # mb_qp_delta always present for I_16x16
     nc = _nc_luma(nnz, mx * 4, my * 4)  # Intra16x16DCLevel uses blk 0 ctx
@@ -2141,13 +2555,17 @@ def _decode_mb_i16(r, mb_type, plane, mx, my, qp, nnz, nnz_c, modes):
         out[oy:oy + 4, ox:ox + 4] += _inv4(d).astype(np.int32)
     np.clip(out, 0, 255, out)
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
-    _parse_chroma_residual(r, cbpc, nnz_c, mx, my)
+    cres = _decode_chroma_residual(r, cbpc, cc.nnz, mx, my, qp)
+    for ci in range(2):
+        cpred = _pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0, my > 0)
+        cc.store(ci, mx, my, cpred + cres[ci])
     return qp
 
 
-def _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes):
+def _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred):
     """Shared inter-MB tail: cbp + mb_qp_delta + luma residuals over an
-    already-built MC prediction, then reconstruction."""
+    already-built MC prediction, then reconstruction; `cpred` is the
+    (2, 8, 8) chroma MC prediction the chroma residual adds onto."""
     cn = r.ue()
     if cn > 47:
         raise ValueError("bad coded_block_pattern")
@@ -2169,40 +2587,49 @@ def _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes):
         modes[by, bx] = -1
     np.clip(out, 0, 255, out)
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
-    _parse_chroma_residual(r, cbp >> 4, nnz_c, mx, my)
+    cres = _decode_chroma_residual(r, cbp >> 4, cc.nnz, mx, my, qp)
+    for ci in range(2):
+        cc.store(ci, mx, my, cpred[ci] + cres[ci])
     return qp
 
 
-def _decode_mb_p16(r, plane, ref, mx, my, qp, nnz, nnz_c, modes, mvs):
+def _decode_mb_p16(r, plane, ref, mx, my, qp, nnz, cc, modes, mvs):
     """P_L0_16x16: mvd + optional residual over the MC prediction."""
     # ref_idx_l0: with one active reference there is no ref_idx field
     mvp = mvs.mvp_16x16(mx, my)
     mvd = (r.se(), r.se())
     mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
     pred = _interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
+    cpred = np.stack([cc.mc(ci, mx, my, mv) for ci in range(2)])
     mvs.set_mb(mx, my, mv, 0)
-    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes)
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
 
 
-def _decode_mb_p_part(r, mb_type, plane, ref, mx, my, qp, nnz, nnz_c,
+def _decode_mb_p_part(r, mb_type, plane, ref, mx, my, qp, nnz, cc,
                       modes, mvs):
     """P_L0_L0_16x8 / P_L0_L0_8x16 (mb_type 1 / 2): one mvd per
     partition; the second partition's predictor sees the first's
     committed MVs (8.4.1.3)."""
     ptype = "16x8" if mb_type == 1 else "8x16"
     pred = np.zeros((16, 16), np.int32)
+    cpred = np.zeros((2, 8, 8), np.int32)
     for idx, (ox, oy, w, h) in enumerate(_PART_GEOM[ptype]):
         mvp = mvs.mvp_part(mx, my, ptype, idx)
         mvd = (r.se(), r.se())
         mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
         pred[oy:oy + h, ox:ox + w] = _interp_luma(
             ref, mx * 16 + ox, my * 16 + oy, mv[0], mv[1], w, h)
+        for ci in range(2):
+            cpred[ci, oy // 2:(oy + h) // 2, ox // 2:(ox + w) // 2] = \
+                _interp_chroma(cc.ref[ci], mx * 8 + ox // 2,
+                               my * 8 + oy // 2, mv[0], mv[1],
+                               w // 2, h // 2)
         mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, w // 4, h // 4,
                      mv, 0)
-    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes)
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
 
 
-def _decode_mb_p8x8(r, plane, ref, mx, my, qp, nnz, nnz_c, modes, mvs):
+def _decode_mb_p8x8(r, plane, ref, mx, my, qp, nnz, cc, modes, mvs):
     """P_8x8 / P_8x8ref0 (mb_type 3 / 4) with one 8x8 partition per
     sub-macroblock (sub_mb_type 0); the finer 8x4/4x8/4x4 shapes stay
     out of profile."""
@@ -2211,14 +2638,19 @@ def _decode_mb_p8x8(r, plane, ref, mx, my, qp, nnz, nnz_c, modes, mvs):
             raise ValueError(
                 "P sub-8x8 partitions (8x4/4x8/4x4): out of decode scope")
     pred = np.zeros((16, 16), np.int32)
+    cpred = np.zeros((2, 8, 8), np.int32)
     for idx, (ox, oy) in enumerate(_P8_GEOM):
         mvp = mvs.mvp_8x8(mx, my, idx)
         mvd = (r.se(), r.se())
         mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
         pred[oy:oy + 8, ox:ox + 8] = _interp_luma(
             ref, mx * 16 + ox, my * 16 + oy, mv[0], mv[1], 8, 8)
+        for ci in range(2):
+            cpred[ci, oy // 2:oy // 2 + 4, ox // 2:ox // 2 + 4] = \
+                _interp_chroma(cc.ref[ci], mx * 8 + ox // 2,
+                               my * 8 + oy // 2, mv[0], mv[1], 4, 4)
         mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, 2, 2, mv, 0)
-    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes)
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
 
 
 def _b_direct_mvs(mvs0, mvs1, mx, my):
@@ -2242,19 +2674,28 @@ def _b_commit_direct(mvs0, mvs1, mx, my, mv0, mv1):
     mvs1.set_mb(mx, my, mv1, 0)
 
 
-def _skip_mb_b(plane, ref0, ref1, mx, my, nnz, nnz_c, modes, mvs0, mvs1):
+def _b_chroma_bi(cc, mx, my, mv0, mv1):
+    return np.stack([
+        (cc.mc(ci, mx, my, mv0, 0) + cc.mc(ci, mx, my, mv1, 1) + 1) >> 1
+        for ci in range(2)])
+
+
+def _skip_mb_b(plane, ref0, ref1, mx, my, nnz, cc, modes, mvs0, mvs1):
     """B_SKIP: spatial-direct bi-prediction, zero residual."""
     mv0, mv1 = _b_direct_mvs(mvs0, mvs1, mx, my)
     pred = _b_direct_pred(ref0, ref1, mx, my, mv0, mv1)
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
         np.clip(pred, 0, 255).astype(np.uint8)
+    cpred = _b_chroma_bi(cc, mx, my, mv0, mv1)
+    for ci in range(2):
+        cc.store(ci, mx, my, cpred[ci])
     nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
-    nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+    cc.nnz[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
     modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
     _b_commit_direct(mvs0, mvs1, mx, my, mv0, mv1)
 
 
-def _decode_mb_b16(r, mb_type, plane, ref0, ref1, mx, my, qp, nnz, nnz_c,
+def _decode_mb_b16(r, mb_type, plane, ref0, ref1, mx, my, qp, nnz, cc,
                    modes, mvs0, mvs1):
     """B_Direct_16x16 (0: spatial direct + residual) / B_L0_16x16 /
     B_L1_16x16 / B_Bi_16x16 (1/2/3: one mvd per used list, per-list
@@ -2263,11 +2704,15 @@ def _decode_mb_b16(r, mb_type, plane, ref0, ref1, mx, my, qp, nnz, nnz_c,
     if mb_type == 0:
         mv0, mv1 = _b_direct_mvs(mvs0, mvs1, mx, my)
         pred = _b_direct_pred(ref0, ref1, mx, my, mv0, mv1)
+        cpred = _b_chroma_bi(cc, mx, my, mv0, mv1)
         _b_commit_direct(mvs0, mvs1, mx, my, mv0, mv1)
-        return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes)
+        return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes,
+                             cpred)
     use = (mb_type in (1, 3), mb_type in (2, 3))  # (L0, L1)
     preds = []
-    for u, mvsx, refx in zip(use, (mvs0, mvs1), (ref0, ref1)):
+    cpreds = []
+    for li, (u, mvsx, refx) in enumerate(zip(use, (mvs0, mvs1),
+                                             (ref0, ref1))):
         if not u:
             mvsx.set_mb(mx, my, (0, 0), -1)
             continue
@@ -2275,18 +2720,24 @@ def _decode_mb_b16(r, mb_type, plane, ref0, ref1, mx, my, qp, nnz, nnz_c,
         mvd = (r.se(), r.se())
         mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
         preds.append(_interp_luma(refx, mx * 16, my * 16, mv[0], mv[1]))
+        cpreds.append(np.stack([cc.mc(ci, mx, my, mv, li)
+                                for ci in range(2)]))
         mvsx.set_mb(mx, my, mv, 0)
     pred = preds[0] if len(preds) == 1 else (preds[0] + preds[1] + 1) >> 1
-    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, nnz_c, modes)
+    cpred = cpreds[0] if len(cpreds) == 1 else \
+        (cpreds[0] + cpreds[1] + 1) >> 1
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
 
 
-def _skip_mb(plane, ref, mx, my, nnz, nnz_c, modes, mvs):
+def _skip_mb(plane, ref, mx, my, nnz, cc, modes, mvs):
     mv = mvs.skip_mv(mx, my)
     pred = _interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
         np.clip(pred, 0, 255).astype(np.uint8)
+    for ci in range(2):
+        cc.store(ci, mx, my, cc.mc(ci, mx, my, mv))
     nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
-    nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+    cc.nnz[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
     modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
     mvs.set_mb(mx, my, mv, 0)
 
@@ -2353,7 +2804,10 @@ def _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc: int = 3) -> dict:
 
 def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                    nal_ref_idc: int = 3,
-                   ref2: np.ndarray | None = None) -> np.ndarray:
+                   ref2: np.ndarray | None = None,
+                   cref: np.ndarray | None = None,
+                   cref2: np.ndarray | None = None):
+    """Returns (luma FULL plane, chroma (2, H/2, W/2) FULL planes)."""
     hdr = _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc)
     is_p, is_b = hdr["is_p"], hdr["is_b"]
     if is_p and ref is None:
@@ -2366,7 +2820,13 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
     plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
     plane_w = mbw * 16
     nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
-    nnz_c = np.zeros((2, mbh * 2, mbw * 2), np.int32)
+    # pre-chroma (gray) reference pictures: mid-grey chroma, matching
+    # what their own decode produced
+    if (is_p or is_b) and cref is None:
+        cref = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    if is_b and cref2 is None:
+        cref2 = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    cc = _ChromaState(mbw, mbh, ref=cref, ref2=cref2)
     modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
     qp_map = np.zeros((mbh, mbw), np.int32)
     mvs = _MvState(mbw, mbh) if (is_p or is_b) else None
@@ -2379,7 +2839,7 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                     run_pending = r.ue()  # mb_skip_run (B_SKIP = direct)
                 if run_pending > 0:
                     run_pending -= 1
-                    _skip_mb_b(plane, ref, ref2, mx, my, nnz, nnz_c, modes,
+                    _skip_mb_b(plane, ref, ref2, mx, my, nnz, cc, modes,
                                mvs, mvs1)
                     qp_map[my, mx] = qp
                     continue
@@ -2387,7 +2847,7 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                 mb_type = r.ue()
                 if 0 <= mb_type <= 3:  # B_Direct / B_L0 / B_L1 / B_Bi 16x16
                     qp = _decode_mb_b16(r, mb_type, plane, ref, ref2, mx, my,
-                                        qp, nnz, nnz_c, modes, mvs, mvs1)
+                                        qp, nnz, cc, modes, mvs, mvs1)
                     qp_map[my, mx] = qp
                     continue
                 if mb_type < 23:
@@ -2399,7 +2859,7 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                     run_pending = r.ue()  # mb_skip_run
                 if run_pending > 0:
                     run_pending -= 1
-                    _skip_mb(plane, ref, mx, my, nnz, nnz_c, modes, mvs)
+                    _skip_mb(plane, ref, mx, my, nnz, cc, modes, mvs)
                     qp_map[my, mx] = qp
                     continue
                 run_pending = None  # this position is the coded MB
@@ -2408,38 +2868,40 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
             if is_p:
                 if mb_type == 0:  # P_L0_16x16
                     qp = _decode_mb_p16(r, plane, ref, mx, my, qp, nnz,
-                                        nnz_c, modes, mvs)
+                                        cc, modes, mvs)
                     qp_map[my, mx] = qp
                     continue
                 if mb_type in (1, 2):  # P_L0_L0_16x8 / P_L0_L0_8x16 (r6)
                     qp = _decode_mb_p_part(r, mb_type, plane, ref, mx, my,
-                                           qp, nnz, nnz_c, modes, mvs)
+                                           qp, nnz, cc, modes, mvs)
                     qp_map[my, mx] = qp
                     continue
                 if mb_type in (3, 4):  # P_8x8 / P_8x8ref0 (r6)
                     qp = _decode_mb_p8x8(r, plane, ref, mx, my, qp, nnz,
-                                         nnz_c, modes, mvs)
+                                         cc, modes, mvs)
                     qp_map[my, mx] = qp
                     continue
                 mb_type -= 5  # intra in a P slice
             if mb_type == 25:  # I_PCM
                 r.align()
                 luma = np.frombuffer(r.raw(256), np.uint8).reshape(16, 16)
-                r.raw(64)  # Cb
-                r.raw(64)  # Cr
+                for ci in range(2):  # raw Cb then Cr samples (r7)
+                    cc.store(ci, mx, my,
+                             np.frombuffer(r.raw(64), np.uint8)
+                               .reshape(8, 8).astype(np.int32))
                 plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = luma
                 # 9.2.1: I_PCM neighbours count as TotalCoeff 16
                 nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 16
-                nnz_c[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+                cc.nnz[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
                 modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
                 qp_map[my, mx] = 0  # 8.7: I_PCM filters with QP 0
             elif mb_type == 0:
-                qp = _decode_mb_i4x4(r, plane, mx, my, qp, nnz, nnz_c,
+                qp = _decode_mb_i4x4(r, plane, mx, my, qp, nnz, cc,
                                      modes, plane_w)
                 qp_map[my, mx] = qp
             elif 1 <= mb_type <= 24:
                 qp = _decode_mb_i16(r, mb_type, plane, mx, my, qp, nnz,
-                                    nnz_c, modes)
+                                    cc, modes)
                 qp_map[my, mx] = qp
             else:
                 raise ValueError(f"bad mb_type {mb_type}")
@@ -2458,9 +2920,9 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
             plane = _deblock_luma_inter(plane, qp_map, nnz, mvs, off_a, off_b)
         else:
             plane = _deblock_luma(plane, qp_map, off_a, off_b)
-    # FULL (uncropped) plane: the DPB reference for motion compensation is
-    # the decoded mb-aligned picture; cropping is display-only
-    return plane
+    # FULL (uncropped) planes: the DPB reference for motion compensation
+    # is the decoded mb-aligned picture; cropping is display-only
+    return plane, cc.planes
 
 
 def _peek_slice(sample: bytes, avcc: bytes, sps: dict, pps: dict):
@@ -2497,24 +2959,35 @@ def _poc_msb(lsb: int, prev_msb: int, prev_lsb: int, max_lsb: int) -> int:
     return prev_msb
 
 
-def decode_samples(samples: list[bytes], avcc: bytes) -> list[np.ndarray]:
+def decode_samples(samples: list[bytes], avcc: bytes,
+                   with_chroma: bool = False) -> list:
     """Sequential GOP decode. poc_type-2 streams (I/P only): 1-deep DPB,
     decode order == display order. poc_type-0 streams (B-enabled, r6):
     a 2-deep reference DPB; each B picture predicts from the nearest
     reference before (L0) and after (L1) its POC, IDRs reset the DPB
     (closed GOPs), and the output is reordered to DISPLAY order by POC.
-    Returns cropped gray frames."""
+    Returns cropped gray frames, or (gray, (2, h/2, w/2) chroma) pairs
+    when with_chroma=True (r7: chroma reconstructs for real)."""
     sps, pps = _avcc_param_sets(avcc)
+    h2, w2 = (sps["h"] + 1) // 2, (sps["w"] + 1) // 2
+
+    def crop(yc):
+        y, c = yc
+        return ((y[:sps["h"], :sps["w"]], c[:, :h2, :w2]) if with_chroma
+                else y[:sps["h"], :sps["w"]])
+
     if sps["poc_type"] != 0:
         out = []
         ref = None
         for s in samples:
-            full = decode_sample(s, avcc, ref=ref, full_plane=True)
+            full = decode_sample(s, avcc, ref=ref[0] if ref else None,
+                                 cref=ref[1] if ref else None,
+                                 full_plane=True, with_chroma=True)
             ref = full
-            out.append(full[:sps["h"], :sps["w"]])
+            out.append(crop(full))
         return out
-    dpb: list[tuple[int, np.ndarray]] = []  # (poc, FULL plane) references
-    outputs: list[tuple[int, int, np.ndarray]] = []  # (poc, seq, cropped)
+    dpb: list[tuple[int, tuple]] = []  # (poc, FULL (y, c)) references
+    outputs: list[tuple[int, int, object]] = []  # (poc, seq, cropped)
     # poc_type-0 PicOrderCntMsb derivation (8.2.1.1): the lsb wraps at
     # MaxPicOrderCntLsb, so streams longer than MaxPicOrderCntLsb/2
     # display frames would interleave GOPs if sorted by raw lsb;
@@ -2540,30 +3013,40 @@ def decode_samples(samples: list[bytes], avcc: bytes) -> list[np.ndarray]:
                 raise ValueError("B picture without surrounding references")
             l0 = max(before, key=lambda e: e[0])[1]
             l1 = min(after, key=lambda e: e[0])[1]
-            full = decode_sample(s, avcc, ref=l0, ref2=l1, full_plane=True)
+            full = decode_sample(s, avcc, ref=l0[0], ref2=l1[0],
+                                 cref=l0[1], cref2=l1[1],
+                                 full_plane=True, with_chroma=True)
         else:
             ref = dpb[-1][1] if dpb else None
-            full = decode_sample(s, avcc, ref=ref, full_plane=True)
+            full = decode_sample(s, avcc, ref=ref[0] if ref else None,
+                                 cref=ref[1] if ref else None,
+                                 full_plane=True, with_chroma=True)
         if ref_idc:
             dpb.append((poc, full))
             dpb = dpb[-2:]  # sliding window, 2-deep
-        outputs.append((poc, seq, full[:sps["h"], :sps["w"]]))
+        outputs.append((poc, seq, crop(full)))
     outputs.sort(key=lambda e: (e[0], e[1]))
     return [p for _poc, _seq, p in outputs]
 
 
 def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
                   full_plane: bool = False,
-                  ref2: np.ndarray | None = None) -> np.ndarray:
-    """Length-prefixed NAL sample + avcC -> gray frame. Decodes I_PCM,
-    CAVLC intra (I_4x4 / I_16x16), and CAVLC P slices (P_SKIP +
+                  ref2: np.ndarray | None = None,
+                  cref: np.ndarray | None = None,
+                  cref2: np.ndarray | None = None,
+                  with_chroma: bool = False):
+    """Length-prefixed NAL sample + avcC -> gray frame (or (gray,
+    chroma) when with_chroma=True). Decodes I_PCM, CAVLC intra
+    (I_4x4 / I_16x16), and CAVLC P slices (P_SKIP +
     P_L0_16x16 + 16x8/8x16 partitions, quarter-pel MC, `ref` =
-    previous FULL decoded plane —
+    previous FULL decoded plane, `cref` its chroma —
     use decode_samples for GOP streams; B slices additionally take
-    `ref2` = the future reference). CABAC slice data decodes via
+    `ref2`/`cref2` = the future reference). 4:2:0 chroma reconstructs
+    for real since r7 (intra DC/H/V prediction, 2x2 Hadamard DC + AC
+    residual, eighth-pel bilinear MC). CABAC slice data decodes via
     h264_cabac (in-repo-profile streams, r6). Out-of-profile features
-    (CABAC B slices, B_SKIP/direct, P_8x8/B partitions, high-profile
-    tools) raise ValueError — the documented well-formed-unsupported
+    (sub-8x8 P partitions, partitioned-B types, high-profile tools)
+    raise ValueError — the documented well-formed-unsupported
     stub path in sample_frames."""
     sps, pps = _avcc_param_sets(avcc)
     length_size = (avcc[4] & 3) + 1
@@ -2589,16 +3072,21 @@ def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
                 if hdr["is_b"] and (ref is None or ref2 is None):
                     raise ValueError("B slice without both reference frames")
                 full = h264_cabac.decode_slice(r, sps, pps, hdr, ref,
-                                               hdr["is_p"], ref2=ref2)
+                                               hdr["is_p"], ref2=ref2,
+                                               cref=cref, cref2=cref2)
             else:
                 full = _decode_islice(r, sps, pps, typ, ref=ref,
                                       nal_ref_idc=(nal[0] >> 5) & 3,
-                                      ref2=ref2)
+                                      ref2=ref2, cref=cref, cref2=cref2)
         except (IndexError, TypeError, KeyError, struct.error) as e:
             # corrupted entropy payload desynced the parser: normalize to
             # the ValueError contract callers map to errors-as-data
             raise ValueError(f"corrupt H.264 sample ({type(e).__name__})")
+        y, c = full
+        if not with_chroma:
+            return y if full_plane else y[:sps["h"], :sps["w"]]
         if full_plane:
-            return full
-        return full[:sps["h"], :sps["w"]]
+            return y, c
+        h2, w2 = (sps["h"] + 1) // 2, (sps["w"] + 1) // 2
+        return y[:sps["h"], :sps["w"]], c[:, :h2, :w2]
     raise ValueError("no slice NAL in sample")

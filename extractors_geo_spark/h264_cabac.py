@@ -1049,11 +1049,13 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
 
 
 # ------------------------------------------------------ decoder
-def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None):
+def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
+                 cref=None, cref2=None):
     """CABAC slice-data decode; `r` is positioned right after the parsed
-    slice header (h264._parse_slice_header). Returns the FULL plane.
-    B slices (hdr['is_b']) take both reference planes (ref = L0 past,
-    ref2 = L1 future)."""
+    slice header (h264._parse_slice_header). Returns (FULL luma plane,
+    FULL (2, H/2, W/2) chroma planes). B slices (hdr['is_b']) take both
+    reference planes (ref = L0 past, ref2 = L1 future; cref/cref2 the
+    matching chroma)."""
     is_b = hdr.get("is_b", False)
     # cabac_alignment_one_bit(s)
     while r.pos & 7:
@@ -1169,6 +1171,10 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None):
             last = my == mbh - 1 and mx == mbw - 1
             if eos != (1 if last else 0):
                 raise ValueError("end_of_slice_flag desync")
+    # CABAC streams are luma+flat-chroma until the CABAC chroma residual
+    # lands: in-repo CABAC encoders code cbp_chroma 0, so mid-grey chroma
+    # IS the correct reconstruction for every in-repo stream
+    cplanes = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
     if hdr["do_filter"] and int(qp_map.max()) + max(hdr["off_a"], hdr["off_b"], 0) >= 16:
         if is_p or is_b:
             # B pictures route through the inter filter with the L0 motion
@@ -1180,7 +1186,7 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None):
                                           hdr["off_a"], hdr["off_b"])
         else:
             plane = H._deblock_luma(plane, qp_map, hdr["off_a"], hdr["off_b"])
-    return plane
+    return plane, cplanes
 
 
 def _dec_cbp(dec, ctx, st, mx, my):
