@@ -1487,10 +1487,13 @@ def q_h264_frames(spark, sf_dir):
     executors, frame-sampled through sample_frames with fake=False.
     Clips rotate through four coding shapes (i mod 4): bit-exact I_PCM;
     CAVLC IDR+P GOPs; CABAC IDR+P GOPs (r6 — context-adaptive binary
-    arithmetic decode); CAVLC IBBP GOPs with B slices + ctts display
-    reordering (r6 — bi-prediction, 2-deep DPB). decode==recon
-    bit-exactness for every path is asserted in tests/test_h264*. The
-    oracle checks the (clip, frame, timestamp, dims) fan-out."""
+    arithmetic decode); IBBP GOPs with B slices + ctts display
+    reordering (r6 — bi-prediction, 2-deep DPB). Since r7 every clip is
+    4:2:0 COLOR: chroma planes code real residuals (2x2 Hadamard DC +
+    AC, intra chroma prediction, eighth-pel chroma MC) in both entropy
+    modes; I_PCM carries raw Cb/Cr. decode==recon bit-exactness for
+    every path is asserted in tests/test_h264*. The oracle checks the
+    (clip, frame, timestamp, dims) fan-out."""
     import numpy as np
     import pandas as pd
 
@@ -1507,17 +1510,25 @@ def q_h264_frames(spark, sf_dir):
                 n = 2 + i % 3  # 2..4 frames at 1 fps -> duration n seconds
                 frames = [((np.mgrid[0:16, 0:16][1] * 7 + i + f) % 251).astype(np.uint8)
                           for f in range(n)]
+                cy, cx = np.mgrid[0:8, 0:8]
+                chromas = [np.stack([
+                    ((cx * 11 + i * 3 + f * 5) % 245).astype(np.uint8),
+                    ((cy * 17 + i * 7 + 40) % 245).astype(np.uint8),
+                ]) for f in range(n)]
                 kind = i % 4  # I_PCM / CAVLC / CABAC / B-GOP
                 if kind == 0:
-                    data = _mp4.write_h264_mp4(frames, fps=1)
+                    data = _mp4.write_h264_mp4(frames, fps=1,
+                                               chromas=chromas)
                 elif kind == 3:
                     data = _mp4.write_h264_mp4(
                         frames, fps=1, qp=8, gop=4, bframes=1,
-                        entropy="cabac" if (i // 4) % 2 else "cavlc")
+                        entropy="cabac" if (i // 4) % 2 else "cavlc",
+                        chromas=chromas)
                 else:
                     data = _mp4.write_h264_mp4(
                         frames, fps=1, qp=8, gop=2,
-                        entropy="cabac" if kind == 2 else "cavlc")
+                        entropy="cabac" if kind == 2 else "cavlc",
+                        chromas=chromas)
                 rows.append({"video_id": f"h{i:04d}", "bytes": data})
             yield pd.DataFrame(rows, columns=["video_id", "bytes"])
 

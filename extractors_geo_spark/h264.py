@@ -1223,6 +1223,7 @@ def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
     out = plane
     if deblock and qp >= 16:
         out = _deblock_luma(plane, np.full((mbh, mbw), qp, np.int32))
+        crec = _deblock_chroma(crec, np.full((mbh, mbw), qp, np.int32))
     y = out if full_recon else out[:h, :w].copy()
     if chroma is None:
         return bytes(bw.buf), y
@@ -1573,6 +1574,7 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     out_plane = plane
     if deblock and qp >= 16:
         out_plane = _deblock_luma_inter(plane, qp_map, nnz, mvs)
+        crec = _deblock_chroma(crec, qp_map, nnz=nnz, mvs=mvs)
     if chroma is None:
         return bytes(bw.buf), out_plane
     return bytes(bw.buf), (out_plane, crec)
@@ -1762,10 +1764,6 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
 
         enc_idr, enc_p, enc_b = (_C.encode_idr_cabac, _C.encode_p_cabac,
                                  _C.encode_b_cabac)
-        if chromas is not None:
-            raise ValueError(
-                "CABAC chroma residual: use entropy='cavlc' for 4:2:0 "
-                "color (h264_cabac boundary)")
     else:
         enc_idr, enc_p, enc_b = (encode_idr_cavlc, encode_p_cavlc,
                                  encode_b_cavlc)
@@ -1893,10 +1891,6 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
         enc_idr, enc_p = encode_idr_cavlc, encode_p_cavlc
     if chromas is not None:
         assert len(chromas) == len(frames), "one chroma pair per frame"
-        if use_cabac:
-            raise ValueError(
-                "CABAC chroma residual: use entropy='cavlc' for 4:2:0 "
-                "color (h264_cabac boundary)")
     avcc = build_avcc(w, h, deblock_ctrl=qp is not None, cabac=use_cabac)
     samples = []
     ref_full = None
@@ -2360,6 +2354,103 @@ def _deblock_luma_inter(plane, qp_map, nnz, mvs, off_a=0, off_b=0):
                                 out[ys, x - 3 + i] = np.clip(v, 0, 255)
                             else:
                                 out[y - 3 + i, xs] = np.clip(v, 0, 255)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _db_chroma_line(p1, p0, q0, q1, bs, alpha, beta, tc0):
+    """8.7 chroma filter: only p0/q0 move. bs<4: +-tc clipped delta with
+    tc = tc0 + 1; bs==4: 2-tap strong replacement."""
+    mask = ((np.abs(p0 - q0) < alpha) & (np.abs(p1 - p0) < beta)
+            & (np.abs(q1 - q0) < beta))
+    if bs == 4:
+        np0 = (2 * p1 + p0 + q1 + 2) >> 2
+        nq0 = (2 * q1 + q0 + p1 + 2) >> 2
+    else:
+        tc = tc0 + 1
+        delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+        np0 = p0 + delta
+        nq0 = q0 - delta
+    return np.where(mask, np0, p0), np.where(mask, nq0, q0)
+
+
+def _deblock_chroma(cplanes, qp_map, off_a=0, off_b=0, nnz=None, mvs=None):
+    """8.7 chroma deblocking (4:2:0, r7): chroma edges exist only where
+    luma edges 0 / 8 sit (chroma x|y 0 and 4 per MB). bS comes from the
+    LUMA edge rules at the co-sited luma blocks — static 4 (MB edge) / 3
+    (internal) for all-intra pictures, the _deblock_luma_inter seg rules
+    (intra side / coded residual / >=1-pel MV delta) when nnz+mvs are
+    given. alpha/beta/tc0 index with QPc (Table 8-15), and only p0/q0
+    change (chroma has no strong 3-tap path)."""
+    out = cplanes.astype(np.int32)
+    mbh, mbw = qp_map.shape
+
+    def seg_bs(bxp, byp, bxq, byq, mb_edge):
+        if mvs is None:
+            return 4 if mb_edge else 3
+        if mvs.ref[byp, bxp] < 0 or mvs.ref[byq, bxq] < 0:
+            return 4 if mb_edge else 3
+        if nnz[byp, bxp] or nnz[byq, bxq]:
+            return 2
+        dv = np.abs(mvs.mv[byp, bxp] - mvs.mv[byq, bxq])
+        return 1 if int(dv.max()) >= 4 else 0
+
+    for my in range(mbh):
+        for mx in range(mbw):
+            qc_q = _qpc(int(qp_map[my, mx]))
+            for vert in (True, False):
+                for e in range(2):  # chroma edges at 0 and 4
+                    xc = mx * 8 + e * 4 if vert else mx * 8
+                    yc = my * 8 if vert else my * 8 + e * 4
+                    if (vert and xc == 0) or (not vert and yc == 0):
+                        continue
+                    mb_edge = e == 0
+                    qp_p = (qp_map[my, mx - 1] if vert
+                            else qp_map[my - 1, mx]) if mb_edge                         else qp_map[my, mx]
+                    qpav = (_qpc(int(qp_p)) + qc_q + 1) >> 1
+                    ia = min(max(qpav + off_a, 0), 51)
+                    ib = min(max(qpav + off_b, 0), 51)
+                    alpha, beta = _DB_ALPHA[ia], _DB_BETA[ib]
+                    if alpha == 0:
+                        continue
+                    for seg in range(4):  # 2 chroma samples per segment
+                        # co-sited luma block pair for this segment
+                        if vert:
+                            xl = 2 * xc
+                            yl = my * 16 + seg * 4
+                            bxq_, byq_ = xl // 4, yl // 4
+                            bxp_, byp_ = bxq_ - 1, byq_
+                        else:
+                            yl = 2 * yc
+                            xl = mx * 16 + seg * 4
+                            bxq_, byq_ = xl // 4, yl // 4
+                            bxp_, byp_ = bxq_, byq_ - 1
+                        bs = seg_bs(bxp_, byp_, bxq_, byq_, mb_edge)
+                        if bs == 0:
+                            continue
+                        tc0 = _DB_TC0[bs - 1][ia] if bs < 4 else 0
+                        for ci in range(2):
+                            if vert:
+                                ys = slice(my * 8 + seg * 2,
+                                           my * 8 + seg * 2 + 2)
+                                p1 = out[ci, ys, xc - 2]
+                                p0 = out[ci, ys, xc - 1]
+                                q0 = out[ci, ys, xc]
+                                q1 = out[ci, ys, xc + 1]
+                                np0, nq0 = _db_chroma_line(
+                                    p1, p0, q0, q1, bs, alpha, beta, tc0)
+                                out[ci, ys, xc - 1] = np.clip(np0, 0, 255)
+                                out[ci, ys, xc] = np.clip(nq0, 0, 255)
+                            else:
+                                xs = slice(mx * 8 + seg * 2,
+                                           mx * 8 + seg * 2 + 2)
+                                p1 = out[ci, yc - 2, xs]
+                                p0 = out[ci, yc - 1, xs]
+                                q0 = out[ci, yc, xs]
+                                q1 = out[ci, yc + 1, xs]
+                                np0, nq0 = _db_chroma_line(
+                                    p1, p0, q0, q1, bs, alpha, beta, tc0)
+                                out[ci, yc - 1, xs] = np.clip(np0, 0, 255)
+                                out[ci, yc, xs] = np.clip(nq0, 0, 255)
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
@@ -2918,8 +3009,11 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
             # approximation of the two-list bS rules; the in-repo encoder
             # always disables the filter for B slices, so decode == recon)
             plane = _deblock_luma_inter(plane, qp_map, nnz, mvs, off_a, off_b)
+            cc.planes = _deblock_chroma(cc.planes, qp_map, off_a, off_b,
+                                        nnz=nnz, mvs=mvs)
         else:
             plane = _deblock_luma(plane, qp_map, off_a, off_b)
+            cc.planes = _deblock_chroma(cc.planes, qp_map, off_a, off_b)
     # FULL (uncropped) planes: the DPB reference for motion compensation
     # is the decoded mb-aligned picture; cropping is display-only
     return plane, cc.planes

@@ -27,13 +27,16 @@ trips are bit-exact by construction — decode == encoder recon is the
 machine-checked gate (tests/test_h264_cabac.py) — but bit-exact ISO
 cross-decode of foreign encoders' streams is NOT claimed. Profile
 boundaries that raise ValueError (the well-formed-unsupported contract):
-I_PCM-in-CABAC, chroma residuals (cbp_chroma != 0), sub-8x8 P
+I_PCM-in-CABAC, sub-8x8 P
 partitions (8x4/4x8/4x4), partitioned B types, temporal direct. IN
 profile since r6: 16x8 / 8x16 / 8x8 P partitions (Table 9-37 tree +
 sub_mb_type, per-partition mvds) and B slices — B_SKIP + spatial B_Direct_16x16 (simplified
 8.4.1.2.2 derivation, see h264._b_direct_mvs) and B_L0/B_L1/B_Bi
 16x16 via the Table 9-37 B tree with the '111101' intra escape, two
-mvd lists, bi-prediction.
+mvd lists, bi-prediction. IN profile since r7: 4:2:0 chroma residuals
+(cbp_chroma bins, ChromaDC cat-3 2x2 Hadamard + ChromaAC cat-4 blocks,
+intra_chroma_pred_mode TU with DC/H/V prediction — chroma plane mode
+still raises).
 
 Reference parity note: the reference (preview.geotiff/*) does no video at
 all — this is north-star surface (crawl-scale MP4 sampling), not
@@ -103,10 +106,12 @@ def _alloc():
         ("cbp_luma", 4),     # inc 0..3 from neighbor 8x8 cbp bits
         ("cbp_chroma", 4),
         ("qp_delta", 4),
-        ("cbf", 12),         # 3 block cats (I16DC, I16AC, Luma4x4) x inc 0..3
-        ("sig", 45),         # 3 cats x scan positions 0..14
-        ("last", 45),
-        ("lvl", 30),         # 3 cats x (bin0 inc 0..4, bins1+ inc 5..9)
+        # 5 block cats: 0 I16DC, 1 I16AC, 2 Luma4x4, 3 ChromaDC,
+        # 4 ChromaAC (r7 chroma residuals)
+        ("cbf", 20),         # 5 cats x inc 0..3
+        ("sig", 75),         # 5 cats x scan positions 0..14
+        ("last", 75),
+        ("lvl", 50),         # 5 cats x (bin0 inc 0..4, bins1+ inc 5..9)
     ):
         ofs[name] = n
         n += cnt
@@ -315,7 +320,7 @@ def _dec_egk(dec, k):
 
 
 # residual block categories: 0 Intra16x16DCLevel, 1 Intra16x16ACLevel,
-# 2 LumaLevel4x4
+# 2 LumaLevel4x4, 3 ChromaDCLevel, 4 ChromaACLevel (r7)
 def _enc_residual(enc, ctx, cat, scan, cbf_inc):
     nz = any(scan)
     enc.decision(ctx, _OFS["cbf"] + cat * 4 + cbf_inc, 1 if nz else 0)
@@ -422,6 +427,59 @@ def _dec_qp_delta(dec, ctx, prev_nz):
     incs = (1 if prev_nz else 0, 2, 3)
     mapped = _dec_tu(dec, ctx, _OFS["qp_delta"], incs, 52)
     return (mapped + 1) // 2 if mapped % 2 else -(mapped // 2)
+
+
+def _enc_cbp_chroma(enc, ctx, cbpc):
+    """cbp_chroma: bin0 = any chroma residual, bin1 = AC too (in-repo
+    ctx layout: two dedicated contexts, inc 0)."""
+    enc.decision(ctx, _OFS["cbp_chroma"], 1 if cbpc else 0)
+    if cbpc:
+        enc.decision(ctx, _OFS["cbp_chroma"] + 1, cbpc - 1)
+
+
+def _dec_cbp_chroma(dec, ctx):
+    if not dec.decision(ctx, _OFS["cbp_chroma"]):
+        return 0
+    return 1 + dec.decision(ctx, _OFS["cbp_chroma"] + 1)
+
+
+def _enc_chroma_residual(enc, ctx, cbpc, comps):
+    """CABAC chroma residual: DC (cat 3) both components, then the 8 AC
+    blocks (cat 4) when cbpc == 2 — the mirror of _dec_chroma_residual;
+    per-block emptiness rides in each block's coded_block_flag."""
+    if cbpc == 0:
+        return
+    for ci in range(2):
+        _enc_residual(enc, ctx, 3, H._scan_cdc(comps[ci]["dc"]), 0)
+    if cbpc == 2:
+        for ci in range(2):
+            for blk in range(4):
+                _enc_residual(enc, ctx, 4,
+                              H._scan15(comps[ci]["ac"][blk]), 0)
+
+
+def _dec_chroma_residual(dec, ctx, cbpc, qp):
+    """Returns the (2, 8, 8) int32 chroma RESIDUAL planes (inverse-
+    transformed, ready to add onto the prediction)."""
+    out = np.zeros((2, 8, 8), np.int32)
+    if cbpc == 0:
+        return out
+    qc = H._qpc(qp)
+    dcvs = []
+    for _ci in range(2):
+        lv = H._unscan_cdc(_dec_residual(dec, ctx, 3, 4, 0))
+        dcvs.append(H._dequant_dc2(lv, qc))
+    for ci in range(2):
+        for blk in range(4):
+            ox, oy = (blk % 2) * 4, (blk // 2) * 4
+            if cbpc == 2:
+                lv = H._unscan15(_dec_residual(dec, ctx, 4, 15, 0))
+                d = H._dequant4(lv, qc)
+            else:
+                d = np.zeros((4, 4), np.int64)
+            d[0, 0] = dcvs[ci][blk // 2, blk % 2]
+            out[ci, oy:oy + 4, ox:ox + 4] = H._inv4(d)
+    return out
 
 
 def _enc_mb_type_i(enc, ctx, base, inc0, mbt):
@@ -552,11 +610,14 @@ def _slice_header(bw, slice_type, qp, frame_num, deblock, idr,
 # ------------------------------------------------------ encoder
 def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
                      deblock: bool = False, full_recon: bool = False,
-                     poc_lsb: int | None = None):
-    """One gray frame -> (IDR slice RBSP, reconstructed plane), CABAC
+                     poc_lsb: int | None = None,
+                     chroma: np.ndarray | None = None):
+    """One frame -> (IDR slice RBSP, reconstructed plane), CABAC
     entropy coding. Mode decisions, transforms, and reconstruction are
     identical to encode_idr_cavlc (h264.py) — only the entropy layer
-    differs. decode == recon bit-exact (the codec gate)."""
+    differs. `chroma` (2, h/2, w/2) codes REAL 4:2:0 residuals (r7,
+    cats 3/4); None keeps the gray contract. decode == recon bit-exact
+    (the codec gate)."""
     a = np.asarray(gray, np.uint8)
     h, w = a.shape
     mbw = -(-w // 16)
@@ -567,6 +628,9 @@ def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
     nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
     modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
     st = _MbState(mbw, mbh)
+    csrc = H._pad_chroma(chroma, mbw, mbh, h, w)
+    crec = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    ch = (csrc, crec)
 
     bw = H._BitWriter()
     _slice_header(bw, 7, qp, 0, deblock, idr=True, poc_lsb=poc_lsb)
@@ -578,21 +642,27 @@ def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
             done = False
             if int(smb.max()) - int(smb.min()) <= 8:
                 done = _enc_mb_i16(enc, ctx, st, smb, plane, mx, my, qp,
-                                   nnz, modes, max_coeffs, _OFS["mbt_i"])
+                                   nnz, modes, max_coeffs, _OFS["mbt_i"],
+                                   ch)
             if not done:
                 _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz,
-                           modes, max_coeffs, plane_w, _OFS["mbt_i"])
+                           modes, max_coeffs, plane_w, _OFS["mbt_i"], ch)
             last = my == mbh - 1 and mx == mbw - 1
             enc.terminate(1 if last else 0)
     bw.raw(enc.to_bytes())
     out = plane
     if deblock and qp >= 16:
         out = H._deblock_luma(plane, np.full((mbh, mbw), qp, np.int32))
-    return bytes(bw.buf), (out if full_recon else out[:h, :w].copy())
+        crec = H._deblock_chroma(crec, np.full((mbh, mbw), qp, np.int32))
+    y = out if full_recon else out[:h, :w].copy()
+    if chroma is None:
+        return bytes(bw.buf), y
+    crop = crec if full_recon else crec[:, :(h + 1) // 2, :(w + 1) // 2].copy()
+    return bytes(bw.buf), (y, crop)
 
 
 def _enc_mb_i16(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
-                max_coeffs, mbt_base):
+                max_coeffs, mbt_base, ch):
     """I_16x16 DC attempt — same commit rule + recon as h264._encode_mb_i16,
     CABAC serialization."""
     pred = H._pred16(plane, mx, my, 2, mx > 0, my > 0)
@@ -612,7 +682,13 @@ def _enc_mb_i16(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
              ).astype(np.int32)
     if np.count_nonzero(dc_lv) > max_coeffs:
         return False
-    _enc_mb_type_i(enc, ctx, mbt_base, st.mbt_inc(mx, my), 1 + 2)
+    # chroma (r7): DC intra prediction + residual; cbpc rides in mb_type
+    csrc, crec = ch
+    cpred = np.stack([H._pred_chroma8(crec[ci], mx, my, 0, mx > 0, my > 0)
+                      for ci in range(2)])
+    csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+    cbpc, comps = H._encode_chroma_mb(csrc_mb, cpred, qp, intra=True)
+    _enc_mb_type_i(enc, ctx, mbt_base, st.mbt_inc(mx, my), 1 + 2 + 4 * cbpc)
     # intra_chroma_pred_mode = 0 (DC): single TU bin
     enc.decision(ctx, _OFS["chroma_mode"], 0)
     _enc_qp_delta(enc, ctx, st.prev_qp_nz, 0)
@@ -621,6 +697,7 @@ def _enc_mb_i16(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
     _enc_residual(enc, ctx, 0, scan, st.cbf_dc_inc(mx, my))
     st.cbf_dc[my, mx] = 1 if any(scan) else 0
     # cbp_luma == 0: no AC residuals; Intra16x16AC cbf grid stays 0
+    _enc_chroma_residual(enc, ctx, cbpc, comps)
     dcv = H._i16_dc_dequant(dc_lv, qp)
     out = pred.copy()
     for by in range(4):
@@ -630,6 +707,8 @@ def _enc_mb_i16(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
             out[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] += H._inv4(d).astype(np.int32)
     np.clip(out, 0, 255, out)
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
+    for ci in range(2):
+        crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = comps[ci]["recon"]
     nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
     modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
     st.not_i4[my, mx] = 1
@@ -639,7 +718,7 @@ def _enc_mb_i16(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
 
 
 def _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
-               max_coeffs, plane_w, mbt_base, in_p=False):
+               max_coeffs, plane_w, mbt_base, ch, in_p=False):
     """I_4x4 macroblock, CABAC serialization; decisions/recon identical to
     h264._encode_mb_i4."""
     blocks = []
@@ -693,13 +772,19 @@ def _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
             for i in range(3):  # 3 FL bins, LSB first (9.3.2)
                 enc.decision(ctx, _OFS["rem_i4"], (rem >> i) & 1)
     enc.decision(ctx, _OFS["chroma_mode"], 0)  # DC
-    # coded_block_pattern: 4 luma bins (8x8 raster) + chroma bin0 = 0
+    # chroma residual (r7): computed before cbp so cbp_chroma is known
+    csrc, crec = ch
+    cpred = np.stack([H._pred_chroma8(crec[ci], mx, my, 0, mx > 0, my > 0)
+                      for ci in range(2)])
+    csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+    cbpc, comps = H._encode_chroma_mb(csrc_mb, cpred, qp, intra=True)
+    # coded_block_pattern: 4 luma bins (8x8 raster) + chroma bins
     for blk8 in range(4):
         bit = (cbp >> blk8) & 1
         enc.decision(ctx, _OFS["cbp_luma"] + st.cbp_inc(mx, my, blk8, cbp),
                      bit)
-    enc.decision(ctx, _OFS["cbp_chroma"], 0)
-    if cbp:
+    _enc_cbp_chroma(enc, ctx, cbpc)
+    if cbp | cbpc:
         _enc_qp_delta(enc, ctx, st.prev_qp_nz, 0)
         st.prev_qp_nz = False
     for blk in range(16):
@@ -711,6 +796,9 @@ def _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
             st.cbf[by, bx] = 1 if tc else 0
         else:
             st.cbf[by, bx] = 0
+    _enc_chroma_residual(enc, ctx, cbpc, comps)
+    for ci in range(2):
+        crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = comps[ci]["recon"]
     st.not_i4[my, mx] = 0
     st.cbp[my, mx] = cbp
     st.cbf_dc[my, mx] = 0
@@ -720,7 +808,9 @@ def _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
 def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                    max_coeffs: int = 16, frame_num: int = 1,
                    search: int = 8, deblock: bool = False,
-                   poc_lsb: int | None = None):
+                   poc_lsb: int | None = None,
+                   chroma: np.ndarray | None = None,
+                   cref: np.ndarray | None = None):
     """One gray frame -> (P-slice RBSP, FULL recon plane), CABAC entropy.
     Same decisions as encode_p_cavlc: P_SKIP (mb_skip_flag=1) / motion-
     compensated P_L0_16x16 / intra (I_4x4) fallback on SAD failure."""
@@ -737,6 +827,11 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     mvs = H._MvState(mbw, mbh)
     qp_map = np.full((mbh, mbw), qp, np.int32)
     st = _MbState(mbw, mbh)
+    csrc = H._pad_chroma(chroma, mbw, mbh, h, w)
+    if cref is None:
+        cref = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    crec = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    ch = (csrc, crec)
 
     bw = H._BitWriter()
     _slice_header(bw, 5, qp, frame_num, deblock, idr=False,
@@ -750,10 +845,18 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             # --- P_SKIP candidate
             smv = mvs.skip_mv(mx, my)
             pred = H._interp_luma(ref_full, mx * 16, my * 16, *smv)
-            if H._all_zero_quant(smb - pred, qp):
+            cpred_skip = np.stack([
+                H._interp_chroma(cref[ci], mx * 8, my * 8, *smv)
+                for ci in range(2)])
+            csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+            if H._all_zero_quant(smb - pred, qp) and \
+                    H._chroma_zero(csrc_mb, cpred_skip, qp):
                 enc.decision(ctx, _OFS["mb_skip"] + st.skip_inc(mx, my), 1)
                 plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
                     np.clip(pred, 0, 255).astype(np.uint8)
+                for ci in range(2):
+                    crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                        np.clip(cpred_skip[ci], 0, 255).astype(np.uint8)
                 nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
                 mvs.set_mb(mx, my, smv, 0)
                 modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
@@ -772,7 +875,7 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             if sad > 28 * 256:  # scene cut: intra fallback
                 _enc_mb_i4(enc, ctx, st, smb.astype(np.uint8), plane, mx, my,
                            qp, nnz, modes, max_coeffs, plane_w,
-                           _OFS["mbt_i"], in_p=True)
+                           _OFS["mbt_i"], ch, in_p=True)
                 mvs.set_mb(mx, my, (0, 0), -1)
                 st.skip[my, mx] = 0
                 enc.terminate(1 if last else 0)
@@ -789,6 +892,14 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                     chosen8 = parts8
                 elif tot < sad * 0.92:
                     chosen = (ptype, parts)
+            def _cpart(ox, oy, pw, ph, pmv):
+                for ci in range(2):
+                    cpred[ci, oy // 2:(oy + ph) // 2,
+                          ox // 2:(ox + pw) // 2] = H._interp_chroma(
+                        cref[ci], mx * 8 + ox // 2, my * 8 + oy // 2,
+                        pmv[0], pmv[1], pw // 2, ph // 2)
+
+            cpred = np.zeros((2, 8, 8), np.int32)
             if chosen8:
                 pred = np.zeros((16, 16), np.int32)
                 mvds = []
@@ -796,6 +907,7 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                                                            chosen8):
                     pred[oy:oy + 8, ox:ox + 8] = pred_i
                     mvds.append((mv_i[0] - mvp_i[0], mv_i[1] - mvp_i[1]))
+                    _cpart(ox, oy, 8, 8, mv_i)
             elif chosen:
                 ptype, parts = chosen
                 pred = np.zeros((16, 16), np.int32)
@@ -804,8 +916,10 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                         H._PART_GEOM[ptype], parts):
                     pred[oy:oy + h, ox:ox + w] = pred_i
                     mvds.append((mv_i[0] - mvp_i[0], mv_i[1] - mvp_i[1]))
+                    _cpart(ox, oy, w, h, mv_i)
             else:
                 mvds = [(mv[0] - mvp[0], mv[1] - mvp[1])]
+                _cpart(0, 0, 16, 16, mv)
             blocks = []
             cbp = 0
             out = pred.copy()
@@ -840,11 +954,13 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 _enc_mvd(enc, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1), dy_)
             st.mvd[my, mx] = (sum(abs(d[0]) for d in mvds),
                               sum(abs(d[1]) for d in mvds))
+            cbpc, comps = H._encode_chroma_mb(csrc_mb, cpred, qp,
+                                              intra=False)
             for blk8 in range(4):
                 enc.decision(ctx, _OFS["cbp_luma"]
                              + st.cbp_inc(mx, my, blk8, cbp), (cbp >> blk8) & 1)
-            enc.decision(ctx, _OFS["cbp_chroma"], 0)
-            if cbp:
+            _enc_cbp_chroma(enc, ctx, cbpc)
+            if cbp | cbpc:
                 _enc_qp_delta(enc, ctx, st.prev_qp_nz, 0)
                 st.prev_qp_nz = False
             for blk in range(16):
@@ -855,6 +971,10 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                     _enc_residual(enc, ctx, 2, H._scan16(lv), st.cbf_inc(bx, by))
                 st.cbf[by, bx] = 1 if (cbp & (1 << (blk >> 2))) and tc else 0
                 nnz[by, bx] = tc
+            _enc_chroma_residual(enc, ctx, cbpc, comps)
+            for ci in range(2):
+                crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                    comps[ci]["recon"]
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
             if chosen8:
@@ -877,7 +997,10 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     out_plane = plane
     if deblock and qp >= 16:
         out_plane = H._deblock_luma_inter(plane, qp_map, nnz, mvs)
-    return bytes(bw.buf), out_plane
+        crec = H._deblock_chroma(crec, qp_map, nnz=nnz, mvs=mvs)
+    if chroma is None:
+        return bytes(bw.buf), out_plane
+    return bytes(bw.buf), (out_plane, crec)
 
 
 def _enc_b_mb_type(enc, ctx, mbt):
@@ -924,7 +1047,10 @@ def _dec_b_mb_type(dec, ctx):
 def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                    ref1_full: np.ndarray, qp: int = 10,
                    max_coeffs: int = 16, frame_num: int = 1,
-                   search: int = 8, poc_lsb: int = 0):
+                   search: int = 8, poc_lsb: int = 0,
+                   chroma: np.ndarray | None = None,
+                   cref0: np.ndarray | None = None,
+                   cref1: np.ndarray | None = None):
     """One gray frame -> (CABAC B-slice RBSP, FULL recon plane). Same
     decisions as h264.encode_b_cavlc (B_L0/L1/Bi 16x16, I_4x4 fallback,
     non-reference, in-loop filter off) with CABAC serialization."""
@@ -941,6 +1067,17 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
     mvs0 = H._MvState(mbw, mbh)
     mvs1 = H._MvState(mbw, mbh)
     st = _MbState(mbw, mbh)
+    csrc = H._pad_chroma(chroma, mbw, mbh, h, w)
+    if cref0 is None:
+        cref0 = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    if cref1 is None:
+        cref1 = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    crec = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    ch = (csrc, crec)
+
+    def cmc1(cr, mv):
+        return np.stack([H._interp_chroma(cr[ci], mx * 8, my * 8, *mv)
+                         for ci in range(2)])
 
     bw = H._BitWriter()
     _slice_header(bw, 6, qp, frame_num, False, idr=False, poc_lsb=poc_lsb)
@@ -953,10 +1090,16 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
             # --- spatial direct first: B_SKIP when its residual is zero
             dmv0, dmv1 = H._b_direct_mvs(mvs0, mvs1, mx, my)
             dpred = H._b_direct_pred(ref0_full, ref1_full, mx, my, dmv0, dmv1)
-            if H._all_zero_quant(smb - dpred, qp):
+            dcpred = (cmc1(cref0, dmv0) + cmc1(cref1, dmv1) + 1) >> 1
+            csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+            if H._all_zero_quant(smb - dpred, qp) and \
+                    H._chroma_zero(csrc_mb, dcpred, qp):
                 enc.decision(ctx, _OFS["mb_skip_b"] + st.skip_inc(mx, my), 1)
                 plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
                     np.clip(dpred, 0, 255).astype(np.uint8)
+                for ci in range(2):
+                    crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                        np.clip(dcpred[ci], 0, 255).astype(np.uint8)
                 nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
                 H._b_commit_direct(mvs0, mvs1, mx, my, dmv0, dmv1)
                 modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
@@ -983,13 +1126,21 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                 _enc_b_mb_type(enc, ctx, "intra")
                 _enc_mb_i4(enc, ctx, st, smb.astype(np.uint8), plane, mx, my,
                            qp, nnz, modes, max_coeffs, plane_w,
-                           _OFS["mbt_p_suf"], in_p=False)
+                           _OFS["mbt_p_suf"], ch, in_p=False)
                 mvs0.set_mb(mx, my, (0, 0), -1)
                 mvs1.set_mb(mx, my, (0, 0), -1)
                 enc.terminate(1 if last else 0)
                 continue
             mb_type = cand[1]
             pred = (dpred, pred0, pred1, bi)[mb_type]
+            if mb_type == 0:
+                cpred = dcpred
+            elif mb_type == 1:
+                cpred = cmc1(cref0, mv0)
+            elif mb_type == 2:
+                cpred = cmc1(cref1, mv1)
+            else:
+                cpred = (cmc1(cref0, mv0) + cmc1(cref1, mv1) + 1) >> 1
             blocks = []
             cbp = 0
             out = pred.copy()
@@ -1016,11 +1167,13 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                 _enc_mvd(enc, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1), d[1])
                 asum = [asum[0] + abs(d[0]), asum[1] + abs(d[1])]
             st.mvd[my, mx] = tuple(asum)
+            cbpc, comps = H._encode_chroma_mb(csrc_mb, cpred, qp,
+                                              intra=False)
             for blk8 in range(4):
                 enc.decision(ctx, _OFS["cbp_luma"]
                              + st.cbp_inc(mx, my, blk8, cbp), (cbp >> blk8) & 1)
-            enc.decision(ctx, _OFS["cbp_chroma"], 0)
-            if cbp:
+            _enc_cbp_chroma(enc, ctx, cbpc)
+            if cbp | cbpc:
                 _enc_qp_delta(enc, ctx, st.prev_qp_nz, 0)
                 st.prev_qp_nz = False
             for blk in range(16):
@@ -1031,6 +1184,10 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                     _enc_residual(enc, ctx, 2, H._scan16(lv), st.cbf_inc(bx, by))
                 st.cbf[by, bx] = 1 if (cbp & (1 << (blk >> 2))) and tc else 0
                 nnz[by, bx] = tc
+            _enc_chroma_residual(enc, ctx, cbpc, comps)
+            for ci in range(2):
+                crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                    comps[ci]["recon"]
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
             if mb_type == 0:
@@ -1045,7 +1202,9 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
             st.cbp[my, mx] = cbp
             enc.terminate(1 if last else 0)
     bw.raw(enc.to_bytes())
-    return bytes(bw.buf), plane
+    if chroma is None:
+        return bytes(bw.buf), plane
+    return bytes(bw.buf), (plane, crec)
 
 
 # ------------------------------------------------------ decoder
@@ -1072,6 +1231,11 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
     qp_map = np.zeros((mbh, mbw), np.int32)
     mvs = H._MvState(mbw, mbh) if (is_p or is_b) else None
     mvs1 = H._MvState(mbw, mbh) if is_b else None
+    if (is_p or is_b) and cref is None:
+        cref = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    if is_b and cref2 is None:
+        cref2 = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    cc = H._ChromaState(mbw, mbh, ref=cref, ref2=cref2)
     st = _MbState(mbw, mbh)
     for my in range(mbh):
         for mx in range(mbw):
@@ -1081,6 +1245,10 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                     dpred = H._b_direct_pred(ref, ref2, mx, my, dmv0, dmv1)
                     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
                         np.clip(dpred, 0, 255).astype(np.uint8)
+                    dcp = H._b_chroma_bi(cc, mx, my, dmv0, dmv1)
+                    for ci in range(2):
+                        cc.store(ci, mx, my, dcp[ci])
+                    cc.nnz[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
                     nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
                     H._b_commit_direct(mvs, mvs1, mx, my, dmv0, dmv1)
                     modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
@@ -1104,12 +1272,12 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                         raise ValueError(
                             "I_16x16-in-B CABAC: out of decode profile")
                     qp = _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz,
-                                    modes, plane_w)
+                                    modes, plane_w, cc)
                     mvs.set_mb(mx, my, (0, 0), -1)
                     mvs1.set_mb(mx, my, (0, 0), -1)
                 else:
                     qp = _dec_mb_b16(dec, ctx, st, plane, ref, ref2, mx, my,
-                                     qp, nnz, modes, mvs, mvs1, mbt)
+                                     qp, nnz, modes, mvs, mvs1, mbt, cc)
                 qp_map[my, mx] = qp
                 eos = dec.terminate()
                 last = my == mbh - 1 and mx == mbw - 1
@@ -1122,6 +1290,9 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                     pred = H._interp_luma(ref, mx * 16, my * 16, *mv)
                     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
                         np.clip(pred, 0, 255).astype(np.uint8)
+                    for ci in range(2):
+                        cc.store(ci, mx, my, cc.mc(ci, mx, my, mv))
+                    cc.nnz[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
                     nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
                     modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
                     mvs.set_mb(mx, my, mv, 0)
@@ -1142,7 +1313,7 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                         raise ValueError(
                             "I_16x16-in-P CABAC: out of decode profile")
                     qp = _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz,
-                                    modes, plane_w, in_p=True)
+                                    modes, plane_w, cc, in_p=True)
                     mvs.set_mb(mx, my, (0, 0), -1)
                 else:
                     b1 = dec.decision(ctx, _OFS["mbt_p"] + 1)
@@ -1150,31 +1321,27 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                     if b1:  # "011" = 16x8, "010" = 8x16 (Table 9-37)
                         qp = _dec_mb_p_part(dec, ctx, st, plane, ref, mx, my,
                                             qp, nnz, modes, mvs,
-                                            "16x8" if b2 else "8x16")
+                                            "16x8" if b2 else "8x16", cc)
                     elif b2:  # "001" = P_8x8 (r6)
                         qp = _dec_mb_p8x8(dec, ctx, st, plane, ref, mx, my,
-                                          qp, nnz, modes, mvs)
+                                          qp, nnz, modes, mvs, cc)
                     else:
                         qp = _dec_mb_p16(dec, ctx, st, plane, ref, mx, my,
-                                         qp, nnz, modes, mvs)
+                                         qp, nnz, modes, mvs, cc)
             else:
                 mbt = _dec_mb_type_i(dec, ctx, _OFS["mbt_i"],
                                      st.mbt_inc(mx, my))
                 if mbt == 0:
                     qp = _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz,
-                                    modes, plane_w)
+                                    modes, plane_w, cc)
                 else:
                     qp = _dec_mb_i16(dec, ctx, st, mbt, plane, mx, my, qp,
-                                     nnz, modes)
+                                     nnz, modes, cc)
             qp_map[my, mx] = qp
             eos = dec.terminate()
             last = my == mbh - 1 and mx == mbw - 1
             if eos != (1 if last else 0):
                 raise ValueError("end_of_slice_flag desync")
-    # CABAC streams are luma+flat-chroma until the CABAC chroma residual
-    # lands: in-repo CABAC encoders code cbp_chroma 0, so mid-grey chroma
-    # IS the correct reconstruction for every in-repo stream
-    cplanes = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
     if hdr["do_filter"] and int(qp_map.max()) + max(hdr["off_a"], hdr["off_b"], 0) >= 16:
         if is_p or is_b:
             # B pictures route through the inter filter with the L0 motion
@@ -1184,9 +1351,13 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
             # get the inter bS rules, not the intra ones (ADVICE r6)
             plane = H._deblock_luma_inter(plane, qp_map, nnz, mvs,
                                           hdr["off_a"], hdr["off_b"])
+            cc.planes = H._deblock_chroma(cc.planes, qp_map, hdr["off_a"],
+                                          hdr["off_b"], nnz=nnz, mvs=mvs)
         else:
             plane = H._deblock_luma(plane, qp_map, hdr["off_a"], hdr["off_b"])
-    return plane, cplanes
+            cc.planes = H._deblock_chroma(cc.planes, qp_map, hdr["off_a"],
+                                          hdr["off_b"])
+    return plane, cc.planes
 
 
 def _dec_cbp(dec, ctx, st, mx, my):
@@ -1194,12 +1365,10 @@ def _dec_cbp(dec, ctx, st, mx, my):
     for blk8 in range(4):
         if dec.decision(ctx, _OFS["cbp_luma"] + st.cbp_inc(mx, my, blk8, cbp)):
             cbp |= 1 << blk8
-    if dec.decision(ctx, _OFS["cbp_chroma"]):
-        raise ValueError("CABAC chroma residual: out of decode profile")
-    return cbp
+    return cbp, _dec_cbp_chroma(dec, ctx)
 
 
-def _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz, modes, plane_w,
+def _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz, modes, plane_w, cc,
                in_p=False):
     prev = []
     for _blk in range(16):
@@ -1210,10 +1379,9 @@ def _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz, modes, plane_w,
             for i in range(3):
                 rem |= dec.decision(ctx, _OFS["rem_i4"]) << i
             prev.append(rem)
-    if dec.decision(ctx, _OFS["chroma_mode"]):
-        raise ValueError("non-DC intra_chroma_pred_mode: out of profile")
-    cbp = _dec_cbp(dec, ctx, st, mx, my)
-    if cbp:
+    icp = _dec_tu(dec, ctx, _OFS["chroma_mode"], (0, 3, 3), 3)
+    cbp, cbpc = _dec_cbp(dec, ctx, st, mx, my)
+    if cbp | cbpc:
         d = _dec_qp_delta(dec, ctx, st.prev_qp_nz)
         st.prev_qp_nz = d != 0
         qp = (qp + d + 52) % 52
@@ -1242,6 +1410,10 @@ def _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz, modes, plane_w,
         nnz[by, bx] = tc
         np.clip(rec, 0, 255, rec)
         plane[py:py + 4, px:px + 4] = rec.astype(np.uint8)
+    cres = _dec_chroma_residual(dec, ctx, cbpc, qp)
+    for ci in range(2):
+        cpred = H._pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0, my > 0)
+        cc.store(ci, mx, my, cpred + cres[ci])
     st.not_i4[my, mx] = 0
     st.cbp[my, mx] = cbp
     st.cbf_dc[my, mx] = 0
@@ -1249,15 +1421,12 @@ def _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz, modes, plane_w,
     return qp
 
 
-def _dec_mb_i16(dec, ctx, st, mbt, plane, mx, my, qp, nnz, modes):
+def _dec_mb_i16(dec, ctx, st, mbt, plane, mx, my, qp, nnz, modes, cc):
     t = mbt - 1
     pm16 = t % 4
     cbpc = (t // 4) % 3
     cbpl = 15 if t >= 12 else 0
-    if cbpc:
-        raise ValueError("CABAC chroma residual: out of decode profile")
-    if dec.decision(ctx, _OFS["chroma_mode"]):
-        raise ValueError("non-DC intra_chroma_pred_mode: out of profile")
+    icp = _dec_tu(dec, ctx, _OFS["chroma_mode"], (0, 3, 3), 3)
     d = _dec_qp_delta(dec, ctx, st.prev_qp_nz)
     st.prev_qp_nz = d != 0
     qp = (qp + d + 52) % 52
@@ -1286,16 +1455,22 @@ def _dec_mb_i16(dec, ctx, st, mbt, plane, mx, my, qp, nnz, modes):
         out[oy:oy + 4, ox:ox + 4] += H._inv4(d4).astype(np.int32)
     np.clip(out, 0, 255, out)
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
+    cres = _dec_chroma_residual(dec, ctx, cbpc, qp)
+    for ci in range(2):
+        cpred = H._pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0, my > 0)
+        cc.store(ci, mx, my, cpred + cres[ci])
     st.not_i4[my, mx] = 1
     st.cbp[my, mx] = 0xF if cbpl else 0
     st.mvd[my, mx] = 0
     return qp
 
 
-def _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes):
-    """Shared inter-MB tail: cbp + qp_delta + residuals + recon."""
-    cbp = _dec_cbp(dec, ctx, st, mx, my)
-    if cbp:
+def _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes, cc,
+                cpred):
+    """Shared inter-MB tail: cbp + qp_delta + residuals + recon; `cpred`
+    is the (2, 8, 8) chroma MC prediction."""
+    cbp, cbpc = _dec_cbp(dec, ctx, st, mx, my)
+    if cbp | cbpc:
         d = _dec_qp_delta(dec, ctx, st.prev_qp_nz)
         st.prev_qp_nz = d != 0
         qp = (qp + d + 52) % 52
@@ -1316,37 +1491,46 @@ def _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes):
         modes[by, bx] = -1
     np.clip(out, 0, 255, out)
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
+    cres = _dec_chroma_residual(dec, ctx, cbpc, qp)
+    for ci in range(2):
+        cc.store(ci, mx, my, cpred[ci] + cres[ci])
     st.not_i4[my, mx] = 1
     st.cbp[my, mx] = cbp
     return qp
 
 
-def _dec_mb_p16(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs):
+def _dec_mb_p16(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs, cc):
     mvp = mvs.mvp_16x16(mx, my)
     mvd = (_dec_mvd(dec, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0)),
            _dec_mvd(dec, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1)))
     st.mvd[my, mx] = (abs(mvd[0]), abs(mvd[1]))
     mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
     pred = H._interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
+    cpred = np.stack([cc.mc(ci, mx, my, mv) for ci in range(2)])
     mvs.set_mb(mx, my, mv, 0)
-    return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes)
+    return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
+                       cc, cpred)
 
 
 def _dec_mb_b16(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz, modes,
-                mvs0, mvs1, mbt):
+                mvs0, mvs1, mbt, cc):
     """B_Direct/B_L0/B_L1/B_Bi 16x16 (CABAC): direct derives spatial
     MVs (no mvd); the explicit types read one mvd per used list;
     bi-prediction averages the MC blocks."""
     if mbt == 0:
         dmv0, dmv1 = H._b_direct_mvs(mvs0, mvs1, mx, my)
         pred = H._b_direct_pred(ref0, ref1, mx, my, dmv0, dmv1)
+        cpred = H._b_chroma_bi(cc, mx, my, dmv0, dmv1)
         H._b_commit_direct(mvs0, mvs1, mx, my, dmv0, dmv1)
         st.mvd[my, mx] = 0
-        return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes)
+        return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz,
+                           modes, cc, cpred)
     use = (mbt in (1, 3), mbt in (2, 3))
     preds = []
+    cpreds = []
     asum = [0, 0]
-    for u, mvsx, refx in zip(use, (mvs0, mvs1), (ref0, ref1)):
+    for li, (u, mvsx, refx) in enumerate(zip(use, (mvs0, mvs1),
+                                             (ref0, ref1))):
         if not u:
             mvsx.set_mb(mx, my, (0, 0), -1)
             continue
@@ -1357,13 +1541,19 @@ def _dec_mb_b16(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz, modes,
         asum[1] += abs(mvd[1])
         mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
         preds.append(H._interp_luma(refx, mx * 16, my * 16, mv[0], mv[1]))
+        cpreds.append(np.stack([cc.mc(ci, mx, my, mv, li)
+                                for ci in range(2)]))
         mvsx.set_mb(mx, my, mv, 0)
     st.mvd[my, mx] = tuple(asum)
     pred = preds[0] if len(preds) == 1 else (preds[0] + preds[1] + 1) >> 1
-    return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes)
+    cpred = cpreds[0] if len(cpreds) == 1 else \
+        (cpreds[0] + cpreds[1] + 1) >> 1
+    return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
+                       cc, cpred)
 
 
-def _dec_mb_p8x8(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs):
+def _dec_mb_p8x8(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs,
+                 cc):
     """P_8x8 (CABAC): sub_mb_type bin '1' x4 = one 8x8 partition each;
     finer sub-partitions raise."""
     for _ in range(4):
@@ -1371,6 +1561,7 @@ def _dec_mb_p8x8(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs):
             raise ValueError(
                 "P sub-8x8 partitions (8x4/4x8/4x4): out of decode scope")
     pred = np.zeros((16, 16), np.int32)
+    cpred = np.zeros((2, 8, 8), np.int32)
     asum = [0, 0]
     for idx, (ox, oy) in enumerate(H._P8_GEOM):
         mvp = mvs.mvp_8x8(mx, my, idx)
@@ -1381,16 +1572,22 @@ def _dec_mb_p8x8(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs):
         mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
         pred[oy:oy + 8, ox:ox + 8] = H._interp_luma(
             ref, mx * 16 + ox, my * 16 + oy, mv[0], mv[1], 8, 8)
+        for ci in range(2):
+            cpred[ci, oy // 2:oy // 2 + 4, ox // 2:ox // 2 + 4] = \
+                H._interp_chroma(cc.ref[ci], mx * 8 + ox // 2,
+                                 my * 8 + oy // 2, mv[0], mv[1], 4, 4)
         mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, 2, 2, mv, 0)
     st.mvd[my, mx] = tuple(asum)
-    return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes)
+    return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
+                       cc, cpred)
 
 
 def _dec_mb_p_part(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs,
-                   ptype):
+                   ptype, cc):
     """P_L0_L0_16x8 / 8x16: one mvd per partition; the mvd contexts use
     MB-level neighbor sums (matches the encoder's in-repo granularity)."""
     pred = np.zeros((16, 16), np.int32)
+    cpred = np.zeros((2, 8, 8), np.int32)
     abs_sum = [0, 0]
     for idx, (ox, oy, w, h) in enumerate(H._PART_GEOM[ptype]):
         mvp = mvs.mvp_part(mx, my, ptype, idx)
@@ -1401,7 +1598,13 @@ def _dec_mb_p_part(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs,
         mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
         pred[oy:oy + h, ox:ox + w] = H._interp_luma(
             ref, mx * 16 + ox, my * 16 + oy, mv[0], mv[1], w, h)
+        for ci in range(2):
+            cpred[ci, oy // 2:(oy + h) // 2, ox // 2:(ox + w) // 2] = \
+                H._interp_chroma(cc.ref[ci], mx * 8 + ox // 2,
+                                 my * 8 + oy // 2, mv[0], mv[1],
+                                 w // 2, h // 2)
         mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, w // 4, h // 4,
                      mv, 0)
     st.mvd[my, mx] = tuple(abs_sum)
-    return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes)
+    return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
+                       cc, cpred)

@@ -269,7 +269,8 @@ def test_cabac_p_partitions_roundtrip_bit_exact():
     orig = C._dec_mb_p_part
 
     def spy(*a, **k):
-        hits.append(a[-1])
+        # ptype precedes the chroma state (the last positional arg)
+        hits.append(a[-2])
         return orig(*a, **k)
 
     C._dec_mb_p_part = spy

@@ -189,11 +189,56 @@ def test_color_mp4_gray_pipeline_unaffected():
         assert float(np.abs(c.astype(int) - cs[i].astype(int)).mean()) < 1.0
 
 
-def test_cabac_chroma_is_documented_boundary():
-    ys, cs = zip(*[_mkframe(i) for i in range(2)])
-    with pytest.raises(ValueError, match="CABAC chroma"):
-        H.encode_frames(list(ys), qp=10, gop=2, entropy="cabac",
-                        chromas=list(cs))
+@pytest.mark.parametrize("qp", [6, 16, 32])
+def test_cabac_color_intra_decode_equals_recon(qp):
+    from extractors_geo_spark import h264_cabac as C
+
+    y0, c0 = _mkframe(0)
+    rbsp, (ry, rc) = C.encode_idr_cabac(y0, qp=qp, chroma=c0,
+                                        full_recon=True)
+    avcc = H.build_avcc(48, 32, deblock_ctrl=True, cabac=True)
+    dy, dc = H.decode_sample(_one_sample(rbsp), avcc, full_plane=True,
+                             with_chroma=True)
+    assert np.array_equal(dy, ry) and np.array_equal(dc, rc)
+
+
+def test_cabac_color_p_and_b_decode_equals_recon():
+    from extractors_geo_spark import h264_cabac as C
+
+    qp = 10
+    y0, c0 = _mkframe(0)
+    _, (ry0, rc0) = C.encode_idr_cabac(y0, qp=qp, chroma=c0,
+                                       full_recon=True)
+    y1, c1 = _mkframe(1)
+    rb1, (ry1, rc1) = C.encode_p_cabac(y1, ry0, qp=qp, chroma=c1,
+                                       cref=rc0)
+    avcc = H.build_avcc(48, 32, deblock_ctrl=True, cabac=True)
+    dy, dc = H.decode_sample(_one_sample(rb1, 0x41), avcc, ref=ry0,
+                             cref=rc0, full_plane=True, with_chroma=True)
+    assert np.array_equal(dy, ry1) and np.array_equal(dc, rc1)
+    y2, c2 = _mkframe(2)
+    _, (ry2, rc2) = C.encode_p_cabac(y2, ry1, qp=qp, chroma=c2, cref=rc1,
+                                     frame_num=2)
+    yb = ((y1.astype(int) + y2.astype(int)) // 2).astype(np.uint8)
+    cb = ((c1.astype(int) + c2.astype(int)) // 2).astype(np.uint8)
+    rbb, (ryb, rcb) = C.encode_b_cabac(yb, ry1, ry2, qp=qp, chroma=cb,
+                                       cref0=rc1, cref1=rc2, poc_lsb=2)
+    avccb = H.build_avcc(48, 32, deblock_ctrl=True, bpoc=True, cabac=True)
+    dy, dc = H.decode_sample(_one_sample(rbb, 0x01), avccb, ref=ry1,
+                             ref2=ry2, cref=rc1, cref2=rc2,
+                             full_plane=True, with_chroma=True)
+    assert np.array_equal(dy, ryb) and np.array_equal(dc, rcb)
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_color_bgop_both_entropy_modes(entropy):
+    ys, cs = zip(*[_mkframe(i) for i in range(9)])
+    avcc, samples, _ = H.encode_frames_bgop(list(ys), qp=10, gop=4,
+                                            bframes=1, entropy=entropy,
+                                            chromas=list(cs))
+    out = H.decode_samples(samples, avcc, with_chroma=True)
+    for i, (y, c) in enumerate(out):
+        assert float(np.abs(c.astype(int) - cs[i].astype(int)).mean()) < 1.0
 
 
 def test_fuzzed_color_samples_never_escape_valueerror():
@@ -212,3 +257,33 @@ def test_fuzzed_color_samples_never_escape_valueerror():
             raised += 1
         # any other exception type escapes and fails the test
     assert raised > 0
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_color_deblock_decode_equals_recon(entropy):
+    """In-loop filter ON at qp >= 16: chroma deblocks on both sides
+    (QPc-indexed thresholds, 2-tap filter) — decode == recon bit-exact
+    through IDR + P."""
+    ys, cs = zip(*[_mkframe(i) for i in range(4)])
+    if entropy == "cabac":
+        from extractors_geo_spark import h264_cabac as C
+        enc_i, enc_p = C.encode_idr_cabac, C.encode_p_cabac
+    else:
+        enc_i, enc_p = H.encode_idr_cavlc, H.encode_p_cavlc
+    avcc = H.build_avcc(48, 32, deblock_ctrl=True,
+                        cabac=entropy == "cabac")
+    qp = 24
+    rb0, (ry0, rc0) = enc_i(ys[0], qp=qp, deblock=True, chroma=cs[0],
+                            full_recon=True)
+    dy, dc = H.decode_sample(_one_sample(rb0), avcc, full_plane=True,
+                             with_chroma=True)
+    assert np.array_equal(dy, ry0) and np.array_equal(dc, rc0)
+    # the filter actually moved chroma samples (not a no-op at qp 24)
+    rb0u, (_, rc0u) = enc_i(ys[0], qp=qp, deblock=False, chroma=cs[0],
+                            full_recon=True)
+    assert not np.array_equal(rc0, rc0u)
+    rb1, (ry1, rc1) = enc_p(ys[1], ry0, qp=qp, deblock=True,
+                            chroma=cs[1], cref=rc0)
+    dy, dc = H.decode_sample(_one_sample(rb1, 0x41), avcc, ref=ry0,
+                             cref=rc0, full_plane=True, with_chroma=True)
+    assert np.array_equal(dy, ry1) and np.array_equal(dc, rc1)
