@@ -2090,8 +2090,9 @@ def q_mp3_features(spark, sf_dir):
     """Real Layer III decode through audio_features (VERDICT r03 #6 /
     r5 #8): sine clips mp3-encoded on executors with the in-repo codec,
     rotating mono / M-S joint stereo x MPEG-1 / MPEG-2 LSF (i mod 4),
-    decoded back on the feature path (rows-only; WAV-parity tolerance in
-    tests/test_mp3.py)."""
+    with INTENSITY stereo replacing M/S on the MPEG-1 stereo leg since
+    r7, decoded back on the feature path (rows-only; WAV-parity
+    tolerance in tests/test_mp3.py)."""
     import numpy as np
     import pandas as pd
 
@@ -2108,12 +2109,16 @@ def q_mp3_features(spark, sf_dir):
                 secs = 1 + i % 2
                 t = np.arange(rate * secs) / rate
                 sig = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
-                if i % 4 >= 2:  # M/S joint stereo
+                stereo = i % 4 >= 2
+                if stereo:  # joint stereo: M/S on LSF, intensity on MPEG-1
                     sig = np.stack(
                         [sig, 0.4 * np.sin(2 * np.pi * (330 + 20 * i) * t)],
                         axis=1)
+                intens = stereo and i % 2 == 0
                 rows.append({"audio_id": f"m{i}",
-                             "bytes": _mp3.encode(sig, rate, joint=True)})
+                             "bytes": _mp3.encode(
+                                 sig, rate, joint=not intens,
+                                 intensity=intens)})
             yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
 
     from extractors_geo_spark.operators import multimodal as M
@@ -2130,7 +2135,8 @@ def q_aac_features(spark, sf_dir):
     """Real AAC-LC decode through audio_features (VERDICT r04 #6 / r5 #3):
     sine clips AAC-encoded into mp4a MP4s on executors with the in-repo
     codec (..aac), rotating mono-SCE / stereo-CPE x long / EIGHT_SHORT
-    windows (i mod 4), entropy-decoded back on the feature path
+    windows (i mod 4) with per-band MID/SIDE stereo on every other
+    stereo clip (r7), entropy-decoded back on the feature path
     (rows-only; ~60 dB SNR + WAV feature parity in tests/test_aac.py)."""
     import numpy as np
     import pandas as pd
@@ -2154,7 +2160,8 @@ def q_aac_features(spark, sf_dir):
                         axis=1)
                 rows.append({"audio_id": f"a{i}",
                              "bytes": _mp4.write_aac_mp4(
-                                 sig, rate, short=bool(i % 2))})
+                                 sig, rate, short=bool(i % 2),
+                                 ms=i % 8 >= 6)})
             yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
 
     from extractors_geo_spark.operators import multimodal as M

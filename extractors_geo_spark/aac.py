@@ -29,11 +29,13 @@ Scope and honesty (same contract as ..mp3, VERDICT r03 #6 / r04 #6):
   (operators/multimodal.audio_features) maps that to its documented
   well-formed-unsupported stub. A real deployment swaps decode() for
   ffmpeg/fdk-aac behind the same contract.
-* In-profile since r6: mono SCE and STEREO CPE (common_window, L/R —
-  ms_mask_present must be 0), ONLY_LONG and EIGHT_SHORT window
-  sequences (any scale_factor_grouping), codebooks 0..11, FIL skip.
-  Out of profile (clear ValueError, never silent garbage): M/S and
-  intensity stereo, PNS (cb 13), LTP, START/STOP window sequences,
+* In-profile since r6: mono SCE and STEREO CPE (common_window),
+  ONLY_LONG and EIGHT_SHORT window sequences (any
+  scale_factor_grouping), codebooks 0..11, FIL skip. Since r7: MID/SIDE
+  stereo (ms_mask_present 1 with per-band ms_used bits, or 2 = all
+  bands) — the mainstream-encoder default shape. Out of profile (clear
+  ValueError, never silent garbage): intensity stereo (codebooks
+  14/15), PNS (cb 13), LTP, START/STOP window sequences,
   pulse/TNS/gain control, >2 channels — exactly the boundary the
   encoder never crosses.
 
@@ -255,11 +257,15 @@ def _book_for(maxabs: int) -> int:
 
 # ------------------------------------------------------------------ encoder
 def encode(pcm: np.ndarray, rate: int = 48000,
-           short: bool = False) -> tuple[bytes, list[bytes]]:
+           short: bool = False, ms: bool = False) -> tuple[bytes, list[bytes]]:
     """PCM in [-1, 1] -> (AudioSpecificConfig, raw AUs).
     Mono (n,) emits SCE elements; stereo (n, 2) emits CPE
-    (common_window, L/R — no M/S). short=True codes every frame as
-    EIGHT_SHORT_SEQUENCE (8x128 grouped short windows)."""
+    (common_window). ms=True (r7) enables per-band MID/SIDE stereo
+    (4.6.8.1, ms_mask_present = 1): bands where the side energy is well
+    below the mid energy carry M = (L+R)/2, S = (L-R)/2 instead of L/R
+    — the mainstream-encoder default for correlated channels. short=True
+    codes every frame as EIGHT_SHORT_SEQUENCE (8x128 grouped short
+    windows)."""
     if rate not in FREQ_INDEX:
         raise ValueError(f"unsupported sample rate {rate}")
     x = np.asarray(pcm, np.float64)
@@ -286,7 +292,30 @@ def encode(pcm: np.ndarray, rate: int = 48000,
             blocks = np.stack([padded[i * FRAME:i * FRAME + N]
                                for i in range(n_frames)])
             specs.append(mdct(blocks)[:, None, :] * 32768.0)
-    aus = [_encode_au([s[i] for s in specs], short) for i in range(n_frames)]
+    ms_masks = None
+    if ms and len(chans) == 2:
+        # per-band M/S decision + in-place substitution: channel 0
+        # carries MID, channel 1 SIDE for chosen bands
+        swb = SWB_OFFSETS_SHORT if short else SWB_OFFSETS
+        n_sfb = N_SFB_SHORT if short else N_SFB
+        ms_masks = []
+        for i in range(n_frames):
+            mask = []
+            for b in range(n_sfb):
+                lo, hi = swb[b], swb[b + 1]
+                L = specs[0][i][:, lo:hi]
+                R = specs[1][i][:, lo:hi]
+                m = (L + R) * 0.5
+                side = (L - R) * 0.5
+                use = 4.0 * float(np.sum(side * side)) <                     float(np.sum(m * m)) + 1e-9
+                mask.append(use)
+                if use:
+                    specs[0][i][:, lo:hi] = m
+                    specs[1][i][:, lo:hi] = side
+            ms_masks.append(mask)
+    aus = [_encode_au([s[i] for s in specs], short,
+                      ms_mask=None if ms_masks is None else ms_masks[i])
+           for i in range(n_frames)]
     return _audio_specific_config(rate, len(chans)), aus
 
 
@@ -355,7 +384,8 @@ def _write_band(bw, cb, q):
                     bw.u(1 if v < 0 else 0, 1)
 
 
-def _encode_au(chan_specs: list[np.ndarray], short: bool) -> bytes:
+def _encode_au(chan_specs: list[np.ndarray], short: bool,
+               ms_mask: list | None = None) -> bytes:
     bw = _BitWriter()
     qdata = [_quantize_channel(s, short) for s in chan_specs]
     if len(chan_specs) == 1:
@@ -371,7 +401,12 @@ def _encode_au(chan_specs: list[np.ndarray], short: bool) -> bytes:
         bw.u(0, 4)   # element_instance_tag
         bw.u(1, 1)   # common_window
         _write_ics_info(bw, short)
-        bw.u(0, 2)   # ms_mask_present = 0 (no M/S)
+        if ms_mask is None:
+            bw.u(0, 2)   # ms_mask_present = 0 (no M/S)
+        else:
+            bw.u(1, 2)   # ms_mask_present = 1: per-band ms_used bits
+            for used in ms_mask:  # one window group -> max_sfb bits
+                bw.u(1 if used else 0, 1)
         for gg, groups in qdata:
             bw.u(gg, 8)
             _write_stream_tail(bw, gg, groups, short)
@@ -620,11 +655,30 @@ def _decode_au(au: bytes, exp_channels: int) -> np.ndarray:
                 raise ValueError("CPE without common_window: out of profile")
             info = _parse_ics_info(r)
             short = info["short"]
-            ms = r.u(2)
-            if ms != 0:
-                raise ValueError("M/S stereo: out of decode profile")
-            chans.append(_read_channel_stream(r, info))
-            chans.append(_read_channel_stream(r, info))
+            mp = r.u(2)
+            if mp == 3:
+                raise ValueError("reserved ms_mask_present value")
+            ms_used = None
+            if mp == 1:  # one group in the in-repo layout -> max_sfb bits
+                ms_used = [bool(r.u(1)) for _ in range(info["max_sfb"])]
+            elif mp == 2:
+                ms_used = [True] * info["max_sfb"]
+            c0 = _read_channel_stream(r, info)
+            c1 = _read_channel_stream(r, info)
+            if ms_used is not None:
+                # 4.6.8.1 butterfly on the dequantized spectra:
+                # l = m + s, r = m - s per chosen band, all windows
+                swb = SWB_OFFSETS_SHORT if short else SWB_OFFSETS
+                for b, used in enumerate(ms_used):
+                    if not used:
+                        continue
+                    lo, hi = swb[b], swb[b + 1]
+                    m = c0[:, lo:hi].copy()
+                    side = c1[:, lo:hi]
+                    c0[:, lo:hi] = m + side
+                    c1[:, lo:hi] = m - side
+            chans.append(c0)
+            chans.append(c1)
         elif ele == 6:  # FIL: skip
             cnt = r.u(4)
             if cnt == 15:

@@ -23,10 +23,13 @@ Scope and honesty (VERDICT r03 #6):
   audio_features contract.
 * In-profile since r6: MPEG-1 AND MPEG-2 LSF (576-sample single-granule
   frames, 9-bit scalefac_compress slen derivation), mono, stereo, and
-  M/S joint stereo (mode 1 / mode_ext 2, spectral butterfly). Decoder
-  limits (clear ValueError, never silent garbage): long blocks,
-  main_data_begin == 0, no scfsi reuse, no intensity stereo, no
-  MPEG-2.5 — exactly the streams this encoder emits.
+  M/S joint stereo (mode 1 / mode_ext 2, spectral butterfly). Since r7:
+  INTENSITY stereo (mode 1 / mode_ext 1) — high sfbs carry the band sum
+  on the left with tan-law is_pos panning indices in the right
+  channel's scalefactor slots (is_pos 7 = skip marker). Decoder limits
+  (clear ValueError, never silent garbage): long blocks,
+  main_data_begin == 0, no scfsi reuse, no combined M/S+intensity
+  (mode_ext 3), no MPEG-2.5 — exactly the streams this encoder emits.
 
 Encoder shape: per granule, one global_gain + per-band scalefactors
 (scalefac_compress=15 -> slen 4/3, scalefac_scale=1) quantize 576
@@ -273,11 +276,25 @@ class _BitReader:
 # ---------------------------------------------------------------- encoder
 _SQ2 = float(np.sqrt(0.5))
 
+# intensity-stereo position -> left-channel fraction kl (2.4.3.4.9.3):
+# ratio = tan(is_pos * pi/12), kl = ratio / (1 + ratio); is_pos 6 = all
+# left; is_pos 7 = the "illegal" marker decoders must skip
+_IS_KL = tuple(
+    math.tan(q * math.pi / 12) / (1.0 + math.tan(q * math.pi / 12))
+    for q in range(6)
+) + (1.0,)
+_IS_START = 14  # first long sfb the in-repo encoder codes as intensity
+
 
 def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
-           joint: bool = False) -> bytes:
+           joint: bool = False, intensity: bool = False) -> bytes:
     """Float [-1, 1] PCM -> Layer III stream. Mono (n,) or stereo (n, 2);
-    joint=True codes stereo as M/S (mode 1, mode_ext MS). MPEG-1 rates
+    joint=True codes stereo as M/S (mode 1, mode_ext MS); intensity=True
+    (r7) codes sfbs >= _IS_START as INTENSITY stereo (mode 1, mode_ext
+    1): the left channel carries the band sum, the right channel's
+    scalefactor slots carry the is_pos panning index, and zero-tail
+    bands not meant for intensity carry the is_pos 7 skip marker so the
+    decoder's region detection is exact. MPEG-1 rates
     emit 1152-sample 2-granule frames; LSF rates (22050/24000/16000)
     emit MPEG-2 576-sample single-granule frames. Quantization:
     per-granule global_gain + per-band scalefactors to |ix| <= 15;
@@ -293,6 +310,8 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
     else:
         raise ValueError("samples must be (n,) mono or (n, 2) stereo")
     nch = len(chans)
+    if joint and intensity:
+        raise ValueError("combined M/S + intensity is out of profile")
     if joint and nch == 2:  # M/S butterfly (decoder inverts)
         chans = [(chans[0] + chans[1]) * _SQ2, (chans[0] - chans[1]) * _SQ2]
     spf = 576 if lsf else FRAME            # samples per frame
@@ -306,6 +325,26 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
 
     widths = np.array(SFB_WIDTHS[rate])
     starts = np.concatenate([[0], np.cumsum(widths)])[:-1]
+    is_maps = None
+    if intensity and nch == 2:
+        # per-granule: replace high bands with (L + R) on the left and
+        # silence on the right; remember each band's is_pos
+        is_maps = []
+        for gi in range(len(specs[0])):
+            L, R = specs[0][gi], specs[1][gi]
+            pm = np.full(N_SFB, -1, int)
+            for b in range(_IS_START, N_SFB):
+                lo, hi = int(starts[b]), int(starts[b] + widths[b])
+                al = float(np.sqrt(np.sum(L[lo:hi] ** 2)))
+                ar = float(np.sqrt(np.sum(R[lo:hi] ** 2)))
+                if al + ar <= 0:
+                    pm[b] = 3
+                else:
+                    kl = al / (al + ar)
+                    pm[b] = min(range(7), key=lambda q: abs(kl - _IS_KL[q]))
+                L[lo:hi] = L[lo:hi] + R[lo:hi]
+                R[lo:hi] = 0.0
+            is_maps.append(pm)
     if lsf:
         sr_idx = LSF_SAMPLERATES.index(rate)
         frame_bytes = 72 * LSF_BITRATES[bitrate_idx] * 1000 // rate
@@ -325,11 +364,28 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
             for ch in range(nch):
                 xr = specs[ch][ngr * f + g]
                 gg, sfs, ix = _quantize_granule(xr, widths, starts)
+
+                def _is_override(sfs, ix):
+                    # right channel under intensity: scalefactor slots in
+                    # the zero tail carry is_pos (or the 7 skip marker)
+                    if is_maps is None or ch != 1:
+                        return sfs
+                    pm = is_maps[ngr * f + g]
+                    nzb = [b for b in range(N_SFB)
+                           if np.any(ix[starts[b]:starts[b] + widths[b]])]
+                    last = nzb[-1] if nzb else -1
+                    sfs = np.array(sfs, int).copy()
+                    for b in range(last + 1, N_SFB):
+                        sfs[b] = pm[b] if pm[b] >= 0 else 7
+                    return sfs
+
+                sfs = _is_override(sfs, ix)
                 payload, big_values = _encode_granule_bits(sfs, ix)
                 while payload.bit_length() > budget_bits // n_chunks and gg < 251:
                     gg += 4
                     gg, sfs, ix = _quantize_granule(xr, widths, starts,
                                                     force_gg=gg)
+                    sfs = _is_override(sfs, ix)
                     payload, big_values = _encode_granule_bits(sfs, ix)
                 payloads.append(payload)
                 side.append((payload.bit_length(), big_values, gg))
@@ -350,6 +406,9 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
         elif joint:
             w.write(1, 2)  # mode: joint stereo
             w.write(2, 2)  # mode_ext: M/S on, intensity off
+        elif intensity:
+            w.write(1, 2)  # mode: joint stereo
+            w.write(1, 2)  # mode_ext: intensity on, M/S off
         else:
             w.write(0, 2)  # mode: stereo
             w.write(0, 2)
@@ -644,13 +703,16 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
             raise ValueError("MPEG-2.5 decode is not supported")
         lsf = ver == 2
         ms = False
+        is_flag = False
         if mode == 3:
             fch = 1
         elif mode in (0, 2):
             fch = 2  # stereo / dual channel: independent L, R
         else:  # joint stereo
-            if mode_ext & 1:
-                raise ValueError("intensity stereo: out of decode profile")
+            if mode_ext == 3:
+                raise ValueError(
+                    "combined M/S + intensity: out of decode profile")
+            is_flag = bool(mode_ext & 1)
             ms = bool(mode_ext & 2)
             fch = 2
         if nch is None:
@@ -703,10 +765,29 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
             gain = np.ones(576)
             for b in range(N_SFB):
                 gain[starts[b] : starts[b] + widths[b]] = 2.0 ** sfs[b]
-            frame_spec.append(np.sign(ix) * (np.abs(ix) ** (4.0 / 3.0)) * A / gain)
+            req = np.sign(ix) * (np.abs(ix) ** (4.0 / 3.0)) * A / gain
+            frame_spec.append((req, sfs))
         # frame_spec order: for g: for ch
         for g in range(ngr):
-            chs = frame_spec[g * nch:(g + 1) * nch]
+            chs = [fs[0] for fs in frame_spec[g * nch:(g + 1) * nch]]
+            if is_flag:
+                # intensity region (2.4.3.4.9.3): every band past the
+                # right channel's last nonzero coefficient; the right
+                # scalefactor slot is the is_pos index, 7 = skip
+                left, right = chs
+                rsfs = frame_spec[g * nch + 1][1]
+                nzb = [b for b in range(N_SFB)
+                       if np.any(right[starts[b]:starts[b] + widths[b]])]
+                last = nzb[-1] if nzb else -1
+                for b in range(last + 1, N_SFB):
+                    p_ = int(rsfs[b])
+                    if p_ >= 7:
+                        continue
+                    band = slice(int(starts[b]),
+                                 int(starts[b] + widths[b]))
+                    kl = _IS_KL[p_]
+                    right[band] = left[band] * (1.0 - kl)
+                    left[band] = left[band] * kl
             if ms:  # M/S butterfly on the requantized spectra
                 m, s = chs
                 chs = [(m + s) * _SQ2, (m - s) * _SQ2]

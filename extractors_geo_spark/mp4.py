@@ -569,17 +569,19 @@ def _mp4_descriptor(tag: int, payload: bytes) -> bytes:
                   0x80 | ((ln >> 7) & 0x7F), ln & 0x7F]) + payload
 
 
-def write_aac_mp4(pcm, rate: int = 48000, short: bool = False) -> bytes:
+def write_aac_mp4(pcm, rate: int = 48000, short: bool = False,
+                  ms: bool = False) -> bytes:
     """Float64 PCM — (n,) mono SCE or (n, 2) stereo CPE — -> single-track
     'mp4a' MP4 whose samples are AAC-LC access units (..aac.encode;
-    short=True codes EIGHT_SHORT windows) and whose esds box carries the
-    real AudioSpecificConfig. In-repo canonical Huffman (see ..aac
+    short=True codes EIGHT_SHORT windows, ms=True per-band MID/SIDE
+    stereo, r7) and whose esds box carries the real
+    AudioSpecificConfig. In-repo canonical Huffman (see ..aac
     docstring): round trips through read_audio_track, not ffmpeg."""
     from . import aac as _aac
 
     arr = np.asarray(pcm)
     channels = 1 if arr.ndim == 1 else arr.shape[1]
-    asc, aus = _aac.encode(pcm, rate, short=short)
+    asc, aus = _aac.encode(pcm, rate, short=short, ms=ms)
     n_aus = len(aus)
     payload = b"".join(aus)
     dur = n_aus * _aac.FRAME

