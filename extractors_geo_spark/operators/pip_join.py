@@ -110,6 +110,8 @@ def pip_join(
     exact: bool | str = "auto",
     salt: int | None = None,
     poly_cells_hint: int | None = None,
+    cell_stats: dict | None = None,
+    poly_stats: dict | None = None,
 ) -> DataFrame:
     """Return one row per (point, containing polygon).
 
@@ -120,9 +122,20 @@ def pip_join(
     `salt` (partitioned path only) spreads each hot cell over `salt`
     shuffle keys; the polygon side is duplicated per salt value, the point
     side picks pmod(phash-or-hash, salt). `poly_cells_hint` (expected
-    exploded polygon-cell rows) skips the broadcast-probe job entirely."""
+    exploded polygon-cell rows) skips the broadcast-probe job entirely.
+
+    `cell_stats` / `poly_stats` (r7): ingest-time stats from
+    plans.stats.stored_cell_stats / stored_poly_stats. With both
+    provided, EVERY planner decision (exact, broadcast, salt) is a
+    driver-side lookup — the plan builds with zero probe jobs; the
+    probes remain the fallback for stat-less inputs."""
     from ..plans import planner
 
+    if poly_stats is not None:
+        if exact == "auto":
+            exact = not poly_stats["all_rect"]
+        if poly_cells_hint is None:
+            poly_cells_hint = poly_stats["poly_cells"]
     if exact == "auto":
         exact = not planner.all_rectangles(polygons)
     pts = tag_point_cells(points.select(*point_cols, lon, lat), lon, lat, res)
@@ -135,6 +148,11 @@ def pip_join(
         # poly_cells_hint (expected EXPLODED polygon-cell row count) makes
         # the decision free; otherwise a bounded count probes it
         broadcast_polys = planner.should_broadcast(pcs, size_hint=poly_cells_hint)
+    if (salt is None and not broadcast_polys and cell_stats is not None
+            and cell_stats.get("max_cell_n")):
+        # stored hottest-cell bound -> salt factor with no probe job
+        s_ = planner.salt_factor(None, max_hint=cell_stats["max_cell_n"])
+        salt = s_ if s_ > 1 else None
 
     if broadcast_polys:
         joined = pts.join(F.broadcast(pcs), "cell")

@@ -68,12 +68,19 @@ def all_rectangles(polygons: DataFrame) -> bool:
     return polygons.filter(~is_rect).limit(1).count() == 0
 
 
-def salt_factor(density: DataFrame, target_rows_per_task: int = 2_000_000) -> int:
-    """From a per-cell density table (cells.cell_density output), pick a
-    salt factor that caps the hottest cell at ~target rows per task."""
-    row = density.agg(F.max("n").alias("mx")).collect()[0]
-    mx = row["mx"] or 0
-    return max(1, int((mx + target_rows_per_task - 1) // target_rows_per_task))
+def salt_factor(density: DataFrame | None,
+                target_rows_per_task: int = 2_000_000,
+                max_hint: int | None = None) -> int:
+    """Pick a salt factor that caps the hottest cell at ~target rows per
+    task. `max_hint` (the hottest-cell count, e.g. from
+    plans.stats.stored_cell_stats) makes the decision pure arithmetic —
+    ZERO Spark jobs; otherwise one aggregation over the per-cell density
+    table (cells.cell_density output) probes it (r7, VERDICT r06 #5)."""
+    if max_hint is None:
+        row = density.agg(F.max("n").alias("mx")).collect()[0]
+        max_hint = row["mx"] or 0
+    return max(1, int((max_hint + target_rows_per_task - 1)
+                      // target_rows_per_task))
 
 
 def split_hot_cells(
