@@ -1494,10 +1494,14 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 pred = np.zeros((16, 16), np.int32)
                 mvds = []
                 cparts = []
-                for (ox, oy), (mvp_i, mv_i, pred_i) in zip(_P8_GEOM, chosen8):
-                    pred[oy:oy + 8, ox:ox + 8] = pred_i
-                    mvds.append((mv_i[0] - mvp_i[0], mv_i[1] - mvp_i[1]))
-                    cparts.append((ox, oy, 8, 8, mv_i))
+                for (ox8, oy8), (st8, sparts) in zip(_P8_GEOM, chosen8):
+                    for (ox, oy, w_, h_), (mvp_i, mv_i, pred_i) in zip(
+                            _P_SUB_GEOM[st8], sparts):
+                        gx, gy = ox8 + ox, oy8 + oy
+                        pred[gy:gy + h_, gx:gx + w_] = pred_i
+                        mvds.append((mv_i[0] - mvp_i[0],
+                                     mv_i[1] - mvp_i[1]))
+                        cparts.append((gx, gy, w_, h_, mv_i))
                 cpred = cmc(None, cparts)
             elif chosen:
                 ptype, parts = chosen
@@ -1533,8 +1537,8 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             pending_skips = 0
             bw.ue(mb_type_code)
             if chosen8:
-                for _ in range(4):
-                    bw.ue(0)  # sub_mb_type: P_L0_8x8 (one 8x8 partition)
+                for st8, _sp in chosen8:
+                    bw.ue(st8)  # sub_mb_type per 8x8 (7.4.5.2)
             for dx_, dy_ in mvds:
                 bw.se(dx_)
                 bw.se(dy_)
@@ -1556,9 +1560,12 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
             if chosen8:
-                for (ox, oy), (_mvp_i, mv_i, _p) in zip(_P8_GEOM, chosen8):
-                    mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
-                                 2, 2, mv_i, 0)
+                for (ox8, oy8), (st8, sparts) in zip(_P8_GEOM, chosen8):
+                    for (ox, oy, w_, h_), (_mvp_i, mv_i, _p) in zip(
+                            _P_SUB_GEOM[st8], sparts):
+                        mvs.set_rect(mx * 4 + (ox8 + ox) // 4,
+                                     my * 4 + (oy8 + oy) // 4,
+                                     w_ // 4, h_ // 4, mv_i, 0)
             elif chosen:
                 ptype, parts = chosen
                 for (ox, oy, w, h), (_mvp_i, mv_i, _p) in zip(
@@ -1978,22 +1985,60 @@ def _eval_partitions(mvs, ref_full, smb, mx, my, search):
 # 8x8 sub-partition origins (x, y) in raster order for P_8x8
 _P8_GEOM = ((0, 0), (8, 0), (0, 8), (8, 8))
 
+# sub_mb_type -> sub-partition rects (x, y, w, h) inside the 8x8 (7.4.5.2:
+# 0 = P_L0_8x8, 1 = P_L0_8x4, 2 = P_L0_4x8, 3 = P_L0_4x4)
+_P_SUB_GEOM = {
+    0: ((0, 0, 8, 8),),
+    1: ((0, 0, 8, 4), (0, 4, 8, 4)),
+    2: ((0, 0, 4, 8), (4, 0, 4, 8)),
+    3: ((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4)),
+}
+# finer shapes carry more mvd bits: they must beat 8x8 by these margins
+_P_SUB_GATE = {1: 0.85, 2: 0.85, 3: 0.70}
+
 
 def _eval_p8x8(mvs, ref_full, smb, mx, my, search):
-    """Try P_8x8 with one 8x8 partition per sub-macroblock (progressive
-    commits for decoder-identical predictors, state restored). Returns
-    (total_sad, parts) with parts = [(mvp, mv, pred), ...] raster."""
+    """Try P_8x8 picking, per 8x8 sub-macroblock, the best of
+    {8x8, 8x4, 4x8, 4x4} (r7: real sub-partitions) with progressive
+    commits so every predictor matches the decoder's state. Returns
+    (total_sad, parts); parts = [(sub_mb_type, [(mvp, mv, pred), ...])
+    per 8x8 in raster order]."""
     save_mv = mvs.mv[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
     save_ref = mvs.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
     tot, parts = 0, []
-    for idx, (ox, oy) in enumerate(_P8_GEOM):
-        mvp_i = mvs.mvp_8x8(mx, my, idx)
-        sad_i, mv_i, pred_i = _search_block(
-            ref_full, smb[oy:oy + 8, ox:ox + 8],
-            mx * 16 + ox, my * 16 + oy, mvp_i, search)
-        parts.append((mvp_i, mv_i, pred_i))
-        tot += sad_i
-        mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, 2, 2, mv_i, 0)
+    for (ox8, oy8) in _P8_GEOM:
+        cand = {}
+        for st, rects in _P_SUB_GEOM.items():
+            in_mv = mvs.mv[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
+            in_ref = mvs.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
+            stot, sparts = 0, []
+            for (ox, oy, w, h) in rects:
+                gx, gy = ox8 + ox, oy8 + oy
+                mvp_i = mvs.mvp_sub(mx * 4 + gx // 4, my * 4 + gy // 4,
+                                    w // 4)
+                sad_i, mv_i, pred_i = _search_block(
+                    ref_full, smb[gy:gy + h, gx:gx + w],
+                    mx * 16 + gx, my * 16 + gy, mvp_i, search)
+                sparts.append((mvp_i, mv_i, pred_i))
+                stot += sad_i
+                mvs.set_rect(mx * 4 + gx // 4, my * 4 + gy // 4,
+                             w // 4, h // 4, mv_i, 0)
+            cand[st] = (stot, sparts)
+            mvs.mv[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = in_mv
+            mvs.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = in_ref
+        base = cand[0][0]
+        best_st = 0
+        for st in (1, 2, 3):
+            if cand[st][0] < _P_SUB_GATE[st] * base and                     cand[st][0] < cand[best_st][0]:
+                best_st = st
+        stot, sparts = cand[best_st]
+        # commit the chosen shape so the NEXT 8x8's predictors see it
+        for (ox, oy, w, h), (_mvp_i, mv_i, _p) in zip(
+                _P_SUB_GEOM[best_st], sparts):
+            mvs.set_rect(mx * 4 + (ox8 + ox) // 4,
+                         my * 4 + (oy8 + oy) // 4, w // 4, h // 4, mv_i, 0)
+        parts.append((best_st, sparts))
+        tot += stot
     mvs.mv[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = save_mv
     mvs.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = save_ref
     return tot, parts
@@ -2145,15 +2190,16 @@ class _MvState:
             return present[0]
         return _median_mv([a, b, c])
 
-    def mvp_8x8(self, mbx: int, mby: int, idx: int) -> tuple[int, int]:
-        """Generic median predictor for the idx-th (raster) 8x8 partition
-        (8.4.1.3 has no directional special case for 8x8). Call AFTER
-        earlier sub-partitions of the same MB were committed."""
-        px = mbx * 4 + (idx % 2) * 2
-        py = mby * 4 + (idx // 2) * 2
+    def mvp_sub(self, px: int, py: int, w4: int) -> tuple[int, int]:
+        """Median predictor for a partition whose top-left 4x4 block is
+        (px, py) with width w4 blocks (8.4.1.3: no directional special
+        case below the MB-partition level — covers 8x8 and the r7
+        sub-8x8 shapes). Call in sub-partition scan order: earlier
+        sub-partitions are already committed, so the predictor matches
+        the decoder's state exactly."""
         a = self.at(px - 1, py)
         b = self.at(px, py - 1)
-        c = self.at(px + 2, py - 1)
+        c = self.at(px + w4, py - 1)
         if c is None:
             c = self.at(px - 1, py - 1)  # D fallback
         if b is None and c is None and a is not None:
@@ -2162,6 +2208,10 @@ class _MvState:
         if len(present) == 1:
             return present[0]
         return _median_mv([a, b, c])
+
+    def mvp_8x8(self, mbx: int, mby: int, idx: int) -> tuple[int, int]:
+        return self.mvp_sub(mbx * 4 + (idx % 2) * 2,
+                            mby * 4 + (idx // 2) * 2, 2)
 
     def set_rect(self, bx: int, by: int, w4: int, h4: int, mv, ref: int):
         """Commit MVs for a sub-MB rectangle (4x4-block units)."""
@@ -2721,26 +2771,32 @@ def _decode_mb_p_part(r, mb_type, plane, ref, mx, my, qp, nnz, cc,
 
 
 def _decode_mb_p8x8(r, plane, ref, mx, my, qp, nnz, cc, modes, mvs):
-    """P_8x8 / P_8x8ref0 (mb_type 3 / 4) with one 8x8 partition per
-    sub-macroblock (sub_mb_type 0); the finer 8x4/4x8/4x4 shapes stay
-    out of profile."""
+    """P_8x8 / P_8x8ref0 (mb_type 3 / 4): per 8x8 sub-macroblock any of
+    the sub_mb_type shapes 8x8 / 8x4 / 4x8 / 4x4 (r7 — one mvd per
+    sub-partition, median predictors at sub-block granularity)."""
+    sts = []
     for _ in range(4):
-        if r.ue() != 0:
-            raise ValueError(
-                "P sub-8x8 partitions (8x4/4x8/4x4): out of decode scope")
+        st = r.ue()
+        if st > 3:
+            raise ValueError("bad P sub_mb_type")
+        sts.append(st)
     pred = np.zeros((16, 16), np.int32)
     cpred = np.zeros((2, 8, 8), np.int32)
-    for idx, (ox, oy) in enumerate(_P8_GEOM):
-        mvp = mvs.mvp_8x8(mx, my, idx)
-        mvd = (r.se(), r.se())
-        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-        pred[oy:oy + 8, ox:ox + 8] = _interp_luma(
-            ref, mx * 16 + ox, my * 16 + oy, mv[0], mv[1], 8, 8)
-        for ci in range(2):
-            cpred[ci, oy // 2:oy // 2 + 4, ox // 2:ox // 2 + 4] = \
-                _interp_chroma(cc.ref[ci], mx * 8 + ox // 2,
-                               my * 8 + oy // 2, mv[0], mv[1], 4, 4)
-        mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, 2, 2, mv, 0)
+    for (ox8, oy8), st in zip(_P8_GEOM, sts):
+        for (ox, oy, w, h) in _P_SUB_GEOM[st]:
+            gx, gy = ox8 + ox, oy8 + oy
+            mvp = mvs.mvp_sub(mx * 4 + gx // 4, my * 4 + gy // 4, w // 4)
+            mvd = (r.se(), r.se())
+            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            pred[gy:gy + h, gx:gx + w] = _interp_luma(
+                ref, mx * 16 + gx, my * 16 + gy, mv[0], mv[1], w, h)
+            for ci in range(2):
+                cpred[ci, gy // 2:(gy + h) // 2, gx // 2:(gx + w) // 2] = \
+                    _interp_chroma(cc.ref[ci], mx * 8 + gx // 2,
+                                   my * 8 + gy // 2, mv[0], mv[1],
+                                   w // 2, h // 2)
+            mvs.set_rect(mx * 4 + gx // 4, my * 4 + gy // 4,
+                         w // 4, h // 4, mv, 0)
     return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
 
 
@@ -3138,8 +3194,9 @@ def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
     `ref2`/`cref2` = the future reference). 4:2:0 chroma reconstructs
     for real since r7 (intra DC/H/V prediction, 2x2 Hadamard DC + AC
     residual, eighth-pel bilinear MC). CABAC slice data decodes via
-    h264_cabac (in-repo-profile streams, r6). Out-of-profile features
-    (sub-8x8 P partitions, partitioned-B types, high-profile tools)
+    h264_cabac (in-repo-profile streams, r6). P_8x8 decodes every
+    sub_mb_type shape (8x8/8x4/4x8/4x4, r7). Out-of-profile features
+    (partitioned-B types, temporal direct, high-profile tools)
     raise ValueError — the documented well-formed-unsupported
     stub path in sample_frames."""
     sps, pps = _avcc_param_sets(avcc)

@@ -27,10 +27,10 @@ trips are bit-exact by construction — decode == encoder recon is the
 machine-checked gate (tests/test_h264_cabac.py) — but bit-exact ISO
 cross-decode of foreign encoders' streams is NOT claimed. Profile
 boundaries that raise ValueError (the well-formed-unsupported contract):
-I_PCM-in-CABAC, sub-8x8 P
-partitions (8x4/4x8/4x4), partitioned B types, temporal direct. IN
+I_PCM-in-CABAC, partitioned B types, temporal direct. IN
 profile since r6: 16x8 / 8x16 / 8x8 P partitions (Table 9-37 tree +
-sub_mb_type, per-partition mvds) and B slices — B_SKIP + spatial B_Direct_16x16 (simplified
+sub_mb_type, per-partition mvds; since r7 ALL P sub_mb_type shapes
+8x8/8x4/4x8/4x4 via the Table 9-38 tree) and B slices — B_SKIP + spatial B_Direct_16x16 (simplified
 8.4.1.2.2 derivation, see h264._b_direct_mvs) and B_L0/B_L1/B_Bi
 16x16 via the Table 9-37 B tree with the '111101' intra escape, two
 mvd lists, bi-prediction. IN profile since r7: 4:2:0 chroma residuals
@@ -96,7 +96,7 @@ def _alloc():
         ("mb_skip", 3),      # bin0 inc 0..2 from neighbor skip state
         ("mbt_p", 3),        # P mb_type prefix bins b0 b1 b2
         ("mb_skip_b", 3),    # B mb_skip_flag (own block, ctx 24..26)
-        ("sub_mbt_p", 1),    # P sub_mb_type first bin ('1' = P_L0_8x8)
+        ("sub_mbt_p", 3),    # P sub_mb_type tree bins (Table 9-38)
         ("mbt_b", 6),        # B mb_type tree bins (Table 9-37)
         ("mvd_x", 7),        # bin0 inc 0..2 + TU bins 3..6
         ("mvd_y", 7),
@@ -903,11 +903,14 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             if chosen8:
                 pred = np.zeros((16, 16), np.int32)
                 mvds = []
-                for (ox, oy), (mvp_i, mv_i, pred_i) in zip(H._P8_GEOM,
-                                                           chosen8):
-                    pred[oy:oy + 8, ox:ox + 8] = pred_i
-                    mvds.append((mv_i[0] - mvp_i[0], mv_i[1] - mvp_i[1]))
-                    _cpart(ox, oy, 8, 8, mv_i)
+                for (ox8, oy8), (st8, sparts) in zip(H._P8_GEOM, chosen8):
+                    for (ox, oy, w_, h_), (mvp_i, mv_i, pred_i) in zip(
+                            H._P_SUB_GEOM[st8], sparts):
+                        gx, gy = ox8 + ox, oy8 + oy
+                        pred[gy:gy + h_, gx:gx + w_] = pred_i
+                        mvds.append((mv_i[0] - mvp_i[0],
+                                     mv_i[1] - mvp_i[1]))
+                        _cpart(gx, gy, w_, h_, mv_i)
             elif chosen:
                 ptype, parts = chosen
                 pred = np.zeros((16, 16), np.int32)
@@ -939,8 +942,8 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             if chosen8:
                 enc.decision(ctx, _OFS["mbt_p"] + 1, 0)
                 enc.decision(ctx, _OFS["mbt_p"] + 2, 1)
-                for _ in range(4):
-                    enc.decision(ctx, _OFS["sub_mbt_p"], 1)
+                for st8, _sp in chosen8:
+                    _enc_p_sub_type(enc, ctx, st8)
             elif chosen:
                 enc.decision(ctx, _OFS["mbt_p"] + 1, 1)
                 enc.decision(ctx, _OFS["mbt_p"] + 2, 1 if ptype == "16x8" else 0)
@@ -978,9 +981,12 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
             if chosen8:
-                for (ox, oy), (_mvp_i, mv_i, _p) in zip(H._P8_GEOM, chosen8):
-                    mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
-                                 2, 2, mv_i, 0)
+                for (ox8, oy8), (st8, sparts) in zip(H._P8_GEOM, chosen8):
+                    for (ox, oy, w_, h_), (_mvp_i, mv_i, _p) in zip(
+                            H._P_SUB_GEOM[st8], sparts):
+                        mvs.set_rect(mx * 4 + (ox8 + ox) // 4,
+                                     my * 4 + (oy8 + oy) // 4,
+                                     w_ // 4, h_ // 4, mv_i, 0)
             elif chosen:
                 for (ox, oy, w, h), (_mvp_i, mv_i, _p) in zip(
                         H._PART_GEOM[ptype], parts):
@@ -1042,6 +1048,30 @@ def _dec_b_mb_type(dec, ctx):
     if bits == (1, 1, 0, 1):
         return "intra"
     raise ValueError("B partitioned mb_type: out of decode scope")
+
+
+def _enc_p_sub_type(enc, ctx, st):
+    """Table 9-38 P sub_mb_type: '1' 8x8, '00' 8x4, '011' 4x8,
+    '010' 4x4."""
+    base = _OFS["sub_mbt_p"]
+    if st == 0:
+        enc.decision(ctx, base, 1)
+        return
+    enc.decision(ctx, base, 0)
+    if st == 1:
+        enc.decision(ctx, base + 1, 0)
+        return
+    enc.decision(ctx, base + 1, 1)
+    enc.decision(ctx, base + 2, 1 if st == 2 else 0)
+
+
+def _dec_p_sub_type(dec, ctx):
+    base = _OFS["sub_mbt_p"]
+    if dec.decision(ctx, base):
+        return 0
+    if not dec.decision(ctx, base + 1):
+        return 1
+    return 2 if dec.decision(ctx, base + 2) else 3
 
 
 def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
@@ -1554,29 +1584,32 @@ def _dec_mb_b16(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz, modes,
 
 def _dec_mb_p8x8(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs,
                  cc):
-    """P_8x8 (CABAC): sub_mb_type bin '1' x4 = one 8x8 partition each;
-    finer sub-partitions raise."""
-    for _ in range(4):
-        if not dec.decision(ctx, _OFS["sub_mbt_p"]):
-            raise ValueError(
-                "P sub-8x8 partitions (8x4/4x8/4x4): out of decode scope")
+    """P_8x8 (CABAC): per 8x8 any sub_mb_type shape 8x8 / 8x4 / 4x8 /
+    4x4 (r7), one mvd per sub-partition."""
+    sts = [_dec_p_sub_type(dec, ctx) for _ in range(4)]
     pred = np.zeros((16, 16), np.int32)
     cpred = np.zeros((2, 8, 8), np.int32)
     asum = [0, 0]
-    for idx, (ox, oy) in enumerate(H._P8_GEOM):
-        mvp = mvs.mvp_8x8(mx, my, idx)
-        mvd = (_dec_mvd(dec, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0)),
-               _dec_mvd(dec, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1)))
-        asum[0] += abs(mvd[0])
-        asum[1] += abs(mvd[1])
-        mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-        pred[oy:oy + 8, ox:ox + 8] = H._interp_luma(
-            ref, mx * 16 + ox, my * 16 + oy, mv[0], mv[1], 8, 8)
-        for ci in range(2):
-            cpred[ci, oy // 2:oy // 2 + 4, ox // 2:ox // 2 + 4] = \
-                H._interp_chroma(cc.ref[ci], mx * 8 + ox // 2,
-                                 my * 8 + oy // 2, mv[0], mv[1], 4, 4)
-        mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, 2, 2, mv, 0)
+    for (ox8, oy8), st8 in zip(H._P8_GEOM, sts):
+        for (ox, oy, w, h) in H._P_SUB_GEOM[st8]:
+            gx, gy = ox8 + ox, oy8 + oy
+            mvp = mvs.mvp_sub(mx * 4 + gx // 4, my * 4 + gy // 4, w // 4)
+            mvd = (_dec_mvd(dec, ctx, _OFS["mvd_x"],
+                            st.mvd_inc_sum(mx, my, 0)),
+                   _dec_mvd(dec, ctx, _OFS["mvd_y"],
+                            st.mvd_inc_sum(mx, my, 1)))
+            asum[0] += abs(mvd[0])
+            asum[1] += abs(mvd[1])
+            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            pred[gy:gy + h, gx:gx + w] = H._interp_luma(
+                ref, mx * 16 + gx, my * 16 + gy, mv[0], mv[1], w, h)
+            for ci in range(2):
+                cpred[ci, gy // 2:(gy + h) // 2, gx // 2:(gx + w) // 2] = \
+                    H._interp_chroma(cc.ref[ci], mx * 8 + gx // 2,
+                                     my * 8 + gy // 2, mv[0], mv[1],
+                                     w // 2, h // 2)
+            mvs.set_rect(mx * 4 + gx // 4, my * 4 + gy // 4,
+                         w // 4, h // 4, mv, 0)
     st.mvd[my, mx] = tuple(asum)
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
                        cc, cpred)

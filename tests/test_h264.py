@@ -629,3 +629,83 @@ def test_poc_msb_wrap_derivation():
     assert h264._poc_msb(4, 0, 8, 16) == 0
     # reference past a wrap, current before it: msb steps back
     assert h264._poc_msb(14, 16, 0, 16) == 0
+
+
+def test_p_sub8x8_partitions_roundtrip_both_entropy_modes():
+    """r7: P_8x8 sub-partitions (8x4 / 4x8 / 4x4) — frames with split
+    motion INSIDE 8x8 regions force the finer shapes; decode == recon
+    bit-exact in both entropy modes, and at least one nonzero
+    sub_mb_type is actually chosen (spied on _eval_p8x8's output)."""
+    rng = np.random.default_rng(23)
+    # low-contrast texture: a single-MV 16x16 prediction lands BETWEEN
+    # the partition gate (6*256) and the intra-fallback gate (28*256),
+    # while the split-motion sub-shapes match exactly
+    base = rng.integers(108, 148, (48, 48)).astype(np.uint8)
+    frames = [base]
+    f1 = base.copy()
+    # opposite horizontal motion for the top/bottom 4 rows of each 8-row
+    # band: an 8x8 block whose halves move differently -> 8x4 wins
+    for y0 in range(0, 48, 8):
+        f1[y0:y0 + 4] = np.roll(base[y0:y0 + 4], 3, axis=1)
+        f1[y0 + 4:y0 + 8] = np.roll(base[y0 + 4:y0 + 8], -3, axis=1)
+    frames.append(f1)
+    f2 = base.copy()
+    for x0 in range(0, 48, 8):  # vertical split -> 4x8
+        f2[:, x0:x0 + 4] = np.roll(base[:, x0:x0 + 4], 3, axis=0)
+        f2[:, x0 + 4:x0 + 8] = np.roll(base[:, x0 + 4:x0 + 8], -3, axis=0)
+    frames.append(f2)
+    import struct
+
+    for cabac in (False, True):
+        if cabac:
+            from extractors_geo_spark import h264_cabac as C
+            enc_i, enc_p = C.encode_idr_cabac, C.encode_p_cabac
+        else:
+            enc_i, enc_p = h264.encode_idr_cavlc, h264.encode_p_cavlc
+        avcc = h264.build_avcc(48, 48, deblock_ctrl=True, cabac=cabac)
+        chosen_sts = []
+        orig = h264._eval_p8x8
+
+        def spy(*a, **k):
+            tot, parts = orig(*a, **k)
+            chosen_sts.extend(st for st, _ in parts)
+            return tot, parts
+
+        h264._eval_p8x8 = spy
+        try:
+            _, ref = enc_i(frames[0], qp=12, full_recon=True)
+            for fn, f in enumerate(frames[1:], 1):
+                prbsp, recon = enc_p(f, ref, qp=12, frame_num=fn)
+                nal = bytes([0x41]) + h264._ep_insert(prbsp)
+                d = h264.decode_sample(struct.pack(">I", len(nal)) + nal,
+                                       avcc, ref=ref, full_plane=True)
+                assert np.array_equal(d, recon), (cabac, fn)
+                ref = recon
+        finally:
+            h264._eval_p8x8 = orig
+        assert any(st != 0 for st in chosen_sts), \
+            (cabac, "no sub-8x8 shape ever chosen", chosen_sts)
+
+
+def test_mvp_sub_parity_random_gop():
+    """Property: random small-motion GOPs round-trip bit-exact with the
+    full sub-partition machinery enabled (any MVP asymmetry between the
+    encoder's progressive commits and the decoder desyncs instantly)."""
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, 250, (32, 48)).astype(np.uint8)
+    frames = [base]
+    for i in range(3):
+        f = frames[-1].copy()
+        # random per-quadrant jitter: a motion field that fractures MBs
+        for y0 in range(0, 32, 8):
+            for x0 in range(0, 48, 8):
+                dx = int(rng.integers(-2, 3))
+                f[y0:y0 + 8, x0:x0 + 8] = np.roll(
+                    frames[-1][y0:y0 + 8, x0:x0 + 8], dx, axis=1)
+        frames.append(f)
+    avcc, samples = h264.encode_frames(frames, qp=12, gop=len(frames))
+    out = h264.decode_samples(samples, avcc)
+    # recon parity is asserted sample-by-sample inside decode (desync
+    # raises); final frames must be reasonable reconstructions
+    for got, want in zip(out, frames):
+        assert float(np.abs(got.astype(int) - want.astype(int)).mean()) < 8.0
