@@ -552,8 +552,7 @@ def _pred_chroma8(cp: np.ndarray, cmx: int, cmy: int, mode: int,
                   al: bool, aa: bool) -> np.ndarray:
     """8.3.4: 8x8 chroma intra prediction on a half-res component plane.
     Modes: 0 DC (per-4x4-quadrant neighbour rules), 1 horizontal,
-    2 vertical. Mode 3 (plane) raises — the in-repo encoder never emits
-    it (documented boundary, same class as foreign-entropy payloads)."""
+    2 vertical, 3 plane (8.3.4.4, r7 — needs both neighbours)."""
     px, py = cmx * 8, cmy * 8
     L = cp[py:py + 8, px - 1].astype(np.int32) if al else None
     A = cp[py - 1, px:px + 8].astype(np.int32) if aa else None
@@ -587,9 +586,44 @@ def _pred_chroma8(cp: np.ndarray, cmx: int, cmy: int, mode: int,
         if not aa:
             raise ValueError("chroma V pred without above neighbour")
         p[:] = A
+    elif mode == 3:
+        if not (al and aa):
+            raise ValueError("chroma plane pred without both neighbours")
+        X = int(cp[py - 1, px - 1])
+        hh = sum((x + 1) * (int(A[4 + x])
+                            - (int(A[2 - x]) if 2 - x >= 0 else X))
+                 for x in range(4))
+        vv = sum((y + 1) * (int(L[4 + y])
+                            - (int(L[2 - y]) if 2 - y >= 0 else X))
+                 for y in range(4))
+        a = 16 * (int(L[7]) + int(A[7]))
+        b = (17 * hh + 16) >> 5
+        c = (17 * vv + 16) >> 5
+        yy, xx = np.mgrid[0:8, 0:8]
+        p[:] = np.clip((a + b * (xx - 3) + c * (yy - 3) + 16) >> 5, 0, 255)
     else:
-        raise ValueError("chroma plane prediction: out of decode profile")
+        raise ValueError(f"bad chroma pred mode {mode}")
     return p
+
+
+def _pick_chroma_mode(crec, csrc_mb, cmx, cmy, al, aa):
+    """Encoder chroma-mode decision (r7): best SSD over the available
+    modes {DC, H, V, plane}, DC-first tie-break so flat (gray) sources
+    keep emitting mode 0 and reproduce the earlier bitstreams."""
+    best = None
+    for mode in (0, 1, 2, 3):
+        if mode == 1 and not al:
+            continue
+        if mode == 2 and not aa:
+            continue
+        if mode == 3 and not (al and aa):
+            continue
+        pred = np.stack([_pred_chroma8(crec[ci], cmx, cmy, mode, al, aa)
+                         for ci in range(2)])
+        ssd = int(((csrc_mb.astype(np.int32) - pred) ** 2).sum())
+        if best is None or ssd < best[0]:
+            best = (ssd, mode, pred)
+    return best[1], best[2]
 
 
 def _interp_chroma(cref: np.ndarray, px: int, py: int, mvx: int, mvy: int,
@@ -1258,16 +1292,15 @@ def _encode_mb_i16(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs, ch):
     # the per-block 1/64 close the 256x Hadamard round-trip gain exactly)
     if np.count_nonzero(dc_lv) > max_coeffs:
         return False
-    # chroma: DC intra prediction + residual (r7); flat-128 sources
-    # quantize to cbpc 0 and reproduce the pre-r7 bitstream exactly
+    # chroma: best-mode intra prediction + residual (r7); flat-128
+    # sources pick DC with zero residual and reproduce the pre-r7 bits
     csrc, crec, nnz_c = ch
-    cpred = np.stack([_pred_chroma8(crec[ci], mx, my, 0, al, aa)
-                      for ci in range(2)])
     csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+    icp, cpred = _pick_chroma_mode(crec, csrc_mb, mx, my, al, aa)
     cbpc, comps = _encode_chroma_mb(csrc_mb, cpred, qp, intra=True)
     # mb_type: 1 + pred(2) + 4*cbp_chroma + 12*(cbp_luma != 0 -> 0)
     bw.ue(1 + 2 + 4 * cbpc)
-    bw.ue(0)   # intra_chroma_pred_mode: DC
+    bw.ue(icp)  # intra_chroma_pred_mode
     bw.se(0)   # mb_qp_delta (always present for I_16x16)
     nc = _nc_luma(nnz, mx * 4, my * 4)
     _encode_residual(bw, _scan16(dc_lv), nc)
@@ -1351,13 +1384,12 @@ def _encode_mb_i4(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs,
         else:
             bw.u(0, 1)
             bw.u(mode - (1 if mode > pm else 0), 3)
-    bw.ue(0)  # intra_chroma_pred_mode: DC
-    # chroma residual (r7): DC prediction from the recon plane; a flat
-    # source quantizes to cbpc 0, reproducing the pre-r7 bitstream
+    # chroma residual (r7): best-mode prediction from the recon plane;
+    # a flat source picks DC / cbpc 0, reproducing the pre-r7 bitstream
     csrc, crec, nnz_c = ch
-    cpred = np.stack([_pred_chroma8(crec[ci], mx, my, 0, mx > 0, my > 0)
-                      for ci in range(2)])
     csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+    icp, cpred = _pick_chroma_mode(crec, csrc_mb, mx, my, mx > 0, my > 0)
+    bw.ue(icp)  # intra_chroma_pred_mode
     cbpc, comps = _encode_chroma_mb(csrc_mb, cpred, qp, intra=True)
     bw.ue(_CBP_INTRA_INV[cbp | (cbpc << 4)])
     if cbp | cbpc:

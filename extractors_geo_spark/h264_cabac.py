@@ -35,8 +35,8 @@ sub_mb_type, per-partition mvds; since r7 ALL P sub_mb_type shapes
 16x16 via the Table 9-37 B tree with the '111101' intra escape, two
 mvd lists, bi-prediction. IN profile since r7: 4:2:0 chroma residuals
 (cbp_chroma bins, ChromaDC cat-3 2x2 Hadamard + ChromaAC cat-4 blocks,
-intra_chroma_pred_mode TU with DC/H/V prediction — chroma plane mode
-still raises).
+intra_chroma_pred_mode TU with full DC/H/V/plane prediction and a
+per-MB encoder mode search).
 
 Reference parity note: the reference (preview.geotiff/*) does no video at
 all — this is north-star surface (crawl-scale MP4 sampling), not
@@ -682,15 +682,15 @@ def _enc_mb_i16(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
              ).astype(np.int32)
     if np.count_nonzero(dc_lv) > max_coeffs:
         return False
-    # chroma (r7): DC intra prediction + residual; cbpc rides in mb_type
+    # chroma (r7): best-mode intra prediction + residual; cbpc rides in
+    # mb_type, the mode in the TU-binarized intra_chroma_pred_mode
     csrc, crec = ch
-    cpred = np.stack([H._pred_chroma8(crec[ci], mx, my, 0, mx > 0, my > 0)
-                      for ci in range(2)])
     csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+    icp, cpred = H._pick_chroma_mode(crec, csrc_mb, mx, my,
+                                     mx > 0, my > 0)
     cbpc, comps = H._encode_chroma_mb(csrc_mb, cpred, qp, intra=True)
     _enc_mb_type_i(enc, ctx, mbt_base, st.mbt_inc(mx, my), 1 + 2 + 4 * cbpc)
-    # intra_chroma_pred_mode = 0 (DC): single TU bin
-    enc.decision(ctx, _OFS["chroma_mode"], 0)
+    _enc_tu(enc, ctx, _OFS["chroma_mode"], (0, 3, 3), icp, 3)
     _enc_qp_delta(enc, ctx, st.prev_qp_nz, 0)
     st.prev_qp_nz = False
     scan = H._scan16(dc_lv)
@@ -771,12 +771,13 @@ def _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
             rem = mode - (1 if mode > pm else 0)
             for i in range(3):  # 3 FL bins, LSB first (9.3.2)
                 enc.decision(ctx, _OFS["rem_i4"], (rem >> i) & 1)
-    enc.decision(ctx, _OFS["chroma_mode"], 0)  # DC
-    # chroma residual (r7): computed before cbp so cbp_chroma is known
+    # chroma residual (r7): best-mode pred, computed before cbp so
+    # cbp_chroma is known; TU-binarized intra_chroma_pred_mode
     csrc, crec = ch
-    cpred = np.stack([H._pred_chroma8(crec[ci], mx, my, 0, mx > 0, my > 0)
-                      for ci in range(2)])
     csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+    icp, cpred = H._pick_chroma_mode(crec, csrc_mb, mx, my,
+                                     mx > 0, my > 0)
+    _enc_tu(enc, ctx, _OFS["chroma_mode"], (0, 3, 3), icp, 3)
     cbpc, comps = H._encode_chroma_mb(csrc_mb, cpred, qp, intra=True)
     # coded_block_pattern: 4 luma bins (8x8 raster) + chroma bins
     for blk8 in range(4):

@@ -68,9 +68,15 @@ def test_chroma_pred_modes():
     # DC with no neighbours is mid-grey
     p = H._pred_chroma8(plane, 0, 0, 0, False, False)
     assert np.all(p == 128)
-    # plane mode is a documented boundary
+    # plane mode (r7): an exact planar surface predicts itself
+    yy, xx = np.mgrid[0:16, 0:16]
+    ramp = (60 + 3 * xx + 2 * yy).astype(np.uint8)
+    p = H._pred_chroma8(ramp, 1, 1, 3, True, True)
+    want = ramp[8:16, 8:16].astype(np.int32)
+    assert np.abs(p - want).max() <= 2
+    # plane mode needs both neighbours
     with pytest.raises(ValueError):
-        H._pred_chroma8(plane, 1, 1, 3, True, True)
+        H._pred_chroma8(plane, 1, 0, 3, True, False)
 
 
 def test_chroma_mc_integer_and_fractional():
@@ -287,3 +293,42 @@ def test_color_deblock_decode_equals_recon(entropy):
     dy, dc = H.decode_sample(_one_sample(rb1, 0x41), avcc, ref=ry0,
                              cref=rc0, full_plane=True, with_chroma=True)
     assert np.array_equal(dy, ry1) and np.array_equal(dc, rc1)
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_chroma_mode_search_emits_nondc_and_roundtrips(entropy):
+    """r7: the encoder picks the best chroma intra mode per MB (DC/H/V/
+    plane). Planar chroma makes mode 3 win; the stream decodes == recon
+    and the non-DC mode is really in the bitstream (a DC-only decode
+    would mispredict)."""
+    h, w = 32, 48
+    y0 = ((np.mgrid[0:h, 0:w][1] * 5) % 230).astype(np.uint8)
+    cy, cx = np.mgrid[0:h // 2, 0:w // 2]
+    chroma = np.stack([(40 + 4 * cx + 3 * cy).astype(np.uint8),
+                       (200 - 3 * cx - 2 * cy).astype(np.uint8)])
+    if entropy == "cabac":
+        from extractors_geo_spark import h264_cabac as C
+        enc = C.encode_idr_cabac
+    else:
+        enc = H.encode_idr_cavlc
+    picked = []
+    orig = H._pick_chroma_mode
+
+    def spy(*a, **k):
+        icp, pred = orig(*a, **k)
+        picked.append(icp)
+        return icp, pred
+
+    H._pick_chroma_mode = spy
+    try:
+        rbsp, (ry, rc) = enc(y0, qp=10, chroma=chroma, full_recon=True)
+    finally:
+        H._pick_chroma_mode = orig
+    assert any(m != 0 for m in picked), picked
+    avcc = H.build_avcc(w, h, deblock_ctrl=True, cabac=entropy == "cabac")
+    dy, dc = H.decode_sample(_one_sample(rbsp), avcc, full_plane=True,
+                             with_chroma=True)
+    assert np.array_equal(dy, ry) and np.array_equal(dc, rc)
+    # planar chroma codes near-losslessly once the right mode is chosen
+    assert float(np.abs(dc[:, :h // 2, :w // 2].astype(int)
+                        - chroma.astype(int)).mean()) < 1.0
