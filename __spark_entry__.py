@@ -2136,7 +2136,8 @@ def q_aac_features(spark, sf_dir):
     sine clips AAC-encoded into mp4a MP4s on executors with the in-repo
     codec (..aac), rotating mono-SCE / stereo-CPE x long / EIGHT_SHORT
     windows (i mod 4) with per-band MID/SIDE stereo on every other
-    stereo clip (r7), entropy-decoded back on the feature path
+    stereo clip and INTENSITY stereo on the i%8==7 leg (r7),
+    entropy-decoded back on the feature path
     (rows-only; ~60 dB SNR + WAV feature parity in tests/test_aac.py)."""
     import numpy as np
     import pandas as pd
@@ -2161,7 +2162,7 @@ def q_aac_features(spark, sf_dir):
                 rows.append({"audio_id": f"a{i}",
                              "bytes": _mp4.write_aac_mp4(
                                  sig, rate, short=bool(i % 2),
-                                 ms=i % 8 >= 6)})
+                                 ms=i % 8 == 6, intensity=i % 8 == 7)})
             yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
 
     from extractors_geo_spark.operators import multimodal as M

@@ -33,10 +33,12 @@ Scope and honesty (same contract as ..mp3, VERDICT r03 #6 / r04 #6):
   ONLY_LONG and EIGHT_SHORT window sequences (any
   scale_factor_grouping), codebooks 0..11, FIL skip. Since r7: MID/SIDE
   stereo (ms_mask_present 1 with per-band ms_used bits, or 2 = all
-  bands) — the mainstream-encoder default shape. Out of profile (clear
-  ValueError, never silent garbage): intensity stereo (codebooks
-  14/15), PNS (cb 13), LTP, START/STOP window sequences,
-  pulse/TNS/gain control, >2 channels — exactly the boundary the
+  bands) — the mainstream-encoder default shape — and INTENSITY stereo
+  (codebooks 15/14 = in/out of phase: right-channel high bands carry a
+  dpcm is_position instead of spectra; right = left * 0.5^(is_pos/4)).
+  Out of profile (clear ValueError, never silent garbage): PNS (cb 13),
+  LTP, START/STOP window sequences, pulse/TNS/gain control,
+  >2 channels, combined M/S+intensity — exactly the boundary the
   encoder never crosses.
 
 Scalefactor-band layouts: the LC long- and short-window swb_offset
@@ -257,13 +259,19 @@ def _book_for(maxabs: int) -> int:
 
 # ------------------------------------------------------------------ encoder
 def encode(pcm: np.ndarray, rate: int = 48000,
-           short: bool = False, ms: bool = False) -> tuple[bytes, list[bytes]]:
+           short: bool = False, ms: bool = False,
+           intensity: bool = False) -> tuple[bytes, list[bytes]]:
     """PCM in [-1, 1] -> (AudioSpecificConfig, raw AUs).
     Mono (n,) emits SCE elements; stereo (n, 2) emits CPE
     (common_window). ms=True (r7) enables per-band MID/SIDE stereo
     (4.6.8.1, ms_mask_present = 1): bands where the side energy is well
     below the mid energy carry M = (L+R)/2, S = (L-R)/2 instead of L/R
-    — the mainstream-encoder default for correlated channels. short=True
+    — the mainstream-encoder default for correlated channels.
+    intensity=True (r7) codes high bands of the RIGHT channel as
+    INTENSITY stereo (codebooks 15/14 = in/out of phase): no spectral
+    data, the scalefactor slot carries the dpcm is_position, and the
+    decoder rebuilds right = left * 0.5^(is_pos/4); ms and intensity
+    are mutually exclusive in-repo. short=True
     codes every frame as EIGHT_SHORT_SEQUENCE (8x128 grouped short
     windows)."""
     if rate not in FREQ_INDEX:
@@ -292,6 +300,31 @@ def encode(pcm: np.ndarray, rate: int = 48000,
             blocks = np.stack([padded[i * FRAME:i * FRAME + N]
                                for i in range(n_frames)])
             specs.append(mdct(blocks)[:, None, :] * 32768.0)
+    if ms and intensity:
+        raise ValueError("combined M/S + intensity is out of profile")
+    is_maps = None
+    if intensity and len(chans) == 2:
+        # high bands: right carries no spectrum; is_pos pans left->right
+        swb = SWB_OFFSETS_SHORT if short else SWB_OFFSETS
+        n_sfb = N_SFB_SHORT if short else N_SFB
+        is_start = n_sfb * 2 // 3
+        is_maps = []
+        for i in range(n_frames):
+            m = {}
+            for b in range(is_start, n_sfb):
+                lo, hi = swb[b], swb[b + 1]
+                L = specs[0][i][:, lo:hi]
+                R = specs[1][i][:, lo:hi]
+                al = float(np.sqrt(np.sum(L * L)))
+                ar = float(np.sqrt(np.sum(R * R)))
+                if al <= 1e-9:
+                    continue  # nothing to pan from: code normally
+                pos = int(np.clip(round(-4.0 * np.log2(max(ar, 1e-12)
+                                                       / al)), 0, 60))
+                phase = 15 if float(np.sum(L * R)) >= 0 else 14
+                m[b] = (pos, phase)
+                R[:, :] = 0.0  # right band carries no spectral data
+            is_maps.append(m)
     ms_masks = None
     if ms and len(chans) == 2:
         # per-band M/S decision + in-place substitution: channel 0
@@ -314,7 +347,8 @@ def encode(pcm: np.ndarray, rate: int = 48000,
                     specs[1][i][:, lo:hi] = side
             ms_masks.append(mask)
     aus = [_encode_au([s[i] for s in specs], short,
-                      ms_mask=None if ms_masks is None else ms_masks[i])
+                      ms_mask=None if ms_masks is None else ms_masks[i],
+                      is_map=None if is_maps is None else is_maps[i])
            for i in range(n_frames)]
     return _audio_specific_config(rate, len(chans)), aus
 
@@ -385,9 +419,18 @@ def _write_band(bw, cb, q):
 
 
 def _encode_au(chan_specs: list[np.ndarray], short: bool,
-               ms_mask: list | None = None) -> bytes:
+               ms_mask: list | None = None,
+               is_map: dict | None = None) -> bytes:
     bw = _BitWriter()
     qdata = [_quantize_channel(s, short) for s in chan_specs]
+    if is_map and len(chan_specs) == 2:
+        # right channel: intensity bands ride the section data as
+        # codebook 15/14 with the is_position in the scalefactor slot
+        _gg, groups = qdata[1]
+        for bands in groups:
+            for b, (pos, phase) in is_map.items():
+                bands[b] = {"cb": phase, "sf": None, "q": None,
+                            "is_pos": pos}
     if len(chan_specs) == 1:
         bw.u(0, 3)   # id_syn_ele SCE
         bw.u(0, 4)   # element_instance_tag
@@ -437,8 +480,17 @@ def _write_stream_tail(bw, gg, groups, short):
             b += ln
     prev = gg
     first = True
+    is_prev = 0  # intensity positions: own dpcm chain, init 0 (4.6.2)
     for bands in groups:
         for bd in bands:
+            if bd["cb"] in (14, 15):
+                d = bd["is_pos"] - is_prev
+                if not -60 <= d <= 60:
+                    raise ValueError("is_position delta out of range")
+                ln, code = _SF_ENC[d]
+                bw.u(code, ln)
+                is_prev = bd["is_pos"]
+                continue
             if bd["sf"] is None:
                 continue
             if first:
@@ -456,7 +508,7 @@ def _write_stream_tail(bw, gg, groups, short):
     bw.u(0, 1)   # gain_control_data_present
     for bands in groups:
         for bd in bands:
-            if bd["cb"] != 0:
+            if bd["cb"] not in (0, 14, 15):
                 _write_band(bw, bd["cb"], bd["q"])
 
 
@@ -521,11 +573,15 @@ def _parse_ics_info(r) -> dict:
             "wins_per_group": wins_per_group}
 
 
-def _read_channel_stream(r, info, gg=None) -> np.ndarray:
-    """individual_channel_stream -> (n_windows, bins). For the CPE
-    common_window layout ics_info was already parsed and global_gain
-    leads each channel stream (gg=None reads it); for SCE the caller
-    read global_gain before ics_info and passes it in."""
+def _read_channel_stream(r, info, gg=None, allow_intensity=False):
+    """individual_channel_stream -> (coeffs (n_windows, bins), is_bands).
+    For the CPE common_window layout ics_info was already parsed and
+    global_gain leads each channel stream (gg=None reads it); for SCE
+    the caller read global_gain before ics_info and passes it in.
+    allow_intensity (r7, CPE right channel only): codebooks 15/14 mark
+    intensity bands — no spectral data, the scalefactor slot carries a
+    dpcm is_position (own chain, init 0); is_bands maps band ->
+    (is_pos, phase_cb) per group for the caller's reconstruction."""
     short = info["short"]
     max_sfb = info["max_sfb"]
     swb = SWB_OFFSETS_SHORT if short else SWB_OFFSETS
@@ -555,18 +611,32 @@ def _read_channel_stream(r, info, gg=None) -> np.ndarray:
     # carried family means a foreign/desynced stream
     for cbs in sections:
         for cb in cbs:
-            if cb in (13, 14, 15):
-                raise ValueError("PNS/intensity stereo: out of profile")
+            if cb == 13:
+                raise ValueError("PNS: out of profile")
+            if cb in (14, 15) and not allow_intensity:
+                raise ValueError(
+                    "intensity stereo outside a CPE right channel")
             if cb == 12 or cb > 15:
                 raise ValueError("reserved spectral codebook")
-    # scale_factor_data
+    # scale_factor_data (+ intensity positions on their own dpcm chain)
     sfs = []  # per group list of per-band sf (None for cb 0)
+    is_bands = []  # per group: {band: (is_pos, phase_cb)}
     prev = gg
     first = True
+    is_prev = 0
     for cbs in sections:
         row = []
-        for cb in cbs:
+        is_row = {}
+        for b, cb in enumerate(cbs):
             if cb == 0:
+                row.append(None)
+                continue
+            if cb in (14, 15):
+                d = _read_code(r, _SF_DEC)
+                is_prev = is_prev + d
+                if not -120 <= is_prev <= 120:
+                    raise ValueError("is_position out of range")
+                is_row[b] = (is_prev, cb)
                 row.append(None)
                 continue
             if first:
@@ -582,6 +652,7 @@ def _read_channel_stream(r, info, gg=None) -> np.ndarray:
                 # mean a desynced/foreign stream, not data (ADVICE r5)
                 raise ValueError("scalefactor out of 0..255 range")
         sfs.append(row)
+        is_bands.append(is_row)
     if r.u(1):
         raise ValueError("pulse data: out of decode profile")
     if r.u(1):
@@ -596,13 +667,13 @@ def _read_channel_stream(r, info, gg=None) -> np.ndarray:
         for b in range(max_sfb):
             cb = sections[g][b]
             lo, hi = swb[b], swb[b + 1]
-            if cb == 0:
-                continue
+            if cb in (0, 14, 15):
+                continue  # no spectral data (zero / intensity)
             vals = _read_band(r, cb, wins * (hi - lo))
             deq = _dequant_band(np.asarray(vals, np.int64), sfs[g][b])
             coeffs[w0:w0 + wins, lo:hi] = deq.reshape(wins, hi - lo)
         w0 += wins
-    return coeffs
+    return coeffs, is_bands
 
 
 def _read_band(r, cb, n):
@@ -648,7 +719,8 @@ def _decode_au(au: bytes, exp_channels: int) -> np.ndarray:
             gg = r.u(8)  # SCE: global_gain precedes ics_info
             info = _parse_ics_info(r)
             short = info["short"]
-            chans.append(_read_channel_stream(r, info, gg=gg))
+            coeffs, _isb = _read_channel_stream(r, info, gg=gg)
+            chans.append(coeffs)
         elif ele == 1:  # CPE
             r.u(4)
             if not r.u(1):
@@ -663,8 +735,23 @@ def _decode_au(au: bytes, exp_channels: int) -> np.ndarray:
                 ms_used = [bool(r.u(1)) for _ in range(info["max_sfb"])]
             elif mp == 2:
                 ms_used = [True] * info["max_sfb"]
-            c0 = _read_channel_stream(r, info)
-            c1 = _read_channel_stream(r, info)
+            c0, _ = _read_channel_stream(r, info)
+            c1, is_bands = _read_channel_stream(r, info,
+                                                allow_intensity=True)
+            if is_bands and any(is_bands):
+                if ms_used is not None and any(ms_used):
+                    raise ValueError(
+                        "combined M/S + intensity: out of profile")
+                # 4.6.8.2: right = left * 0.5^(is_pos/4); cb 14 is the
+                # out-of-phase book (negated)
+                swb = SWB_OFFSETS_SHORT if short else SWB_OFFSETS
+                for is_row in is_bands:
+                    for b, (pos, cb) in is_row.items():
+                        lo, hi = swb[b], swb[b + 1]
+                        scale = 0.5 ** (pos / 4.0)
+                        if cb == 14:
+                            scale = -scale
+                        c1[:, lo:hi] = c0[:, lo:hi] * scale
             if ms_used is not None:
                 # 4.6.8.1 butterfly on the dequantized spectra:
                 # l = m + s, r = m - s per chosen band, all windows

@@ -29,7 +29,9 @@ Scope and honesty (VERDICT r03 #6):
   channel's scalefactor slots (is_pos 7 = skip marker). Decoder limits
   (clear ValueError, never silent garbage): long blocks,
   main_data_begin == 0, no scfsi reuse, no combined M/S+intensity
-  (mode_ext 3), no MPEG-2.5 — exactly the streams this encoder emits.
+  (mode_ext 3) — exactly the streams this encoder emits. MPEG-2.5
+  (quarter rates 8000/11025/12000, id bits 00) encodes and decodes
+  since r7, reusing the half-rate band layout (shared enc/dec).
 
 Encoder shape: per granule, one global_gain + per-band scalefactors
 (scalefac_compress=15 -> slen 4/3, scalefac_scale=1) quantize 576
@@ -55,6 +57,7 @@ BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
 LSF_BITRATES = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
 SAMPLERATES = (44100, 48000, 32000)
 LSF_SAMPLERATES = (22050, 24000, 16000)  # MPEG-2: half of the base rates
+MPEG25_SAMPLERATES = (11025, 12000, 8000)  # MPEG-2.5: quarter rates (r7)
 # long-block scalefactor band widths per sample rate (sum 576)
 SFB_WIDTHS = {
     44100: (4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10, 12, 16, 20, 24, 28, 34, 42, 50, 54, 76, 158),
@@ -66,6 +69,12 @@ SFB_WIDTHS = {
     24000: (6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 18, 22, 26, 32, 38, 46, 54, 62, 70, 76, 36),
     16000: (6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38, 46, 52, 60, 68, 58, 54),
 }
+# MPEG-2.5 quarter rates reuse the half-rate family's band layout —
+# in-repo simplification (the layout is shared encoder/decoder, so round
+# trips are exact regardless; same precedent as the AAC swb tables)
+SFB_WIDTHS[11025] = SFB_WIDTHS[22050]
+SFB_WIDTHS[12000] = SFB_WIDTHS[24000]
+SFB_WIDTHS[8000] = SFB_WIDTHS[16000]
 N_SFB = 21  # scalefactors transmitted for bands 0..20; band 21 uses sf=0
 # LSF scalefac_compress 399 -> slen (4,4,3,3) over band groups (6,5,5,5):
 # the same 15/15/7/7 caps as the MPEG-1 profile's slen 4/3 split
@@ -299,7 +308,8 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
     emit MPEG-2 576-sample single-granule frames. Quantization:
     per-granule global_gain + per-band scalefactors to |ix| <= 15;
     coarsens (gg += 4) until the granule fits the frame budget."""
-    lsf = rate in LSF_SAMPLERATES
+    m25 = rate in MPEG25_SAMPLERATES  # MPEG-2.5 (r7)
+    lsf = m25 or rate in LSF_SAMPLERATES
     if not lsf and rate not in SAMPLERATES:
         raise ValueError(f"unsupported sample rate {rate}")
     x = np.asarray(samples, np.float64)
@@ -346,7 +356,7 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
                 R[lo:hi] = 0.0
             is_maps.append(pm)
     if lsf:
-        sr_idx = LSF_SAMPLERATES.index(rate)
+        sr_idx = (MPEG25_SAMPLERATES if m25 else LSF_SAMPLERATES).index(rate)
         frame_bytes = 72 * LSF_BITRATES[bitrate_idx] * 1000 // rate
         side_bytes = 17 if nch == 2 else 9
     else:
@@ -393,7 +403,7 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
         w = _BitWriter()
         # header: sync(11) id(2) layer(2)=1 no-crc(1)=1
         w.write(0x7FF, 11)
-        w.write(2 if lsf else 3, 2)
+        w.write(0 if m25 else (2 if lsf else 3), 2)  # id: 2.5 / 2 / 1
         w.write(1, 2)
         w.write(1, 1)
         w.write(bitrate_idx, 4)
@@ -699,9 +709,7 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
             pos += 1
             continue
         ver, _layer, _bitrate, r, _pad, mode, mode_ext, flen = h
-        if ver not in (2, 3):
-            raise ValueError("MPEG-2.5 decode is not supported")
-        lsf = ver == 2
+        lsf = ver in (0, 2)  # MPEG-2 and MPEG-2.5 (r7) share the layout
         ms = False
         is_flag = False
         if mode == 3:

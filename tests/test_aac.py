@@ -341,3 +341,43 @@ def test_ms_stereo_wav_feature_parity(spark):
     df = spark.createDataFrame([("ms", aac_bytes)], ["audio_id", "bytes"])
     out = MM.audio_features(df, fake=False).collect()
     assert len(out) == 1 and abs(out[0]["duration_s"] - 1.0) < 0.1
+
+
+def test_intensity_stereo_roundtrip():
+    """r7 intensity stereo (codebooks 15/14): right-channel high bands
+    reconstruct as scaled copies of the left — the panning survives,
+    the bit cost drops, and the out-of-phase book negates."""
+    rate = 48000
+    t = np.arange(rate // 2) / rate
+    hi = np.sin(2 * np.pi * 11000 * t)
+    lo = 0.4 * np.sin(2 * np.pi * 400 * t)
+    pcm = np.stack([lo + 0.5 * hi, lo + 0.12 * hi], axis=1)
+    for short in (False, True):
+        asc, aus = aac.encode(pcm, rate, short=short, intensity=True)
+        _, aus_lr = aac.encode(pcm, rate, short=short)
+        assert sum(map(len, aus)) < sum(map(len, aus_lr))  # bits saved
+        dec, _ = aac.decode(aus, asc, downmix=False)
+        n = min(len(dec), len(pcm))
+        assert _snr(pcm[:n, 0], dec[:n, 0]) >= 55.0  # left untouched
+        assert _snr(pcm[:n, 1], dec[:n, 1]) >= 30.0  # right panned copy
+    # out-of-phase high band -> codebook 14 path
+    pcm2 = np.stack([lo + 0.5 * hi, lo - 0.12 * hi], axis=1)
+    asc, aus = aac.encode(pcm2, rate, intensity=True)
+    dec, _ = aac.decode(aus, asc, downmix=False)
+    n = min(len(dec), len(pcm2))
+    assert _snr(pcm2[:n, 1], dec[:n, 1]) >= 30.0
+
+
+def test_intensity_boundaries():
+    rate = 48000
+    pcm = np.stack([np.sin(2 * np.pi * 500 * np.arange(4096) / rate)] * 2,
+                   axis=1) * 0.5
+    with pytest.raises(ValueError, match="M/S \\+ intensity"):
+        aac.encode(pcm, rate, ms=True, intensity=True)
+    # intensity codebooks outside a CPE right channel stay rejected
+    mono = pcm[:, 0]
+    asc, aus = aac.encode(mono, rate)
+    # (structural property asserted via the decoder's validation path in
+    # the fuzz tests; here: mono streams still decode cleanly)
+    out, _ = aac.decode(aus, asc)
+    assert _snr(mono[:len(out)], out) >= 55.0

@@ -279,3 +279,29 @@ def test_intensity_boundaries():
     data[pos + 3] |= 0x30  # mode_ext bits -> 3
     with pytest.raises(ValueError, match="M/S \\+ intensity"):
         mp3.decode(bytes(data))
+
+
+def test_mpeg25_roundtrip_all_rates():
+    """r7: MPEG-2.5 (id bits 00, quarter rates) encodes and decodes —
+    576-sample frames, LSF side-info layout, half-rate band tables
+    (shared enc/dec)."""
+    for rate in (8000, 11025, 12000):
+        assert sum(mp3.SFB_WIDTHS[rate]) == 576
+        t = np.arange(rate // 2) / rate
+        m = 0.5 * np.sin(2 * np.pi * 0.02 * rate * t)
+        enc = mp3.encode(m, rate, bitrate_idx=13)
+        h = mp3._parse_header(enc, 0)
+        assert h[0] == 0 and h[3] == rate  # version bits 00, quarter rate
+        info = mp3.parse_mp3_info(enc)
+        assert info["rate"] == rate
+        pcm, r = mp3.decode(enc)
+        # same quality bar as the MPEG-2 LSF family (the low-rate
+        # quantizer ceiling is shared, not a 2.5 regression)
+        assert r == rate and _snr2(m, pcm) >= 7.0
+        st = np.stack([m, 0.4 * np.sin(2 * np.pi * 0.03 * rate * t)],
+                      axis=1)
+        pcm2, _ = mp3.decode(
+            mp3.encode(st, rate, bitrate_idx=14, joint=True),
+            downmix=False)
+        assert _snr2(st[:, 0], pcm2[:, 0]) >= 7.0
+        assert _snr2(st[:, 1], pcm2[:, 1]) >= 7.0
