@@ -1619,6 +1619,47 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     return bytes(bw.buf), (out_plane, crec)
 
 
+def _eval_b_partitions(mvs0, mvs1, ref0_full, ref1_full, smb, mx, my,
+                       search):
+    """Pick the best partitioned-B shape: for 16x8 and 8x16, each
+    partition independently takes the cheapest of L0 / L1 / Bi (decision
+    phase only — no state commits; the serializer re-derives predictors
+    in the per-list bitstream order). Returns (total_sad, info) with
+    info = {ptype, modes (m0, m1), mv0 [per part], mv1 [per part],
+    preds [per part 2D]}."""
+    best = None
+    for ptype, geom in _PART_GEOM.items():
+        tot = 0
+        modes_p = []
+        mv0s, mv1s, preds = [], [], []
+        for idx, (ox, oy, w, h) in enumerate(geom):
+            tgt = smb[oy:oy + h, ox:ox + w]
+            mvp0 = mvs0.mvp_part(mx, my, ptype, idx)
+            s0, mv_0, p0 = _search_block(ref0_full, tgt, mx * 16 + ox,
+                                         my * 16 + oy, mvp0, search)
+            mvp1 = mvs1.mvp_part(mx, my, ptype, idx)
+            s1, mv_1, p1 = _search_block(ref1_full, tgt, mx * 16 + ox,
+                                         my * 16 + oy, mvp1, search)
+            bi = (p0 + p1 + 1) >> 1
+            sbi = int(np.abs(tgt - bi).sum())
+            mode = min(((s0, 0), (s1, 1), (sbi, 2)))[1]
+            modes_p.append(mode)
+            mv0s.append(mv_0 if mode in (0, 2) else None)
+            mv1s.append(mv_1 if mode in (1, 2) else None)
+            preds.append((p0, p1, bi)[mode])
+            tot += (s0, s1, sbi)[mode]
+        # Table 7-14: mb_type from (m0, m1, geometry)
+        order = ((0, 0), (1, 1), (0, 1), (1, 0), (0, 2), (1, 2), (2, 0),
+                 (2, 1), (2, 2))
+        base = 4 + 2 * order.index((modes_p[0], modes_p[1]))
+        mbt = base + (1 if ptype == "8x16" else 0)
+        info = {"ptype": ptype, "modes": tuple(modes_p), "mb_type": mbt,
+                "mv0": mv0s, "mv1": mv1s, "preds": preds}
+        if best is None or tot < best[0]:
+            best = (tot, info)
+    return best
+
+
 def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                    ref1_full: np.ndarray, qp: int = 10,
                    max_coeffs: int = 16, frame_num: int = 1,
@@ -1714,15 +1755,41 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                 mvs1.set_mb(mx, my, (0, 0), -1)
                 continue
             mb_type = cand[1]
-            pred = (dpred, pred0, pred1, bi)[mb_type]
-            if mb_type == 0:
-                cpred = dcpred
-            elif mb_type == 1:
-                cpred = cmc1(cref0, mv0)
-            elif mb_type == 2:
-                cpred = cmc1(cref1, mv1)
+            bpart = None
+            if cand[0] > 6 * 256:  # partitions must clearly win (bits)
+                tot_p, pinfo = _eval_b_partitions(
+                    mvs0, mvs1, ref0_full, ref1_full, smb, mx, my, search)
+                if tot_p < 0.92 * cand[0]:
+                    bpart = pinfo
+            if bpart:
+                geom = _PART_GEOM[bpart["ptype"]]
+                pred = np.zeros((16, 16), np.int32)
+                cpred = np.zeros((2, 8, 8), np.int32)
+                for idx, (ox, oy, w_, h_) in enumerate(geom):
+                    pred[oy:oy + h_, ox:ox + w_] = bpart["preds"][idx]
+                    cps = []
+                    for mv_i, cref in ((bpart["mv0"][idx], cref0),
+                                       (bpart["mv1"][idx], cref1)):
+                        if mv_i is None:
+                            continue
+                        cps.append(np.stack([
+                            _interp_chroma(cref[ci], mx * 8 + ox // 2,
+                                           my * 8 + oy // 2, mv_i[0],
+                                           mv_i[1], w_ // 2, h_ // 2)
+                            for ci in range(2)]))
+                    cp = cps[0] if len(cps) == 1 else                         (cps[0] + cps[1] + 1) >> 1
+                    cpred[:, oy // 2:(oy + h_) // 2,
+                          ox // 2:(ox + w_) // 2] = cp
             else:
-                cpred = (cmc1(cref0, mv0) + cmc1(cref1, mv1) + 1) >> 1
+                pred = (dpred, pred0, pred1, bi)[mb_type]
+                if mb_type == 0:
+                    cpred = dcpred
+                elif mb_type == 1:
+                    cpred = cmc1(cref0, mv0)
+                elif mb_type == 2:
+                    cpred = cmc1(cref1, mv1)
+                else:
+                    cpred = (cmc1(cref0, mv0) + cmc1(cref1, mv1) + 1) >> 1
             blocks = []
             cbp = 0
             out = pred.copy()
@@ -1739,13 +1806,35 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
             cbpc, comps = _encode_chroma_mb(csrc_mb, cpred, qp, intra=False)
             bw.ue(pending_skips)
             pending_skips = 0
-            bw.ue(mb_type)
-            if mb_type in (1, 3):
-                bw.se(mv0[0] - mvp0[0])
-                bw.se(mv0[1] - mvp0[1])
-            if mb_type in (2, 3):
-                bw.se(mv1[0] - mvp1[0])
-                bw.se(mv1[1] - mvp1[1])
+            if bpart:
+                # mvds grouped BY LIST (7.3.5.1) with per-list progressive
+                # commits — the decoder's exact predictor order
+                bw.ue(bpart["mb_type"])
+                geom = _PART_GEOM[bpart["ptype"]]
+                for li, (mvsx, mvlist) in enumerate(
+                        ((mvs0, bpart["mv0"]), (mvs1, bpart["mv1"]))):
+                    for idx, (ox, oy, w_, h_) in enumerate(geom):
+                        mv_i = mvlist[idx]
+                        if mv_i is None:
+                            continue
+                        mvp_i = mvsx.mvp_part(mx, my, bpart["ptype"], idx)
+                        bw.se(mv_i[0] - mvp_i[0])
+                        bw.se(mv_i[1] - mvp_i[1])
+                        mvsx.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
+                                      w_ // 4, h_ // 4, mv_i, 0)
+                    for idx, (ox, oy, w_, h_) in enumerate(geom):
+                        if mvlist[idx] is None:
+                            mvsx.set_rect(mx * 4 + ox // 4,
+                                          my * 4 + oy // 4,
+                                          w_ // 4, h_ // 4, (0, 0), -1)
+            else:
+                bw.ue(mb_type)
+                if mb_type in (1, 3):
+                    bw.se(mv0[0] - mvp0[0])
+                    bw.se(mv0[1] - mvp0[1])
+                if mb_type in (2, 3):
+                    bw.se(mv1[0] - mvp1[0])
+                    bw.se(mv1[1] - mvp1[1])
             bw.ue(_CBP_INTER_INV[cbp | (cbpc << 4)])
             if cbp | cbpc:
                 bw.se(0)  # mb_qp_delta
@@ -1763,7 +1852,9 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                     comps[ci]["recon"]
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
-            if mb_type == 0:
+            if bpart:
+                pass  # committed per list during mvd serialization
+            elif mb_type == 0:
                 _b_commit_direct(mvs0, mvs1, mx, my, dmv0, dmv1)
             else:
                 mvs0.set_mb(mx, my, mv0 if mb_type in (1, 3) else (0, 0),
@@ -2908,6 +2999,69 @@ def _decode_mb_b16(r, mb_type, plane, ref0, ref1, mx, my, qp, nnz, cc,
     return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
 
 
+# Table 7-14 partitioned B mb_types 4..21: (geometry, part0 mode,
+# part1 mode) with modes 0 = L0, 1 = L1, 2 = Bi
+_B_PART_TYPES = {}
+for _i, (_m0, _m1) in enumerate(
+        ((0, 0), (1, 1), (0, 1), (1, 0), (0, 2), (1, 2), (2, 0), (2, 1),
+         (2, 2))):
+    _B_PART_TYPES[4 + 2 * _i] = ("16x8", _m0, _m1)
+    _B_PART_TYPES[5 + 2 * _i] = ("8x16", _m0, _m1)
+
+
+def _decode_mb_b_part(r, mb_type, plane, ref0, ref1, mx, my, qp, nnz, cc,
+                      modes, mvs0, mvs1):
+    """Partitioned B macroblocks (r7): two 16x8 / 8x16 partitions, each
+    predicting from L0, L1, or Bi. mvds are grouped BY LIST in the
+    bitstream (7.3.5.1: all mvd_l0 then all mvd_l1), so MV prediction
+    commits progressively per list — decoder state mirrors the
+    encoder's serialization order exactly."""
+    ptype, m0, m1 = _B_PART_TYPES[mb_type]
+    geom = _PART_GEOM[ptype]
+    pmodes = (m0, m1)
+    mvs_of = (mvs0, mvs1)
+    mv_sel: list[list] = [[None, None], [None, None]]  # [list][part]
+    for li in range(2):
+        for idx in range(2):
+            uses = pmodes[idx] == li or pmodes[idx] == 2
+            if not uses:
+                continue
+            mvp = mvs_of[li].mvp_part(mx, my, ptype, idx)
+            mvd = (r.se(), r.se())
+            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            mv_sel[li][idx] = mv
+            ox, oy, w, h = geom[idx]
+            mvs_of[li].set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
+                                w // 4, h // 4, mv, 0)
+        # partitions not using this list are unavailable for prediction
+        for idx in range(2):
+            if mv_sel[li][idx] is None:
+                ox, oy, w, h = geom[idx]
+                mvs_of[li].set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
+                                    w // 4, h // 4, (0, 0), -1)
+    pred = np.zeros((16, 16), np.int32)
+    cpred = np.zeros((2, 8, 8), np.int32)
+    for idx, (ox, oy, w, h) in enumerate(geom):
+        preds = []
+        cpreds = []
+        for li, refx in ((0, ref0), (1, ref1)):
+            mv = mv_sel[li][idx]
+            if mv is None:
+                continue
+            preds.append(_interp_luma(refx, mx * 16 + ox, my * 16 + oy,
+                                      mv[0], mv[1], w, h))
+            cref = cc.ref if li == 0 else cc.ref2
+            cpreds.append(np.stack([
+                _interp_chroma(cref[ci], mx * 8 + ox // 2,
+                               my * 8 + oy // 2, mv[0], mv[1],
+                               w // 2, h // 2) for ci in range(2)]))
+        lp = preds[0] if len(preds) == 1 else (preds[0] + preds[1] + 1) >> 1
+        cp = cpreds[0] if len(cpreds) == 1 else             (cpreds[0] + cpreds[1] + 1) >> 1
+        pred[oy:oy + h, ox:ox + w] = lp
+        cpred[:, oy // 2:(oy + h) // 2, ox // 2:(ox + w) // 2] = cp
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
+
+
 def _skip_mb(plane, ref, mx, my, nnz, cc, modes, mvs):
     mv = mvs.skip_mv(mx, my)
     pred = _interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
@@ -3029,9 +3183,14 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                                         qp, nnz, cc, modes, mvs, mvs1)
                     qp_map[my, mx] = qp
                     continue
-                if mb_type < 23:
-                    raise ValueError(
-                        "B partitioned mb_type: out of decode scope")
+                if mb_type < 22:  # partitioned 16x8 / 8x16 B types (r7)
+                    qp = _decode_mb_b_part(r, mb_type, plane, ref, ref2,
+                                           mx, my, qp, nnz, cc, modes,
+                                           mvs, mvs1)
+                    qp_map[my, mx] = qp
+                    continue
+                if mb_type == 22:
+                    raise ValueError("B_8x8: out of decode scope")
                 mb_type -= 23  # intra in a B slice
             elif is_p:
                 if run_pending is None:
@@ -3227,8 +3386,9 @@ def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
     for real since r7 (intra DC/H/V prediction, 2x2 Hadamard DC + AC
     residual, eighth-pel bilinear MC). CABAC slice data decodes via
     h264_cabac (in-repo-profile streams, r6). P_8x8 decodes every
-    sub_mb_type shape (8x8/8x4/4x8/4x4, r7). Out-of-profile features
-    (partitioned-B types, temporal direct, high-profile tools)
+    sub_mb_type shape (8x8/8x4/4x8/4x4, r7); partitioned B
+    macroblocks decode every 16x8/8x16 type 4..21 (r7). Out-of-profile
+    features (B_8x8, temporal direct, high-profile tools)
     raise ValueError — the documented well-formed-unsupported
     stub path in sample_frames."""
     sps, pps = _avcc_param_sets(avcc)

@@ -27,10 +27,11 @@ trips are bit-exact by construction — decode == encoder recon is the
 machine-checked gate (tests/test_h264_cabac.py) — but bit-exact ISO
 cross-decode of foreign encoders' streams is NOT claimed. Profile
 boundaries that raise ValueError (the well-formed-unsupported contract):
-I_PCM-in-CABAC, partitioned B types, temporal direct. IN
+I_PCM-in-CABAC, B_8x8 sub-partitioned B, temporal direct. IN
 profile since r6: 16x8 / 8x16 / 8x8 P partitions (Table 9-37 tree +
 sub_mb_type, per-partition mvds; since r7 ALL P sub_mb_type shapes
-8x8/8x4/4x8/4x4 via the Table 9-38 tree) and B slices — B_SKIP + spatial B_Direct_16x16 (simplified
+8x8/8x4/4x8/4x4 via the Table 9-38 tree; partitioned-B 16x8/8x16
+types 4..21 with per-partition L0/L1/Bi since r7) and B slices — B_SKIP + spatial B_Direct_16x16 (simplified
 8.4.1.2.2 derivation, see h264._b_direct_mvs) and B_L0/B_L1/B_Bi
 16x16 via the Table 9-37 B tree with the '111101' intra escape, two
 mvd lists, bi-prediction. IN profile since r7: 4:2:0 chroma residuals
@@ -98,6 +99,7 @@ def _alloc():
         ("mb_skip_b", 3),    # B mb_skip_flag (own block, ctx 24..26)
         ("sub_mbt_p", 3),    # P sub_mb_type tree bins (Table 9-38)
         ("mbt_b", 6),        # B mb_type tree bins (Table 9-37)
+        ("mbt_b_suf", 1),    # partitioned-B 5-bit FL suffix (r7)
         ("mvd_x", 7),        # bin0 inc 0..2 + TU bins 3..6
         ("mvd_y", 7),
         ("prev_i4", 1),      # prev_intra4x4_pred_mode_flag
@@ -1011,9 +1013,10 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
 
 
 def _enc_b_mb_type(enc, ctx, mbt):
-    """Table 9-37 B mb_type subset: '0' B_Direct_16x16, '100' B_L0,
-    '101' B_L1, '110000' B_Bi, '111101' + intra suffix. (Partitioned B
-    types are never emitted and raise on decode.)"""
+    """In-repo Table 9-37-shaped B mb_type tree: '0' B_Direct_16x16,
+    '100' B_L0, '101' B_L1, '110000' B_Bi, '11' + (0,0,0,1) + 5-bit FL
+    suffix for the partitioned types 4..21 (r7), '111101' + intra
+    suffix."""
     base = _OFS["mbt_b"]
     if mbt == 0:    # B_Direct_16x16
         enc.decision(ctx, base, 0)
@@ -1029,6 +1032,13 @@ def _enc_b_mb_type(enc, ctx, mbt):
         enc.decision(ctx, base + 1, 1)
         for i, b in enumerate((0, 0, 0, 0)):
             enc.decision(ctx, base + 2 + min(i, 3), b)
+    elif isinstance(mbt, int) and 4 <= mbt <= 21:  # partitioned (r7)
+        enc.decision(ctx, base + 1, 1)
+        for i, b in enumerate((0, 0, 0, 1)):
+            enc.decision(ctx, base + 2 + min(i, 3), b)
+        idx = mbt - 4
+        for i in range(4, -1, -1):  # 5-bit FL suffix, MSB first
+            enc.decision(ctx, _OFS["mbt_b_suf"], (idx >> i) & 1)
     else:           # intra escape '111101'
         enc.decision(ctx, base + 1, 1)
         for i, b in enumerate((1, 1, 0, 1)):
@@ -1037,7 +1047,8 @@ def _enc_b_mb_type(enc, ctx, mbt):
 
 def _dec_b_mb_type(dec, ctx):
     """Returns 0..3 for the 16x16 inter types (0 = spatial direct),
-    'intra' for the escape; raises for partitioned types."""
+    4..21 for the partitioned 16x8/8x16 types (r7), 'intra' for the
+    escape; raises for unknown suffixes."""
     base = _OFS["mbt_b"]
     if not dec.decision(ctx, base):
         return 0  # B_Direct_16x16
@@ -1046,9 +1057,16 @@ def _dec_b_mb_type(dec, ctx):
     bits = tuple(dec.decision(ctx, base + 2 + min(i, 3)) for i in range(4))
     if bits == (0, 0, 0, 0):
         return 3
+    if bits == (0, 0, 0, 1):  # partitioned-B marker (r7)
+        idx = 0
+        for _ in range(5):
+            idx = (idx << 1) | dec.decision(ctx, _OFS["mbt_b_suf"])
+        if idx > 17:
+            raise ValueError("bad partitioned-B suffix")
+        return 4 + idx
     if bits == (1, 1, 0, 1):
         return "intra"
-    raise ValueError("B partitioned mb_type: out of decode scope")
+    raise ValueError("unknown B mb_type bins")
 
 
 def _enc_p_sub_type(enc, ctx, st):
@@ -1163,15 +1181,42 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                 enc.terminate(1 if last else 0)
                 continue
             mb_type = cand[1]
-            pred = (dpred, pred0, pred1, bi)[mb_type]
-            if mb_type == 0:
-                cpred = dcpred
-            elif mb_type == 1:
-                cpred = cmc1(cref0, mv0)
-            elif mb_type == 2:
-                cpred = cmc1(cref1, mv1)
+            bpart = None
+            if cand[0] > 6 * 256:  # partitions must clearly win (bits)
+                tot_p, pinfo = H._eval_b_partitions(
+                    mvs0, mvs1, ref0_full, ref1_full, smb, mx, my, search)
+                if tot_p < 0.92 * cand[0]:
+                    bpart = pinfo
+            if bpart:
+                geom = H._PART_GEOM[bpart["ptype"]]
+                pred = np.zeros((16, 16), np.int32)
+                cpred = np.zeros((2, 8, 8), np.int32)
+                for idx, (ox, oy, w_, h_) in enumerate(geom):
+                    pred[oy:oy + h_, ox:ox + w_] = bpart["preds"][idx]
+                    cps = []
+                    for mv_i, cref in ((bpart["mv0"][idx], cref0),
+                                       (bpart["mv1"][idx], cref1)):
+                        if mv_i is None:
+                            continue
+                        cps.append(np.stack([
+                            H._interp_chroma(cref[ci], mx * 8 + ox // 2,
+                                             my * 8 + oy // 2, mv_i[0],
+                                             mv_i[1], w_ // 2, h_ // 2)
+                            for ci in range(2)]))
+                    cp = cps[0] if len(cps) == 1 else \
+                        (cps[0] + cps[1] + 1) >> 1
+                    cpred[:, oy // 2:(oy + h_) // 2,
+                          ox // 2:(ox + w_) // 2] = cp
             else:
-                cpred = (cmc1(cref0, mv0) + cmc1(cref1, mv1) + 1) >> 1
+                pred = (dpred, pred0, pred1, bi)[mb_type]
+                if mb_type == 0:
+                    cpred = dcpred
+                elif mb_type == 1:
+                    cpred = cmc1(cref0, mv0)
+                elif mb_type == 2:
+                    cpred = cmc1(cref1, mv1)
+                else:
+                    cpred = (cmc1(cref0, mv0) + cmc1(cref1, mv1) + 1) >> 1
             blocks = []
             cbp = 0
             out = pred.copy()
@@ -1185,18 +1230,42 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                     cbp |= 1 << (blk >> 2)
                 blocks.append((lv, tc))
                 out[oy:oy + 4, ox:ox + 4] += H._inv4(H._dequant4(lv, qp)).astype(np.int32)
-            _enc_b_mb_type(enc, ctx, mb_type)
             asum = [0, 0]
-            if mb_type in (1, 3):
-                d = (mv0[0] - mvp0[0], mv0[1] - mvp0[1])
-                _enc_mvd(enc, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0), d[0])
-                _enc_mvd(enc, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1), d[1])
-                asum = [asum[0] + abs(d[0]), asum[1] + abs(d[1])]
-            if mb_type in (2, 3):
-                d = (mv1[0] - mvp1[0], mv1[1] - mvp1[1])
-                _enc_mvd(enc, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0), d[0])
-                _enc_mvd(enc, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1), d[1])
-                asum = [asum[0] + abs(d[0]), asum[1] + abs(d[1])]
+            if bpart:
+                _enc_b_mb_type(enc, ctx, bpart["mb_type"])
+                geom = H._PART_GEOM[bpart["ptype"]]
+                for li, (mvsx, mvlist) in enumerate(
+                        ((mvs0, bpart["mv0"]), (mvs1, bpart["mv1"]))):
+                    for idx, (ox, oy, w_, h_) in enumerate(geom):
+                        mv_i = mvlist[idx]
+                        if mv_i is None:
+                            continue
+                        mvp_i = mvsx.mvp_part(mx, my, bpart["ptype"], idx)
+                        d = (mv_i[0] - mvp_i[0], mv_i[1] - mvp_i[1])
+                        _enc_mvd(enc, ctx, _OFS["mvd_x"],
+                                 st.mvd_inc_sum(mx, my, 0), d[0])
+                        _enc_mvd(enc, ctx, _OFS["mvd_y"],
+                                 st.mvd_inc_sum(mx, my, 1), d[1])
+                        asum = [asum[0] + abs(d[0]), asum[1] + abs(d[1])]
+                        mvsx.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
+                                      w_ // 4, h_ // 4, mv_i, 0)
+                    for idx, (ox, oy, w_, h_) in enumerate(geom):
+                        if mvlist[idx] is None:
+                            mvsx.set_rect(mx * 4 + ox // 4,
+                                          my * 4 + oy // 4,
+                                          w_ // 4, h_ // 4, (0, 0), -1)
+            else:
+                _enc_b_mb_type(enc, ctx, mb_type)
+                if mb_type in (1, 3):
+                    d = (mv0[0] - mvp0[0], mv0[1] - mvp0[1])
+                    _enc_mvd(enc, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0), d[0])
+                    _enc_mvd(enc, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1), d[1])
+                    asum = [asum[0] + abs(d[0]), asum[1] + abs(d[1])]
+                if mb_type in (2, 3):
+                    d = (mv1[0] - mvp1[0], mv1[1] - mvp1[1])
+                    _enc_mvd(enc, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0), d[0])
+                    _enc_mvd(enc, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1), d[1])
+                    asum = [asum[0] + abs(d[0]), asum[1] + abs(d[1])]
             st.mvd[my, mx] = tuple(asum)
             cbpc, comps = H._encode_chroma_mb(csrc_mb, cpred, qp,
                                               intra=False)
@@ -1221,7 +1290,9 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                     comps[ci]["recon"]
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
-            if mb_type == 0:
+            if bpart:
+                pass  # committed per list during mvd serialization
+            elif mb_type == 0:
                 H._b_commit_direct(mvs0, mvs1, mx, my, dmv0, dmv1)
             else:
                 mvs0.set_mb(mx, my, mv0 if mb_type in (1, 3) else (0, 0),
@@ -1306,6 +1377,10 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                                     modes, plane_w, cc)
                     mvs.set_mb(mx, my, (0, 0), -1)
                     mvs1.set_mb(mx, my, (0, 0), -1)
+                elif isinstance(mbt, int) and mbt >= 4:
+                    qp = _dec_mb_b_part(dec, ctx, st, plane, ref, ref2,
+                                        mx, my, qp, nnz, modes, mvs,
+                                        mvs1, mbt, cc)
                 else:
                     qp = _dec_mb_b16(dec, ctx, st, plane, ref, ref2, mx, my,
                                      qp, nnz, modes, mvs, mvs1, mbt, cc)
@@ -1579,6 +1654,63 @@ def _dec_mb_b16(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz, modes,
     pred = preds[0] if len(preds) == 1 else (preds[0] + preds[1] + 1) >> 1
     cpred = cpreds[0] if len(cpreds) == 1 else \
         (cpreds[0] + cpreds[1] + 1) >> 1
+    return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
+                       cc, cpred)
+
+
+def _dec_mb_b_part(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz,
+                   modes, mvs0, mvs1, mbt, cc):
+    """Partitioned B (CABAC, r7): mirror of h264._decode_mb_b_part with
+    CABAC mvds — per-list grouped mvds, per-list progressive commits."""
+    ptype, m0, m1 = H._B_PART_TYPES[mbt]
+    geom = H._PART_GEOM[ptype]
+    pmodes = (m0, m1)
+    mvs_of = (mvs0, mvs1)
+    mv_sel = [[None, None], [None, None]]
+    asum = [0, 0]
+    for li in range(2):
+        for idx in range(2):
+            if not (pmodes[idx] == li or pmodes[idx] == 2):
+                continue
+            mvp = mvs_of[li].mvp_part(mx, my, ptype, idx)
+            mvd = (_dec_mvd(dec, ctx, _OFS["mvd_x"],
+                            st.mvd_inc_sum(mx, my, 0)),
+                   _dec_mvd(dec, ctx, _OFS["mvd_y"],
+                            st.mvd_inc_sum(mx, my, 1)))
+            asum[0] += abs(mvd[0])
+            asum[1] += abs(mvd[1])
+            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            mv_sel[li][idx] = mv
+            ox, oy, w, h = geom[idx]
+            mvs_of[li].set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
+                                w // 4, h // 4, mv, 0)
+        for idx in range(2):
+            if mv_sel[li][idx] is None:
+                ox, oy, w, h = geom[idx]
+                mvs_of[li].set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
+                                    w // 4, h // 4, (0, 0), -1)
+    st.mvd[my, mx] = tuple(asum)
+    pred = np.zeros((16, 16), np.int32)
+    cpred = np.zeros((2, 8, 8), np.int32)
+    for idx, (ox, oy, w, h) in enumerate(geom):
+        preds = []
+        cpreds = []
+        for li, refx in ((0, ref0), (1, ref1)):
+            mv = mv_sel[li][idx]
+            if mv is None:
+                continue
+            preds.append(H._interp_luma(refx, mx * 16 + ox, my * 16 + oy,
+                                        mv[0], mv[1], w, h))
+            cref = cc.ref if li == 0 else cc.ref2
+            cpreds.append(np.stack([
+                H._interp_chroma(cref[ci], mx * 8 + ox // 2,
+                                 my * 8 + oy // 2, mv[0], mv[1],
+                                 w // 2, h // 2) for ci in range(2)]))
+        lp = preds[0] if len(preds) == 1 else (preds[0] + preds[1] + 1) >> 1
+        cp = cpreds[0] if len(cpreds) == 1 else \
+            (cpreds[0] + cpreds[1] + 1) >> 1
+        pred[oy:oy + h, ox:ox + w] = lp
+        cpred[:, oy // 2:(oy + h) // 2, ox // 2:(ox + w) // 2] = cp
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
                        cc, cpred)
 

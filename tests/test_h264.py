@@ -709,3 +709,59 @@ def test_mvp_sub_parity_random_gop():
     # raises); final frames must be reasonable reconstructions
     for got, want in zip(out, frames):
         assert float(np.abs(got.astype(int) - want.astype(int)).mean()) < 8.0
+
+
+def test_b_partitioned_types_roundtrip_both_entropy_modes():
+    """r7: partitioned B macroblocks (mb_type 4..21 — 16x8 / 8x16 with
+    per-partition L0 / L1 / Bi). Targets whose halves track DIFFERENT
+    references force them; decode == recon bit-exact, partitioned types
+    really chosen, mvds grouped by list round-trip the per-list
+    progressive predictors."""
+    import struct
+
+    rng = np.random.default_rng(9)
+    w, h = 48, 32
+    base = rng.integers(108, 148, (h, w)).astype(np.uint8)
+    r0 = base
+    r1 = np.roll(base, 5, axis=1)
+    tgt = base.copy()
+    for y0 in range(0, h, 16):  # split INSIDE each MB row
+        tgt[y0:y0 + 8] = np.roll(r0[y0:y0 + 8], 2, axis=1)
+        tgt[y0 + 8:y0 + 16] = np.roll(r1[y0 + 8:y0 + 16], -2, axis=1)
+    qp = 12
+    flat = lambda v: np.full((2, h // 2, w // 2), v, np.uint8)
+    for cabac in (False, True):
+        if cabac:
+            from extractors_geo_spark import h264_cabac as C
+            enc_i, enc_p, enc_b = (C.encode_idr_cabac, C.encode_p_cabac,
+                                   C.encode_b_cabac)
+        else:
+            enc_i, enc_p, enc_b = (h264.encode_idr_cavlc,
+                                   h264.encode_p_cavlc,
+                                   h264.encode_b_cavlc)
+        _, (ry0, rc0) = enc_i(r0, qp=qp, chroma=flat(90), full_recon=True)
+        _, (ry1, rc1) = enc_p(r1, ry0, qp=qp, chroma=flat(170), cref=rc0,
+                              frame_num=1)
+        hits = []
+        orig = h264._eval_b_partitions
+
+        def spy(*a, **k):
+            out = orig(*a, **k)
+            hits.append(out[1]["mb_type"])
+            return out
+
+        h264._eval_b_partitions = spy
+        try:
+            rb, (ryb, rcb) = enc_b(tgt, ry0, ry1, qp=qp, chroma=flat(128),
+                                   cref0=rc0, cref1=rc1, poc_lsb=2)
+        finally:
+            h264._eval_b_partitions = orig
+        assert hits and all(4 <= m <= 21 for m in hits), (cabac, hits)
+        avcc = h264.build_avcc(w, h, deblock_ctrl=True, bpoc=True,
+                               cabac=cabac)
+        nal = bytes([0x01]) + h264._ep_insert(rb)
+        sample = struct.pack(">I", len(nal)) + nal
+        dy, dc = h264.decode_sample(sample, avcc, ref=ry0, ref2=ry1,
+                                    cref=rc0, cref2=rc1, full_plane=True,
+                                    with_chroma=True)
+        assert np.array_equal(dy, ryb) and np.array_equal(dc, rcb), cabac
