@@ -2279,9 +2279,61 @@ SELECT 'storename' AS op, id, store AS v FROM ({SQL_STORE})
 """
 
 
+def q_cube(spark, sf_dir):
+    """CUBE aggregation (all 4 grouping sets) over events — the
+    grouping-sets completion of the ROLLUP leg (r7)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ubucket", F.pmod(F.col("user_id"), F.lit(5)))
+    return (
+        ev.cube("event_type", "ubucket")
+        .agg(F.count(F.lit(1)).alias("n"), _fq(F.sum("value"), 100).alias("sum_v_q"))
+        .select(F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+                F.coalesce(F.col("ubucket"), F.lit(-1)).alias("ubucket"),
+                "n", "sum_v_q")
+    )
+
+
+SQL_CUBE = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(ubucket, -1) AS ubucket,
+       COUNT(*) AS n,
+       CAST(FLOOR(SUM(value) * 100) AS BIGINT) AS sum_v_q
+FROM (SELECT event_type, user_id % 5 AS ubucket, value FROM events)
+GROUP BY CUBE(event_type, ubucket)
+"""
+
+
+def q_window_rank(spark, sf_dir):
+    """Analytic window functions (r7): per-user dense_rank by value with
+    the previous event's value (lag) — the crawl-dedup 'latest version
+    wins' ranking shape. Deterministic ordering via (value, event_id)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(),
+                                              F.col("event_id"))
+    return (ev.select(
+        "event_id", "user_id",
+        F.dense_rank().over(w).alias("rnk"),
+        _fq(F.lag("value").over(w), 100).alias("prev_v_q"))
+        .filter(F.col("rnk") <= 3))
+
+
+SQL_WINDOW_RANK = """
+SELECT event_id, user_id, rnk, prev_v_q FROM (
+  SELECT event_id, user_id,
+         DENSE_RANK() OVER w AS rnk,
+         CAST(FLOOR(LAG(value) OVER w * 100) AS BIGINT) AS prev_v_q
+  FROM events WHERE user_id < 200
+  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+) WHERE rnk <= 3
+"""
+
+
 def q_relational_ops(spark, sf_dir):
-    """Composite of the three relational primitives (EXCEPT, PIVOT,
-    LEFT SEMI) as one (op, k, v) driver row; sub-queries unchanged."""
+    """Composite of the relational primitives (EXCEPT, PIVOT, LEFT SEMI
+    + since r7 CUBE and window dense_rank/lag) as one (op, k, v) driver
+    row; sub-queries unchanged — absorption per SURVEY §14.1."""
     exc = q_set_except(spark, sf_dir).select(
         F.lit("set_except").alias("op"), F.col("user_id").cast("long").alias("k"),
         F.col("d").cast("string").alias("v"))
@@ -2291,7 +2343,17 @@ def q_relational_ops(spark, sf_dir):
     semi = q_semi_join(spark, sf_dir).select(
         F.lit("semi_join").alias("op"), F.col("c_custkey").cast("long").alias("k"),
         F.col("c_nationkey").cast("string").alias("v"))
-    return exc.unionByName(piv).unionByName(semi)
+    cub = q_cube(spark, sf_dir).select(
+        F.lit("cube").alias("op"), F.col("ubucket").cast("long").alias("k"),
+        F.concat_ws(",", F.col("event_type"), F.col("n").cast("string"),
+                    F.col("sum_v_q").cast("string")).alias("v"))
+    wr = q_window_rank(spark, sf_dir).select(
+        F.lit("window_rank").alias("op"), F.col("event_id").cast("long").alias("k"),
+        F.concat_ws(",", F.col("user_id").cast("string"),
+                    F.col("rnk").cast("string"),
+                    F.coalesce(F.col("prev_v_q").cast("string"), F.lit("-"))).alias("v"))
+    return exc.unionByName(piv).unionByName(semi).unionByName(cub) \
+        .unionByName(wr)
 
 
 SQL_RELATIONAL_OPS = f"""
@@ -2305,6 +2367,16 @@ UNION ALL
 SELECT 'semi_join' AS op, CAST(c_custkey AS BIGINT) AS k,
        CAST(c_nationkey AS VARCHAR) AS v
 FROM ({SQL_SEMI_JOIN})
+UNION ALL
+SELECT 'cube' AS op, CAST(ubucket AS BIGINT) AS k,
+       event_type || ',' || CAST(n AS VARCHAR) || ',' ||
+       CAST(sum_v_q AS VARCHAR) AS v
+FROM ({SQL_CUBE})
+UNION ALL
+SELECT 'window_rank' AS op, CAST(event_id AS BIGINT) AS k,
+       CAST(user_id AS VARCHAR) || ',' || CAST(rnk AS VARCHAR) || ',' ||
+       COALESCE(CAST(prev_v_q AS VARCHAR), '-') AS v
+FROM ({SQL_WINDOW_RANK})
 """
 
 
