@@ -36,10 +36,12 @@ Scope and honesty (same contract as ..mp3, VERDICT r03 #6 / r04 #6):
   bands) — the mainstream-encoder default shape — and INTENSITY stereo
   (codebooks 15/14 = in/out of phase: right-channel high bands carry a
   dpcm is_position instead of spectra; right = left * 0.5^(is_pos/4)).
-  Out of profile (clear ValueError, never silent garbage): PNS (cb 13),
-  LTP, START/STOP window sequences, pulse/TNS/gain control,
-  >2 channels, combined M/S+intensity — exactly the boundary the
-  encoder never crosses.
+  Since r7 ALL FOUR window sequences decode and the encoder switches
+  adaptively (adaptive=True: transient detection -> LONG_START /
+  EIGHT_SHORT / LONG_STOP chains with power-complementary composite
+  windows). Out of profile (clear ValueError, never silent garbage):
+  PNS (cb 13), LTP, pulse/TNS/gain control, >2 channels, combined
+  M/S+intensity — exactly the boundary the encoder never crosses.
 
 Scalefactor-band layouts: the LC long- and short-window swb_offset
 tables for the 48/44.1 kHz family; other rates reuse them (in-repo
@@ -192,16 +194,29 @@ def _mdct_mats(n):
 _WIN, _COS = _mdct_mats(N)
 _WIN_S, _COS_S = _mdct_mats(N_S)
 
+# LONG_START / LONG_STOP composite windows (r7): the standard AAC
+# transition shapes — long sine half on the steady side, flat-1 bridge,
+# short sine half meeting the EIGHT_SHORT block, zero tail. Power-
+# complementarity with both neighbours keeps overlap-add perfect.
+_WIN_START = np.concatenate([
+    _WIN[:N // 2], np.ones(448), _WIN_S[N_S // 2:], np.zeros(448)])
+_WIN_STOP = np.concatenate([
+    np.zeros(448), _WIN_S[:N_S // 2], np.ones(448), _WIN[N // 2:]])
+# window_sequence -> long-family analysis/synthesis window
+_SEQ_WIN = {0: _WIN, 1: _WIN_START, 3: _WIN_STOP}
 
-def mdct(frames: np.ndarray) -> np.ndarray:
-    """(n_frames, 2048) windowed blocks -> (n_frames, 1024) coefficients."""
-    return (frames * _WIN) @ _COS.T
+
+def mdct(frames: np.ndarray, seq: int = 0) -> np.ndarray:
+    """(n_frames, 2048) blocks -> (n_frames, 1024) coefficients; `seq`
+    selects the long-family window (0 ONLY_LONG, 1 LONG_START,
+    3 LONG_STOP)."""
+    return (frames * _SEQ_WIN[seq]) @ _COS.T
 
 
-def imdct(coeffs: np.ndarray) -> np.ndarray:
+def imdct(coeffs: np.ndarray, seq: int = 0) -> np.ndarray:
     """(n_frames, 1024) -> (n_frames, 2048) windowed output blocks
     ready for 50% overlap-add (4/N scaling closes the round trip)."""
-    return (coeffs @ _COS) * _WIN * (4.0 / N)
+    return (coeffs @ _COS) * _SEQ_WIN[seq] * (4.0 / N)
 
 
 def mdct_short(blocks: np.ndarray) -> np.ndarray:
@@ -258,9 +273,51 @@ def _book_for(maxabs: int) -> int:
 
 
 # ------------------------------------------------------------------ encoder
+def _decide_sequences(chans, n_frames: int) -> list[int]:
+    """Transient detection -> legal window_sequence chain (r7): attacks
+    get EIGHT_SHORT, the frame before becomes LONG_START, the frame
+    after LONG_STOP; conflicts (short on both sides) collapse to
+    EIGHT_SHORT. Deterministic: 128-sample sub-block energy jumping
+    >= 4x above the running head of the frame marks an attack."""
+    size = max(len(c) for c in chans)
+    attacks = [False] * n_frames
+    for ch in chans:
+        x = np.pad(np.asarray(ch, np.float64), (0, n_frames * FRAME))
+        for i in range(n_frames):
+            seg = x[i * FRAME:(i + 1) * FRAME]
+            e = (seg.reshape(8, FRAME_S) ** 2).sum(axis=1)
+            head = 0.0
+            for j in range(1, 8):
+                head = max(head, float(e[:j].mean()))
+                if e[j] > 4.0 * (head + 1e-6) and e[j] > 1e-3:
+                    attacks[i] = True
+                    break
+    seqs = [2 if a else 0 for a in attacks]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(n_frames):
+            if seqs[i] != 2:
+                continue
+            if i > 0 and seqs[i - 1] == 0:
+                seqs[i - 1] = 1
+                changed = True
+            elif i > 0 and seqs[i - 1] == 3:
+                seqs[i - 1] = 2  # stop+start conflict -> short
+                changed = True
+            if i + 1 < n_frames and seqs[i + 1] == 0:
+                seqs[i + 1] = 3
+                changed = True
+            elif i + 1 < n_frames and seqs[i + 1] == 1:
+                seqs[i + 1] = 2
+                changed = True
+    return seqs
+
+
 def encode(pcm: np.ndarray, rate: int = 48000,
            short: bool = False, ms: bool = False,
-           intensity: bool = False) -> tuple[bytes, list[bytes]]:
+           intensity: bool = False,
+           adaptive: bool = False) -> tuple[bytes, list[bytes]]:
     """PCM in [-1, 1] -> (AudioSpecificConfig, raw AUs).
     Mono (n,) emits SCE elements; stereo (n, 2) emits CPE
     (common_window). ms=True (r7) enables per-band MID/SIDE stereo
@@ -285,6 +342,12 @@ def encode(pcm: np.ndarray, rate: int = 48000,
         raise ValueError("pcm must be (n,) mono or (n, 2) stereo")
     size = chans[0].size
     n_frames = -(-size // FRAME) + 1  # +1 flush frame for MDCT overlap
+    if short:
+        seqs = [2] * n_frames
+    elif adaptive:
+        seqs = _decide_sequences(chans, n_frames)
+    else:
+        seqs = [0] * n_frames
     specs = []
     for ch in chans:
         padded = np.zeros((n_frames + 1) * FRAME)
@@ -296,6 +359,22 @@ def encode(pcm: np.ndarray, rate: int = 48000,
                 for i in range(n_frames) for j in range(8)])
             specs.append(mdct_short(blocks).reshape(n_frames, 8, FRAME_S)
                          * 32768.0)
+        elif adaptive:
+            # mixed per-frame window sequences (r7): list of per-frame
+            # (n_windows, bins) spectra
+            frames_spec = []
+            for i, seq in enumerate(seqs):
+                if seq == 2:
+                    blocks = np.stack([
+                        padded[i * FRAME + SHORT_OFS + FRAME_S * j:
+                               i * FRAME + SHORT_OFS + FRAME_S * j + N_S]
+                        for j in range(8)])
+                    frames_spec.append(mdct_short(blocks) * 32768.0)
+                else:
+                    frames_spec.append(
+                        mdct(padded[i * FRAME:i * FRAME + N][None, :],
+                             seq=seq) * 32768.0)
+            specs.append(frames_spec)
         else:
             blocks = np.stack([padded[i * FRAME:i * FRAME + N]
                                for i in range(n_frames)])
@@ -305,11 +384,12 @@ def encode(pcm: np.ndarray, rate: int = 48000,
     is_maps = None
     if intensity and len(chans) == 2:
         # high bands: right carries no spectrum; is_pos pans left->right
-        swb = SWB_OFFSETS_SHORT if short else SWB_OFFSETS
-        n_sfb = N_SFB_SHORT if short else N_SFB
-        is_start = n_sfb * 2 // 3
         is_maps = []
         for i in range(n_frames):
+            f_short = seqs[i] == 2
+            swb = SWB_OFFSETS_SHORT if f_short else SWB_OFFSETS
+            n_sfb = N_SFB_SHORT if f_short else N_SFB
+            is_start = n_sfb * 2 // 3
             m = {}
             for b in range(is_start, n_sfb):
                 lo, hi = swb[b], swb[b + 1]
@@ -329,10 +409,11 @@ def encode(pcm: np.ndarray, rate: int = 48000,
     if ms and len(chans) == 2:
         # per-band M/S decision + in-place substitution: channel 0
         # carries MID, channel 1 SIDE for chosen bands
-        swb = SWB_OFFSETS_SHORT if short else SWB_OFFSETS
-        n_sfb = N_SFB_SHORT if short else N_SFB
         ms_masks = []
         for i in range(n_frames):
+            f_short = seqs[i] == 2
+            swb = SWB_OFFSETS_SHORT if f_short else SWB_OFFSETS
+            n_sfb = N_SFB_SHORT if f_short else N_SFB
             mask = []
             for b in range(n_sfb):
                 lo, hi = swb[b], swb[b + 1]
@@ -346,7 +427,7 @@ def encode(pcm: np.ndarray, rate: int = 48000,
                     specs[0][i][:, lo:hi] = m
                     specs[1][i][:, lo:hi] = side
             ms_masks.append(mask)
-    aus = [_encode_au([s[i] for s in specs], short,
+    aus = [_encode_au([s[i] for s in specs], seqs[i],
                       ms_mask=None if ms_masks is None else ms_masks[i],
                       is_map=None if is_maps is None else is_maps[i])
            for i in range(n_frames)]
@@ -378,15 +459,16 @@ def _quantize_channel(spec, short):
     return (first_sf if first_sf is not None else SF_OFFSET), groups
 
 
-def _write_ics_info(bw, short):
+def _write_ics_info(bw, seq):
+    """seq: 0 ONLY_LONG / 1 LONG_START / 2 EIGHT_SHORT / 3 LONG_STOP
+    (start/stop share the long band layout, r7)."""
     bw.u(0, 1)                    # ics_reserved_bit
-    if short:
-        bw.u(2, 2)                # EIGHT_SHORT_SEQUENCE
+    bw.u(seq, 2)                  # window_sequence
+    if seq == 2:
         bw.u(0, 1)                # window_shape = sine
         bw.u(N_SFB_SHORT, 4)      # max_sfb
         bw.u(0x7F, 7)             # scale_factor_grouping: one group of 8
     else:
-        bw.u(0, 2)                # ONLY_LONG_SEQUENCE
         bw.u(0, 1)                # window_shape = sine
         bw.u(N_SFB, 6)            # max_sfb
         bw.u(0, 1)                # predictor_data_present
@@ -418,9 +500,10 @@ def _write_band(bw, cb, q):
                     bw.u(1 if v < 0 else 0, 1)
 
 
-def _encode_au(chan_specs: list[np.ndarray], short: bool,
+def _encode_au(chan_specs: list[np.ndarray], seq: int,
                ms_mask: list | None = None,
                is_map: dict | None = None) -> bytes:
+    short = seq == 2
     bw = _BitWriter()
     qdata = [_quantize_channel(s, short) for s in chan_specs]
     if is_map and len(chan_specs) == 2:
@@ -437,13 +520,13 @@ def _encode_au(chan_specs: list[np.ndarray], short: bool,
         gg, groups = qdata[0]
         # individual_channel_stream: global_gain, ics_info, then the tail
         bw.u(gg, 8)
-        _write_ics_info(bw, short)
+        _write_ics_info(bw, seq)
         _write_stream_tail(bw, gg, groups, short)
     else:
         bw.u(1, 3)   # id_syn_ele CPE
         bw.u(0, 4)   # element_instance_tag
         bw.u(1, 1)   # common_window
-        _write_ics_info(bw, short)
+        _write_ics_info(bw, seq)
         if ms_mask is None:
             bw.u(0, 2)   # ms_mask_present = 0 (no M/S)
         else:
@@ -542,9 +625,7 @@ def parse_asc(asc: bytes) -> dict:
 def _parse_ics_info(r) -> dict:
     if r.u(1):
         raise ValueError("ics_reserved_bit set")
-    wseq = r.u(2)
-    if wseq in (1, 3):
-        raise ValueError("START/STOP window sequence: out of decode profile")
+    wseq = r.u(2)  # 0 long / 1 LONG_START / 2 EIGHT_SHORT / 3 LONG_STOP
     short = wseq == 2
     r.u(1)  # window_shape (sine assumed; Kaiser streams decode approx.)
     if short:
@@ -569,7 +650,7 @@ def _parse_ics_info(r) -> dict:
         if r.u(1):
             raise ValueError("predictor data: not LC")
         wins_per_group = [1]
-    return {"short": short, "max_sfb": max_sfb,
+    return {"short": short, "seq": wseq, "max_sfb": max_sfb,
             "wins_per_group": wins_per_group}
 
 
@@ -719,6 +800,7 @@ def _decode_au(au: bytes, exp_channels: int) -> np.ndarray:
             gg = r.u(8)  # SCE: global_gain precedes ics_info
             info = _parse_ics_info(r)
             short = info["short"]
+            seq_out = info["seq"]
             coeffs, _isb = _read_channel_stream(r, info, gg=gg)
             chans.append(coeffs)
         elif ele == 1:  # CPE
@@ -727,6 +809,7 @@ def _decode_au(au: bytes, exp_channels: int) -> np.ndarray:
                 raise ValueError("CPE without common_window: out of profile")
             info = _parse_ics_info(r)
             short = info["short"]
+            seq_out = info["seq"]
             mp = r.u(2)
             if mp == 3:
                 raise ValueError("reserved ms_mask_present value")
@@ -778,7 +861,7 @@ def _decode_au(au: bytes, exp_channels: int) -> np.ndarray:
             break
     if len(chans) != exp_channels:
         raise ValueError("channel count mismatch in raw_data_block")
-    return short, np.stack(chans)
+    return seq_out, np.stack(chans)
 
 
 def decode(aus: list[bytes], asc: bytes,
@@ -801,10 +884,10 @@ def decode(aus: list[bytes], asc: bytes,
         raise ValueError(f"corrupt AAC access unit ({type(e).__name__})")
     n_frames = len(aus)
     out = np.zeros(((n_frames + 1) * FRAME, n_ch))
-    for i, (short, spec) in enumerate(decoded):
+    for i, (seq, spec) in enumerate(decoded):
         spec = spec / 32768.0
         for c in range(n_ch):
-            if short:
+            if seq == 2:
                 if spec.shape[1] != 8:
                     raise ValueError("EIGHT_SHORT frame without 8 windows")
                 blocks = imdct_short(spec[c])  # (8, 256)
@@ -812,7 +895,8 @@ def decode(aus: list[bytes], asc: bytes,
                     o = i * FRAME + SHORT_OFS + FRAME_S * j
                     out[o:o + N_S, c] += blocks[j]
             else:
-                out[i * FRAME:i * FRAME + N, c] += imdct(spec[c])[0]
+                out[i * FRAME:i * FRAME + N, c] += \
+                    imdct(spec[c], seq=seq)[0]
     # drop the encoder-delay block and the flush tail
     pcm = out[FRAME:n_frames * FRAME]
     if n_ch == 1:

@@ -381,3 +381,46 @@ def test_intensity_boundaries():
     # the fuzz tests; here: mono streams still decode cleanly)
     out, _ = aac.decode(aus, asc)
     assert _snr(mono[:len(out)], out) >= 55.0
+
+
+def test_adaptive_window_sequences_roundtrip():
+    """r7: transient-adaptive window switching — a mid-stream attack
+    produces the spec-legal LONG_START -> EIGHT_SHORT -> LONG_STOP
+    chain, the composite windows stay power-complementary (no seam at
+    the transitions), and steady content keeps ONLY_LONG."""
+    rate = 48000
+    t = np.arange(int(rate * 0.4)) / rate
+    sig = 0.3 * np.sin(2 * np.pi * 440 * t)
+    atk = int(0.21 * rate)
+    sig[atk:atk + 600] += 0.6 * np.sin(2 * np.pi * 3000
+                                       * np.arange(600) / rate)
+    asc, aus = aac.encode(sig, rate, adaptive=True)
+    seqs = [aac._decode_au(au, 1)[0] for au in aus]
+    assert 2 in seqs and 1 in seqs and 3 in seqs, seqs
+    for i, q in enumerate(seqs):  # spec legality of the chain
+        if q == 2:
+            assert i == 0 or seqs[i - 1] in (1, 2)
+            assert i == len(seqs) - 1 or seqs[i + 1] in (2, 3)
+        if q == 1:
+            assert i + 1 < len(seqs) and seqs[i + 1] == 2
+        if q == 3:
+            assert i > 0 and seqs[i - 1] == 2
+    pcm, r = aac.decode(aus, asc)
+    assert r == rate and _snr(sig[:len(pcm)], pcm[:len(sig)]) >= 55.0
+    # steady content never switches
+    asc2, aus2 = aac.encode(0.3 * np.sin(2 * np.pi * 440 * t), rate,
+                            adaptive=True)
+    assert all(aac._decode_au(a, 1)[0] == 0 for a in aus2)
+
+
+def test_adaptive_windows_with_ms_stereo():
+    rate = 48000
+    t = np.arange(int(rate * 0.3)) / rate
+    sig = 0.3 * np.sin(2 * np.pi * 440 * t)
+    sig[int(0.15 * rate):int(0.15 * rate) + 500] += 0.6
+    st = np.stack([sig, sig * 0.8], axis=1)
+    asc, aus = aac.encode(st, rate, adaptive=True, ms=True)
+    dec, _ = aac.decode(aus, asc, downmix=False)
+    n = min(len(dec), len(st))
+    assert _snr(st[:n, 0], dec[:n, 0]) >= 40.0
+    assert _snr(st[:n, 1], dec[:n, 1]) >= 40.0
