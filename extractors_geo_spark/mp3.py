@@ -27,11 +27,13 @@ Scope and honesty (VERDICT r03 #6):
   INTENSITY stereo (mode 1 / mode_ext 1) — high sfbs carry the band sum
   on the left with tan-law is_pos panning indices in the right
   channel's scalefactor slots (is_pos 7 = skip marker). Decoder limits
-  (clear ValueError, never silent garbage): long blocks,
-  main_data_begin == 0, no scfsi reuse, no combined M/S+intensity
-  (mode_ext 3) — exactly the streams this encoder emits. MPEG-2.5
-  (quarter rates 8000/11025/12000, id bits 00) encodes and decodes
-  since r7, reusing the half-rate band layout (shared enc/dec).
+  (clear ValueError, never silent garbage): main_data_begin == 0, no
+  scfsi reuse, no mixed blocks / subblock_gain, no combined
+  M/S+intensity (mode_ext 3) — exactly the streams this encoder emits.
+  Since r7: MPEG-2.5 (quarter rates 8000/11025/12000, id bits 00,
+  half-rate band layout) AND adaptive SHORT BLOCKS (block_type 2 with
+  three 12-point MDCTs per subband, reordered spectrum, per-(sfb,
+  window) scalefactors, start/stop transition windows — MPEG-1 rates).
 
 Encoder shape: per granule, one global_gain + per-band scalefactors
 (scalefac_compress=15 -> slen 4/3, scalefac_scale=1) quantize 576
@@ -167,6 +169,53 @@ _I36, _M18 = np.meshgrid(np.arange(36), np.arange(GR), indexing="ij")
 _MDCT_C = np.cos(np.pi / 72 * (2 * _I36 + 1 + GR) * (2 * _M18 + 1))
 _WIN36 = np.sin(np.pi / 36 * (np.arange(36) + 0.5))
 
+# short blocks (r7): 12-point MDCT x3 per granule-subband + the
+# block_type 1/3 transition windows (TDAC verified to 1e-14 through
+# arbitrary legal long->start->short->stop chains)
+_I12 = np.arange(12)[:, None]
+_M6 = np.arange(6)[None, :]
+_MDCT_C12 = np.cos(np.pi / 24 * (2 * _I12 + 1 + 6) * (2 * _M6 + 1))
+_WIN12 = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+_WIN_START36 = np.concatenate([_WIN36[:18], np.ones(6), _WIN12[6:],
+                               np.zeros(6)])
+_WIN_STOP36 = np.concatenate([np.zeros(6), _WIN12[:6], np.ones(6),
+                              _WIN36[18:]])
+_BT_WIN = {0: _WIN36, 1: _WIN_START36, 3: _WIN_STOP36}
+
+# short-block scalefactor band widths PER WINDOW (sum 192); the same
+# shared-table honesty contract as the long tables
+SFB_WIDTHS_SHORT = {
+    44100: (4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56),
+    48000: (4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66),
+    32000: (4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12),
+}
+N_SFB_SHORT = 13
+
+
+def _short_maps(rate):
+    """(transmit->natural index map, per-(sfb,window) chunk widths,
+    per-chunk scalefactor caps). Transmit order = for sfb: for window:
+    lines (the ISO 'reordered' layout the bitstream carries); natural
+    order = per-subband [w0 c0..5 | w1 c0..5 | w2 c0..5] as the hybrid
+    IMDCT consumes it."""
+    widths = SFB_WIDTHS_SHORT[rate]
+    nat, chunks, caps = [], [], []
+    lo = 0
+    for sfb, wd in enumerate(widths):
+        for w in range(3):
+            for i in range(wd):
+                line = lo + i
+                k, c = divmod(line, 6)
+                nat.append(k * GR + w * 6 + c)
+            chunks.append(wd)
+            # slen1=4 (sfb 0..5), slen2=3 (6..11), none for sfb 12
+            caps.append(15 if sfb < 6 else (7 if sfb < 12 else 0))
+        lo += wd
+    return np.array(nat), tuple(chunks), tuple(caps)
+
+
+_SHORT_MAPS = {r: _short_maps(r) for r in SFB_WIDTHS_SHORT}
+
 
 def _analyze(x: np.ndarray) -> np.ndarray:
     """PCM -> subband samples [T, 32] (decimated cosine-modulated bank)."""
@@ -189,33 +238,49 @@ def _synthesize(S: np.ndarray) -> np.ndarray:
     return y
 
 
-def _mdct_granules(S: np.ndarray) -> np.ndarray:
+def _mdct_granules(S: np.ndarray, btypes=None) -> np.ndarray:
     """Subband samples [18*G, 32] -> spectra [G, 576] (sine-windowed
-    36-point MDCT per subband, 50% overlap, frequency inversion)."""
+    36-point MDCT per subband, 50% overlap, frequency inversion).
+    `btypes` (r7): per-granule block_type 0/1/2/3 — 2 runs three
+    12-point short MDCTs per subband (6 coeffs each, window-major in
+    the granule's 18 slots), 1/3 use the start/stop windows."""
     G = S.shape[0] // GR
     padded = np.vstack([np.zeros((GR, NB)), S])
     out = np.empty((G, 576))
     for g in range(G):
+        bt = btypes[g] if btypes is not None else 0
         block = padded[g * GR : g * GR + 36]  # 18 prev + 18 cur
         for k in range(NB):
             s = block[:, k].copy()
             if k % 2 == 1:  # frequency inversion (odd subbands)
                 s[1::2] *= -1.0
-            X = (_WIN36 * s) @ _MDCT_C  # [18]
-            out[g, k * GR : (k + 1) * GR] = X
+            if bt == 2:
+                for w in range(3):
+                    seg = s[6 + 6 * w: 18 + 6 * w]
+                    out[g, k * GR + 6 * w: k * GR + 6 * w + 6] = \
+                        (_WIN12 * seg) @ _MDCT_C12
+            else:
+                out[g, k * GR : (k + 1) * GR] = (_BT_WIN[bt] * s) @ _MDCT_C
     return out
 
 
-def _imdct_granules(spec: np.ndarray) -> np.ndarray:
+def _imdct_granules(spec: np.ndarray, btypes=None) -> np.ndarray:
     """Spectra [G, 576] -> subband samples [18*G, 32] via IMDCT +
-    overlap-add (exact inverse of _mdct_granules, scale 2/18 from the
-    TDAC identity of the sine window)."""
+    overlap-add (exact inverse of _mdct_granules; scale 4/N from the
+    TDAC identity, short windows overlap-add inside the granule)."""
     G = spec.shape[0]
     S = np.zeros((GR * (G + 1), NB))
     for g in range(G):
+        bt = btypes[g] if btypes is not None else 0
         for k in range(NB):
             X = spec[g, k * GR : (k + 1) * GR]
-            s = (2.0 / 36) * _WIN36 * (_MDCT_C @ X) * 2.0
+            s = np.zeros(36)
+            if bt == 2:
+                for w in range(3):
+                    s[6 + 6 * w: 18 + 6 * w] += (4.0 / 12) * _WIN12 * \
+                        (_MDCT_C12 @ X[6 * w: 6 * w + 6])
+            else:
+                s = (4.0 / 36) * _BT_WIN[bt] * (_MDCT_C @ X)
             if k % 2 == 1:
                 s = s.copy()
                 s[1::2] *= -1.0
@@ -223,25 +288,33 @@ def _imdct_granules(spec: np.ndarray) -> np.ndarray:
     return S[GR : GR * (G + 1)]  # drop the leading half-block
 
 
-def _alias_forward(spec: np.ndarray) -> np.ndarray:
-    """Encoder-side butterflies (inverse rotation of the decoder's)."""
+def _alias_forward(spec: np.ndarray, btypes=None) -> np.ndarray:
+    """Encoder-side butterflies (inverse rotation of the decoder's).
+    Short-block granules (block_type 2) are NOT alias-reduced (2.4.3.4)."""
     x = spec.copy()
+    rows = np.ones(len(x), bool) if btypes is None else \
+        np.array([bt != 2 for bt in btypes])
     for sb in range(1, NB):
-        a = x[:, sb * GR - 1 - np.arange(8)]
-        b = x[:, sb * GR + np.arange(8)]
-        x[:, sb * GR - 1 - np.arange(8)] = a * _CS + b * _CA
-        x[:, sb * GR + np.arange(8)] = b * _CS - a * _CA
+        a = x[np.ix_(np.where(rows)[0], sb * GR - 1 - np.arange(8))]
+        b = x[np.ix_(np.where(rows)[0], sb * GR + np.arange(8))]
+        x[np.ix_(np.where(rows)[0], sb * GR - 1 - np.arange(8))] = \
+            a * _CS + b * _CA
+        x[np.ix_(np.where(rows)[0], sb * GR + np.arange(8))] = \
+            b * _CS - a * _CA
     return x
 
 
-def _alias_reduce(spec: np.ndarray) -> np.ndarray:
-    """Decoder-side ISO alias-reduction butterflies."""
+def _alias_reduce(spec: np.ndarray, btypes=None) -> np.ndarray:
+    """Decoder-side ISO alias-reduction butterflies (short-block
+    granules skipped, 2.4.3.4)."""
     x = spec.copy()
+    rows = np.arange(len(x)) if btypes is None else \
+        np.where(np.array([bt != 2 for bt in btypes]))[0]
     for sb in range(1, NB):
-        a = x[:, sb * GR - 1 - np.arange(8)]
-        b = x[:, sb * GR + np.arange(8)]
-        x[:, sb * GR - 1 - np.arange(8)] = a * _CS - b * _CA
-        x[:, sb * GR + np.arange(8)] = b * _CS + a * _CA
+        a = x[np.ix_(rows, sb * GR - 1 - np.arange(8))]
+        b = x[np.ix_(rows, sb * GR + np.arange(8))]
+        x[np.ix_(rows, sb * GR - 1 - np.arange(8))] = a * _CS - b * _CA
+        x[np.ix_(rows, sb * GR + np.arange(8))] = b * _CS + a * _CA
     return x
 
 
@@ -296,14 +369,19 @@ _IS_START = 14  # first long sfb the in-repo encoder codes as intensity
 
 
 def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
-           joint: bool = False, intensity: bool = False) -> bytes:
+           joint: bool = False, intensity: bool = False,
+           adaptive: bool = False) -> bytes:
     """Float [-1, 1] PCM -> Layer III stream. Mono (n,) or stereo (n, 2);
     joint=True codes stereo as M/S (mode 1, mode_ext MS); intensity=True
     (r7) codes sfbs >= _IS_START as INTENSITY stereo (mode 1, mode_ext
     1): the left channel carries the band sum, the right channel's
     scalefactor slots carry the is_pos panning index, and zero-tail
     bands not meant for intensity carry the is_pos 7 skip marker so the
-    decoder's region detection is exact. MPEG-1 rates
+    decoder's region detection is exact. adaptive=True (r7, MPEG-1
+    rates only) switches transient granules to SHORT BLOCKS
+    (block_type 2, three 12-point MDCTs per subband, reordered
+    spectrum) with the spec-legal start (1) / stop (3) transition
+    windows around them. MPEG-1 rates
     emit 1152-sample 2-granule frames; LSF rates (22050/24000/16000)
     emit MPEG-2 576-sample single-granule frames. Quantization:
     per-granule global_gain + per-band scalefactors to |ix| <= 15;
@@ -327,11 +405,19 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
     spf = 576 if lsf else FRAME            # samples per frame
     ngr = 1 if lsf else 2                  # granules per frame
     nframes = max(1, -(-len(chans[0]) // spf))
+    n_gran = nframes * ngr
+    if adaptive and lsf:
+        raise ValueError("adaptive short blocks need an MPEG-1 rate")
+    if adaptive and intensity:
+        raise ValueError("adaptive + intensity is out of profile")
+    btypes = [0] * n_gran
+    if adaptive:
+        btypes = _decide_block_types(chans, n_gran)
     specs = []
     for ch in chans:
         ch = np.pad(ch, (0, nframes * spf - len(ch)))
         S = _analyze(np.pad(ch, (0, TAPS)))[: nframes * ngr * GR]
-        specs.append(_alias_forward(_mdct_granules(S)))  # [ngr*nframes, 576]
+        specs.append(_alias_forward(_mdct_granules(S, btypes), btypes))
 
     widths = np.array(SFB_WIDTHS[rate])
     starts = np.concatenate([[0], np.cumsum(widths)])[:-1]
@@ -372,8 +458,15 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
         side = []
         for g in range(ngr):
             for ch in range(nch):
-                xr = specs[ch][ngr * f + g]
-                gg, sfs, ix = _quantize_granule(xr, widths, starts)
+                gi = ngr * f + g
+                bt = btypes[gi]
+                xr = specs[ch][gi]
+                if bt == 2:
+                    nat, chunks, caps = _SHORT_MAPS[rate]
+                    t = xr[nat]
+                    gg, sfs, ix = _quantize_chunks(t, chunks, caps)
+                else:
+                    gg, sfs, ix = _quantize_granule(xr, widths, starts)
 
                 def _is_override(sfs, ix):
                     # right channel under intensity: scalefactor slots in
@@ -390,15 +483,21 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
                     return sfs
 
                 sfs = _is_override(sfs, ix)
-                payload, big_values = _encode_granule_bits(sfs, ix)
+                enc_bits = (_encode_short_bits if bt == 2
+                            else _encode_granule_bits)
+                payload, big_values = enc_bits(sfs, ix)
                 while payload.bit_length() > budget_bits // n_chunks and gg < 251:
                     gg += 4
-                    gg, sfs, ix = _quantize_granule(xr, widths, starts,
-                                                    force_gg=gg)
+                    if bt == 2:
+                        gg, sfs, ix = _quantize_chunks(t, chunks, caps,
+                                                       force_gg=gg)
+                    else:
+                        gg, sfs, ix = _quantize_granule(xr, widths, starts,
+                                                        force_gg=gg)
                     sfs = _is_override(sfs, ix)
-                    payload, big_values = _encode_granule_bits(sfs, ix)
+                    payload, big_values = enc_bits(sfs, ix)
                 payloads.append(payload)
-                side.append((payload.bit_length(), big_values, gg))
+                side.append((payload.bit_length(), big_values, gg, bt))
 
         w = _BitWriter()
         # header: sync(11) id(2) layer(2)=1 no-crc(1)=1
@@ -433,7 +532,7 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
             w.write(0, 9)
             w.write(0, 3 if nch == 2 else 5)
             w.write(0, 4 * nch)      # scfsi
-        for bits_used, big_values, gg in side:
+        for bits_used, big_values, gg, bt in side:
             w.write(bits_used, 12)   # part2_3_length
             w.write(big_values, 9)
             w.write(gg, 8)
@@ -441,11 +540,20 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
                 w.write(LSF_SCALEFAC_COMPRESS, 9)
             else:
                 w.write(15, 4)       # scalefac_compress -> slen 4/3
-            w.write(0, 1)            # long blocks only
-            for _ in range(3):
-                w.write(15, 5)       # table_select: shared canonical table
-            w.write(7, 4)            # region0_count
-            w.write(7, 3)            # region1_count
+            if bt:  # window_switching_flag=1 side-info layout (r7)
+                w.write(1, 1)
+                w.write(bt, 2)       # block_type 1/2/3
+                w.write(0, 1)        # mixed_block_flag
+                for _ in range(2):
+                    w.write(15, 5)   # table_select (2 regions)
+                for _ in range(3):
+                    w.write(0, 3)    # subblock_gain
+            else:
+                w.write(0, 1)        # long blocks
+                for _ in range(3):
+                    w.write(15, 5)   # table_select: shared canonical table
+                w.write(7, 4)        # region0_count
+                w.write(7, 3)        # region1_count
             if not lsf:
                 w.write(0, 1)        # preflag (absent in LSF side info)
             w.write(1, 1)            # scalefac_scale -> 2^-sf per band
@@ -472,6 +580,99 @@ class _LoggingWriter(_BitWriter):
     def write(self, value: int, bits: int) -> None:  # type: ignore[override]
         self.log.append((value, bits))
         super().write(value, bits)
+
+
+def _decide_block_types(chans, n_gran: int) -> list[int]:
+    """Per-granule transient detection -> legal block_type chain (r7):
+    attacks get short blocks (2), the granule before becomes start (1),
+    the one after stop (3); conflicts collapse to short. Deterministic:
+    96-sample sub-block energy 3x over the running head."""
+    attacks = [False] * n_gran
+    for ch in chans:
+        x = np.pad(np.asarray(ch, np.float64), (0, n_gran * 576))
+        for g in range(n_gran):
+            seg = x[g * 576:(g + 1) * 576]
+            e = (seg.reshape(6, 96) ** 2).sum(axis=1)
+            head = 0.0
+            for j in range(1, 6):
+                head = max(head, float(e[:j].mean()))
+                if e[j] > 3.0 * (head + 1e-6) and e[j] > 1e-3:
+                    attacks[g] = True
+                    break
+    bts = [2 if a else 0 for a in attacks]
+    changed = True
+    while changed:
+        changed = False
+        for g in range(n_gran):
+            if bts[g] != 2:
+                continue
+            if g > 0 and bts[g - 1] == 0:
+                bts[g - 1] = 1
+                changed = True
+            elif g > 0 and bts[g - 1] == 3:
+                bts[g - 1] = 2
+                changed = True
+            if g + 1 < n_gran and bts[g + 1] == 0:
+                bts[g + 1] = 3
+                changed = True
+            elif g + 1 < n_gran and bts[g + 1] == 1:
+                bts[g + 1] = 2
+                changed = True
+    return bts
+
+
+def _quantize_chunks(t, chunks, caps, force_gg: int | None = None):
+    """Short-block quantizer over the TRANSMIT-ordered spectrum: one
+    scalefactor per (sfb, window) chunk, per-chunk slen caps (sfb 12
+    carries no scalefactor -> cap 0)."""
+    starts = np.concatenate([[0], np.cumsum(chunks)])[:-1]
+    absx = np.abs(t)
+    cmax = np.array([absx[s0:s0 + w].max() if w else 0.0
+                     for s0, w in zip(starts, chunks)])
+    peak = cmax.max()
+    if peak <= 0:
+        gg = force_gg if force_gg is not None else 100
+        return gg, np.zeros(len(chunks), int), np.zeros(576, int)
+    if force_gg is None:
+        A = peak / (15.0 ** (4.0 / 3.0))
+        gg = int(np.clip(round(4 * math.log2(A) + 210), 0, 255))
+    else:
+        gg = force_gg
+    A = 2.0 ** ((gg - 210) / 4.0)
+    top = (15.0 ** (4.0 / 3.0)) * A
+    sfs = np.zeros(len(chunks), int)
+    gain = np.ones(576)
+    for c, (s0, w, cap) in enumerate(zip(starts, chunks, caps)):
+        if cmax[c] > 0:
+            boost = int(math.floor(math.log2(top / cmax[c])))
+            sfs[c] = int(np.clip(boost, 0, cap))
+        gain[s0:s0 + w] = 2.0 ** sfs[c]
+    ix = np.rint((absx * gain / A) ** 0.75).astype(int)
+    ix = np.minimum(ix, 15)
+    return gg, sfs, np.sign(t).astype(int) * ix
+
+
+def _encode_short_bits(sfs, ix):
+    """Short-block part2+3: 4-bit scalefactors for sfb 0..5 x 3 windows,
+    3-bit for 6..11 x 3 (sfb 12 none), then the shared big_values pair
+    coding over the transmit-ordered spectrum."""
+    w = _LoggingWriter()
+    for c in range(18):          # sfb 0..5 x 3 windows
+        w.write(int(sfs[c]), 4)
+    for c in range(18, 36):      # sfb 6..11 x 3 windows
+        w.write(int(sfs[c]), 3)
+    nz = np.nonzero(ix)[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    big_values = min((last + 1) // 2, 288)
+    for p_ in range(big_values):
+        vx, vy = int(ix[2 * p_]), int(ix[2 * p_ + 1])
+        ln, code = _HUFF_ENC[(abs(vx), abs(vy))]
+        w.write(code, ln)
+        if vx:
+            w.write(1 if vx < 0 else 0, 1)
+        if vy:
+            w.write(1 if vy < 0 else 0, 1)
+    return w, big_values
 
 
 def _quantize_granule(xr, widths, starts, force_gg: int | None = None):
@@ -659,16 +860,29 @@ def parse_mp3_info(data: bytes) -> dict:
 
 def _read_side_block(rd, lsf):
     """One granule-channel side-info block -> (part2_3, big_values, gg,
-    scalefac_compress). Raises on anything outside the codec profile."""
+    scalefac_compress, block_type). Raises on anything outside the
+    codec profile. block_type: 0 long / 1 start / 2 short / 3 stop
+    (window_switching_flag layout, r7)."""
     part23 = rd.read(12)
     big_values = rd.read(9)
     gg = rd.read(8)
     sc = rd.read(9) if lsf else rd.read(4)
-    if rd.read(1):
-        raise ValueError("window switching (short blocks) unsupported")
-    tsel = [rd.read(5) for _ in range(3)]
-    rd.read(4)
-    rd.read(3)
+    bt = 0
+    if rd.read(1):  # window_switching_flag
+        if lsf:
+            raise ValueError("short blocks at LSF rates: out of profile")
+        bt = rd.read(2)
+        if bt == 0:
+            raise ValueError("reserved block_type 0 with window switching")
+        if rd.read(1):
+            raise ValueError("mixed blocks: out of decode profile")
+        tsel = [rd.read(5) for _ in range(2)]
+        if any(rd.read(3) for _ in range(3)):
+            raise ValueError("subblock_gain: out of decode profile")
+    else:
+        tsel = [rd.read(5) for _ in range(3)]
+        rd.read(4)
+        rd.read(3)
     preflag = 0 if lsf else rd.read(1)
     sfscale = rd.read(1)
     rd.read(1)  # count1table_select
@@ -679,7 +893,7 @@ def _read_side_block(rd, lsf):
         raise ValueError("side info outside this codec's profile")
     if preflag or not sfscale or any(t != 15 for t in tsel):
         raise ValueError("side info outside this codec's profile")
-    return part23, big_values, gg, sc
+    return part23, big_values, gg, sc, bt
 
 
 def _read_scalefactors(mrd, sc, lsf):
@@ -726,6 +940,7 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
         if nch is None:
             nch = fch
             spectra = [[] for _ in range(nch)]
+            btypes_out = [[] for _ in range(nch)]
         elif fch != nch:
             raise ValueError("channel mode changes mid-stream")
         rate = r
@@ -743,9 +958,13 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
         blocks = [_read_side_block(rd, lsf) for _ in range(ngr * nch)]
         main = rd.pos  # main data follows side info directly
         frame_spec = []
-        for part23, big_values, gg, sc in blocks:
+        for part23, big_values, gg, sc, bt in blocks:
             mrd = _BitReader(data, main)
-            sfs = _read_scalefactors(mrd, sc, lsf)
+            if bt == 2:  # short: 36 per-(sfb,window) scalefactors
+                sfs = [mrd.read(4) for _ in range(18)] + \
+                    [mrd.read(3) for _ in range(18)] + [0, 0, 0]
+            else:
+                sfs = _read_scalefactors(mrd, sc, lsf)
             ix = np.zeros(576)
             for p in range(big_values):
                 ln, code = 0, 0
@@ -770,15 +989,28 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
                 raise ValueError("part2_3_length mismatch")
             main = mrd.pos
             A = 2.0 ** ((gg - 210) / 4.0)
-            gain = np.ones(576)
-            for b in range(N_SFB):
-                gain[starts[b] : starts[b] + widths[b]] = 2.0 ** sfs[b]
-            req = np.sign(ix) * (np.abs(ix) ** (4.0 / 3.0)) * A / gain
-            frame_spec.append((req, sfs))
+            if bt == 2:
+                # requant per (sfb, window) chunk, then reorder the
+                # transmit-ordered lines into the hybrid's natural order
+                nat, chunks, _caps = _SHORT_MAPS[rate]
+                cst = np.concatenate([[0], np.cumsum(chunks)])[:-1]
+                gain = np.ones(576)
+                for c, (s0, wd) in enumerate(zip(cst, chunks)):
+                    gain[s0:s0 + wd] = 2.0 ** sfs[c]
+                t = np.sign(ix) * (np.abs(ix) ** (4.0 / 3.0)) * A / gain
+                req = np.zeros(576)
+                req[nat] = t
+            else:
+                gain = np.ones(576)
+                for b in range(N_SFB):
+                    gain[starts[b] : starts[b] + widths[b]] = 2.0 ** sfs[b]
+                req = np.sign(ix) * (np.abs(ix) ** (4.0 / 3.0)) * A / gain
+            frame_spec.append((req, sfs, bt))
         # frame_spec order: for g: for ch
         for g in range(ngr):
             chs = [fs[0] for fs in frame_spec[g * nch:(g + 1) * nch]]
-            if is_flag:
+            g_bts = [fs[2] for fs in frame_spec[g * nch:(g + 1) * nch]]
+            if is_flag and g_bts[-1] != 2:
                 # intensity region (2.4.3.4.9.3): every band past the
                 # right channel's last nonzero coefficient; the right
                 # scalefactor slot is the is_pos index, 7 = skip
@@ -801,13 +1033,14 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
                 chs = [(m + s) * _SQ2, (m - s) * _SQ2]
             for c in range(nch):
                 spectra[c].append(chs[c])
+                btypes_out[c].append(g_bts[c])
         pos += flen
     if rate is None:
         raise ValueError("no MPEG audio frames")
     outs = []
     for c in range(nch):
-        spec = _alias_reduce(np.array(spectra[c]))
-        S = _imdct_granules(spec)
+        spec = _alias_reduce(np.array(spectra[c]), btypes_out[c])
+        S = _imdct_granules(spec, btypes_out[c])
         y = _synthesize(S)
         outs.append(y[_FB_DELAY : _FB_DELAY + spec.shape[0] * 576])
     if nch == 1:

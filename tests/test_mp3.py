@@ -305,3 +305,82 @@ def test_mpeg25_roundtrip_all_rates():
             downmix=False)
         assert _snr2(st[:, 0], pcm2[:, 0]) >= 7.0
         assert _snr2(st[:, 1], pcm2[:, 1]) >= 7.0
+
+
+def test_adaptive_short_blocks_roundtrip():
+    """r7: transient granules switch to SHORT BLOCKS (block_type 2,
+    three 12-point MDCTs, reordered spectrum, per-(sfb,window)
+    scalefactors) with spec-legal start/stop windows around them; the
+    stream really carries the 1-2-3 chain and decodes at long-path
+    quality."""
+    rate = 44100
+    t = np.arange(int(rate * 0.35)) / rate
+    sig = 0.3 * np.sin(2 * np.pi * 440 * t)
+    atk = int(0.18 * rate)
+    sig[atk:atk + 400] += 0.6 * np.sin(2 * np.pi * 5000
+                                       * np.arange(400) / rate)
+    data = mp3.encode(sig, rate, adaptive=True)
+    pos = mp3._skip_id3(data)
+    bts = []
+    while pos + 4 <= len(data):
+        h = mp3._parse_header(data, pos)
+        if h is None:
+            pos += 1
+            continue
+        rd = mp3._BitReader(data, (pos + 4) * 8)
+        rd.read(9); rd.read(5); rd.read(4)
+        for _ in range(2):
+            bts.append(mp3._read_side_block(rd, False)[4])
+        pos += h[7]
+    assert 2 in bts and 1 in bts and 3 in bts, bts
+    for i, b in enumerate(bts):  # chain legality
+        if b == 2:
+            assert i == 0 or bts[i - 1] in (1, 2)
+            assert i == len(bts) - 1 or bts[i + 1] in (2, 3)
+        if b == 1:
+            assert i + 1 < len(bts) and bts[i + 1] == 2
+        if b == 3:
+            assert i > 0 and bts[i - 1] == 2
+
+    def snr(a, b):
+        n = min(len(a), len(b))
+        return 10 * np.log10(np.sum(a[:n] ** 2)
+                             / (np.sum((a[:n] - b[:n]) ** 2) + 1e-12))
+
+    dec, r = mp3.decode(data)
+    assert r == rate and snr(sig, dec) >= 20.0
+    # steady content never switches
+    d2 = mp3.encode(0.3 * np.sin(2 * np.pi * 440 * t), rate,
+                    adaptive=True)
+    pos = mp3._skip_id3(d2)
+    h = mp3._parse_header(d2, pos)
+    rd = mp3._BitReader(d2, (pos + 4) * 8)
+    rd.read(9); rd.read(5); rd.read(4)
+    assert mp3._read_side_block(rd, False)[4] == 0
+
+
+def test_adaptive_short_blocks_stereo_ms():
+    rate = 44100
+    t = np.arange(int(rate * 0.3)) / rate
+    sig = 0.3 * np.sin(2 * np.pi * 330 * t)
+    sig[int(0.15 * rate):int(0.15 * rate) + 300] += 0.5
+    st = np.stack([sig, sig * 0.85], axis=1)
+    data = mp3.encode(st, rate, joint=True, adaptive=True)
+    dec, _ = mp3.decode(data, downmix=False)
+    n = min(len(dec), len(st))
+
+    def snr(a, b):
+        return 10 * np.log10(np.sum(a ** 2) / (np.sum((a - b) ** 2) + 1e-12))
+
+    assert snr(st[:n, 0], dec[:n, 0]) >= 15.0
+    assert snr(st[:n, 1], dec[:n, 1]) >= 15.0
+
+
+def test_adaptive_short_block_boundaries():
+    rate = 22050  # LSF rate: adaptive must refuse, not emit garbage
+    sig = np.zeros(4096)
+    with pytest.raises(ValueError, match="MPEG-1"):
+        mp3.encode(sig, rate, adaptive=True)
+    with pytest.raises(ValueError, match="intensity"):
+        mp3.encode(np.zeros((4096, 2)), 44100, adaptive=True,
+                   intensity=True)
