@@ -1756,12 +1756,25 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                 continue
             mb_type = cand[1]
             bpart = None
+            b8 = None
             if cand[0] > 6 * 256:  # partitions must clearly win (bits)
                 tot_p, pinfo = _eval_b_partitions(
                     mvs0, mvs1, ref0_full, ref1_full, smb, mx, my, search)
                 if tot_p < 0.92 * cand[0]:
                     bpart = pinfo
-            if bpart:
+                # B_8x8 carries the most side bits (4 sub types + up to
+                # 16 mvd pairs per list): it must clearly beat both
+                tot_8, subs_8 = _eval_b8x8(
+                    mvs0, mvs1, ref0_full, ref1_full, smb, mx, my,
+                    search, dmv0, dmv1, dpred)
+                if tot_8 < 0.80 * min(cand[0], tot_p):
+                    b8, bpart = subs_8, None
+            if b8:
+                # prediction needs only the chosen MVs (parts are filled
+                # by _eval_b8x8); state commits happen at serialization
+                pred, cpred = _b8x8_pred(b8, ref0_full, ref1_full, cref0,
+                                         cref1, mx, my, dmv0, dmv1)
+            elif bpart:
                 geom = _PART_GEOM[bpart["ptype"]]
                 pred = np.zeros((16, 16), np.int32)
                 cpred = np.zeros((2, 8, 8), np.int32)
@@ -1806,7 +1819,18 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
             cbpc, comps = _encode_chroma_mb(csrc_mb, cpred, qp, intra=False)
             bw.ue(pending_skips)
             pending_skips = 0
-            if bpart:
+            if b8:
+                bw.ue(22)  # B_8x8 (7.3.5: sub_mb_pred follows)
+                for st8, _parts in b8:
+                    bw.ue(st8)
+
+                def mvd_io(_li, mv_i, mvp_i):
+                    bw.se(mv_i[0] - mvp_i[0])
+                    bw.se(mv_i[1] - mvp_i[1])
+                    return mv_i
+
+                _b8x8_list_pass(b8, mvs0, mvs1, mx, my, dmv0, dmv1, mvd_io)
+            elif bpart:
                 # mvds grouped BY LIST (7.3.5.1) with per-list progressive
                 # commits — the decoder's exact predictor order
                 bw.ue(bpart["mb_type"])
@@ -1852,7 +1876,7 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                     comps[ci]["recon"]
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
-            if bpart:
+            if bpart or b8:
                 pass  # committed per list during mvd serialization
             elif mb_type == 0:
                 _b_commit_direct(mvs0, mvs1, mx, my, dmv0, dmv1)
@@ -2119,6 +2143,16 @@ _P_SUB_GEOM = {
 # finer shapes carry more mvd bits: they must beat 8x8 by these margins
 _P_SUB_GATE = {1: 0.85, 2: 0.85, 3: 0.70}
 
+# Table 7-18 B sub_mb_type: value -> (shape key into _P_SUB_GEOM, mode)
+# with mode 0 = L0, 1 = L1, 2 = Bi; value 0 = B_Direct_8x8 (spatial).
+_B_SUB_INFO = {1: (0, 0), 2: (0, 1), 3: (0, 2), 4: (1, 0), 5: (2, 0),
+               6: (1, 1), 7: (2, 1), 8: (1, 2), 9: (2, 2), 10: (3, 0),
+               11: (3, 1), 12: (3, 2)}
+_B_SUB_OF = {v: k for k, v in _B_SUB_INFO.items()}
+# per-shape SAD gates for B sub-partitions (finer shapes and Bi carry
+# more mvd bits than 8x8 single-list, so they must win by a margin)
+_B8_SHAPE_GATE = {0: 0.95, 1: 0.80, 2: 0.80, 3: 0.65}
+
 
 def _eval_p8x8(mvs, ref_full, smb, mx, my, search):
     """Try P_8x8 picking, per 8x8 sub-macroblock, the best of
@@ -2165,6 +2199,154 @@ def _eval_p8x8(mvs, ref_full, smb, mx, my, search):
     mvs.mv[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = save_mv
     mvs.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = save_ref
     return tot, parts
+
+
+def _eval_b8x8(mvs0, mvs1, ref0_full, ref1_full, smb, mx, my, search,
+               dmv0, dmv1, dpred):
+    """Decision phase for B_8x8 (mb_type 22): per 8x8 sub-macroblock
+    the cheapest of B_Direct_8x8 / {8x8, 8x4, 4x8, 4x4} x {L0, L1, Bi}
+    (Table 7-18). Probes commit progressively into BOTH lists and are
+    rolled back; the serializer then re-derives every predictor in the
+    per-list bitstream order (mv fixed, mvd adapts — same contract as
+    the partitioned-B encoder). Returns (total_sad, subs) with subs[j]
+    = (sub_mb_type, parts) and parts[k] = [mv0, mv1] (None = list
+    unused; direct sub-MBs carry parts = [])."""
+    sl = (slice(my * 4, my * 4 + 4), slice(mx * 4, mx * 4 + 4))
+    saves = [(m.mv[sl].copy(), m.ref[sl].copy()) for m in (mvs0, mvs1)]
+    tot, subs = 0, []
+    for (ox8, oy8) in _P8_GEOM:
+        tgt8 = smb[oy8:oy8 + 8, ox8:ox8 + 8]
+        sad_dir = int(np.abs(tgt8 - dpred[oy8:oy8 + 8, ox8:ox8 + 8]).sum())
+        best = (sad_dir, 0, [])  # direct wins ties: no mvd bits
+        for shape, rects in _P_SUB_GEOM.items():
+            snaps = [(m.mv[sl].copy(), m.ref[sl].copy())
+                     for m in (mvs0, mvs1)]
+            stot = [0, 0, 0]  # L0 / L1 / Bi totals over the shape
+            rinfo = []
+            for (ox, oy, w, h) in rects:
+                gx, gy = ox8 + ox, oy8 + oy
+                tgt = smb[gy:gy + h, gx:gx + w]
+                mvp0 = mvs0.mvp_sub(mx * 4 + gx // 4, my * 4 + gy // 4,
+                                    w // 4)
+                s0, mv_0, p0 = _search_block(ref0_full, tgt, mx * 16 + gx,
+                                             my * 16 + gy, mvp0, search)
+                mvp1 = mvs1.mvp_sub(mx * 4 + gx // 4, my * 4 + gy // 4,
+                                    w // 4)
+                s1, mv_1, p1 = _search_block(ref1_full, tgt, mx * 16 + gx,
+                                             my * 16 + gy, mvp1, search)
+                sbi = int(np.abs(tgt - ((p0 + p1 + 1) >> 1)).sum())
+                stot[0] += s0
+                stot[1] += s1
+                stot[2] += sbi
+                rinfo.append((mv_0, mv_1))
+                # probe commits see both lists (the serializer re-derives
+                # true per-list predictors later; mv stays fixed)
+                mvs0.set_rect(mx * 4 + gx // 4, my * 4 + gy // 4,
+                              w // 4, h // 4, mv_0, 0)
+                mvs1.set_rect(mx * 4 + gx // 4, my * 4 + gy // 4,
+                              w // 4, h // 4, mv_1, 0)
+            for m, (smv, sref) in zip((mvs0, mvs1), snaps):
+                m.mv[sl] = smv
+                m.ref[sl] = sref
+            for mode in range(3):
+                gate = _B8_SHAPE_GATE[shape] * (0.92 if mode == 2 else 1.0)
+                if stot[mode] < gate * best[0]:
+                    parts = [[mv_0 if mode in (0, 2) else None,
+                              mv_1 if mode in (1, 2) else None]
+                             for (mv_0, mv_1) in rinfo]
+                    best = (stot[mode], _B_SUB_OF[(shape, mode)], parts)
+        st8, parts = best[1], best[2]
+        # commit the chosen sub-MB so the NEXT 8x8's probes see it
+        if st8 == 0:
+            mvs0.set_rect(mx * 4 + ox8 // 4, my * 4 + oy8 // 4, 2, 2,
+                          dmv0, 0)
+            mvs1.set_rect(mx * 4 + ox8 // 4, my * 4 + oy8 // 4, 2, 2,
+                          dmv1, 0)
+        else:
+            shape, _mode = _B_SUB_INFO[st8]
+            for (ox, oy, w, h), (mv_0, mv_1) in zip(_P_SUB_GEOM[shape],
+                                                    parts):
+                gx, gy = ox8 + ox, oy8 + oy
+                for m, mv_i in ((mvs0, mv_0), (mvs1, mv_1)):
+                    m.set_rect(mx * 4 + gx // 4, my * 4 + gy // 4,
+                               w // 4, h // 4,
+                               mv_i if mv_i is not None else (0, 0),
+                               0 if mv_i is not None else -1)
+        subs.append((st8, parts))
+        tot += best[0]
+    for m, (smv, sref) in zip((mvs0, mvs1), saves):
+        m.mv[sl] = smv
+        m.ref[sl] = sref
+    return tot, subs
+
+
+def _b8x8_list_pass(subs, mvs0, mvs1, mx, my, dmv0, dmv1, mvd_io):
+    """Walk the per-list serialization order of a B_8x8 MB (7.3.5.1:
+    all mvd_l0 in sub-MB/rect order, then all mvd_l1), committing MV
+    state exactly as the bitstream does — shared by all four codec
+    paths (CAVLC/CABAC x enc/dec). subs[j] = (sub_mb_type, parts);
+    mvd_io(li, mvp) either writes the mvd for the already-chosen mv and
+    returns that mv (encoder) or reads the mvd and returns mvp + mvd
+    (decoder); the result lands in parts[k][li]. Direct sub-MBs commit
+    the MB-level spatial MVs in both lists; sub-MBs not using a list
+    get ref -1 AFTER the list's mvd loop (matches _decode_mb_b_part)."""
+    for li, (mvsx, dmv) in enumerate(((mvs0, dmv0), (mvs1, dmv1))):
+        for (ox8, oy8), (st8, parts) in zip(_P8_GEOM, subs):
+            if st8 == 0:
+                mvsx.set_rect(mx * 4 + ox8 // 4, my * 4 + oy8 // 4, 2, 2,
+                              dmv, 0)
+                continue
+            shape, mode = _B_SUB_INFO[st8]
+            if mode != li and mode != 2:
+                continue
+            for k, (ox, oy, w, h) in enumerate(_P_SUB_GEOM[shape]):
+                gx, gy = ox8 + ox, oy8 + oy
+                mvp = mvsx.mvp_sub(mx * 4 + gx // 4, my * 4 + gy // 4,
+                                   w // 4)
+                mv = mvd_io(li, parts[k][li], mvp)
+                parts[k][li] = mv
+                mvsx.set_rect(mx * 4 + gx // 4, my * 4 + gy // 4,
+                              w // 4, h // 4, mv, 0)
+        for (ox8, oy8), (st8, _parts) in zip(_P8_GEOM, subs):
+            if st8 != 0:
+                _shape, mode = _B_SUB_INFO[st8]
+                if mode != li and mode != 2:
+                    mvsx.set_rect(mx * 4 + ox8 // 4, my * 4 + oy8 // 4,
+                                  2, 2, (0, 0), -1)
+
+
+def _b8x8_pred(subs, ref0, ref1, cref0, cref1, mx, my, dmv0, dmv1):
+    """(luma pred 16x16, chroma pred (2, 8, 8)) for a B_8x8 MB whose MV
+    state was committed by _b8x8_list_pass — recomputed identically on
+    both sides of the codec so decode == recon needs no shared arrays."""
+    pred = np.zeros((16, 16), np.int32)
+    cpred = np.zeros((2, 8, 8), np.int32)
+    for (ox8, oy8), (st8, parts) in zip(_P8_GEOM, subs):
+        if st8 == 0:
+            rects = ((0, 0, 8, 8),)
+            mvsel = [[dmv0, dmv1]]
+        else:
+            shape, _mode = _B_SUB_INFO[st8]
+            rects = _P_SUB_GEOM[shape]
+            mvsel = parts
+        for (ox, oy, w, h), mvp in zip(rects, mvsel):
+            gx, gy = ox8 + ox, oy8 + oy
+            ps, cps = [], []
+            for mv, refx, crefx in ((mvp[0], ref0, cref0),
+                                    (mvp[1], ref1, cref1)):
+                if mv is None:
+                    continue
+                ps.append(_interp_luma(refx, mx * 16 + gx, my * 16 + gy,
+                                       mv[0], mv[1], w, h))
+                cps.append(np.stack([
+                    _interp_chroma(crefx[ci], mx * 8 + gx // 2,
+                                   my * 8 + gy // 2, mv[0], mv[1],
+                                   w // 2, h // 2) for ci in range(2)]))
+            pred[gy:gy + h, gx:gx + w] = \
+                ps[0] if len(ps) == 1 else (ps[0] + ps[1] + 1) >> 1
+            cp = cps[0] if len(cps) == 1 else (cps[0] + cps[1] + 1) >> 1
+            cpred[:, gy // 2:(gy + h) // 2, gx // 2:(gx + w) // 2] = cp
+    return pred, cpred
 
 
 # Table 9-4 (me mapping) coded_block_pattern for INTER: codeNum -> cbp
@@ -3062,6 +3244,33 @@ def _decode_mb_b_part(r, mb_type, plane, ref0, ref1, mx, my, qp, nnz, cc,
     return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
 
 
+def _decode_mb_b8x8(r, plane, ref0, ref1, mx, my, qp, nnz, cc, modes,
+                    mvs0, mvs1):
+    """B_8x8 (mb_type 22): four sub_mb_type fields (Table 7-18 —
+    B_Direct_8x8 or {8x8, 8x4, 4x8, 4x4} x {L0, L1, Bi}), mvds grouped
+    BY LIST (7.3.5.1) with per-list progressive predictor commits via
+    the shared _b8x8_list_pass traversal."""
+    sts = []
+    for _ in range(4):
+        st = r.ue()
+        if st > 12:
+            raise ValueError("bad B sub_mb_type")
+        sts.append(st)
+    subs = [(st, [] if st == 0 else
+             [[None, None] for _ in _P_SUB_GEOM[_B_SUB_INFO[st][0]]])
+            for st in sts]
+    dmv0, dmv1 = _b_direct_mvs(mvs0, mvs1, mx, my)
+
+    def mvd_io(_li, _mv, mvp):
+        mvd = (r.se(), r.se())
+        return (mvp[0] + mvd[0], mvp[1] + mvd[1])
+
+    _b8x8_list_pass(subs, mvs0, mvs1, mx, my, dmv0, dmv1, mvd_io)
+    pred, cpred = _b8x8_pred(subs, ref0, ref1, cc.ref, cc.ref2, mx, my,
+                             dmv0, dmv1)
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
+
+
 def _skip_mb(plane, ref, mx, my, nnz, cc, modes, mvs):
     mv = mvs.skip_mv(mx, my)
     pred = _interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
@@ -3189,8 +3398,11 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                                            mvs, mvs1)
                     qp_map[my, mx] = qp
                     continue
-                if mb_type == 22:
-                    raise ValueError("B_8x8: out of decode scope")
+                if mb_type == 22:  # B_8x8 (r7)
+                    qp = _decode_mb_b8x8(r, plane, ref, ref2, mx, my, qp,
+                                         nnz, cc, modes, mvs, mvs1)
+                    qp_map[my, mx] = qp
+                    continue
                 mb_type -= 23  # intra in a B slice
             elif is_p:
                 if run_pending is None:
