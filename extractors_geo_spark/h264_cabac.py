@@ -27,11 +27,14 @@ trips are bit-exact by construction — decode == encoder recon is the
 machine-checked gate (tests/test_h264_cabac.py) — but bit-exact ISO
 cross-decode of foreign encoders' streams is NOT claimed. Profile
 boundaries that raise ValueError (the well-formed-unsupported contract):
-I_PCM-in-CABAC, B_8x8 sub-partitioned B, temporal direct. IN
+I_PCM-in-CABAC, temporal direct. IN
 profile since r6: 16x8 / 8x16 / 8x8 P partitions (Table 9-37 tree +
 sub_mb_type, per-partition mvds; since r7 ALL P sub_mb_type shapes
 8x8/8x4/4x8/4x4 via the Table 9-38 tree; partitioned-B 16x8/8x16
-types 4..21 with per-partition L0/L1/Bi since r7) and B slices — B_SKIP + spatial B_Direct_16x16 (simplified
+types 4..21 with per-partition L0/L1/Bi since r7; B_8x8 mb_type 22
+with the full Table 7-18 sub_mb_type set — B_Direct_8x8 or
+{8x8,8x4,4x8,4x4} x {L0,L1,Bi} per 8x8, per-list grouped mvds via the
+shared h264._b8x8_list_pass — since r7) and B slices — B_SKIP + spatial B_Direct_16x16 (simplified
 8.4.1.2.2 derivation, see h264._b_direct_mvs) and B_L0/B_L1/B_Bi
 16x16 via the Table 9-37 B tree with the '111101' intra escape, two
 mvd lists, bi-prediction. IN profile since r7: 4:2:0 chroma residuals
@@ -100,6 +103,7 @@ def _alloc():
         ("sub_mbt_p", 3),    # P sub_mb_type tree bins (Table 9-38)
         ("mbt_b", 6),        # B mb_type tree bins (Table 9-37)
         ("mbt_b_suf", 1),    # partitioned-B 5-bit FL suffix (r7)
+        ("sub_mbt_b", 2),    # B sub_mb_type: direct flag + FL suffix (r7)
         ("mvd_x", 7),        # bin0 inc 0..2 + TU bins 3..6
         ("mvd_y", 7),
         ("prev_i4", 1),      # prev_intra4x4_pred_mode_flag
@@ -1015,8 +1019,8 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
 def _enc_b_mb_type(enc, ctx, mbt):
     """In-repo Table 9-37-shaped B mb_type tree: '0' B_Direct_16x16,
     '100' B_L0, '101' B_L1, '110000' B_Bi, '11' + (0,0,0,1) + 5-bit FL
-    suffix for the partitioned types 4..21 (r7), '111101' + intra
-    suffix."""
+    suffix for the partitioned types 4..21 (r7), '111100' B_8x8 (r7),
+    '111101' + intra suffix."""
     base = _OFS["mbt_b"]
     if mbt == 0:    # B_Direct_16x16
         enc.decision(ctx, base, 0)
@@ -1039,6 +1043,10 @@ def _enc_b_mb_type(enc, ctx, mbt):
         idx = mbt - 4
         for i in range(4, -1, -1):  # 5-bit FL suffix, MSB first
             enc.decision(ctx, _OFS["mbt_b_suf"], (idx >> i) & 1)
+    elif mbt == 22:  # B_8x8 '111100' (r7)
+        enc.decision(ctx, base + 1, 1)
+        for i, b in enumerate((1, 1, 0, 0)):
+            enc.decision(ctx, base + 2 + min(i, 3), b)
     else:           # intra escape '111101'
         enc.decision(ctx, base + 1, 1)
         for i, b in enumerate((1, 1, 0, 1)):
@@ -1047,8 +1055,8 @@ def _enc_b_mb_type(enc, ctx, mbt):
 
 def _dec_b_mb_type(dec, ctx):
     """Returns 0..3 for the 16x16 inter types (0 = spatial direct),
-    4..21 for the partitioned 16x8/8x16 types (r7), 'intra' for the
-    escape; raises for unknown suffixes."""
+    4..21 for the partitioned 16x8/8x16 types (r7), 22 for B_8x8 (r7),
+    'intra' for the escape; raises for unknown suffixes."""
     base = _OFS["mbt_b"]
     if not dec.decision(ctx, base):
         return 0  # B_Direct_16x16
@@ -1064,6 +1072,8 @@ def _dec_b_mb_type(dec, ctx):
         if idx > 17:
             raise ValueError("bad partitioned-B suffix")
         return 4 + idx
+    if bits == (1, 1, 0, 0):  # B_8x8 (r7)
+        return 22
     if bits == (1, 1, 0, 1):
         return "intra"
     raise ValueError("unknown B mb_type bins")
@@ -1091,6 +1101,32 @@ def _dec_p_sub_type(dec, ctx):
     if not dec.decision(ctx, base + 1):
         return 1
     return 2 if dec.decision(ctx, base + 2) else 3
+
+
+def _enc_b_sub_type(enc, ctx, st):
+    """In-repo Table 9-38-shaped B sub_mb_type: '1' B_Direct_8x8
+    (st 0), '0' + 4-bit FL (st - 1, MSB first) for the twelve
+    {8x8, 8x4, 4x8, 4x4} x {L0, L1, Bi} types (Table 7-18)."""
+    base = _OFS["sub_mbt_b"]
+    if st == 0:
+        enc.decision(ctx, base, 1)
+        return
+    enc.decision(ctx, base, 0)
+    idx = st - 1
+    for i in range(3, -1, -1):
+        enc.decision(ctx, base + 1, (idx >> i) & 1)
+
+
+def _dec_b_sub_type(dec, ctx):
+    base = _OFS["sub_mbt_b"]
+    if dec.decision(ctx, base):
+        return 0
+    idx = 0
+    for _ in range(4):
+        idx = (idx << 1) | dec.decision(ctx, base + 1)
+    if idx > 11:
+        raise ValueError("bad B sub_mb_type")
+    return idx + 1
 
 
 def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
@@ -1182,12 +1218,26 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                 continue
             mb_type = cand[1]
             bpart = None
+            b8 = None
             if cand[0] > 6 * 256:  # partitions must clearly win (bits)
                 tot_p, pinfo = H._eval_b_partitions(
                     mvs0, mvs1, ref0_full, ref1_full, smb, mx, my, search)
                 if tot_p < 0.92 * cand[0]:
                     bpart = pinfo
-            if bpart:
+                # B_8x8 carries the most side bits (4 sub types + up to
+                # 16 mvd pairs per list): it must clearly beat both
+                tot_8, subs_8 = H._eval_b8x8(
+                    mvs0, mvs1, ref0_full, ref1_full, smb, mx, my,
+                    search, dmv0, dmv1, dpred)
+                if tot_8 < 0.80 * min(cand[0], tot_p):
+                    b8, bpart = subs_8, None
+            if b8:
+                # prediction needs only the chosen MVs (parts are filled
+                # by _eval_b8x8); state commits happen at serialization
+                pred, cpred = H._b8x8_pred(b8, ref0_full, ref1_full,
+                                           cref0, cref1, mx, my,
+                                           dmv0, dmv1)
+            elif bpart:
                 geom = H._PART_GEOM[bpart["ptype"]]
                 pred = np.zeros((16, 16), np.int32)
                 cpred = np.zeros((2, 8, 8), np.int32)
@@ -1231,7 +1281,24 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                 blocks.append((lv, tc))
                 out[oy:oy + 4, ox:ox + 4] += H._inv4(H._dequant4(lv, qp)).astype(np.int32)
             asum = [0, 0]
-            if bpart:
+            if b8:
+                _enc_b_mb_type(enc, ctx, 22)
+                for st8, _parts in b8:
+                    _enc_b_sub_type(enc, ctx, st8)
+
+                def mvd_io(_li, mv_i, mvp_i):
+                    d = (mv_i[0] - mvp_i[0], mv_i[1] - mvp_i[1])
+                    _enc_mvd(enc, ctx, _OFS["mvd_x"],
+                             st.mvd_inc_sum(mx, my, 0), d[0])
+                    _enc_mvd(enc, ctx, _OFS["mvd_y"],
+                             st.mvd_inc_sum(mx, my, 1), d[1])
+                    asum[0] += abs(d[0])
+                    asum[1] += abs(d[1])
+                    return mv_i
+
+                H._b8x8_list_pass(b8, mvs0, mvs1, mx, my, dmv0, dmv1,
+                                  mvd_io)
+            elif bpart:
                 _enc_b_mb_type(enc, ctx, bpart["mb_type"])
                 geom = H._PART_GEOM[bpart["ptype"]]
                 for li, (mvsx, mvlist) in enumerate(
@@ -1290,7 +1357,7 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                     comps[ci]["recon"]
             np.clip(out, 0, 255, out)
             plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
-            if bpart:
+            if b8 or bpart:
                 pass  # committed per list during mvd serialization
             elif mb_type == 0:
                 H._b_commit_direct(mvs0, mvs1, mx, my, dmv0, dmv1)
@@ -1377,6 +1444,10 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                                     modes, plane_w, cc)
                     mvs.set_mb(mx, my, (0, 0), -1)
                     mvs1.set_mb(mx, my, (0, 0), -1)
+                elif mbt == 22:  # B_8x8 (r7)
+                    qp = _dec_mb_b8x8(dec, ctx, st, plane, ref, ref2,
+                                      mx, my, qp, nnz, modes, mvs,
+                                      mvs1, cc)
                 elif isinstance(mbt, int) and mbt >= 4:
                     qp = _dec_mb_b_part(dec, ctx, st, plane, ref, ref2,
                                         mx, my, qp, nnz, modes, mvs,
@@ -1713,6 +1784,37 @@ def _dec_mb_b_part(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz,
         cpred[:, oy // 2:(oy + h) // 2, ox // 2:(ox + w) // 2] = cp
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
                        cc, cpred)
+
+
+def _dec_mb_b8x8(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz,
+                 modes, mvs0, mvs1, cc):
+    """B_8x8 (mb_type 22, CABAC r7): four sub_mb_type fields (Table
+    7-18 — B_Direct_8x8 or {8x8, 8x4, 4x8, 4x4} x {L0, L1, Bi}), mvds
+    grouped BY LIST (7.3.5.1) with per-list progressive predictor
+    commits via the shared h264._b8x8_list_pass traversal."""
+    sts = [_dec_b_sub_type(dec, ctx) for _ in range(4)]
+    subs = [(st8, [] if st8 == 0 else
+             [[None, None]
+              for _ in H._P_SUB_GEOM[H._B_SUB_INFO[st8][0]]])
+            for st8 in sts]
+    dmv0, dmv1 = H._b_direct_mvs(mvs0, mvs1, mx, my)
+    asum = [0, 0]
+
+    def mvd_io(_li, _mv, mvp):
+        mvd = (_dec_mvd(dec, ctx, _OFS["mvd_x"],
+                        st.mvd_inc_sum(mx, my, 0)),
+               _dec_mvd(dec, ctx, _OFS["mvd_y"],
+                        st.mvd_inc_sum(mx, my, 1)))
+        asum[0] += abs(mvd[0])
+        asum[1] += abs(mvd[1])
+        return (mvp[0] + mvd[0], mvp[1] + mvd[1])
+
+    H._b8x8_list_pass(subs, mvs0, mvs1, mx, my, dmv0, dmv1, mvd_io)
+    st.mvd[my, mx] = tuple(asum)
+    pred, cpred = H._b8x8_pred(subs, ref0, ref1, cc.ref, cc.ref2, mx,
+                               my, dmv0, dmv1)
+    return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz,
+                       modes, cc, cpred)
 
 
 def _dec_mb_p8x8(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs,

@@ -821,3 +821,63 @@ def test_b8x8_sub_partitions_roundtrip_cavlc():
     assert np.array_equal(dy, ryb) and np.array_equal(dc, rcb)
     # the quadrant field must be well-predicted: B_8x8 found the motion
     assert float(np.abs(ryb.astype(int) - tgt.astype(int)).mean()) < 4.0
+
+
+def test_b8x8_sub_partitions_roundtrip_cabac():
+    """r7: B_8x8 in CABAC entropy mode — same quadrant motion field as
+    the CAVLC twin ('1'/'0'+FL sub_mbt_b binarization, per-list grouped
+    CABAC mvds via the shared _b8x8_list_pass); decode == recon
+    bit-exact and the CABAC B_8x8 decode path actually fires."""
+    import struct
+
+    from extractors_geo_spark import h264_cabac
+
+    rng = np.random.default_rng(17)
+    w, h = 48, 32
+    base = rng.integers(100, 156, (h, w)).astype(np.uint8)
+    r0 = base
+    r1 = np.roll(base, 6, axis=0)
+    tgt = base.copy()
+    quad = [((0, 2), (1, -2)), ((1, 3), (0, -3))]
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for qy in range(2):
+                for qx in range(2):
+                    ref_i, dx = quad[qy][qx]
+                    src = r0 if ref_i == 0 else r1
+                    ys = slice(my * 16 + qy * 8, my * 16 + qy * 8 + 8)
+                    xs = slice(mx * 16 + qx * 8, mx * 16 + qx * 8 + 8)
+                    tgt[ys, xs] = np.roll(src[ys, xs], dx, axis=1)
+    qp = 12
+    flat = lambda v: np.full((2, h // 2, w // 2), v, np.uint8)
+    _, (ry0, rc0) = h264_cabac.encode_idr_cabac(r0, qp=qp,
+                                                full_recon=True,
+                                                chroma=flat(90))
+    _, (ry1, rc1) = h264_cabac.encode_p_cabac(r1, ry0, qp=qp,
+                                              chroma=flat(170),
+                                              cref=rc0, frame_num=1)
+    rb, (ryb, rcb) = h264_cabac.encode_b_cabac(tgt, ry0, ry1, qp=qp,
+                                               chroma=flat(128),
+                                               cref0=rc0, cref1=rc1,
+                                               poc_lsb=2)
+    avcc = h264.build_avcc(w, h, deblock_ctrl=True, bpoc=True,
+                           cabac=True)
+    nal = bytes([0x01]) + h264._ep_insert(rb)
+    sample = struct.pack(">I", len(nal)) + nal
+    hits = []
+    orig = h264_cabac._dec_mb_b8x8
+
+    def spy(*a, **k):
+        hits.append(1)
+        return orig(*a, **k)
+
+    h264_cabac._dec_mb_b8x8 = spy
+    try:
+        dy, dc = h264.decode_sample(sample, avcc, ref=ry0, ref2=ry1,
+                                    cref=rc0, cref2=rc1, full_plane=True,
+                                    with_chroma=True)
+    finally:
+        h264_cabac._dec_mb_b8x8 = orig
+    assert hits, "no CABAC B_8x8 macroblock decoded — gate regressed"
+    assert np.array_equal(dy, ryb) and np.array_equal(dc, rcb)
+    assert float(np.abs(ryb.astype(int) - tgt.astype(int)).mean()) < 4.0
