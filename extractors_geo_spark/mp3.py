@@ -28,12 +28,16 @@ Scope and honesty (VERDICT r03 #6):
   on the left with tan-law is_pos panning indices in the right
   channel's scalefactor slots (is_pos 7 = skip marker). Decoder limits
   (clear ValueError, never silent garbage): main_data_begin == 0, no
-  scfsi reuse, no mixed blocks / subblock_gain, no combined
+  mixed blocks / subblock_gain, no combined
   M/S+intensity (mode_ext 3) — exactly the streams this encoder emits.
   Since r7: MPEG-2.5 (quarter rates 8000/11025/12000, id bits 00,
   half-rate band layout) AND adaptive SHORT BLOCKS (block_type 2 with
   three 12-point MDCTs per subband, reordered spectrum, per-(sfb,
-  window) scalefactors, start/stop transition windows — MPEG-1 rates).
+  window) scalefactors, start/stop transition windows — MPEG-1 rates)
+  AND scfsi scalefactor reuse (2.4.2.7: where granule 1's long-block
+  scalefactors equal granule 0's over a whole scfsi band group, the
+  encoder signals the group's scfsi bit and omits them; the decoder
+  copies granule 0's values — short/transition granules keep scfsi 0).
 
 Encoder shape: per granule, one global_gain + per-band scalefactors
 (scalefac_compress=15 -> slen 4/3, scalefac_scale=1) quantize 576
@@ -78,6 +82,9 @@ SFB_WIDTHS[11025] = SFB_WIDTHS[22050]
 SFB_WIDTHS[12000] = SFB_WIDTHS[24000]
 SFB_WIDTHS[8000] = SFB_WIDTHS[16000]
 N_SFB = 21  # scalefactors transmitted for bands 0..20; band 21 uses sf=0
+# scfsi band groups (11172-3 2.4.2.7): sfb ranges whose granule-1
+# scalefactors may be reused from granule 0 (MSB-first bit order)
+_SCFSI_BANDS = ((0, 6), (6, 11), (11, 16), (16, 21))
 # LSF scalefac_compress 399 -> slen (4,4,3,3) over band groups (6,5,5,5):
 # the same 15/15/7/7 caps as the MPEG-1 profile's slen 4/3 split
 LSF_SCALEFAC_COMPRESS = 399
@@ -456,6 +463,7 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
     for f in range(nframes):
         payloads = []
         side = []
+        quants = []  # (sfs, ix) per chunk, for the scfsi pass (r7)
         for g in range(ngr):
             for ch in range(nch):
                 gi = ngr * f + g
@@ -498,6 +506,33 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
                     payload, big_values = enc_bits(sfs, ix)
                 payloads.append(payload)
                 side.append((payload.bit_length(), big_values, gg, bt))
+                quants.append((sfs, ix))
+
+        # scfsi (r7): where granule 1's long-block scalefactors equal
+        # granule 0's over a whole scfsi band group, signal reuse and
+        # drop them from granule 1's part2 (bit-exact, fewer bits).
+        # Intensity right channels keep scfsi 0: is_pos markers live in
+        # the scalefactor slots and region detection is per-granule.
+        scfsi = [0] * nch
+        if not lsf and is_maps is None:
+            for ch in range(nch):
+                i0, i1 = ch, nch + ch
+                if side[i0][3] or side[i1][3]:
+                    continue  # spec: no reuse around short/transition
+                sfs0, _ = quants[i0]
+                sfs1, ix1 = quants[i1]
+                skip = np.zeros(N_SFB, bool)
+                bits = 0
+                for gi_, (lo, hi) in enumerate(_SCFSI_BANDS):
+                    if np.array_equal(sfs0[lo:hi], sfs1[lo:hi]):
+                        bits |= 1 << (3 - gi_)
+                        skip[lo:hi] = True
+                if bits:
+                    payload, bv = _encode_granule_bits(sfs1, ix1,
+                                                       skip=skip)
+                    payloads[i1] = payload
+                    side[i1] = (payload.bit_length(), bv, side[i1][2], 0)
+                    scfsi[ch] = bits
 
         w = _BitWriter()
         # header: sync(11) id(2) layer(2)=1 no-crc(1)=1
@@ -531,7 +566,8 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
         else:
             w.write(0, 9)
             w.write(0, 3 if nch == 2 else 5)
-            w.write(0, 4 * nch)      # scfsi
+            for ch in range(nch):    # scfsi (r7: granule-1 sf reuse)
+                w.write(scfsi[ch], 4)
         for bits_used, big_values, gg, bt in side:
             w.write(bits_used, 12)   # part2_3_length
             w.write(big_values, 9)
@@ -705,12 +741,16 @@ def _quantize_granule(xr, widths, starts, force_gg: int | None = None):
     return gg, sfs, np.sign(xr).astype(int) * ix
 
 
-def _encode_granule_bits(sfs, ix):
+def _encode_granule_bits(sfs, ix, skip=None):
+    """Long-block part2+3; `skip` (r7 scfsi) marks sfbs whose
+    scalefactors are NOT transmitted (granule 1 reuses granule 0's)."""
     w = _LoggingWriter()
     for b in range(11):
-        w.write(int(sfs[b]), 4)
+        if skip is None or not skip[b]:
+            w.write(int(sfs[b]), 4)
     for b in range(11, N_SFB):
-        w.write(int(sfs[b]), 3)
+        if skip is None or not skip[b]:
+            w.write(int(sfs[b]), 3)
     nz = np.nonzero(ix)[0]
     last = int(nz[-1]) + 1 if nz.size else 0
     big_values = min((last + 1) // 2, 288)
@@ -952,17 +992,31 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
         if mdb != 0:
             raise ValueError("bit reservoir (main_data_begin != 0) unsupported")
         rd.read((2 if nch == 2 else 1) if lsf else (3 if nch == 2 else 5))
-        if not lsf:
-            if rd.read(4 * nch):  # scfsi
-                raise ValueError("scfsi scalefactor reuse unsupported")
+        scfsi = [0] * nch
+        if not lsf:  # scfsi (r7): granule-1 scalefactor reuse
+            scfsi = [rd.read(4) for _ in range(nch)]
         blocks = [_read_side_block(rd, lsf) for _ in range(ngr * nch)]
         main = rd.pos  # main data follows side info directly
         frame_spec = []
-        for part23, big_values, gg, sc, bt in blocks:
+        for bi, (part23, big_values, gg, sc, bt) in enumerate(blocks):
+            g_, ch_ = divmod(bi, nch)
             mrd = _BitReader(data, main)
             if bt == 2:  # short: 36 per-(sfb,window) scalefactors
+                if g_ == 1 and scfsi[ch_]:
+                    raise ValueError("scfsi set on a short-block granule")
                 sfs = [mrd.read(4) for _ in range(18)] + \
                     [mrd.read(3) for _ in range(18)] + [0, 0, 0]
+            elif g_ == 1 and scfsi[ch_]:
+                if bt:
+                    raise ValueError("scfsi set on a transition granule")
+                prev = frame_spec[ch_][1]  # granule 0, same channel
+                sfs = []
+                for gi_, (lo, hi) in enumerate(_SCFSI_BANDS):
+                    if (scfsi[ch_] >> (3 - gi_)) & 1:
+                        sfs.extend(prev[lo:hi])
+                    else:
+                        sfs.extend(mrd.read(4 if b < 11 else 3)
+                                   for b in range(lo, hi))
             else:
                 sfs = _read_scalefactors(mrd, sc, lsf)
             ix = np.zeros(576)

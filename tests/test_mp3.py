@@ -384,3 +384,70 @@ def test_adaptive_short_block_boundaries():
     with pytest.raises(ValueError, match="intensity"):
         mp3.encode(np.zeros((4096, 2)), 44100, adaptive=True,
                    intensity=True)
+
+
+def test_scfsi_scalefactor_reuse_roundtrip():
+    """r7 scfsi (2.4.2.7): a stationary tone gives granule 1 the same
+    long-block scalefactors as granule 0, so the encoder must signal
+    reuse (nonzero scfsi bits in the side info) and omit them from
+    granule 1's part2 — and the decoder must reconstruct identically
+    to a stream of the same quantized spectra."""
+    sig = _tone(1.0, 44100)
+    enc = mp3.encode(sig, 44100)
+    # side info scfsi field (mono): 4B header + 9b mdb + 5b private
+    rd = mp3._BitReader(enc, 4 * 8)
+    assert rd.read(9) == 0
+    rd.read(5)
+    assert rd.read(4) != 0, "stationary tone should trigger scfsi reuse"
+    dec, r = mp3.decode(enc)
+    assert r == 44100
+    m = min(len(dec), len(sig))
+    ref, seg = sig[2000 : m - 2000], dec[2000 : m - 2000]
+    snr = 10 * np.log10((ref ** 2).mean() / ((seg - ref) ** 2).mean())
+    assert snr > 20.0, snr
+    # stereo L/R: per-channel scfsi, both channels bit-faithful
+    st = np.stack([sig, np.roll(sig, 7)], axis=1)
+    enc2 = mp3.encode(st, 44100)
+    d2, _ = mp3.decode(enc2, downmix=False)
+    for c in range(2):
+        refc = st[2000 : m - 2000, c]
+        segc = d2[2000 : m - 2000, c]
+        snr = 10 * np.log10(
+            (refc ** 2).mean() / ((segc - refc) ** 2).mean())
+        assert snr > 20.0, (c, snr)
+
+
+def test_scfsi_not_set_on_short_or_transition_granules():
+    """Adaptive streams: any frame whose channel has a short or
+    transition granule must carry scfsi 0 for that channel (spec), and
+    the decoder enforces it."""
+    rng = np.random.default_rng(11)
+    rate = 44100
+    n = 1152 * 6
+    sig = 0.05 * np.sin(2 * np.pi * 440 * np.arange(n) / rate)
+    sig[int(n * 0.55)] += 0.9  # one hard transient -> short blocks
+    enc = mp3.encode(sig, rate, adaptive=True)
+    # walk frames: read scfsi + the two granules' window_switching state
+    pos = 0
+    saw_short_frame = False
+    while pos + 4 <= len(enc):
+        h = mp3._parse_header(enc, pos)
+        if h is None:
+            pos += 1
+            continue
+        flen = h[7]
+        rd = mp3._BitReader(enc, (pos + 4) * 8)
+        rd.read(9)
+        rd.read(5)
+        scfsi = rd.read(4)
+        bts = []
+        for _ in range(2):
+            blk = mp3._read_side_block(rd, False)
+            bts.append(blk[4])
+        if any(bts):
+            saw_short_frame = True
+            assert scfsi == 0, (bts, scfsi)
+        pos += flen
+    assert saw_short_frame
+    dec, _ = mp3.decode(enc)
+    assert np.isfinite(dec).all()
