@@ -39,9 +39,12 @@ Scope and honesty (same contract as ..mp3, VERDICT r03 #6 / r04 #6):
   Since r7 ALL FOUR window sequences decode and the encoder switches
   adaptively (adaptive=True: transient detection -> LONG_START /
   EIGHT_SHORT / LONG_STOP chains with power-complementary composite
-  windows). Out of profile (clear ValueError, never silent garbage):
-  PNS (cb 13), LTP, pulse/TNS/gain control, >2 channels, combined
-  M/S+intensity — exactly the boundary the encoder never crosses.
+  windows), and PNS (4.6.13, codebook 13) substitutes noise-like high
+  bands with a signaled noise_nrg refilled by a deterministic in-repo
+  LCG (the ISO generator is explicitly non-normative). Out of profile
+  (clear ValueError, never silent garbage): LTP, pulse/TNS/gain
+  control, >2 channels, combined M/S+intensity/PNS — exactly the
+  boundary the encoder never crosses.
 
 Scalefactor-band layouts: the LC long- and short-window swb_offset
 tables for the 48/44.1 kHz family; other rates reuse them (in-repo
@@ -317,13 +320,21 @@ def _decide_sequences(chans, n_frames: int) -> list[int]:
 def encode(pcm: np.ndarray, rate: int = 48000,
            short: bool = False, ms: bool = False,
            intensity: bool = False,
-           adaptive: bool = False) -> tuple[bytes, list[bytes]]:
+           adaptive: bool = False,
+           pns: bool = False) -> tuple[bytes, list[bytes]]:
     """PCM in [-1, 1] -> (AudioSpecificConfig, raw AUs).
     Mono (n,) emits SCE elements; stereo (n, 2) emits CPE
     (common_window). ms=True (r7) enables per-band MID/SIDE stereo
     (4.6.8.1, ms_mask_present = 1): bands where the side energy is well
     below the mid energy carry M = (L+R)/2, S = (L-R)/2 instead of L/R
     — the mainstream-encoder default for correlated channels.
+    pns=True (r7) enables Perceptual Noise Substitution (4.6.13):
+    noise-like high bands (spectral flatness >= 0.30, sfb >= 22) of
+    long-window frames carry only a signaled noise energy (codebook 13,
+    9-bit first value rooted at global_gain, then the scalefactor dpcm
+    chain); the decoder refills them with deterministic unit-energy
+    noise at rms 2^((nrg-100)/4). Mutually exclusive with ms/intensity
+    in-repo.
     intensity=True (r7) codes high bands of the RIGHT channel as
     INTENSITY stereo (codebooks 15/14 = in/out of phase): no spectral
     data, the scalefactor slot carries the dpcm is_position, and the
@@ -381,6 +392,24 @@ def encode(pcm: np.ndarray, rate: int = 48000,
             specs.append(mdct(blocks)[:, None, :] * 32768.0)
     if ms and intensity:
         raise ValueError("combined M/S + intensity is out of profile")
+    if pns and (ms or intensity):
+        raise ValueError("combined PNS + M/S/intensity is out of profile")
+    pns_maps = None
+    if pns:
+        # per frame: per channel {band: noise_nrg}; the chosen bands'
+        # spectra are zeroed so the quantizer never also codes them
+        pns_maps = []
+        for i in range(n_frames):
+            row = []
+            for s in specs:
+                if seqs[i] == 2:  # long windows only (in-repo profile)
+                    row.append({})
+                    continue
+                m = _pns_decide(s[i], SWB_OFFSETS, N_SFB)
+                for b in m:
+                    s[i][:, SWB_OFFSETS[b]:SWB_OFFSETS[b + 1]] = 0.0
+                row.append(m)
+            pns_maps.append(row)
     is_maps = None
     if intensity and len(chans) == 2:
         # high bands: right carries no spectrum; is_pos pans left->right
@@ -429,9 +458,52 @@ def encode(pcm: np.ndarray, rate: int = 48000,
             ms_masks.append(mask)
     aus = [_encode_au([s[i] for s in specs], seqs[i],
                       ms_mask=None if ms_masks is None else ms_masks[i],
-                      is_map=None if is_maps is None else is_maps[i])
+                      is_map=None if is_maps is None else is_maps[i],
+                      pns_map=None if pns_maps is None else pns_maps[i])
            for i in range(n_frames)]
     return _audio_specific_config(rate, len(chans)), aus
+
+
+_PNS_START_SFB = 22  # first long-window sfb eligible for PNS (bin 160)
+_PNS_SFM_MIN = 0.30  # spectral flatness above this = noise-like
+
+
+def _pns_noise(n: int, seed: int) -> np.ndarray:
+    """Deterministic unit-energy noise for one PNS band chunk. The ISO
+    PNS generator is explicitly non-normative (14496-3 4.6.13.3) — this
+    in-repo LCG keeps decode deterministic across runs/executors."""
+    state = (seed * 2654435761 + 1013904223) & 0xFFFFFFFF
+    vals = np.empty(n)
+    for i in range(n):
+        state = (state * 1664525 + 1013904223) & 0xFFFFFFFF
+        vals[i] = ((state >> 8) / float(1 << 24)) * 2.0 - 1.0
+    nrm = float(np.sqrt(np.sum(vals * vals)))
+    if nrm <= 0:  # all-zero draw is impossible for n >= 1, but be safe
+        vals[0] = 1.0
+        nrm = 1.0
+    return vals / nrm
+
+
+def _pns_decide(spec: np.ndarray, swb, n_sfb: int) -> dict:
+    """Per-band PNS decision for one long-window channel spectrum:
+    high bands whose spectral flatness (geometric/arithmetic power mean)
+    says noise-like -> {band: noise_nrg} with rms = 2^((nrg-100)/4)."""
+    out = {}
+    for b in range(_PNS_START_SFB, n_sfb):
+        lo, hi = swb[b], swb[b + 1]
+        x = spec[:, lo:hi].reshape(-1)
+        p = x * x
+        mean = float(p.mean())
+        if mean <= 1e-12:
+            continue
+        sfm = float(np.exp(np.log(p + 1e-30).mean()) / mean)
+        if sfm < _PNS_SFM_MIN:
+            continue
+        rms = float(np.sqrt(mean))
+        nrg = int(np.clip(round(SF_OFFSET + 4.0 * np.log2(max(rms, 1e-12))),
+                          0, 255))
+        out[b] = nrg
+    return out
 
 
 def _quantize_channel(spec, short):
@@ -502,10 +574,20 @@ def _write_band(bw, cb, q):
 
 def _encode_au(chan_specs: list[np.ndarray], seq: int,
                ms_mask: list | None = None,
-               is_map: dict | None = None) -> bytes:
+               is_map: dict | None = None,
+               pns_map: list | None = None) -> bytes:
     short = seq == 2
     bw = _BitWriter()
     qdata = [_quantize_channel(s, short) for s in chan_specs]
+    if pns_map:
+        # per-channel PNS bands ride the section data as codebook 13
+        # with the noise energy in the scalefactor slot (4.6.13)
+        for ci, m in enumerate(pns_map):
+            _gg, groups = qdata[ci]
+            for bands in groups:
+                for b, nrg in m.items():
+                    bands[b] = {"cb": 13, "sf": None, "q": None,
+                                "nrg": nrg}
     if is_map and len(chan_specs) == 2:
         # right channel: intensity bands ride the section data as
         # codebook 15/14 with the is_position in the scalefactor slot
@@ -564,8 +646,20 @@ def _write_stream_tail(bw, gg, groups, short):
     prev = gg
     first = True
     is_prev = 0  # intensity positions: own dpcm chain, init 0 (4.6.2)
+    nz_prev = None  # PNS noise energies: 9-bit first, then dpcm chain
     for bands in groups:
         for bd in bands:
+            if bd["cb"] == 13:  # PNS noise_nrg (4.6.13)
+                if nz_prev is None:
+                    bw.u(bd["nrg"] - gg + 256, 9)
+                else:
+                    d = bd["nrg"] - nz_prev
+                    if not -60 <= d <= 60:
+                        raise ValueError("noise_nrg delta out of range")
+                    ln, code = _SF_ENC[d]
+                    bw.u(code, ln)
+                nz_prev = bd["nrg"]
+                continue
             if bd["cb"] in (14, 15):
                 d = bd["is_pos"] - is_prev
                 if not -60 <= d <= 60:
@@ -591,7 +685,7 @@ def _write_stream_tail(bw, gg, groups, short):
     bw.u(0, 1)   # gain_control_data_present
     for bands in groups:
         for bd in bands:
-            if bd["cb"] not in (0, 14, 15):
+            if bd["cb"] not in (0, 13, 14, 15):
                 _write_band(bw, bd["cb"], bd["q"])
 
 
@@ -692,8 +786,6 @@ def _read_channel_stream(r, info, gg=None, allow_intensity=False):
     # carried family means a foreign/desynced stream
     for cbs in sections:
         for cb in cbs:
-            if cb == 13:
-                raise ValueError("PNS: out of profile")
             if cb in (14, 15) and not allow_intensity:
                 raise ValueError(
                     "intensity stereo outside a CPE right channel")
@@ -702,14 +794,27 @@ def _read_channel_stream(r, info, gg=None, allow_intensity=False):
     # scale_factor_data (+ intensity positions on their own dpcm chain)
     sfs = []  # per group list of per-band sf (None for cb 0)
     is_bands = []  # per group: {band: (is_pos, phase_cb)}
+    pns_bands = []  # per group: {band: noise_nrg} (cb 13, 4.6.13)
     prev = gg
     first = True
     is_prev = 0
+    nz_prev = None
     for cbs in sections:
         row = []
         is_row = {}
+        pns_row = {}
         for b, cb in enumerate(cbs):
             if cb == 0:
+                row.append(None)
+                continue
+            if cb == 13:  # PNS: 9-bit first noise_nrg, then dpcm chain
+                if nz_prev is None:
+                    nz_prev = r.u(9) + gg - 256
+                else:
+                    nz_prev = nz_prev + _read_code(r, _SF_DEC)
+                if not 0 <= nz_prev <= 255:
+                    raise ValueError("noise_nrg out of 0..255 range")
+                pns_row[b] = nz_prev
                 row.append(None)
                 continue
             if cb in (14, 15):
@@ -734,6 +839,7 @@ def _read_channel_stream(r, info, gg=None, allow_intensity=False):
                 raise ValueError("scalefactor out of 0..255 range")
         sfs.append(row)
         is_bands.append(is_row)
+        pns_bands.append(pns_row)
     if r.u(1):
         raise ValueError("pulse data: out of decode profile")
     if r.u(1):
@@ -748,6 +854,15 @@ def _read_channel_stream(r, info, gg=None, allow_intensity=False):
         for b in range(max_sfb):
             cb = sections[g][b]
             lo, hi = swb[b], swb[b + 1]
+            if cb == 13:  # PNS: deterministic noise at the signaled rms
+                n = wins * (hi - lo)
+                nrg = pns_bands[g][b]
+                seed = (g * 131071 + b * 8191 + nrg * 127
+                        + (1 if allow_intensity else 0))
+                rms = 2.0 ** ((nrg - SF_OFFSET) / 4.0)
+                noise = _pns_noise(n, seed) * (rms * np.sqrt(n))
+                coeffs[w0:w0 + wins, lo:hi] = noise.reshape(wins, hi - lo)
+                continue
             if cb in (0, 14, 15):
                 continue  # no spectral data (zero / intensity)
             vals = _read_band(r, cb, wins * (hi - lo))

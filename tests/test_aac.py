@@ -424,3 +424,91 @@ def test_adaptive_windows_with_ms_stereo():
     n = min(len(dec), len(st))
     assert _snr(st[:n, 0], dec[:n, 0]) >= 40.0
     assert _snr(st[:n, 1], dec[:n, 1]) >= 40.0
+
+
+def _band_rms(x, lo, hi, rate):
+    s = np.fft.rfft(x)
+    f = np.fft.rfftfreq(x.size, 1 / rate)
+    m = (f >= lo) & (f < hi)
+    return float(np.sqrt(np.mean(np.abs(s[m]) ** 2)))
+
+
+def test_pns_roundtrip():
+    """r7 Perceptual Noise Substitution (4.6.13, codebook 13): noise-like
+    high bands carry only a signaled energy; the decoder refills them
+    with deterministic noise at the right rms. Bits drop sharply, band
+    energies survive, and the tonal low band stays transparent."""
+    rate = 48000
+    rng = np.random.default_rng(5)
+    n = rate // 2
+    t = np.arange(n) / rate
+    sig = 0.4 * np.sin(2 * np.pi * 440 * t)
+    white = np.fft.rfft(rng.normal(0, 1.0, n))
+    white[np.fft.rfftfreq(n, 1 / rate) < 5000] = 0
+    hnoise = np.fft.irfft(white, n)
+    sig = sig + hnoise * (0.15 / hnoise.std())
+
+    asc, aus = aac.encode(sig, rate, pns=True)
+    _, aus_plain = aac.encode(sig, rate)
+    assert sum(map(len, aus)) < 0.75 * sum(map(len, aus_plain))  # bits saved
+    pcm, r = aac.decode(aus, asc)
+    assert r == rate
+    m = min(len(pcm), n)
+    # substituted bands keep their energy (nrg quantizes rms in 0.75 dB
+    # steps; the decision also leaves some bands coded, so allow 10%)
+    for lo, hi in ((5000, 8000), (8000, 12000), (12000, 16000)):
+        a, b = _band_rms(sig[:m], lo, hi, rate), _band_rms(pcm[:m], lo, hi, rate)
+        assert abs(a - b) / a < 0.10, (lo, hi, a, b)
+    # the tonal band is untouched by the substitution
+    def lowpass(x):
+        s = np.fft.rfft(x)
+        s[np.fft.rfftfreq(x.size, 1 / rate) > 2000] = 0
+        return np.fft.irfft(s, x.size)
+    assert _snr(lowpass(sig[:m]), lowpass(pcm[:m])) >= 55.0
+    # decode is deterministic (the LCG, not random state)
+    pcm2, _ = aac.decode(aus, asc)
+    np.testing.assert_array_equal(pcm, pcm2)
+
+
+def test_pns_stereo_and_boundaries():
+    rate = 48000
+    rng = np.random.default_rng(9)
+    n = rate // 4
+    t = np.arange(n) / rate
+    base = 0.3 * np.sin(2 * np.pi * 500 * t)
+    white = np.fft.rfft(rng.normal(0, 1.0, n))
+    white[np.fft.rfftfreq(n, 1 / rate) < 6000] = 0
+    hn = np.fft.irfft(white, n)
+    hn *= 0.12 / hn.std()
+    st = np.stack([base + hn, base + hn], axis=1)
+    asc, aus = aac.encode(st, rate, pns=True)
+    dec, _ = aac.decode(aus, asc, downmix=False)
+    m = min(len(dec), n)
+    for ch in (0, 1):
+        a = _band_rms(st[:m, ch], 6000, 12000, rate)
+        b = _band_rms(dec[:m, ch], 6000, 12000, rate)
+        assert abs(a - b) / a < 0.12, (ch, a, b)
+    # the two channels' substituted noise is decorrelated (different
+    # seeds), unlike the perfectly-correlated input
+    def highpass(x):
+        s = np.fft.rfft(x)
+        s[np.fft.rfftfreq(x.size, 1 / rate) < 6000] = 0
+        return np.fft.irfft(s, x.size)
+    hi_l, hi_r = highpass(dec[:m, 0]), highpass(dec[:m, 1])
+    corr = float(np.corrcoef(hi_l, hi_r)[0, 1])
+    assert corr < 0.9, corr
+    # out-of-profile combinations raise
+    with pytest.raises(ValueError, match="PNS"):
+        aac.encode(st, rate, pns=True, ms=True)
+    with pytest.raises(ValueError, match="PNS"):
+        aac.encode(st, rate, pns=True, intensity=True)
+    # a corrupted noise_nrg chain raises cleanly (range check)
+    mono = base + hn
+    asc_m, aus_m = aac.encode(mono, rate, pns=True)
+    for _ in range(50):
+        a = bytearray(aus_m[1])
+        a[np.random.default_rng(len(a)).integers(len(a))] ^= 0xFF
+        try:
+            aac.decode([bytes(a)], asc_m)
+        except ValueError:
+            pass
