@@ -26,8 +26,10 @@ Scope and honesty (VERDICT r03 #6):
   M/S joint stereo (mode 1 / mode_ext 2, spectral butterfly). Since r7:
   INTENSITY stereo (mode 1 / mode_ext 1) — high sfbs carry the band sum
   on the left with tan-law is_pos panning indices in the right
-  channel's scalefactor slots (is_pos 7 = skip marker). Decoder limits
-  (clear ValueError, never silent garbage): main_data_begin == 0, no
+  channel's scalefactor slots (is_pos 7 = skip marker). Since r7 the
+  BIT RESERVOIR decodes (2.4.2.7: main_data_begin backpointers into a
+  rolling tail of previous frames' main-data slots). Decoder limits
+  (clear ValueError, never silent garbage): no
   mixed blocks / subblock_gain, no combined
   M/S+intensity (mode_ext 3) — exactly the streams this encoder emits.
   Since r7: MPEG-2.5 (quarter rates 8000/11025/12000, id bits 00,
@@ -42,7 +44,8 @@ Scope and honesty (VERDICT r03 #6):
 Encoder shape: per granule, one global_gain + per-band scalefactors
 (scalefac_compress=15 -> slen 4/3, scalefac_scale=1) quantize 576
 spectral lines to |ix| <= 15; big_values pairs entropy-code with the
-shared table; count1 region is empty; no bit reservoir.
+shared table; count1 region is empty; reservoir=True borrows unused
+slot bytes from earlier frames (backlog clamped to the pointer range).
 """
 
 from __future__ import annotations
@@ -355,10 +358,13 @@ class _BitReader:
 
     def read(self, bits: int) -> int:
         v = 0
-        for _ in range(bits):
-            byte = self.data[self.pos >> 3]
-            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
+        try:
+            for _ in range(bits):
+                byte = self.data[self.pos >> 3]
+                v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+                self.pos += 1
+        except IndexError:
+            raise ValueError("truncated bitstream") from None
         return v
 
 
@@ -377,7 +383,7 @@ _IS_START = 14  # first long sfb the in-repo encoder codes as intensity
 
 def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
            joint: bool = False, intensity: bool = False,
-           adaptive: bool = False) -> bytes:
+           adaptive: bool = False, reservoir: bool = False) -> bytes:
     """Float [-1, 1] PCM -> Layer III stream. Mono (n,) or stereo (n, 2);
     joint=True codes stereo as M/S (mode 1, mode_ext MS); intensity=True
     (r7) codes sfbs >= _IS_START as INTENSITY stereo (mode 1, mode_ext
@@ -392,7 +398,14 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
     emit 1152-sample 2-granule frames; LSF rates (22050/24000/16000)
     emit MPEG-2 576-sample single-granule frames. Quantization:
     per-granule global_gain + per-band scalefactors to |ix| <= 15;
-    coarsens (gg += 4) until the granule fits the frame budget."""
+    coarsens (gg += 4) until the granule fits the frame budget.
+    reservoir=True (r7) enables the BIT RESERVOIR (2.4.2.7,
+    main_data_begin): each frame's main data may start up to 511 bytes
+    (255 LSF) back inside earlier frames' unused slot space, so loud
+    frames borrow bits that quiet frames donated — the layout every
+    real-world encoder uses. Frame main data is byte-aligned (stuffing
+    bits close each frame, as mainstream encoders do) and the backlog
+    is clamped to the pointer range with stuffing bytes."""
     m25 = rate in MPEG25_SAMPLERATES  # MPEG-2.5 (r7)
     lsf = m25 or rate in LSF_SAMPLERATES
     if not lsf and rate not in SAMPLERATES:
@@ -456,11 +469,15 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
         sr_idx = SAMPLERATES.index(rate)
         frame_bytes = 144 * BITRATES[bitrate_idx] * 1000 // rate
         side_bytes = 32 if nch == 2 else 17
-    budget_bits = (frame_bytes - 4 - side_bytes) * 8
+    cap = frame_bytes - 4 - side_bytes  # main-data slot bytes per frame
     n_chunks = ngr * nch  # granule-channel payloads per frame
+    max_back = ((255 if lsf else 511) if reservoir else 0)
+    backlog = 0  # reservoir fill: unused slot bytes behind the cursor
+    frame_mds = []   # per-frame byte-aligned main data
+    frame_meta = []  # per-frame (side, scfsi, main_data_begin)
 
-    out = bytearray()
     for f in range(nframes):
+        budget_bits = (cap + backlog) * 8
         payloads = []
         side = []
         quants = []  # (sfs, ix) per chunk, for the scfsi pass (r7)
@@ -534,6 +551,29 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
                     side[i1] = (payload.bit_length(), bv, side[i1][2], 0)
                     scfsi[ch] = bits
 
+        # phase 1 close-out: byte-align this frame's main data (stuffing
+        # bits, as real encoders do) and clamp the backlog to the
+        # main_data_begin pointer range with stuffing bytes
+        md_bits = sum(p.bit_length() for p in payloads)
+        md_len = (md_bits + 7) // 8
+        if md_len > backlog + cap:
+            raise ValueError("granule overflow (internal)")
+        md_len = max(md_len, backlog + cap - max_back)
+        mw = _BitWriter()
+        for payload in payloads:
+            for v, nb in payload.log:
+                mw.write(v, nb)
+        mw.pad()
+        frame_mds.append(bytes(mw.buf) + b"\x00" * (md_len - len(mw.buf)))
+        frame_meta.append((side, scfsi, backlog))
+        backlog = backlog + cap - md_len
+
+    # phase 2: the main data of all frames is one continuous slot
+    # stream; each frame's header + side info fronts its cap-byte slice
+    slots = b"".join(frame_mds) + b"\x00" * backlog
+    out = bytearray()
+    for f in range(nframes):
+        side, scfsi, mdb = frame_meta[f]
         w = _BitWriter()
         # header: sync(11) id(2) layer(2)=1 no-crc(1)=1
         w.write(0x7FF, 11)
@@ -561,10 +601,10 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
         w.write(0, 2)  # emphasis
         # side info
         if lsf:
-            w.write(0, 8)            # main_data_begin (no reservoir)
+            w.write(mdb, 8)          # main_data_begin (2.4.2.7)
             w.write(0, 2 if nch == 2 else 1)  # private
         else:
-            w.write(0, 9)
+            w.write(mdb, 9)
             w.write(0, 3 if nch == 2 else 5)
             for ch in range(nch):    # scfsi (r7: granule-1 sf reuse)
                 w.write(scfsi[ch], 4)
@@ -594,14 +634,7 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
                 w.write(0, 1)        # preflag (absent in LSF side info)
             w.write(1, 1)            # scalefac_scale -> 2^-sf per band
             w.write(0, 1)            # count1table_select
-        for payload in payloads:
-            for v, nb in payload.log:
-                w.write(v, nb)
-        w.pad()
-        frame = bytes(w.buf)
-        if len(frame) > frame_bytes:
-            raise ValueError("granule overflow (internal)")
-        out += frame + b"\x00" * (frame_bytes - len(frame))
+        out += bytes(w.buf) + slots[f * cap:(f + 1) * cap]
     return bytes(out)
 
 
@@ -957,6 +990,7 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
     rate = None
     spectra = None  # per-channel granule spectra
     nch = None
+    res = b""  # bit reservoir (r7): tail of previous frames' main data
     while pos + 4 <= len(data):
         h = _parse_header(data, pos)
         if h is None:
@@ -989,18 +1023,26 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
         ngr = 1 if lsf else 2
         rd = _BitReader(data, (pos + 4) * 8)
         mdb = rd.read(8 if lsf else 9)
-        if mdb != 0:
-            raise ValueError("bit reservoir (main_data_begin != 0) unsupported")
         rd.read((2 if nch == 2 else 1) if lsf else (3 if nch == 2 else 5))
         scfsi = [0] * nch
         if not lsf:  # scfsi (r7): granule-1 scalefactor reuse
             scfsi = [rd.read(4) for _ in range(nch)]
         blocks = [_read_side_block(rd, lsf) for _ in range(ngr * nch)]
-        main = rd.pos  # main data follows side info directly
+        # bit reservoir (2.4.2.7, r7): this frame's main data begins
+        # main_data_begin bytes BEFORE its own slot area, inside the
+        # tail of previous frames' slots kept in `res`
+        side_bytes = ((17 if nch == 2 else 9) if lsf
+                      else (32 if nch == 2 else 17))
+        cur = data[pos + 4 + side_bytes: pos + flen]
+        if mdb > len(res):
+            raise ValueError(
+                "bit reservoir underrun (main_data_begin before start)")
+        mbuf = res + cur
+        main = (len(res) - mdb) * 8
         frame_spec = []
         for bi, (part23, big_values, gg, sc, bt) in enumerate(blocks):
             g_, ch_ = divmod(bi, nch)
-            mrd = _BitReader(data, main)
+            mrd = _BitReader(mbuf, main)
             if bt == 2:  # short: 36 per-(sfb,window) scalefactors
                 if g_ == 1 and scfsi[ch_]:
                     raise ValueError("scfsi set on a short-block granule")
@@ -1060,6 +1102,8 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
                     gain[starts[b] : starts[b] + widths[b]] = 2.0 ** sfs[b]
                 req = np.sign(ix) * (np.abs(ix) ** (4.0 / 3.0)) * A / gain
             frame_spec.append((req, sfs, bt))
+        # keep the reservoir tail for the next frame's backpointer
+        res = mbuf[-(255 if lsf else 511):]
         # frame_spec order: for g: for ch
         for g in range(ngr):
             chs = [fs[0] for fs in frame_spec[g * nch:(g + 1) * nch]]

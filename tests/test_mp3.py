@@ -451,3 +451,95 @@ def test_scfsi_not_set_on_short_or_transition_granules():
     assert saw_short_frame
     dec, _ = mp3.decode(enc)
     assert np.isfinite(dec).all()
+
+
+def _mdbs(enc):
+    """main_data_begin per frame of an encoded stream."""
+    out, pos = [], 0
+    while pos + 4 <= len(enc):
+        h = mp3._parse_header(enc, pos)
+        if h is None:
+            pos += 1
+            continue
+        rd = mp3._BitReader(enc, (pos + 4) * 8)
+        out.append(rd.read(8 if h[0] in (0, 2) else 9))
+        pos += h[-1]
+    return out
+
+
+def test_bit_reservoir_roundtrip():
+    """r7 bit reservoir (2.4.2.7): quiet frames donate unused slot
+    bytes, loud frames borrow them through main_data_begin — the layout
+    every real-world encoder emits. The backpointered stream decodes,
+    beats the reservoir-less encode on the demanding section, and the
+    pointer never exceeds the 511-byte field range."""
+    rate = 44100
+    rng = np.random.default_rng(2)
+    n = int(rate * 0.6)
+    sig = 0.02 * np.sin(2 * np.pi * 440 * np.arange(n) / rate)
+    mid = n // 2
+    sig[mid:] += 0.5 * rng.normal(0, 0.3, n - mid)
+    plain = mp3.encode(sig, rate, bitrate_idx=9)
+    resv = mp3.encode(sig, rate, bitrate_idx=9, reservoir=True)
+    assert len(plain) == len(resv)  # same frame grid, bits moved around
+    mdbs = _mdbs(resv)
+    assert sum(1 for m in mdbs if m > 0) >= len(mdbs) // 2, mdbs
+    assert mdbs[0] == 0 and all(m <= 511 for m in mdbs)
+    assert all(m == 0 for m in _mdbs(plain))
+    dp, _ = mp3.decode(plain)
+    dr, r = mp3.decode(resv)
+    assert r == rate
+    m = min(len(dr), n)
+
+    def snr(ref, got):
+        e = got[:m] - ref[:m]
+        return 10 * np.log10((ref[:m] ** 2).mean() / max((e ** 2).mean(),
+                                                         1e-30))
+    assert snr(sig, dr) > snr(sig, dp) - 0.1  # never worse overall
+    # the demanding half is where the borrowed bits land
+    assert (snr(sig[mid:m], dr[mid:m]) >= snr(sig[mid:m], dp[mid:m])), \
+        (snr(sig[mid:m], dr[mid:m]), snr(sig[mid:m], dp[mid:m]))
+
+
+def test_bit_reservoir_composes_and_fuzz():
+    rate = 44100
+    rng = np.random.default_rng(7)
+    n = int(rate * 0.5)
+    t = np.arange(n) / rate
+    sig = 0.03 * np.sin(2 * np.pi * 500 * t)
+    sig[n // 2:] += 0.4 * rng.normal(0, 0.3, n - n // 2)
+    # stereo + M/S + reservoir
+    st = np.stack([sig, 0.8 * sig], axis=1)
+    enc = mp3.encode(st, rate, bitrate_idx=11, joint=True, reservoir=True)
+    assert any(m > 0 for m in _mdbs(enc))
+    d, _ = mp3.decode(enc, downmix=False)
+    assert d.shape[1] == 2 and np.isfinite(d).all()
+    # adaptive short blocks + reservoir
+    sig2 = 0.05 * np.sin(2 * np.pi * 440 * t)
+    sig2[n // 2] += 0.9
+    enc2 = mp3.encode(sig2, rate, adaptive=True, reservoir=True)
+    d2, _ = mp3.decode(enc2)
+    assert np.isfinite(d2).all()
+    # LSF: 8-bit pointer, 255-byte cap
+    enc3 = mp3.encode(sig[::2], 22050, bitrate_idx=11, reservoir=True)
+    mdbs3 = _mdbs(enc3)
+    assert all(m <= 255 for m in mdbs3)
+    d3, r3 = mp3.decode(enc3)
+    assert r3 == 22050 and np.isfinite(d3).all()
+    # corrupted reservoir streams decode-or-ValueError, never escape
+    import random
+    random.seed(13)
+    base = mp3.encode(sig, rate, bitrate_idx=9, reservoir=True)
+    for _ in range(120):
+        b = bytearray(base)
+        for _k in range(random.randint(1, 5)):
+            b[random.randrange(len(b))] = random.randrange(256)
+        try:
+            mp3.decode(bytes(b))
+        except ValueError:
+            pass
+    for cut in (0, 5, len(base) // 3, len(base) - 3):
+        try:
+            mp3.decode(base[:cut])
+        except ValueError:
+            pass
