@@ -2136,7 +2136,8 @@ def q_aac_features(spark, sf_dir):
     sine clips AAC-encoded into mp4a MP4s on executors with the in-repo
     codec (..aac), rotating mono-SCE / stereo-CPE x long / EIGHT_SHORT
     windows (i mod 4) with per-band MID/SIDE stereo on every other
-    stereo clip and INTENSITY stereo on the i%8==7 leg (r7),
+    stereo clip, INTENSITY stereo on the i%8==7 leg and TNS over a
+    transient-bearing clip on the i%8==4 leg (r7),
     entropy-decoded back on the feature path
     (rows-only; ~60 dB SNR + WAV feature parity in tests/test_aac.py)."""
     import numpy as np
@@ -2155,6 +2156,11 @@ def q_aac_features(spark, sf_dir):
                 secs = 1 + i % 2
                 t = np.arange(rate * secs) / rate
                 sig = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
+                if i % 8 == 4:  # TNS leg: add attacks so the gate engages
+                    rng = np.random.default_rng(i)
+                    for p in range(3000, sig.size - 300, 9600):
+                        sig[p:p + 300] += (rng.normal(0, 0.4, 300)
+                                           * np.exp(-np.arange(300) / 40.0))
                 if i % 4 >= 2:  # stereo CPE
                     sig = np.stack(
                         [sig, 0.4 * np.sin(2 * np.pi * (440 + 20 * i) * t)],
@@ -2162,7 +2168,8 @@ def q_aac_features(spark, sf_dir):
                 rows.append({"audio_id": f"a{i}",
                              "bytes": _mp4.write_aac_mp4(
                                  sig, rate, short=bool(i % 2),
-                                 ms=i % 8 == 6, intensity=i % 8 == 7)})
+                                 ms=i % 8 == 6, intensity=i % 8 == 7,
+                                 tns=i % 8 == 4)})
             yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
 
     from extractors_geo_spark.operators import multimodal as M

@@ -571,19 +571,20 @@ def _mp4_descriptor(tag: int, payload: bytes) -> bytes:
 
 def write_aac_mp4(pcm, rate: int = 48000, short: bool = False,
                   ms: bool = False, intensity: bool = False,
-                  pns: bool = False) -> bytes:
+                  pns: bool = False, tns: bool = False) -> bytes:
     """Float64 PCM — (n,) mono SCE or (n, 2) stereo CPE — -> single-track
     'mp4a' MP4 whose samples are AAC-LC access units (..aac.encode;
     short=True codes EIGHT_SHORT windows, ms=True per-band MID/SIDE
-    stereo, pns=True noise substitution, r7) and whose esds box carries
-    the real AudioSpecificConfig. In-repo canonical Huffman (see ..aac
+    stereo, pns=True noise substitution, tns=True temporal noise
+    shaping, r7) and whose esds box carries the real
+    AudioSpecificConfig. In-repo canonical Huffman (see ..aac
     docstring): round trips through read_audio_track, not ffmpeg."""
     from . import aac as _aac
 
     arr = np.asarray(pcm)
     channels = 1 if arr.ndim == 1 else arr.shape[1]
     asc, aus = _aac.encode(pcm, rate, short=short, ms=ms,
-                           intensity=intensity, pns=pns)
+                           intensity=intensity, pns=pns, tns=tns)
     n_aus = len(aus)
     payload = b"".join(aus)
     dur = n_aus * _aac.FRAME
