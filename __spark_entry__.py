@@ -1488,7 +1488,9 @@ def q_h264_frames(spark, sf_dir):
     Clips rotate through four coding shapes (i mod 4): bit-exact I_PCM;
     CAVLC IDR+P GOPs; CABAC IDR+P GOPs (r6 — context-adaptive binary
     arithmetic decode); IBBP GOPs with B slices + ctts display
-    reordering (r6 — bi-prediction, 2-deep DPB). Since r7 every clip is
+    reordering (r6 — bi-prediction, 2-deep DPB; the i%8 >= 8-half B
+    legs use TEMPORAL direct, 8.4.1.2.3 POC scaling, r7). Since r7
+    every clip is
     4:2:0 COLOR: chroma planes code real residuals (2x2 Hadamard DC +
     AC, intra chroma prediction, eighth-pel chroma MC) in both entropy
     modes; I_PCM carries raw Cb/Cr. decode==recon bit-exactness for
@@ -1523,6 +1525,7 @@ def q_h264_frames(spark, sf_dir):
                     data = _mp4.write_h264_mp4(
                         frames, fps=1, qp=8, gop=4, bframes=1,
                         entropy="cabac" if (i // 4) % 2 else "cavlc",
+                        direct="temporal" if (i // 8) % 2 else "spatial",
                         chromas=chromas)
                 else:
                     data = _mp4.write_h264_mp4(

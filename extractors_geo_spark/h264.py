@@ -1415,7 +1415,8 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                    search: int = 8, deblock: bool = False,
                    poc_lsb: int | None = None,
                    chroma: np.ndarray | None = None,
-                   cref: np.ndarray | None = None):
+                   cref: np.ndarray | None = None,
+                   motion_out: list | None = None):
     """One gray frame -> (P-slice RBSP, FULL reconstructed plane).
 
     Per macroblock: P_SKIP when the residual at the skip-predicted MV
@@ -1615,7 +1616,11 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
         out_plane = _deblock_luma_inter(plane, qp_map, nnz, mvs)
         crec = _deblock_chroma(crec, qp_map, nnz=nnz, mvs=mvs)
     if chroma is None:
+        if motion_out is not None:
+            motion_out.append((mvs.mv.copy(), mvs.ref.copy()))
         return bytes(bw.buf), out_plane
+    if motion_out is not None:
+        motion_out.append((mvs.mv.copy(), mvs.ref.copy()))
     return bytes(bw.buf), (out_plane, crec)
 
 
@@ -1666,13 +1671,17 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                    search: int = 8, poc_lsb: int = 0,
                    chroma: np.ndarray | None = None,
                    cref0: np.ndarray | None = None,
-                   cref1: np.ndarray | None = None):
+                   cref1: np.ndarray | None = None,
+                   col_motion=None, pocs=None):
     """One gray frame -> (B-slice RBSP, FULL recon plane). Per MB the
     encoder picks the cheapest of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
     (bi-prediction averages the two MC blocks) with an I_4x4 fallback on
     SAD failure; no B_SKIP/direct modes are emitted. B pictures are
     NON-REFERENCE (nal_ref_idc 0) and always disable the in-loop filter
-    in-slice, so decode == recon holds without two-list bS rules."""
+    in-slice, so decode == recon holds without two-list bS rules.
+    col_motion = the L1 anchor's (mv, ref) 4x4 motion field plus pocs =
+    (cur, poc0, poc1) switches direct/skip modes to TEMPORAL direct
+    (8.4.1.2.3, direct_spatial_mv_pred_flag = 0)."""
     a = np.asarray(gray, np.uint8)
     h, w = a.shape
     mbw = -(-w // 16)
@@ -1704,7 +1713,10 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
     bw.ue(0)      # pps_id
     bw.u(frame_num & 0xF, 4)
     bw.u(poc_lsb & 0xFFFF, 16)  # pic_order_cnt_lsb (poc_type 0 SPS)
-    bw.u(1, 1)    # direct_spatial_mv_pred_flag
+    tf = None
+    if col_motion is not None:
+        tf = _temporal_fields(col_motion[0], col_motion[1], *pocs)
+    bw.u(0 if tf is not None else 1, 1)  # direct_spatial_mv_pred_flag
     bw.u(0, 1)    # num_ref_idx_active_override_flag
     bw.u(0, 1)    # ref_pic_list_modification_flag_l0
     bw.u(0, 1)    # ref_pic_list_modification_flag_l1
@@ -1716,10 +1728,10 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
     for my in range(mbh):
         for mx in range(mbw):
             smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16].astype(np.int32)
-            # --- spatial direct first: B_SKIP when its residual is zero
-            dmv0, dmv1 = _b_direct_mvs(mvs0, mvs1, mx, my)
+            # --- direct first: B_SKIP when its residual is zero
+            dmv0, dmv1 = _b_direct_mvs(mvs0, mvs1, mx, my, tf)
             dpred = _b_direct_pred(ref0_full, ref1_full, mx, my, dmv0, dmv1)
-            dcpred = (cmc1(cref0, dmv0) + cmc1(cref1, dmv1) + 1) >> 1
+            dcpred = _b_chroma_direct_enc(cref0, cref1, mx, my, dmv0, dmv1)
             csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
             if _all_zero_quant(smb - dpred, qp) and \
                     _chroma_zero(csrc_mb, dcpred, qp):
@@ -1897,7 +1909,8 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
 def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
                        gop: int = 8, bframes: int = 1,
                        deblock: bool = False, entropy: str = "cavlc",
-                       chromas: list | None = None
+                       chromas: list | None = None,
+                       direct: str = "spatial"
                        ) -> tuple[bytes, list[bytes], list[int]]:
     """Gray frames -> (avcC, DECODE-ORDER length-prefixed samples,
     display index per sample). Real IBBP-style GOPs: reference frames
@@ -1905,12 +1918,17 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
     `bframes` B pictures between each reference pair follow, predicting
     from BOTH surrounding references (L0 past / L1 future). Feed the
     display indices to the MP4 muxer as composition offsets (ctts);
-    decode with decode_samples (returns display order)."""
+    decode with decode_samples (returns display order). direct
+    selects the B-slice direct/skip derivation: "spatial" (8.4.1.2.2
+    shape, default) or "temporal" (8.4.1.2.3: the future anchor's
+    motion scaled by POC distances, direct_spatial_mv_pred_flag=0)."""
     h, w = np.asarray(frames[0]).shape
     if w % 2 or h % 2:
         raise ValueError("4:2:0 H.264 needs even dimensions (crop unit is 2 px)")
     if bframes < 1:
         raise ValueError("bframes >= 1 (use encode_frames for P-only GOPs)")
+    if direct not in ("spatial", "temporal"):
+        raise ValueError(f"unknown direct mode {direct!r}")
     if entropy not in ("cavlc", "cabac"):
         raise ValueError(f"unknown entropy mode {entropy!r}")
     if entropy == "cabac":
@@ -1929,6 +1947,11 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
     display: list[int] = []
     recons: dict[int, object] = {}  # display idx -> FULL recon (refs)
     crecons: dict[int, np.ndarray] = {}  # display idx -> chroma recon
+    motions: dict[int, tuple] = {}  # display idx -> anchor 4x4 motion
+    temporal = direct == "temporal"
+    mbw, mbh = -(-w // 16), -(-h // 16)
+    intra_motion = (np.zeros((mbh * 4, mbw * 4, 2), np.int32),
+                    np.full((mbh * 4, mbw * 4), -1, np.int32))
     frame_num = 0
 
     def emit(rbsp, idr, ref_pic, disp):
@@ -1954,6 +1977,7 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
             frame_num = 1
             emit(rbsp, True, True, i)
             recons[i] = recon
+            motions[i] = intra_motion
             prev_ref_disp = i
             i += 1
             continue
@@ -1961,30 +1985,39 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
         # so B pictures stay strictly inside the GOP
         gop_last = min(n - 1, (prev_ref_disp // gop) * gop + gop - 1)
         nxt = min(prev_ref_disp + bframes + 1, gop_last)
+        mo: list = []
         if chromas is None:
             rbsp, recon = enc_p(frames[nxt], recons[prev_ref_disp],
                                 qp=qp, frame_num=frame_num,
-                                deblock=deblock, poc_lsb=2 * nxt)
+                                deblock=deblock, poc_lsb=2 * nxt,
+                                motion_out=mo)
         else:
             rbsp, (recon, crec) = enc_p(
                 frames[nxt], recons[prev_ref_disp], qp=qp,
                 frame_num=frame_num, deblock=deblock, poc_lsb=2 * nxt,
-                chroma=chromas[nxt], cref=crecons[prev_ref_disp])
+                chroma=chromas[nxt], cref=crecons[prev_ref_disp],
+                motion_out=mo)
             crecons[nxt] = crec
+        motions[nxt] = mo[0]
         frame_num = (frame_num + 1) & 0xF
         emit(rbsp, False, True, nxt)
         recons[nxt] = recon
         # B pictures between the two references (display order)
         for b in range(prev_ref_disp + 1, nxt):
+            tkw = ({"col_motion": motions[nxt],
+                    "pocs": (2 * b, 2 * prev_ref_disp, 2 * nxt)}
+                   if temporal else {})
             if chromas is None:
                 rbsp, _brec = enc_b(frames[b], recons[prev_ref_disp],
                                     recons[nxt], qp=qp,
-                                    frame_num=frame_num, poc_lsb=2 * b)
+                                    frame_num=frame_num, poc_lsb=2 * b,
+                                    **tkw)
             else:
                 rbsp, _brec = enc_b(
                     frames[b], recons[prev_ref_disp], recons[nxt], qp=qp,
                     frame_num=frame_num, poc_lsb=2 * b, chroma=chromas[b],
-                    cref0=crecons[prev_ref_disp], cref1=crecons[nxt])
+                    cref0=crecons[prev_ref_disp], cref1=crecons[nxt],
+                    **tkw)
             emit(rbsp, False, False, b)
         prev_ref_disp = nxt
         i = nxt + 1
@@ -2258,10 +2291,11 @@ def _eval_b8x8(mvs0, mvs1, ref0_full, ref1_full, smb, mx, my, search,
         st8, parts = best[1], best[2]
         # commit the chosen sub-MB so the NEXT 8x8's probes see it
         if st8 == 0:
-            mvs0.set_rect(mx * 4 + ox8 // 4, my * 4 + oy8 // 4, 2, 2,
-                          dmv0, 0)
-            mvs1.set_rect(mx * 4 + ox8 // 4, my * 4 + oy8 // 4, 2, 2,
-                          dmv1, 0)
+            by, bx = my * 4 + oy8 // 4, mx * 4 + ox8 // 4
+            for m, dmf in ((mvs0, dmv0), (mvs1, dmv1)):
+                m.mv[by:by + 2, bx:bx + 2] = \
+                    dmf[oy8 // 4:oy8 // 4 + 2, ox8 // 4:ox8 // 4 + 2]
+                m.ref[by:by + 2, bx:bx + 2] = 0
         else:
             shape, _mode = _B_SUB_INFO[st8]
             for (ox, oy, w, h), (mv_0, mv_1) in zip(_P_SUB_GEOM[shape],
@@ -2288,13 +2322,15 @@ def _b8x8_list_pass(subs, mvs0, mvs1, mx, my, dmv0, dmv1, mvd_io):
     mvd_io(li, mvp) either writes the mvd for the already-chosen mv and
     returns that mv (encoder) or reads the mvd and returns mvp + mvd
     (decoder); the result lands in parts[k][li]. Direct sub-MBs commit
-    the MB-level spatial MVs in both lists; sub-MBs not using a list
+    the per-4x4 direct field in both lists; sub-MBs not using a list
     get ref -1 AFTER the list's mvd loop (matches _decode_mb_b_part)."""
-    for li, (mvsx, dmv) in enumerate(((mvs0, dmv0), (mvs1, dmv1))):
+    for li, (mvsx, dmf) in enumerate(((mvs0, dmv0), (mvs1, dmv1))):
         for (ox8, oy8), (st8, parts) in zip(_P8_GEOM, subs):
             if st8 == 0:
-                mvsx.set_rect(mx * 4 + ox8 // 4, my * 4 + oy8 // 4, 2, 2,
-                              dmv, 0)
+                by, bx = my * 4 + oy8 // 4, mx * 4 + ox8 // 4
+                mvsx.mv[by:by + 2, bx:bx + 2] = \
+                    dmf[oy8 // 4:oy8 // 4 + 2, ox8 // 4:ox8 // 4 + 2]
+                mvsx.ref[by:by + 2, bx:bx + 2] = 0
                 continue
             shape, mode = _B_SUB_INFO[st8]
             if mode != li and mode != 2:
@@ -2322,9 +2358,17 @@ def _b8x8_pred(subs, ref0, ref1, cref0, cref1, mx, my, dmv0, dmv1):
     pred = np.zeros((16, 16), np.int32)
     cpred = np.zeros((2, 8, 8), np.int32)
     for (ox8, oy8), (st8, parts) in zip(_P8_GEOM, subs):
-        if st8 == 0:
-            rects = ((0, 0, 8, 8),)
-            mvsel = [[dmv0, dmv1]]
+        if st8 == 0:  # B_Direct_8x8: field-driven bi-pred over the 8x8
+            pred[oy8:oy8 + 8, ox8:ox8 + 8] = _b_direct_pred(
+                ref0, ref1, mx, my, dmv0, dmv1, ox8, oy8, 8, 8)
+            for ci in range(2):
+                cpred[ci, oy8 // 2:oy8 // 2 + 4, ox8 // 2:ox8 // 2 + 4] = (
+                    _direct_chroma_one(cref0[ci], mx, my, dmv0,
+                                       ox8 // 2, oy8 // 2, 4, 4)
+                    + _direct_chroma_one(cref1[ci], mx, my, dmv1,
+                                         ox8 // 2, oy8 // 2, 4, 4)
+                    + 1) >> 1
+            continue
         else:
             shape, _mode = _B_SUB_INFO[st8]
             rects = _P_SUB_GEOM[shape]
@@ -3105,36 +3149,143 @@ def _decode_mb_p8x8(r, plane, ref, mx, my, qp, nnz, cc, modes, mvs):
     return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
 
 
-def _b_direct_mvs(mvs0, mvs1, mx, my):
-    """Simplified SPATIAL direct motion (8.4.1.2.2 shape): per list, the
-    median predictor over the MB's neighbors (all-unavailable -> zero),
-    always bi-predictive with both references. In-repo simplification:
-    no colocated-MB/temporal conditions — shared by encoder and decoder,
-    so round trips stay bit-exact; foreign direct-mode streams are out
-    of profile anyway (temporal direct raises at the slice header)."""
-    return mvs0.mvp_16x16(mx, my), mvs1.mvp_16x16(mx, my)
+def _div_trunc(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the spec's '/' on
+    possibly-negative operands (Python // floors instead)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
 
 
-def _b_direct_pred(ref0, ref1, mx, my, mv0, mv1):
-    p0 = _interp_luma(ref0, mx * 16, my * 16, mv0[0], mv0[1])
-    p1 = _interp_luma(ref1, mx * 16, my * 16, mv1[0], mv1[1])
-    return (p0 + p1 + 1) >> 1
+def _temporal_fields(col_mv, col_ref, cur_poc, poc0, poc1):
+    """8.4.1.2.3 temporal direct motion: whole-frame per-4x4 mvL0/mvL1
+    fields derived from the COLOCATED picture's (RefPicList1[0])
+    motion field, scaled by POC distances. Intra colocated blocks
+    (ref < 0) contribute mvCol = 0 with refIdxCol treated as 0.
+
+        td = Clip3(-128, 127, poc1 - poc0)
+        tb = Clip3(-128, 127, cur_poc - poc0)
+        tx = (16384 + Abs(td / 2)) / td          (truncating ops)
+        DistScaleFactor = Clip3(-1024, 1023, (tb * tx + 32) >> 6)
+        mvL0 = (DistScaleFactor * mvCol + 128) >> 8
+        mvL1 = mvL0 - mvCol
+
+    With one reference per list, refIdxL0 = refIdxCol = 0 always, so
+    only the MV scaling remains. Shared by encoder and decoder —
+    decode == recon is exact by construction, and the math IS the ISO
+    derivation (SPS codes direct_8x8_inference_flag = 0, so per-4x4
+    granularity is the spec-conformant shape). Returns (tf0, tf1),
+    each (H/4, W/4, 2) int32."""
+    mvcol = np.where((col_ref < 0)[:, :, None], 0, col_mv).astype(np.int64)
+    td = min(127, max(-128, poc1 - poc0))
+    tb = min(127, max(-128, cur_poc - poc0))
+    if td == 0:
+        return mvcol.astype(np.int32), np.zeros_like(mvcol, np.int32)
+    tx = _div_trunc(16384 + abs(td) // 2, td)
+    dsf = min(1023, max(-1024, (tb * tx + 32) >> 6))
+    tf0 = (dsf * mvcol + 128) >> 8  # arithmetic shift == spec '>>'
+    tf1 = tf0 - mvcol
+    return tf0.astype(np.int32), tf1.astype(np.int32)
 
 
-def _b_commit_direct(mvs0, mvs1, mx, my, mv0, mv1):
-    mvs0.set_mb(mx, my, mv0, 0)
-    mvs1.set_mb(mx, my, mv1, 0)
+def _b_direct_mvs(mvs0, mvs1, mx, my, tf=None):
+    """Direct motion for one MB as a pair of (4, 4, 2) int32 fields.
+    tf=None — simplified SPATIAL direct (8.4.1.2.2 shape): per list,
+    the median predictor over the MB's neighbors (all-unavailable ->
+    zero), always bi-predictive, one MV for the whole MB (broadcast).
+    tf=(tf0, tf1) — TEMPORAL direct (8.4.1.2.3): the MB's slice of the
+    precomputed whole-frame fields, per-4x4 MVs. Both shapes are shared
+    by encoder and decoder, so round trips stay bit-exact."""
+    if tf is not None:
+        by, bx = my * 4, mx * 4
+        return (tf[0][by:by + 4, bx:bx + 4],
+                tf[1][by:by + 4, bx:bx + 4])
+    f0 = np.empty((4, 4, 2), np.int32)
+    f0[:] = mvs0.mvp_16x16(mx, my)
+    f1 = np.empty((4, 4, 2), np.int32)
+    f1[:] = mvs1.mvp_16x16(mx, my)
+    return f0, f1
 
 
-def _b_chroma_bi(cc, mx, my, mv0, mv1):
+def _field_uniform(f):
+    """The single (x, y) MV if every 4x4 block of the field agrees,
+    else None. Spatial direct fields are always uniform — keeping the
+    one-call 16x16 MC fast path (bit-identical: the 6-tap filter is
+    position-invariant, so per-4x4 MC with equal MVs matches)."""
+    if (f == f[0, 0]).all():
+        return int(f[0, 0, 0]), int(f[0, 0, 1])
+    return None
+
+
+def _b_direct_pred(ref0, ref1, mx, my, f0, f1, ox=0, oy=0, w=16, h=16):
+    """Bi-predictive direct luma MC over a w x h region of the MB
+    (block-aligned): one MC call per list when the field is uniform,
+    per-4x4 otherwise."""
+    px, py = mx * 16 + ox, my * 16 + oy
+    preds = []
+    for f, ref in ((f0, ref0), (f1, ref1)):
+        sub = f[oy // 4:(oy + h) // 4, ox // 4:(ox + w) // 4]
+        mv = _field_uniform(sub)
+        if mv is not None:
+            preds.append(_interp_luma(ref, px, py, mv[0], mv[1], w, h))
+            continue
+        p = np.empty((h, w), np.int64)
+        for r_ in range(h // 4):
+            for c_ in range(w // 4):
+                mvb = sub[r_, c_]
+                p[r_ * 4:r_ * 4 + 4, c_ * 4:c_ * 4 + 4] = _interp_luma(
+                    ref, px + c_ * 4, py + r_ * 4,
+                    int(mvb[0]), int(mvb[1]), 4, 4)
+        preds.append(p)
+    return (preds[0] + preds[1] + 1) >> 1
+
+
+def _b_commit_direct(mvs0, mvs1, mx, my, f0, f1):
+    by, bx = my * 4, mx * 4
+    for mvsx, f in ((mvs0, f0), (mvs1, f1)):
+        mvsx.mv[by:by + 4, bx:bx + 4] = f
+        mvsx.ref[by:by + 4, bx:bx + 4] = 0
+
+
+def _direct_chroma_one(cref, mx, my, f, ox=0, oy=0, w=8, h=8):
+    """One-list direct chroma MC over a w x h chroma region (half-res;
+    per-2x2 when the field varies — each 4x4 luma block owns a 2x2
+    chroma block)."""
+    px, py = mx * 8 + ox, my * 8 + oy
+    sub = f[oy // 2:(oy + h) // 2, ox // 2:(ox + w) // 2]
+    mv = _field_uniform(sub)
+    if mv is not None:
+        return _interp_chroma(cref, px, py, mv[0], mv[1], w, h)
+    p = np.empty((h, w), np.int64)
+    for r_ in range(h // 2):
+        for c_ in range(w // 2):
+            mvb = sub[r_, c_]
+            p[r_ * 2:r_ * 2 + 2, c_ * 2:c_ * 2 + 2] = _interp_chroma(
+                cref, px + c_ * 2, py + r_ * 2,
+                int(mvb[0]), int(mvb[1]), 2, 2)
+    return p
+
+
+def _b_chroma_bi(cc, mx, my, f0, f1):
+    """Decoder-side bi-predictive direct chroma for the whole MB."""
     return np.stack([
-        (cc.mc(ci, mx, my, mv0, 0) + cc.mc(ci, mx, my, mv1, 1) + 1) >> 1
+        (_direct_chroma_one(cc.ref[ci], mx, my, f0)
+         + _direct_chroma_one(cc.ref2[ci], mx, my, f1) + 1) >> 1
         for ci in range(2)])
 
 
-def _skip_mb_b(plane, ref0, ref1, mx, my, nnz, cc, modes, mvs0, mvs1):
-    """B_SKIP: spatial-direct bi-prediction, zero residual."""
-    mv0, mv1 = _b_direct_mvs(mvs0, mvs1, mx, my)
+def _b_chroma_direct_enc(cref0, cref1, mx, my, f0, f1):
+    """Encoder-side twin of _b_chroma_bi (references passed directly)."""
+    return np.stack([
+        (_direct_chroma_one(cref0[ci], mx, my, f0)
+         + _direct_chroma_one(cref1[ci], mx, my, f1) + 1) >> 1
+        for ci in range(2)])
+
+
+def _skip_mb_b(plane, ref0, ref1, mx, my, nnz, cc, modes, mvs0, mvs1,
+               tf=None):
+    """B_SKIP: direct bi-prediction (spatial, or temporal when tf is
+    the precomputed field pair), zero residual."""
+    mv0, mv1 = _b_direct_mvs(mvs0, mvs1, mx, my, tf)
     pred = _b_direct_pred(ref0, ref1, mx, my, mv0, mv1)
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
         np.clip(pred, 0, 255).astype(np.uint8)
@@ -3148,13 +3299,13 @@ def _skip_mb_b(plane, ref0, ref1, mx, my, nnz, cc, modes, mvs0, mvs1):
 
 
 def _decode_mb_b16(r, mb_type, plane, ref0, ref1, mx, my, qp, nnz, cc,
-                   modes, mvs0, mvs1):
+                   modes, mvs0, mvs1, tf=None):
     """B_Direct_16x16 (0: spatial direct + residual) / B_L0_16x16 /
     B_L1_16x16 / B_Bi_16x16 (1/2/3: one mvd per used list, per-list
     median MV prediction); bi-prediction averages the two MC blocks
     ((a + b + 1) >> 1, default weights)."""
     if mb_type == 0:
-        mv0, mv1 = _b_direct_mvs(mvs0, mvs1, mx, my)
+        mv0, mv1 = _b_direct_mvs(mvs0, mvs1, mx, my, tf)
         pred = _b_direct_pred(ref0, ref1, mx, my, mv0, mv1)
         cpred = _b_chroma_bi(cc, mx, my, mv0, mv1)
         _b_commit_direct(mvs0, mvs1, mx, my, mv0, mv1)
@@ -3245,7 +3396,7 @@ def _decode_mb_b_part(r, mb_type, plane, ref0, ref1, mx, my, qp, nnz, cc,
 
 
 def _decode_mb_b8x8(r, plane, ref0, ref1, mx, my, qp, nnz, cc, modes,
-                    mvs0, mvs1):
+                    mvs0, mvs1, tf=None):
     """B_8x8 (mb_type 22): four sub_mb_type fields (Table 7-18 —
     B_Direct_8x8 or {8x8, 8x4, 4x8, 4x4} x {L0, L1, Bi}), mvds grouped
     BY LIST (7.3.5.1) with per-list progressive predictor commits via
@@ -3259,7 +3410,7 @@ def _decode_mb_b8x8(r, plane, ref0, ref1, mx, my, qp, nnz, cc, modes,
     subs = [(st, [] if st == 0 else
              [[None, None] for _ in _P_SUB_GEOM[_B_SUB_INFO[st][0]]])
             for st in sts]
-    dmv0, dmv1 = _b_direct_mvs(mvs0, mvs1, mx, my)
+    dmv0, dmv1 = _b_direct_mvs(mvs0, mvs1, mx, my, tf)
 
     def mvd_io(_li, _mv, mvp):
         mvd = (r.se(), r.se())
@@ -3309,9 +3460,9 @@ def _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc: int = 3) -> dict:
             r.se()
     if pps["redundant"]:
         r.ue()
+    direct_spatial = True
     if is_b:
-        if not r.u(1):  # direct_spatial_mv_pred_flag
-            raise ValueError("temporal direct B prediction: out of scope")
+        direct_spatial = bool(r.u(1))  # 0 = temporal direct (8.4.1.2.3)
     if is_p or is_b:
         if r.u(1):  # num_ref_idx_active_override_flag
             if r.ue() != 0:  # num_ref_idx_l0_active_minus1
@@ -3341,21 +3492,34 @@ def _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc: int = 3) -> dict:
             off_a = 2 * r.se()  # single-slice pictures have no such edges
             off_b = 2 * r.se()
     return {"is_p": is_p, "is_b": is_b, "qp": qp, "do_filter": do_filter,
-            "off_a": off_a, "off_b": off_b, "poc": poc}
+            "off_a": off_a, "off_b": off_b, "poc": poc,
+            "direct_spatial": direct_spatial}
 
 
 def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                    nal_ref_idc: int = 3,
                    ref2: np.ndarray | None = None,
                    cref: np.ndarray | None = None,
-                   cref2: np.ndarray | None = None):
-    """Returns (luma FULL plane, chroma (2, H/2, W/2) FULL planes)."""
+                   cref2: np.ndarray | None = None,
+                   col_motion=None, pocs=None, motion_out=None):
+    """Returns (luma FULL plane, chroma (2, H/2, W/2) FULL planes).
+    col_motion/pocs feed temporal-direct B slices (decode_samples
+    threads the L1 anchor's motion field + POCs); motion_out, when a
+    list, receives this picture's (mv, ref) 4x4 motion field so the
+    caller can keep it for later temporal-direct derivation."""
     hdr = _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc)
     is_p, is_b = hdr["is_p"], hdr["is_b"]
     if is_p and ref is None:
         raise ValueError("P slice without a decoded reference frame")
     if is_b and (ref is None or ref2 is None):
         raise ValueError("B slice without both reference frames")
+    tf = None
+    if is_b and not hdr["direct_spatial"]:
+        if col_motion is None or pocs is None:
+            raise ValueError(
+                "temporal direct B slice needs the colocated anchor's "
+                "motion field (decode via decode_samples)")
+        tf = _temporal_fields(col_motion[0], col_motion[1], *pocs)
     qp = hdr["qp"]
     do_filter, off_a, off_b = hdr["do_filter"], hdr["off_a"], hdr["off_b"]
     mbw, mbh = sps["mbw"], sps["mbh"]
@@ -3382,14 +3546,14 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                 if run_pending > 0:
                     run_pending -= 1
                     _skip_mb_b(plane, ref, ref2, mx, my, nnz, cc, modes,
-                               mvs, mvs1)
+                               mvs, mvs1, tf)
                     qp_map[my, mx] = qp
                     continue
                 run_pending = None  # this position is the coded MB
                 mb_type = r.ue()
                 if 0 <= mb_type <= 3:  # B_Direct / B_L0 / B_L1 / B_Bi 16x16
                     qp = _decode_mb_b16(r, mb_type, plane, ref, ref2, mx, my,
-                                        qp, nnz, cc, modes, mvs, mvs1)
+                                        qp, nnz, cc, modes, mvs, mvs1, tf)
                     qp_map[my, mx] = qp
                     continue
                 if mb_type < 22:  # partitioned 16x8 / 8x16 B types (r7)
@@ -3400,7 +3564,7 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                     continue
                 if mb_type == 22:  # B_8x8 (r7)
                     qp = _decode_mb_b8x8(r, plane, ref, ref2, mx, my, qp,
-                                         nnz, cc, modes, mvs, mvs1)
+                                         nnz, cc, modes, mvs, mvs1, tf)
                     qp_map[my, mx] = qp
                     continue
                 mb_type -= 23  # intra in a B slice
@@ -3473,6 +3637,12 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
         else:
             plane = _deblock_luma(plane, qp_map, off_a, off_b)
             cc.planes = _deblock_chroma(cc.planes, qp_map, off_a, off_b)
+    if motion_out is not None:
+        if mvs is not None:
+            motion_out.append((mvs.mv.copy(), mvs.ref.copy()))
+        else:  # I slice: all-intra colocated field (mvCol = 0)
+            motion_out.append((np.zeros((mbh * 4, mbw * 4, 2), np.int32),
+                               np.full((mbh * 4, mbw * 4), -1, np.int32)))
     # FULL (uncropped) planes: the DPB reference for motion compensation
     # is the decoded mb-aligned picture; cropping is display-only
     return plane, cc.planes
@@ -3539,7 +3709,7 @@ def decode_samples(samples: list[bytes], avcc: bytes,
             ref = full
             out.append(crop(full))
         return out
-    dpb: list[tuple[int, tuple]] = []  # (poc, FULL (y, c)) references
+    dpb: list[tuple[int, tuple, tuple]] = []  # (poc, FULL (y, c), motion)
     outputs: list[tuple[int, int, object]] = []  # (poc, seq, cropped)
     # poc_type-0 PicOrderCntMsb derivation (8.2.1.1): the lsb wraps at
     # MaxPicOrderCntLsb, so streams longer than MaxPicOrderCntLsb/2
@@ -3559,23 +3729,30 @@ def decode_samples(samples: list[bytes], avcc: bytes,
                 prev_msb, prev_lsb = msb, hdr["poc"]
         else:
             poc = 2 * seq
+        mo: list = []
         if hdr["is_b"]:
             before = [e for e in dpb if e[0] < poc]
             after = [e for e in dpb if e[0] > poc]
             if not before or not after:
                 raise ValueError("B picture without surrounding references")
-            l0 = max(before, key=lambda e: e[0])[1]
-            l1 = min(after, key=lambda e: e[0])[1]
+            l0e = max(before, key=lambda e: e[0])
+            l1e = min(after, key=lambda e: e[0])
+            l0, l1 = l0e[1], l1e[1]
+            # temporal-direct slices scale the L1 anchor's (colocated)
+            # motion by POC distances; spatial slices ignore these
             full = decode_sample(s, avcc, ref=l0[0], ref2=l1[0],
                                  cref=l0[1], cref2=l1[1],
-                                 full_plane=True, with_chroma=True)
+                                 full_plane=True, with_chroma=True,
+                                 col_motion=l1e[2],
+                                 pocs=(poc, l0e[0], l1e[0]))
         else:
             ref = dpb[-1][1] if dpb else None
             full = decode_sample(s, avcc, ref=ref[0] if ref else None,
                                  cref=ref[1] if ref else None,
-                                 full_plane=True, with_chroma=True)
+                                 full_plane=True, with_chroma=True,
+                                 motion_out=mo)
         if ref_idc:
-            dpb.append((poc, full))
+            dpb.append((poc, full, mo[0] if mo else None))
             dpb = dpb[-2:]  # sliding window, 2-deep
         outputs.append((poc, seq, crop(full)))
     outputs.sort(key=lambda e: (e[0], e[1]))
@@ -3587,7 +3764,8 @@ def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
                   ref2: np.ndarray | None = None,
                   cref: np.ndarray | None = None,
                   cref2: np.ndarray | None = None,
-                  with_chroma: bool = False):
+                  with_chroma: bool = False,
+                  col_motion=None, pocs=None, motion_out=None):
     """Length-prefixed NAL sample + avcC -> gray frame (or (gray,
     chroma) when with_chroma=True). Decodes I_PCM, CAVLC intra
     (I_4x4 / I_16x16), and CAVLC P slices (P_SKIP +
@@ -3599,9 +3777,12 @@ def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
     residual, eighth-pel bilinear MC). CABAC slice data decodes via
     h264_cabac (in-repo-profile streams, r6). P_8x8 decodes every
     sub_mb_type shape (8x8/8x4/4x8/4x4, r7); partitioned B
-    macroblocks decode every 16x8/8x16 type 4..21 (r7). Out-of-profile
-    features (B_8x8, temporal direct, high-profile tools)
-    raise ValueError — the documented well-formed-unsupported
+    macroblocks decode every 16x8/8x16 type 4..21 (r7); B_8x8
+    (mb_type 22, full Table 7-18) and TEMPORAL direct
+    (direct_spatial_mv_pred_flag 0, 8.4.1.2.3 POC scaling — needs
+    col_motion/pocs, threaded by decode_samples) decode since r7.
+    Out-of-profile features (high-profile tools, multiple reference
+    frames) raise ValueError — the documented well-formed-unsupported
     stub path in sample_frames."""
     sps, pps = _avcc_param_sets(avcc)
     length_size = (avcc[4] & 3) + 1
@@ -3628,11 +3809,16 @@ def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
                     raise ValueError("B slice without both reference frames")
                 full = h264_cabac.decode_slice(r, sps, pps, hdr, ref,
                                                hdr["is_p"], ref2=ref2,
-                                               cref=cref, cref2=cref2)
+                                               cref=cref, cref2=cref2,
+                                               col_motion=col_motion,
+                                               pocs=pocs,
+                                               motion_out=motion_out)
             else:
                 full = _decode_islice(r, sps, pps, typ, ref=ref,
                                       nal_ref_idc=(nal[0] >> 5) & 3,
-                                      ref2=ref2, cref=cref, cref2=cref2)
+                                      ref2=ref2, cref=cref, cref2=cref2,
+                                      col_motion=col_motion, pocs=pocs,
+                                      motion_out=motion_out)
         except (IndexError, TypeError, KeyError, struct.error) as e:
             # corrupted entropy payload desynced the parser: normalize to
             # the ValueError contract callers map to errors-as-data

@@ -27,7 +27,7 @@ trips are bit-exact by construction — decode == encoder recon is the
 machine-checked gate (tests/test_h264_cabac.py) — but bit-exact ISO
 cross-decode of foreign encoders' streams is NOT claimed. Profile
 boundaries that raise ValueError (the well-formed-unsupported contract):
-I_PCM-in-CABAC, temporal direct. IN
+I_PCM-in-CABAC. IN
 profile since r6: 16x8 / 8x16 / 8x8 P partitions (Table 9-37 tree +
 sub_mb_type, per-partition mvds; since r7 ALL P sub_mb_type shapes
 8x8/8x4/4x8/4x4 via the Table 9-38 tree; partitioned-B 16x8/8x16
@@ -40,7 +40,10 @@ shared h264._b8x8_list_pass — since r7) and B slices — B_SKIP + spatial B_Di
 mvd lists, bi-prediction. IN profile since r7: 4:2:0 chroma residuals
 (cbp_chroma bins, ChromaDC cat-3 2x2 Hadamard + ChromaAC cat-4 blocks,
 intra_chroma_pred_mode TU with full DC/H/V/plane prediction and a
-per-MB encoder mode search).
+per-MB encoder mode search); TEMPORAL direct B prediction
+(direct_spatial_mv_pred_flag 0 — 8.4.1.2.3 POC-distance scaling of the
+colocated anchor's per-4x4 motion field, threaded by
+h264.decode_samples; shared derivation h264._temporal_fields).
 
 Reference parity note: the reference (preview.geotiff/*) does no video at
 all — this is north-star surface (crawl-scale MP4 sampling), not
@@ -579,7 +582,7 @@ class _MbState:
 
 
 def _slice_header(bw, slice_type, qp, frame_num, deblock, idr,
-                  poc_lsb=None):
+                  poc_lsb=None, direct_spatial=True):
     bw.ue(0)                    # first_mb_in_slice
     bw.ue(slice_type)           # 7 = I, 5 = P, 6 = B (all slices)
     bw.ue(0)                    # pps_id
@@ -589,7 +592,7 @@ def _slice_header(bw, slice_type, qp, frame_num, deblock, idr,
     if poc_lsb is not None:     # poc_type-0 SPS (B-enabled streams)
         bw.u(poc_lsb & 0xFFFF, 16)
     if slice_type == 6:
-        bw.u(1, 1)              # direct_spatial_mv_pred_flag
+        bw.u(1 if direct_spatial else 0, 1)  # direct_spatial_mv_pred_flag
     if not idr:
         bw.u(0, 1)              # num_ref_idx_active_override_flag
         bw.u(0, 1)              # ref_pic_list_modification_flag_l0
@@ -817,7 +820,8 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                    search: int = 8, deblock: bool = False,
                    poc_lsb: int | None = None,
                    chroma: np.ndarray | None = None,
-                   cref: np.ndarray | None = None):
+                   cref: np.ndarray | None = None,
+                   motion_out: list | None = None):
     """One gray frame -> (P-slice RBSP, FULL recon plane), CABAC entropy.
     Same decisions as encode_p_cavlc: P_SKIP (mb_skip_flag=1) / motion-
     compensated P_L0_16x16 / intra (I_4x4) fallback on SAD failure."""
@@ -1011,6 +1015,8 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     if deblock and qp >= 16:
         out_plane = H._deblock_luma_inter(plane, qp_map, nnz, mvs)
         crec = H._deblock_chroma(crec, qp_map, nnz=nnz, mvs=mvs)
+    if motion_out is not None:
+        motion_out.append((mvs.mv.copy(), mvs.ref.copy()))
     if chroma is None:
         return bytes(bw.buf), out_plane
     return bytes(bw.buf), (out_plane, crec)
@@ -1135,10 +1141,13 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                    search: int = 8, poc_lsb: int = 0,
                    chroma: np.ndarray | None = None,
                    cref0: np.ndarray | None = None,
-                   cref1: np.ndarray | None = None):
+                   cref1: np.ndarray | None = None,
+                   col_motion=None, pocs=None):
     """One gray frame -> (CABAC B-slice RBSP, FULL recon plane). Same
     decisions as h264.encode_b_cavlc (B_L0/L1/Bi 16x16, I_4x4 fallback,
-    non-reference, in-loop filter off) with CABAC serialization."""
+    non-reference, in-loop filter off) with CABAC serialization.
+    col_motion + pocs switch direct/skip to TEMPORAL direct
+    (8.4.1.2.3) — same contract as encode_b_cavlc."""
     a = np.asarray(gray, np.uint8)
     h, w = a.shape
     mbw = -(-w // 16)
@@ -1164,18 +1173,22 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
         return np.stack([H._interp_chroma(cr[ci], mx * 8, my * 8, *mv)
                          for ci in range(2)])
 
+    tf = None
+    if col_motion is not None:
+        tf = H._temporal_fields(col_motion[0], col_motion[1], *pocs)
     bw = H._BitWriter()
-    _slice_header(bw, 6, qp, frame_num, False, idr=False, poc_lsb=poc_lsb)
+    _slice_header(bw, 6, qp, frame_num, False, idr=False, poc_lsb=poc_lsb,
+                  direct_spatial=tf is None)
     enc = _Enc()
     ctx = _Ctx()
     for my in range(mbh):
         for mx in range(mbw):
             smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16].astype(np.int32)
             last = my == mbh - 1 and mx == mbw - 1
-            # --- spatial direct first: B_SKIP when its residual is zero
-            dmv0, dmv1 = H._b_direct_mvs(mvs0, mvs1, mx, my)
+            # --- direct first: B_SKIP when its residual is zero
+            dmv0, dmv1 = H._b_direct_mvs(mvs0, mvs1, mx, my, tf)
             dpred = H._b_direct_pred(ref0_full, ref1_full, mx, my, dmv0, dmv1)
-            dcpred = (cmc1(cref0, dmv0) + cmc1(cref1, dmv1) + 1) >> 1
+            dcpred = H._b_chroma_direct_enc(cref0, cref1, mx, my, dmv0, dmv1)
             csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
             if H._all_zero_quant(smb - dpred, qp) and \
                     H._chroma_zero(csrc_mb, dcpred, qp):
@@ -1378,13 +1391,23 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
 
 # ------------------------------------------------------ decoder
 def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
-                 cref=None, cref2=None):
+                 cref=None, cref2=None,
+                 col_motion=None, pocs=None, motion_out=None):
     """CABAC slice-data decode; `r` is positioned right after the parsed
     slice header (h264._parse_slice_header). Returns (FULL luma plane,
     FULL (2, H/2, W/2) chroma planes). B slices (hdr['is_b']) take both
     reference planes (ref = L0 past, ref2 = L1 future; cref/cref2 the
-    matching chroma)."""
+    matching chroma). col_motion/pocs feed temporal-direct B slices
+    (hdr['direct_spatial'] False); motion_out, when a list, receives
+    this picture's (mv, ref) 4x4 motion field."""
     is_b = hdr.get("is_b", False)
+    tf = None
+    if is_b and not hdr.get("direct_spatial", True):
+        if col_motion is None or pocs is None:
+            raise ValueError(
+                "temporal direct B slice needs the colocated anchor's "
+                "motion field (decode via decode_samples)")
+        tf = H._temporal_fields(col_motion[0], col_motion[1], *pocs)
     # cabac_alignment_one_bit(s)
     while r.pos & 7:
         if r.u(1) != 1:
@@ -1410,7 +1433,7 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
         for mx in range(mbw):
             if is_b:
                 if dec.decision(ctx, _OFS["mb_skip_b"] + st.skip_inc(mx, my)):
-                    dmv0, dmv1 = H._b_direct_mvs(mvs, mvs1, mx, my)
+                    dmv0, dmv1 = H._b_direct_mvs(mvs, mvs1, mx, my, tf)
                     dpred = H._b_direct_pred(ref, ref2, mx, my, dmv0, dmv1)
                     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
                         np.clip(dpred, 0, 255).astype(np.uint8)
@@ -1447,14 +1470,15 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                 elif mbt == 22:  # B_8x8 (r7)
                     qp = _dec_mb_b8x8(dec, ctx, st, plane, ref, ref2,
                                       mx, my, qp, nnz, modes, mvs,
-                                      mvs1, cc)
+                                      mvs1, cc, tf)
                 elif isinstance(mbt, int) and mbt >= 4:
                     qp = _dec_mb_b_part(dec, ctx, st, plane, ref, ref2,
                                         mx, my, qp, nnz, modes, mvs,
                                         mvs1, mbt, cc)
                 else:
                     qp = _dec_mb_b16(dec, ctx, st, plane, ref, ref2, mx, my,
-                                     qp, nnz, modes, mvs, mvs1, mbt, cc)
+                                     qp, nnz, modes, mvs, mvs1, mbt, cc,
+                                     tf)
                 qp_map[my, mx] = qp
                 eos = dec.terminate()
                 last = my == mbh - 1 and mx == mbw - 1
@@ -1534,6 +1558,13 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
             plane = H._deblock_luma(plane, qp_map, hdr["off_a"], hdr["off_b"])
             cc.planes = H._deblock_chroma(cc.planes, qp_map, hdr["off_a"],
                                           hdr["off_b"])
+    if motion_out is not None:
+        if mvs is not None:
+            motion_out.append((mvs.mv.copy(), mvs.ref.copy()))
+        else:  # I slice: all-intra colocated field (mvCol = 0)
+            motion_out.append(
+                (np.zeros((mbh * 4, mbw * 4, 2), np.int32),
+                 np.full((mbh * 4, mbw * 4), -1, np.int32)))
     return plane, cc.planes
 
 
@@ -1690,12 +1721,12 @@ def _dec_mb_p16(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs, cc):
 
 
 def _dec_mb_b16(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz, modes,
-                mvs0, mvs1, mbt, cc):
-    """B_Direct/B_L0/B_L1/B_Bi 16x16 (CABAC): direct derives spatial
-    MVs (no mvd); the explicit types read one mvd per used list;
-    bi-prediction averages the MC blocks."""
+                mvs0, mvs1, mbt, cc, tf=None):
+    """B_Direct/B_L0/B_L1/B_Bi 16x16 (CABAC): direct derives the
+    spatial or temporal (tf) MV field (no mvd); the explicit types read
+    one mvd per used list; bi-prediction averages the MC blocks."""
     if mbt == 0:
-        dmv0, dmv1 = H._b_direct_mvs(mvs0, mvs1, mx, my)
+        dmv0, dmv1 = H._b_direct_mvs(mvs0, mvs1, mx, my, tf)
         pred = H._b_direct_pred(ref0, ref1, mx, my, dmv0, dmv1)
         cpred = H._b_chroma_bi(cc, mx, my, dmv0, dmv1)
         H._b_commit_direct(mvs0, mvs1, mx, my, dmv0, dmv1)
@@ -1787,7 +1818,7 @@ def _dec_mb_b_part(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz,
 
 
 def _dec_mb_b8x8(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz,
-                 modes, mvs0, mvs1, cc):
+                 modes, mvs0, mvs1, cc, tf=None):
     """B_8x8 (mb_type 22, CABAC r7): four sub_mb_type fields (Table
     7-18 — B_Direct_8x8 or {8x8, 8x4, 4x8, 4x4} x {L0, L1, Bi}), mvds
     grouped BY LIST (7.3.5.1) with per-list progressive predictor
@@ -1797,7 +1828,7 @@ def _dec_mb_b8x8(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz,
              [[None, None]
               for _ in H._P_SUB_GEOM[H._B_SUB_INFO[st8][0]]])
             for st8 in sts]
-    dmv0, dmv1 = H._b_direct_mvs(mvs0, mvs1, mx, my)
+    dmv0, dmv1 = H._b_direct_mvs(mvs0, mvs1, mx, my, tf)
     asum = [0, 0]
 
     def mvd_io(_li, _mv, mvp):

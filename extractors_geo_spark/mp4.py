@@ -486,7 +486,8 @@ def write_mp4_with_captions(frames: list, fps: int, captions: list[str],
 
 def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
                    gop: int | None = None, entropy: str = "cavlc",
-                   bframes: int = 0, chromas: list | None = None) -> bytes:
+                   bframes: int = 0, chromas: list | None = None,
+                   direct: str = "spatial") -> bytes:
     """Gray frames -> single-track 'avc1' MP4 whose samples are REAL
     H.264 (..h264.encode_frames): bit-exact I_PCM when qp is None,
     CAVLC or CABAC (entropy=) at the given qp otherwise; gop=N emits a
@@ -494,7 +495,9 @@ def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
     slices). bframes=N (CAVLC, requires qp+gop) emits IBBP GOPs:
     samples land in DECODE order with ctts composition offsets carrying
     the display reordering (r6). chromas= (one (2, h/2, w/2) pair per
-    frame) codes REAL 4:2:0 chroma residuals (r7, CAVLC/I_PCM)."""
+    frame) codes REAL 4:2:0 chroma residuals (r7, CAVLC/I_PCM).
+    direct="temporal" switches B direct/skip modes to the 8.4.1.2.3
+    POC-scaled derivation (r7)."""
     from . import h264 as _h264
 
     h, w = np.asarray(frames[0]).shape[:2]
@@ -503,7 +506,7 @@ def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
             raise ValueError("bframes needs qp and gop")
         avcc, samples, disp = _h264.encode_frames_bgop(
             frames, qp=qp, gop=gop, bframes=bframes, entropy=entropy,
-            chromas=chromas)
+            chromas=chromas, direct=direct)
         timescale = 90000
         delta = timescale // fps
         shift = max((i - d) * delta for i, d in enumerate(disp))

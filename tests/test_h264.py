@@ -881,3 +881,160 @@ def test_b8x8_sub_partitions_roundtrip_cabac():
     assert hits, "no CABAC B_8x8 macroblock decoded — gate regressed"
     assert np.array_equal(dy, ryb) and np.array_equal(dc, rcb)
     assert float(np.abs(ryb.astype(int) - tgt.astype(int)).mean()) < 4.0
+
+
+# ------------------------------------------------ r7: temporal direct
+def test_temporal_direct_scaling_math():
+    """8.4.1.2.3 MV scaling against hand-computed values: tx/dsf
+    integer ops, intra colocated blocks -> zero MVs, td == 0 path,
+    clipping bounds."""
+    col_mv = np.zeros((4, 4, 2), np.int32)
+    col_mv[0, 0] = (12, -8)
+    col_mv[2, 3] = (-1000, 1000)
+    col_ref = np.zeros((4, 4), np.int32)
+    col_ref[1, 1] = -1  # intra colocated block
+    tf0, tf1 = h264._temporal_fields(col_mv, col_ref, 2, 0, 6)
+    tx = (16384 + 3) // 6
+    dsf = (2 * tx + 32) >> 6
+
+    def exp(v):
+        return (dsf * v + 128) >> 8
+    assert tuple(tf0[0, 0]) == (exp(12), exp(-8))
+    assert tuple(tf1[0, 0]) == (exp(12) - 12, exp(-8) + 8)
+    assert tuple(tf0[1, 1]) == (0, 0) and tuple(tf1[1, 1]) == (0, 0)
+    assert tuple(tf0[2, 3]) == (exp(-1000), exp(1000))
+    # td == 0: mvL0 = mvCol, mvL1 = 0 (spec special case)
+    tf0z, tf1z = h264._temporal_fields(col_mv, col_ref, 2, 4, 4)
+    assert tuple(tf0z[0, 0]) == (12, -8) and tuple(tf1z[0, 0]) == (0, 0)
+    # _div_trunc truncates toward zero like the spec's '/'
+    assert h264._div_trunc(7, -2) == -3 and h264._div_trunc(-7, 2) == -3
+    # B before its L0 anchor in POC (tb negative) still derives
+    tf0n, _ = h264._temporal_fields(col_mv, col_ref, -2, 0, 6)
+    txn = (16384 + 3) // 6
+    dsfn = (-2 * txn + 32) >> 6
+    assert tuple(tf0n[0, 0]) == ((dsfn * 12 + 128) >> 8,
+                                 (dsfn * -8 + 128) >> 8)
+
+
+def test_temporal_direct_decode_equals_recon_bit_exact():
+    """Temporal-direct B slices: decode == encoder recon bit-exactly in
+    BOTH entropy modes, including a colocated P with sub-8x8 partitions
+    (non-uniform per-4x4 col motion -> the per-block MC path)."""
+    import struct
+
+    from extractors_geo_spark import h264_cabac
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(40, 220, (48, 64)).astype(np.uint8)
+
+    def shifted(dx_top, dx_bot):
+        out = np.empty_like(base)
+        out[:24] = np.roll(base[:24], dx_top, axis=1)
+        out[24:] = np.roll(base[24:], dx_bot, axis=1)
+        return out
+
+    # halves move differently -> the P anchor codes distinct MVs, so
+    # the colocated field varies MB-to-MB (and within MBs at the seam)
+    f0, f1, f2 = base, shifted(2, -2), shifted(4, -4)
+    avcc_cavlc = h264.build_avcc(64, 48, deblock_ctrl=True, bpoc=True)
+    avcc_cabac = h264.build_avcc(64, 48, deblock_ctrl=True, bpoc=True,
+                                 cabac=True)
+    for entropy, avcc in (("cavlc", avcc_cavlc), ("cabac", avcc_cabac)):
+        if entropy == "cabac":
+            enc_i = h264_cabac.encode_idr_cabac
+            enc_p = h264_cabac.encode_p_cabac
+            enc_b = h264_cabac.encode_b_cabac
+        else:
+            enc_i, enc_p, enc_b = (h264.encode_idr_cavlc,
+                                   h264.encode_p_cavlc,
+                                   h264.encode_b_cavlc)
+        _, r0 = enc_i(f0, qp=10, full_recon=True, poc_lsb=0)
+        mo = []
+        _, r2 = enc_p(f2, r0, qp=10, frame_num=1, poc_lsb=4,
+                      motion_out=mo)
+        assert (mo[0][1] >= 0).any(), "P anchor coded no inter MBs"
+        pocs = (2, 0, 4)
+        rb, rec = enc_b(f1, r0, r2, qp=10, poc_lsb=2,
+                        col_motion=mo[0], pocs=pocs)
+        nal = bytes([0x01]) + h264._ep_insert(rb)
+        sample = struct.pack(">I", len(nal)) + nal
+        dec = h264.decode_sample(sample, avcc, ref=r0, ref2=r2,
+                                 full_plane=True, col_motion=mo[0],
+                                 pocs=pocs)
+        assert np.array_equal(dec, rec), entropy
+        # decoding the temporal stream WITHOUT colocated motion raises
+        with pytest.raises(ValueError, match="colocated"):
+            h264.decode_sample(sample, avcc, ref=r0, ref2=r2,
+                               full_plane=True)
+
+
+def test_temporal_direct_gop_roundtrip_and_skip():
+    """encode_frames_bgop(direct="temporal"): full GOP round trip in
+    both entropy modes through decode_samples (which threads the
+    anchor motion itself), static scenes collapse to temporal B_SKIP,
+    and the bitstream genuinely differs from the spatial encode."""
+    yy, xx = np.mgrid[0:48, 0:64]
+    frames = [np.clip(128 + 90 * np.sin((xx + 4 * f) / 6.0)
+                      + 30 * np.cos((yy - f) / 9.0), 0, 255)
+              .astype(np.uint8) for f in range(9)]
+    chromas = [np.stack([np.clip(128 + 60 * np.sin((xx[::2, ::2] + 3 * f)
+                                                   / 7.0), 0, 255),
+                         np.full((24, 32), 110)]).astype(np.uint8)
+               for f in range(9)]
+    for entropy in ("cavlc", "cabac"):
+        avcc, samples, disp = h264.encode_frames_bgop(
+            frames, qp=8, gop=8, bframes=2, entropy=entropy,
+            chromas=chromas, direct="temporal")
+        # every B slice header carries direct_spatial_mv_pred_flag = 0
+        sps, pps = h264._avcc_param_sets(avcc)
+        n_b = 0
+        for s in samples:
+            typ, ref_idc, hdr = h264._peek_slice(s, avcc, sps, pps)
+            if hdr["is_b"]:
+                n_b += 1
+                assert hdr["direct_spatial"] is False
+        assert n_b >= 4
+        dec = h264.decode_samples(samples, avcc, with_chroma=True)
+        for i, (y, c) in enumerate(dec):
+            assert np.abs(y.astype(int) - frames[i].astype(int)).max() <= 4
+            assert np.abs(c[0].astype(int)
+                          - chromas[i][0].astype(int)).max() <= 12
+    # static scene: temporal direct predicts perfectly -> tiny B_SKIPs
+    img = frames[0]
+    avcc, samples, disp = h264.encode_frames_bgop(
+        [img] * 5, qp=12, gop=8, bframes=2, direct="temporal")
+    b_sizes = [len(s) for s, d in zip(samples, disp) if d in (1, 2)]
+    assert b_sizes and all(b < 40 for b in b_sizes), b_sizes
+    for d in h264.decode_samples(samples, avcc):
+        mse = float(np.mean((d.astype(np.float64) - img) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 45
+    # moving scene: temporal and spatial encodes are distinct streams
+    mov_t = h264.encode_frames_bgop(frames, qp=8, gop=8, bframes=2,
+                                    direct="temporal")[1]
+    mov_s = h264.encode_frames_bgop(frames, qp=8, gop=8, bframes=2,
+                                    direct="spatial")[1]
+    assert b"".join(mov_t) != b"".join(mov_s)
+    with pytest.raises(ValueError, match="direct"):
+        h264.encode_frames_bgop(frames, qp=8, direct="nonsense")
+
+
+def test_temporal_direct_fuzzed_samples_never_escape_valueerror():
+    """Corrupted temporal-direct GOP samples decode or raise ValueError
+    (never other exceptions) through decode_samples."""
+    import random
+
+    frames = _bgop_frames(6)
+    avcc, samples, _ = h264.encode_frames_bgop(
+        frames, qp=10, gop=8, bframes=2, direct="temporal")
+    random.seed(33)
+    for _ in range(60):
+        mut = list(samples)
+        k = random.randrange(1, len(mut))
+        s = bytearray(mut[k])
+        for _j in range(random.randint(1, 4)):
+            s[random.randrange(8, len(s))] = random.randrange(256)
+        mut[k] = bytes(s)
+        try:
+            h264.decode_samples(mut, avcc)
+        except ValueError:
+            pass
