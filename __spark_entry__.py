@@ -1485,12 +1485,13 @@ WHERE i % 7 <> 0
 def q_h264_frames(spark, sf_dir):
     """REAL H.264 path (..h264, ..h264_cabac): avc1 MP4s synthesized on
     executors, frame-sampled through sample_frames with fake=False.
-    Clips rotate through four coding shapes (i mod 4): bit-exact I_PCM;
-    CAVLC IDR+P GOPs; CABAC IDR+P GOPs (r6 — context-adaptive binary
-    arithmetic decode); IBBP GOPs with B slices + ctts display
-    reordering (r6 — bi-prediction, 2-deep DPB; the i%8 >= 8-half B
-    legs use TEMPORAL direct, 8.4.1.2.3 POC scaling, r7). Since r7
-    every clip is
+    Clips rotate through four coding shapes (i mod 4): bit-exact I_PCM
+    (alternating CAVLC/CABAC slice syntax — the CABAC half exercises
+    the r7 engine flush/re-init around raw samples); CAVLC IDR+P GOPs;
+    CABAC IDR+P GOPs (r6 — context-adaptive binary arithmetic decode);
+    IBBP GOPs with B slices + ctts display reordering (r6 —
+    bi-prediction, 2-deep DPB; the i//8-odd B legs use TEMPORAL
+    direct, 8.4.1.2.3 POC scaling, r7). Since r7 every clip is
     4:2:0 COLOR: chroma planes code real residuals (2x2 Hadamard DC +
     AC, intra chroma prediction, eighth-pel chroma MC) in both entropy
     modes; I_PCM carries raw Cb/Cr. decode==recon bit-exactness for
@@ -1519,8 +1520,10 @@ def q_h264_frames(spark, sf_dir):
                 ]) for f in range(n)]
                 kind = i % 4  # I_PCM / CAVLC / CABAC / B-GOP
                 if kind == 0:
-                    data = _mp4.write_h264_mp4(frames, fps=1,
-                                               chromas=chromas)
+                    data = _mp4.write_h264_mp4(
+                        frames, fps=1,
+                        entropy="cabac" if (i // 4) % 2 else "cavlc",
+                        chromas=chromas)
                 elif kind == 3:
                     data = _mp4.write_h264_mp4(
                         frames, fps=1, qp=8, gop=4, bframes=1,

@@ -2070,15 +2070,21 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
         raise ValueError("4:2:0 H.264 needs even dimensions (crop unit is 2 px)")
     if entropy not in ("cavlc", "cabac"):
         raise ValueError(f"unknown entropy mode {entropy!r}")
-    use_cabac = entropy == "cabac" and qp is not None
+    use_cabac = entropy == "cabac"
     if use_cabac:
         from . import h264_cabac as C
         enc_idr, enc_p = C.encode_idr_cabac, C.encode_p_cabac
+        enc_ipcm = C.encode_idr_ipcm_cabac
     else:
         enc_idr, enc_p = encode_idr_cavlc, encode_p_cavlc
+        enc_ipcm = encode_idr_ipcm
     if chromas is not None:
         assert len(chromas) == len(frames), "one chroma pair per frame"
-    avcc = build_avcc(w, h, deblock_ctrl=qp is not None, cabac=use_cabac)
+    # CABAC slice headers always carry disable_deblocking_filter_idc
+    # (h264_cabac._slice_header), so the PPS must advertise it even on
+    # the qp=None all-I_PCM path
+    avcc = build_avcc(w, h, deblock_ctrl=qp is not None or use_cabac,
+                      cabac=use_cabac)
     samples = []
     ref_full = None
     cref_full = None
@@ -2086,7 +2092,7 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
     for i, f in enumerate(frames):
         cf = chromas[i] if chromas is not None else None
         if qp is None:
-            rbsp = encode_idr_ipcm(f, chroma=cf)
+            rbsp = enc_ipcm(f, chroma=cf)
             nal = bytes([0x65]) + _ep_insert(rbsp)  # ref_idc 3, IDR
         elif gop is None or i % gop == 0:
             if chromas is None:

@@ -25,9 +25,11 @@ in-repo (every context starts at the uniform state (pStateIdx 0, valMPS
 ignored). Encoder and decoder share one table copy, so in-profile round
 trips are bit-exact by construction — decode == encoder recon is the
 machine-checked gate (tests/test_h264_cabac.py) — but bit-exact ISO
-cross-decode of foreign encoders' streams is NOT claimed. Profile
-boundaries that raise ValueError (the well-formed-unsupported contract):
-I_PCM-in-CABAC. IN
+cross-decode of foreign encoders' streams is NOT claimed. The
+in-profile macroblock surface is now COMPLETE for single-reference
+baseline/main-shape streams; what remains out of profile is shared
+with the CAVLC decoder (multi-reference, multi-slice, high-profile
+tools — see h264.decode_sample). IN
 profile since r6: 16x8 / 8x16 / 8x8 P partitions (Table 9-37 tree +
 sub_mb_type, per-partition mvds; since r7 ALL P sub_mb_type shapes
 8x8/8x4/4x8/4x4 via the Table 9-38 tree; partitioned-B 16x8/8x16
@@ -43,7 +45,10 @@ intra_chroma_pred_mode TU with full DC/H/V/plane prediction and a
 per-MB encoder mode search); TEMPORAL direct B prediction
 (direct_spatial_mv_pred_flag 0 — 8.4.1.2.3 POC-distance scaling of the
 colocated anchor's per-4x4 motion field, threaded by
-h264.decode_samples; shared derivation h264._temporal_fields).
+h264.decode_samples; shared derivation h264._temporal_fields); I_PCM
+(mb_type 25 via the ctx-276 terminate bin — raw samples between an
+EncodeFlush and an engine re-init per 9.3.1.2, contexts persisting;
+encode_idr_ipcm_cabac or pcm_mask= on encode_idr_cabac).
 
 Reference parity note: the reference (preview.geotiff/*) does no video at
 all — this is north-star surface (crawl-scale MP4 sampling), not
@@ -212,6 +217,25 @@ class _Enc:
         self._put((self.low >> 8) & 1)
         self._put(1)  # rbsp-stop-style final one (9.3.4.5)
 
+    def pcm_payload(self, data: bytes) -> None:
+        """I_PCM raw-sample insertion (7.3.5 + 9.3.1.2). Must follow a
+        terminate(1) flush: at that point the emitted bit count equals
+        the decoder's consumed count (each range-renorm shift is one
+        emitted == one read bit, the 10 flush puts mirror the decoder's
+        9 init reads + suppressed first bit), so both sides agree on
+        the byte boundary. Pads with pcm_alignment_zero_bits, appends
+        the raw bytes, and re-initialises the arithmetic encoder (the
+        context states deliberately persist, matching the spec)."""
+        assert self.outstanding == 0, "pcm_payload without a flush"
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        for byte in data:
+            for k in range(7, -1, -1):
+                self.bits.append((byte >> k) & 1)
+        self.low = 0
+        self.range = 510
+        self.first = True
+
     def to_bytes(self) -> bytes:
         bits = self.bits
         out = bytearray()
@@ -285,6 +309,17 @@ class _Dec:
             self.range <<= 1
             self.offset = (self.offset << 1) | self._bit()
         return 0
+
+    def reinit(self) -> None:
+        """9.3.1.2: re-initialise the decoding engine after I_PCM raw
+        samples (the underlying reader sits at the byte-aligned position
+        right past them; context states persist)."""
+        self.range = 510
+        self.offset = 0
+        for _ in range(9):
+            self.offset = (self.offset << 1) | self._bit()
+        if self.offset >= 510:
+            raise ValueError("illegal CABAC initial offset")
 
 
 # ------------------------------------------------------ binarizations
@@ -515,7 +550,7 @@ def _dec_mb_type_i(dec, ctx, base, inc0):
     if not dec.decision(ctx, base + inc0):
         return 0
     if dec.terminate():
-        raise ValueError("I_PCM in CABAC: out of decode profile")
+        return 25  # I_PCM (the ctx-276 terminate bin; caller handles)
     cbpl = dec.decision(ctx, base + 3)
     cbpc = 0
     if dec.decision(ctx, base + 4):
@@ -620,13 +655,19 @@ def _slice_header(bw, slice_type, qp, frame_num, deblock, idr,
 def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
                      deblock: bool = False, full_recon: bool = False,
                      poc_lsb: int | None = None,
-                     chroma: np.ndarray | None = None):
+                     chroma: np.ndarray | None = None,
+                     pcm_mask: np.ndarray | None = None):
     """One frame -> (IDR slice RBSP, reconstructed plane), CABAC
     entropy coding. Mode decisions, transforms, and reconstruction are
     identical to encode_idr_cavlc (h264.py) — only the entropy layer
     differs. `chroma` (2, h/2, w/2) codes REAL 4:2:0 residuals (r7,
     cats 3/4); None keeps the gray contract. decode == recon bit-exact
-    (the codec gate)."""
+    (the codec gate). `pcm_mask` ((mbh, mbw) bool) forces the marked
+    macroblocks to I_PCM (r7): raw samples after the ctx-276 terminate
+    bin, arithmetic engine flushed + re-initialised around the payload
+    (9.3.1.2) — bit-exact for those MBs by construction."""
+    if pcm_mask is not None and deblock:
+        raise ValueError("I_PCM (qp 0) + deblock not supported together")
     a = np.asarray(gray, np.uint8)
     h, w = a.shape
     mbw = -(-w // 16)
@@ -648,14 +689,19 @@ def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
     for my in range(mbh):
         for mx in range(mbw):
             smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
-            done = False
-            if int(smb.max()) - int(smb.min()) <= 8:
-                done = _enc_mb_i16(enc, ctx, st, smb, plane, mx, my, qp,
-                                   nnz, modes, max_coeffs, _OFS["mbt_i"],
-                                   ch)
-            if not done:
-                _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz,
-                           modes, max_coeffs, plane_w, _OFS["mbt_i"], ch)
+            if pcm_mask is not None and pcm_mask[my, mx]:
+                _enc_mb_ipcm(enc, ctx, st, smb, csrc, plane, crec,
+                             mx, my, nnz, modes, _OFS["mbt_i"])
+            else:
+                done = False
+                if int(smb.max()) - int(smb.min()) <= 8:
+                    done = _enc_mb_i16(enc, ctx, st, smb, plane, mx, my,
+                                       qp, nnz, modes, max_coeffs,
+                                       _OFS["mbt_i"], ch)
+                if not done:
+                    _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz,
+                               modes, max_coeffs, plane_w, _OFS["mbt_i"],
+                               ch)
             last = my == mbh - 1 and mx == mbw - 1
             enc.terminate(1 if last else 0)
     bw.raw(enc.to_bytes())
@@ -668,6 +714,43 @@ def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
         return bytes(bw.buf), y
     crop = crec if full_recon else crec[:, :(h + 1) // 2, :(w + 1) // 2].copy()
     return bytes(bw.buf), (y, crop)
+
+
+def encode_idr_ipcm_cabac(gray: np.ndarray,
+                          chroma: np.ndarray | None = None) -> bytes:
+    """One frame -> IDR slice RBSP, all macroblocks I_PCM, CABAC slice
+    syntax (r7) — the CABAC twin of h264.encode_idr_ipcm. Bit-exact:
+    raw samples ride between engine flush/re-init pairs. `chroma`
+    (2, h/2, w/2) writes real Cb/Cr samples, None writes flat 128."""
+    a = np.asarray(gray, np.uint8)
+    mbw, mbh = -(-a.shape[1] // 16), -(-a.shape[0] // 16)
+    rbsp, _ = encode_idr_cabac(gray, qp=26, chroma=chroma,
+                               pcm_mask=np.ones((mbh, mbw), bool))
+    return rbsp
+
+
+def _enc_mb_ipcm(enc, ctx, st, smb, csrc, plane, crec, mx, my, nnz,
+                 modes, mbt_base):
+    """I_PCM macroblock (mb_type 25) in CABAC: mb_type prefix bin 1,
+    the ctx-276 terminate bin set (flushing the arithmetic encoder),
+    pcm_alignment_zero_bits, then 256 raw luma + 2x64 raw chroma
+    samples; the engine re-initialises after the payload with context
+    states persisting (9.3.1.2). Neighbor state follows the spec's
+    I_PCM conventions: nnz 16, cbp/cbf treated as all-coded."""
+    enc.decision(ctx, mbt_base + st.mbt_inc(mx, my), 1)
+    enc.terminate(1)  # I_PCM bin -> EncodeFlush
+    cb = csrc[0, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+    cr = csrc[1, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+    enc.pcm_payload(smb.tobytes() + cb.tobytes() + cr.tobytes())
+    plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = smb
+    crec[0, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = cb
+    crec[1, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = cr
+    nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 16
+    modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+    st.not_i4[my, mx] = 1
+    st.cbp[my, mx] = 15
+    st.cbf[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 1
+    st.cbf_dc[my, mx] = 1
 
 
 def _enc_mb_i16(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
@@ -1532,6 +1615,27 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
             else:
                 mbt = _dec_mb_type_i(dec, ctx, _OFS["mbt_i"],
                                      st.mbt_inc(mx, my))
+                if mbt == 25:  # I_PCM (r7): raw samples, engine re-init
+                    r.align()  # pcm_alignment_zero_bit(s)
+                    plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+                        np.frombuffer(r.raw(256), np.uint8).reshape(16, 16)
+                    for ci in range(2):  # raw Cb then Cr samples
+                        cc.store(ci, mx, my,
+                                 np.frombuffer(r.raw(64), np.uint8)
+                                   .reshape(8, 8).astype(np.int32))
+                    dec.reinit()
+                    nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 16
+                    cc.nnz[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 16
+                    modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+                    st.not_i4[my, mx] = 1
+                    st.cbp[my, mx] = 15
+                    st.cbf[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 1
+                    st.cbf_dc[my, mx] = 1
+                    qp_map[my, mx] = 0  # 8.7: I_PCM filters with QP 0
+                    eos = dec.terminate()
+                    if eos != (1 if my == mbh - 1 and mx == mbw - 1 else 0):
+                        raise ValueError("end_of_slice_flag desync")
+                    continue
                 if mbt == 0:
                     qp = _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz,
                                     modes, plane_w, cc)

@@ -330,3 +330,103 @@ def test_cabac_b_mb_type_tree_roundtrip():
     ctx2 = C._Ctx()
     for s in seq:
         assert C._dec_b_mb_type(dec, ctx2) == s
+
+
+# ------------------------------------------------------ r7: I_PCM
+def test_ipcm_cabac_all_pcm_bit_exact():
+    """encode_idr_ipcm_cabac: every macroblock is raw samples between
+    engine flush/re-init pairs; luma + chroma decode bit-exactly,
+    including emulation-prevention-heavy content (0x00 runs)."""
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    img[8:24, 8:40] = 0  # 0x00 runs force ep_insert activity
+    chroma = np.stack([rng.integers(0, 256, (24, 32)),
+                       rng.integers(0, 256, (24, 32))]).astype(np.uint8)
+    chroma[0, :4] = 0
+    rbsp = C.encode_idr_ipcm_cabac(img, chroma=chroma)
+    avcc = h264.build_avcc(64, 48, deblock_ctrl=True, cabac=True)
+    y, c = h264.decode_sample(_sample(rbsp), avcc, with_chroma=True)
+    assert np.array_equal(y, img) and np.array_equal(c, chroma)
+    # gray default writes flat-128 chroma, mirroring encode_idr_ipcm
+    y2, c2 = h264.decode_sample(_sample(C.encode_idr_ipcm_cabac(img)),
+                                avcc, with_chroma=True)
+    assert np.array_equal(y2, img) and (c2 == 128).all()
+
+
+def test_ipcm_cabac_mixed_slice_decode_equals_recon():
+    """pcm_mask mixes I_PCM with coded I_4x4/I_16x16 macroblocks in one
+    CABAC slice: the engine re-initialises mid-slice (contexts persist)
+    and decode == recon bit-exactly; PCM MBs equal the source."""
+    rng = np.random.default_rng(42)
+    img = rng.integers(20, 236, (48, 64)).astype(np.uint8)
+    img[16:32, :16] = 77  # a flat MB so the I_16x16 path participates
+    chroma = np.stack([rng.integers(0, 256, (24, 32)),
+                       rng.integers(0, 256, (24, 32))]).astype(np.uint8)
+    mask = np.zeros((3, 4), bool)
+    mask[0, 0] = mask[0, 2] = mask[1, 1] = mask[2, 3] = True
+    rbsp, (ry, rc) = C.encode_idr_cabac(img, qp=10, chroma=chroma,
+                                        pcm_mask=mask, full_recon=True)
+    avcc = h264.build_avcc(64, 48, deblock_ctrl=True, cabac=True)
+    y, c = h264.decode_sample(_sample(rbsp), avcc, with_chroma=True,
+                              full_plane=True)
+    assert np.array_equal(y, ry) and np.array_equal(c, rc)
+    for my in range(3):
+        for mx in range(4):
+            blk = y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+            sblk = img[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+            if mask[my, mx]:
+                assert np.array_equal(blk, sblk), (my, mx)
+    # PCM + deblock is rejected (PCM filters at qp 0; unsupported mix)
+    with pytest.raises(ValueError, match="deblock"):
+        C.encode_idr_cabac(img, qp=20, pcm_mask=mask, deblock=True)
+
+
+def test_ipcm_cabac_mp4_end_to_end_and_gop_mix():
+    """write_h264_mp4(qp=None, entropy='cabac') produces bit-exact
+    CABAC I_PCM clips through sample_frames' real decode path; a coded
+    CABAC GOP whose IDR uses pcm_mask still P-predicts off the raw
+    reference correctly."""
+    rng = np.random.default_rng(43)
+    frames = [rng.integers(0, 256, (32, 48)).astype(np.uint8)
+              for _ in range(3)]
+    chromas = [rng.integers(0, 256, (2, 16, 24)).astype(np.uint8)
+               for _ in range(3)]
+    data = mp4.write_h264_mp4(frames, fps=2, entropy="cabac",
+                              chromas=chromas)
+    parsed = mp4.read_mjpeg_mp4(data)
+    assert parsed["codec"] == "h264"
+    decs = h264.decode_samples(list(parsed["frames"]), parsed["avcc"],
+                               with_chroma=True)
+    for (y, c), f, ch in zip(decs, frames, chromas):
+        assert np.array_equal(y, f) and np.array_equal(c, ch)
+    # mixed GOP: PCM IDR anchors a coded P slice
+    mask = np.ones((2, 3), bool)
+    rb0, r0 = C.encode_idr_cabac(frames[0], qp=10, pcm_mask=mask,
+                                 full_recon=True)
+    assert np.array_equal(r0, frames[0])
+    rb1, r1 = C.encode_p_cabac(frames[1], r0, qp=10, frame_num=1)
+    avcc2 = h264.build_avcc(48, 32, deblock_ctrl=True, cabac=True)
+    d0 = h264.decode_sample(_sample(rb0), avcc2, full_plane=True)
+    d1 = h264.decode_sample(_sample(rb1, idr=False), avcc2, ref=d0,
+                            full_plane=True)
+    assert np.array_equal(d0, r0) and np.array_equal(d1, r1)
+
+
+def test_ipcm_cabac_fuzz_never_escapes_valueerror():
+    """Corrupted CABAC I_PCM samples decode or raise ValueError."""
+    import random
+
+    rng = np.random.default_rng(44)
+    img = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    rbsp = C.encode_idr_ipcm_cabac(img)
+    avcc = h264.build_avcc(48, 32, deblock_ctrl=True, cabac=True)
+    good = _sample(rbsp)
+    random.seed(7)
+    for _ in range(50):
+        s = bytearray(good)
+        for _j in range(random.randint(1, 3)):
+            s[random.randrange(6, len(s))] = random.randrange(256)
+        try:
+            h264.decode_sample(bytes(s), avcc, with_chroma=True)
+        except ValueError:
+            pass
