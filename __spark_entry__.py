@@ -1488,7 +1488,9 @@ def q_h264_frames(spark, sf_dir):
     Clips rotate through four coding shapes (i mod 4): bit-exact I_PCM
     (alternating CAVLC/CABAC slice syntax — the CABAC half exercises
     the r7 engine flush/re-init around raw samples); CAVLC IDR+P GOPs;
-    CABAC IDR+P GOPs (r6 — context-adaptive binary arithmetic decode);
+    CABAC IDR+P GOPs (r6 — context-adaptive binary arithmetic decode;
+    the i >= 12 halves of both P shapes code MULTI-REFERENCE L0 with
+    per-partition ref_idx_l0, r7);
     IBBP GOPs with B slices + ctts display reordering (r6 —
     bi-prediction, 2-deep DPB; the i//8-odd B legs use TEMPORAL
     direct, 8.4.1.2.3 POC scaling, r7). Since r7 every clip is
@@ -1531,8 +1533,12 @@ def q_h264_frames(spark, sf_dir):
                         direct="temporal" if (i // 8) % 2 else "spatial",
                         chromas=chromas)
                 else:
+                    # i >= 12 clips code multi-reference P GOPs (r7):
+                    # gop 4 keeps 2 refs live, every inter partition
+                    # carries ref_idx_l0
                     data = _mp4.write_h264_mp4(
-                        frames, fps=1, qp=8, gop=2,
+                        frames, fps=1, qp=8, gop=4 if i >= 12 else 2,
+                        nrefs=2 if i >= 12 else 1,
                         entropy="cabac" if kind == 2 else "cavlc",
                         chromas=chromas)
                 rows.append({"video_id": f"h{i:04d}", "bytes": data})

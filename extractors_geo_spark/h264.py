@@ -373,7 +373,8 @@ def _read_vlc(r: "_BitReader", dec: dict):
 
 
 # ------------------------------------------------------------------ encoder
-def _sps(w: int, h: int, profile: int = 66, bpoc: bool = False) -> bytes:
+def _sps(w: int, h: int, profile: int = 66, bpoc: bool = False,
+         nrefs: int = 1) -> bytes:
     mbw = -(-w // 16)
     mbh = -(-h // 16)
     bw = _BitWriter()
@@ -389,7 +390,9 @@ def _sps(w: int, h: int, profile: int = 66, bpoc: bool = False) -> bytes:
         bw.ue(12)  # log2_max_pic_order_cnt_lsb_minus4 -> u(16)
     else:
         bw.ue(2)  # pic_order_cnt_type 2 (order = decode order)
-    bw.ue(2 if bpoc else 0)  # max_num_ref_frames (2-deep DPB for B)
+    # max_num_ref_frames: 2-deep DPB for B streams, nrefs-deep for
+    # multi-reference P streams (r7), 0 for the 1-ref/I-only default
+    bw.ue(max(2 if bpoc else 0, nrefs if nrefs > 1 else 0))
     bw.u(0, 1)    # gaps_in_frame_num_value_allowed
     bw.ue(mbw - 1)
     bw.ue(mbh - 1)
@@ -749,6 +752,13 @@ def _decode_chroma_residual(r, cbpc, nnz_c, mx, my, qp_y):
     return out
 
 
+def _ref_list(ref):
+    """Normalize a reference argument: a single FULL plane (or chroma
+    pair) or an L0 list ordered most-recent-first (RefPicList0 for the
+    in-repo sliding-window streams) -> list."""
+    return list(ref) if isinstance(ref, (list, tuple)) else [ref]
+
+
 class _ChromaState:
     """Per-slice chroma decode state: recon planes (start at mid-grey,
     as intra DC prediction with no neighbours yields), per-component AC
@@ -758,11 +768,14 @@ class _ChromaState:
     def __init__(self, mbw, mbh, ref=None, ref2=None):
         self.planes = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
         self.nnz = np.zeros((2, mbh * 2, mbw * 2), np.int32)
-        self.ref = ref
+        # `ref` may be one (2, h/2, w/2) plane pair or an L0 LIST of
+        # them (multi-reference P slices, r7); refl is the list view
+        self.refl = _ref_list(ref) if ref is not None else None
+        self.ref = self.refl[0] if self.refl else None
         self.ref2 = ref2
 
-    def mc(self, ci, mx, my, mv, which=0):
-        ref = self.ref2 if which == 1 else self.ref
+    def mc(self, ci, mx, my, mv, which=0, ridx=0):
+        ref = self.ref2 if which == 1 else self.refl[ridx]
         return _interp_chroma(ref[ci], mx * 8, my * 8, mv[0], mv[1])
 
     def store(self, ci, mx, my, block):
@@ -1423,13 +1436,22 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     quantizes to all-zero; else P_L0_16x16 with an integer-pel full
     search (+/- `search` around the median predictor) and CAVLC inter
     residuals; intra (I_4x4-in-P) fallback when motion fails (SAD gate).
-    `ref_full` is the previous frame's FULL (mb-aligned) recon plane.
+    `ref_full` is the previous frame's FULL (mb-aligned) recon plane —
+    or a most-recent-first LIST of recon planes (multi-reference L0,
+    r7): the slice header then carries num_ref_idx_l0_active and every
+    inter partition a te(v) ref_idx_l0; the encoder picks the best
+    reference per MB by penalized SAD (all partitions of one MB share
+    it), P_SKIP stays refIdx 0 per 8.4.1.1.
     decode == recon bit-exact, same contract as the intra encoder."""
     a = np.asarray(gray, np.uint8)
     h, w = a.shape
     mbw = -(-w // 16)
     mbh = -(-h // 16)
-    assert ref_full.shape == (mbh * 16, mbw * 16), "reference plane mismatch"
+    refs = _ref_list(ref_full)
+    nrefs = len(refs)
+    for rp in refs:
+        assert rp.shape == (mbh * 16, mbw * 16), "reference plane mismatch"
+    ref_full = refs[0]
     src = np.pad(a, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
     plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
     plane_w = mbw * 16
@@ -1438,16 +1460,19 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     mvs = _MvState(mbw, mbh)
     qp_map = np.full((mbh, mbw), qp, np.int32)
     csrc = _pad_chroma(chroma, mbw, mbh, h, w)
-    if cref is None:
-        cref = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    crefs = _ref_list(cref) if cref is not None else []
+    while len(crefs) < nrefs:  # gray-stream references: flat chroma
+        crefs.append(np.full((2, mbh * 8, mbw * 8), 128, np.uint8))
+    cref = crefs[0]
     crec = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
     nnz_c = np.zeros((2, mbh * 2, mbw * 2), np.int32)
     ch = (csrc, crec, nnz_c)
 
-    def cmc(mv, parts=None):
+    def cmc(mv, parts=None, ridx=0):
         """(2, 8, 8) chroma MC prediction for one MB; `parts` is a list
         of (ox, oy, w, h, mv) luma-geometry partitions."""
         out = np.empty((2, 8, 8), np.int32)
+        cref = crefs[ridx]
         for ci in range(2):
             if parts is None:
                 out[ci] = _interp_chroma(cref[ci], mx * 8, my * 8, *mv)
@@ -1465,7 +1490,11 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     bw.u(frame_num & 0xF, 4)
     if poc_lsb is not None:  # poc_type-0 SPS (B-enabled streams)
         bw.u(poc_lsb & 0xFFFF, 16)
-    bw.u(0, 1)    # num_ref_idx_active_override_flag
+    if nrefs > 1:  # multi-reference L0 (r7)
+        bw.u(1, 1)  # num_ref_idx_active_override_flag
+        bw.ue(nrefs - 1)
+    else:
+        bw.u(0, 1)  # num_ref_idx_active_override_flag
     bw.u(0, 1)    # ref_pic_list_modification_flag_l0
     bw.u(0, 1)    # adaptive_ref_pic_marking_mode_flag (sliding window)
     bw.se(qp - 26)
@@ -1497,10 +1526,19 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 mvs.set_mb(mx, my, smv, 0)
                 modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
                 continue
-            # --- integer-pel full search around the median predictor
+            # --- integer-pel full search around the median predictor;
+            # with multiple references (r7) every reference is probed
+            # and the best penalized SAD wins (the penalty is the
+            # deterministic stand-in for the extra ref_idx bits)
             mvp = mvs.mvp_16x16(mx, my)
             sad, mv, pred = _search_block(ref_full, smb, mx * 16, my * 16,
                                           mvp, search)
+            ridx = 0
+            for ri in range(1, nrefs):
+                sad_i, mv_i, pred_i = _search_block(
+                    refs[ri], smb, mx * 16, my * 16, mvp, search)
+                if sad_i + 48 * ri < sad + 48 * ridx:
+                    sad, mv, pred, ridx = sad_i, mv_i, pred_i, ri
             if sad > 28 * 256:  # motion failed (scene cut): intra fallback
                 bw.ue(pending_skips)
                 pending_skips = 0
@@ -1511,13 +1549,15 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 continue
             # --- partition decision: 16x8 / 8x16 / 8x8 when they clearly
             # beat the 16x16 block (deterministic gates; finer partitions
-            # carry more mvd bits, so they must win by a larger margin)
+            # carry more mvd bits, so they must win by a larger margin).
+            # All partitions of one MB share the chosen reference.
             chosen = None    # 2-way: (ptype, parts)
             chosen8 = None   # 4-way 8x8: parts
             if sad > 6 * 256:
-                tot, ptype, parts = _eval_partitions(mvs, ref_full, smb,
+                tot, ptype, parts = _eval_partitions(mvs, refs[ridx], smb,
                                                      mx, my, search)
-                tot8, parts8 = _eval_p8x8(mvs, ref_full, smb, mx, my, search)
+                tot8, parts8 = _eval_p8x8(mvs, refs[ridx], smb, mx, my,
+                                          search)
                 if tot8 < 0.85 * min(sad, tot):
                     chosen8 = parts8
                 elif tot < sad * 0.92:
@@ -1535,7 +1575,7 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                         mvds.append((mv_i[0] - mvp_i[0],
                                      mv_i[1] - mvp_i[1]))
                         cparts.append((gx, gy, w_, h_, mv_i))
-                cpred = cmc(None, cparts)
+                cpred = cmc(None, cparts, ridx)
             elif chosen:
                 ptype, parts = chosen
                 mb_type_code = 1 if ptype == "16x8" else 2
@@ -1547,11 +1587,11 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                     pred[oy:oy + h_, ox:ox + w_] = pred_i
                     mvds.append((mv_i[0] - mvp_i[0], mv_i[1] - mvp_i[1]))
                     cparts.append((ox, oy, w_, h_, mv_i))
-                cpred = cmc(None, cparts)
+                cpred = cmc(None, cparts, ridx)
             else:
                 mb_type_code = 0
                 mvds = [(mv[0] - mvp[0], mv[1] - mvp[1])]
-                cpred = cmc(mv)
+                cpred = cmc(mv, ridx=ridx)
             blocks = []
             cbp = 0
             out = pred.copy()
@@ -1572,6 +1612,9 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             if chosen8:
                 for st8, _sp in chosen8:
                     bw.ue(st8)  # sub_mb_type per 8x8 (7.4.5.2)
+            if nrefs > 1:  # ref_idx_l0 per partition, before mvds (r7)
+                for _ in range(4 if chosen8 else 2 if chosen else 1):
+                    _write_ref_idx(bw, nrefs, ridx)
             for dx_, dy_ in mvds:
                 bw.se(dx_)
                 bw.se(dy_)
@@ -1598,15 +1641,15 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                             _P_SUB_GEOM[st8], sparts):
                         mvs.set_rect(mx * 4 + (ox8 + ox) // 4,
                                      my * 4 + (oy8 + oy) // 4,
-                                     w_ // 4, h_ // 4, mv_i, 0)
+                                     w_ // 4, h_ // 4, mv_i, ridx)
             elif chosen:
                 ptype, parts = chosen
                 for (ox, oy, w, h), (_mvp_i, mv_i, _p) in zip(
                         _PART_GEOM[ptype], parts):
                     mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
-                                 w // 4, h // 4, mv_i, 0)
+                                 w // 4, h // 4, mv_i, ridx)
             else:
-                mvs.set_mb(mx, my, mv, 0)
+                mvs.set_mb(mx, my, mv, ridx)
             modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
     if pending_skips:
         bw.ue(pending_skips)  # trailing skip run
@@ -2041,10 +2084,11 @@ def _all_zero_quant(resid: np.ndarray, qp: int) -> bool:
 
 
 def build_avcc(w: int, h: int, deblock_ctrl: bool = False,
-               cabac: bool = False, bpoc: bool = False) -> bytes:
+               cabac: bool = False, bpoc: bool = False,
+               nrefs: int = 1) -> bytes:
     """avcC (AVCDecoderConfigurationRecord) for the MP4 sample entry."""
     profile = 77 if (cabac or bpoc) else 66  # Main: CABAC and/or B slices
-    sps = _ep_insert(_sps(w, h, profile=profile, bpoc=bpoc))
+    sps = _ep_insert(_sps(w, h, profile=profile, bpoc=bpoc, nrefs=nrefs))
     pps = _ep_insert(_pps(deblock_ctrl, cabac=cabac))
     return (bytes([1, profile, 0, 20, 0xFF, 0xE1])
             + struct.pack(">H", len(sps) + 1) + bytes([0x67]) + sps
@@ -2054,7 +2098,8 @@ def build_avcc(w: int, h: int, deblock_ctrl: bool = False,
 def encode_frames(frames: list[np.ndarray], qp: int | None = None,
                   deblock: bool = False, gop: int | None = None,
                   entropy: str = "cavlc",
-                  chromas: list | None = None) -> tuple[bytes, list[bytes]]:
+                  chromas: list | None = None,
+                  nrefs: int = 1) -> tuple[bytes, list[bytes]]:
     """Gray frames -> (avcC record, per-frame length-prefixed NAL samples
     ready for an 'avc1' MP4 track). qp=None keeps the bit-exact I_PCM
     path; an integer qp (0..51) switches to transform coding with
@@ -2062,7 +2107,9 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
     IDR+P group-of-pictures structure: every Nth frame is an IDR, the
     rest are P slices (P_SKIP / P_L0_16x16 motion compensation / intra
     fallback) predicting from the previous frame — decode with
-    decode_samples. Dimensions must be even: 4:2:0 frame cropping works
+    decode_samples. nrefs=N (r7) keeps a sliding window of up to N
+    reference recons per GOP: every P slice declares its true active
+    count and each inter partition carries a te(v)/unary ref_idx_l0. Dimensions must be even: 4:2:0 frame cropping works
     in 2-sample units, so odd sizes are unrepresentable in this chroma
     format (spec constraint, not an implementation one)."""
     h, w = np.asarray(frames[0]).shape
@@ -2084,7 +2131,7 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
     # (h264_cabac._slice_header), so the PPS must advertise it even on
     # the qp=None all-I_PCM path
     avcc = build_avcc(w, h, deblock_ctrl=qp is not None or use_cabac,
-                      cabac=use_cabac)
+                      cabac=use_cabac, nrefs=nrefs)
     samples = []
     ref_full = None
     cref_full = None
@@ -2103,17 +2150,25 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
                     f, qp=qp, deblock=deblock, full_recon=True, chroma=cf)
             frame_num = 1
             nal = bytes([0x65]) + _ep_insert(rbsp)
+            dpb = [ref_full]  # IDR: closed GOP, new reference window
+            cdpb = [cref_full]
         else:
+            # most-recent-first L0 window, bounded by the frames coded
+            # since the IDR (the header declares the true active count)
+            refs = dpb[-nrefs:][::-1]
+            crefs = cdpb[-nrefs:][::-1]
             if chromas is None:
-                rbsp, ref_full = enc_p(f, ref_full, qp=qp,
+                rbsp, ref_full = enc_p(f, refs, qp=qp,
                                        frame_num=frame_num,
                                        deblock=deblock)
             else:
                 rbsp, (ref_full, cref_full) = enc_p(
-                    f, ref_full, qp=qp, frame_num=frame_num,
-                    deblock=deblock, chroma=cf, cref=cref_full)
+                    f, refs, qp=qp, frame_num=frame_num,
+                    deblock=deblock, chroma=cf, cref=crefs)
             frame_num = (frame_num + 1) & 0xF
             nal = bytes([0x41]) + _ep_insert(rbsp)  # ref_idc 2, non-IDR
+            dpb = (dpb + [ref_full])[-max(1, nrefs):]
+            cdpb = (cdpb + [cref_full])[-max(1, nrefs):]
         samples.append(struct.pack(">I", len(nal)) + nal)
     return avcc, samples
 
@@ -2880,7 +2935,7 @@ def _parse_sps(rbsp: bytes) -> dict:
         r.se()
         for _ in range(r.ue()):
             r.se()
-    r.ue()  # max_num_ref_frames
+    max_refs = r.ue()  # max_num_ref_frames (DPB window for P multi-ref)
     r.u(1)
     mbw = r.ue() + 1
     mbh = r.ue() + 1
@@ -2895,7 +2950,8 @@ def _parse_sps(rbsp: bytes) -> dict:
     h = mbh * 16 - 2 * (crop[2] + crop[3])
     return {"profile": profile, "level": level, "mbw": mbw, "mbh": mbh,
             "w": w, "h": h, "log2_mfn": log2_mfn, "poc_type": poc_type,
-            "log2_poc": log2_poc, "delta_always_zero": delta_always_zero}
+            "log2_poc": log2_poc, "delta_always_zero": delta_always_zero,
+            "max_refs": max_refs}
 
 
 def _parse_pps(rbsp: bytes) -> dict:
@@ -3089,69 +3145,97 @@ def _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred):
     return qp
 
 
-def _decode_mb_p16(r, plane, ref, mx, my, qp, nnz, cc, modes, mvs):
-    """P_L0_16x16: mvd + optional residual over the MC prediction."""
-    # ref_idx_l0: with one active reference there is no ref_idx field
+def _read_ref_idx(r, nrefs):
+    """ref_idx_l0, te(v) (9.1): one INVERTED bit when exactly two
+    references are active, ue(v) otherwise."""
+    ridx = (1 - r.u(1)) if nrefs == 2 else r.ue()
+    if ridx >= nrefs:
+        raise ValueError("ref_idx_l0 out of range")
+    return ridx
+
+
+def _write_ref_idx(bw, nrefs, ridx):
+    if nrefs == 2:
+        bw.u(1 - ridx, 1)
+    else:
+        bw.ue(ridx)
+
+
+def _decode_mb_p16(r, plane, refs, mx, my, qp, nnz, cc, modes, mvs,
+                   nrefs=1):
+    """P_L0_16x16: ref_idx_l0 (te(v), only when >1 reference is active,
+    r7) + mvd + optional residual over the MC prediction."""
+    ridx = _read_ref_idx(r, nrefs) if nrefs > 1 else 0
     mvp = mvs.mvp_16x16(mx, my)
     mvd = (r.se(), r.se())
     mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-    pred = _interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
-    cpred = np.stack([cc.mc(ci, mx, my, mv) for ci in range(2)])
-    mvs.set_mb(mx, my, mv, 0)
+    pred = _interp_luma(refs[ridx], mx * 16, my * 16, mv[0], mv[1])
+    cpred = np.stack([cc.mc(ci, mx, my, mv, ridx=ridx) for ci in range(2)])
+    mvs.set_mb(mx, my, mv, ridx)
     return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
 
 
-def _decode_mb_p_part(r, mb_type, plane, ref, mx, my, qp, nnz, cc,
-                      modes, mvs):
-    """P_L0_L0_16x8 / P_L0_L0_8x16 (mb_type 1 / 2): one mvd per
+def _decode_mb_p_part(r, mb_type, plane, refs, mx, my, qp, nnz, cc,
+                      modes, mvs, nrefs=1):
+    """P_L0_L0_16x8 / P_L0_L0_8x16 (mb_type 1 / 2): per-partition
+    ref_idx_l0 fields first (7.3.5.2 order, r7), then one mvd per
     partition; the second partition's predictor sees the first's
     committed MVs (8.4.1.3)."""
     ptype = "16x8" if mb_type == 1 else "8x16"
+    ridxs = ([_read_ref_idx(r, nrefs) for _ in range(2)]
+             if nrefs > 1 else [0, 0])
     pred = np.zeros((16, 16), np.int32)
     cpred = np.zeros((2, 8, 8), np.int32)
     for idx, (ox, oy, w, h) in enumerate(_PART_GEOM[ptype]):
+        ridx = ridxs[idx]
         mvp = mvs.mvp_part(mx, my, ptype, idx)
         mvd = (r.se(), r.se())
         mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
         pred[oy:oy + h, ox:ox + w] = _interp_luma(
-            ref, mx * 16 + ox, my * 16 + oy, mv[0], mv[1], w, h)
+            refs[ridx], mx * 16 + ox, my * 16 + oy, mv[0], mv[1], w, h)
         for ci in range(2):
             cpred[ci, oy // 2:(oy + h) // 2, ox // 2:(ox + w) // 2] = \
-                _interp_chroma(cc.ref[ci], mx * 8 + ox // 2,
+                _interp_chroma(cc.refl[ridx][ci], mx * 8 + ox // 2,
                                my * 8 + oy // 2, mv[0], mv[1],
                                w // 2, h // 2)
         mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, w // 4, h // 4,
-                     mv, 0)
+                     mv, ridx)
     return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
 
 
-def _decode_mb_p8x8(r, plane, ref, mx, my, qp, nnz, cc, modes, mvs):
+def _decode_mb_p8x8(r, plane, refs, mx, my, qp, nnz, cc, modes, mvs,
+                    nrefs=1, mb_type=3):
     """P_8x8 / P_8x8ref0 (mb_type 3 / 4): per 8x8 sub-macroblock any of
     the sub_mb_type shapes 8x8 / 8x4 / 4x8 / 4x4 (r7 — one mvd per
-    sub-partition, median predictors at sub-block granularity)."""
+    sub-partition, median predictors at sub-block granularity).
+    With multiple active references (r7), one ref_idx_l0 per 8x8 rides
+    between the sub_mb_type and mvd loops (7.3.5.2); P_8x8ref0 (4)
+    infers every ref_idx as 0."""
     sts = []
     for _ in range(4):
         st = r.ue()
         if st > 3:
             raise ValueError("bad P sub_mb_type")
         sts.append(st)
+    ridxs = ([_read_ref_idx(r, nrefs) for _ in range(4)]
+             if nrefs > 1 and mb_type == 3 else [0] * 4)
     pred = np.zeros((16, 16), np.int32)
     cpred = np.zeros((2, 8, 8), np.int32)
-    for (ox8, oy8), st in zip(_P8_GEOM, sts):
+    for (ox8, oy8), st, ridx in zip(_P8_GEOM, sts, ridxs):
         for (ox, oy, w, h) in _P_SUB_GEOM[st]:
             gx, gy = ox8 + ox, oy8 + oy
             mvp = mvs.mvp_sub(mx * 4 + gx // 4, my * 4 + gy // 4, w // 4)
             mvd = (r.se(), r.se())
             mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
             pred[gy:gy + h, gx:gx + w] = _interp_luma(
-                ref, mx * 16 + gx, my * 16 + gy, mv[0], mv[1], w, h)
+                refs[ridx], mx * 16 + gx, my * 16 + gy, mv[0], mv[1], w, h)
             for ci in range(2):
                 cpred[ci, gy // 2:(gy + h) // 2, gx // 2:(gx + w) // 2] = \
-                    _interp_chroma(cc.ref[ci], mx * 8 + gx // 2,
+                    _interp_chroma(cc.refl[ridx][ci], mx * 8 + gx // 2,
                                    my * 8 + gy // 2, mv[0], mv[1],
                                    w // 2, h // 2)
             mvs.set_rect(mx * 4 + gx // 4, my * 4 + gy // 4,
-                         w // 4, h // 4, mv, 0)
+                         w // 4, h // 4, mv, ridx)
     return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
 
 
@@ -3469,12 +3553,18 @@ def _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc: int = 3) -> dict:
     direct_spatial = True
     if is_b:
         direct_spatial = bool(r.u(1))  # 0 = temporal direct (8.4.1.2.3)
+    nrefs = 1
     if is_p or is_b:
         if r.u(1):  # num_ref_idx_active_override_flag
-            if r.ue() != 0:  # num_ref_idx_l0_active_minus1
-                raise ValueError("multiple reference frames unsupported")
-            if is_b and r.ue() != 0:  # num_ref_idx_l1_active_minus1
-                raise ValueError("multiple reference frames unsupported")
+            nrefs = r.ue() + 1  # num_ref_idx_l0_active_minus1
+            if nrefs > 16:
+                raise ValueError("bad num_ref_idx_l0_active")
+            if is_b:
+                if nrefs != 1:  # multi-ref stays P-only in this profile
+                    raise ValueError(
+                        "multiple L0 references in a B slice unsupported")
+                if r.ue() != 0:  # num_ref_idx_l1_active_minus1
+                    raise ValueError("multiple L1 references unsupported")
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise ValueError("ref pic list modification unsupported")
         if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
@@ -3499,7 +3589,7 @@ def _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc: int = 3) -> dict:
             off_b = 2 * r.se()
     return {"is_p": is_p, "is_b": is_b, "qp": qp, "do_filter": do_filter,
             "off_a": off_a, "off_b": off_b, "poc": poc,
-            "direct_spatial": direct_spatial}
+            "direct_spatial": direct_spatial, "nrefs": nrefs}
 
 
 def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
@@ -3529,16 +3619,28 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
     qp = hdr["qp"]
     do_filter, off_a, off_b = hdr["do_filter"], hdr["off_a"], hdr["off_b"]
     mbw, mbh = sps["mbw"], sps["mbh"]
+    # L0 reference list: `ref` is one FULL plane or a most-recent-first
+    # list (multi-reference P slices, r7); B slices stay 1+1 (L0/L1)
+    refs = _ref_list(ref) if ref is not None else None
+    nrefs = hdr["nrefs"]
+    if is_p and nrefs > len(refs):
+        raise ValueError(
+            f"slice needs {nrefs} reference frames, got {len(refs)}")
+    if is_b:
+        ref = refs[0]
     plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
     plane_w = mbw * 16
     nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
     # pre-chroma (gray) reference pictures: mid-grey chroma, matching
     # what their own decode produced
-    if (is_p or is_b) and cref is None:
-        cref = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    crefs = None
+    if is_p or is_b:
+        crefs = _ref_list(cref) if cref is not None else []
+        while len(crefs) < (nrefs if is_p else 1):
+            crefs.append(np.full((2, mbh * 8, mbw * 8), 128, np.uint8))
     if is_b and cref2 is None:
         cref2 = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
-    cc = _ChromaState(mbw, mbh, ref=cref, ref2=cref2)
+    cc = _ChromaState(mbw, mbh, ref=crefs, ref2=cref2)
     modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
     qp_map = np.zeros((mbh, mbw), np.int32)
     mvs = _MvState(mbw, mbh) if (is_p or is_b) else None
@@ -3579,7 +3681,7 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                     run_pending = r.ue()  # mb_skip_run
                 if run_pending > 0:
                     run_pending -= 1
-                    _skip_mb(plane, ref, mx, my, nnz, cc, modes, mvs)
+                    _skip_mb(plane, refs[0], mx, my, nnz, cc, modes, mvs)
                     qp_map[my, mx] = qp
                     continue
                 run_pending = None  # this position is the coded MB
@@ -3587,18 +3689,18 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                 mb_type = r.ue()
             if is_p:
                 if mb_type == 0:  # P_L0_16x16
-                    qp = _decode_mb_p16(r, plane, ref, mx, my, qp, nnz,
-                                        cc, modes, mvs)
+                    qp = _decode_mb_p16(r, plane, refs, mx, my, qp, nnz,
+                                        cc, modes, mvs, nrefs)
                     qp_map[my, mx] = qp
                     continue
                 if mb_type in (1, 2):  # P_L0_L0_16x8 / P_L0_L0_8x16 (r6)
-                    qp = _decode_mb_p_part(r, mb_type, plane, ref, mx, my,
-                                           qp, nnz, cc, modes, mvs)
+                    qp = _decode_mb_p_part(r, mb_type, plane, refs, mx, my,
+                                           qp, nnz, cc, modes, mvs, nrefs)
                     qp_map[my, mx] = qp
                     continue
                 if mb_type in (3, 4):  # P_8x8 / P_8x8ref0 (r6)
-                    qp = _decode_mb_p8x8(r, plane, ref, mx, my, qp, nnz,
-                                         cc, modes, mvs)
+                    qp = _decode_mb_p8x8(r, plane, refs, mx, my, qp, nnz,
+                                         cc, modes, mvs, nrefs, mb_type)
                     qp_map[my, mx] = qp
                     continue
                 mb_type -= 5  # intra in a P slice
@@ -3706,13 +3808,21 @@ def decode_samples(samples: list[bytes], avcc: bytes,
                 else y[:sps["h"], :sps["w"]])
 
     if sps["poc_type"] != 0:
+        # I/P-only streams: sliding-window DPB, most-recent-first L0
+        # (multi-reference P slices read as many entries as their
+        # header's num_ref_idx_l0_active, r7); IDRs reset the window
+        window = max(1, sps["max_refs"])
         out = []
-        ref = None
+        dpb0: list = []  # (luma FULL, chroma FULL), newest last
         for s in samples:
-            full = decode_sample(s, avcc, ref=ref[0] if ref else None,
-                                 cref=ref[1] if ref else None,
+            typ, _ref_idc, _hdr = _peek_slice(s, avcc, sps, pps)
+            if typ == 5:
+                dpb0 = []  # IDR: closed GOP
+            refs = [e[0] for e in reversed(dpb0)] or None
+            crefs = [e[1] for e in reversed(dpb0)] or None
+            full = decode_sample(s, avcc, ref=refs, cref=crefs,
                                  full_plane=True, with_chroma=True)
-            ref = full
+            dpb0 = (dpb0 + [full])[-window:]
             out.append(crop(full))
         return out
     dpb: list[tuple[int, tuple, tuple]] = []  # (poc, FULL (y, c), motion)

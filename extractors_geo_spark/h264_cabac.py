@@ -114,6 +114,8 @@ def _alloc():
         ("sub_mbt_b", 2),    # B sub_mb_type: direct flag + FL suffix (r7)
         ("mvd_x", 7),        # bin0 inc 0..2 + TU bins 3..6
         ("mvd_y", 7),
+        ("ref_idx", 6),      # bin0 inc 0..3 from neighbor ref>0 + 2 tail
+
         ("prev_i4", 1),      # prev_intra4x4_pred_mode_flag
         ("rem_i4", 1),       # rem_intra4x4_pred_mode (3 FL bins, one ctx)
         ("chroma_mode", 4),  # bin0 inc 0..2 + shared bin ctx
@@ -461,6 +463,40 @@ def _dec_mvd(dec, ctx, base, nsum):
     return a
 
 
+def _ref_inc(mvs, bx, by):
+    """ctxIdxInc for ref_idx_l0 bin0 (9.3.3.1.1.6 shape): left/above
+    4x4 neighbours of the partition anchor with ref > 0 contribute
+    1/2; unavailable, intra, or uncommitted (this slice) count 0.
+    Computed BEFORE any of the MB's motion commits — shared enc/dec."""
+    a = 1 if bx > 0 and mvs.ref[by, bx - 1] > 0 else 0
+    b = 1 if by > 0 and mvs.ref[by - 1, bx] > 0 else 0
+    return a + 2 * b
+
+
+def _enc_ref_idx(enc, ctx, mvs, bx, by, ridx):
+    """ref_idx_l0, unary binarization: bin0 neighbor-conditioned, bin1
+    and bins 2+ on their own contexts (9.3.2.x U + Table 9-34 shape)."""
+    base = _OFS["ref_idx"]
+    idx0 = base + _ref_inc(mvs, bx, by)
+    for k in range(ridx):
+        enc.decision(ctx, idx0 if k == 0 else base + 4 if k == 1
+                     else base + 5, 1)
+    enc.decision(ctx, idx0 if ridx == 0 else base + 4 if ridx == 1
+                 else base + 5, 0)
+
+
+def _dec_ref_idx(dec, ctx, mvs, bx, by, nrefs):
+    base = _OFS["ref_idx"]
+    idx0 = base + _ref_inc(mvs, bx, by)
+    k = 0
+    while dec.decision(ctx, idx0 if k == 0 else base + 4 if k == 1
+                       else base + 5):
+        k += 1
+        if k >= nrefs:
+            raise ValueError("ref_idx_l0 out of range")
+    return k
+
+
 def _enc_qp_delta(enc, ctx, prev_nz, d):
     mapped = -2 * d if d <= 0 else 2 * d - 1
     incs = (1 if prev_nz else 0, 2, 3)
@@ -617,7 +653,7 @@ class _MbState:
 
 
 def _slice_header(bw, slice_type, qp, frame_num, deblock, idr,
-                  poc_lsb=None, direct_spatial=True):
+                  poc_lsb=None, direct_spatial=True, nrefs=1):
     bw.ue(0)                    # first_mb_in_slice
     bw.ue(slice_type)           # 7 = I, 5 = P, 6 = B (all slices)
     bw.ue(0)                    # pps_id
@@ -629,7 +665,11 @@ def _slice_header(bw, slice_type, qp, frame_num, deblock, idr,
     if slice_type == 6:
         bw.u(1 if direct_spatial else 0, 1)  # direct_spatial_mv_pred_flag
     if not idr:
-        bw.u(0, 1)              # num_ref_idx_active_override_flag
+        if nrefs > 1:           # multi-reference L0 (r7, P slices)
+            bw.u(1, 1)          # num_ref_idx_active_override_flag
+            bw.ue(nrefs - 1)
+        else:
+            bw.u(0, 1)          # num_ref_idx_active_override_flag
         bw.u(0, 1)              # ref_pic_list_modification_flag_l0
         if slice_type == 6:
             bw.u(0, 1)          # ref_pic_list_modification_flag_l1
@@ -907,12 +947,20 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                    motion_out: list | None = None):
     """One gray frame -> (P-slice RBSP, FULL recon plane), CABAC entropy.
     Same decisions as encode_p_cavlc: P_SKIP (mb_skip_flag=1) / motion-
-    compensated P_L0_16x16 / intra (I_4x4) fallback on SAD failure."""
+    compensated P_L0_16x16 / intra (I_4x4) fallback on SAD failure.
+    `ref_full` may be a most-recent-first LIST of recon planes (r7
+    multi-reference L0): every inter partition then carries a
+    neighbor-conditioned unary ref_idx_l0; same encoder policy as the
+    CAVLC twin (best penalized 16x16 SAD picks the MB's reference)."""
     a = np.asarray(gray, np.uint8)
     h, w = a.shape
     mbw = -(-w // 16)
     mbh = -(-h // 16)
-    assert ref_full.shape == (mbh * 16, mbw * 16), "reference plane mismatch"
+    refs = H._ref_list(ref_full)
+    nrefs = len(refs)
+    for rp in refs:
+        assert rp.shape == (mbh * 16, mbw * 16), "reference plane mismatch"
+    ref_full = refs[0]
     src = np.pad(a, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
     plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
     plane_w = mbw * 16
@@ -922,14 +970,16 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     qp_map = np.full((mbh, mbw), qp, np.int32)
     st = _MbState(mbw, mbh)
     csrc = H._pad_chroma(chroma, mbw, mbh, h, w)
-    if cref is None:
-        cref = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    crefs = H._ref_list(cref) if cref is not None else []
+    while len(crefs) < nrefs:  # gray-stream references: flat chroma
+        crefs.append(np.full((2, mbh * 8, mbw * 8), 128, np.uint8))
+    cref = crefs[0]
     crec = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
     ch = (csrc, crec)
 
     bw = H._BitWriter()
     _slice_header(bw, 5, qp, frame_num, deblock, idr=False,
-                  poc_lsb=poc_lsb)
+                  poc_lsb=poc_lsb, nrefs=nrefs)
     enc = _Enc()
     ctx = _Ctx()
     for my in range(mbh):
@@ -962,10 +1012,17 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 enc.terminate(1 if last else 0)
                 continue
             enc.decision(ctx, _OFS["mb_skip"] + st.skip_inc(mx, my), 0)
-            # --- integer-pel search around the median predictor
+            # --- integer-pel search around the median predictor; with
+            # multiple references every one is probed (penalized SAD)
             mvp = mvs.mvp_16x16(mx, my)
             sad, mv, pred = H._search_block(ref_full, smb, mx * 16, my * 16,
                                             mvp, search)
+            ridx = 0
+            for ri in range(1, nrefs):
+                sad_i, mv_i, pred_i = H._search_block(
+                    refs[ri], smb, mx * 16, my * 16, mvp, search)
+                if sad_i + 48 * ri < sad + 48 * ridx:
+                    sad, mv, pred, ridx = sad_i, mv_i, pred_i, ri
             if sad > 28 * 256:  # scene cut: intra fallback
                 _enc_mb_i4(enc, ctx, st, smb.astype(np.uint8), plane, mx, my,
                            qp, nnz, modes, max_coeffs, plane_w,
@@ -978,9 +1035,9 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             chosen = None
             chosen8 = None
             if sad > 6 * 256:
-                tot, ptype, parts = H._eval_partitions(mvs, ref_full, smb,
-                                                       mx, my, search)
-                tot8, parts8 = H._eval_p8x8(mvs, ref_full, smb, mx, my,
+                tot, ptype, parts = H._eval_partitions(mvs, refs[ridx],
+                                                       smb, mx, my, search)
+                tot8, parts8 = H._eval_p8x8(mvs, refs[ridx], smb, mx, my,
                                             search)
                 if tot8 < 0.85 * min(sad, tot):
                     chosen8 = parts8
@@ -990,7 +1047,7 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 for ci in range(2):
                     cpred[ci, oy // 2:(oy + ph) // 2,
                           ox // 2:(ox + pw) // 2] = H._interp_chroma(
-                        cref[ci], mx * 8 + ox // 2, my * 8 + oy // 2,
+                        crefs[ridx][ci], mx * 8 + ox // 2, my * 8 + oy // 2,
                         pmv[0], pmv[1], pw // 2, ph // 2)
 
             cpred = np.zeros((2, 8, 8), np.int32)
@@ -1044,6 +1101,17 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             else:
                 enc.decision(ctx, _OFS["mbt_p"] + 1, 0)
                 enc.decision(ctx, _OFS["mbt_p"] + 2, 0)
+            if nrefs > 1:  # ref_idx_l0 per partition, before mvds (r7)
+                if chosen8:
+                    anchors = [(mx * 4 + gx8 // 4, my * 4 + gy8 // 4)
+                               for gx8, gy8 in H._P8_GEOM]
+                elif chosen:
+                    anchors = [(mx * 4 + ox // 4, my * 4 + oy // 4)
+                               for ox, oy, _w, _h in H._PART_GEOM[ptype]]
+                else:
+                    anchors = [(mx * 4, my * 4)]
+                for abx, aby in anchors:
+                    _enc_ref_idx(enc, ctx, mvs, abx, aby, ridx)
             # mvd contexts use the MB-level neighbor |mvd| sums for every
             # partition (in-repo granularity, shared enc/dec)
             for dx_, dy_ in mvds:
@@ -1080,14 +1148,14 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                             H._P_SUB_GEOM[st8], sparts):
                         mvs.set_rect(mx * 4 + (ox8 + ox) // 4,
                                      my * 4 + (oy8 + oy) // 4,
-                                     w_ // 4, h_ // 4, mv_i, 0)
+                                     w_ // 4, h_ // 4, mv_i, ridx)
             elif chosen:
                 for (ox, oy, w, h), (_mvp_i, mv_i, _p) in zip(
                         H._PART_GEOM[ptype], parts):
                     mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4,
-                                 w // 4, h // 4, mv_i, 0)
+                                 w // 4, h // 4, mv_i, ridx)
             else:
-                mvs.set_mb(mx, my, mv, 0)
+                mvs.set_mb(mx, my, mv, ridx)
             modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
             st.skip[my, mx] = 0
             st.not_i4[my, mx] = 1
@@ -1506,11 +1574,22 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
     qp_map = np.zeros((mbh, mbw), np.int32)
     mvs = H._MvState(mbw, mbh) if (is_p or is_b) else None
     mvs1 = H._MvState(mbw, mbh) if is_b else None
-    if (is_p or is_b) and cref is None:
-        cref = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
+    # L0 reference list (multi-reference P slices, r7); B stays 1+1
+    refs = H._ref_list(ref) if ref is not None else None
+    nrefs = hdr.get("nrefs", 1)
+    if is_p and nrefs > len(refs):
+        raise ValueError(
+            f"slice needs {nrefs} reference frames, got {len(refs)}")
+    if is_b and refs is not None:
+        ref = refs[0]
+    crefs = None
+    if is_p or is_b:
+        crefs = H._ref_list(cref) if cref is not None else []
+        while len(crefs) < (nrefs if is_p else 1):
+            crefs.append(np.full((2, mbh * 8, mbw * 8), 128, np.uint8))
     if is_b and cref2 is None:
         cref2 = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
-    cc = H._ChromaState(mbw, mbh, ref=cref, ref2=cref2)
+    cc = H._ChromaState(mbw, mbh, ref=crefs, ref2=cref2)
     st = _MbState(mbw, mbh)
     for my in range(mbh):
         for mx in range(mbw):
@@ -1571,7 +1650,7 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
             if is_p:
                 if dec.decision(ctx, _OFS["mb_skip"] + st.skip_inc(mx, my)):
                     mv = mvs.skip_mv(mx, my)
-                    pred = H._interp_luma(ref, mx * 16, my * 16, *mv)
+                    pred = H._interp_luma(refs[0], mx * 16, my * 16, *mv)
                     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
                         np.clip(pred, 0, 255).astype(np.uint8)
                     for ci in range(2):
@@ -1603,15 +1682,16 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                     b1 = dec.decision(ctx, _OFS["mbt_p"] + 1)
                     b2 = dec.decision(ctx, _OFS["mbt_p"] + 2)
                     if b1:  # "011" = 16x8, "010" = 8x16 (Table 9-37)
-                        qp = _dec_mb_p_part(dec, ctx, st, plane, ref, mx, my,
-                                            qp, nnz, modes, mvs,
-                                            "16x8" if b2 else "8x16", cc)
+                        qp = _dec_mb_p_part(dec, ctx, st, plane, refs,
+                                            mx, my, qp, nnz, modes, mvs,
+                                            "16x8" if b2 else "8x16", cc,
+                                            nrefs)
                     elif b2:  # "001" = P_8x8 (r6)
-                        qp = _dec_mb_p8x8(dec, ctx, st, plane, ref, mx, my,
-                                          qp, nnz, modes, mvs, cc)
+                        qp = _dec_mb_p8x8(dec, ctx, st, plane, refs, mx, my,
+                                          qp, nnz, modes, mvs, cc, nrefs)
                     else:
-                        qp = _dec_mb_p16(dec, ctx, st, plane, ref, mx, my,
-                                         qp, nnz, modes, mvs, cc)
+                        qp = _dec_mb_p16(dec, ctx, st, plane, refs, mx, my,
+                                         qp, nnz, modes, mvs, cc, nrefs)
             else:
                 mbt = _dec_mb_type_i(dec, ctx, _OFS["mbt_i"],
                                      st.mbt_inc(mx, my))
@@ -1811,15 +1891,18 @@ def _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes, cc,
     return qp
 
 
-def _dec_mb_p16(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs, cc):
+def _dec_mb_p16(dec, ctx, st, plane, refs, mx, my, qp, nnz, modes, mvs,
+                cc, nrefs=1):
+    ridx = (_dec_ref_idx(dec, ctx, mvs, mx * 4, my * 4, nrefs)
+            if nrefs > 1 else 0)
     mvp = mvs.mvp_16x16(mx, my)
     mvd = (_dec_mvd(dec, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0)),
            _dec_mvd(dec, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1)))
     st.mvd[my, mx] = (abs(mvd[0]), abs(mvd[1]))
     mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-    pred = H._interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
-    cpred = np.stack([cc.mc(ci, mx, my, mv) for ci in range(2)])
-    mvs.set_mb(mx, my, mv, 0)
+    pred = H._interp_luma(refs[ridx], mx * 16, my * 16, mv[0], mv[1])
+    cpred = np.stack([cc.mc(ci, mx, my, mv, ridx=ridx) for ci in range(2)])
+    mvs.set_mb(mx, my, mv, ridx)
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
                        cc, cpred)
 
@@ -1952,15 +2035,20 @@ def _dec_mb_b8x8(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz,
                        modes, cc, cpred)
 
 
-def _dec_mb_p8x8(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs,
-                 cc):
+def _dec_mb_p8x8(dec, ctx, st, plane, refs, mx, my, qp, nnz, modes, mvs,
+                 cc, nrefs=1):
     """P_8x8 (CABAC): per 8x8 any sub_mb_type shape 8x8 / 8x4 / 4x8 /
-    4x4 (r7), one mvd per sub-partition."""
+    4x4 (r7), one mvd per sub-partition; with multiple references one
+    ref_idx_l0 per 8x8 rides between the sub_mb_type and mvd runs."""
     sts = [_dec_p_sub_type(dec, ctx) for _ in range(4)]
+    ridxs = ([_dec_ref_idx(dec, ctx, mvs, mx * 4 + gx8 // 4,
+                           my * 4 + gy8 // 4, nrefs)
+              for gx8, gy8 in H._P8_GEOM]
+             if nrefs > 1 else [0] * 4)
     pred = np.zeros((16, 16), np.int32)
     cpred = np.zeros((2, 8, 8), np.int32)
     asum = [0, 0]
-    for (ox8, oy8), st8 in zip(H._P8_GEOM, sts):
+    for (ox8, oy8), st8, ridx in zip(H._P8_GEOM, sts, ridxs):
         for (ox, oy, w, h) in H._P_SUB_GEOM[st8]:
             gx, gy = ox8 + ox, oy8 + oy
             mvp = mvs.mvp_sub(mx * 4 + gx // 4, my * 4 + gy // 4, w // 4)
@@ -1972,27 +2060,33 @@ def _dec_mb_p8x8(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs,
             asum[1] += abs(mvd[1])
             mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
             pred[gy:gy + h, gx:gx + w] = H._interp_luma(
-                ref, mx * 16 + gx, my * 16 + gy, mv[0], mv[1], w, h)
+                refs[ridx], mx * 16 + gx, my * 16 + gy, mv[0], mv[1], w, h)
             for ci in range(2):
                 cpred[ci, gy // 2:(gy + h) // 2, gx // 2:(gx + w) // 2] = \
-                    H._interp_chroma(cc.ref[ci], mx * 8 + gx // 2,
+                    H._interp_chroma(cc.refl[ridx][ci], mx * 8 + gx // 2,
                                      my * 8 + gy // 2, mv[0], mv[1],
                                      w // 2, h // 2)
             mvs.set_rect(mx * 4 + gx // 4, my * 4 + gy // 4,
-                         w // 4, h // 4, mv, 0)
+                         w // 4, h // 4, mv, ridx)
     st.mvd[my, mx] = tuple(asum)
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
                        cc, cpred)
 
 
-def _dec_mb_p_part(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs,
-                   ptype, cc):
-    """P_L0_L0_16x8 / 8x16: one mvd per partition; the mvd contexts use
+def _dec_mb_p_part(dec, ctx, st, plane, refs, mx, my, qp, nnz, modes,
+                   mvs, ptype, cc, nrefs=1):
+    """P_L0_L0_16x8 / 8x16: per-partition ref_idx_l0 fields first
+    (7.3.5.2 order), then one mvd per partition; the mvd contexts use
     MB-level neighbor sums (matches the encoder's in-repo granularity)."""
+    ridxs = ([_dec_ref_idx(dec, ctx, mvs, mx * 4 + ox // 4,
+                           my * 4 + oy // 4, nrefs)
+              for ox, oy, _w, _h in H._PART_GEOM[ptype]]
+             if nrefs > 1 else [0, 0])
     pred = np.zeros((16, 16), np.int32)
     cpred = np.zeros((2, 8, 8), np.int32)
     abs_sum = [0, 0]
     for idx, (ox, oy, w, h) in enumerate(H._PART_GEOM[ptype]):
+        ridx = ridxs[idx]
         mvp = mvs.mvp_part(mx, my, ptype, idx)
         mvd = (_dec_mvd(dec, ctx, _OFS["mvd_x"], st.mvd_inc_sum(mx, my, 0)),
                _dec_mvd(dec, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1)))
@@ -2000,14 +2094,14 @@ def _dec_mb_p_part(dec, ctx, st, plane, ref, mx, my, qp, nnz, modes, mvs,
         abs_sum[1] += abs(mvd[1])
         mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
         pred[oy:oy + h, ox:ox + w] = H._interp_luma(
-            ref, mx * 16 + ox, my * 16 + oy, mv[0], mv[1], w, h)
+            refs[ridx], mx * 16 + ox, my * 16 + oy, mv[0], mv[1], w, h)
         for ci in range(2):
             cpred[ci, oy // 2:(oy + h) // 2, ox // 2:(ox + w) // 2] = \
-                H._interp_chroma(cc.ref[ci], mx * 8 + ox // 2,
+                H._interp_chroma(cc.refl[ridx][ci], mx * 8 + ox // 2,
                                  my * 8 + oy // 2, mv[0], mv[1],
                                  w // 2, h // 2)
         mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, w // 4, h // 4,
-                     mv, 0)
+                     mv, ridx)
     st.mvd[my, mx] = tuple(abs_sum)
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
                        cc, cpred)

@@ -269,8 +269,8 @@ def test_cabac_p_partitions_roundtrip_bit_exact():
     orig = C._dec_mb_p_part
 
     def spy(*a, **k):
-        # ptype precedes the chroma state (the last positional arg)
-        hits.append(a[-2])
+        # ptype precedes the chroma state and nrefs (r7 signature)
+        hits.append(a[11])
         return orig(*a, **k)
 
     C._dec_mb_p_part = spy
