@@ -1,36 +1,56 @@
-"""Pure-Python H.264/AVC (ISO/IEC 14496-10) — baseline intra subset.
+"""Pure-Python H.264/AVC (ISO/IEC 14496-10) — CAVLC engine + shared
+machinery for the CABAC engine in `h264_cabac`.
 
-Two genuinely conformant coding paths through the real AVC machinery
-(NAL units with emulation prevention, Exp-Golomb headers, SPS/PPS, IDR
-slice headers, avcC records for MP4 'avc1' tracks):
+The coding surface, all through real AVC machinery (NAL units with
+emulation prevention, Exp-Golomb headers, SPS/PPS, IDR/non-IDR slice
+headers, avcC records for MP4 'avc1' tracks), in both entropy modes
+({CAVLC here, CABAC in h264_cabac} x {I, P, B}):
 
 1. **I_PCM** (mb_type 25): raw samples in the bitstream, bit-exact
-   round trip — the entropy-free floor, kept for fixtures.
-2. **CAVLC intra** (VERDICT r4 #3): entropy-coded I slices — I_4x4 and
-   I_16x16 macroblocks with spec intra prediction (9 + 4 modes), the
-   4x4 integer transform + Hadamard DC transforms, spec quantization,
-   and full CAVLC residual coding (coeff_token / level / total_zeros /
-   run_before, Rec. ITU-T H.264 §9.2). This covers real keyframe
-   extraction, the dominant video sampling mode for caption/frame
-   pipelines. The encoder reconstructs exactly like the decoder, so
-   decode(encode(x)) equals the encoder's reconstruction BIT-EXACTLY
-   (asserted in tests), and at low QP PSNR vs the source exceeds 40 dB.
-3. **CAVLC P slices** (r5): real IDR+P group-of-pictures — P_SKIP with
-   skip-run coding, motion-compensated P_L0_16x16 with quarter-pel
-   6-tap interpolation (8.4.2.2), median MV prediction + MVD coding,
-   inter CBP mapping and dead-zone quantization, intra-in-P fallback,
-   and the inter bS deblocking rules. encode_frames(gop=N) emits the
-   GOP; decode_samples() decodes it (1-deep DPB); the same bit-exact
-   decode == recon contract holds across the whole chain. Static
-   scenes collapse to ~10-byte all-skip frames; pure pans carry MVs
-   instead of residuals.
+   round trip — the entropy-free floor, kept for fixtures (in CABAC
+   slices too, with the r7 engine flush/re-init around raw samples).
+2. **Intra** (r4): I_4x4 and I_16x16 macroblocks with spec intra
+   prediction (9 + 4 modes), the 4x4 integer transform + Hadamard DC
+   transforms, spec quantization, and full CAVLC residual coding
+   (coeff_token / level / total_zeros / run_before, §9.2). The encoder
+   reconstructs exactly like the decoder, so decode(encode(x)) equals
+   the encoder's reconstruction BIT-EXACTLY (asserted in tests), and
+   at low QP PSNR vs the source exceeds 40 dB.
+3. **P slices** (r5-r7): IDR+P GOPs — P_SKIP with skip-run coding,
+   motion-compensated quarter-pel 6-tap interpolation (8.4.2.2),
+   median MV prediction + MVD coding, partitions 16x16/16x8/8x16/P_8x8
+   with sub-8x8 shapes (8x4/4x8/4x4), multi-reference L0 with
+   per-partition ref_idx_l0 (sliding-window DPB, nrefs<=16), inter CBP
+   mapping, dead-zone quantization, intra-in-P fallback, inter bS
+   deblocking. Static scenes collapse to ~10-byte all-skip frames.
+4. **B slices** (r6-r7): IBBP GOPs with bi-prediction (2-deep DPB),
+   B_SKIP + B_Direct_16x16 in spatial AND temporal (8.4.1.2.3
+   POC-scaled) direct modes, partitioned B (mb_type 4..21) and B_8x8
+   sub-macroblocks, ctts display reordering in the MP4 layer, POC-lsb
+   wrap handling.
+5. **4:2:0 chroma** (r7): real chroma residuals (2x2 DC Hadamard + AC),
+   chroma intra prediction incl. plane mode, cbp_chroma in both
+   entropy modes, chroma deblocking. Gray clips stay bit-identical
+   (flat-128 default source, cbpc=0 everywhere).
+
+6. **Explicit weighted prediction** (r7, P slices): pred_weight_table
+   in the slice header, per-reference luma/chroma gain+offset applied
+   after interpolation (8.4.2.3.2) incl. P_SKIP; the encoder
+   estimates least-squares weights per slice (fade detection), so
+   fades collapse to skip runs.
 
 Decode scope and honesty notes:
-- CABAC streams, B slices, P sub-partitions (16x8/8x16/8x8), multiple
-  reference frames, high-profile SPS, FMO, and multi-slice pictures
-  raise a clear ValueError;
-  `operators/multimodal.sample_frames` maps that to its documented
-  well-formed-unsupported-codec stub.
+- Remaining out-of-scope shapes raise a clear ValueError: high-profile
+  SPS (8x8 transform), FMO, multi-slice pictures, SP/SI slices,
+  weighted BI-prediction (weighted_bipred_idc != 0; single-list P
+  weighting IS in scope), ref-pic-list modification, MMCO adaptive
+  marking, >1 L1 reference. `operators/multimodal.sample_frames` maps
+  that to its documented well-formed-unsupported-codec stub.
+- Foreign-stream CABAC cross-decode is adjudicated permanently out of
+  scope (SURVEY §15.2): context INIT is in-repo uniform
+  (cabac_init_idc accepted but ignored), so the engine round-trips its
+  own conformant bitstreams; everything else (arithmetic engine,
+  binarizations, context increments) follows the spec.
 - The in-loop deblocking filter (8.7) IS applied for streams that
   request it (luma, all-intra bS 4/3, strong+normal filters, alpha/
   beta/tc0 threshold tables, per-MB QP averaging, I_PCM-as-QP-0);
@@ -413,7 +433,8 @@ def _sps(w: int, h: int, profile: int = 66, bpoc: bool = False,
     return bytes(bw.buf)
 
 
-def _pps(deblock_ctrl: bool = False, cabac: bool = False) -> bytes:
+def _pps(deblock_ctrl: bool = False, cabac: bool = False,
+         wp: bool = False) -> bytes:
     bw = _BitWriter()
     bw.ue(0)      # pps_id
     bw.ue(0)      # sps_id
@@ -422,7 +443,7 @@ def _pps(deblock_ctrl: bool = False, cabac: bool = False) -> bytes:
     bw.ue(0)      # num_slice_groups_minus1
     bw.ue(0)      # num_ref_idx_l0_active_minus1
     bw.ue(0)      # num_ref_idx_l1_active_minus1
-    bw.u(0, 1)    # weighted_pred
+    bw.u(1 if wp else 0, 1)  # weighted_pred (P slices, explicit, r7)
     bw.u(0, 2)    # weighted_bipred_idc
     bw.se(0)      # pic_init_qp_minus26
     bw.se(0)      # pic_init_qs_minus26
@@ -630,10 +651,12 @@ def _pick_chroma_mode(crec, csrc_mb, cmx, cmy, al, aa):
 
 
 def _interp_chroma(cref: np.ndarray, px: int, py: int, mvx: int, mvy: int,
-                   w: int = 8, h: int = 8) -> np.ndarray:
+                   w: int = 8, h: int = 8, wp=None) -> np.ndarray:
     """8.4.2.2.2: w x h chroma MC block on the half-res plane. The luma
     quarter-pel MV is an eighth-pel chroma MV; bilinear weights with
-    (+32)>>6 rounding, edge-clamped."""
+    (+32)>>6 rounding, edge-clamped. `wp` = (w, o, logWD) applies the
+    explicit weighted-prediction transform AFTER interpolation
+    (8.4.2.3.2 — the two do not commute on fractional positions)."""
     H, W = cref.shape
     ix, fx = mvx >> 3, mvx & 7
     iy, fy = mvy >> 3, mvy & 7
@@ -645,8 +668,9 @@ def _interp_chroma(cref: np.ndarray, px: int, py: int, mvx: int, mvy: int,
     B = win[:h, 1:]
     C = win[1:, :w]
     D = win[1:, 1:]
-    return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
-            + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
+    out = ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
+           + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
+    return _wp_apply(out, wp)
 
 
 def _encode_chroma_mb(csrc, cpred, qp_y, intra, max_coeffs=15):
@@ -759,6 +783,140 @@ def _ref_list(ref):
     return list(ref) if isinstance(ref, (list, tuple)) else [ref]
 
 
+# ------------------------------------------ weighted prediction (8.4.2.3.2)
+def _wp_apply(pred, wp):
+    """Explicit single-list weighted sample prediction on an
+    interpolated block: Clip1(((pred * w + 2^(logWD-1)) >> logWD) + o)
+    for logWD >= 1, Clip1(pred * w + o) otherwise. numpy's >> is an
+    arithmetic shift, matching the spec's on negative products."""
+    if wp is None:
+        return pred
+    w_, o_, d_ = wp
+    if d_ >= 1:
+        out = ((pred * w_ + (1 << (d_ - 1))) >> d_) + o_
+    else:
+        out = pred * w_ + o_
+    return np.clip(out, 0, 255)
+
+
+def _resolve_wp(tab, nrefs):
+    """pred_weight_table dict -> (wl, wc): per-L0-ref luma (w, o, logWD)
+    and per-component chroma weight tuples; None entries mean the
+    flag-0 default = exact identity, so weighting is skipped there."""
+    if tab is None:
+        return None
+    ld, cd = tab["ld"], tab["cd"]
+    wl = [None if e is None else (e[0], e[1], ld) for e in tab["luma"]]
+    wc = [None if e is None else tuple((cw, co, cd) for cw, co in e)
+          for e in tab["chroma"]]
+    wl += [None] * (nrefs - len(wl))
+    wc += [None] * (nrefs - len(wc))
+    return wl, wc
+
+
+def _wpl(mvs, ridx):
+    """Luma weight tuple for reference `ridx` (None = unweighted)."""
+    return mvs.wp[0][ridx] if mvs.wp is not None else None
+
+
+def _wpc(mvs, ridx, ci):
+    """Chroma weight tuple for reference `ridx`, component `ci`."""
+    if mvs.wp is None or mvs.wp[1][ridx] is None:
+        return None
+    return mvs.wp[1][ridx][ci]
+
+
+def _write_pred_weight_table(bw, tab, nrefs):
+    """pred_weight_table (7.3.3.2) for a P slice with nrefs active L0
+    references; None entries write flag 0 (default weights)."""
+    bw.ue(tab["ld"])
+    bw.ue(tab["cd"])
+    for ri in range(nrefs):
+        lu = tab["luma"][ri] if ri < len(tab["luma"]) else None
+        bw.u(1 if lu is not None else 0, 1)
+        if lu is not None:
+            bw.se(lu[0])
+            bw.se(lu[1])
+        chp = tab["chroma"][ri] if ri < len(tab["chroma"]) else None
+        bw.u(1 if chp is not None else 0, 1)
+        if chp is not None:
+            for cw, co in chp:
+                bw.se(cw)
+                bw.se(co)
+
+
+def _parse_pred_weight_table(r, nrefs):
+    ld = r.ue()
+    cd = r.ue()
+    if ld > 7 or cd > 7:
+        raise ValueError("bad pred_weight_table denom")
+    luma, chroma = [], []
+    for _ in range(nrefs):
+        if r.u(1):
+            w_, o_ = r.se(), r.se()
+            if not (-128 <= w_ <= 127 and -128 <= o_ <= 127):
+                raise ValueError("luma weight/offset out of range")
+            luma.append((w_, o_))
+        else:
+            luma.append(None)
+        if r.u(1):
+            pair = []
+            for _ci in range(2):
+                cw, co = r.se(), r.se()
+                if not (-128 <= cw <= 127 and -128 <= co <= 127):
+                    raise ValueError("chroma weight/offset out of range")
+                pair.append((cw, co))
+            chroma.append(tuple(pair))
+        else:
+            chroma.append(None)
+    return {"ld": ld, "cd": cd, "luma": luma, "chroma": chroma}
+
+
+def _estimate_wp(src, refs, chroma=None, crefs=None, d=6):
+    """Per-reference least-squares gain/offset (fade detection): the
+    slice-level (w, o) minimizing |src - (w*ref/2^d + o)|^2, kept only
+    when it beats the unweighted zero-motion error by >= 2%. Returns a
+    pred_weight_table dict (entries None where identity wins)."""
+    a = np.asarray(src, np.float64)
+    out_l, out_c = [], []
+    for ri, rp in enumerate(refs):
+        rwin = rp[:a.shape[0], :a.shape[1]].astype(np.float64)
+        var = float(rwin.var())
+        gain = (float(((a - a.mean()) * (rwin - rwin.mean())).mean()) / var
+                if var > 1.0 else 1.0)
+        w_ = max(-128, min(127, int(round(gain * (1 << d)))))
+        o_ = max(-128, min(127, int(round(float(a.mean())
+                                          - w_ * float(rwin.mean())
+                                          / (1 << d)))))
+        ent = None
+        if (w_, o_) != (1 << d, 0):
+            ri32 = rp[:a.shape[0], :a.shape[1]].astype(np.int32)
+            base = float(np.abs(a - ri32).mean())
+            wmae = float(np.abs(a - _wp_apply(ri32, (w_, o_, d))).mean())
+            if wmae < 0.98 * base:
+                ent = (w_, o_)
+        out_l.append(ent)
+        cent = None
+        if chroma is not None and crefs is not None and ri < len(crefs):
+            pair = []
+            for ci in range(2):
+                cs = np.asarray(chroma[ci], np.float64)
+                cr = crefs[ri][ci][:cs.shape[0], :cs.shape[1]]
+                crf = cr.astype(np.float64)
+                cvar = float(crf.var())
+                cgain = (float(((cs - cs.mean()) * (crf - crf.mean())).mean())
+                         / cvar if cvar > 1.0 else 1.0)
+                cw = max(-128, min(127, int(round(cgain * (1 << d)))))
+                co = max(-128, min(127, int(round(float(cs.mean())
+                                                  - cw * float(crf.mean())
+                                                  / (1 << d)))))
+                pair.append((cw, co))
+            if any(p != (1 << d, 0) for p in pair):
+                cent = tuple(pair)
+        out_c.append(cent)
+    return {"ld": d, "cd": d, "luma": out_l, "chroma": out_c}
+
+
 class _ChromaState:
     """Per-slice chroma decode state: recon planes (start at mid-grey,
     as intra DC prediction with no neighbours yields), per-component AC
@@ -774,9 +932,9 @@ class _ChromaState:
         self.ref = self.refl[0] if self.refl else None
         self.ref2 = ref2
 
-    def mc(self, ci, mx, my, mv, which=0, ridx=0):
+    def mc(self, ci, mx, my, mv, which=0, ridx=0, wp=None):
         ref = self.ref2 if which == 1 else self.refl[ridx]
-        return _interp_chroma(ref[ci], mx * 8, my * 8, mv[0], mv[1])
+        return _interp_chroma(ref[ci], mx * 8, my * 8, mv[0], mv[1], wp=wp)
 
     def store(self, ci, mx, my, block):
         self.planes[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
@@ -1429,7 +1587,8 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                    poc_lsb: int | None = None,
                    chroma: np.ndarray | None = None,
                    cref: np.ndarray | None = None,
-                   motion_out: list | None = None):
+                   motion_out: list | None = None,
+                   wp: dict | None = None):
     """One gray frame -> (P-slice RBSP, FULL reconstructed plane).
 
     Per macroblock: P_SKIP when the residual at the skip-predicted MV
@@ -1442,6 +1601,11 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     inter partition a te(v) ref_idx_l0; the encoder picks the best
     reference per MB by penalized SAD (all partitions of one MB share
     it), P_SKIP stays refIdx 0 per 8.4.1.1.
+    `wp` (r7, explicit weighted prediction — the PPS must advertise
+    weighted_pred, see build_avcc(wp=True)) is a pred_weight_table
+    dict; the luma search runs on pre-weighted planes (bit-exact at
+    the encoder's integer-pel MVs) while chroma weights apply after
+    interpolation, exactly as the decoder does (8.4.2.3.2).
     decode == recon bit-exact, same contract as the intra encoder."""
     a = np.asarray(gray, np.uint8)
     h, w = a.shape
@@ -1451,7 +1615,6 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     nrefs = len(refs)
     for rp in refs:
         assert rp.shape == (mbh * 16, mbw * 16), "reference plane mismatch"
-    ref_full = refs[0]
     src = np.pad(a, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
     plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
     plane_w = mbw * 16
@@ -1467,6 +1630,16 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     crec = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
     nnz_c = np.zeros((2, mbh * 2, mbw * 2), np.int32)
     ch = (csrc, crec, nnz_c)
+    # explicit WP (r7): luma search planes are pre-weighted — identical
+    # to interp-then-weight at the encoder's integer-pel MVs — while
+    # chroma (fractional MVs) weights after interpolation like decode
+    wl = wc = None
+    srefs = refs
+    if wp is not None:
+        wl, wc = _resolve_wp(wp, nrefs)
+        srefs = [rp if wl[ri] is None else
+                 _wp_apply(rp.astype(np.int32), wl[ri]).astype(np.uint8)
+                 for ri, rp in enumerate(refs)]
 
     def cmc(mv, parts=None, ridx=0):
         """(2, 8, 8) chroma MC prediction for one MB; `parts` is a list
@@ -1474,13 +1647,16 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
         out = np.empty((2, 8, 8), np.int32)
         cref = crefs[ridx]
         for ci in range(2):
+            wpck = wc[ridx][ci] if wc is not None and wc[ridx] else None
             if parts is None:
-                out[ci] = _interp_chroma(cref[ci], mx * 8, my * 8, *mv)
+                out[ci] = _interp_chroma(cref[ci], mx * 8, my * 8, *mv,
+                                         wp=wpck)
             else:
                 for (ox, oy, pw, ph, pmv) in parts:
-                    out[ci, oy // 2:(oy + ph) // 2, ox // 2:(ox + pw) // 2] =                         _interp_chroma(cref[ci], mx * 8 + ox // 2,
-                                       my * 8 + oy // 2, pmv[0], pmv[1],
-                                       pw // 2, ph // 2)
+                    out[ci, oy // 2:(oy + ph) // 2,
+                        ox // 2:(ox + pw) // 2] = _interp_chroma(
+                            cref[ci], mx * 8 + ox // 2, my * 8 + oy // 2,
+                            pmv[0], pmv[1], pw // 2, ph // 2, wp=wpck)
         return out
 
     bw = _BitWriter()
@@ -1496,6 +1672,8 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     else:
         bw.u(0, 1)  # num_ref_idx_active_override_flag
     bw.u(0, 1)    # ref_pic_list_modification_flag_l0
+    if wp is not None:  # pred_weight_table (7.3.3.2, r7)
+        _write_pred_weight_table(bw, wp, nrefs)
     bw.u(0, 1)    # adaptive_ref_pic_marking_mode_flag (sliding window)
     bw.se(qp - 26)
     bw.ue(0 if deblock else 1)  # disable_deblocking_filter_idc
@@ -1503,14 +1681,13 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
         bw.se(0)
         bw.se(0)
 
-    ref_i32 = ref_full.astype(np.int32)
     pending_skips = 0
     for my in range(mbh):
         for mx in range(mbw):
             smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16].astype(np.int32)
             # --- P_SKIP candidate
             smv = mvs.skip_mv(mx, my)
-            pred = _interp_luma(ref_full, mx * 16, my * 16, *smv)
+            pred = _interp_luma(srefs[0], mx * 16, my * 16, *smv)
             cpred_skip = cmc(smv)
             csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
             if _all_zero_quant(smb - pred, qp) and \
@@ -1531,12 +1708,12 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             # and the best penalized SAD wins (the penalty is the
             # deterministic stand-in for the extra ref_idx bits)
             mvp = mvs.mvp_16x16(mx, my)
-            sad, mv, pred = _search_block(ref_full, smb, mx * 16, my * 16,
+            sad, mv, pred = _search_block(srefs[0], smb, mx * 16, my * 16,
                                           mvp, search)
             ridx = 0
             for ri in range(1, nrefs):
                 sad_i, mv_i, pred_i = _search_block(
-                    refs[ri], smb, mx * 16, my * 16, mvp, search)
+                    srefs[ri], smb, mx * 16, my * 16, mvp, search)
                 if sad_i + 48 * ri < sad + 48 * ridx:
                     sad, mv, pred, ridx = sad_i, mv_i, pred_i, ri
             if sad > 28 * 256:  # motion failed (scene cut): intra fallback
@@ -1554,9 +1731,9 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             chosen = None    # 2-way: (ptype, parts)
             chosen8 = None   # 4-way 8x8: parts
             if sad > 6 * 256:
-                tot, ptype, parts = _eval_partitions(mvs, refs[ridx], smb,
+                tot, ptype, parts = _eval_partitions(mvs, srefs[ridx], smb,
                                                      mx, my, search)
-                tot8, parts8 = _eval_p8x8(mvs, refs[ridx], smb, mx, my,
+                tot8, parts8 = _eval_p8x8(mvs, srefs[ridx], smb, mx, my,
                                           search)
                 if tot8 < 0.85 * min(sad, tot):
                     chosen8 = parts8
@@ -2085,11 +2262,11 @@ def _all_zero_quant(resid: np.ndarray, qp: int) -> bool:
 
 def build_avcc(w: int, h: int, deblock_ctrl: bool = False,
                cabac: bool = False, bpoc: bool = False,
-               nrefs: int = 1) -> bytes:
+               nrefs: int = 1, wp: bool = False) -> bytes:
     """avcC (AVCDecoderConfigurationRecord) for the MP4 sample entry."""
-    profile = 77 if (cabac or bpoc) else 66  # Main: CABAC and/or B slices
+    profile = 77 if (cabac or bpoc or wp) else 66  # Main: CABAC / B / WP
     sps = _ep_insert(_sps(w, h, profile=profile, bpoc=bpoc, nrefs=nrefs))
-    pps = _ep_insert(_pps(deblock_ctrl, cabac=cabac))
+    pps = _ep_insert(_pps(deblock_ctrl, cabac=cabac, wp=wp))
     return (bytes([1, profile, 0, 20, 0xFF, 0xE1])
             + struct.pack(">H", len(sps) + 1) + bytes([0x67]) + sps
             + bytes([1]) + struct.pack(">H", len(pps) + 1) + bytes([0x68]) + pps)
@@ -2099,7 +2276,8 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
                   deblock: bool = False, gop: int | None = None,
                   entropy: str = "cavlc",
                   chromas: list | None = None,
-                  nrefs: int = 1) -> tuple[bytes, list[bytes]]:
+                  nrefs: int = 1,
+                  wp: bool = False) -> tuple[bytes, list[bytes]]:
     """Gray frames -> (avcC record, per-frame length-prefixed NAL samples
     ready for an 'avc1' MP4 track). qp=None keeps the bit-exact I_PCM
     path; an integer qp (0..51) switches to transform coding with
@@ -2109,7 +2287,12 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
     fallback) predicting from the previous frame — decode with
     decode_samples. nrefs=N (r7) keeps a sliding window of up to N
     reference recons per GOP: every P slice declares its true active
-    count and each inter partition carries a te(v)/unary ref_idx_l0. Dimensions must be even: 4:2:0 frame cropping works
+    count and each inter partition carries a te(v)/unary ref_idx_l0.
+    wp=True (r7) enables explicit weighted prediction: the PPS
+    advertises weighted_pred, every P slice carries a pred_weight_table
+    with per-reference least-squares gain/offset estimates (identity
+    collapses to flag-0 defaults), and fades collapse to P_SKIP runs.
+    Dimensions must be even: 4:2:0 frame cropping works
     in 2-sample units, so odd sizes are unrepresentable in this chroma
     format (spec constraint, not an implementation one)."""
     h, w = np.asarray(frames[0]).shape
@@ -2131,7 +2314,7 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
     # (h264_cabac._slice_header), so the PPS must advertise it even on
     # the qp=None all-I_PCM path
     avcc = build_avcc(w, h, deblock_ctrl=qp is not None or use_cabac,
-                      cabac=use_cabac, nrefs=nrefs)
+                      cabac=use_cabac, nrefs=nrefs, wp=wp)
     samples = []
     ref_full = None
     cref_full = None
@@ -2157,14 +2340,18 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
             # since the IDR (the header declares the true active count)
             refs = dpb[-nrefs:][::-1]
             crefs = cdpb[-nrefs:][::-1]
+            # the PPS advertises weighted_pred, so EVERY P slice must
+            # carry a table — identity refs write flag-0 defaults
+            wp_tab = (_estimate_wp(f, refs, chroma=cf, crefs=crefs)
+                      if wp else None)
             if chromas is None:
                 rbsp, ref_full = enc_p(f, refs, qp=qp,
                                        frame_num=frame_num,
-                                       deblock=deblock)
+                                       deblock=deblock, wp=wp_tab)
             else:
                 rbsp, (ref_full, cref_full) = enc_p(
                     f, refs, qp=qp, frame_num=frame_num,
-                    deblock=deblock, chroma=cf, cref=crefs)
+                    deblock=deblock, chroma=cf, cref=crefs, wp=wp_tab)
             frame_num = (frame_num + 1) & 0xF
             nal = bytes([0x41]) + _ep_insert(rbsp)  # ref_idc 2, non-IDR
             dpb = (dpb + [ref_full])[-max(1, nrefs):]
@@ -2462,10 +2649,12 @@ _CBP_INTER_INV = {v: i for i, v in enumerate(_CBP_INTER)}
 
 
 def _interp_luma(ref: np.ndarray, px: int, py: int, mvx: int, mvy: int,
-                 w: int = 16, h: int = 16) -> np.ndarray:
+                 w: int = 16, h: int = 16, wp=None) -> np.ndarray:
     """Motion-compensated w x h luma block at quarter-pel MV (8.4.2.2.1):
     6-tap (1,-5,20,20,-5,1) half-pel filter + quarter-pel averaging.
-    Integer MVs take the fast path (plain shifted copy with edge clamp)."""
+    Integer MVs take the fast path (plain shifted copy with edge clamp).
+    `wp` = (w, o, logWD) applies explicit weighted prediction AFTER
+    interpolation (8.4.2.3.2)."""
     H, W = ref.shape
     ix, fx = mvx >> 2, mvx & 3
     iy, fy = mvy >> 2, mvy & 3
@@ -2473,7 +2662,7 @@ def _interp_luma(ref: np.ndarray, px: int, py: int, mvx: int, mvy: int,
     if fx == 0 and fy == 0:
         xs = np.clip(np.arange(x0, x0 + w), 0, W - 1)
         ys = np.clip(np.arange(y0, y0 + h), 0, H - 1)
-        return ref[np.ix_(ys, xs)].astype(np.int32)
+        return _wp_apply(ref[np.ix_(ys, xs)].astype(np.int32), wp)
     # padded integer window large enough for the 6-tap support
     xs = np.clip(np.arange(x0 - 2, x0 + w + 3), 0, W - 1)
     ys = np.clip(np.arange(y0 - 2, y0 + h + 3), 0, H - 1)
@@ -2515,7 +2704,7 @@ def _interp_luma(ref: np.ndarray, px: int, py: int, mvx: int, mvy: int,
         bb = bm if fy == 1 else b[1:, :]
         hx = hm if fx == 1 else hh[:, 1:]
         out = avg(bb, hx)
-    return out.astype(np.int32)
+    return _wp_apply(out.astype(np.int32), wp)
 
 
 def _median_mv(cands: list[tuple[int, int] | None]) -> tuple[int, int]:
@@ -2534,6 +2723,7 @@ class _MvState:
     def __init__(self, mbw: int, mbh: int):
         self.mv = np.zeros((mbh * 4, mbw * 4, 2), np.int32)
         self.ref = np.full((mbh * 4, mbw * 4), -1, np.int32)
+        self.wp = None  # resolved (wl, wc) weight tables (P slices, r7)
 
     def at(self, bx: int, by: int):
         if bx < 0 or by < 0 or by >= self.ref.shape[0] or bx >= self.ref.shape[1]:
@@ -2964,17 +3154,19 @@ def _parse_pps(rbsp: bytes) -> dict:
         raise ValueError("FMO slice groups unsupported")
     r.ue()
     r.ue()
-    r.u(1)
-    r.u(2)
+    weighted_pred = r.u(1)   # explicit WP in P slices (r7)
+    weighted_bipred = r.u(2)
     pic_init_qp = 26 + r.se()
     r.se()  # pic_init_qs
-    r.se()  # chroma_qp_index_offset (chroma is parsed, not reconstructed)
+    r.se()  # chroma_qp_index_offset (in-repo streams write 0)
     deblock_ctrl = r.u(1)
     r.u(1)  # constrained_intra_pred (all-intra: no effect here)
     redundant = r.u(1)
     return {"cabac": bool(cabac), "pic_order_present": bool(pic_order_present),
             "pic_init_qp": pic_init_qp, "deblock_ctrl": bool(deblock_ctrl),
-            "redundant": bool(redundant)}
+            "redundant": bool(redundant),
+            "weighted_pred": bool(weighted_pred),
+            "weighted_bipred_idc": weighted_bipred}
 
 
 def _avcc_param_sets(avcc: bytes) -> tuple[dict, dict]:
@@ -3169,8 +3361,10 @@ def _decode_mb_p16(r, plane, refs, mx, my, qp, nnz, cc, modes, mvs,
     mvp = mvs.mvp_16x16(mx, my)
     mvd = (r.se(), r.se())
     mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-    pred = _interp_luma(refs[ridx], mx * 16, my * 16, mv[0], mv[1])
-    cpred = np.stack([cc.mc(ci, mx, my, mv, ridx=ridx) for ci in range(2)])
+    pred = _interp_luma(refs[ridx], mx * 16, my * 16, mv[0], mv[1],
+                        wp=_wpl(mvs, ridx))
+    cpred = np.stack([cc.mc(ci, mx, my, mv, ridx=ridx,
+                            wp=_wpc(mvs, ridx, ci)) for ci in range(2)])
     mvs.set_mb(mx, my, mv, ridx)
     return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
 
@@ -3192,12 +3386,13 @@ def _decode_mb_p_part(r, mb_type, plane, refs, mx, my, qp, nnz, cc,
         mvd = (r.se(), r.se())
         mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
         pred[oy:oy + h, ox:ox + w] = _interp_luma(
-            refs[ridx], mx * 16 + ox, my * 16 + oy, mv[0], mv[1], w, h)
+            refs[ridx], mx * 16 + ox, my * 16 + oy, mv[0], mv[1], w, h,
+            wp=_wpl(mvs, ridx))
         for ci in range(2):
             cpred[ci, oy // 2:(oy + h) // 2, ox // 2:(ox + w) // 2] = \
                 _interp_chroma(cc.refl[ridx][ci], mx * 8 + ox // 2,
                                my * 8 + oy // 2, mv[0], mv[1],
-                               w // 2, h // 2)
+                               w // 2, h // 2, wp=_wpc(mvs, ridx, ci))
         mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, w // 4, h // 4,
                      mv, ridx)
     return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
@@ -3228,12 +3423,13 @@ def _decode_mb_p8x8(r, plane, refs, mx, my, qp, nnz, cc, modes, mvs,
             mvd = (r.se(), r.se())
             mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
             pred[gy:gy + h, gx:gx + w] = _interp_luma(
-                refs[ridx], mx * 16 + gx, my * 16 + gy, mv[0], mv[1], w, h)
+                refs[ridx], mx * 16 + gx, my * 16 + gy, mv[0], mv[1], w, h,
+                wp=_wpl(mvs, ridx))
             for ci in range(2):
                 cpred[ci, gy // 2:(gy + h) // 2, gx // 2:(gx + w) // 2] = \
                     _interp_chroma(cc.refl[ridx][ci], mx * 8 + gx // 2,
                                    my * 8 + gy // 2, mv[0], mv[1],
-                                   w // 2, h // 2)
+                                   w // 2, h // 2, wp=_wpc(mvs, ridx, ci))
             mvs.set_rect(mx * 4 + gx // 4, my * 4 + gy // 4,
                          w // 4, h // 4, mv, ridx)
     return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
@@ -3514,11 +3710,12 @@ def _decode_mb_b8x8(r, plane, ref0, ref1, mx, my, qp, nnz, cc, modes,
 
 def _skip_mb(plane, ref, mx, my, nnz, cc, modes, mvs):
     mv = mvs.skip_mv(mx, my)
-    pred = _interp_luma(ref, mx * 16, my * 16, mv[0], mv[1])
+    pred = _interp_luma(ref, mx * 16, my * 16, mv[0], mv[1],
+                        wp=_wpl(mvs, 0))  # P_SKIP is refIdx 0
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
         np.clip(pred, 0, 255).astype(np.uint8)
     for ci in range(2):
-        cc.store(ci, mx, my, cc.mc(ci, mx, my, mv))
+        cc.store(ci, mx, my, cc.mc(ci, mx, my, mv, wp=_wpc(mvs, 0, ci)))
     nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
     cc.nnz[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
     modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
@@ -3569,6 +3766,11 @@ def _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc: int = 3) -> dict:
             raise ValueError("ref pic list modification unsupported")
         if is_b and r.u(1):  # ref_pic_list_modification_flag_l1
             raise ValueError("ref pic list modification unsupported")
+    wp_tab = None
+    if is_p and pps.get("weighted_pred"):
+        wp_tab = _parse_pred_weight_table(r, nrefs)  # explicit WP (r7)
+    if is_b and pps.get("weighted_bipred_idc", 0):
+        raise ValueError("weighted bi-prediction unsupported")
     if nal_type == 5:
         r.u(1)  # no_output_of_prior_pics
         r.u(1)  # long_term_reference
@@ -3589,7 +3791,8 @@ def _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc: int = 3) -> dict:
             off_b = 2 * r.se()
     return {"is_p": is_p, "is_b": is_b, "qp": qp, "do_filter": do_filter,
             "off_a": off_a, "off_b": off_b, "poc": poc,
-            "direct_spatial": direct_spatial, "nrefs": nrefs}
+            "direct_spatial": direct_spatial, "nrefs": nrefs,
+            "wp": wp_tab}
 
 
 def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
@@ -3645,6 +3848,8 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
     qp_map = np.zeros((mbh, mbw), np.int32)
     mvs = _MvState(mbw, mbh) if (is_p or is_b) else None
     mvs1 = _MvState(mbw, mbh) if is_b else None  # L1 motion state
+    if is_p and hdr.get("wp") is not None:  # explicit WP (r7)
+        mvs.wp = _resolve_wp(hdr["wp"], nrefs)
     run_pending = None  # skip run not yet read for the next coded MB
     for my in range(mbh):
         for mx in range(mbw):

@@ -653,7 +653,7 @@ class _MbState:
 
 
 def _slice_header(bw, slice_type, qp, frame_num, deblock, idr,
-                  poc_lsb=None, direct_spatial=True, nrefs=1):
+                  poc_lsb=None, direct_spatial=True, nrefs=1, wp=None):
     bw.ue(0)                    # first_mb_in_slice
     bw.ue(slice_type)           # 7 = I, 5 = P, 6 = B (all slices)
     bw.ue(0)                    # pps_id
@@ -673,6 +673,8 @@ def _slice_header(bw, slice_type, qp, frame_num, deblock, idr,
         bw.u(0, 1)              # ref_pic_list_modification_flag_l0
         if slice_type == 6:
             bw.u(0, 1)          # ref_pic_list_modification_flag_l1
+        if wp is not None and slice_type == 5:
+            H._write_pred_weight_table(bw, wp, nrefs)  # explicit WP (r7)
     if idr:
         bw.u(0, 1)              # no_output_of_prior_pics
         bw.u(0, 1)              # long_term_reference
@@ -944,7 +946,8 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                    poc_lsb: int | None = None,
                    chroma: np.ndarray | None = None,
                    cref: np.ndarray | None = None,
-                   motion_out: list | None = None):
+                   motion_out: list | None = None,
+                   wp: dict | None = None):
     """One gray frame -> (P-slice RBSP, FULL recon plane), CABAC entropy.
     Same decisions as encode_p_cavlc: P_SKIP (mb_skip_flag=1) / motion-
     compensated P_L0_16x16 / intra (I_4x4) fallback on SAD failure.
@@ -960,7 +963,6 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     nrefs = len(refs)
     for rp in refs:
         assert rp.shape == (mbh * 16, mbw * 16), "reference plane mismatch"
-    ref_full = refs[0]
     src = np.pad(a, ((0, mbh * 16 - h), (0, mbw * 16 - w)), mode="edge")
     plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
     plane_w = mbw * 16
@@ -976,10 +978,23 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     cref = crefs[0]
     crec = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
     ch = (csrc, crec)
+    # explicit WP (r7): same policy as the CAVLC twin — pre-weighted
+    # luma search planes (bit-exact at integer-pel MVs), chroma weights
+    # applied after interpolation exactly like the decoder
+    wl = wc = None
+    srefs = refs
+    if wp is not None:
+        wl, wc = H._resolve_wp(wp, nrefs)
+        srefs = [rp if wl[ri] is None else
+                 H._wp_apply(rp.astype(np.int32), wl[ri]).astype(np.uint8)
+                 for ri, rp in enumerate(refs)]
+
+    def _wpck(ridx, ci):
+        return wc[ridx][ci] if wc is not None and wc[ridx] else None
 
     bw = H._BitWriter()
     _slice_header(bw, 5, qp, frame_num, deblock, idr=False,
-                  poc_lsb=poc_lsb, nrefs=nrefs)
+                  poc_lsb=poc_lsb, nrefs=nrefs, wp=wp)
     enc = _Enc()
     ctx = _Ctx()
     for my in range(mbh):
@@ -988,9 +1003,10 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             last = my == mbh - 1 and mx == mbw - 1
             # --- P_SKIP candidate
             smv = mvs.skip_mv(mx, my)
-            pred = H._interp_luma(ref_full, mx * 16, my * 16, *smv)
+            pred = H._interp_luma(srefs[0], mx * 16, my * 16, *smv)
             cpred_skip = np.stack([
-                H._interp_chroma(cref[ci], mx * 8, my * 8, *smv)
+                H._interp_chroma(cref[ci], mx * 8, my * 8, *smv,
+                                 wp=_wpck(0, ci))
                 for ci in range(2)])
             csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
             if H._all_zero_quant(smb - pred, qp) and \
@@ -1015,12 +1031,12 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             # --- integer-pel search around the median predictor; with
             # multiple references every one is probed (penalized SAD)
             mvp = mvs.mvp_16x16(mx, my)
-            sad, mv, pred = H._search_block(ref_full, smb, mx * 16, my * 16,
+            sad, mv, pred = H._search_block(srefs[0], smb, mx * 16, my * 16,
                                             mvp, search)
             ridx = 0
             for ri in range(1, nrefs):
                 sad_i, mv_i, pred_i = H._search_block(
-                    refs[ri], smb, mx * 16, my * 16, mvp, search)
+                    srefs[ri], smb, mx * 16, my * 16, mvp, search)
                 if sad_i + 48 * ri < sad + 48 * ridx:
                     sad, mv, pred, ridx = sad_i, mv_i, pred_i, ri
             if sad > 28 * 256:  # scene cut: intra fallback
@@ -1035,9 +1051,9 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             chosen = None
             chosen8 = None
             if sad > 6 * 256:
-                tot, ptype, parts = H._eval_partitions(mvs, refs[ridx],
+                tot, ptype, parts = H._eval_partitions(mvs, srefs[ridx],
                                                        smb, mx, my, search)
-                tot8, parts8 = H._eval_p8x8(mvs, refs[ridx], smb, mx, my,
+                tot8, parts8 = H._eval_p8x8(mvs, srefs[ridx], smb, mx, my,
                                             search)
                 if tot8 < 0.85 * min(sad, tot):
                     chosen8 = parts8
@@ -1048,7 +1064,8 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                     cpred[ci, oy // 2:(oy + ph) // 2,
                           ox // 2:(ox + pw) // 2] = H._interp_chroma(
                         crefs[ridx][ci], mx * 8 + ox // 2, my * 8 + oy // 2,
-                        pmv[0], pmv[1], pw // 2, ph // 2)
+                        pmv[0], pmv[1], pw // 2, ph // 2,
+                        wp=_wpck(ridx, ci))
 
             cpred = np.zeros((2, 8, 8), np.int32)
             if chosen8:
@@ -1577,6 +1594,8 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
     # L0 reference list (multi-reference P slices, r7); B stays 1+1
     refs = H._ref_list(ref) if ref is not None else None
     nrefs = hdr.get("nrefs", 1)
+    if is_p and hdr.get("wp") is not None:  # explicit WP (r7)
+        mvs.wp = H._resolve_wp(hdr["wp"], nrefs)
     if is_p and nrefs > len(refs):
         raise ValueError(
             f"slice needs {nrefs} reference frames, got {len(refs)}")
@@ -1650,11 +1669,13 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
             if is_p:
                 if dec.decision(ctx, _OFS["mb_skip"] + st.skip_inc(mx, my)):
                     mv = mvs.skip_mv(mx, my)
-                    pred = H._interp_luma(refs[0], mx * 16, my * 16, *mv)
+                    pred = H._interp_luma(refs[0], mx * 16, my * 16, *mv,
+                                          wp=H._wpl(mvs, 0))
                     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
                         np.clip(pred, 0, 255).astype(np.uint8)
                     for ci in range(2):
-                        cc.store(ci, mx, my, cc.mc(ci, mx, my, mv))
+                        cc.store(ci, mx, my,
+                                 cc.mc(ci, mx, my, mv, wp=H._wpc(mvs, 0, ci)))
                     cc.nnz[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
                     nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
                     modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
@@ -1900,8 +1921,10 @@ def _dec_mb_p16(dec, ctx, st, plane, refs, mx, my, qp, nnz, modes, mvs,
            _dec_mvd(dec, ctx, _OFS["mvd_y"], st.mvd_inc_sum(mx, my, 1)))
     st.mvd[my, mx] = (abs(mvd[0]), abs(mvd[1]))
     mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-    pred = H._interp_luma(refs[ridx], mx * 16, my * 16, mv[0], mv[1])
-    cpred = np.stack([cc.mc(ci, mx, my, mv, ridx=ridx) for ci in range(2)])
+    pred = H._interp_luma(refs[ridx], mx * 16, my * 16, mv[0], mv[1],
+                          wp=H._wpl(mvs, ridx))
+    cpred = np.stack([cc.mc(ci, mx, my, mv, ridx=ridx,
+                            wp=H._wpc(mvs, ridx, ci)) for ci in range(2)])
     mvs.set_mb(mx, my, mv, ridx)
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
                        cc, cpred)
@@ -2060,12 +2083,14 @@ def _dec_mb_p8x8(dec, ctx, st, plane, refs, mx, my, qp, nnz, modes, mvs,
             asum[1] += abs(mvd[1])
             mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
             pred[gy:gy + h, gx:gx + w] = H._interp_luma(
-                refs[ridx], mx * 16 + gx, my * 16 + gy, mv[0], mv[1], w, h)
+                refs[ridx], mx * 16 + gx, my * 16 + gy, mv[0], mv[1], w, h,
+                wp=H._wpl(mvs, ridx))
             for ci in range(2):
                 cpred[ci, gy // 2:(gy + h) // 2, gx // 2:(gx + w) // 2] = \
                     H._interp_chroma(cc.refl[ridx][ci], mx * 8 + gx // 2,
                                      my * 8 + gy // 2, mv[0], mv[1],
-                                     w // 2, h // 2)
+                                     w // 2, h // 2,
+                                     wp=H._wpc(mvs, ridx, ci))
             mvs.set_rect(mx * 4 + gx // 4, my * 4 + gy // 4,
                          w // 4, h // 4, mv, ridx)
     st.mvd[my, mx] = tuple(asum)
@@ -2094,12 +2119,13 @@ def _dec_mb_p_part(dec, ctx, st, plane, refs, mx, my, qp, nnz, modes,
         abs_sum[1] += abs(mvd[1])
         mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
         pred[oy:oy + h, ox:ox + w] = H._interp_luma(
-            refs[ridx], mx * 16 + ox, my * 16 + oy, mv[0], mv[1], w, h)
+            refs[ridx], mx * 16 + ox, my * 16 + oy, mv[0], mv[1], w, h,
+            wp=H._wpl(mvs, ridx))
         for ci in range(2):
             cpred[ci, oy // 2:(oy + h) // 2, ox // 2:(ox + w) // 2] = \
                 H._interp_chroma(cc.refl[ridx][ci], mx * 8 + ox // 2,
                                  my * 8 + oy // 2, mv[0], mv[1],
-                                 w // 2, h // 2)
+                                 w // 2, h // 2, wp=H._wpc(mvs, ridx, ci))
         mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, w // 4, h // 4,
                      mv, ridx)
     st.mvd[my, mx] = tuple(abs_sum)

@@ -487,7 +487,8 @@ def write_mp4_with_captions(frames: list, fps: int, captions: list[str],
 def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
                    gop: int | None = None, entropy: str = "cavlc",
                    bframes: int = 0, chromas: list | None = None,
-                   direct: str = "spatial", nrefs: int = 1) -> bytes:
+                   direct: str = "spatial", nrefs: int = 1,
+                   wp: bool = False) -> bytes:
     """Gray frames -> single-track 'avc1' MP4 whose samples are REAL
     H.264 (..h264.encode_frames): bit-exact I_PCM when qp is None,
     CAVLC or CABAC (entropy=) at the given qp otherwise; gop=N emits a
@@ -499,7 +500,9 @@ def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
     direct="temporal" switches B direct/skip modes to the 8.4.1.2.3
     POC-scaled derivation (r7). nrefs=N (P GOPs, r7) encodes with a
     sliding window of up to N L0 references and per-partition
-    ref_idx_l0."""
+    ref_idx_l0. wp=True (P GOPs, r7) enables explicit weighted
+    prediction: per-slice least-squares gain/offset vs each reference,
+    so fades collapse to skip runs."""
     from . import h264 as _h264
 
     h, w = np.asarray(frames[0]).shape[:2]
@@ -518,7 +521,7 @@ def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
                              ctts_offsets=offsets)
     avcc, samples = _h264.encode_frames(frames, qp=qp, gop=gop,
                                         entropy=entropy, chromas=chromas,
-                                        nrefs=nrefs)
+                                        nrefs=nrefs, wp=wp)
     return _assemble_mp4(samples, w, h, fps, fourcc=b"avc1", depth=24,
                          entry_extra=_box(b"avcC", avcc))
 

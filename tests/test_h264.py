@@ -1168,3 +1168,152 @@ def test_multiref_fuzz_never_escapes_valueerror():
                 h264.decode_samples(mut, avcc)
             except ValueError:
                 pass
+
+
+# ------------------------------------------ r7: weighted prediction (P)
+def _fade_frames(n=5, shape=(48, 64), seed=7):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 200, shape).astype(np.uint8)
+    return [np.clip(base.astype(np.float64) * (1 - 0.12 * i) + 6 * i,
+                    0, 255).astype(np.uint8) for i in range(n)]
+
+
+def test_weighted_prediction_fade_both_entropies():
+    """encode_frames(wp=True) on a global fade: explicit per-slice
+    gain/offset makes the P slices collapse (< 0.6x the unweighted
+    stream) while the decode stays >= 45 dB in both entropy modes."""
+    fl = _fade_frames()
+    for ent in ("cavlc", "cabac"):
+        avcc, samples = h264.encode_frames(fl, qp=8, gop=8, entropy=ent,
+                                           wp=True)
+        for d, f in zip(h264.decode_samples(samples, avcc), fl):
+            mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+            assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 45
+        sz_wp = sum(len(s) for s in samples)
+        sz_no = sum(len(s) for s in
+                    h264.encode_frames(fl, qp=8, gop=8, entropy=ent)[1])
+        assert sz_wp < 0.6 * sz_no, (ent, sz_wp, sz_no)
+
+
+def test_weighted_prediction_decode_equals_recon_with_chroma():
+    """Explicit WP slice (luma + per-component chroma weights): decode
+    == encoder recon BIT-EXACT in both entropy modes, and the estimated
+    table is genuinely non-identity."""
+    from extractors_geo_spark import h264_cabac as C
+
+    rng = np.random.default_rng(9)
+    f0 = rng.integers(40, 200, (48, 64)).astype(np.uint8)
+    f1 = np.clip(f0.astype(np.float64) * 0.72 + 12, 0, 255).astype(np.uint8)
+    ch0 = rng.integers(30, 220, (2, 24, 32)).astype(np.uint8)
+    ch1 = np.clip(ch0.astype(np.float64) * 0.80 + 8, 0, 255).astype(np.uint8)
+    for ent in ("cavlc", "cabac"):
+        enc_i = C.encode_idr_cabac if ent == "cabac" else h264.encode_idr_cavlc
+        enc_p = C.encode_p_cabac if ent == "cabac" else h264.encode_p_cavlc
+        avcc = h264.build_avcc(64, 48, deblock_ctrl=True,
+                               cabac=ent == "cabac", wp=True)
+        _, r0 = enc_i(f0, qp=10, full_recon=True, chroma=ch0)
+        tab = h264._estimate_wp(f1, [r0[0]], chroma=ch1, crefs=[r0[1]])
+        assert tab["luma"][0] is not None and tab["chroma"][0] is not None
+        rb1, r1 = enc_p(f1, r0[0], qp=10, frame_num=1, chroma=ch1,
+                        cref=r0[1], wp=tab)
+        nal = bytes([0x41]) + h264._ep_insert(rb1)
+        sample = struct.pack(">I", len(nal)) + nal
+        dy, dc = h264.decode_sample(sample, avcc, ref=r0[0], cref=r0[1],
+                                    full_plane=True, with_chroma=True)
+        assert np.array_equal(dy, r1[0]) and np.array_equal(dc, r1[1]), ent
+
+
+def test_weighted_prediction_multiref_per_ref_weights():
+    """nrefs=2 + wp=True: each reference gets its own weight entry and
+    the whole clip still decodes >= 45 dB (table-per-slice, te(v)
+    ref_idx + WP compose)."""
+    rng = np.random.default_rng(13)
+    a = rng.integers(40, 200, (48, 64)).astype(np.uint8)
+    fl = [a]
+    for i in range(1, 6):
+        fl.append(np.clip(a.astype(np.float64) * (1 - 0.1 * i) + 4 * i,
+                          0, 255).astype(np.uint8))
+    for ent in ("cavlc", "cabac"):
+        avcc, samples = h264.encode_frames(fl, qp=8, gop=8, entropy=ent,
+                                           nrefs=2, wp=True)
+        for d, f in zip(h264.decode_samples(samples, avcc), fl):
+            mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+            assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 45, ent
+
+
+def test_weighted_prediction_identity_table_roundtrip():
+    """_estimate_wp on an unchanged scene returns all-None entries; the
+    flag-0 table still rides the slice header and decodes bit-exact
+    (the PPS advertises weighted_pred for the whole stream)."""
+    rng = np.random.default_rng(15)
+    f0 = rng.integers(40, 200, (48, 64)).astype(np.uint8)
+    fl = [f0, f0.copy(), f0.copy()]
+    tab = h264._estimate_wp(f0, [f0.astype(np.uint8)])
+    assert tab["luma"] == [None] and tab["chroma"] == [None]
+    avcc, samples = h264.encode_frames(fl, qp=8, gop=8, wp=True)
+    plain = h264.encode_frames(fl, qp=8, gop=8)[1]
+    # identity tables cost ~1 byte per P slice over the unweighted stream
+    for s, p in zip(samples[1:], plain[1:]):
+        assert len(s) <= len(p) + 4, (len(s), len(p))
+    for d in h264.decode_samples(samples, avcc):
+        mse = float(np.mean((d.astype(np.float64) - f0) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 45
+
+
+def test_weighted_bipred_raises():
+    """A PPS advertising weighted_bipred_idc != 0 makes B slice headers
+    raise the documented ValueError (single-list P weighting only)."""
+    frames = _bgop_frames(4)
+    avcc, samples, _ = h264.encode_frames_bgop(frames, qp=10, gop=8,
+                                               bframes=2)
+    sps, pps = h264._avcc_param_sets(avcc)
+    # find the first B slice NAL with the real PPS, then re-parse its
+    # header under a PPS that advertises weighted bi-prediction
+    for sample in samples:
+        ln = int.from_bytes(sample[:4], "big")
+        nal = sample[4:4 + ln]
+        if (nal[0] & 0x1F) == 1:
+            r = h264._BitReader(h264._ep_remove(nal[1:]))
+            hdr = h264._parse_slice_header(r, sps, pps, 1, (nal[0] >> 5) & 3)
+            if hdr["is_b"]:
+                break
+    else:
+        pytest.fail("no B slice found")
+    bad_pps = dict(pps)
+    bad_pps["weighted_bipred_idc"] = 1
+    r = h264._BitReader(h264._ep_remove(nal[1:]))
+    with pytest.raises(ValueError, match="weighted bi-prediction"):
+        h264._parse_slice_header(r, sps, bad_pps, 1, (nal[0] >> 5) & 3)
+
+
+def test_weighted_prediction_mp4_end_to_end():
+    """write_h264_mp4(wp=True) through the real MP4 sample decode."""
+    fl = _fade_frames(4)
+    data = mp4.write_h264_mp4(fl, fps=2, qp=8, gop=8, wp=True)
+    parsed = mp4.read_mjpeg_mp4(data)
+    for d, f in zip(h264.decode_samples(list(parsed["frames"]),
+                                        parsed["avcc"]), fl):
+        mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 45
+
+
+def test_weighted_prediction_fuzz_never_escapes_valueerror():
+    """Corrupted WP samples decode or raise ValueError only."""
+    import random
+
+    fl = _fade_frames(4, shape=(32, 48), seed=23)
+    for ent in ("cavlc", "cabac"):
+        avcc, samples = h264.encode_frames(fl, qp=10, gop=8, entropy=ent,
+                                           wp=True)
+        random.seed(17)
+        for _ in range(40):
+            mut = list(samples)
+            k = random.randrange(1, len(mut))
+            s = bytearray(mut[k])
+            for _j in range(random.randint(1, 3)):
+                s[random.randrange(8, len(s))] = random.randrange(256)
+            mut[k] = bytes(s)
+            try:
+                h264.decode_samples(mut, avcc)
+            except ValueError:
+                pass
