@@ -33,19 +33,23 @@ headers, avcC records for MP4 'avc1' tracks), in both entropy modes
    entropy modes, chroma deblocking. Gray clips stay bit-identical
    (flat-128 default source, cbpc=0 everywhere).
 
-6. **Explicit weighted prediction** (r7, P slices): pred_weight_table
-   in the slice header, per-reference luma/chroma gain+offset applied
-   after interpolation (8.4.2.3.2) incl. P_SKIP; the encoder
-   estimates least-squares weights per slice (fade detection), so
-   fades collapse to skip runs.
+6. **Weighted prediction** (r7): EXPLICIT for P slices —
+   pred_weight_table in the slice header, per-reference luma/chroma
+   gain+offset applied after interpolation (8.4.2.3.2) incl. P_SKIP,
+   least-squares weight estimation so fades collapse to skip runs —
+   and IMPLICIT for B slices (weighted_bipred_idc 2): POC-derived
+   (w0, w1) bi-prediction blending (8.4.2.3.1), pure prediction math
+   with no extra syntax, composable with spatial/temporal direct and
+   both entropy coders.
 
 Decode scope and honesty notes:
 - Remaining out-of-scope shapes raise a clear ValueError: high-profile
   SPS (8x8 transform), FMO, multi-slice pictures, SP/SI slices,
-  weighted BI-prediction (weighted_bipred_idc != 0; single-list P
-  weighting IS in scope), ref-pic-list modification, MMCO adaptive
-  marking, >1 L1 reference. `operators/multimodal.sample_frames` maps
-  that to its documented well-formed-unsupported-codec stub.
+  EXPLICIT weighted bi-prediction (weighted_bipred_idc 1; implicit
+  idc 2 — the x264 default — and single-list P weighting ARE in
+  scope), ref-pic-list modification, MMCO adaptive marking, >1 L1
+  reference. `operators/multimodal.sample_frames` maps that to its
+  documented well-formed-unsupported-codec stub.
 - Foreign-stream CABAC cross-decode is adjudicated permanently out of
   scope (SURVEY §15.2): context INIT is in-repo uniform
   (cabac_init_idc accepted but ignored), so the engine round-trips its
@@ -434,7 +438,7 @@ def _sps(w: int, h: int, profile: int = 66, bpoc: bool = False,
 
 
 def _pps(deblock_ctrl: bool = False, cabac: bool = False,
-         wp: bool = False) -> bytes:
+         wp: bool = False, wbidc: int = 0) -> bytes:
     bw = _BitWriter()
     bw.ue(0)      # pps_id
     bw.ue(0)      # sps_id
@@ -444,7 +448,7 @@ def _pps(deblock_ctrl: bool = False, cabac: bool = False,
     bw.ue(0)      # num_ref_idx_l0_active_minus1
     bw.ue(0)      # num_ref_idx_l1_active_minus1
     bw.u(1 if wp else 0, 1)  # weighted_pred (P slices, explicit, r7)
-    bw.u(0, 2)    # weighted_bipred_idc
+    bw.u(wbidc, 2)  # weighted_bipred_idc (2 = implicit B weights, r7)
     bw.se(0)      # pic_init_qp_minus26
     bw.se(0)      # pic_init_qs_minus26
     bw.se(0)      # chroma_qp_index_offset
@@ -915,6 +919,54 @@ def _estimate_wp(src, refs, chroma=None, crefs=None, d=6):
                 cent = tuple(pair)
         out_c.append(cent)
     return {"ld": d, "cd": d, "luma": out_l, "chroma": out_c}
+
+
+# --------------------------------- implicit weighted bi-prediction (8.4.2.3.1)
+# Active B-slice bi-pred weights, constant per slice (one L0 + one L1
+# reference in this profile, so (w0, w1) is a slice-level pair). A
+# module global rather than a threaded parameter: the blend has ~15
+# call sites across both entropy modes' encoders AND decoders, and
+# every B entry point installs it unconditionally (never relies on a
+# previous slice's value), so there is no leak path. Codec calls are
+# single-threaded within a Python worker process.
+_BIPRED: tuple | None = None
+
+
+def _set_bipred(w) -> None:
+    global _BIPRED
+    _BIPRED = w
+
+
+def _implicit_bipred_weights(cur_poc: int, poc0: int, poc1: int) -> tuple:
+    """8.4.2.3.1 implicit mode: (w0, w1) with logWD = 5 derived from POC
+    distances — the same tb/td/DistScaleFactor math temporal direct
+    uses (8.4.1.2.3). Degenerate geometry (references sharing a POC, or
+    w1 outside [-64, 128]) falls back to the (32, 32) default exactly
+    as the spec directs; long-term references don't exist in this
+    profile so that guard is vacuous."""
+    td = min(127, max(-128, poc1 - poc0))
+    if td == 0:
+        return (32, 32)
+    tb = min(127, max(-128, cur_poc - poc0))
+    tx = _div_trunc(16384 + abs(td) // 2, td)
+    dsf = min(1023, max(-1024, (tb * tx + 32) >> 6))
+    w1 = dsf >> 2
+    if w1 < -64 or w1 > 128:
+        return (32, 32)
+    return (64 - w1, w1)
+
+
+def _biblend(a, b):
+    """Bi-predictive sample blend under the active slice weights
+    (8.4.2.3.2): default = (a + b + 1) >> 1; implicit (w0, w1) = the
+    logWD-5 weighted average. Offsets are 0 and w0 + w1 == 64 in
+    implicit mode, so the default IS the w0 = w1 = 32 special case
+    bit-exactly. Inputs are interpolator outputs, already clipped to
+    [0, 255]; negative implicit weights can overshoot, hence Clip1."""
+    if _BIPRED is None:
+        return (a + b + 1) >> 1
+    w0, w1 = _BIPRED
+    return np.clip((a * w0 + b * w1 + 32) >> 6, 0, 255)
 
 
 class _ChromaState:
@@ -1865,7 +1917,7 @@ def _eval_b_partitions(mvs0, mvs1, ref0_full, ref1_full, smb, mx, my,
             mvp1 = mvs1.mvp_part(mx, my, ptype, idx)
             s1, mv_1, p1 = _search_block(ref1_full, tgt, mx * 16 + ox,
                                          my * 16 + oy, mvp1, search)
-            bi = (p0 + p1 + 1) >> 1
+            bi = _biblend(p0, p1)
             sbi = int(np.abs(tgt - bi).sum())
             mode = min(((s0, 0), (s1, 1), (sbi, 2)))[1]
             modes_p.append(mode)
@@ -1892,7 +1944,7 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                    chroma: np.ndarray | None = None,
                    cref0: np.ndarray | None = None,
                    cref1: np.ndarray | None = None,
-                   col_motion=None, pocs=None):
+                   col_motion=None, pocs=None, implicit_wb=False):
     """One gray frame -> (B-slice RBSP, FULL recon plane). Per MB the
     encoder picks the cheapest of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
     (bi-prediction averages the two MC blocks) with an I_4x4 fallback on
@@ -1901,7 +1953,17 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
     in-slice, so decode == recon holds without two-list bS rules.
     col_motion = the L1 anchor's (mv, ref) 4x4 motion field plus pocs =
     (cur, poc0, poc1) switches direct/skip modes to TEMPORAL direct
-    (8.4.1.2.3, direct_spatial_mv_pred_flag = 0)."""
+    (8.4.1.2.3, direct_spatial_mv_pred_flag = 0). implicit_wb=True
+    (PPS weighted_bipred_idc 2, r7) blends every bi-prediction with the
+    POC-derived implicit weights instead of the plain average — no new
+    syntax, only the 8.4.2.3.1 prediction math — which makes temporally
+    asymmetric B pictures (and linear fades) predict far better."""
+    if implicit_wb:
+        if pocs is None:
+            raise ValueError("implicit_wb needs pocs=(cur, poc0, poc1)")
+        _set_bipred(_implicit_bipred_weights(*pocs))
+    else:
+        _set_bipred(None)
     a = np.asarray(gray, np.uint8)
     h, w = a.shape
     mbw = -(-w // 16)
@@ -1973,7 +2035,7 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
             mvp1 = mvs1.mvp_16x16(mx, my)
             sad1, mv1, pred1 = _search_block(ref1_full, smb, mx * 16, my * 16,
                                              mvp1, search)
-            bi = (pred0 + pred1 + 1) >> 1
+            bi = _biblend(pred0, pred1)
             sad_bi = int(np.abs(smb - bi).sum())
             # direct wins ties: it costs no mvd bits
             cand = min(((sad_d, 0), (sad0, 1), (sad1, 2), (sad_bi, 3)))
@@ -2022,7 +2084,8 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                                            my * 8 + oy // 2, mv_i[0],
                                            mv_i[1], w_ // 2, h_ // 2)
                             for ci in range(2)]))
-                    cp = cps[0] if len(cps) == 1 else                         (cps[0] + cps[1] + 1) >> 1
+                    cp = cps[0] if len(cps) == 1 else \
+                        _biblend(cps[0], cps[1])
                     cpred[:, oy // 2:(oy + h_) // 2,
                           ox // 2:(ox + w_) // 2] = cp
             else:
@@ -2034,7 +2097,7 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                 elif mb_type == 2:
                     cpred = cmc1(cref1, mv1)
                 else:
-                    cpred = (cmc1(cref0, mv0) + cmc1(cref1, mv1) + 1) >> 1
+                    cpred = _biblend(cmc1(cref0, mv0), cmc1(cref1, mv1))
             blocks = []
             cbp = 0
             out = pred.copy()
@@ -2130,7 +2193,8 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
                        gop: int = 8, bframes: int = 1,
                        deblock: bool = False, entropy: str = "cavlc",
                        chromas: list | None = None,
-                       direct: str = "spatial"
+                       direct: str = "spatial",
+                       implicit_wb: bool = False
                        ) -> tuple[bytes, list[bytes], list[int]]:
     """Gray frames -> (avcC, DECODE-ORDER length-prefixed samples,
     display index per sample). Real IBBP-style GOPs: reference frames
@@ -2141,7 +2205,11 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
     decode with decode_samples (returns display order). direct
     selects the B-slice direct/skip derivation: "spatial" (8.4.1.2.2
     shape, default) or "temporal" (8.4.1.2.3: the future anchor's
-    motion scaled by POC distances, direct_spatial_mv_pred_flag=0)."""
+    motion scaled by POC distances, direct_spatial_mv_pred_flag=0).
+    implicit_wb=True codes weighted_bipred_idc=2 in the PPS: B-slice
+    bi-predictions use the POC-derived implicit weights (8.4.2.3.1) —
+    a pure prediction-math change, composable with either direct
+    mode and either entropy coder."""
     h, w = np.asarray(frames[0]).shape
     if w % 2 or h % 2:
         raise ValueError("4:2:0 H.264 needs even dimensions (crop unit is 2 px)")
@@ -2162,7 +2230,8 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
     if chromas is not None:
         assert len(chromas) == len(frames), "one chroma pair per frame"
     avcc = build_avcc(w, h, deblock_ctrl=True, bpoc=True,
-                      cabac=entropy == "cabac")
+                      cabac=entropy == "cabac",
+                      wbidc=2 if implicit_wb else 0)
     samples: list[bytes] = []
     display: list[int] = []
     recons: dict[int, object] = {}  # display idx -> FULL recon (refs)
@@ -2224,9 +2293,13 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
         recons[nxt] = recon
         # B pictures between the two references (display order)
         for b in range(prev_ref_disp + 1, nxt):
-            tkw = ({"col_motion": motions[nxt],
-                    "pocs": (2 * b, 2 * prev_ref_disp, 2 * nxt)}
-                   if temporal else {})
+            tkw = {}
+            if temporal:
+                tkw["col_motion"] = motions[nxt]
+            if temporal or implicit_wb:
+                tkw["pocs"] = (2 * b, 2 * prev_ref_disp, 2 * nxt)
+            if implicit_wb:
+                tkw["implicit_wb"] = True
             if chromas is None:
                 rbsp, _brec = enc_b(frames[b], recons[prev_ref_disp],
                                     recons[nxt], qp=qp,
@@ -2262,11 +2335,12 @@ def _all_zero_quant(resid: np.ndarray, qp: int) -> bool:
 
 def build_avcc(w: int, h: int, deblock_ctrl: bool = False,
                cabac: bool = False, bpoc: bool = False,
-               nrefs: int = 1, wp: bool = False) -> bytes:
+               nrefs: int = 1, wp: bool = False, wbidc: int = 0) -> bytes:
     """avcC (AVCDecoderConfigurationRecord) for the MP4 sample entry."""
-    profile = 77 if (cabac or bpoc or wp) else 66  # Main: CABAC / B / WP
+    # Main profile: CABAC / B pictures / weighted prediction
+    profile = 77 if (cabac or bpoc or wp or wbidc) else 66
     sps = _ep_insert(_sps(w, h, profile=profile, bpoc=bpoc, nrefs=nrefs))
-    pps = _ep_insert(_pps(deblock_ctrl, cabac=cabac, wp=wp))
+    pps = _ep_insert(_pps(deblock_ctrl, cabac=cabac, wp=wp, wbidc=wbidc))
     return (bytes([1, profile, 0, 20, 0xFF, 0xE1])
             + struct.pack(">H", len(sps) + 1) + bytes([0x67]) + sps
             + bytes([1]) + struct.pack(">H", len(pps) + 1) + bytes([0x68]) + pps)
@@ -2515,7 +2589,7 @@ def _eval_b8x8(mvs0, mvs1, ref0_full, ref1_full, smb, mx, my, search,
                                     w // 4)
                 s1, mv_1, p1 = _search_block(ref1_full, tgt, mx * 16 + gx,
                                              my * 16 + gy, mvp1, search)
-                sbi = int(np.abs(tgt - ((p0 + p1 + 1) >> 1)).sum())
+                sbi = int(np.abs(tgt - _biblend(p0, p1)).sum())
                 stot[0] += s0
                 stot[1] += s1
                 stot[2] += sbi
@@ -2610,12 +2684,12 @@ def _b8x8_pred(subs, ref0, ref1, cref0, cref1, mx, my, dmv0, dmv1):
             pred[oy8:oy8 + 8, ox8:ox8 + 8] = _b_direct_pred(
                 ref0, ref1, mx, my, dmv0, dmv1, ox8, oy8, 8, 8)
             for ci in range(2):
-                cpred[ci, oy8 // 2:oy8 // 2 + 4, ox8 // 2:ox8 // 2 + 4] = (
-                    _direct_chroma_one(cref0[ci], mx, my, dmv0,
-                                       ox8 // 2, oy8 // 2, 4, 4)
-                    + _direct_chroma_one(cref1[ci], mx, my, dmv1,
-                                         ox8 // 2, oy8 // 2, 4, 4)
-                    + 1) >> 1
+                cpred[ci, oy8 // 2:oy8 // 2 + 4, ox8 // 2:ox8 // 2 + 4] = \
+                    _biblend(
+                        _direct_chroma_one(cref0[ci], mx, my, dmv0,
+                                           ox8 // 2, oy8 // 2, 4, 4),
+                        _direct_chroma_one(cref1[ci], mx, my, dmv1,
+                                           ox8 // 2, oy8 // 2, 4, 4))
             continue
         else:
             shape, _mode = _B_SUB_INFO[st8]
@@ -2635,8 +2709,8 @@ def _b8x8_pred(subs, ref0, ref1, cref0, cref1, mx, my, dmv0, dmv1):
                                    my * 8 + gy // 2, mv[0], mv[1],
                                    w // 2, h // 2) for ci in range(2)]))
             pred[gy:gy + h, gx:gx + w] = \
-                ps[0] if len(ps) == 1 else (ps[0] + ps[1] + 1) >> 1
-            cp = cps[0] if len(cps) == 1 else (cps[0] + cps[1] + 1) >> 1
+                ps[0] if len(ps) == 1 else _biblend(ps[0], ps[1])
+            cp = cps[0] if len(cps) == 1 else _biblend(cps[0], cps[1])
             cpred[:, gy // 2:(gy + h) // 2, gx // 2:(gx + w) // 2] = cp
     return pred, cpred
 
@@ -3522,7 +3596,7 @@ def _b_direct_pred(ref0, ref1, mx, my, f0, f1, ox=0, oy=0, w=16, h=16):
                     ref, px + c_ * 4, py + r_ * 4,
                     int(mvb[0]), int(mvb[1]), 4, 4)
         preds.append(p)
-    return (preds[0] + preds[1] + 1) >> 1
+    return _biblend(preds[0], preds[1])
 
 
 def _b_commit_direct(mvs0, mvs1, mx, my, f0, f1):
@@ -3554,16 +3628,16 @@ def _direct_chroma_one(cref, mx, my, f, ox=0, oy=0, w=8, h=8):
 def _b_chroma_bi(cc, mx, my, f0, f1):
     """Decoder-side bi-predictive direct chroma for the whole MB."""
     return np.stack([
-        (_direct_chroma_one(cc.ref[ci], mx, my, f0)
-         + _direct_chroma_one(cc.ref2[ci], mx, my, f1) + 1) >> 1
+        _biblend(_direct_chroma_one(cc.ref[ci], mx, my, f0),
+                 _direct_chroma_one(cc.ref2[ci], mx, my, f1))
         for ci in range(2)])
 
 
 def _b_chroma_direct_enc(cref0, cref1, mx, my, f0, f1):
     """Encoder-side twin of _b_chroma_bi (references passed directly)."""
     return np.stack([
-        (_direct_chroma_one(cref0[ci], mx, my, f0)
-         + _direct_chroma_one(cref1[ci], mx, my, f1) + 1) >> 1
+        _biblend(_direct_chroma_one(cref0[ci], mx, my, f0),
+                 _direct_chroma_one(cref1[ci], mx, my, f1))
         for ci in range(2)])
 
 
@@ -3612,9 +3686,9 @@ def _decode_mb_b16(r, mb_type, plane, ref0, ref1, mx, my, qp, nnz, cc,
         cpreds.append(np.stack([cc.mc(ci, mx, my, mv, li)
                                 for ci in range(2)]))
         mvsx.set_mb(mx, my, mv, 0)
-    pred = preds[0] if len(preds) == 1 else (preds[0] + preds[1] + 1) >> 1
+    pred = preds[0] if len(preds) == 1 else _biblend(preds[0], preds[1])
     cpred = cpreds[0] if len(cpreds) == 1 else \
-        (cpreds[0] + cpreds[1] + 1) >> 1
+        _biblend(cpreds[0], cpreds[1])
     return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
 
 
@@ -3674,8 +3748,9 @@ def _decode_mb_b_part(r, mb_type, plane, ref0, ref1, mx, my, qp, nnz, cc,
                 _interp_chroma(cref[ci], mx * 8 + ox // 2,
                                my * 8 + oy // 2, mv[0], mv[1],
                                w // 2, h // 2) for ci in range(2)]))
-        lp = preds[0] if len(preds) == 1 else (preds[0] + preds[1] + 1) >> 1
-        cp = cpreds[0] if len(cpreds) == 1 else             (cpreds[0] + cpreds[1] + 1) >> 1
+        lp = preds[0] if len(preds) == 1 else _biblend(preds[0], preds[1])
+        cp = cpreds[0] if len(cpreds) == 1 else \
+            _biblend(cpreds[0], cpreds[1])
         pred[oy:oy + h, ox:ox + w] = lp
         cpred[:, oy // 2:(oy + h) // 2, ox // 2:(ox + w) // 2] = cp
     return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
@@ -3769,8 +3844,10 @@ def _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc: int = 3) -> dict:
     wp_tab = None
     if is_p and pps.get("weighted_pred"):
         wp_tab = _parse_pred_weight_table(r, nrefs)  # explicit WP (r7)
-    if is_b and pps.get("weighted_bipred_idc", 0):
-        raise ValueError("weighted bi-prediction unsupported")
+    if is_b and pps.get("weighted_bipred_idc", 0) not in (0, 2):
+        # idc 2 (implicit, POC-derived weights) decodes since r7; idc 1
+        # (explicit B tables) stays out of profile, idc 3 is reserved
+        raise ValueError("explicit weighted bi-prediction unsupported")
     if nal_type == 5:
         r.u(1)  # no_output_of_prior_pics
         r.u(1)  # long_term_reference
@@ -3819,6 +3896,15 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                 "temporal direct B slice needs the colocated anchor's "
                 "motion field (decode via decode_samples)")
         tf = _temporal_fields(col_motion[0], col_motion[1], *pocs)
+    if is_b:  # implicit weighted bi-prediction (8.4.2.3.1, r7)
+        if pps.get("weighted_bipred_idc", 0) == 2:
+            if pocs is None:
+                raise ValueError(
+                    "implicit weighted bi-prediction needs reference "
+                    "POCs (decode via decode_samples)")
+            _set_bipred(_implicit_bipred_weights(*pocs))
+        else:
+            _set_bipred(None)
     qp = hdr["qp"]
     do_filter, off_a, off_b = hdr["do_filter"], hdr["off_a"], hdr["off_b"]
     mbw, mbh = sps["mbw"], sps["mbh"]

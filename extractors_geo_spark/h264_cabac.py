@@ -1310,12 +1310,20 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                    chroma: np.ndarray | None = None,
                    cref0: np.ndarray | None = None,
                    cref1: np.ndarray | None = None,
-                   col_motion=None, pocs=None):
+                   col_motion=None, pocs=None, implicit_wb=False):
     """One gray frame -> (CABAC B-slice RBSP, FULL recon plane). Same
     decisions as h264.encode_b_cavlc (B_L0/L1/Bi 16x16, I_4x4 fallback,
     non-reference, in-loop filter off) with CABAC serialization.
     col_motion + pocs switch direct/skip to TEMPORAL direct
-    (8.4.1.2.3) — same contract as encode_b_cavlc."""
+    (8.4.1.2.3); implicit_wb=True blends bi-predictions with the
+    POC-derived implicit weights (8.4.2.3.1) — same contracts as
+    encode_b_cavlc."""
+    if implicit_wb:
+        if pocs is None:
+            raise ValueError("implicit_wb needs pocs=(cur, poc0, poc1)")
+        H._set_bipred(H._implicit_bipred_weights(*pocs))
+    else:
+        H._set_bipred(None)
     a = np.asarray(gray, np.uint8)
     h, w = a.shape
     mbw = -(-w // 16)
@@ -1385,7 +1393,7 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
             mvp1 = mvs1.mvp_16x16(mx, my)
             sad1, mv1, pred1 = H._search_block(ref1_full, smb, mx * 16,
                                                my * 16, mvp1, search)
-            bi = (pred0 + pred1 + 1) >> 1
+            bi = H._biblend(pred0, pred1)
             sad_bi = int(np.abs(smb - bi).sum())
             cand = min(((sad_d, 0), (sad0, 1), (sad1, 2), (sad_bi, 3)))
             if cand[0] > 28 * 256:  # intra fallback
@@ -1435,7 +1443,7 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                                              mv_i[1], w_ // 2, h_ // 2)
                             for ci in range(2)]))
                     cp = cps[0] if len(cps) == 1 else \
-                        (cps[0] + cps[1] + 1) >> 1
+                        H._biblend(cps[0], cps[1])
                     cpred[:, oy // 2:(oy + h_) // 2,
                           ox // 2:(ox + w_) // 2] = cp
             else:
@@ -1447,7 +1455,7 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                 elif mb_type == 2:
                     cpred = cmc1(cref1, mv1)
                 else:
-                    cpred = (cmc1(cref0, mv0) + cmc1(cref1, mv1) + 1) >> 1
+                    cpred = H._biblend(cmc1(cref0, mv0), cmc1(cref1, mv1))
             blocks = []
             cbp = 0
             out = pred.copy()
@@ -1576,6 +1584,15 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                 "temporal direct B slice needs the colocated anchor's "
                 "motion field (decode via decode_samples)")
         tf = H._temporal_fields(col_motion[0], col_motion[1], *pocs)
+    if is_b:  # implicit weighted bi-prediction (8.4.2.3.1, r7)
+        if pps.get("weighted_bipred_idc", 0) == 2:
+            if pocs is None:
+                raise ValueError(
+                    "implicit weighted bi-prediction needs reference "
+                    "POCs (decode via decode_samples)")
+            H._set_bipred(H._implicit_bipred_weights(*pocs))
+        else:
+            H._set_bipred(None)
     # cabac_alignment_one_bit(s)
     while r.pos & 7:
         if r.u(1) != 1:
@@ -1963,9 +1980,9 @@ def _dec_mb_b16(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz, modes,
                                 for ci in range(2)]))
         mvsx.set_mb(mx, my, mv, 0)
     st.mvd[my, mx] = tuple(asum)
-    pred = preds[0] if len(preds) == 1 else (preds[0] + preds[1] + 1) >> 1
+    pred = preds[0] if len(preds) == 1 else H._biblend(preds[0], preds[1])
     cpred = cpreds[0] if len(cpreds) == 1 else \
-        (cpreds[0] + cpreds[1] + 1) >> 1
+        H._biblend(cpreds[0], cpreds[1])
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
                        cc, cpred)
 
@@ -2018,9 +2035,9 @@ def _dec_mb_b_part(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz,
                 H._interp_chroma(cref[ci], mx * 8 + ox // 2,
                                  my * 8 + oy // 2, mv[0], mv[1],
                                  w // 2, h // 2) for ci in range(2)]))
-        lp = preds[0] if len(preds) == 1 else (preds[0] + preds[1] + 1) >> 1
+        lp = preds[0] if len(preds) == 1 else H._biblend(preds[0], preds[1])
         cp = cpreds[0] if len(cpreds) == 1 else \
-            (cpreds[0] + cpreds[1] + 1) >> 1
+            H._biblend(cpreds[0], cpreds[1])
         pred[oy:oy + h, ox:ox + w] = lp
         cpred[:, oy // 2:(oy + h) // 2, ox // 2:(ox + w) // 2] = cp
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,

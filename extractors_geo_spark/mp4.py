@@ -488,7 +488,7 @@ def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
                    gop: int | None = None, entropy: str = "cavlc",
                    bframes: int = 0, chromas: list | None = None,
                    direct: str = "spatial", nrefs: int = 1,
-                   wp: bool = False) -> bytes:
+                   wp: bool = False, implicit_wb: bool = False) -> bytes:
     """Gray frames -> single-track 'avc1' MP4 whose samples are REAL
     H.264 (..h264.encode_frames): bit-exact I_PCM when qp is None,
     CAVLC or CABAC (entropy=) at the given qp otherwise; gop=N emits a
@@ -502,7 +502,9 @@ def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
     sliding window of up to N L0 references and per-partition
     ref_idx_l0. wp=True (P GOPs, r7) enables explicit weighted
     prediction: per-slice least-squares gain/offset vs each reference,
-    so fades collapse to skip runs."""
+    so fades collapse to skip runs. implicit_wb=True (B GOPs, r7)
+    codes weighted_bipred_idc=2: B bi-predictions blend with the
+    POC-derived implicit weights (8.4.2.3.1, the x264 default)."""
     from . import h264 as _h264
 
     h, w = np.asarray(frames[0]).shape[:2]
@@ -511,7 +513,7 @@ def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
             raise ValueError("bframes needs qp and gop")
         avcc, samples, disp = _h264.encode_frames_bgop(
             frames, qp=qp, gop=gop, bframes=bframes, entropy=entropy,
-            chromas=chromas, direct=direct)
+            chromas=chromas, direct=direct, implicit_wb=implicit_wb)
         timescale = 90000
         delta = timescale // fps
         shift = max((i - d) * delta for i, d in enumerate(disp))

@@ -1317,3 +1317,150 @@ def test_weighted_prediction_fuzz_never_escapes_valueerror():
                 h264.decode_samples(mut, avcc)
             except ValueError:
                 pass
+
+
+# --------------------------------- r7: implicit weighted bi-prediction (B)
+def test_implicit_bipred_weights_math():
+    """8.4.2.3.1 hand-checked geometries: asymmetric B positions get
+    POC-proportional weights, symmetric/degenerate ones the 32/32
+    default, and w0 + w1 == 64 always (logWD = 5)."""
+    w = h264._implicit_bipred_weights
+    # cur=2 in (0, 6): tb=2 td=6 tx=2731 dsf=85 -> w1=21
+    assert w(2, 0, 6) == (43, 21)
+    assert w(4, 0, 6) == (22, 42)
+    assert w(3, 0, 6) == (32, 32)       # exact midpoint
+    assert w(2, 0, 0) == (32, 32)       # references share a POC
+    assert w(2, 4, 6) == (128, -64)     # cur before both refs: extrapolation
+    for cur in range(0, 14, 2):
+        w0, w1 = w(cur, 0, 12)
+        assert w0 + w1 == 64
+
+
+def _fade_bgop_frames(n=7, shape=(48, 64), seed=5):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 200, shape).astype(np.uint8)
+    return [np.clip(base.astype(np.float64) * (1 - 0.08 * i) + 5 * i,
+                    0, 255).astype(np.uint8) for i in range(n)]
+
+
+def test_implicit_bipred_fade_both_entropies():
+    """bframes=2 on a linear fade: implicit weights interpolate the
+    asymmetric B positions correctly, shrinking the stream vs the
+    plain average while decoding >= 45 dB — both entropy modes."""
+    fl = _fade_bgop_frames()
+    for ent in ("cavlc", "cabac"):
+        avcc, samples, _ = h264.encode_frames_bgop(
+            fl, qp=8, gop=8, bframes=2, entropy=ent, implicit_wb=True)
+        for d, f in zip(h264.decode_samples(samples, avcc), fl):
+            mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+            assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 45, ent
+        sz = sum(len(s) for s in samples)
+        sz0 = sum(len(s) for s in h264.encode_frames_bgop(
+            fl, qp=8, gop=8, bframes=2, entropy=ent)[1])
+        assert sz < sz0, (ent, sz, sz0)
+
+
+def test_implicit_bipred_decode_equals_recon():
+    """One weighted B slice, decode == encoder recon BIT-EXACT in both
+    entropy modes (asymmetric pocs so the weights are genuinely not
+    32/32), chroma included."""
+    from extractors_geo_spark import h264_cabac as C
+
+    rng = np.random.default_rng(21)
+    f0 = rng.integers(40, 200, (48, 64)).astype(np.uint8)
+    f3 = np.clip(f0.astype(np.float64) * 0.76 + 18, 0, 255).astype(np.uint8)
+    f1 = np.clip(f0.astype(np.float64) * 0.92 + 6, 0, 255).astype(np.uint8)
+    ch = {k: rng.integers(30, 220, (2, 24, 32)).astype(np.uint8)
+          for k in (0, 1, 3)}
+    pocs = (2, 0, 6)
+    assert h264._implicit_bipred_weights(*pocs) != (32, 32)
+    for ent in ("cavlc", "cabac"):
+        enc_i = C.encode_idr_cabac if ent == "cabac" else h264.encode_idr_cavlc
+        enc_b = C.encode_b_cabac if ent == "cabac" else h264.encode_b_cavlc
+        avcc = h264.build_avcc(64, 48, deblock_ctrl=True, bpoc=True,
+                               cabac=ent == "cabac", wbidc=2)
+        _, r0 = enc_i(f0, qp=10, full_recon=True, chroma=ch[0], poc_lsb=0)
+        _, r3 = enc_i(f3, qp=10, full_recon=True, chroma=ch[3], poc_lsb=6)
+        rb, rec = enc_b(f1, r0[0], r3[0], qp=10, frame_num=1, poc_lsb=2,
+                        chroma=ch[1], cref0=r0[1], cref1=r3[1],
+                        pocs=pocs, implicit_wb=True)
+        nal = bytes([0x01]) + h264._ep_insert(rb)  # nal_ref_idc 0, type 1
+        sample = struct.pack(">I", len(nal)) + nal
+        dy, dc = h264.decode_sample(sample, avcc, ref=r0[0], ref2=r3[0],
+                                    cref=r0[1], cref2=r3[1],
+                                    full_plane=True, with_chroma=True,
+                                    pocs=pocs)
+        assert np.array_equal(dy, rec[0]) and np.array_equal(dc, rec[1]), ent
+
+
+def test_implicit_bipred_composes_with_temporal_direct():
+    """direct='temporal' + implicit_wb: POC scaling drives BOTH the
+    direct motion and the blend weights; whole clip decodes >= 45 dB."""
+    fl = _fade_bgop_frames(7, seed=11)
+    for ent in ("cavlc", "cabac"):
+        avcc, samples, _ = h264.encode_frames_bgop(
+            fl, qp=8, gop=8, bframes=2, entropy=ent, direct="temporal",
+            implicit_wb=True)
+        for d, f in zip(h264.decode_samples(samples, avcc), fl):
+            mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+            assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 45, ent
+
+
+def test_implicit_bipred_mp4_end_to_end():
+    """write_h264_mp4(bframes=2, implicit_wb=True): ctts reordering +
+    weighted decode through the real MP4 parse."""
+    fl = _fade_bgop_frames(7, seed=29)
+    data = mp4.write_h264_mp4(fl, fps=4, qp=8, gop=8, bframes=2,
+                              implicit_wb=True)
+    parsed = mp4.read_mjpeg_mp4(data)
+    for d, f in zip(h264.decode_samples(list(parsed["frames"]),
+                                        parsed["avcc"]), fl):
+        mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 45
+
+
+def test_explicit_weighted_bipred_still_raises():
+    """weighted_bipred_idc 1 (explicit B tables) and 3 (reserved) stay
+    out of profile; 2 parses clean."""
+    fl = _fade_bgop_frames(4)
+    avcc, samples, _ = h264.encode_frames_bgop(fl, qp=10, gop=8, bframes=2,
+                                               implicit_wb=True)
+    sps, pps = h264._avcc_param_sets(avcc)
+    assert pps["weighted_bipred_idc"] == 2
+    for sample in samples:
+        nal = sample[4:4 + int.from_bytes(sample[:4], "big")]
+        if (nal[0] & 0x1F) == 1:
+            r = h264._BitReader(h264._ep_remove(nal[1:]))
+            hdr = h264._parse_slice_header(r, sps, pps, 1, (nal[0] >> 5) & 3)
+            if hdr["is_b"]:
+                break
+    else:
+        pytest.fail("no B slice found")
+    for bad in (1, 3):
+        bad_pps = dict(pps)
+        bad_pps["weighted_bipred_idc"] = bad
+        r = h264._BitReader(h264._ep_remove(nal[1:]))
+        with pytest.raises(ValueError, match="weighted bi-prediction"):
+            h264._parse_slice_header(r, sps, bad_pps, 1, (nal[0] >> 5) & 3)
+
+
+def test_implicit_bipred_fuzz_never_escapes_valueerror():
+    """Corrupted implicit-WB samples decode or raise ValueError only."""
+    import random
+
+    fl = _fade_bgop_frames(5, shape=(32, 48), seed=31)
+    for ent in ("cavlc", "cabac"):
+        avcc, samples, _ = h264.encode_frames_bgop(
+            fl, qp=10, gop=8, bframes=2, entropy=ent, implicit_wb=True)
+        random.seed(19)
+        for _ in range(40):
+            mut = list(samples)
+            k = random.randrange(1, len(mut))
+            s = bytearray(mut[k])
+            for _j in range(random.randint(1, 3)):
+                s[random.randrange(8, len(s))] = random.randrange(256)
+            mut[k] = bytes(s)
+            try:
+                h264.decode_samples(mut, avcc)
+            except ValueError:
+                pass
