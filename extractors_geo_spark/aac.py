@@ -45,10 +45,17 @@ Scope and honesty (same contract as ..mp3, VERDICT r03 #6 / r04 #6):
   a single upward long-window filter, coef_res=1, order <= 12 — the
   encoder analysis-filters the attack region's spectrum when the LPC
   prediction gain clears a measured gate, the decoder runs the exact
-  all-pole inverse). Out of profile (clear ValueError, never silent
-  garbage): LTP, pulse data, gain control, >2 channels, TNS on short
-  windows / downward / coef_compress, combined M/S+intensity/PNS/TNS —
-  exactly the boundary the encoder never crosses.
+  all-pole inverse). Since r7 MULTICHANNEL: all implicit
+  channelConfigurations 1..6 (4.5.1.1 element sequences — config 3
+  SCE+CPE, 4 SCE+CPE+SCE, 5 SCE+CPE+CPE, 6 = 5.1 SCE+CPE+CPE+LFE; the
+  LFE is SCE syntax under id_syn_ele 3, long windows only) with
+  per-element window sequences and per-CPE M/S masks; decode validates
+  the element sequence against the config and downmix excludes the
+  LFE. Out of profile (clear ValueError, never silent garbage): LTP,
+  pulse data, gain control, >6 channels / PCE-configured layouts
+  (channelConfiguration 0), TNS on short windows / downward /
+  coef_compress, combined M/S+intensity/PNS/TNS, intensity/PNS/TNS on
+  >2-channel streams — exactly the boundary the encoder never crosses.
 
 Scalefactor-band layouts: the LC long- and short-window swb_offset
 tables for the 48/44.1 kHz family; other rates reuse them (in-repo
@@ -82,6 +89,20 @@ N_SFB_SHORT = len(SWB_OFFSETS_SHORT) - 1  # 14
 FREQ_INDEX = {96000: 0, 88200: 1, 64000: 2, 48000: 3, 44100: 4, 32000: 5,
               24000: 6, 22050: 7, 16000: 8, 12000: 9, 11025: 10, 8000: 11}
 FREQ_OF_INDEX = {v: k for k, v in FREQ_INDEX.items()}
+
+# Implicit channel-configuration element layouts (14496-3 4.5.1.1 /
+# Table 1.19). Channel order is the ISO transmission order: config 3 =
+# centre + L/R pair, 4 adds a rear SCE, 5 a surround pair, 6 (5.1) the
+# LFE. Width = PCM channels consumed by the element.
+_ELEMENT_PLAN = {
+    1: (("SCE", 1),),
+    2: (("CPE", 2),),
+    3: (("SCE", 1), ("CPE", 2)),
+    4: (("SCE", 1), ("CPE", 2), ("SCE", 1)),
+    5: (("SCE", 1), ("CPE", 2), ("CPE", 2)),
+    6: (("SCE", 1), ("CPE", 2), ("CPE", 2), ("LFE", 1)),
+}
+_ELE_ID = {"SCE": 0, "CPE": 1, "LFE": 3}
 
 SF_OFFSET = 100
 ESC = 16  # escape symbol magnitude slot in codebook 11
@@ -352,23 +373,41 @@ def encode(pcm: np.ndarray, rate: int = 48000,
     x = np.asarray(pcm, np.float64)
     if x.ndim == 1:
         chans = [x]
-    elif x.ndim == 2 and x.shape[1] in (1, 2):
+    elif x.ndim == 2 and x.shape[1] in _ELEMENT_PLAN:
         chans = [x[:, c] for c in range(x.shape[1])]
     else:
-        raise ValueError("pcm must be (n,) mono or (n, 2) stereo")
+        raise ValueError(
+            "pcm must be (n,) mono or (n, ch) with ch in 1..6 "
+            "(channelConfiguration element layouts, 4.5.1.1)")
+    plan = _ELEMENT_PLAN[len(chans)]
+    # multichannel (r7) keeps the plain + M/S coding paths; the
+    # mono/stereo-only tools stay mono/stereo-only
+    if len(chans) > 2 and (intensity or pns or tns):
+        raise ValueError(
+            "intensity/PNS/TNS are mono/stereo-only in this profile")
+    lfe_idx = sum(n for k, n in plan if k != "LFE") if plan[-1][0] == "LFE" \
+        else None  # LFE is always the last channel of config 6
     size = chans[0].size
     n_frames = -(-size // FRAME) + 1  # +1 flush frame for MDCT overlap
     if short:
         seqs = [2] * n_frames
     elif adaptive:
-        seqs = _decide_sequences(chans, n_frames)
+        seqs = _decide_sequences(
+            [c for i, c in enumerate(chans) if i != lfe_idx], n_frames)
     else:
         seqs = [0] * n_frames
     specs = []
-    for ch in chans:
+    for chi, ch in enumerate(chans):
         padded = np.zeros((n_frames + 1) * FRAME)
         padded[FRAME:FRAME + size] = ch  # one leading zero block (delay)
-        if short:
+        if chi == lfe_idx:
+            # LFE channels are long-window only (4.5.1.1): always the
+            # plain ONLY_LONG stack regardless of the short/adaptive
+            # decision driving the full-band channels
+            blocks = np.stack([padded[i * FRAME:i * FRAME + N]
+                               for i in range(n_frames)])
+            specs.append(mdct(blocks)[:, None, :] * 32768.0)
+        elif short:
             blocks = np.stack([
                 padded[i * FRAME + SHORT_OFS + FRAME_S * j:
                        i * FRAME + SHORT_OFS + FRAME_S * j + N_S]
@@ -456,32 +495,45 @@ def encode(pcm: np.ndarray, rate: int = 48000,
                 R[:, :] = 0.0  # right band carries no spectral data
             is_maps.append(m)
     ms_masks = None
-    if ms and len(chans) == 2:
-        # per-band M/S decision + in-place substitution: channel 0
-        # carries MID, channel 1 SIDE for chosen bands
+    cpe_pairs = []
+    ci0 = 0
+    for kind, width in plan:
+        if kind == "CPE":
+            cpe_pairs.append((ci0, ci0 + 1))
+        ci0 += width
+    if ms and cpe_pairs:
+        # per-band M/S decision + in-place substitution, per CPE: the
+        # pair's first channel carries MID, the second SIDE for chosen
+        # bands (r7 multichannel: each CPE gets its own mask)
         ms_masks = []
         for i in range(n_frames):
             f_short = seqs[i] == 2
             swb = SWB_OFFSETS_SHORT if f_short else SWB_OFFSETS
             n_sfb = N_SFB_SHORT if f_short else N_SFB
-            mask = []
-            for b in range(n_sfb):
-                lo, hi = swb[b], swb[b + 1]
-                L = specs[0][i][:, lo:hi]
-                R = specs[1][i][:, lo:hi]
-                m = (L + R) * 0.5
-                side = (L - R) * 0.5
-                use = 4.0 * float(np.sum(side * side)) <                     float(np.sum(m * m)) + 1e-9
-                mask.append(use)
-                if use:
-                    specs[0][i][:, lo:hi] = m
-                    specs[1][i][:, lo:hi] = side
-            ms_masks.append(mask)
+            frame_masks = []
+            for cl, cr in cpe_pairs:
+                mask = []
+                for b in range(n_sfb):
+                    lo, hi = swb[b], swb[b + 1]
+                    L = specs[cl][i][:, lo:hi]
+                    R = specs[cr][i][:, lo:hi]
+                    m = (L + R) * 0.5
+                    side = (L - R) * 0.5
+                    use = 4.0 * float(np.sum(side * side)) < \
+                        float(np.sum(m * m)) + 1e-9
+                    mask.append(use)
+                    if use:
+                        specs[cl][i][:, lo:hi] = m
+                        specs[cr][i][:, lo:hi] = side
+                frame_masks.append(mask)
+            ms_masks.append(frame_masks)
     aus = [_encode_au([s[i] for s in specs], seqs[i],
                       ms_mask=None if ms_masks is None else ms_masks[i],
                       is_map=None if is_maps is None else is_maps[i],
                       pns_map=None if pns_maps is None else pns_maps[i],
-                      tns_map=None if tns_maps is None else tns_maps[i])
+                      tns_map=None if tns_maps is None else tns_maps[i],
+                      chan_seqs=[0 if c == lfe_idx else seqs[i]
+                                 for c in range(len(chans))])
            for i in range(n_frames)]
     return _audio_specific_config(rate, len(chans)), aus
 
@@ -677,10 +729,22 @@ def _encode_au(chan_specs: list[np.ndarray], seq: int,
                ms_mask: list | None = None,
                is_map: dict | None = None,
                pns_map: list | None = None,
-               tns_map: list | None = None) -> bytes:
+               tns_map: list | None = None,
+               chan_seqs: list | None = None) -> bytes:
+    """One frame's per-channel spectra -> raw_data_block. The element
+    layout follows _ELEMENT_PLAN[len(chan_specs)] (r7 multichannel:
+    configs 3..6 emit SCE/CPE/LFE sequences; LFE is SCE syntax under
+    id_syn_ele 3). chan_seqs gives each CHANNEL its window sequence
+    (LFE is always long); default = `seq` everywhere. ms_mask for
+    multichannel is a per-CPE list of per-band masks; for the stereo
+    config a single flat mask is accepted as before."""
+    plan = _ELEMENT_PLAN[len(chan_specs)]
+    if chan_seqs is None:
+        chan_seqs = [seq] * len(chan_specs)
     short = seq == 2
     bw = _BitWriter()
-    qdata = [_quantize_channel(s, short) for s in chan_specs]
+    qdata = [_quantize_channel(s, chan_seqs[ci] == 2)
+             for ci, s in enumerate(chan_specs)]
     if pns_map:
         # per-channel PNS bands ride the section data as codebook 13
         # with the noise energy in the scalefactor slot (4.6.13)
@@ -698,30 +762,41 @@ def _encode_au(chan_specs: list[np.ndarray], seq: int,
             for b, (pos, phase) in is_map.items():
                 bands[b] = {"cb": phase, "sf": None, "q": None,
                             "is_pos": pos}
-    if len(chan_specs) == 1:
-        bw.u(0, 3)   # id_syn_ele SCE
+    if ms_mask is not None and len(chan_specs) == 2 and (
+            not ms_mask or not isinstance(ms_mask[0], (list, type(None)))):
+        ms_mask = [ms_mask]  # legacy flat stereo mask -> one-CPE list
+    ci = cpe_i = 0
+    for kind, width in plan:
+        bw.u(_ELE_ID[kind], 3)
         bw.u(0, 4)   # element_instance_tag
-        gg, groups = qdata[0]
-        # individual_channel_stream: global_gain, ics_info, then the tail
-        bw.u(gg, 8)
-        _write_ics_info(bw, seq)
-        _write_stream_tail(bw, gg, groups, short,
-                           tns=None if tns_map is None else tns_map[0])
-    else:
-        bw.u(1, 3)   # id_syn_ele CPE
-        bw.u(0, 4)   # element_instance_tag
-        bw.u(1, 1)   # common_window
-        _write_ics_info(bw, seq)
-        if ms_mask is None:
-            bw.u(0, 2)   # ms_mask_present = 0 (no M/S)
-        else:
-            bw.u(1, 2)   # ms_mask_present = 1: per-band ms_used bits
-            for used in ms_mask:  # one window group -> max_sfb bits
-                bw.u(1 if used else 0, 1)
-        for ci, (gg, groups) in enumerate(qdata):
+        eseq = chan_seqs[ci]
+        eshort = eseq == 2
+        if kind == "CPE":
+            bw.u(1, 1)   # common_window
+            _write_ics_info(bw, eseq)
+            mask = None if ms_mask is None else ms_mask[cpe_i]
+            if mask is not None and not any(mask):
+                mask = None  # nothing chosen: don't pay for the mask bits
+            if mask is None:
+                bw.u(0, 2)   # ms_mask_present = 0 (no M/S)
+            else:
+                bw.u(1, 2)   # ms_mask_present = 1: per-band ms_used bits
+                for used in mask:  # one window group -> max_sfb bits
+                    bw.u(1 if used else 0, 1)
+            for cj in (ci, ci + 1):
+                gg, groups = qdata[cj]
+                bw.u(gg, 8)
+                _write_stream_tail(bw, gg, groups, eshort,
+                                   tns=None if tns_map is None
+                                   else tns_map[cj])
+            cpe_i += 1
+        else:   # SCE / LFE: individual_channel_stream, gg before ics_info
+            gg, groups = qdata[ci]
             bw.u(gg, 8)
-            _write_stream_tail(bw, gg, groups, short,
+            _write_ics_info(bw, eseq)
+            _write_stream_tail(bw, gg, groups, eshort,
                                tns=None if tns_map is None else tns_map[ci])
+        ci += width
     bw.u(7, 3)   # id_syn_ele TERM
     bw.align()
     return bytes(bw.buf)
@@ -1039,31 +1114,34 @@ def _read_band(r, cb, n):
     return out
 
 
-def _decode_au(au: bytes, exp_channels: int) -> np.ndarray:
-    """One raw_data_block -> (channels, n_windows, bins) dequantized
-    spectra plus the window mode, as (short, array)."""
+def _decode_au(au: bytes, exp_channels: int) -> list:
+    """One raw_data_block -> per-channel (window_sequence, (n_windows,
+    bins) dequantized spectra) pairs, in element order. Elements may
+    carry different window sequences (r7 multichannel: the LFE is
+    always long while the full-band channels may be short), so the
+    sequence is per channel, not per AU."""
     r = _BitReader(au)
     chans = []
-    short = False
+    elems = []
     while True:
         ele = r.u(3)
         if ele == 7:  # TERM
             break
-        if ele == 0:  # SCE
+        if ele in (0, 3):  # SCE, or LFE (SCE syntax under id 3)
             r.u(4)
             gg = r.u(8)  # SCE: global_gain precedes ics_info
             info = _parse_ics_info(r)
-            short = info["short"]
-            seq_out = info["seq"]
+            if ele == 3 and info["seq"] != 0:
+                raise ValueError("LFE element with non-long windows")
             coeffs, _isb = _read_channel_stream(r, info, gg=gg)
-            chans.append(coeffs)
+            chans.append((info["seq"], coeffs))
+            elems.append("LFE" if ele == 3 else "SCE")
         elif ele == 1:  # CPE
             r.u(4)
             if not r.u(1):
                 raise ValueError("CPE without common_window: out of profile")
             info = _parse_ics_info(r)
             short = info["short"]
-            seq_out = info["seq"]
             mp = r.u(2)
             if mp == 3:
                 raise ValueError("reserved ms_mask_present value")
@@ -1101,8 +1179,9 @@ def _decode_au(au: bytes, exp_channels: int) -> np.ndarray:
                     side = c1[:, lo:hi]
                     c0[:, lo:hi] = m + side
                     c1[:, lo:hi] = m - side
-            chans.append(c0)
-            chans.append(c1)
+            chans.append((info["seq"], c0))
+            chans.append((info["seq"], c1))
+            elems.append("CPE")
         elif ele == 6:  # FIL: skip
             cnt = r.u(4)
             if cnt == 15:
@@ -1115,21 +1194,29 @@ def _decode_au(au: bytes, exp_channels: int) -> np.ndarray:
             break
     if len(chans) != exp_channels:
         raise ValueError("channel count mismatch in raw_data_block")
-    return seq_out, np.stack(chans)
+    plan = _ELEMENT_PLAN.get(exp_channels)
+    if plan is not None and tuple(elems) != tuple(k for k, _ in plan):
+        raise ValueError(
+            f"element sequence {elems} does not match "
+            f"channelConfiguration {exp_channels}")
+    return chans
 
 
 def decode(aus: list[bytes], asc: bytes,
            downmix: bool = True) -> tuple[np.ndarray, int]:
-    """Raw AUs + AudioSpecificConfig -> (float64 PCM, rate). Stereo CPE
-    streams decode both channels; downmix=True (default) averages to
-    mono (the pipeline's analysis shape), downmix=False returns
-    (n, channels)."""
+    """Raw AUs + AudioSpecificConfig -> (float64 PCM, rate). All
+    implicit channelConfigurations 1..6 decode (r7 multichannel:
+    SCE/CPE/LFE element sequences per 4.5.1.1); downmix=True (default)
+    averages the full-band channels to mono — the LFE of a 5.1 stream
+    is excluded from the downmix, as every matrixing convention does —
+    and downmix=False returns (n, channels) in transmission order."""
     info = parse_asc(asc)
     if info["aot"] != 2:
         raise ValueError("not AAC-LC (audioObjectType != 2)")
     n_ch = info["channels"]
-    if n_ch not in (1, 2):
-        raise ValueError("only mono/stereo streams in decode profile")
+    if n_ch not in _ELEMENT_PLAN:
+        raise ValueError(
+            "only channelConfigurations 1..6 in decode profile")
     try:
         decoded = [_decode_au(au, n_ch) for au in aus]
     except (IndexError, TypeError, KeyError) as e:
@@ -1138,23 +1225,23 @@ def decode(aus: list[bytes], asc: bytes,
         raise ValueError(f"corrupt AAC access unit ({type(e).__name__})")
     n_frames = len(aus)
     out = np.zeros(((n_frames + 1) * FRAME, n_ch))
-    for i, (seq, spec) in enumerate(decoded):
-        spec = spec / 32768.0
-        for c in range(n_ch):
+    for i, chans in enumerate(decoded):
+        for c, (seq, spec) in enumerate(chans):
+            spec = spec / 32768.0
             if seq == 2:
-                if spec.shape[1] != 8:
+                if spec.shape[0] != 8:
                     raise ValueError("EIGHT_SHORT frame without 8 windows")
-                blocks = imdct_short(spec[c])  # (8, 256)
+                blocks = imdct_short(spec)  # (8, 256)
                 for j in range(8):
                     o = i * FRAME + SHORT_OFS + FRAME_S * j
                     out[o:o + N_S, c] += blocks[j]
             else:
-                out[i * FRAME:i * FRAME + N, c] += \
-                    imdct(spec[c], seq=seq)[0]
+                out[i * FRAME:i * FRAME + N, c] += imdct(spec, seq=seq)[0]
     # drop the encoder-delay block and the flush tail
     pcm = out[FRAME:n_frames * FRAME]
     if n_ch == 1:
         return pcm[:, 0], info["rate"]
     if downmix:
-        return pcm.mean(axis=1), info["rate"]
+        full_band = pcm[:, :5] if n_ch == 6 else pcm
+        return full_band.mean(axis=1), info["rate"]
     return pcm, info["rate"]

@@ -583,13 +583,15 @@ def _mp4_descriptor(tag: int, payload: bytes) -> bytes:
 def write_aac_mp4(pcm, rate: int = 48000, short: bool = False,
                   ms: bool = False, intensity: bool = False,
                   pns: bool = False, tns: bool = False) -> bytes:
-    """Float64 PCM — (n,) mono SCE or (n, 2) stereo CPE — -> single-track
-    'mp4a' MP4 whose samples are AAC-LC access units (..aac.encode;
-    short=True codes EIGHT_SHORT windows, ms=True per-band MID/SIDE
-    stereo, pns=True noise substitution, tns=True temporal noise
-    shaping, r7) and whose esds box carries the real
-    AudioSpecificConfig. In-repo canonical Huffman (see ..aac
-    docstring): round trips through read_audio_track, not ffmpeg."""
+    """Float64 PCM — (n,) mono SCE, (n, 2) stereo CPE, or (n, ch) for
+    ch in 3..6 multichannel element layouts incl. 5.1 with an LFE (r7,
+    4.5.1.1) — -> single-track 'mp4a' MP4 whose samples are AAC-LC
+    access units (..aac.encode; short=True codes EIGHT_SHORT windows,
+    ms=True per-band MID/SIDE per channel pair, pns=True noise
+    substitution, tns=True temporal noise shaping, r7) and whose esds
+    box carries the real AudioSpecificConfig. In-repo canonical
+    Huffman (see ..aac docstring): round trips through
+    read_audio_track, not ffmpeg."""
     from . import aac as _aac
 
     arr = np.asarray(pcm)

@@ -80,9 +80,14 @@ def test_out_of_profile_raises():
     bad_asc[1] = (bad_asc[1] & 0x87) | (2 << 3)  # channelConfiguration = 2
     with pytest.raises(ValueError, match="channel count"):
         aac.decode(aus, bytes(bad_asc))
-    # >2 channels is out of the decode profile entirely
+    # 3-channel config over mono SCE AUs (r7: configs 3..6 decode, but
+    # the element sequence must actually carry the channels)
     bad_asc[1] = (bad_asc[1] & 0x87) | (3 << 3)
-    with pytest.raises(ValueError, match="mono/stereo"):
+    with pytest.raises(ValueError, match="channel count"):
+        aac.decode(aus, bytes(bad_asc))
+    # channelConfiguration 7 (7.1) stays out of the decode profile
+    bad_asc[1] = (bad_asc[1] & 0x87) | (7 << 3)
+    with pytest.raises(ValueError, match="1..6"):
         aac.decode(aus, bytes(bad_asc))
 
 
@@ -395,7 +400,7 @@ def test_adaptive_window_sequences_roundtrip():
     sig[atk:atk + 600] += 0.6 * np.sin(2 * np.pi * 3000
                                        * np.arange(600) / rate)
     asc, aus = aac.encode(sig, rate, adaptive=True)
-    seqs = [aac._decode_au(au, 1)[0] for au in aus]
+    seqs = [aac._decode_au(au, 1)[0][0] for au in aus]
     assert 2 in seqs and 1 in seqs and 3 in seqs, seqs
     for i, q in enumerate(seqs):  # spec legality of the chain
         if q == 2:
@@ -410,7 +415,7 @@ def test_adaptive_window_sequences_roundtrip():
     # steady content never switches
     asc2, aus2 = aac.encode(0.3 * np.sin(2 * np.pi * 440 * t), rate,
                             adaptive=True)
-    assert all(aac._decode_au(a, 1)[0] == 0 for a in aus2)
+    assert all(aac._decode_au(a, 1)[0][0] == 0 for a in aus2)
 
 
 def test_adaptive_windows_with_ms_stereo():
@@ -584,3 +589,123 @@ def test_tns_boundaries_and_fuzz():
             aac.decode([bytes(a)], asc_m)
         except ValueError:
             pass
+
+
+# ------------------------------------------------------- r7: multichannel
+def _mc_signal(rate, n, chs, seed=9):
+    t = np.arange(n) / rate
+    rng = np.random.default_rng(seed)
+    cols = []
+    for c in range(chs):
+        f = 220.0 * (c + 1.5)
+        cols.append(0.4 * np.sin(2 * np.pi * f * t)
+                    + 0.05 * rng.normal(0, 1, n))
+    return np.stack(cols, axis=1)
+
+
+def test_multichannel_roundtrip_configs_3_to_6():
+    """channelConfigurations 3..6 (SCE/CPE/LFE element sequences)
+    round-trip per channel at >= 50 dB; 5.1's LFE channel is the last
+    column and is excluded from the default downmix."""
+    rate = 48000
+    n = rate // 4
+    for chs in (3, 4, 5, 6):
+        sig = _mc_signal(rate, n, chs)
+        if chs == 6:  # shape the LFE like an LFE: low-frequency only
+            t = np.arange(n) / rate
+            sig[:, 5] = 0.3 * np.sin(2 * np.pi * 40 * t)
+        asc, aus = aac.encode(sig, rate)
+        info = aac.parse_asc(asc)
+        assert info["channels"] == chs
+        pcm, r2 = aac.decode(aus, asc, downmix=False)
+        assert pcm.shape[1] == chs and r2 == rate
+        for c in range(chs):
+            assert _snr(sig[:, c], pcm[:, c]) >= 50.0, (chs, c)
+        mono, _ = aac.decode(aus, asc)
+        ref = sig[:, :5].mean(axis=1) if chs == 6 else sig.mean(axis=1)
+        assert _snr(ref, mono) >= 50.0, chs
+
+
+def test_multichannel_ms_and_adaptive_windows():
+    """5.1 with per-CPE M/S masks + adaptive window sequences: the LFE
+    element stays long-window while full-band channels go short around
+    the attack; correlated pairs actually engage M/S."""
+    rate = 48000
+    n = rate // 4
+    sig = _mc_signal(rate, n, 6, seed=13)
+    # identical surround pair (config-6 CPEs pair channels (1,2) and
+    # (3,4)): its CPE's side channel is exactly zero under M/S, so
+    # every chosen band codes as codebook 0
+    sig[:, 4] = sig[:, 3]
+    t = np.arange(n) / rate
+    sig[:, 5] = 0.3 * np.sin(2 * np.pi * 40 * t)
+    sig[n // 2:n // 2 + 300, 1] += np.random.default_rng(4).normal(
+        0, 0.4, 300)  # attack -> adaptive short windows
+    asc, aus = aac.encode(sig, rate, ms=True, adaptive=True)
+    pcm, _ = aac.decode(aus, asc, downmix=False)
+    for c in range(6):
+        assert _snr(sig[:, c], pcm[:, c]) >= 28.0, c
+    # the M/S path engaged: the identical pair's side channel is free
+    # under M/S, so the stream is strictly smaller than plain L/R
+    _, aus_plain = aac.encode(sig, rate, ms=False, adaptive=True)
+    assert sum(map(len, aus)) < sum(map(len, aus_plain))
+
+
+def test_multichannel_boundaries():
+    rate = 48000
+    sig = _mc_signal(rate, 4096, 6)
+    with pytest.raises(ValueError, match="mono/stereo-only"):
+        aac.encode(sig, rate, intensity=True)
+    with pytest.raises(ValueError, match="mono/stereo-only"):
+        aac.encode(sig, rate, pns=True)
+    with pytest.raises(ValueError, match="mono/stereo-only"):
+        aac.encode(sig, rate, tns=True)
+    with pytest.raises(ValueError):
+        aac.encode(_mc_signal(rate, 4096, 7), rate)
+    # element-sequence validation: stereo CPE AUs under a 3ch config
+    st = _mc_signal(rate, 4096, 2)
+    asc, aus = aac.encode(st, rate)
+    bad_asc = bytearray(asc)
+    bad_asc[1] = (bad_asc[1] & 0x87) | (3 << 3)
+    with pytest.raises(ValueError):
+        aac.decode(aus, bytes(bad_asc))
+
+
+def test_multichannel_fuzz_never_escapes_valueerror():
+    import random
+
+    random.seed(31)
+    rate = 48000
+    sig = _mc_signal(rate, 8192, 6)
+    asc, aus = aac.encode(sig, rate)
+    for _ in range(150):
+        a = bytearray(aus[len(aus) // 2])
+        for _k in range(random.randint(1, 6)):
+            a[random.randrange(len(a))] = random.randrange(256)
+        try:
+            aac.decode([bytes(a)], asc)
+        except ValueError:
+            pass
+
+
+def test_multichannel_mp4_container_and_features(spark):
+    """5.1 PCM -> mp4a MP4 -> read_audio_track downmix (LFE excluded)
+    and the audio_features operator end-to-end."""
+    from extractors_geo_spark.operators import multimodal as M
+
+    rate = 48000
+    n = rate // 2
+    sig = _mc_signal(rate, n, 6, seed=3)
+    t = np.arange(n) / rate
+    sig[:, 5] = 0.3 * np.sin(2 * np.pi * 40 * t)
+    data = mp4.write_aac_mp4(sig, rate)
+    tr = mp4.read_audio_track(data)
+    assert tr["codec"] == "mp4a" and tr["rate"] == rate
+    assert tr["channels"] == 6
+    assert _snr(sig[:, :5].mean(axis=1), tr["pcm"]) >= 50.0
+    df = spark.createDataFrame([("a51", bytearray(data))],
+                               "audio_id string, bytes binary")
+    rows = M.audio_features(df, fake=False).collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["duration_s"] - 24576 / 48000) < 1e-6  # 24 AUs
+    assert all(np.isfinite(rows[0]["features"]))
