@@ -42,14 +42,24 @@ headers, avcC records for MP4 'avc1' tracks), in both entropy modes
    with no extra syntax, composable with spatial/temporal direct and
    both entropy coders.
 
+7. **Multi-slice pictures** (r7): slices covering whole MB rows
+   (first_mb_in_slice = row * PicWidthInMbs), the hardware-encoder /
+   error-resilience shape — one NAL per slice in the sample, neighbour
+   availability (intra prediction, nC contexts, MV prediction, CABAC
+   ctxIdxInc, skip runs / per-slice engine init) cut at each slice
+   top, for I, P AND B pictures in both entropy modes
+   (encode_*(slice_rows=N)). Deblocking filters across slice
+   boundaries (disable_deblocking_filter_idc 0 semantics).
+
 Decode scope and honesty notes:
 - Remaining out-of-scope shapes raise a clear ValueError: high-profile
-  SPS (8x8 transform), FMO, multi-slice pictures, SP/SI slices,
-  EXPLICIT weighted bi-prediction (weighted_bipred_idc 1; implicit
-  idc 2 — the x264 default — and single-list P weighting ARE in
-  scope), ref-pic-list modification, MMCO adaptive marking, >1 L1
-  reference. `operators/multimodal.sample_frames` maps that to its
-  documented well-formed-unsupported-codec stub.
+  SPS (8x8 transform), FMO, slices at non-row-aligned first_mb
+  offsets, SP/SI slices, EXPLICIT weighted bi-prediction
+  (weighted_bipred_idc 1; implicit idc 2 — the x264 default — and
+  single-list P weighting ARE in scope), ref-pic-list modification,
+  MMCO adaptive marking, >1 L1 reference.
+  `operators/multimodal.sample_frames` maps that to its documented
+  well-formed-unsupported-codec stub.
 - Foreign-stream CABAC cross-decode is adjudicated permanently out of
   scope (SURVEY §15.2): context INIT is in-repo uniform
   (cabac_init_idc accepted but ignored), so the engine round-trips its
@@ -937,6 +947,24 @@ def _set_bipred(w) -> None:
     _BIPRED = w
 
 
+# --------------------------------------- multi-slice pictures (r7, 7.3.3/7.4.3)
+# Active slice's first macroblock ROW. Neighbour availability (intra
+# prediction, nC contexts, MV prediction, CABAC ctxIdxInc) treats
+# macroblocks above this row as unavailable — the 8.x "neighbouring
+# macroblock in a different slice" rule, specialized to the in-repo
+# restriction that slices cover whole MB rows (first_mb_in_slice is a
+# multiple of PicWidthInMbs; arbitrary offsets raise a ValueError at
+# parse). Module global by the same single-threaded-worker argument as
+# _BIPRED: every slice entry point (encoders AND decoders, both entropy
+# modes) sets it unconditionally, so no value leaks between slices.
+_SLICE_TOP = 0
+
+
+def _set_slice_top(row: int) -> None:
+    global _SLICE_TOP
+    _SLICE_TOP = row
+
+
 def _implicit_bipred_weights(cur_poc: int, poc0: int, poc1: int) -> tuple:
     """8.4.2.3.1 implicit mode: (w0, w1) with logWD = 5 derived from POC
     distances — the same tb/td/DistScaleFactor math temporal direct
@@ -1369,16 +1397,19 @@ def encode_idr_ipcm(gray: np.ndarray,
 
 def _mb_avail(blk, px, py, plane_w):
     """(left, above, above-right, above-left) availability for the 4x4
-    luma block `blk` whose top-left sample is (px, py)."""
+    luma block `blk` whose top-left sample is (px, py). Neighbours
+    above the current slice's first MB row are unavailable (multi-
+    slice pictures, r7: _SLICE_TOP is the active slice's top row)."""
+    top = _SLICE_TOP * 16
     al = px > 0
-    aa = py > 0
+    aa = py > top
     aal = al and aa
     if blk in _AR_OK_IN_MB:
         aar = True
     elif blk in (3, 7, 11, 13, 15):
         aar = False
     else:  # top row of the MB: needs the above MB row, within the plane
-        aar = py > 0 and px + 8 <= plane_w
+        aar = py > top and px + 8 <= plane_w
     return al, aa, aar, aal
 
 
@@ -1386,7 +1417,7 @@ def _pred_mode_for(modes, bx, by):
     """Predicted intra-4x4 mode (8.3.1.1): min(left, above); any
     unavailable or non-I4x4 neighbour counts as DC (2)."""
     ma = modes[by, bx - 1] if bx > 0 else -1
-    mb = modes[by - 1, bx] if by > 0 else -1
+    mb = modes[by - 1, bx] if by > _SLICE_TOP * 4 else -1
     ma = 2 if ma < 0 else ma
     mb = 2 if mb < 0 else mb
     return min(ma, mb)
@@ -1394,7 +1425,7 @@ def _pred_mode_for(modes, bx, by):
 
 def _nc_luma(nnz, bx, by):
     a = int(nnz[by, bx - 1]) if bx > 0 else None
-    b = int(nnz[by - 1, bx]) if by > 0 else None
+    b = int(nnz[by - 1, bx]) if by > _SLICE_TOP * 4 else None
     if a is not None and b is not None:
         return (a + b + 1) >> 1
     if a is not None:
@@ -1417,10 +1448,23 @@ def _pad_chroma(chroma, mbw, mbh, h, w):
                             mode="edge") for ci in range(2)])
 
 
+def _slice_ranges(mbh: int, slice_rows: int | None) -> list:
+    """MB-row ranges for multi-slice encoding (r7): None = one slice
+    covering the picture (the pre-r7 shape, bit-identical), N = one
+    slice per N MB rows."""
+    if slice_rows is None:
+        return [(0, mbh)]
+    if slice_rows < 1:
+        raise ValueError("slice_rows must be >= 1")
+    return [(r, min(r + slice_rows, mbh))
+            for r in range(0, mbh, slice_rows)]
+
+
 def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
                      deblock: bool = False, full_recon: bool = False,
                      poc_lsb: int | None = None,
-                     chroma: np.ndarray | None = None):
+                     chroma: np.ndarray | None = None,
+                     slice_rows: int | None = None):
     """One frame -> (IDR slice RBSP, reconstructed plane).
 
     CAVLC intra encoding: near-flat macroblocks go I_16x16 (DC pred,
@@ -1449,50 +1493,56 @@ def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
     nnz_c = np.zeros((2, mbh * 2, mbw * 2), np.int32)
     ch = (csrc, crec, nnz_c)
 
-    bw = _BitWriter()
-    bw.ue(0)      # first_mb_in_slice
-    bw.ue(7)      # slice_type: I (all slices in picture)
-    bw.ue(0)      # pps_id
-    bw.u(0, 4)    # frame_num
-    bw.ue(0)      # idr_pic_id
-    if poc_lsb is not None:  # poc_type-0 SPS (B-enabled streams)
-        bw.u(poc_lsb & 0xFFFF, 16)
-    bw.u(0, 1)    # no_output_of_prior_pics
-    bw.u(0, 1)    # long_term_reference
-    bw.se(qp - 26)  # slice_qp_delta (pic_init_qp is 26)
-    # disable_deblocking_filter_idc (PPS carries the control flag)
-    bw.ue(0 if deblock else 1)
-    if deblock:
-        bw.se(0)  # slice_alpha_c0_offset_div2
-        bw.se(0)  # slice_beta_offset_div2
+    rbsps = []
+    for r0, r1 in _slice_ranges(mbh, slice_rows):
+        _set_slice_top(r0)
+        bw = _BitWriter()
+        bw.ue(r0 * mbw)  # first_mb_in_slice (multi-slice pictures, r7)
+        bw.ue(7)      # slice_type: I (all slices in picture)
+        bw.ue(0)      # pps_id
+        bw.u(0, 4)    # frame_num
+        bw.ue(0)      # idr_pic_id
+        if poc_lsb is not None:  # poc_type-0 SPS (B-enabled streams)
+            bw.u(poc_lsb & 0xFFFF, 16)
+        bw.u(0, 1)    # no_output_of_prior_pics
+        bw.u(0, 1)    # long_term_reference
+        bw.se(qp - 26)  # slice_qp_delta (pic_init_qp is 26)
+        # disable_deblocking_filter_idc (PPS carries the control flag)
+        bw.ue(0 if deblock else 1)
+        if deblock:
+            bw.se(0)  # slice_alpha_c0_offset_div2
+            bw.se(0)  # slice_beta_offset_div2
 
-    for my in range(mbh):
-        for mx in range(mbw):
-            smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
-            done = False
-            if int(smb.max()) - int(smb.min()) <= 8:
-                done = _encode_mb_i16(bw, smb, plane, mx, my, qp, nnz, modes,
-                                      max_coeffs, ch)
-            if not done:
-                _encode_mb_i4(bw, smb, plane, mx, my, qp, nnz, modes,
-                              max_coeffs, plane_w, ch)
-    bw.rbsp_trailing()
+        for my in range(r0, r1):
+            for mx in range(mbw):
+                smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+                done = False
+                if int(smb.max()) - int(smb.min()) <= 8:
+                    done = _encode_mb_i16(bw, smb, plane, mx, my, qp, nnz,
+                                          modes, max_coeffs, ch)
+                if not done:
+                    _encode_mb_i4(bw, smb, plane, mx, my, qp, nnz, modes,
+                                  max_coeffs, plane_w, ch)
+        bw.rbsp_trailing()
+        rbsps.append(bytes(bw.buf))
+    _set_slice_top(0)
     out = plane
     if deblock and qp >= 16:
         out = _deblock_luma(plane, np.full((mbh, mbw), qp, np.int32))
         crec = _deblock_chroma(crec, np.full((mbh, mbw), qp, np.int32))
     y = out if full_recon else out[:h, :w].copy()
+    rb = rbsps[0] if slice_rows is None else rbsps
     if chroma is None:
-        return bytes(bw.buf), y
+        return rb, y
     crop = crec if full_recon else crec[:, :(h + 1) // 2, :(w + 1) // 2].copy()
-    return bytes(bw.buf), (y, crop)
+    return rb, (y, crop)
 
 
 def _encode_mb_i16(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs, ch):
     """Try I_16x16 DC: commit only when all AC quantize to zero and the
     DC block stays inside the thinning budget. Returns True on commit."""
     al = mx > 0
-    aa = my > 0
+    aa = my > _SLICE_TOP
     pred = _pred16(plane, mx, my, 2, al, aa)
     resid = smb.astype(np.int32) - pred
     dcs = np.empty((4, 4), np.int64)
@@ -1611,7 +1661,8 @@ def _encode_mb_i4(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs,
     # a flat source picks DC / cbpc 0, reproducing the pre-r7 bitstream
     csrc, crec, nnz_c = ch
     csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
-    icp, cpred = _pick_chroma_mode(crec, csrc_mb, mx, my, mx > 0, my > 0)
+    icp, cpred = _pick_chroma_mode(crec, csrc_mb, mx, my, mx > 0,
+                                   my > _SLICE_TOP)
     bw.ue(icp)  # intra_chroma_pred_mode
     cbpc, comps = _encode_chroma_mb(csrc_mb, cpred, qp, intra=True)
     bw.ue(_CBP_INTRA_INV[cbp | (cbpc << 4)])
@@ -1640,7 +1691,8 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                    chroma: np.ndarray | None = None,
                    cref: np.ndarray | None = None,
                    motion_out: list | None = None,
-                   wp: dict | None = None):
+                   wp: dict | None = None,
+                   slice_rows: int | None = None):
     """One gray frame -> (P-slice RBSP, FULL reconstructed plane).
 
     Per macroblock: P_SKIP when the residual at the skip-predicted MV
@@ -1711,30 +1763,44 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                             pmv[0], pmv[1], pw // 2, ph // 2, wp=wpck)
         return out
 
-    bw = _BitWriter()
-    bw.ue(0)      # first_mb_in_slice
-    bw.ue(5)      # slice_type: P (all slices in picture)
-    bw.ue(0)      # pps_id
-    bw.u(frame_num & 0xF, 4)
-    if poc_lsb is not None:  # poc_type-0 SPS (B-enabled streams)
-        bw.u(poc_lsb & 0xFFFF, 16)
-    if nrefs > 1:  # multi-reference L0 (r7)
-        bw.u(1, 1)  # num_ref_idx_active_override_flag
-        bw.ue(nrefs - 1)
-    else:
-        bw.u(0, 1)  # num_ref_idx_active_override_flag
-    bw.u(0, 1)    # ref_pic_list_modification_flag_l0
-    if wp is not None:  # pred_weight_table (7.3.3.2, r7)
-        _write_pred_weight_table(bw, wp, nrefs)
-    bw.u(0, 1)    # adaptive_ref_pic_marking_mode_flag (sliding window)
-    bw.se(qp - 26)
-    bw.ue(0 if deblock else 1)  # disable_deblocking_filter_idc
-    if deblock:
-        bw.se(0)
-        bw.se(0)
+    def _slice_bw(first_row):
+        bw = _BitWriter()
+        bw.ue(first_row * mbw)  # first_mb_in_slice (multi-slice, r7)
+        bw.ue(5)      # slice_type: P (all slices in picture)
+        bw.ue(0)      # pps_id
+        bw.u(frame_num & 0xF, 4)
+        if poc_lsb is not None:  # poc_type-0 SPS (B-enabled streams)
+            bw.u(poc_lsb & 0xFFFF, 16)
+        if nrefs > 1:  # multi-reference L0 (r7)
+            bw.u(1, 1)  # num_ref_idx_active_override_flag
+            bw.ue(nrefs - 1)
+        else:
+            bw.u(0, 1)  # num_ref_idx_active_override_flag
+        bw.u(0, 1)    # ref_pic_list_modification_flag_l0
+        if wp is not None:  # pred_weight_table (7.3.3.2, r7)
+            _write_pred_weight_table(bw, wp, nrefs)
+        bw.u(0, 1)    # adaptive_ref_pic_marking_mode_flag (sliding window)
+        bw.se(qp - 26)
+        bw.ue(0 if deblock else 1)  # disable_deblocking_filter_idc
+        if deblock:
+            bw.se(0)
+            bw.se(0)
+        return bw
 
+    starts = dict(_slice_ranges(mbh, slice_rows))
+    rbsps = []
+    bw = None
     pending_skips = 0
     for my in range(mbh):
+        if my in starts:  # new slice at this MB row (multi-slice, r7)
+            if bw is not None:
+                if pending_skips:
+                    bw.ue(pending_skips)  # trailing skip run
+                    pending_skips = 0
+                bw.rbsp_trailing()
+                rbsps.append(bytes(bw.buf))
+            _set_slice_top(my)
+            bw = _slice_bw(my)
         for mx in range(mbw):
             smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16].astype(np.int32)
             # --- P_SKIP candidate
@@ -1883,17 +1949,18 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     if pending_skips:
         bw.ue(pending_skips)  # trailing skip run
     bw.rbsp_trailing()
+    rbsps.append(bytes(bw.buf))
+    _set_slice_top(0)
+    rb = rbsps[0] if slice_rows is None else rbsps
     out_plane = plane
     if deblock and qp >= 16:
         out_plane = _deblock_luma_inter(plane, qp_map, nnz, mvs)
         crec = _deblock_chroma(crec, qp_map, nnz=nnz, mvs=mvs)
-    if chroma is None:
-        if motion_out is not None:
-            motion_out.append((mvs.mv.copy(), mvs.ref.copy()))
-        return bytes(bw.buf), out_plane
     if motion_out is not None:
         motion_out.append((mvs.mv.copy(), mvs.ref.copy()))
-    return bytes(bw.buf), (out_plane, crec)
+    if chroma is None:
+        return rb, out_plane
+    return rb, (out_plane, crec)
 
 
 def _eval_b_partitions(mvs0, mvs1, ref0_full, ref1_full, smb, mx, my,
@@ -1944,7 +2011,8 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                    chroma: np.ndarray | None = None,
                    cref0: np.ndarray | None = None,
                    cref1: np.ndarray | None = None,
-                   col_motion=None, pocs=None, implicit_wb=False):
+                   col_motion=None, pocs=None, implicit_wb=False,
+                   slice_rows=None):
     """One gray frame -> (B-slice RBSP, FULL recon plane). Per MB the
     encoder picks the cheapest of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
     (bi-prediction averages the two MC blocks) with an I_4x4 fallback on
@@ -1989,25 +2057,40 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
         return np.stack([_interp_chroma(cref[ci], mx * 8, my * 8, *mv)
                          for ci in range(2)])
 
-    bw = _BitWriter()
-    bw.ue(0)      # first_mb_in_slice
-    bw.ue(6)      # slice_type: B (all slices in picture)
-    bw.ue(0)      # pps_id
-    bw.u(frame_num & 0xF, 4)
-    bw.u(poc_lsb & 0xFFFF, 16)  # pic_order_cnt_lsb (poc_type 0 SPS)
     tf = None
     if col_motion is not None:
         tf = _temporal_fields(col_motion[0], col_motion[1], *pocs)
-    bw.u(0 if tf is not None else 1, 1)  # direct_spatial_mv_pred_flag
-    bw.u(0, 1)    # num_ref_idx_active_override_flag
-    bw.u(0, 1)    # ref_pic_list_modification_flag_l0
-    bw.u(0, 1)    # ref_pic_list_modification_flag_l1
-    # nal_ref_idc = 0: no dec_ref_pic_marking
-    bw.se(qp - 26)
-    bw.ue(1)      # disable_deblocking_filter_idc (always off for B)
 
+    def _slice_bw(first_row):
+        bw = _BitWriter()
+        bw.ue(first_row * mbw)  # first_mb_in_slice (multi-slice, r7)
+        bw.ue(6)      # slice_type: B (all slices in picture)
+        bw.ue(0)      # pps_id
+        bw.u(frame_num & 0xF, 4)
+        bw.u(poc_lsb & 0xFFFF, 16)  # pic_order_cnt_lsb (poc_type 0 SPS)
+        bw.u(0 if tf is not None else 1, 1)  # direct_spatial_mv_pred_flag
+        bw.u(0, 1)    # num_ref_idx_active_override_flag
+        bw.u(0, 1)    # ref_pic_list_modification_flag_l0
+        bw.u(0, 1)    # ref_pic_list_modification_flag_l1
+        # nal_ref_idc = 0: no dec_ref_pic_marking
+        bw.se(qp - 26)
+        bw.ue(1)      # disable_deblocking_filter_idc (always off for B)
+        return bw
+
+    starts = dict(_slice_ranges(mbh, slice_rows))
+    rbsps = []
+    bw = None
     pending_skips = 0
     for my in range(mbh):
+        if my in starts:  # new slice at this MB row (multi-slice, r7)
+            if bw is not None:
+                if pending_skips:
+                    bw.ue(pending_skips)  # trailing skip run
+                    pending_skips = 0
+                bw.rbsp_trailing()
+                rbsps.append(bytes(bw.buf))
+            _set_slice_top(my)
+            bw = _slice_bw(my)
         for mx in range(mbw):
             smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16].astype(np.int32)
             # --- direct first: B_SKIP when its residual is zero
@@ -2184,9 +2267,12 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
     if pending_skips:
         bw.ue(pending_skips)  # trailing skip run
     bw.rbsp_trailing()
+    rbsps.append(bytes(bw.buf))
+    _set_slice_top(0)
+    rb = rbsps[0] if slice_rows is None else rbsps
     if chroma is None:
-        return bytes(bw.buf), plane
-    return bytes(bw.buf), (plane, crec)
+        return rb, plane
+    return rb, (plane, crec)
 
 
 def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
@@ -2194,7 +2280,8 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
                        deblock: bool = False, entropy: str = "cavlc",
                        chromas: list | None = None,
                        direct: str = "spatial",
-                       implicit_wb: bool = False
+                       implicit_wb: bool = False,
+                       slice_rows: int | None = None
                        ) -> tuple[bytes, list[bytes], list[int]]:
     """Gray frames -> (avcC, DECODE-ORDER length-prefixed samples,
     display index per sample). Real IBBP-style GOPs: reference frames
@@ -2246,8 +2333,7 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
     def emit(rbsp, idr, ref_pic, disp):
         nal_ref_idc = (3 if idr else 2) if ref_pic else 0
         typ = 5 if idr else 1
-        nal = bytes([(nal_ref_idc << 5) | typ]) + _ep_insert(rbsp)
-        samples.append(struct.pack(">I", len(nal)) + nal)
+        samples.append(_pack_sample(rbsp, (nal_ref_idc << 5) | typ))
         display.append(disp)
 
     n = len(frames)
@@ -2257,11 +2343,13 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
         if i % gop == 0:  # closed-GOP IDR; B frames never cross it
             if chromas is None:
                 rbsp, recon = enc_idr(frames[i], qp=qp, deblock=deblock,
-                                      full_recon=True, poc_lsb=2 * i)
+                                      full_recon=True, poc_lsb=2 * i,
+                                      slice_rows=slice_rows)
             else:
                 rbsp, (recon, crec) = enc_idr(
                     frames[i], qp=qp, deblock=deblock, full_recon=True,
-                    poc_lsb=2 * i, chroma=chromas[i])
+                    poc_lsb=2 * i, chroma=chromas[i],
+                    slice_rows=slice_rows)
                 crecons[i] = crec
             frame_num = 1
             emit(rbsp, True, True, i)
@@ -2279,13 +2367,13 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
             rbsp, recon = enc_p(frames[nxt], recons[prev_ref_disp],
                                 qp=qp, frame_num=frame_num,
                                 deblock=deblock, poc_lsb=2 * nxt,
-                                motion_out=mo)
+                                motion_out=mo, slice_rows=slice_rows)
         else:
             rbsp, (recon, crec) = enc_p(
                 frames[nxt], recons[prev_ref_disp], qp=qp,
                 frame_num=frame_num, deblock=deblock, poc_lsb=2 * nxt,
                 chroma=chromas[nxt], cref=crecons[prev_ref_disp],
-                motion_out=mo)
+                motion_out=mo, slice_rows=slice_rows)
             crecons[nxt] = crec
         motions[nxt] = mo[0]
         frame_num = (frame_num + 1) & 0xF
@@ -2300,6 +2388,7 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
                 tkw["pocs"] = (2 * b, 2 * prev_ref_disp, 2 * nxt)
             if implicit_wb:
                 tkw["implicit_wb"] = True
+            tkw["slice_rows"] = slice_rows
             if chromas is None:
                 rbsp, _brec = enc_b(frames[b], recons[prev_ref_disp],
                                     recons[nxt], qp=qp,
@@ -2346,12 +2435,22 @@ def build_avcc(w: int, h: int, deblock_ctrl: bool = False,
             + bytes([1]) + struct.pack(">H", len(pps) + 1) + bytes([0x68]) + pps)
 
 
+def _pack_sample(rbsp, nal_byte: int) -> bytes:
+    """RBSP (or the per-slice list a slice_rows encode returns) -> one
+    length-prefixed MP4 sample; multi-slice pictures pack one NAL per
+    slice (r7)."""
+    rbs = rbsp if isinstance(rbsp, list) else [rbsp]
+    nals = [bytes([nal_byte]) + _ep_insert(rb) for rb in rbs]
+    return b"".join(struct.pack(">I", len(n)) + n for n in nals)
+
+
 def encode_frames(frames: list[np.ndarray], qp: int | None = None,
                   deblock: bool = False, gop: int | None = None,
                   entropy: str = "cavlc",
                   chromas: list | None = None,
                   nrefs: int = 1,
-                  wp: bool = False) -> tuple[bytes, list[bytes]]:
+                  wp: bool = False,
+                  slice_rows: int | None = None) -> tuple[bytes, list[bytes]]:
     """Gray frames -> (avcC record, per-frame length-prefixed NAL samples
     ready for an 'avc1' MP4 track). qp=None keeps the bit-exact I_PCM
     path; an integer qp (0..51) switches to transform coding with
@@ -2397,16 +2496,18 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
         cf = chromas[i] if chromas is not None else None
         if qp is None:
             rbsp = enc_ipcm(f, chroma=cf)
-            nal = bytes([0x65]) + _ep_insert(rbsp)  # ref_idc 3, IDR
+            sample = _pack_sample(rbsp, 0x65)  # ref_idc 3, IDR
         elif gop is None or i % gop == 0:
             if chromas is None:
                 rbsp, ref_full = enc_idr(f, qp=qp, deblock=deblock,
-                                         full_recon=True)
+                                         full_recon=True,
+                                         slice_rows=slice_rows)
             else:
                 rbsp, (ref_full, cref_full) = enc_idr(
-                    f, qp=qp, deblock=deblock, full_recon=True, chroma=cf)
+                    f, qp=qp, deblock=deblock, full_recon=True, chroma=cf,
+                    slice_rows=slice_rows)
             frame_num = 1
-            nal = bytes([0x65]) + _ep_insert(rbsp)
+            sample = _pack_sample(rbsp, 0x65)
             dpb = [ref_full]  # IDR: closed GOP, new reference window
             cdpb = [cref_full]
         else:
@@ -2421,16 +2522,18 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
             if chromas is None:
                 rbsp, ref_full = enc_p(f, refs, qp=qp,
                                        frame_num=frame_num,
-                                       deblock=deblock, wp=wp_tab)
+                                       deblock=deblock, wp=wp_tab,
+                                       slice_rows=slice_rows)
             else:
                 rbsp, (ref_full, cref_full) = enc_p(
                     f, refs, qp=qp, frame_num=frame_num,
-                    deblock=deblock, chroma=cf, cref=crefs, wp=wp_tab)
+                    deblock=deblock, chroma=cf, cref=crefs, wp=wp_tab,
+                    slice_rows=slice_rows)
             frame_num = (frame_num + 1) & 0xF
-            nal = bytes([0x41]) + _ep_insert(rbsp)  # ref_idc 2, non-IDR
+            sample = _pack_sample(rbsp, 0x41)  # ref_idc 2, non-IDR
             dpb = (dpb + [ref_full])[-max(1, nrefs):]
             cdpb = (cdpb + [cref_full])[-max(1, nrefs):]
-        samples.append(struct.pack(">I", len(nal)) + nal)
+        samples.append(sample)
     return avcc, samples
 
 
@@ -2800,8 +2903,9 @@ class _MvState:
         self.wp = None  # resolved (wl, wc) weight tables (P slices, r7)
 
     def at(self, bx: int, by: int):
-        if bx < 0 or by < 0 or by >= self.ref.shape[0] or bx >= self.ref.shape[1]:
-            return None  # unavailable
+        if bx < 0 or by < _SLICE_TOP * 4 or by >= self.ref.shape[0] \
+                or bx >= self.ref.shape[1]:
+            return None  # unavailable (incl. above the slice top, r7)
         if self.ref[by, bx] < 0:
             return None  # intra: treated as unavailable for prediction
         return (int(self.mv[by, bx, 0]), int(self.mv[by, bx, 1]))
@@ -2812,7 +2916,8 @@ class _MvState:
         a = self.at(bx - 1, by)
         b = self.at(bx, by - 1)
         c = self.at(bx + 4, by - 1)
-        if c is None and (by - 1 < 0 or bx + 4 >= self.ref.shape[1]):
+        if c is None and (by - 1 < _SLICE_TOP * 4
+                          or bx + 4 >= self.ref.shape[1]):
             c = self.at(bx - 1, by - 1)  # D fallback
         return a, b, c
 
@@ -2897,7 +3002,7 @@ class _MvState:
         missing or is a zero-MV ref-0 block; else the 16x16 predictor."""
         bx, by = mbx * 4, mby * 4
         a_out = bx - 1 < 0
-        b_out = by - 1 < 0
+        b_out = by - 1 < _SLICE_TOP * 4
         a = self.at(bx - 1, by)
         b = self.at(bx, by - 1)
         if a_out or b_out:
@@ -3268,7 +3373,7 @@ def _avcc_param_sets(avcc: bytes) -> tuple[dict, dict]:
 
 def _nc_chroma(nnz_comp, bx, by):
     a = int(nnz_comp[by, bx - 1]) if bx > 0 else None
-    b = int(nnz_comp[by - 1, bx]) if by > 0 else None
+    b = int(nnz_comp[by - 1, bx]) if by > _SLICE_TOP * 2 else None
     if a is not None and b is not None:
         return (a + b + 1) >> 1
     if a is not None:
@@ -3337,7 +3442,8 @@ def _decode_mb_i4x4(r, plane, mx, my, qp, nnz, cc, modes, plane_w):
         plane[py:py + 4, px:px + 4] = rec.astype(np.uint8)
     cres = _decode_chroma_residual(r, cbp >> 4, cc.nnz, mx, my, qp)
     for ci in range(2):
-        cpred = _pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0, my > 0)
+        cpred = _pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0,
+                              my > _SLICE_TOP)
         cc.store(ci, mx, my, cpred + cres[ci])
     return qp
 
@@ -3354,7 +3460,7 @@ def _decode_mb_i16(r, mb_type, plane, mx, my, qp, nnz, cc, modes):
     nc = _nc_luma(nnz, mx * 4, my * 4)  # Intra16x16DCLevel uses blk 0 ctx
     dc_lv = _unscan16(_decode_residual(r, nc, 16))
     dcv = _i16_dc_dequant(dc_lv, qp)
-    pred = _pred16(plane, mx, my, pm16, mx > 0, my > 0)
+    pred = _pred16(plane, mx, my, pm16, mx > 0, my > _SLICE_TOP)
     out = pred.copy()
     for blk in range(16):
         ox, oy = _BLK_XY[blk]
@@ -3375,7 +3481,8 @@ def _decode_mb_i16(r, mb_type, plane, mx, my, qp, nnz, cc, modes):
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
     cres = _decode_chroma_residual(r, cbpc, cc.nnz, mx, my, qp)
     for ci in range(2):
-        cpred = _pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0, my > 0)
+        cpred = _pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0,
+                              my > _SLICE_TOP)
         cc.store(ci, mx, my, cpred + cres[ci])
     return qp
 
@@ -3799,9 +3906,10 @@ def _skip_mb(plane, ref, mx, my, nnz, cc, modes, mvs):
 
 def _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc: int = 3) -> dict:
     """Slice header (7.3.3) — shared by the CAVLC and CABAC (h264_cabac)
-    slice decoders; the header itself is never CABAC-coded."""
-    if r.ue() != 0:
-        raise ValueError("multi-slice pictures unsupported")
+    slice decoders; the header itself is never CABAC-coded. first_mb
+    lands in the returned dict (multi-slice pictures, r7); decode_sample
+    validates row alignment and ordering across a picture's slices."""
+    first_mb = r.ue()
     stype = r.ue()
     is_p = stype % 5 == 0
     is_b = stype % 5 == 1
@@ -3869,7 +3977,7 @@ def _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc: int = 3) -> dict:
     return {"is_p": is_p, "is_b": is_b, "qp": qp, "do_filter": do_filter,
             "off_a": off_a, "off_b": off_b, "poc": poc,
             "direct_spatial": direct_spatial, "nrefs": nrefs,
-            "wp": wp_tab}
+            "wp": wp_tab, "first_mb": first_mb}
 
 
 def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
@@ -3877,13 +3985,18 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                    ref2: np.ndarray | None = None,
                    cref: np.ndarray | None = None,
                    cref2: np.ndarray | None = None,
-                   col_motion=None, pocs=None, motion_out=None):
+                   col_motion=None, pocs=None, motion_out=None,
+                   hdr=None, rows=None, pic=None):
     """Returns (luma FULL plane, chroma (2, H/2, W/2) FULL planes).
     col_motion/pocs feed temporal-direct B slices (decode_samples
     threads the L1 anchor's motion field + POCs); motion_out, when a
     list, receives this picture's (mv, ref) 4x4 motion field so the
-    caller can keep it for later temporal-direct derivation."""
-    hdr = _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc)
+    caller can keep it for later temporal-direct derivation.
+    Multi-slice pictures (r7): decode_sample calls once per slice NAL
+    with the pre-parsed `hdr`, the slice's MB-row range `rows`, and a
+    shared `pic` state dict; non-final slices return None."""
+    if hdr is None:
+        hdr = _parse_slice_header(r, sps, pps, nal_type, nal_ref_idc)
     is_p, is_b = hdr["is_p"], hdr["is_b"]
     if is_p and ref is None:
         raise ValueError("P slice without a decoded reference frame")
@@ -3929,15 +4042,25 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
             crefs.append(np.full((2, mbh * 8, mbw * 8), 128, np.uint8))
     if is_b and cref2 is None:
         cref2 = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
-    cc = _ChromaState(mbw, mbh, ref=crefs, ref2=cref2)
-    modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
-    qp_map = np.zeros((mbh, mbw), np.int32)
-    mvs = _MvState(mbw, mbh) if (is_p or is_b) else None
-    mvs1 = _MvState(mbw, mbh) if is_b else None  # L1 motion state
+    r0, r1 = rows if rows is not None else (0, mbh)
+    _set_slice_top(r0)
+    if pic:  # shared picture state across this picture's slices (r7)
+        plane, nnz = pic["plane"], pic["nnz"]
+        cc, modes, qp_map = pic["cc"], pic["modes"], pic["qp_map"]
+        mvs, mvs1 = pic["mvs"], pic["mvs1"]
+    else:
+        cc = _ChromaState(mbw, mbh, ref=crefs, ref2=cref2)
+        modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
+        qp_map = np.zeros((mbh, mbw), np.int32)
+        mvs = _MvState(mbw, mbh) if (is_p or is_b) else None
+        mvs1 = _MvState(mbw, mbh) if is_b else None  # L1 motion state
+        if pic is not None:
+            pic.update(plane=plane, nnz=nnz, cc=cc, modes=modes,
+                       qp_map=qp_map, mvs=mvs, mvs1=mvs1)
     if is_p and hdr.get("wp") is not None:  # explicit WP (r7)
         mvs.wp = _resolve_wp(hdr["wp"], nrefs)
     run_pending = None  # skip run not yet read for the next coded MB
-    for my in range(mbh):
+    for my in range(r0, r1):
         for mx in range(mbw):
             if is_b:
                 if run_pending is None:
@@ -4022,6 +4145,9 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
                 mvs.set_mb(mx, my, (0, 0), -1)  # intra: no motion
                 if is_b:
                     mvs1.set_mb(mx, my, (0, 0), -1)
+    _set_slice_top(0)
+    if r1 < mbh:
+        return None  # more slices of this picture follow (r7)
     if do_filter and int(qp_map.max()) + max(off_a, off_b, 0) >= 16:
         # intra/inter prediction consumed the unfiltered plane above; the
         # OUTPUT picture is the filtered one (8.7). Below qp 16 every
@@ -4193,6 +4319,9 @@ def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
     stub path in sample_frames."""
     sps, pps = _avcc_param_sets(avcc)
     length_size = (avcc[4] & 3) + 1
+    mbw, mbh = sps["mbw"], sps["mbh"]
+    # collect the picture's slice NALs first (multi-slice pictures, r7)
+    slices = []  # (nal_type, nal_ref_idc, hdr, positioned reader)
     pos = 0
     while pos + length_size <= len(sample):
         ln = int.from_bytes(sample[pos: pos + length_size], "big")
@@ -4205,11 +4334,32 @@ def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
             continue  # SPS/PPS/SEI in-band: skip
         r = _BitReader(_ep_remove(nal[1:]))
         try:
+            hdr = _parse_slice_header(r, sps, pps, typ, (nal[0] >> 5) & 3)
+        except (IndexError, TypeError, KeyError, struct.error) as e:
+            raise ValueError(f"corrupt H.264 sample ({type(e).__name__})")
+        slices.append((typ, (nal[0] >> 5) & 3, hdr, r))
+    if not slices:
+        raise ValueError("no slice NAL in sample")
+    firsts = [s[2]["first_mb"] for s in slices]
+    if (firsts[0] != 0 or any(f % mbw for f in firsts)
+            or any(b <= a for a, b in zip(firsts, firsts[1:]))
+            or any(f >= mbw * mbh for f in firsts)):
+        raise ValueError(
+            "unsupported slice layout: slices must start at MB-row "
+            "boundaries, in raster order, starting at 0")
+    if any(s[2]["is_p"] != slices[0][2]["is_p"]
+           or s[2]["is_b"] != slices[0][2]["is_b"] for s in slices):
+        raise ValueError("mixed slice types within a picture")
+    ranges = [(firsts[i] // mbw,
+               firsts[i + 1] // mbw if i + 1 < len(slices) else mbh)
+              for i in range(len(slices))]
+    pic: dict = {}
+    full = None
+    for (typ, ref_idc, hdr, r), rows in zip(slices, ranges):
+        try:
             if pps["cabac"]:
                 from . import h264_cabac
 
-                hdr = _parse_slice_header(r, sps, pps, typ,
-                                          (nal[0] >> 5) & 3)
                 if hdr["is_p"] and ref is None:
                     raise ValueError("P slice without a decoded reference frame")
                 if hdr["is_b"] and (ref is None or ref2 is None):
@@ -4219,22 +4369,25 @@ def decode_sample(sample: bytes, avcc: bytes, ref: np.ndarray | None = None,
                                                cref=cref, cref2=cref2,
                                                col_motion=col_motion,
                                                pocs=pocs,
-                                               motion_out=motion_out)
+                                               motion_out=motion_out,
+                                               rows=rows, pic=pic)
             else:
                 full = _decode_islice(r, sps, pps, typ, ref=ref,
-                                      nal_ref_idc=(nal[0] >> 5) & 3,
+                                      nal_ref_idc=ref_idc,
                                       ref2=ref2, cref=cref, cref2=cref2,
                                       col_motion=col_motion, pocs=pocs,
-                                      motion_out=motion_out)
+                                      motion_out=motion_out,
+                                      hdr=hdr, rows=rows, pic=pic)
         except (IndexError, TypeError, KeyError, struct.error) as e:
             # corrupted entropy payload desynced the parser: normalize to
             # the ValueError contract callers map to errors-as-data
             raise ValueError(f"corrupt H.264 sample ({type(e).__name__})")
-        y, c = full
-        if not with_chroma:
-            return y if full_plane else y[:sps["h"], :sps["w"]]
-        if full_plane:
-            return y, c
-        h2, w2 = (sps["h"] + 1) // 2, (sps["w"] + 1) // 2
-        return y[:sps["h"], :sps["w"]], c[:, :h2, :w2]
-    raise ValueError("no slice NAL in sample")
+    if full is None:  # last slice did not reach the bottom MB row
+        raise ValueError("picture's slices do not cover the frame")
+    y, c = full
+    if not with_chroma:
+        return y if full_plane else y[:sps["h"], :sps["w"]]
+    if full_plane:
+        return y, c
+    h2, w2 = (sps["h"] + 1) // 2, (sps["w"] + 1) // 2
+    return y[:sps["h"], :sps["w"]], c[:, :h2, :w2]

@@ -28,8 +28,9 @@ machine-checked gate (tests/test_h264_cabac.py) — but bit-exact ISO
 cross-decode of foreign encoders' streams is NOT claimed. The
 in-profile macroblock surface is now COMPLETE for single-reference
 baseline/main-shape streams; what remains out of profile is shared
-with the CAVLC decoder (multi-reference, multi-slice, high-profile
-tools — see h264.decode_sample). IN
+with the CAVLC decoder (high-profile tools — see h264.decode_sample;
+multi-reference P and row-aligned multi-slice pictures ARE in profile
+since r7, with per-slice engine init + fresh neighbour state). IN
 profile since r6: 16x8 / 8x16 / 8x8 P partitions (Table 9-37 tree +
 sub_mb_type, per-partition mvds; since r7 ALL P sub_mb_type shapes
 8x8/8x4/4x8/4x4 via the Table 9-38 tree; partitioned-B 16x8/8x16
@@ -469,7 +470,7 @@ def _ref_inc(mvs, bx, by):
     1/2; unavailable, intra, or uncommitted (this slice) count 0.
     Computed BEFORE any of the MB's motion commits — shared enc/dec."""
     a = 1 if bx > 0 and mvs.ref[by, bx - 1] > 0 else 0
-    b = 1 if by > 0 and mvs.ref[by - 1, bx] > 0 else 0
+    b = 1 if by > H._SLICE_TOP * 4 and mvs.ref[by - 1, bx] > 0 else 0
     return a + 2 * b
 
 
@@ -612,13 +613,13 @@ class _MbState:
 
     def mbt_inc(self, mx, my):
         a = self.not_i4[my, mx - 1] if mx > 0 else 0
-        b = self.not_i4[my - 1, mx] if my > 0 else 0
+        b = self.not_i4[my - 1, mx] if my > H._SLICE_TOP else 0
         return int(a) + int(b)
 
     def skip_inc(self, mx, my):
         # condTermN = !mb_skip_flag(N); unavailable -> 0
         a = 1 if mx > 0 and not self.skip[my, mx - 1] else 0
-        b = 1 if my > 0 and not self.skip[my - 1, mx] else 0
+        b = 1 if my > H._SLICE_TOP and not self.skip[my - 1, mx] else 0
         return a + b
 
     def cbp_inc(self, mx, my, blk8, cur_bits):
@@ -633,28 +634,29 @@ class _MbState:
             b = 0 if (cur_bits >> bx) & 1 else 1
         else:
             b = (0 if (self.cbp[my - 1, mx] >> (2 + bx)) & 1 else 1) \
-                if my > 0 else 0
+                if my > H._SLICE_TOP else 0
         return a + 2 * b
 
     def mvd_inc_sum(self, mx, my, comp):
         a = self.mvd[my, mx - 1, comp] if mx > 0 else 0
-        b = self.mvd[my - 1, mx, comp] if my > 0 else 0
+        b = self.mvd[my - 1, mx, comp] if my > H._SLICE_TOP else 0
         return int(a) + int(b)
 
     def cbf_inc(self, bx, by):
         a = int(self.cbf[by, bx - 1]) if bx > 0 else 0
-        b = int(self.cbf[by - 1, bx]) if by > 0 else 0
+        b = int(self.cbf[by - 1, bx]) if by > H._SLICE_TOP * 4 else 0
         return a + 2 * b
 
     def cbf_dc_inc(self, mx, my):
         a = int(self.cbf_dc[my, mx - 1]) if mx > 0 else 0
-        b = int(self.cbf_dc[my - 1, mx]) if my > 0 else 0
+        b = int(self.cbf_dc[my - 1, mx]) if my > H._SLICE_TOP else 0
         return a + 2 * b
 
 
 def _slice_header(bw, slice_type, qp, frame_num, deblock, idr,
-                  poc_lsb=None, direct_spatial=True, nrefs=1, wp=None):
-    bw.ue(0)                    # first_mb_in_slice
+                  poc_lsb=None, direct_spatial=True, nrefs=1, wp=None,
+                  first_mb=0):
+    bw.ue(first_mb)             # first_mb_in_slice (multi-slice r7)
     bw.ue(slice_type)           # 7 = I, 5 = P, 6 = B (all slices)
     bw.ue(0)                    # pps_id
     bw.u(frame_num & 0xF, 4)
@@ -698,7 +700,8 @@ def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
                      deblock: bool = False, full_recon: bool = False,
                      poc_lsb: int | None = None,
                      chroma: np.ndarray | None = None,
-                     pcm_mask: np.ndarray | None = None):
+                     pcm_mask: np.ndarray | None = None,
+                     slice_rows: int | None = None):
     """One frame -> (IDR slice RBSP, reconstructed plane), CABAC
     entropy coding. Mode decisions, transforms, and reconstruction are
     identical to encode_idr_cavlc (h264.py) — only the entropy layer
@@ -719,43 +722,50 @@ def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
     plane_w = mbw * 16
     nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
     modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
-    st = _MbState(mbw, mbh)
     csrc = H._pad_chroma(chroma, mbw, mbh, h, w)
     crec = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
     ch = (csrc, crec)
 
-    bw = H._BitWriter()
-    _slice_header(bw, 7, qp, 0, deblock, idr=True, poc_lsb=poc_lsb)
-    enc = _Enc()
-    ctx = _Ctx()
-    for my in range(mbh):
-        for mx in range(mbw):
-            smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
-            if pcm_mask is not None and pcm_mask[my, mx]:
-                _enc_mb_ipcm(enc, ctx, st, smb, csrc, plane, crec,
-                             mx, my, nnz, modes, _OFS["mbt_i"])
-            else:
-                done = False
-                if int(smb.max()) - int(smb.min()) <= 8:
-                    done = _enc_mb_i16(enc, ctx, st, smb, plane, mx, my,
-                                       qp, nnz, modes, max_coeffs,
-                                       _OFS["mbt_i"], ch)
-                if not done:
-                    _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz,
-                               modes, max_coeffs, plane_w, _OFS["mbt_i"],
-                               ch)
-            last = my == mbh - 1 and mx == mbw - 1
-            enc.terminate(1 if last else 0)
-    bw.raw(enc.to_bytes())
+    rbsps = []
+    for r0, r1 in H._slice_ranges(mbh, slice_rows):
+        H._set_slice_top(r0)
+        st = _MbState(mbw, mbh)  # per-slice CABAC neighbour state
+        bw = H._BitWriter()
+        _slice_header(bw, 7, qp, 0, deblock, idr=True, poc_lsb=poc_lsb,
+                      first_mb=r0 * mbw)
+        enc = _Enc()
+        ctx = _Ctx()
+        for my in range(r0, r1):
+            for mx in range(mbw):
+                smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16]
+                if pcm_mask is not None and pcm_mask[my, mx]:
+                    _enc_mb_ipcm(enc, ctx, st, smb, csrc, plane, crec,
+                                 mx, my, nnz, modes, _OFS["mbt_i"])
+                else:
+                    done = False
+                    if int(smb.max()) - int(smb.min()) <= 8:
+                        done = _enc_mb_i16(enc, ctx, st, smb, plane, mx, my,
+                                           qp, nnz, modes, max_coeffs,
+                                           _OFS["mbt_i"], ch)
+                    if not done:
+                        _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz,
+                                   modes, max_coeffs, plane_w, _OFS["mbt_i"],
+                                   ch)
+                last = my == r1 - 1 and mx == mbw - 1
+                enc.terminate(1 if last else 0)
+        bw.raw(enc.to_bytes())
+        rbsps.append(bytes(bw.buf))
+    H._set_slice_top(0)
     out = plane
     if deblock and qp >= 16:
         out = H._deblock_luma(plane, np.full((mbh, mbw), qp, np.int32))
         crec = H._deblock_chroma(crec, np.full((mbh, mbw), qp, np.int32))
     y = out if full_recon else out[:h, :w].copy()
+    rb = rbsps[0] if slice_rows is None else rbsps
     if chroma is None:
-        return bytes(bw.buf), y
+        return rb, y
     crop = crec if full_recon else crec[:, :(h + 1) // 2, :(w + 1) // 2].copy()
-    return bytes(bw.buf), (y, crop)
+    return rb, (y, crop)
 
 
 def encode_idr_ipcm_cabac(gray: np.ndarray,
@@ -799,7 +809,7 @@ def _enc_mb_i16(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
                 max_coeffs, mbt_base, ch):
     """I_16x16 DC attempt — same commit rule + recon as h264._encode_mb_i16,
     CABAC serialization."""
-    pred = H._pred16(plane, mx, my, 2, mx > 0, my > 0)
+    pred = H._pred16(plane, mx, my, 2, mx > 0, my > H._SLICE_TOP)
     resid = smb.astype(np.int32) - pred
     dcs = np.empty((4, 4), np.int64)
     for by in range(4):
@@ -821,7 +831,7 @@ def _enc_mb_i16(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
     csrc, crec = ch
     csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
     icp, cpred = H._pick_chroma_mode(crec, csrc_mb, mx, my,
-                                     mx > 0, my > 0)
+                                     mx > 0, my > H._SLICE_TOP)
     cbpc, comps = H._encode_chroma_mb(csrc_mb, cpred, qp, intra=True)
     _enc_mb_type_i(enc, ctx, mbt_base, st.mbt_inc(mx, my), 1 + 2 + 4 * cbpc)
     _enc_tu(enc, ctx, _OFS["chroma_mode"], (0, 3, 3), icp, 3)
@@ -910,7 +920,7 @@ def _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
     csrc, crec = ch
     csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
     icp, cpred = H._pick_chroma_mode(crec, csrc_mb, mx, my,
-                                     mx > 0, my > 0)
+                                     mx > 0, my > H._SLICE_TOP)
     _enc_tu(enc, ctx, _OFS["chroma_mode"], (0, 3, 3), icp, 3)
     cbpc, comps = H._encode_chroma_mb(csrc_mb, cpred, qp, intra=True)
     # coded_block_pattern: 4 luma bins (8x8 raster) + chroma bins
@@ -947,7 +957,8 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                    chroma: np.ndarray | None = None,
                    cref: np.ndarray | None = None,
                    motion_out: list | None = None,
-                   wp: dict | None = None):
+                   wp: dict | None = None,
+                   slice_rows: int | None = None):
     """One gray frame -> (P-slice RBSP, FULL recon plane), CABAC entropy.
     Same decisions as encode_p_cavlc: P_SKIP (mb_skip_flag=1) / motion-
     compensated P_L0_16x16 / intra (I_4x4) fallback on SAD failure.
@@ -970,7 +981,6 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
     mvs = H._MvState(mbw, mbh)
     qp_map = np.full((mbh, mbw), qp, np.int32)
-    st = _MbState(mbw, mbh)
     csrc = H._pad_chroma(chroma, mbw, mbh, h, w)
     crefs = H._ref_list(cref) if cref is not None else []
     while len(crefs) < nrefs:  # gray-stream references: flat chroma
@@ -992,15 +1002,27 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     def _wpck(ridx, ci):
         return wc[ridx][ci] if wc is not None and wc[ridx] else None
 
-    bw = H._BitWriter()
-    _slice_header(bw, 5, qp, frame_num, deblock, idr=False,
-                  poc_lsb=poc_lsb, nrefs=nrefs, wp=wp)
-    enc = _Enc()
-    ctx = _Ctx()
+    starts = dict(H._slice_ranges(mbh, slice_rows))
+    rbsps = []
+    bw = enc = ctx = st = None
+    r1 = mbh
     for my in range(mbh):
+        if my in starts:  # new slice at this MB row (multi-slice, r7)
+            if bw is not None:
+                bw.raw(enc.to_bytes())
+                rbsps.append(bytes(bw.buf))
+            H._set_slice_top(my)
+            r1 = starts[my]
+            st = _MbState(mbw, mbh)  # per-slice CABAC neighbour state
+            bw = H._BitWriter()
+            _slice_header(bw, 5, qp, frame_num, deblock, idr=False,
+                          poc_lsb=poc_lsb, nrefs=nrefs, wp=wp,
+                          first_mb=my * mbw)
+            enc = _Enc()
+            ctx = _Ctx()
         for mx in range(mbw):
             smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16].astype(np.int32)
-            last = my == mbh - 1 and mx == mbw - 1
+            last = my == r1 - 1 and mx == mbw - 1
             # --- P_SKIP candidate
             smv = mvs.skip_mv(mx, my)
             pred = H._interp_luma(srefs[0], mx * 16, my * 16, *smv)
@@ -1179,6 +1201,9 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             st.cbp[my, mx] = cbp
             enc.terminate(1 if last else 0)
     bw.raw(enc.to_bytes())
+    rbsps.append(bytes(bw.buf))
+    H._set_slice_top(0)
+    rb = rbsps[0] if slice_rows is None else rbsps
     out_plane = plane
     if deblock and qp >= 16:
         out_plane = H._deblock_luma_inter(plane, qp_map, nnz, mvs)
@@ -1186,8 +1211,8 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     if motion_out is not None:
         motion_out.append((mvs.mv.copy(), mvs.ref.copy()))
     if chroma is None:
-        return bytes(bw.buf), out_plane
-    return bytes(bw.buf), (out_plane, crec)
+        return rb, out_plane
+    return rb, (out_plane, crec)
 
 
 def _enc_b_mb_type(enc, ctx, mbt):
@@ -1310,7 +1335,8 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                    chroma: np.ndarray | None = None,
                    cref0: np.ndarray | None = None,
                    cref1: np.ndarray | None = None,
-                   col_motion=None, pocs=None, implicit_wb=False):
+                   col_motion=None, pocs=None, implicit_wb=False,
+                   slice_rows=None):
     """One gray frame -> (CABAC B-slice RBSP, FULL recon plane). Same
     decisions as h264.encode_b_cavlc (B_L0/L1/Bi 16x16, I_4x4 fallback,
     non-reference, in-loop filter off) with CABAC serialization.
@@ -1336,7 +1362,6 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
     modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
     mvs0 = H._MvState(mbw, mbh)
     mvs1 = H._MvState(mbw, mbh)
-    st = _MbState(mbw, mbh)
     csrc = H._pad_chroma(chroma, mbw, mbh, h, w)
     if cref0 is None:
         cref0 = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
@@ -1352,15 +1377,27 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
     tf = None
     if col_motion is not None:
         tf = H._temporal_fields(col_motion[0], col_motion[1], *pocs)
-    bw = H._BitWriter()
-    _slice_header(bw, 6, qp, frame_num, False, idr=False, poc_lsb=poc_lsb,
-                  direct_spatial=tf is None)
-    enc = _Enc()
-    ctx = _Ctx()
+    starts = dict(H._slice_ranges(mbh, slice_rows))
+    rbsps = []
+    bw = enc = ctx = st = None
+    r1 = mbh
     for my in range(mbh):
+        if my in starts:  # new slice at this MB row (multi-slice, r7)
+            if bw is not None:
+                bw.raw(enc.to_bytes())
+                rbsps.append(bytes(bw.buf))
+            H._set_slice_top(my)
+            r1 = starts[my]
+            st = _MbState(mbw, mbh)  # per-slice CABAC neighbour state
+            bw = H._BitWriter()
+            _slice_header(bw, 6, qp, frame_num, False, idr=False,
+                          poc_lsb=poc_lsb, direct_spatial=tf is None,
+                          first_mb=my * mbw)
+            enc = _Enc()
+            ctx = _Ctx()
         for mx in range(mbw):
             smb = src[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16].astype(np.int32)
-            last = my == mbh - 1 and mx == mbw - 1
+            last = my == r1 - 1 and mx == mbw - 1
             # --- direct first: B_SKIP when its residual is zero
             dmv0, dmv1 = H._b_direct_mvs(mvs0, mvs1, mx, my, tf)
             dpred = H._b_direct_pred(ref0_full, ref1_full, mx, my, dmv0, dmv1)
@@ -1560,15 +1597,19 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
             st.cbp[my, mx] = cbp
             enc.terminate(1 if last else 0)
     bw.raw(enc.to_bytes())
+    rbsps.append(bytes(bw.buf))
+    H._set_slice_top(0)
+    rb = rbsps[0] if slice_rows is None else rbsps
     if chroma is None:
-        return bytes(bw.buf), plane
-    return bytes(bw.buf), (plane, crec)
+        return rb, plane
+    return rb, (plane, crec)
 
 
 # ------------------------------------------------------ decoder
 def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                  cref=None, cref2=None,
-                 col_motion=None, pocs=None, motion_out=None):
+                 col_motion=None, pocs=None, motion_out=None,
+                 rows=None, pic=None):
     """CABAC slice-data decode; `r` is positioned right after the parsed
     slice header (h264._parse_slice_header). Returns (FULL luma plane,
     FULL (2, H/2, W/2) chroma planes). B slices (hdr['is_b']) take both
@@ -1601,13 +1642,20 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
     ctx = _Ctx()
     mbw, mbh = sps["mbw"], sps["mbh"]
     qp = hdr["qp"]
-    plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
+    r0, r1 = rows if rows is not None else (0, mbh)
+    H._set_slice_top(r0)
     plane_w = mbw * 16
-    nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
-    modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
-    qp_map = np.zeros((mbh, mbw), np.int32)
-    mvs = H._MvState(mbw, mbh) if (is_p or is_b) else None
-    mvs1 = H._MvState(mbw, mbh) if is_b else None
+    if pic:  # shared picture state across this picture's slices (r7)
+        plane, nnz = pic["plane"], pic["nnz"]
+        modes, qp_map = pic["modes"], pic["qp_map"]
+        mvs, mvs1 = pic["mvs"], pic["mvs1"]
+    else:
+        plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
+        nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
+        modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
+        qp_map = np.zeros((mbh, mbw), np.int32)
+        mvs = H._MvState(mbw, mbh) if (is_p or is_b) else None
+        mvs1 = H._MvState(mbw, mbh) if is_b else None
     # L0 reference list (multi-reference P slices, r7); B stays 1+1
     refs = H._ref_list(ref) if ref is not None else None
     nrefs = hdr.get("nrefs", 1)
@@ -1625,9 +1673,15 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
             crefs.append(np.full((2, mbh * 8, mbw * 8), 128, np.uint8))
     if is_b and cref2 is None:
         cref2 = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
-    cc = H._ChromaState(mbw, mbh, ref=crefs, ref2=cref2)
-    st = _MbState(mbw, mbh)
-    for my in range(mbh):
+    if pic:
+        cc = pic["cc"]
+    else:
+        cc = H._ChromaState(mbw, mbh, ref=crefs, ref2=cref2)
+        if pic is not None:
+            pic.update(plane=plane, nnz=nnz, modes=modes, qp_map=qp_map,
+                       mvs=mvs, mvs1=mvs1, cc=cc)
+    st = _MbState(mbw, mbh)  # per-slice CABAC neighbour state (gated)
+    for my in range(r0, r1):
         for mx in range(mbw):
             if is_b:
                 if dec.decision(ctx, _OFS["mb_skip_b"] + st.skip_inc(mx, my)):
@@ -1649,7 +1703,7 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                     st.not_i4[my, mx] = 1
                     qp_map[my, mx] = qp
                     eos = dec.terminate()
-                    last = my == mbh - 1 and mx == mbw - 1
+                    last = my == r1 - 1 and mx == mbw - 1
                     if eos != (1 if last else 0):
                         raise ValueError("end_of_slice_flag desync")
                     continue
@@ -1679,7 +1733,7 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                                      tf)
                 qp_map[my, mx] = qp
                 eos = dec.terminate()
-                last = my == mbh - 1 and mx == mbw - 1
+                last = my == r1 - 1 and mx == mbw - 1
                 if eos != (1 if last else 0):
                     raise ValueError("end_of_slice_flag desync")
                 continue
@@ -1704,7 +1758,7 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                     st.not_i4[my, mx] = 1
                     qp_map[my, mx] = qp
                     if dec.terminate():
-                        if not (my == mbh - 1 and mx == mbw - 1):
+                        if not (my == r1 - 1 and mx == mbw - 1):
                             raise ValueError("early end_of_slice_flag")
                     continue
                 st.skip[my, mx] = 0
@@ -1751,7 +1805,7 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                     st.cbf_dc[my, mx] = 1
                     qp_map[my, mx] = 0  # 8.7: I_PCM filters with QP 0
                     eos = dec.terminate()
-                    if eos != (1 if my == mbh - 1 and mx == mbw - 1 else 0):
+                    if eos != (1 if my == r1 - 1 and mx == mbw - 1 else 0):
                         raise ValueError("end_of_slice_flag desync")
                     continue
                 if mbt == 0:
@@ -1762,9 +1816,12 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
                                      nnz, modes, cc)
             qp_map[my, mx] = qp
             eos = dec.terminate()
-            last = my == mbh - 1 and mx == mbw - 1
+            last = my == r1 - 1 and mx == mbw - 1
             if eos != (1 if last else 0):
                 raise ValueError("end_of_slice_flag desync")
+    H._set_slice_top(0)
+    if r1 < mbh:
+        return None  # more slices of this picture follow (r7)
     if hdr["do_filter"] and int(qp_map.max()) + max(hdr["off_a"], hdr["off_b"], 0) >= 16:
         if is_p or is_b:
             # B pictures route through the inter filter with the L0 motion
@@ -1842,7 +1899,7 @@ def _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz, modes, plane_w, cc,
         plane[py:py + 4, px:px + 4] = rec.astype(np.uint8)
     cres = _dec_chroma_residual(dec, ctx, cbpc, qp)
     for ci in range(2):
-        cpred = H._pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0, my > 0)
+        cpred = H._pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0, my > H._SLICE_TOP)
         cc.store(ci, mx, my, cpred + cres[ci])
     st.not_i4[my, mx] = 0
     st.cbp[my, mx] = cbp
@@ -1864,7 +1921,7 @@ def _dec_mb_i16(dec, ctx, st, mbt, plane, mx, my, qp, nnz, modes, cc):
     st.cbf_dc[my, mx] = 1 if any(scan) else 0
     dc_lv = H._unscan16(scan)
     dcv = H._i16_dc_dequant(dc_lv, qp)
-    pred = H._pred16(plane, mx, my, pm16, mx > 0, my > 0)
+    pred = H._pred16(plane, mx, my, pm16, mx > 0, my > H._SLICE_TOP)
     out = pred.copy()
     for blk in range(16):
         ox, oy = H._BLK_XY[blk]
@@ -1887,7 +1944,7 @@ def _dec_mb_i16(dec, ctx, st, mbt, plane, mx, my, qp, nnz, modes, cc):
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
     cres = _dec_chroma_residual(dec, ctx, cbpc, qp)
     for ci in range(2):
-        cpred = H._pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0, my > 0)
+        cpred = H._pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0, my > H._SLICE_TOP)
         cc.store(ci, mx, my, cpred + cres[ci])
     st.not_i4[my, mx] = 1
     st.cbp[my, mx] = 0xF if cbpl else 0

@@ -488,7 +488,8 @@ def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
                    gop: int | None = None, entropy: str = "cavlc",
                    bframes: int = 0, chromas: list | None = None,
                    direct: str = "spatial", nrefs: int = 1,
-                   wp: bool = False, implicit_wb: bool = False) -> bytes:
+                   wp: bool = False, implicit_wb: bool = False,
+                   slice_rows: int | None = None) -> bytes:
     """Gray frames -> single-track 'avc1' MP4 whose samples are REAL
     H.264 (..h264.encode_frames): bit-exact I_PCM when qp is None,
     CAVLC or CABAC (entropy=) at the given qp otherwise; gop=N emits a
@@ -504,7 +505,10 @@ def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
     prediction: per-slice least-squares gain/offset vs each reference,
     so fades collapse to skip runs. implicit_wb=True (B GOPs, r7)
     codes weighted_bipred_idc=2: B bi-predictions blend with the
-    POC-derived implicit weights (8.4.2.3.1, the x264 default)."""
+    POC-derived implicit weights (8.4.2.3.1, the x264 default).
+    slice_rows=N (r7, I/P GOPs) emits MULTI-SLICE pictures: one slice
+    NAL per N macroblock rows, the hardware-encoder/error-resilience
+    shape — samples then carry several length-prefixed NALs."""
     from . import h264 as _h264
 
     h, w = np.asarray(frames[0]).shape[:2]
@@ -513,7 +517,8 @@ def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
             raise ValueError("bframes needs qp and gop")
         avcc, samples, disp = _h264.encode_frames_bgop(
             frames, qp=qp, gop=gop, bframes=bframes, entropy=entropy,
-            chromas=chromas, direct=direct, implicit_wb=implicit_wb)
+            chromas=chromas, direct=direct, implicit_wb=implicit_wb,
+            slice_rows=slice_rows)
         timescale = 90000
         delta = timescale // fps
         shift = max((i - d) * delta for i, d in enumerate(disp))
@@ -523,7 +528,8 @@ def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
                              ctts_offsets=offsets)
     avcc, samples = _h264.encode_frames(frames, qp=qp, gop=gop,
                                         entropy=entropy, chromas=chromas,
-                                        nrefs=nrefs, wp=wp)
+                                        nrefs=nrefs, wp=wp,
+                                        slice_rows=slice_rows)
     return _assemble_mp4(samples, w, h, fps, fourcc=b"avc1", depth=24,
                          entry_extra=_box(b"avcC", avcc))
 
