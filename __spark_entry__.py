@@ -1513,14 +1513,19 @@ def q_h264_frames(spark, sf_dir):
             for i in b["i"]:
                 i = int(i)
                 n = 2 + i % 3  # 2..4 frames at 1 fps -> duration n seconds
-                frames = [((np.mgrid[0:16, 0:16][1] * 7 + i + f) % 251).astype(np.uint8)
+                kind = i % 4  # I_PCM / CAVLC / CABAC / B-GOP
+                # the i >= 16 P legs are 32 px tall (2 MB rows) and code
+                # MULTI-SLICE pictures (slice_rows=1, r7): one NAL per MB
+                # row, availability cut at each slice top
+                mslice = kind in (1, 2) and i >= 16
+                fh = 32 if mslice else 16
+                frames = [((np.mgrid[0:fh, 0:16][1] * 7 + i + f) % 251).astype(np.uint8)
                           for f in range(n)]
-                cy, cx = np.mgrid[0:8, 0:8]
+                cy, cx = np.mgrid[0:fh // 2, 0:8]
                 chromas = [np.stack([
                     ((cx * 11 + i * 3 + f * 5) % 245).astype(np.uint8),
                     ((cy * 17 + i * 7 + 40) % 245).astype(np.uint8),
                 ]) for f in range(n)]
-                kind = i % 4  # I_PCM / CAVLC / CABAC / B-GOP
                 if kind == 0:
                     data = _mp4.write_h264_mp4(
                         frames, fps=1,
@@ -1540,7 +1545,8 @@ def q_h264_frames(spark, sf_dir):
                         frames, fps=1, qp=8, gop=4 if i >= 12 else 2,
                         nrefs=2 if i >= 12 else 1,
                         entropy="cabac" if kind == 2 else "cavlc",
-                        chromas=chromas)
+                        chromas=chromas,
+                        slice_rows=1 if mslice else None)
                 rows.append({"video_id": f"h{i:04d}", "bytes": data})
             yield pd.DataFrame(rows, columns=["video_id", "bytes"])
 
@@ -1553,7 +1559,8 @@ SQL_H264_FRAMES = """
 SELECT printf('h%04d', i) AS video_id,
        CAST(f AS INT) AS frame_idx,
        CAST(f * 1000 AS BIGINT) AS ts_ms,
-       16 AS fw, 16 AS fh
+       16 AS fw,
+       CASE WHEN i % 4 IN (1, 2) AND i >= 16 THEN 32 ELSE 16 END AS fh
 FROM range(24) t(i)
 CROSS JOIN LATERAL (SELECT UNNEST(range(2 + i % 3)) AS f) fr
 """
@@ -2148,8 +2155,10 @@ def q_aac_features(spark, sf_dir):
     sine clips AAC-encoded into mp4a MP4s on executors with the in-repo
     codec (..aac), rotating mono-SCE / stereo-CPE x long / EIGHT_SHORT
     windows (i mod 4) with per-band MID/SIDE stereo on every other
-    stereo clip, INTENSITY stereo on the i%8==7 leg and TNS over a
-    transient-bearing clip on the i%8==4 leg (r7),
+    stereo clip, INTENSITY stereo on the i%8==7 leg, TNS over a
+    transient-bearing clip on the i%8==4 leg, and a 5.1 MULTICHANNEL
+    clip (SCE+CPE+CPE+LFE, short full-band windows over a long-window
+    LFE) on the i%8==5 leg (r7),
     entropy-decoded back on the feature path
     (rows-only; ~60 dB SNR + WAV feature parity in tests/test_aac.py)."""
     import numpy as np
@@ -2173,7 +2182,13 @@ def q_aac_features(spark, sf_dir):
                     for p in range(3000, sig.size - 300, 9600):
                         sig[p:p + 300] += (rng.normal(0, 0.4, 300)
                                            * np.exp(-np.arange(300) / 40.0))
-                if i % 4 >= 2:  # stereo CPE
+                if i % 8 == 5:  # 5.1 multichannel (r7): SCE+CPE+CPE+LFE
+                    sig = np.stack(
+                        [sig]
+                        + [0.35 * np.sin(2 * np.pi * (330 + 40 * c + 10 * i)
+                                         * t) for c in range(4)]
+                        + [0.3 * np.sin(2 * np.pi * 40 * t)], axis=1)
+                elif i % 4 >= 2:  # stereo CPE
                     sig = np.stack(
                         [sig, 0.4 * np.sin(2 * np.pi * (440 + 20 * i) * t)],
                         axis=1)
