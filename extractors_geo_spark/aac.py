@@ -51,8 +51,13 @@ Scope and honesty (same contract as ..mp3, VERDICT r03 #6 / r04 #6):
   LFE is SCE syntax under id_syn_ele 3, long windows only) with
   per-element window sequences and per-CPE M/S masks; decode validates
   the element sequence against the config and downmix excludes the
-  LFE. Out of profile (clear ValueError, never silent garbage): LTP,
-  pulse data, gain control, >6 channels / PCE-configured layouts
+  LFE. Since r7 PULSE DATA (4.6.3): long-window frames can move the
+  strongest quantized line's bulk into up to four pulse amplitudes
+  (encoder policy: one pulse, floor(|q|/2) capped at 15, sign-stable);
+  the decoder re-adds amplitudes to the QUANTIZED values before
+  dequantization, exactly as 4.6.3.3 directs. Out of profile (clear
+  ValueError, never silent garbage): LTP,
+  gain control, >6 channels / PCE-configured layouts
   (channelConfiguration 0), TNS on short windows / downward /
   coef_compress, combined M/S+intensity/PNS/TNS, intensity/PNS/TNS on
   >2-channel streams — exactly the boundary the encoder never crosses.
@@ -347,7 +352,8 @@ def encode(pcm: np.ndarray, rate: int = 48000,
            intensity: bool = False,
            adaptive: bool = False,
            pns: bool = False,
-           tns: bool = False) -> tuple[bytes, list[bytes]]:
+           tns: bool = False,
+           pulse: bool = False) -> tuple[bytes, list[bytes]]:
     """PCM in [-1, 1] -> (AudioSpecificConfig, raw AUs).
     Mono (n,) emits SCE elements; stereo (n, 2) emits CPE
     (common_window). ms=True (r7) enables per-band MID/SIDE stereo
@@ -456,6 +462,10 @@ def encode(pcm: np.ndarray, rate: int = 48000,
             pns_maps.append(row)
     if tns and (ms or intensity or pns):
         raise ValueError("combined TNS + M/S/intensity/PNS is out of profile")
+    if pulse and (pns or intensity or tns):
+        raise ValueError("combined pulse + PNS/intensity/TNS is out of profile")
+    if pulse and short:
+        raise ValueError("pulse data on short windows is forbidden (4.6.3)")
     tns_maps = None
     if tns:
         # per frame: per channel None or the quantized reflection-coef
@@ -533,7 +543,8 @@ def encode(pcm: np.ndarray, rate: int = 48000,
                       pns_map=None if pns_maps is None else pns_maps[i],
                       tns_map=None if tns_maps is None else tns_maps[i],
                       chan_seqs=[0 if c == lfe_idx else seqs[i]
-                                 for c in range(len(chans))])
+                                 for c in range(len(chans))],
+                      do_pulse=pulse)
            for i in range(n_frames)]
     return _audio_specific_config(rate, len(chans)), aus
 
@@ -684,6 +695,35 @@ def _quantize_channel(spec, short):
     return (first_sf if first_sf is not None else SF_OFFSET), groups
 
 
+def _extract_pulses(bands):
+    """Deterministic pulse policy (4.6.3, r7): take the strongest
+    quantized line (|q| >= 9) whose in-band offset fits the 5-bit
+    field, move floor(|q|/2) of its magnitude (cap 15, keeping the
+    sign: |q'| >= 1 so the decoder's away-from-zero re-add restores it
+    exactly) into pulse_data, and re-derive the band's codebook over
+    the smaller residual. Returns (start_sfb, [(offset, amp)]) or
+    None; mutates bands in place."""
+    best = None
+    for b, bd in enumerate(bands):
+        if bd["cb"] in (0, 13, 14, 15) or bd.get("sf") is None:
+            continue
+        q = bd["q"]
+        k = int(np.argmax(np.abs(q)))
+        mag = abs(int(q[k]))
+        if mag >= 9 and k <= 31 and (best is None or mag > best[2]):
+            best = (b, k, mag)
+    if best is None:
+        return None
+    b, k, mag = best
+    amp = min(15, mag - 1, mag // 2)
+    if amp < 1:
+        return None
+    q = bands[b]["q"]
+    q[k] -= amp if q[k] > 0 else -amp
+    bands[b]["cb"] = _book_for(int(np.max(np.abs(q))))
+    return (b, [(k, amp)])
+
+
 def _write_ics_info(bw, seq):
     """seq: 0 ONLY_LONG / 1 LONG_START / 2 EIGHT_SHORT / 3 LONG_STOP
     (start/stop share the long band layout, r7)."""
@@ -730,7 +770,8 @@ def _encode_au(chan_specs: list[np.ndarray], seq: int,
                is_map: dict | None = None,
                pns_map: list | None = None,
                tns_map: list | None = None,
-               chan_seqs: list | None = None) -> bytes:
+               chan_seqs: list | None = None,
+               do_pulse: bool = False) -> bytes:
     """One frame's per-channel spectra -> raw_data_block. The element
     layout follows _ELEMENT_PLAN[len(chan_specs)] (r7 multichannel:
     configs 3..6 emit SCE/CPE/LFE sequences; LFE is SCE syntax under
@@ -745,6 +786,13 @@ def _encode_au(chan_specs: list[np.ndarray], seq: int,
     bw = _BitWriter()
     qdata = [_quantize_channel(s, chan_seqs[ci] == 2)
              for ci, s in enumerate(chan_specs)]
+    pulse_map = [None] * len(chan_specs)
+    if do_pulse:
+        # per-channel pulse extraction (long windows only, 4.6.3):
+        # mutates the quantized bands, re-deriving their codebooks
+        for ci, (_gg, groups) in enumerate(qdata):
+            if chan_seqs[ci] != 2:
+                pulse_map[ci] = _extract_pulses(groups[0])
     if pns_map:
         # per-channel PNS bands ride the section data as codebook 13
         # with the noise energy in the scalefactor slot (4.6.13)
@@ -788,21 +836,23 @@ def _encode_au(chan_specs: list[np.ndarray], seq: int,
                 bw.u(gg, 8)
                 _write_stream_tail(bw, gg, groups, eshort,
                                    tns=None if tns_map is None
-                                   else tns_map[cj])
+                                   else tns_map[cj],
+                                   pulse=pulse_map[cj])
             cpe_i += 1
         else:   # SCE / LFE: individual_channel_stream, gg before ics_info
             gg, groups = qdata[ci]
             bw.u(gg, 8)
             _write_ics_info(bw, eseq)
             _write_stream_tail(bw, gg, groups, eshort,
-                               tns=None if tns_map is None else tns_map[ci])
+                               tns=None if tns_map is None else tns_map[ci],
+                               pulse=pulse_map[ci])
         ci += width
     bw.u(7, 3)   # id_syn_ele TERM
     bw.align()
     return bytes(bw.buf)
 
 
-def _write_stream_tail(bw, gg, groups, short, tns=None):
+def _write_stream_tail(bw, gg, groups, short, tns=None, pulse=None):
     """section_data + scalefactors + flags + spectral (everything in
     individual_channel_stream after global_gain/ics_info). tns: None or
     the quantized reflection-coef indices of the single long-window
@@ -861,7 +911,16 @@ def _write_stream_tail(bw, gg, groups, short, tns=None):
             ln, code = _SF_ENC[d]
             bw.u(code, ln)
             prev = bd["sf"]
-    bw.u(0, 1)   # pulse_data_present
+    if pulse is None:
+        bw.u(0, 1)   # pulse_data_present
+    else:  # pulse_data (4.6.3, r7): long windows only
+        start_sfb, pulses = pulse
+        bw.u(1, 1)
+        bw.u(len(pulses) - 1, 2)   # number_pulse_minus1
+        bw.u(start_sfb, 6)         # pulse_start_sfb
+        for off, amp in pulses:
+            bw.u(off, 5)
+            bw.u(amp, 4)
     if tns is None:
         bw.u(0, 1)   # tns_data_present
     else:
@@ -1032,8 +1091,15 @@ def _read_channel_stream(r, info, gg=None, allow_intensity=False):
         sfs.append(row)
         is_bands.append(is_row)
         pns_bands.append(pns_row)
-    if r.u(1):
-        raise ValueError("pulse data: out of decode profile")
+    pulse = None
+    if r.u(1):  # pulse_data (4.6.3, r7): long windows only
+        if info["short"]:
+            raise ValueError("pulse data on short windows is forbidden")
+        n_pulse = r.u(2) + 1
+        pulse_start = r.u(6)
+        if pulse_start >= N_SFB:
+            raise ValueError("pulse_start_sfb out of range")
+        pulse = (pulse_start, [(r.u(5), r.u(4)) for _ in range(n_pulse)])
     tns_filt = None
     if r.u(1):  # tns_data (4.6.9, r7): single upward long-window filter
         if info["short"]:
@@ -1058,9 +1124,13 @@ def _read_channel_stream(r, info, gg=None, allow_intensity=False):
                 tns_filt = (length, idx)
     if r.u(1):
         raise ValueError("gain control: out of decode profile")
-    # spectral_data
+    # spectral_data; with pulse data the quantized lines are assembled
+    # first (4.6.3.3 adds pulse amplitudes to the QUANTIZED values,
+    # before dequantization), so those bands dequantize after the loop
     n_windows = sum(groups)
     coeffs = np.zeros((n_windows, bins))
+    qspec = np.zeros(bins, np.int64) if pulse is not None else None
+    band_sf = {}
     w0 = 0
     for g, wins in enumerate(groups):
         for b in range(max_sfb):
@@ -1078,9 +1148,30 @@ def _read_channel_stream(r, info, gg=None, allow_intensity=False):
             if cb in (0, 14, 15):
                 continue  # no spectral data (zero / intensity)
             vals = _read_band(r, cb, wins * (hi - lo))
+            if qspec is not None:  # pulse frames are long: wins == 1
+                qspec[lo:hi] = vals
+                band_sf[b] = sfs[g][b]
+                continue
             deq = _dequant_band(np.asarray(vals, np.int64), sfs[g][b])
             coeffs[w0:w0 + wins, lo:hi] = deq.reshape(wins, hi - lo)
         w0 += wins
+    if qspec is not None:
+        start, pulses = pulse
+        k = SWB_OFFSETS[start]
+        for off, amp in pulses:
+            k += off
+            if k >= FRAME:
+                raise ValueError("pulse position out of range")
+            kb = int(np.searchsorted(SWB_OFFSETS, k, side="right")) - 1
+            if kb not in band_sf:
+                # a pulse in a band without coded spectrum has no
+                # scalefactor to dequantize under — desynced stream
+                raise ValueError("pulse in an uncoded scalefactor band")
+            # 4.6.3.3: amplitude joins the quantized value away from zero
+            qspec[k] += amp if qspec[k] > 0 else -amp
+        for b, sf in band_sf.items():
+            lo, hi = SWB_OFFSETS[b], SWB_OFFSETS[b + 1]
+            coeffs[0, lo:hi] = _dequant_band(qspec[lo:hi], sf)
     if tns_filt is not None:
         _tns_synthesize(coeffs, swb, max_sfb, tns_filt[0], tns_filt[1])
     return coeffs, is_bands

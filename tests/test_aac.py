@@ -709,3 +709,53 @@ def test_multichannel_mp4_container_and_features(spark):
     assert len(rows) == 1
     assert abs(rows[0]["duration_s"] - 24576 / 48000) < 1e-6  # 24 AUs
     assert all(np.isfinite(rows[0]["features"]))
+
+
+# ------------------------------------------------------- r7: pulse data
+def test_pulse_data_roundtrip():
+    """pulse=True moves the strongest quantized line into pulse_data;
+    the decoder re-adds it in the quantized domain, so the stream
+    decodes IDENTICALLY to the pulse-free encode (same sf, same total
+    quantized values) while the spectral payload shrinks."""
+    rate = 48000
+    t = np.arange(rate // 2) / rate
+    # one dominant tone -> one dominant spectral line per frame
+    sig = 0.7 * np.sin(2 * np.pi * 1000 * t) \
+        + 0.05 * np.sin(2 * np.pi * 3000 * t)
+    asc, aus = aac.encode(sig, rate, pulse=True)
+    asc0, aus0 = aac.encode(sig, rate)
+    # at least one AU actually carries pulse_data (streams differ)
+    assert any(a != b for a, b in zip(aus, aus0))
+    pcm, _ = aac.decode(aus, asc)
+    pcm0, _ = aac.decode(aus0, asc0)
+    np.testing.assert_allclose(pcm, pcm0, atol=1e-12)
+    assert _snr(sig, pcm) >= 55.0
+    # stereo + multichannel compose
+    st = np.stack([sig, 0.6 * np.sin(2 * np.pi * 700 * t)], axis=1)
+    asc, aus = aac.encode(st, rate, pulse=True)
+    pcm, _ = aac.decode(aus, asc, downmix=False)
+    assert _snr(st[:, 0], pcm[:, 0]) >= 55.0
+    assert _snr(st[:, 1], pcm[:, 1]) >= 55.0
+
+
+def test_pulse_boundaries_and_fuzz():
+    import random
+
+    rate = 48000
+    sig = 0.7 * np.sin(2 * np.pi * 1000 * np.arange(8192) / rate)
+    with pytest.raises(ValueError, match="short"):
+        aac.encode(sig, rate, pulse=True, short=True)
+    with pytest.raises(ValueError, match="pulse"):
+        aac.encode(sig, rate, pulse=True, pns=True)
+    with pytest.raises(ValueError, match="pulse"):
+        aac.encode(sig, rate, pulse=True, tns=True)
+    asc, aus = aac.encode(sig, rate, pulse=True)
+    random.seed(41)
+    for _ in range(200):
+        a = bytearray(aus[len(aus) // 2])
+        for _k in range(random.randint(1, 6)):
+            a[random.randrange(len(a))] = random.randrange(256)
+        try:
+            aac.decode([bytes(a)], asc)
+        except ValueError:
+            pass
