@@ -1493,7 +1493,9 @@ def q_h264_frames(spark, sf_dir):
     per-partition ref_idx_l0, r7);
     IBBP GOPs with B slices + ctts display reordering (r6 —
     bi-prediction, 2-deep DPB; the i//8-odd B legs use TEMPORAL
-    direct, 8.4.1.2.3 POC scaling, r7). Since r7 every clip is
+    direct, 8.4.1.2.3 POC scaling, r7; the CAVLC i=9/11 legs code the
+    High-profile 8x8 TRANSFORM, and the i>=16 P legs are 32-px
+    MULTI-SLICE pictures, r7). Since r7 every clip is
     4:2:0 COLOR: chroma planes code real residuals (2x2 Hadamard DC +
     AC, intra chroma prediction, eighth-pel chroma MC) in both entropy
     modes; I_PCM carries raw Cb/Cr. decode==recon bit-exactness for
@@ -1541,12 +1543,16 @@ def q_h264_frames(spark, sf_dir):
                     # i >= 12 clips code multi-reference P GOPs (r7):
                     # gop 4 keeps 2 refs live, every inter partition
                     # carries ref_idx_l0
+                    # the CAVLC 8<=i<12 legs code the High-profile 8x8
+                    # transform (r7): profile 100, per-MB adaptive
+                    # transform_size_8x8_flag
                     data = _mp4.write_h264_mp4(
                         frames, fps=1, qp=8, gop=4 if i >= 12 else 2,
                         nrefs=2 if i >= 12 else 1,
                         entropy="cabac" if kind == 2 else "cavlc",
                         chromas=chromas,
-                        slice_rows=1 if mslice else None)
+                        slice_rows=1 if mslice else None,
+                        t8x8=kind == 1 and 8 <= i < 12)
                 rows.append({"video_id": f"h{i:04d}", "bytes": data})
             yield pd.DataFrame(rows, columns=["video_id", "bytes"])
 

@@ -42,7 +42,20 @@ headers, avcC records for MP4 'avc1' tracks), in both entropy modes
    with no extra syntax, composable with spatial/temporal direct and
    both entropy coders.
 
-7. **Multi-slice pictures** (r7): slices covering whole MB rows
+7. **High-profile 8x8 transform** (r7, CAVLC): profile_idc 100 SPS
+   (4:2:0, 8-bit, flat scaling), PPS transform_8x8_mode_flag, per-MB
+   transform_size_8x8_flag on 16x16/16x8/8x16 (and all-8x8-sub P_8x8)
+   inter macroblocks with a coefficient-count selection gate, the 8x8
+   integer transform as the EXACT basis-matrix product (the truncating
+   fast butterflies are not reproduced — in-repo convention, shared
+   both sides) with quant/dequant tables DERIVED numerically from the
+   basis norms (they reproduce the ISO LevelScale8x8 row
+   [20,18,32,19,25,24]), and CAVLC 8x8 residuals as the spec's four
+   interleaved 4x4 runs over the 8x8 zigzag. Out of the 8x8 profile:
+   I_8x8 intra prediction, CABAC cat-5 residuals, 8x8 + in-loop
+   deblocking, 8x8 in B slices (all clear ValueErrors).
+
+8. **Multi-slice pictures** (r7): slices covering whole MB rows
    (first_mb_in_slice = row * PicWidthInMbs), the hardware-encoder /
    error-resilience shape — one NAL per slice in the sample, neighbour
    availability (intra prediction, nC contexts, MV prediction, CABAC
@@ -53,7 +66,8 @@ headers, avcC records for MP4 'avc1' tracks), in both entropy modes
 
 Decode scope and honesty notes:
 - Remaining out-of-scope shapes raise a clear ValueError: high-profile
-  SPS (8x8 transform), FMO, slices at non-row-aligned first_mb
+  tools beyond the 8x8 transform above (I_8x8 intra, scaling matrices,
+  >8-bit, 4:2:2/4:4:4), FMO, slices at non-row-aligned first_mb
   offsets, SP/SI slices, EXPLICIT weighted bi-prediction
   (weighted_bipred_idc 1; implicit idc 2 — the x264 default — and
   single-list P weighting ARE in scope), ref-pic-list modification,
@@ -412,10 +426,16 @@ def _sps(w: int, h: int, profile: int = 66, bpoc: bool = False,
     mbw = -(-w // 16)
     mbh = -(-h // 16)
     bw = _BitWriter()
-    bw.u(profile, 8)   # profile_idc: 66 Baseline / 77 Main (CABAC/B)
+    bw.u(profile, 8)   # profile_idc: 66 Baseline / 77 Main / 100 High (r7)
     bw.u(0, 8)    # constraint flags + reserved
     bw.u(20, 8)   # level_idc 2.0
     bw.ue(0)      # sps_id
+    if profile == 100:  # High-profile SPS extras (7.3.2.1.1, r7)
+        bw.ue(1)  # chroma_format_idc: 4:2:0
+        bw.ue(0)  # bit_depth_luma_minus8
+        bw.ue(0)  # bit_depth_chroma_minus8
+        bw.u(0, 1)  # qpprime_y_zero_transform_bypass
+        bw.u(0, 1)  # seq_scaling_matrix_present (flat 16 scaling)
     bw.ue(0)      # log2_max_frame_num_minus4 -> frame_num is u(4)
     if bpoc:
         # B-enabled streams carry explicit picture order (display can
@@ -448,7 +468,7 @@ def _sps(w: int, h: int, profile: int = 66, bpoc: bool = False,
 
 
 def _pps(deblock_ctrl: bool = False, cabac: bool = False,
-         wp: bool = False, wbidc: int = 0) -> bytes:
+         wp: bool = False, wbidc: int = 0, t8x8: bool = False) -> bytes:
     bw = _BitWriter()
     bw.ue(0)      # pps_id
     bw.ue(0)      # sps_id
@@ -465,6 +485,10 @@ def _pps(deblock_ctrl: bool = False, cabac: bool = False,
     bw.u(1 if deblock_ctrl else 0, 1)  # deblocking_filter_control_present
     bw.u(0, 1)    # constrained_intra_pred
     bw.u(0, 1)    # redundant_pic_cnt_present
+    if t8x8:  # PPS extension (7.3.2.2 tail, High profile, r7)
+        bw.u(1, 1)   # transform_8x8_mode_flag
+        bw.u(0, 1)   # pic_scaling_matrix_present
+        bw.se(0)     # second_chroma_qp_index_offset
     bw.rbsp_trailing()
     return bytes(bw.buf)
 
@@ -478,6 +502,104 @@ _CF = np.array([[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
 # Raster 4x4 of V / MF by coefficient class
 _V4 = [np.array([_V[m][c] for c in _POS_CLASS], np.int32).reshape(4, 4)
        for m in range(6)]
+
+
+# ----------------------------------------- 8x8 transform (High profile, r7)
+# The spec 8x8 basis (8.5.13's butterflies compute exactly these rows in
+# full precision; the in-repo convention uses the EXACT integer matrix
+# product instead of the truncating fast butterflies — shared by encoder
+# and decoder, and bit-exact ISO cross-decode is not claimed anyway, see
+# the module honesty notes).
+_C8 = np.array([
+    [8, 8, 8, 8, 8, 8, 8, 8],
+    [12, 10, 6, 3, -3, -6, -10, -12],
+    [8, 4, -4, -8, -8, -4, 4, 8],
+    [10, -3, -12, -6, 6, 12, 3, -10],
+    [8, -8, -8, 8, 8, -8, -8, 8],
+    [6, -12, 3, 10, -10, -3, 12, -6],
+    [4, -8, 8, -4, -4, 8, -8, 4],
+    [3, -6, 10, -12, 12, -10, 6, -3]], np.int64)
+# basis norms are {512, 578, 320}; the quant/dequant tables divide by
+# sqrt(n_i * n_j) so quantization is uniform in the orthonormal domain —
+# derived NUMERICALLY from the matrix rather than transcribed (the
+# derivation reproduces the ISO LevelScale8x8 row [20,18,32,19,25,24]
+# where rounding agrees; closure is asserted in tests/test_h264.py)
+_N8 = np.sqrt(np.outer(np.diag(_C8 @ _C8.T), np.diag(_C8 @ _C8.T)))
+_MF8 = [np.round((1 << 22) / (0.625 * 2 ** (m / 6) * _N8)).astype(np.int64)
+        for m in range(6)]
+_V8 = [np.round(0.625 * 2 ** (m / 6) * (1 << 14) / _N8).astype(np.int64)
+       for m in range(6)]
+
+
+def _zigzag8() -> list:
+    order, i, j = [], 0, 0
+    for _ in range(64):
+        order.append(i * 8 + j)
+        if (i + j) % 2 == 0:
+            if j == 7:
+                i += 1
+            elif i == 0:
+                j += 1
+            else:
+                i, j = i - 1, j + 1
+        else:
+            if i == 7:
+                j += 1
+            elif j == 0:
+                i += 1
+            else:
+                i, j = i + 1, j - 1
+    return order
+
+
+_ZZ8 = np.array(_zigzag8())
+
+
+def _fwd8(resid: np.ndarray) -> np.ndarray:
+    return _C8 @ resid.astype(np.int64) @ _C8.T
+
+
+def _quant8(w: np.ndarray, qp: int) -> np.ndarray:
+    qbits = 22 + qp // 6
+    f = (1 << qbits) // 6  # inter dead zone (8x8 codes inter residual)
+    return (np.sign(w) * ((np.abs(w) * _MF8[qp % 6] + f) >> qbits)
+            ).astype(np.int64)
+
+
+def _dequant8(q: np.ndarray, qp: int) -> np.ndarray:
+    return (q.astype(np.int64) * _V8[qp % 6]) << (qp // 6)
+
+
+def _inv8(wd: np.ndarray) -> np.ndarray:
+    return (_C8.T @ wd @ _C8 + (1 << 13)) >> 14
+
+
+def _scan8_sub(q8: np.ndarray) -> list:
+    """8x8 quantized block -> four 16-coeff interleaved runs (8.5.6
+    shape: CAVLC codes an 8x8 block as 4 interleaved 4x4 residuals over
+    the 8x8 zigzag scan: run k takes scan positions 4*n + k)."""
+    flat = q8.reshape(-1)[_ZZ8]
+    return [flat[k::4] for k in range(4)]
+
+
+def _unscan8_sub(runs: list) -> np.ndarray:
+    flat = np.zeros(64, np.int64)
+    for k, run in enumerate(runs):
+        flat[k::4] = run
+    out = np.zeros(64, np.int64)
+    out[_ZZ8] = flat
+    return out.reshape(8, 8)
+
+
+# Active PPS transform_8x8_mode_flag (multi-site, same single-threaded
+# module-global convention as _SLICE_TOP/_BIPRED: every slice entry sets
+# it, encoder and decoder alike).
+_T8 = False
+
+
+def _set_t8(v: bool) -> None:
+    global _T8
+    _T8 = bool(v)
 _MF4 = [np.array([_MF[m][c] for c in _POS_CLASS], np.int32).reshape(4, 4)
         for m in range(6)]
 
@@ -1464,7 +1586,8 @@ def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
                      deblock: bool = False, full_recon: bool = False,
                      poc_lsb: int | None = None,
                      chroma: np.ndarray | None = None,
-                     slice_rows: int | None = None):
+                     slice_rows: int | None = None,
+                     t8x8: bool = False):
     """One frame -> (IDR slice RBSP, reconstructed plane).
 
     CAVLC intra encoding: near-flat macroblocks go I_16x16 (DC pred,
@@ -1493,6 +1616,7 @@ def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
     nnz_c = np.zeros((2, mbh * 2, mbw * 2), np.int32)
     ch = (csrc, crec, nnz_c)
 
+    _set_t8(t8x8)  # High-profile PPS: I_NxN MBs carry the 8x8 flag (r7)
     rbsps = []
     for r0, r1 in _slice_ranges(mbh, slice_rows):
         _set_slice_top(r0)
@@ -1526,6 +1650,7 @@ def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
         bw.rbsp_trailing()
         rbsps.append(bytes(bw.buf))
     _set_slice_top(0)
+    _set_t8(False)
     out = plane
     if deblock and qp >= 16:
         out = _deblock_luma(plane, np.full((mbh, mbw), qp, np.int32))
@@ -1645,6 +1770,8 @@ def _encode_mb_i4(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs,
         plane[py:py + 4, px:px + 4] = rec.astype(np.uint8)
     # serialize: mb_type, 16 pred modes, chroma mode, cbp, qp_delta, residuals
     bw.ue(mb_type_code)  # I_4x4 (5 when inside a P slice)
+    if _T8:  # High-profile PPS: I_NxN carries transform_size_8x8_flag
+        bw.u(0, 1)  # this encoder's intra is always 4x4
     for blk in range(16):
         ox, oy = _BLK_XY[blk]
         bx, by = (mx * 16 + ox) // 4, (my * 16 + oy) // 4
@@ -1692,7 +1819,8 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                    cref: np.ndarray | None = None,
                    motion_out: list | None = None,
                    wp: dict | None = None,
-                   slice_rows: int | None = None):
+                   slice_rows: int | None = None,
+                   t8x8: bool = False):
     """One gray frame -> (P-slice RBSP, FULL reconstructed plane).
 
     Per macroblock: P_SKIP when the residual at the skip-predicted MV
@@ -1787,6 +1915,11 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             bw.se(0)
         return bw
 
+    if t8x8 and deblock:
+        raise ValueError(
+            "in-loop deblocking with the 8x8 transform is out of this "
+            "encoder's profile (internal-edge bS rules differ)")
+    _set_t8(t8x8)
     starts = dict(_slice_ranges(mbh, slice_rows))
     rbsps = []
     bw = None
@@ -1888,8 +2021,8 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 mvds = [(mv[0] - mvp[0], mv[1] - mvp[1])]
                 cpred = cmc(mv, ridx=ridx)
             blocks = []
-            cbp = 0
-            out = pred.copy()
+            cbp4 = 0
+            out4 = pred.copy()
             for blk in range(16):
                 ox, oy = _BLK_XY[blk]
                 lv = _thin(_quant4(_fwd4(smb[oy:oy + 4, ox:ox + 4]
@@ -1897,9 +2030,34 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                                    qp, intra=False), max_coeffs)
                 tc = int(np.count_nonzero(lv))
                 if tc:
-                    cbp |= 1 << (blk >> 2)
+                    cbp4 |= 1 << (blk >> 2)
                 blocks.append((lv, tc))
-                out[oy:oy + 4, ox:ox + 4] += _inv4(_dequant4(lv, qp)).astype(np.int32)
+                out4[oy:oy + 4, ox:ox + 4] += _inv4(_dequant4(lv, qp)).astype(np.int32)
+            use8 = False
+            if t8x8 and mb_type_code == 0:
+                # per-MB transform selection (r7): take the 8x8
+                # transform when it codes no more coefficients than the
+                # 4x4 one (coefficient count proxies the CAVLC bit cost)
+                blocks8 = []
+                cbp8 = 0
+                out8 = pred.copy()
+                for b8 in range(4):
+                    oy8, ox8 = (b8 >> 1) * 8, (b8 & 1) * 8
+                    q8 = _quant8(_fwd8(smb[oy8:oy8 + 8, ox8:ox8 + 8]
+                                       - pred[oy8:oy8 + 8, ox8:ox8 + 8]),
+                                 qp)
+                    if np.any(q8):
+                        cbp8 |= 1 << b8
+                        out8[oy8:oy8 + 8, ox8:ox8 + 8] += \
+                            _inv8(_dequant8(q8, qp)).astype(np.int64)
+                    blocks8.append(q8)
+                n8 = sum(int(np.count_nonzero(q8)) for q8 in blocks8)
+                n4 = sum(tc for _lv, tc in blocks)
+                use8 = n8 <= n4
+            if use8:
+                cbp, out = cbp8, out8
+            else:
+                cbp, out = cbp4, out4
             cbpc, comps = _encode_chroma_mb(csrc_mb, cpred, qp, intra=False)
             bw.ue(pending_skips)
             pending_skips = 0
@@ -1914,16 +2072,38 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 bw.se(dx_)
                 bw.se(dy_)
             bw.ue(_CBP_INTER_INV[cbp | (cbpc << 4)])
+            if t8x8 and (cbp & 15) and (
+                    mb_type_code in (0, 1, 2)
+                    or (chosen8 and all(st8 == 0 for st8, _ in chosen8))):
+                # transform_size_8x8_flag (7.3.5): present for 16x16 /
+                # 16x8 / 8x16 and all-8x8-sub P_8x8 shapes
+                bw.u(1 if use8 else 0, 1)
             if cbp | cbpc:
                 bw.se(0)  # mb_qp_delta
-            for blk in range(16):
-                ox, oy = _BLK_XY[blk]
-                bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
-                lv, tc = blocks[blk]
-                if cbp & (1 << (blk >> 2)):
-                    nc = _nc_luma(nnz, bx, by)
-                    _encode_residual(bw, _scan16(lv), nc)
-                nnz[by, bx] = tc
+            if use8:
+                for b8 in range(4):
+                    cells = [(my * 4 + (b8 >> 1) * 2 + (k >> 1),
+                              mx * 4 + (b8 & 1) * 2 + (k & 1))
+                             for k in range(4)]
+                    if cbp & (1 << b8):
+                        runs = _scan8_sub(blocks8[b8])
+                        for k, (by, bx) in enumerate(cells):
+                            nc = _nc_luma(nnz, bx, by)
+                            _encode_residual(bw, [int(v) for v in runs[k]],
+                                             nc)
+                            nnz[by, bx] = int(np.count_nonzero(runs[k]))
+                    else:
+                        for by, bx in cells:
+                            nnz[by, bx] = 0
+            else:
+                for blk in range(16):
+                    ox, oy = _BLK_XY[blk]
+                    bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
+                    lv, tc = blocks[blk]
+                    if cbp & (1 << (blk >> 2)):
+                        nc = _nc_luma(nnz, bx, by)
+                        _encode_residual(bw, _scan16(lv), nc)
+                    nnz[by, bx] = tc
             _write_chroma_residual(bw, cbpc, comps, nnz_c, mx, my)
             for ci in range(2):
                 crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
@@ -1951,6 +2131,7 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     bw.rbsp_trailing()
     rbsps.append(bytes(bw.buf))
     _set_slice_top(0)
+    _set_t8(False)
     rb = rbsps[0] if slice_rows is None else rbsps
     out_plane = plane
     if deblock and qp >= 16:
@@ -2077,6 +2258,7 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
         bw.ue(1)      # disable_deblocking_filter_idc (always off for B)
         return bw
 
+    _set_t8(False)  # B slices never carry the 8x8 transform (r7)
     starts = dict(_slice_ranges(mbh, slice_rows))
     rbsps = []
     bw = None
@@ -2424,12 +2606,16 @@ def _all_zero_quant(resid: np.ndarray, qp: int) -> bool:
 
 def build_avcc(w: int, h: int, deblock_ctrl: bool = False,
                cabac: bool = False, bpoc: bool = False,
-               nrefs: int = 1, wp: bool = False, wbidc: int = 0) -> bytes:
+               nrefs: int = 1, wp: bool = False, wbidc: int = 0,
+               t8x8: bool = False) -> bytes:
     """avcC (AVCDecoderConfigurationRecord) for the MP4 sample entry."""
-    # Main profile: CABAC / B pictures / weighted prediction
-    profile = 77 if (cabac or bpoc or wp or wbidc) else 66
+    # Main profile: CABAC / B pictures / weighted prediction;
+    # High profile (100): the 8x8 transform (r7)
+    profile = 100 if t8x8 else \
+        77 if (cabac or bpoc or wp or wbidc) else 66
     sps = _ep_insert(_sps(w, h, profile=profile, bpoc=bpoc, nrefs=nrefs))
-    pps = _ep_insert(_pps(deblock_ctrl, cabac=cabac, wp=wp, wbidc=wbidc))
+    pps = _ep_insert(_pps(deblock_ctrl, cabac=cabac, wp=wp, wbidc=wbidc,
+                          t8x8=t8x8))
     return (bytes([1, profile, 0, 20, 0xFF, 0xE1])
             + struct.pack(">H", len(sps) + 1) + bytes([0x67]) + sps
             + bytes([1]) + struct.pack(">H", len(pps) + 1) + bytes([0x68]) + pps)
@@ -2450,7 +2636,8 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
                   chromas: list | None = None,
                   nrefs: int = 1,
                   wp: bool = False,
-                  slice_rows: int | None = None) -> tuple[bytes, list[bytes]]:
+                  slice_rows: int | None = None,
+                  t8x8: bool = False) -> tuple[bytes, list[bytes]]:
     """Gray frames -> (avcC record, per-frame length-prefixed NAL samples
     ready for an 'avc1' MP4 track). qp=None keeps the bit-exact I_PCM
     path; an integer qp (0..51) switches to transform coding with
@@ -2474,6 +2661,10 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
     if entropy not in ("cavlc", "cabac"):
         raise ValueError(f"unknown entropy mode {entropy!r}")
     use_cabac = entropy == "cabac"
+    if t8x8 and use_cabac:
+        raise ValueError("the 8x8 transform is CAVLC-only in this encoder")
+    if t8x8 and deblock:
+        raise ValueError("8x8 transform + in-loop deblocking unsupported")
     if use_cabac:
         from . import h264_cabac as C
         enc_idr, enc_p = C.encode_idr_cabac, C.encode_p_cabac
@@ -2487,7 +2678,7 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
     # (h264_cabac._slice_header), so the PPS must advertise it even on
     # the qp=None all-I_PCM path
     avcc = build_avcc(w, h, deblock_ctrl=qp is not None or use_cabac,
-                      cabac=use_cabac, nrefs=nrefs, wp=wp)
+                      cabac=use_cabac, nrefs=nrefs, wp=wp, t8x8=t8x8)
     samples = []
     ref_full = None
     cref_full = None
@@ -2501,11 +2692,13 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
             if chromas is None:
                 rbsp, ref_full = enc_idr(f, qp=qp, deblock=deblock,
                                          full_recon=True,
-                                         slice_rows=slice_rows)
+                                         slice_rows=slice_rows,
+                                         **({"t8x8": True} if t8x8 else {}))
             else:
                 rbsp, (ref_full, cref_full) = enc_idr(
                     f, qp=qp, deblock=deblock, full_recon=True, chroma=cf,
-                    slice_rows=slice_rows)
+                    slice_rows=slice_rows,
+                    **({"t8x8": True} if t8x8 else {}))
             frame_num = 1
             sample = _pack_sample(rbsp, 0x65)
             dpb = [ref_full]  # IDR: closed GOP, new reference window
@@ -2523,12 +2716,14 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
                 rbsp, ref_full = enc_p(f, refs, qp=qp,
                                        frame_num=frame_num,
                                        deblock=deblock, wp=wp_tab,
-                                       slice_rows=slice_rows)
+                                       slice_rows=slice_rows,
+                                       **({"t8x8": True} if t8x8 else {}))
             else:
                 rbsp, (ref_full, cref_full) = enc_p(
                     f, refs, qp=qp, frame_num=frame_num,
                     deblock=deblock, chroma=cf, cref=crefs, wp=wp_tab,
-                    slice_rows=slice_rows)
+                    slice_rows=slice_rows,
+                    **({"t8x8": True} if t8x8 else {}))
             frame_num = (frame_num + 1) & 0xF
             sample = _pack_sample(rbsp, 0x41)  # ref_idc 2, non-IDR
             dpb = (dpb + [ref_full])[-max(1, nrefs):]
@@ -3290,8 +3485,17 @@ def _parse_sps(rbsp: bytes) -> dict:
     r.u(8)
     level = r.u(8)
     r.ue()  # sps_id
-    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
-        raise ValueError("high-profile SPS: out of baseline intra decode scope")
+    if profile in (110, 122, 244, 44, 83, 86, 118, 128):
+        raise ValueError("high-profile SPS: out of decode scope")
+    if profile == 100:  # High (r7): only the 8-bit 4:2:0 flat-scaling shape
+        if r.ue() != 1:
+            raise ValueError("chroma_format_idc != 4:2:0: out of scope")
+        if r.ue() or r.ue():
+            raise ValueError(">8-bit depth: out of decode scope")
+        if r.u(1):
+            raise ValueError("transform bypass: out of decode scope")
+        if r.u(1):
+            raise ValueError("scaling matrices: out of decode scope")
     log2_mfn = r.ue() + 4
     poc_type = r.ue()
     log2_poc = 0
@@ -3323,6 +3527,18 @@ def _parse_sps(rbsp: bytes) -> dict:
             "max_refs": max_refs}
 
 
+def _more_rbsp(r: "_BitReader") -> bool:
+    """more_rbsp_data() (7.2): true while bits remain before the final
+    rbsp_stop_one_bit (the last set bit of the RBSP)."""
+    last_one = -1
+    for i, byte in enumerate(r.data):
+        if byte:
+            # lowest set bit of the byte = the byte's LAST bit in
+            # stream order (MSB-first)
+            last_one = i * 8 + 7 - (byte & -byte).bit_length() + 1
+    return r.pos < last_one
+
+
 def _parse_pps(rbsp: bytes) -> dict:
     r = _BitReader(rbsp)
     r.ue()  # pps_id
@@ -3341,11 +3557,18 @@ def _parse_pps(rbsp: bytes) -> dict:
     deblock_ctrl = r.u(1)
     r.u(1)  # constrained_intra_pred (all-intra: no effect here)
     redundant = r.u(1)
+    t8x8 = False
+    if _more_rbsp(r):  # PPS extension tail (High profile, r7)
+        t8x8 = bool(r.u(1))  # transform_8x8_mode_flag
+        if r.u(1):
+            raise ValueError("pic scaling matrices: out of decode scope")
+        r.se()  # second_chroma_qp_index_offset (in-repo streams write 0)
     return {"cabac": bool(cabac), "pic_order_present": bool(pic_order_present),
             "pic_init_qp": pic_init_qp, "deblock_ctrl": bool(deblock_ctrl),
             "redundant": bool(redundant),
             "weighted_pred": bool(weighted_pred),
-            "weighted_bipred_idc": weighted_bipred}
+            "weighted_bipred_idc": weighted_bipred,
+            "t8x8": t8x8}
 
 
 def _avcc_param_sets(avcc: bytes) -> tuple[dict, dict]:
@@ -3404,6 +3627,8 @@ def _parse_chroma_residual(r, cbpc, nnz_c, mx, my):
 
 
 def _decode_mb_i4x4(r, plane, mx, my, qp, nnz, cc, modes, plane_w):
+    if _T8 and r.u(1):  # I_NxN transform_size_8x8_flag (7.3.5, r7)
+        raise ValueError("I_8x8 intra prediction: out of decode profile")
     prev_flags = []
     for _blk in range(16):
         if r.u(1):
@@ -3487,29 +3712,57 @@ def _decode_mb_i16(r, mb_type, plane, mx, my, qp, nnz, cc, modes):
     return qp
 
 
-def _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred):
+def _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred,
+                  t8_shape=False):
     """Shared inter-MB tail: cbp + mb_qp_delta + luma residuals over an
     already-built MC prediction, then reconstruction; `cpred` is the
-    (2, 8, 8) chroma MC prediction the chroma residual adds onto."""
+    (2, 8, 8) chroma MC prediction the chroma residual adds onto.
+    t8_shape: this MB shape may carry transform_size_8x8_flag when the
+    PPS enables the 8x8 transform (High profile, r7) — 16x16/16x8/8x16
+    partitions, and P_8x8 with all-8x8 sub-partitions."""
     cn = r.ue()
     if cn > 47:
         raise ValueError("bad coded_block_pattern")
     cbp = _CBP_INTER[cn]
+    use8 = False
+    if _T8 and (cbp & 15) and t8_shape:
+        use8 = bool(r.u(1))  # transform_size_8x8_flag (7.3.5)
     if cbp:
         qp = (qp + r.se() + 52) % 52
     out = pred.copy()
-    for blk in range(16):
-        ox, oy = _BLK_XY[blk]
-        bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
-        if cbp & (1 << (blk >> 2)):
-            nc = _nc_luma(nnz, bx, by)
-            lv = _unscan16(_decode_residual(r, nc, 16))
-            tc = int(np.count_nonzero(lv))
-            out[oy:oy + 4, ox:ox + 4] += _inv4(_dequant4(lv, qp)).astype(np.int32)
-        else:
-            tc = 0
-        nnz[by, bx] = tc
-        modes[by, bx] = -1
+    if use8:  # four 8x8 blocks, CAVLC-interleaved 4x4 runs (8.5.6)
+        for b8 in range(4):
+            oy8, ox8 = (b8 >> 1) * 8, (b8 & 1) * 8
+            cells = [(my * 4 + (b8 >> 1) * 2 + (k >> 1),
+                      mx * 4 + (b8 & 1) * 2 + (k & 1)) for k in range(4)]
+            if cbp & (1 << b8):
+                runs = []
+                for k, (by, bx) in enumerate(cells):
+                    nc = _nc_luma(nnz, bx, by)
+                    run = _decode_residual(r, nc, 16)
+                    nnz[by, bx] = int(np.count_nonzero(run))
+                    runs.append(run)
+                q8 = _unscan8_sub(runs)
+                out[oy8:oy8 + 8, ox8:ox8 + 8] += \
+                    _inv8(_dequant8(q8, qp)).astype(np.int64)
+            else:
+                for by, bx in cells:
+                    nnz[by, bx] = 0
+            for by, bx in cells:
+                modes[by, bx] = -1
+    else:
+        for blk in range(16):
+            ox, oy = _BLK_XY[blk]
+            bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
+            if cbp & (1 << (blk >> 2)):
+                nc = _nc_luma(nnz, bx, by)
+                lv = _unscan16(_decode_residual(r, nc, 16))
+                tc = int(np.count_nonzero(lv))
+                out[oy:oy + 4, ox:ox + 4] += _inv4(_dequant4(lv, qp)).astype(np.int32)
+            else:
+                tc = 0
+            nnz[by, bx] = tc
+            modes[by, bx] = -1
     np.clip(out, 0, 255, out)
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
     cres = _decode_chroma_residual(r, cbp >> 4, cc.nnz, mx, my, qp)
@@ -3547,7 +3800,8 @@ def _decode_mb_p16(r, plane, refs, mx, my, qp, nnz, cc, modes, mvs,
     cpred = np.stack([cc.mc(ci, mx, my, mv, ridx=ridx,
                             wp=_wpc(mvs, ridx, ci)) for ci in range(2)])
     mvs.set_mb(mx, my, mv, ridx)
-    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred,
+                         t8_shape=True)
 
 
 def _decode_mb_p_part(r, mb_type, plane, refs, mx, my, qp, nnz, cc,
@@ -3576,7 +3830,8 @@ def _decode_mb_p_part(r, mb_type, plane, refs, mx, my, qp, nnz, cc,
                                w // 2, h // 2, wp=_wpc(mvs, ridx, ci))
         mvs.set_rect(mx * 4 + ox // 4, my * 4 + oy // 4, w // 4, h // 4,
                      mv, ridx)
-    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred,
+                         t8_shape=True)
 
 
 def _decode_mb_p8x8(r, plane, refs, mx, my, qp, nnz, cc, modes, mvs,
@@ -3613,7 +3868,8 @@ def _decode_mb_p8x8(r, plane, refs, mx, my, qp, nnz, cc, modes, mvs,
                                    w // 2, h // 2, wp=_wpc(mvs, ridx, ci))
             mvs.set_rect(mx * 4 + gx // 4, my * 4 + gy // 4,
                          w // 4, h // 4, mv, ridx)
-    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred,
+                         t8_shape=all(st == 0 for st in sts))
 
 
 def _div_trunc(a: int, b: int) -> int:
@@ -4020,6 +4276,14 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
             _set_bipred(None)
     qp = hdr["qp"]
     do_filter, off_a, off_b = hdr["do_filter"], hdr["off_a"], hdr["off_b"]
+    _set_t8(pps.get("t8x8", False))
+    if pps.get("t8x8") and is_b:
+        raise ValueError(
+            "8x8 transform with B slices: out of decode profile")
+    if pps.get("t8x8") and do_filter:
+        raise ValueError(
+            "in-loop deblocking with the 8x8 transform: out of decode "
+            "profile (this encoder never emits it)")
     mbw, mbh = sps["mbw"], sps["mbh"]
     # L0 reference list: `ref` is one FULL plane or a most-recent-first
     # list (multi-reference P slices, r7); B slices stay 1+1 (L0/L1)

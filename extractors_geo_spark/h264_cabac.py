@@ -1618,6 +1618,10 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
     (hdr['direct_spatial'] False); motion_out, when a list, receives
     this picture's (mv, ref) 4x4 motion field."""
     is_b = hdr.get("is_b", False)
+    if pps.get("t8x8"):
+        raise ValueError(
+            "8x8 transform in CABAC slices: out of decode profile "
+            "(this encoder codes the 8x8 transform in CAVLC only)")
     tf = None
     if is_b and not hdr.get("direct_spatial", True):
         if col_motion is None or pocs is None:

@@ -489,7 +489,8 @@ def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
                    bframes: int = 0, chromas: list | None = None,
                    direct: str = "spatial", nrefs: int = 1,
                    wp: bool = False, implicit_wb: bool = False,
-                   slice_rows: int | None = None) -> bytes:
+                   slice_rows: int | None = None,
+                   t8x8: bool = False) -> bytes:
     """Gray frames -> single-track 'avc1' MP4 whose samples are REAL
     H.264 (..h264.encode_frames): bit-exact I_PCM when qp is None,
     CAVLC or CABAC (entropy=) at the given qp otherwise; gop=N emits a
@@ -529,7 +530,7 @@ def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
     avcc, samples = _h264.encode_frames(frames, qp=qp, gop=gop,
                                         entropy=entropy, chromas=chromas,
                                         nrefs=nrefs, wp=wp,
-                                        slice_rows=slice_rows)
+                                        slice_rows=slice_rows, t8x8=t8x8)
     return _assemble_mp4(samples, w, h, fps, fourcc=b"avc1", depth=24,
                          entry_extra=_box(b"avcC", avcc))
 

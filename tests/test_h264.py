@@ -1611,3 +1611,118 @@ def test_multislice_b_gop_both_entropies():
         for d, f in zip(h264.decode_samples(samples, avcc), fl):
             mse = float(np.mean((d.astype(np.float64) - f) ** 2))
             assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 40, ent
+
+
+# --------------------------------- r7: High-profile 8x8 transform (CAVLC)
+def test_t8x8_table_closure():
+    """The numerically-derived MF8/V8 quant tables close the 8x8
+    transform round trip to ~qstep accuracy at every qp%6 class, and
+    the derived dequant row 0 reproduces the ISO LevelScale8x8 values."""
+    assert sorted(set(h264._V8[0].flatten().tolist())) == \
+        [18, 19, 20, 24, 25, 32]
+    rng = np.random.default_rng(3)
+    for qp in (0, 8, 14, 22, 30, 38):
+        qstep = 0.625 * 2 ** (qp / 6)
+        for _ in range(20):
+            x = rng.integers(-255, 256, (8, 8)).astype(np.int64)
+            r = h264._inv8(h264._dequant8(h264._quant8(h264._fwd8(x), qp),
+                                          qp))
+            assert np.abs(r - x).max() <= max(2.0 * qstep, 8), qp
+
+
+def test_t8x8_p_gop_decode_equals_recon():
+    """High-profile (t8x8) IDR+P GOP: per-MB adaptive transform
+    selection, decode == encoder recon BIT-EXACT, and the avcC carries
+    profile 100 + the PPS transform_8x8_mode_flag."""
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = np.clip((xx * 3 + yy * 2) % 256
+                   + rng.integers(-25, 25, (48, 64)), 0, 255).astype(np.uint8)
+    frames = [np.roll(base, (2 * i, 3 * i), (0, 1)) for i in range(4)]
+    avcc = h264.build_avcc(64, 48, deblock_ctrl=True, t8x8=True)
+    sps, pps = h264._avcc_param_sets(avcc)
+    assert sps["profile"] == 100 and pps["t8x8"]
+    for qp in (6, 10, 16):
+        _, ref = h264.encode_idr_cavlc(frames[0], qp=qp, full_recon=True,
+                                       t8x8=True)
+        rb, rec = h264.encode_p_cavlc(frames[1], ref, qp=qp, t8x8=True)
+        nal = bytes([0x41]) + h264._ep_insert(rb)
+        dy = h264.decode_sample(struct.pack(">I", len(nal)) + nal, avcc,
+                                ref=ref, full_plane=True)
+        assert np.array_equal(dy, rec), qp
+    # whole-GOP PSNR through encode_frames/decode_samples, with chroma
+    cy, cx = np.mgrid[0:24, 0:32]
+    chromas = [np.stack([((cx * 9 + i) % 250).astype(np.uint8),
+                         ((cy * 5 + 2 * i) % 250).astype(np.uint8)])
+               for i in range(4)]
+    avcc2, samples = h264.encode_frames(frames, qp=8, gop=4, t8x8=True,
+                                        chromas=chromas)
+    for d, f in zip(h264.decode_samples(samples, avcc2), frames):
+        mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 40
+
+
+def test_t8x8_adaptive_selection_never_hurts():
+    """The per-MB coefficient-count gate: a t8x8 stream is never larger
+    than the 4x4-only one on smooth content, and stays decodable on
+    noisy content."""
+    yy, xx = np.mgrid[0:48, 0:64]
+    sm = [np.clip(((xx + yy + 3 * i) // 3), 0, 255).astype(np.uint8)
+          for i in range(4)]
+    a8, s8 = h264.encode_frames(sm, qp=4, gop=4, t8x8=True)
+    _, s4 = h264.encode_frames(sm, qp=4, gop=4)
+    assert sum(map(len, s8)) <= sum(map(len, s4))
+    dec = h264.decode_samples(s8, a8)
+    for d, f in zip(dec, sm):
+        mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 40
+
+
+def test_t8x8_composes_with_multislice_and_multiref():
+    rng = np.random.default_rng(15)
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = np.clip((xx * 2 + yy) % 256
+                   + rng.integers(-15, 15, (48, 64)), 0, 255).astype(np.uint8)
+    frames = [np.roll(base, (i, 2 * i), (0, 1)) for i in range(5)]
+    avcc, samples = h264.encode_frames(frames, qp=8, gop=5, t8x8=True,
+                                       slice_rows=1, nrefs=2)
+    for d, f in zip(h264.decode_samples(samples, avcc), frames):
+        mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 40
+
+
+def test_t8x8_boundaries_and_fuzz():
+    import random
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    frames = [np.clip((xx * 2 + yy + i) % 256, 0, 255).astype(np.uint8)
+              for i in range(3)]
+    with pytest.raises(ValueError, match="CAVLC"):
+        h264.encode_frames(frames, qp=8, gop=3, t8x8=True, entropy="cabac")
+    with pytest.raises(ValueError, match="deblock"):
+        h264.encode_frames(frames, qp=20, gop=3, t8x8=True, deblock=True)
+    avcc, samples = h264.encode_frames(frames, qp=8, gop=3, t8x8=True)
+    random.seed(51)
+    for _ in range(150):
+        mut = [bytearray(s) for s in samples]
+        tgt = mut[random.randrange(len(mut))]
+        for _k in range(random.randint(1, 6)):
+            tgt[random.randrange(4, len(tgt))] = random.randrange(256)
+        try:
+            h264.decode_samples([bytes(m) for m in mut], avcc)
+        except ValueError:
+            pass
+
+
+def test_t8x8_mp4_end_to_end():
+    rng = np.random.default_rng(19)
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = np.clip((xx + 2 * yy) % 256
+                   + rng.integers(-10, 10, (48, 64)), 0, 255).astype(np.uint8)
+    fl = [np.roll(base, (i, 3 * i), (0, 1)) for i in range(4)]
+    data = mp4.write_h264_mp4(fl, fps=4, qp=8, gop=4, t8x8=True)
+    parsed = mp4.read_mjpeg_mp4(data)
+    for d, f in zip(h264.decode_samples(list(parsed["frames"]),
+                                        parsed["avcc"]), fl):
+        mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 40
