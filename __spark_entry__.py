@@ -1543,16 +1543,16 @@ def q_h264_frames(spark, sf_dir):
                     # i >= 12 clips code multi-reference P GOPs (r7):
                     # gop 4 keeps 2 refs live, every inter partition
                     # carries ref_idx_l0
-                    # the CAVLC 8<=i<12 legs code the High-profile 8x8
-                    # transform (r7): profile 100, per-MB adaptive
-                    # transform_size_8x8_flag
+                    # the 8<=i<12 legs code the High-profile 8x8
+                    # transform (r7) in BOTH entropy modes: profile 100,
+                    # per-MB adaptive transform_size_8x8_flag
                     data = _mp4.write_h264_mp4(
                         frames, fps=1, qp=8, gop=4 if i >= 12 else 2,
                         nrefs=2 if i >= 12 else 1,
                         entropy="cabac" if kind == 2 else "cavlc",
                         chromas=chromas,
                         slice_rows=1 if mslice else None,
-                        t8x8=kind == 1 and 8 <= i < 12)
+                        t8x8=kind in (1, 2) and 8 <= i < 12)
                 rows.append({"video_id": f"h{i:04d}", "bytes": data})
             yield pd.DataFrame(rows, columns=["video_id", "bytes"])
 

@@ -51,8 +51,11 @@ headers, avcC records for MP4 'avc1' tracks), in both entropy modes
    both sides) with quant/dequant tables DERIVED numerically from the
    basis norms (they reproduce the ISO LevelScale8x8 row
    [20,18,32,19,25,24]), and CAVLC 8x8 residuals as the spec's four
-   interleaved 4x4 runs over the 8x8 zigzag. Out of the 8x8 profile:
-   I_8x8 intra prediction, CABAC cat-5 residuals, 8x8 + in-loop
+   interleaved 4x4 runs over the 8x8 zigzag; CABAC slices code the
+   same blocks as cat-5 residuals (63-position significance folded at
+   14 — in-repo context assignment, same honesty note as the uniform
+   init) with a neighbor-conditioned transform_size_8x8_flag bin. Out
+   of the 8x8 profile: I_8x8 intra prediction, 8x8 + in-loop
    deblocking, 8x8 in B slices (all clear ValueErrors).
 
 8. **Multi-slice pictures** (r7): slices covering whole MB rows
@@ -2661,8 +2664,6 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
     if entropy not in ("cavlc", "cabac"):
         raise ValueError(f"unknown entropy mode {entropy!r}")
     use_cabac = entropy == "cabac"
-    if t8x8 and use_cabac:
-        raise ValueError("the 8x8 transform is CAVLC-only in this encoder")
     if t8x8 and deblock:
         raise ValueError("8x8 transform + in-loop deblocking unsupported")
     if use_cabac:

@@ -123,12 +123,15 @@ def _alloc():
         ("cbp_luma", 4),     # inc 0..3 from neighbor 8x8 cbp bits
         ("cbp_chroma", 4),
         ("qp_delta", 4),
-        # 5 block cats: 0 I16DC, 1 I16AC, 2 Luma4x4, 3 ChromaDC,
-        # 4 ChromaAC (r7 chroma residuals)
-        ("cbf", 20),         # 5 cats x inc 0..3
-        ("sig", 75),         # 5 cats x scan positions 0..14
-        ("last", 75),
-        ("lvl", 50),         # 5 cats x (bin0 inc 0..4, bins1+ inc 5..9)
+        # 6 block cats: 0 I16DC, 1 I16AC, 2 Luma4x4, 3 ChromaDC,
+        # 4 ChromaAC (r7 chroma residuals), 5 Luma8x8 (r7 High-profile
+        # 8x8 transform; sig/last positions fold at 14 — in-repo
+        # context assignment, same honesty note as the uniform init)
+        ("cbf", 24),         # 6 cats x inc 0..3
+        ("sig", 90),         # 6 cats x scan positions 0..14 (folded)
+        ("last", 90),
+        ("lvl", 60),         # 6 cats x (bin0 inc 0..4, bins1+ inc 5..9)
+        ("t8flag", 3),       # transform_size_8x8_flag, neighbor inc
     ):
         ofs[name] = n
         n += cnt
@@ -609,6 +612,7 @@ class _MbState:
         self.mvd = np.zeros((mbh, mbw, 2), np.int32)   # |mvd| per MB
         self.cbf = np.zeros((mbh * 4, mbw * 4), np.int32)   # 4x4 luma cbf
         self.cbf_dc = np.zeros((mbh, mbw), np.int32)   # I16 DC cbf
+        self.t8 = np.zeros((mbh, mbw), np.int32)  # transform_size_8x8
         self.prev_qp_nz = False
 
     def mbt_inc(self, mx, my):
@@ -651,6 +655,12 @@ class _MbState:
         a = int(self.cbf_dc[my, mx - 1]) if mx > 0 else 0
         b = int(self.cbf_dc[my - 1, mx]) if my > H._SLICE_TOP else 0
         return a + 2 * b
+
+    def t8_inc(self, mx, my):
+        # 9.3.3.1.1.10 shape: left + above transform_size_8x8_flag
+        a = int(self.t8[my, mx - 1]) if mx > 0 else 0
+        b = int(self.t8[my - 1, mx]) if my > H._SLICE_TOP else 0
+        return a + b
 
 
 def _slice_header(bw, slice_type, qp, frame_num, deblock, idr,
@@ -701,7 +711,8 @@ def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
                      poc_lsb: int | None = None,
                      chroma: np.ndarray | None = None,
                      pcm_mask: np.ndarray | None = None,
-                     slice_rows: int | None = None):
+                     slice_rows: int | None = None,
+                     t8x8: bool = False):
     """One frame -> (IDR slice RBSP, reconstructed plane), CABAC
     entropy coding. Mode decisions, transforms, and reconstruction are
     identical to encode_idr_cavlc (h264.py) — only the entropy layer
@@ -726,6 +737,7 @@ def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
     crec = np.full((2, mbh * 8, mbw * 8), 128, np.uint8)
     ch = (csrc, crec)
 
+    H._set_t8(t8x8)  # High-profile PPS: I_NxN MBs carry the 8x8 flag
     rbsps = []
     for r0, r1 in H._slice_ranges(mbh, slice_rows):
         H._set_slice_top(r0)
@@ -756,6 +768,7 @@ def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
         bw.raw(enc.to_bytes())
         rbsps.append(bytes(bw.buf))
     H._set_slice_top(0)
+    H._set_t8(False)
     out = plane
     if deblock and qp >= 16:
         out = H._deblock_luma(plane, np.full((mbh, mbw), qp, np.int32))
@@ -903,6 +916,8 @@ def _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
         _enc_mb_type_i(enc, ctx, _OFS["mbt_p_suf"], 0, 0)
     else:
         _enc_mb_type_i(enc, ctx, mbt_base, st.mbt_inc(mx, my), 0)
+    if H._T8:  # High-profile PPS: I_NxN carries transform_size_8x8_flag
+        enc.decision(ctx, _OFS["t8flag"] + st.t8_inc(mx, my), 0)
     for blk in range(16):
         ox, oy = H._BLK_XY[blk]
         bx, by = (mx * 16 + ox) // 4, (my * 16 + oy) // 4
@@ -958,7 +973,8 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                    cref: np.ndarray | None = None,
                    motion_out: list | None = None,
                    wp: dict | None = None,
-                   slice_rows: int | None = None):
+                   slice_rows: int | None = None,
+                   t8x8: bool = False):
     """One gray frame -> (P-slice RBSP, FULL recon plane), CABAC entropy.
     Same decisions as encode_p_cavlc: P_SKIP (mb_skip_flag=1) / motion-
     compensated P_L0_16x16 / intra (I_4x4) fallback on SAD failure.
@@ -1002,6 +1018,11 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     def _wpck(ridx, ci):
         return wc[ridx][ci] if wc is not None and wc[ridx] else None
 
+    if t8x8 and deblock:
+        raise ValueError(
+            "in-loop deblocking with the 8x8 transform is out of this "
+            "encoder's profile (internal-edge bS rules differ)")
+    H._set_t8(t8x8)
     starts = dict(H._slice_ranges(mbh, slice_rows))
     rbsps = []
     bw = enc = ctx = st = None
@@ -1114,8 +1135,8 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 mvds = [(mv[0] - mvp[0], mv[1] - mvp[1])]
                 _cpart(0, 0, 16, 16, mv)
             blocks = []
-            cbp = 0
-            out = pred.copy()
+            cbp4 = 0
+            out4 = pred.copy()
             for blk in range(16):
                 ox, oy = H._BLK_XY[blk]
                 lv = H._thin(H._quant4(H._fwd4(smb[oy:oy + 4, ox:ox + 4]
@@ -1123,9 +1144,32 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                                        qp, intra=False), max_coeffs)
                 tc = int(np.count_nonzero(lv))
                 if tc:
-                    cbp |= 1 << (blk >> 2)
+                    cbp4 |= 1 << (blk >> 2)
                 blocks.append((lv, tc))
-                out[oy:oy + 4, ox:ox + 4] += H._inv4(H._dequant4(lv, qp)).astype(np.int32)
+                out4[oy:oy + 4, ox:ox + 4] += H._inv4(H._dequant4(lv, qp)).astype(np.int32)
+            use8 = False
+            if t8x8 and not chosen and not chosen8:
+                # per-MB transform selection (r7): same coefficient-count
+                # gate as the CAVLC twin
+                blocks8 = []
+                cbp8 = 0
+                out8 = pred.copy()
+                for b8 in range(4):
+                    oy8, ox8 = (b8 >> 1) * 8, (b8 & 1) * 8
+                    q8 = H._quant8(H._fwd8(smb[oy8:oy8 + 8, ox8:ox8 + 8]
+                                           - pred[oy8:oy8 + 8,
+                                                  ox8:ox8 + 8]), qp)
+                    if np.any(q8):
+                        cbp8 |= 1 << b8
+                        out8[oy8:oy8 + 8, ox8:ox8 + 8] += \
+                            H._inv8(H._dequant8(q8, qp)).astype(np.int64)
+                    blocks8.append(q8)
+                n8 = sum(int(np.count_nonzero(q)) for q in blocks8)
+                use8 = n8 <= sum(tc for _lv, tc in blocks)
+            if use8:
+                cbp, out = cbp8, out8
+            else:
+                cbp, out = cbp4, out4
             # mb_type (Table 9-37): "000" 16x16, "011" 16x8, "010" 8x16,
             # "001" P_8x8 (+ sub_mb_type '1' x4 = P_L0_8x8)
             enc.decision(ctx, _OFS["mbt_p"], 0)      # b0: inter
@@ -1164,17 +1208,42 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 enc.decision(ctx, _OFS["cbp_luma"]
                              + st.cbp_inc(mx, my, blk8, cbp), (cbp >> blk8) & 1)
             _enc_cbp_chroma(enc, ctx, cbpc)
+            if t8x8 and (cbp & 15) and (
+                    not chosen8 or all(st8 == 0 for st8, _ in chosen8)):
+                # transform_size_8x8_flag (7.3.5): neighbor-conditioned
+                # CABAC bin after cbp, before mb_qp_delta
+                enc.decision(ctx, _OFS["t8flag"] + st.t8_inc(mx, my),
+                             1 if use8 else 0)
+                st.t8[my, mx] = 1 if use8 else 0
             if cbp | cbpc:
                 _enc_qp_delta(enc, ctx, st.prev_qp_nz, 0)
                 st.prev_qp_nz = False
-            for blk in range(16):
-                ox, oy = H._BLK_XY[blk]
-                bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
-                lv, tc = blocks[blk]
-                if cbp & (1 << (blk >> 2)):
-                    _enc_residual(enc, ctx, 2, H._scan16(lv), st.cbf_inc(bx, by))
-                st.cbf[by, bx] = 1 if (cbp & (1 << (blk >> 2))) and tc else 0
-                nnz[by, bx] = tc
+            if use8:
+                for b8 in range(4):
+                    cells = [(my * 4 + (b8 >> 1) * 2 + (k >> 1),
+                              mx * 4 + (b8 & 1) * 2 + (k & 1))
+                             for k in range(4)]
+                    if cbp & (1 << b8):
+                        flat = blocks8[b8].reshape(-1)[H._ZZ8]
+                        _enc_residual(enc, ctx, 5,
+                                      [int(v) for v in flat],
+                                      st.cbf_inc(cells[0][1], cells[0][0]))
+                        nzb = 1 if np.any(blocks8[b8]) else 0
+                        tcb = int(np.count_nonzero(blocks8[b8]))
+                    else:
+                        nzb = tcb = 0
+                    for by, bx in cells:
+                        st.cbf[by, bx] = nzb
+                        nnz[by, bx] = min(tcb, 16)
+            else:
+                for blk in range(16):
+                    ox, oy = H._BLK_XY[blk]
+                    bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
+                    lv, tc = blocks[blk]
+                    if cbp & (1 << (blk >> 2)):
+                        _enc_residual(enc, ctx, 2, H._scan16(lv), st.cbf_inc(bx, by))
+                    st.cbf[by, bx] = 1 if (cbp & (1 << (blk >> 2))) and tc else 0
+                    nnz[by, bx] = tc
             _enc_chroma_residual(enc, ctx, cbpc, comps)
             for ci in range(2):
                 crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
@@ -1203,6 +1272,7 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     bw.raw(enc.to_bytes())
     rbsps.append(bytes(bw.buf))
     H._set_slice_top(0)
+    H._set_t8(False)
     rb = rbsps[0] if slice_rows is None else rbsps
     out_plane = plane
     if deblock and qp >= 16:
@@ -1569,6 +1639,8 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
             if cbp | cbpc:
                 _enc_qp_delta(enc, ctx, st.prev_qp_nz, 0)
                 st.prev_qp_nz = False
+            # B slices stay on the 4x4 transform (t8x8 + B raises at
+            # the PPS gate), so no transform_size_8x8_flag here.
             for blk in range(16):
                 ox, oy = H._BLK_XY[blk]
                 bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
@@ -1599,6 +1671,7 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
     bw.raw(enc.to_bytes())
     rbsps.append(bytes(bw.buf))
     H._set_slice_top(0)
+    H._set_t8(False)
     rb = rbsps[0] if slice_rows is None else rbsps
     if chroma is None:
         return rb, plane
@@ -1618,10 +1691,14 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
     (hdr['direct_spatial'] False); motion_out, when a list, receives
     this picture's (mv, ref) 4x4 motion field."""
     is_b = hdr.get("is_b", False)
-    if pps.get("t8x8"):
+    H._set_t8(pps.get("t8x8", False))
+    if pps.get("t8x8") and is_b:
         raise ValueError(
-            "8x8 transform in CABAC slices: out of decode profile "
-            "(this encoder codes the 8x8 transform in CAVLC only)")
+            "8x8 transform with B slices: out of decode profile")
+    if pps.get("t8x8") and hdr.get("do_filter"):
+        raise ValueError(
+            "in-loop deblocking with the 8x8 transform: out of decode "
+            "profile (this encoder never emits it)")
     tf = None
     if is_b and not hdr.get("direct_spatial", True):
         if col_motion is None or pocs is None:
@@ -1861,6 +1938,8 @@ def _dec_cbp(dec, ctx, st, mx, my):
 
 def _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz, modes, plane_w, cc,
                in_p=False):
+    if H._T8 and dec.decision(ctx, _OFS["t8flag"] + st.t8_inc(mx, my)):
+        raise ValueError("I_8x8 intra prediction: out of decode profile")
     prev = []
     for _blk in range(16):
         if dec.decision(ctx, _OFS["prev_i4"]):
@@ -1957,29 +2036,57 @@ def _dec_mb_i16(dec, ctx, st, mbt, plane, mx, my, qp, nnz, modes, cc):
 
 
 def _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes, cc,
-                cpred):
+                cpred, t8_shape=False):
     """Shared inter-MB tail: cbp + qp_delta + residuals + recon; `cpred`
-    is the (2, 8, 8) chroma MC prediction."""
+    is the (2, 8, 8) chroma MC prediction. t8_shape: the MB shape may
+    carry transform_size_8x8_flag when the PPS enables the 8x8
+    transform (High profile, r7)."""
     cbp, cbpc = _dec_cbp(dec, ctx, st, mx, my)
+    use8 = False
+    if H._T8 and (cbp & 15) and t8_shape:
+        use8 = bool(dec.decision(ctx, _OFS["t8flag"] + st.t8_inc(mx, my)))
+        st.t8[my, mx] = 1 if use8 else 0
     if cbp | cbpc:
         d = _dec_qp_delta(dec, ctx, st.prev_qp_nz)
         st.prev_qp_nz = d != 0
         qp = (qp + d + 52) % 52
     out = pred.copy()
-    for blk in range(16):
-        ox, oy = H._BLK_XY[blk]
-        bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
-        if cbp & (1 << (blk >> 2)):
-            scan = _dec_residual(dec, ctx, 2, 16, st.cbf_inc(bx, by))
-            lv = H._unscan16(scan)
-            tc = int(np.count_nonzero(lv))
-            st.cbf[by, bx] = 1 if tc else 0
-            out[oy:oy + 4, ox:ox + 4] += H._inv4(H._dequant4(lv, qp)).astype(np.int32)
-        else:
-            tc = 0
-            st.cbf[by, bx] = 0
-        nnz[by, bx] = tc
-        modes[by, bx] = -1
+    if use8:  # cat-5 8x8 residual blocks over the 8x8 zigzag (r7)
+        for b8 in range(4):
+            cells = [(my * 4 + (b8 >> 1) * 2 + (k >> 1),
+                      mx * 4 + (b8 & 1) * 2 + (k & 1)) for k in range(4)]
+            oy8, ox8 = (b8 >> 1) * 8, (b8 & 1) * 8
+            if cbp & (1 << b8):
+                scan = _dec_residual(dec, ctx, 5, 64,
+                                     st.cbf_inc(cells[0][1], cells[0][0]))
+                flat = np.zeros(64, np.int64)
+                flat[H._ZZ8] = scan
+                q8 = flat.reshape(8, 8)
+                out[oy8:oy8 + 8, ox8:ox8 + 8] += \
+                    H._inv8(H._dequant8(q8, qp)).astype(np.int64)
+                nzb = 1 if np.any(q8) else 0
+                tcb = min(int(np.count_nonzero(q8)), 16)
+            else:
+                nzb = tcb = 0
+            for by, bx in cells:
+                st.cbf[by, bx] = nzb
+                nnz[by, bx] = tcb
+                modes[by, bx] = -1
+    else:
+        for blk in range(16):
+            ox, oy = H._BLK_XY[blk]
+            bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
+            if cbp & (1 << (blk >> 2)):
+                scan = _dec_residual(dec, ctx, 2, 16, st.cbf_inc(bx, by))
+                lv = H._unscan16(scan)
+                tc = int(np.count_nonzero(lv))
+                st.cbf[by, bx] = 1 if tc else 0
+                out[oy:oy + 4, ox:ox + 4] += H._inv4(H._dequant4(lv, qp)).astype(np.int32)
+            else:
+                tc = 0
+                st.cbf[by, bx] = 0
+            nnz[by, bx] = tc
+            modes[by, bx] = -1
     np.clip(out, 0, 255, out)
     plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = out.astype(np.uint8)
     cres = _dec_chroma_residual(dec, ctx, cbpc, qp)
@@ -2005,7 +2112,7 @@ def _dec_mb_p16(dec, ctx, st, plane, refs, mx, my, qp, nnz, modes, mvs,
                             wp=H._wpc(mvs, ridx, ci)) for ci in range(2)])
     mvs.set_mb(mx, my, mv, ridx)
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
-                       cc, cpred)
+                       cc, cpred, t8_shape=True)
 
 
 def _dec_mb_b16(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz, modes,
@@ -2173,7 +2280,7 @@ def _dec_mb_p8x8(dec, ctx, st, plane, refs, mx, my, qp, nnz, modes, mvs,
                          w // 4, h // 4, mv, ridx)
     st.mvd[my, mx] = tuple(asum)
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
-                       cc, cpred)
+                       cc, cpred, t8_shape=all(t == 0 for t in sts))
 
 
 def _dec_mb_p_part(dec, ctx, st, plane, refs, mx, my, qp, nnz, modes,
@@ -2208,4 +2315,4 @@ def _dec_mb_p_part(dec, ctx, st, plane, refs, mx, my, qp, nnz, modes,
                      mv, ridx)
     st.mvd[my, mx] = tuple(abs_sum)
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
-                       cc, cpred)
+                       cc, cpred, t8_shape=True)

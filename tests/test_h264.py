@@ -1632,8 +1632,10 @@ def test_t8x8_table_closure():
 
 def test_t8x8_p_gop_decode_equals_recon():
     """High-profile (t8x8) IDR+P GOP: per-MB adaptive transform
-    selection, decode == encoder recon BIT-EXACT, and the avcC carries
-    profile 100 + the PPS transform_8x8_mode_flag."""
+    selection, decode == encoder recon BIT-EXACT in BOTH entropy modes,
+    and the avcC carries profile 100 + the PPS transform_8x8_mode_flag."""
+    from extractors_geo_spark import h264_cabac as C
+
     rng = np.random.default_rng(7)
     yy, xx = np.mgrid[0:48, 0:64]
     base = np.clip((xx * 3 + yy * 2) % 256
@@ -1642,14 +1644,18 @@ def test_t8x8_p_gop_decode_equals_recon():
     avcc = h264.build_avcc(64, 48, deblock_ctrl=True, t8x8=True)
     sps, pps = h264._avcc_param_sets(avcc)
     assert sps["profile"] == 100 and pps["t8x8"]
-    for qp in (6, 10, 16):
-        _, ref = h264.encode_idr_cavlc(frames[0], qp=qp, full_recon=True,
-                                       t8x8=True)
-        rb, rec = h264.encode_p_cavlc(frames[1], ref, qp=qp, t8x8=True)
-        nal = bytes([0x41]) + h264._ep_insert(rb)
-        dy = h264.decode_sample(struct.pack(">I", len(nal)) + nal, avcc,
-                                ref=ref, full_plane=True)
-        assert np.array_equal(dy, rec), qp
+    for ent, enc_i, enc_p in (
+            ("cavlc", h264.encode_idr_cavlc, h264.encode_p_cavlc),
+            ("cabac", C.encode_idr_cabac, C.encode_p_cabac)):
+        av = h264.build_avcc(64, 48, deblock_ctrl=True, t8x8=True,
+                             cabac=ent == "cabac")
+        for qp in (6, 10, 16):
+            _, ref = enc_i(frames[0], qp=qp, full_recon=True, t8x8=True)
+            rb, rec = enc_p(frames[1], ref, qp=qp, t8x8=True)
+            nal = bytes([0x41]) + h264._ep_insert(rb)
+            dy = h264.decode_sample(struct.pack(">I", len(nal)) + nal, av,
+                                    ref=ref, full_plane=True)
+            assert np.array_equal(dy, rec), (ent, qp)
     # whole-GOP PSNR through encode_frames/decode_samples, with chroma
     cy, cx = np.mgrid[0:24, 0:32]
     chromas = [np.stack([((cx * 9 + i) % 250).astype(np.uint8),
@@ -1691,14 +1697,25 @@ def test_t8x8_composes_with_multislice_and_multiref():
         assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 40
 
 
+def test_t8x8_cabac_gop_roundtrip():
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = np.clip((xx * 3 + yy) % 256
+                   + rng.integers(-20, 20, (48, 64)), 0, 255).astype(np.uint8)
+    frames = [np.roll(base, (i, 2 * i), (0, 1)) for i in range(5)]
+    avcc, samples = h264.encode_frames(frames, qp=8, gop=5, t8x8=True,
+                                       entropy="cabac", nrefs=2)
+    for d, f in zip(h264.decode_samples(samples, avcc), frames):
+        mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 40
+
+
 def test_t8x8_boundaries_and_fuzz():
     import random
 
     yy, xx = np.mgrid[0:48, 0:64]
     frames = [np.clip((xx * 2 + yy + i) % 256, 0, 255).astype(np.uint8)
               for i in range(3)]
-    with pytest.raises(ValueError, match="CAVLC"):
-        h264.encode_frames(frames, qp=8, gop=3, t8x8=True, entropy="cabac")
     with pytest.raises(ValueError, match="deblock"):
         h264.encode_frames(frames, qp=20, gop=3, t8x8=True, deblock=True)
     avcc, samples = h264.encode_frames(frames, qp=8, gop=3, t8x8=True)
