@@ -42,7 +42,7 @@ headers, avcC records for MP4 'avc1' tracks), in both entropy modes
    with no extra syntax, composable with spatial/temporal direct and
    both entropy coders.
 
-7. **High-profile 8x8 transform** (r7, CAVLC): profile_idc 100 SPS
+7. **High-profile 8x8 transform** (r7, both entropy modes): profile_idc 100 SPS
    (4:2:0, 8-bit, flat scaling), PPS transform_8x8_mode_flag, per-MB
    transform_size_8x8_flag on 16x16/16x8/8x16 (and all-8x8-sub P_8x8)
    inter macroblocks with a coefficient-count selection gate, the 8x8
