@@ -54,9 +54,18 @@ headers, avcC records for MP4 'avc1' tracks), in both entropy modes
    interleaved 4x4 runs over the 8x8 zigzag; CABAC slices code the
    same blocks as cat-5 residuals (63-position significance folded at
    14 — in-repo context assignment, same honesty note as the uniform
-   init) with a neighbor-conditioned transform_size_8x8_flag bin. Out
-   of the 8x8 profile: I_8x8 intra prediction, 8x8 + in-loop
-   deblocking, 8x8 in B slices (all clear ValueErrors).
+   init) with a neighbor-conditioned transform_size_8x8_flag bin.
+   I_NxN macroblocks race an I_8x8 candidate (8.3.2.2: all nine
+   prediction modes over low-pass-filtered reference samples,
+   8.3.2.2.1) against I_4x4 on the same coefficient-count gate; pred
+   modes serialize as prev/rem pairs per 8x8 (CABAC reuses the
+   prev_i4/rem_i4 contexts). B slices carry the flag too (late r7) on
+   every non-direct shape with no sub-8x8 partitioning — direct stays
+   4x4 because the SPS writes direct_8x8_inference_flag 0 (the 7.3.5
+   flag condition). In-loop deblocking composes with the 8x8 transform
+   (late r7, 8.7.2): a per-picture transform-size map skips the
+   internal 4x4 edges (offsets 4/12) of 8x8-transformed MBs and tests
+   bS-2 "coded" status per 8x8 block. The 8x8 profile is COMPLETE.
 
 8. **Multi-slice pictures** (r7): slices covering whole MB rows
    (first_mb_in_slice = row * PicWidthInMbs), the hardware-encoder /
@@ -69,7 +78,7 @@ headers, avcC records for MP4 'avc1' tracks), in both entropy modes
 
 Decode scope and honesty notes:
 - Remaining out-of-scope shapes raise a clear ValueError: high-profile
-  tools beyond the 8x8 transform above (I_8x8 intra, scaling matrices,
+  tools beyond the 8x8 transform + I_8x8 intra above (scaling matrices,
   >8-bit, 4:2:2/4:4:4), FMO, slices at non-row-aligned first_mb
   offsets, SP/SI slices, EXPLICIT weighted bi-prediction
   (weighted_bipred_idc 1; implicit idc 2 — the x264 default — and
@@ -562,9 +571,9 @@ def _fwd8(resid: np.ndarray) -> np.ndarray:
     return _C8 @ resid.astype(np.int64) @ _C8.T
 
 
-def _quant8(w: np.ndarray, qp: int) -> np.ndarray:
+def _quant8(w: np.ndarray, qp: int, intra: bool = False) -> np.ndarray:
     qbits = 22 + qp // 6
-    f = (1 << qbits) // 6  # inter dead zone (8x8 codes inter residual)
+    f = (1 << qbits) // (3 if intra else 6)  # spec dead-zone rounding
     return (np.sign(w) * ((np.abs(w) * _MF8[qp % 6] + f) >> qbits)
             ).astype(np.int64)
 
@@ -603,6 +612,24 @@ _T8 = False
 def _set_t8(v: bool) -> None:
     global _T8
     _T8 = bool(v)
+
+
+# Per-picture transform_size_8x8_flag map (mbh x mbw), for the 8.7
+# deblocking edge derivation: inside an 8x8-transformed MB the internal
+# 4x4 edges (offsets 4 and 12) are NOT filtered, and "coded" status for
+# bS 2 is per 8x8 block. Same module-global convention as _T8; None when
+# the picture doesn't filter or the PPS has no 8x8 mode.
+_T8MAP = None
+
+
+def _set_t8map(m) -> None:
+    global _T8MAP
+    _T8MAP = m
+
+
+def _mark_t8(mx: int, my: int) -> None:
+    if _T8MAP is not None:
+        _T8MAP[my, mx] = 1
 _MF4 = [np.array([_MF[m][c] for c in _POS_CLASS], np.int32).reshape(4, 4)
         for m in range(6)]
 
@@ -1538,6 +1565,209 @@ def _mb_avail(blk, px, py, plane_w):
     return al, aa, aar, aal
 
 
+def _mb_avail8(b8, px, py, plane_w):
+    """(left, above, above-right, above-left) availability for the 8x8
+    luma block `b8` (Z order) whose top-left sample is (px, py) — the
+    8x8 analog of _mb_avail (8.3.2.2 neighbour derivation). b8 2's
+    above-right lies in this MB's already-decoded top-right 8x8; b8 3's
+    is the not-yet-decoded MB to the right."""
+    top = _SLICE_TOP * 16
+    al = px > 0
+    aa = py > top
+    aal = al and aa
+    if b8 == 2:
+        aar = True
+    elif b8 == 3:
+        aar = False
+    else:  # top row of the MB: needs the above MB row, within the plane
+        aar = aa and px + 16 <= plane_w
+    return al, aa, aar, aal
+
+
+def _pred8(plane, px, py, mode, al, aa, aar, aal):
+    """8.3.2.2: one 8x8 luma intra prediction (int64 8x8). Reference
+    samples are low-pass filtered FIRST (8.3.2.2.1, from the original
+    unfiltered neighbours), then the nine mode formulas (8.3.2.2.2-.10)
+    read only the filtered arrays. Unavailable above-right samples are
+    substituted with p[7,-1] before filtering, like the 4x4 path."""
+    if mode in (0, 3, 7) and not aa:
+        raise ValueError(f"intra 8x8 mode {mode} without above neighbour")
+    if mode in (1, 8) and not al:
+        raise ValueError(f"intra 8x8 mode {mode} without left neighbour")
+    if mode in (4, 5, 6) and not (aa and al):
+        raise ValueError(f"intra 8x8 mode {mode} without both neighbours")
+    L = plane[py:py + 8, px - 1].astype(np.int64) if al else None
+    X = int(plane[py - 1, px - 1]) if aal else 0
+    Af = Lf = None
+    Xf = 0
+    if aa:
+        A = plane[py - 1, px:px + 8].astype(np.int64)
+        if aar:
+            AR = plane[py - 1, px + 8:px + 16].astype(np.int64)
+        else:
+            AR = np.full(8, int(A[7]), np.int64)
+        A16 = np.concatenate([A, AR])
+        Af = np.empty(16, np.int64)
+        first = X if aal else int(A16[0])
+        Af[0] = (first + 2 * A16[0] + A16[1] + 2) >> 2
+        Af[1:15] = (A16[0:14] + 2 * A16[1:15] + A16[2:16] + 2) >> 2
+        Af[15] = (A16[14] + 3 * A16[15] + 2) >> 2
+    if al:
+        Lf = np.empty(8, np.int64)
+        first = X if aal else int(L[0])
+        Lf[0] = (first + 2 * L[0] + L[1] + 2) >> 2
+        Lf[1:7] = (L[0:6] + 2 * L[1:7] + L[2:8] + 2) >> 2
+        Lf[7] = (L[6] + 3 * L[7] + 2) >> 2
+    if aal:  # in this geometry aal implies aa and al (kept spec-shaped)
+        if aa and al:
+            Xf = (int(A16[0]) + 2 * X + int(L[0]) + 2) >> 2
+        elif aa:
+            Xf = (3 * X + int(A16[0]) + 2) >> 2
+        elif al:
+            Xf = (3 * X + int(L[0]) + 2) >> 2
+        else:
+            Xf = X
+    p = np.empty((8, 8), np.int64)
+    if mode == 0:  # vertical
+        p[:] = Af[:8]
+    elif mode == 1:  # horizontal
+        p[:] = Lf[:, None]
+    elif mode == 2:  # DC (8.3.2.2.4)
+        if aa and al:
+            p[:] = (int(Af[:8].sum()) + int(Lf.sum()) + 8) >> 4
+        elif aa:
+            p[:] = (int(Af[:8].sum()) + 4) >> 3
+        elif al:
+            p[:] = (int(Lf.sum()) + 4) >> 3
+        else:
+            p[:] = 128
+    elif mode == 3:  # diagonal down-left (8.3.2.2.5)
+        for y in range(8):
+            for x in range(8):
+                if x == 7 and y == 7:
+                    p[y, x] = (Af[14] + 3 * Af[15] + 2) >> 2
+                else:
+                    p[y, x] = (Af[x + y] + 2 * Af[x + y + 1]
+                               + Af[x + y + 2] + 2) >> 2
+    elif mode == 4:  # diagonal down-right (8.3.2.2.6)
+        for y in range(8):
+            for x in range(8):
+                if x > y:
+                    p[y, x] = (Af[x - y - 2] + 2 * Af[x - y - 1]
+                               + Af[x - y] + 2) >> 2
+                elif x < y:
+                    p[y, x] = (Lf[y - x - 2] + 2 * Lf[y - x - 1]
+                               + Lf[y - x] + 2) >> 2
+                else:
+                    p[y, x] = (Af[0] + 2 * Xf + Lf[0] + 2) >> 2
+    elif mode == 5:  # vertical-right (8.3.2.2.7); Lx carries the
+        # filtered corner at index 0 so z < -1 indexes stay in range
+        Lx = np.concatenate([[Xf], Lf])
+        for y in range(8):
+            for x in range(8):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (Af[x - (y >> 1) - 1] + Af[x - (y >> 1)]
+                               + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (Af[x - (y >> 1) - 2]
+                               + 2 * Af[x - (y >> 1) - 1]
+                               + Af[x - (y >> 1)] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (Lf[0] + 2 * Xf + Af[0] + 2) >> 2
+                else:
+                    # z < -1: left-column taps at rows y-2x-1, y-2x-2,
+                    # y-2x-3 (row -1 = the filtered corner, Lx[0])
+                    k = y - 2 * x
+                    p[y, x] = (Lx[k] + 2 * Lx[k - 1] + Lx[k - 2] + 2) >> 2
+    elif mode == 6:  # horizontal-down (8.3.2.2.8, mirror of mode 5)
+        T = np.concatenate([[Xf], Af])
+        for y in range(8):
+            for x in range(8):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (Lf[y - (x >> 1) - 1] + Lf[y - (x >> 1)]
+                               + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (Lf[y - (x >> 1) - 2]
+                               + 2 * Lf[y - (x >> 1) - 1]
+                               + Lf[y - (x >> 1)] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (Af[0] + 2 * Xf + Lf[0] + 2) >> 2
+                else:
+                    # z < -1: above-row taps at cols x-2y-1, x-2y-2,
+                    # x-2y-3 (col -1 = the filtered corner, T[0])
+                    k = x - 2 * y
+                    p[y, x] = (T[k] + 2 * T[k - 1] + T[k - 2] + 2) >> 2
+    elif mode == 7:  # vertical-left (8.3.2.2.9)
+        for y in range(8):
+            for x in range(8):
+                if y % 2 == 0:
+                    p[y, x] = (Af[x + (y >> 1)] + Af[x + (y >> 1) + 1]
+                               + 1) >> 1
+                else:
+                    p[y, x] = (Af[x + (y >> 1)] + 2 * Af[x + (y >> 1) + 1]
+                               + Af[x + (y >> 1) + 2] + 2) >> 2
+    elif mode == 8:  # horizontal-up (8.3.2.2.10)
+        for y in range(8):
+            for x in range(8):
+                z = x + 2 * y
+                if z < 13 and z % 2 == 0:
+                    p[y, x] = (Lf[y + (x >> 1)] + Lf[y + (x >> 1) + 1]
+                               + 1) >> 1
+                elif z < 13:
+                    p[y, x] = (Lf[y + (x >> 1)] + 2 * Lf[y + (x >> 1) + 1]
+                               + Lf[y + (x >> 1) + 2] + 2) >> 2
+                elif z == 13:
+                    p[y, x] = (Lf[6] + 3 * Lf[7] + 2) >> 2
+                else:
+                    p[y, x] = Lf[7]
+    else:
+        raise ValueError(f"bad intra 8x8 mode {mode}")
+    return p
+
+
+def _eval_mb_i8(plane, smb, mx, my, qp, plane_w):
+    """Evaluate the I_8x8 candidate for an I_NxN macroblock (8.3.2.2):
+    per-8x8 best-SSD mode over ALL available prediction modes (DC-first
+    iteration with strict < keeps flat sources on DC — the gray-fixture
+    bit-identity convention), intra-dead-zone 8x8 quantization,
+    progressive in-MB reconstruction. Writes recon into `plane` (the
+    caller restores the MB region if the 4x4 candidate wins) and
+    returns (total_coeffs, [(mode, q8)] in 8x8 Z order, cbp8).
+    Shared by the CAVLC and CABAC encoders."""
+    blocks8, cbp8, n8 = [], 0, 0
+    for b8 in range(4):
+        ox8, oy8 = (b8 & 1) * 8, (b8 >> 1) * 8
+        px, py = mx * 16 + ox8, my * 16 + oy8
+        al, aa, aar, aal = _mb_avail8(b8, px, py, plane_w)
+        sblk = smb[oy8:oy8 + 8, ox8:ox8 + 8].astype(np.int64)
+        best = None
+        for mode in (2, 0, 1, 3, 4, 5, 6, 7, 8):
+            if mode in (0, 3, 7) and not aa:
+                continue
+            if mode in (1, 8) and not al:
+                continue
+            if mode in (4, 5, 6) and not (aa and al):
+                continue
+            pr = _pred8(plane, px, py, mode, al, aa, aar, aal)
+            ssd = int(((sblk - pr) ** 2).sum())
+            if best is None or ssd < best[0]:
+                best = (ssd, mode, pr)
+        _, mode, pred = best
+        q8 = _quant8(_fwd8(sblk - pred), qp, intra=True)
+        n8 += int(np.count_nonzero(q8))
+        if np.any(q8):
+            cbp8 |= 1 << b8
+            rec = pred + _inv8(_dequant8(q8, qp))
+        else:
+            rec = pred
+        np.clip(rec, 0, 255, rec)
+        plane[py:py + 8, px:px + 8] = rec.astype(np.uint8)
+        blocks8.append((mode, q8))
+    return n8, blocks8, cbp8
+
+
 def _pred_mode_for(modes, bx, by):
     """Predicted intra-4x4 mode (8.3.1.1): min(left, above); any
     unavailable or non-I4x4 neighbour counts as DC (2)."""
@@ -1620,6 +1850,8 @@ def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
     ch = (csrc, crec, nnz_c)
 
     _set_t8(t8x8)  # High-profile PPS: I_NxN MBs carry the 8x8 flag (r7)
+    t8m = np.zeros((mbh, mbw), np.int32) if t8x8 else None
+    _set_t8map(t8m)  # per-MB flags feed the 8.7 edge derivation
     rbsps = []
     for r0, r1 in _slice_ranges(mbh, slice_rows):
         _set_slice_top(r0)
@@ -1654,9 +1886,11 @@ def encode_idr_cavlc(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
         rbsps.append(bytes(bw.buf))
     _set_slice_top(0)
     _set_t8(False)
+    _set_t8map(None)
     out = plane
     if deblock and qp >= 16:
-        out = _deblock_luma(plane, np.full((mbh, mbw), qp, np.int32))
+        out = _deblock_luma(plane, np.full((mbh, mbw), qp, np.int32),
+                            t8=t8m)
         crec = _deblock_chroma(crec, np.full((mbh, mbw), qp, np.int32))
     y = out if full_recon else out[:h, :w].copy()
     rb = rbsps[0] if slice_rows is None else rbsps
@@ -1738,8 +1972,16 @@ def _i16_dc_dequant(dc_lv, qp):
 
 def _encode_mb_i4(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs,
                   plane_w, ch, mb_type_code=0):
-    """I_4x4 macroblock: best-of V/H/DC prediction per block, CAVLC
-    residuals, decoder-identical reconstruction."""
+    """I_NxN macroblock: I_4x4 best-of-V/H/DC per block; under a High-
+    profile PPS (r7) an I_8x8 candidate (8.3.2.2, all nine modes)
+    competes on coefficient count — the same CAVLC bit-cost proxy the
+    inter transform selection uses. Residuals are CAVLC (8x8 blocks as
+    four interleaved 4x4 runs, 8.5.6); recon is decoder-identical."""
+    ys, xs = my * 16, mx * 16
+    if _T8:  # pre-state, to replay for the I_8x8 candidate
+        plane0 = plane[ys:ys + 16, xs:xs + 16].copy()
+        nnz0 = nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
+        modes0 = modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
     blocks = []  # (chosen_mode, scan, nC) in blkIdx order
     cbp = 0
     for blk in range(16):
@@ -1771,37 +2013,84 @@ def _encode_mb_i4(bw, smb, plane, mx, my, qp, nnz, modes, max_coeffs,
         rec = pred + _inv4(_dequant4(lv, qp)).astype(np.int32)
         np.clip(rec, 0, 255, rec)
         plane[py:py + 4, px:px + 4] = rec.astype(np.uint8)
-    # serialize: mb_type, 16 pred modes, chroma mode, cbp, qp_delta, residuals
-    bw.ue(mb_type_code)  # I_4x4 (5 when inside a P slice)
-    if _T8:  # High-profile PPS: I_NxN carries transform_size_8x8_flag
-        bw.u(0, 1)  # this encoder's intra is always 4x4
-    for blk in range(16):
-        ox, oy = _BLK_XY[blk]
-        bx, by = (mx * 16 + ox) // 4, (my * 16 + oy) // 4
-        mode = blocks[blk][0]
-        # predicted mode must use the FINAL modes grid state as the decoder
-        # sees it: left/up blocks all precede in blkIdx order, already set
-        pm = _pred_mode_for_encoded(modes, bx, by, blk, mx, my)
-        if mode == pm:
-            bw.u(1, 1)
+    use8 = False
+    if _T8:  # race the I_8x8 candidate on the same pre-state
+        plane4 = plane[ys:ys + 16, xs:xs + 16].copy()
+        nnz4 = nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
+        modes4 = modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
+        plane[ys:ys + 16, xs:xs + 16] = plane0
+        nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = nnz0
+        modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = modes0
+        n8, blocks8, cbp8 = _eval_mb_i8(plane, smb, mx, my, qp, plane_w)
+        use8 = n8 <= sum(b[3] for b in blocks)
+        if use8:
+            _mark_t8(mx, my)
         else:
-            bw.u(0, 1)
-            bw.u(mode - (1 if mode > pm else 0), 3)
-    # chroma residual (r7): best-mode prediction from the recon plane;
-    # a flat source picks DC / cbpc 0, reproducing the pre-r7 bitstream
+            plane[ys:ys + 16, xs:xs + 16] = plane4
+            nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = nnz4
+            modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = modes4
+    # chroma residual (r7): best-mode prediction from the recon plane,
+    # independent of the luma transform choice; a flat source picks
+    # DC / cbpc 0, reproducing the pre-r7 bitstream
     csrc, crec, nnz_c = ch
     csrc_mb = csrc[:, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
     icp, cpred = _pick_chroma_mode(crec, csrc_mb, mx, my, mx > 0,
                                    my > _SLICE_TOP)
-    bw.ue(icp)  # intra_chroma_pred_mode
     cbpc, comps = _encode_chroma_mb(csrc_mb, cpred, qp, intra=True)
+    # serialize: mb_type, [t8 flag,] pred modes, chroma mode, cbp,
+    # qp_delta, residuals
+    bw.ue(mb_type_code)  # I_NxN (5 when inside a P slice)
+    if _T8:  # High-profile PPS: I_NxN carries transform_size_8x8_flag
+        bw.u(1 if use8 else 0, 1)
+    if use8:
+        for b8, (mode8, _q8) in enumerate(blocks8):
+            bx, by = mx * 4 + (b8 & 1) * 2, my * 4 + (b8 >> 1) * 2
+            pm = _pred_mode_for(modes, bx, by)
+            if mode8 == pm:
+                bw.u(1, 1)  # prev_intra8x8_pred_mode_flag
+            else:
+                bw.u(0, 1)
+                bw.u(mode8 - (1 if mode8 > pm else 0), 3)
+            # replicate into the 4x4 grid so later pred-mode and nC
+            # derivations see the 8x8 mode (decoder does the same)
+            modes[by:by + 2, bx:bx + 2] = mode8
+        cbp = cbp8
+    else:
+        for blk in range(16):
+            ox, oy = _BLK_XY[blk]
+            bx, by = (mx * 16 + ox) // 4, (my * 16 + oy) // 4
+            mode = blocks[blk][0]
+            # predicted mode must use the FINAL modes grid state as the
+            # decoder sees it: left/up blocks all precede in blkIdx
+            # order, already set
+            pm = _pred_mode_for_encoded(modes, bx, by, blk, mx, my)
+            if mode == pm:
+                bw.u(1, 1)
+            else:
+                bw.u(0, 1)
+                bw.u(mode - (1 if mode > pm else 0), 3)
+    bw.ue(icp)  # intra_chroma_pred_mode
     bw.ue(_CBP_INTRA_INV[cbp | (cbpc << 4)])
     if cbp | cbpc:
         bw.se(0)  # mb_qp_delta
-    for blk in range(16):
-        if cbp & (1 << (blk >> 2)):
-            _, scan, nc, _tc = blocks[blk]
-            _encode_residual(bw, scan, nc)
+    if use8:  # four 8x8 blocks, CAVLC-interleaved 4x4 runs (8.5.6)
+        for b8 in range(4):
+            cells = [(my * 4 + (b8 >> 1) * 2 + (k >> 1),
+                      mx * 4 + (b8 & 1) * 2 + (k & 1)) for k in range(4)]
+            if cbp & (1 << b8):
+                runs = _scan8_sub(blocks8[b8][1])
+                for k, (by, bx) in enumerate(cells):
+                    nc = _nc_luma(nnz, bx, by)
+                    _encode_residual(bw, [int(v) for v in runs[k]], nc)
+                    nnz[by, bx] = int(np.count_nonzero(runs[k]))
+            else:
+                for by, bx in cells:
+                    nnz[by, bx] = 0
+    else:
+        for blk in range(16):
+            if cbp & (1 << (blk >> 2)):
+                _, scan, nc, _tc = blocks[blk]
+                _encode_residual(bw, scan, nc)
     _write_chroma_residual(bw, cbpc, comps, nnz_c, mx, my)
     for ci in range(2):
         crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = comps[ci]["recon"]
@@ -1918,11 +2207,9 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
             bw.se(0)
         return bw
 
-    if t8x8 and deblock:
-        raise ValueError(
-            "in-loop deblocking with the 8x8 transform is out of this "
-            "encoder's profile (internal-edge bS rules differ)")
     _set_t8(t8x8)
+    t8m = np.zeros((mbh, mbw), np.int32) if t8x8 else None
+    _set_t8map(t8m)  # per-MB flags feed the 8.7 edge derivation
     starts = dict(_slice_ranges(mbh, slice_rows))
     rbsps = []
     bw = None
@@ -2059,6 +2346,7 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 use8 = n8 <= n4
             if use8:
                 cbp, out = cbp8, out8
+                _mark_t8(mx, my)
             else:
                 cbp, out = cbp4, out4
             cbpc, comps = _encode_chroma_mb(csrc_mb, cpred, qp, intra=False)
@@ -2135,11 +2423,12 @@ def encode_p_cavlc(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     rbsps.append(bytes(bw.buf))
     _set_slice_top(0)
     _set_t8(False)
+    _set_t8map(None)
     rb = rbsps[0] if slice_rows is None else rbsps
     out_plane = plane
     if deblock and qp >= 16:
-        out_plane = _deblock_luma_inter(plane, qp_map, nnz, mvs)
-        crec = _deblock_chroma(crec, qp_map, nnz=nnz, mvs=mvs)
+        out_plane = _deblock_luma_inter(plane, qp_map, nnz, mvs, t8=t8m)
+        crec = _deblock_chroma(crec, qp_map, nnz=nnz, mvs=mvs, t8=t8m)
     if motion_out is not None:
         motion_out.append((mvs.mv.copy(), mvs.ref.copy()))
     if chroma is None:
@@ -2196,7 +2485,7 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                    cref0: np.ndarray | None = None,
                    cref1: np.ndarray | None = None,
                    col_motion=None, pocs=None, implicit_wb=False,
-                   slice_rows=None):
+                   slice_rows=None, t8x8: bool = False):
     """One gray frame -> (B-slice RBSP, FULL recon plane). Per MB the
     encoder picks the cheapest of B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
     (bi-prediction averages the two MC blocks) with an I_4x4 fallback on
@@ -2209,7 +2498,12 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
     (PPS weighted_bipred_idc 2, r7) blends every bi-prediction with the
     POC-derived implicit weights instead of the plain average — no new
     syntax, only the 8.4.2.3.1 prediction math — which makes temporally
-    asymmetric B pictures (and linear fades) predict far better."""
+    asymmetric B pictures (and linear fades) predict far better.
+    t8x8=True (High-profile PPS, late r7): per-MB adaptive 8x8
+    transform on B_L0/L1/Bi 16x16, partitioned 16x8/8x16, and B_8x8
+    with all-8x8 non-direct subs — direct shapes stay 4x4 because the
+    SPS writes direct_8x8_inference_flag 0 (7.3.5 flag condition);
+    the I_NxN fallback races I_8x8 like any intra MB."""
     if implicit_wb:
         if pocs is None:
             raise ValueError("implicit_wb needs pocs=(cur, poc0, poc1)")
@@ -2261,7 +2555,7 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
         bw.ue(1)      # disable_deblocking_filter_idc (always off for B)
         return bw
 
-    _set_t8(False)  # B slices never carry the 8x8 transform (r7)
+    _set_t8(t8x8)  # High-profile PPS (late r7): B MBs carry the flag too
     starts = dict(_slice_ranges(mbh, slice_rows))
     rbsps = []
     bw = None
@@ -2379,6 +2673,33 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                     cbp |= 1 << (blk >> 2)
                 blocks.append((lv, tc))
                 out[oy:oy + 4, ox:ox + 4] += _inv4(_dequant4(lv, qp)).astype(np.int32)
+            # 8x8-transform eligibility (7.3.5 with the SPS's
+            # direct_8x8_inference_flag 0): every non-direct shape with
+            # no sub-8x8 partitioning
+            t8_shape = t8x8 and (
+                all(st8 in (1, 2, 3) for st8, _ in b8) if b8
+                else True if bpart else mb_type != 0)
+            use8 = False
+            if t8_shape:
+                # same coefficient-count race as the P/I twins
+                blocks8 = []
+                cbp8 = 0
+                out8 = pred.copy()
+                for k8 in range(4):
+                    oy8, ox8 = (k8 >> 1) * 8, (k8 & 1) * 8
+                    q8 = _quant8(_fwd8(smb[oy8:oy8 + 8, ox8:ox8 + 8]
+                                       - pred[oy8:oy8 + 8, ox8:ox8 + 8]),
+                                 qp)
+                    if np.any(q8):
+                        cbp8 |= 1 << k8
+                        out8[oy8:oy8 + 8, ox8:ox8 + 8] += \
+                            _inv8(_dequant8(q8, qp)).astype(np.int64)
+                    blocks8.append(q8)
+                n8 = sum(int(np.count_nonzero(q)) for q in blocks8)
+                use8 = n8 <= sum(tc for _lv, tc in blocks)
+            if use8:
+                cbp, out = cbp8, out8
+                _mark_t8(mx, my)
             cbpc, comps = _encode_chroma_mb(csrc_mb, cpred, qp, intra=False)
             bw.ue(pending_skips)
             pending_skips = 0
@@ -2423,16 +2744,34 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
                     bw.se(mv1[0] - mvp1[0])
                     bw.se(mv1[1] - mvp1[1])
             bw.ue(_CBP_INTER_INV[cbp | (cbpc << 4)])
+            if t8_shape and (cbp & 15):
+                bw.u(1 if use8 else 0, 1)  # transform_size_8x8_flag
             if cbp | cbpc:
                 bw.se(0)  # mb_qp_delta
-            for blk in range(16):
-                ox, oy = _BLK_XY[blk]
-                bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
-                lv, tc = blocks[blk]
-                if cbp & (1 << (blk >> 2)):
-                    nc = _nc_luma(nnz, bx, by)
-                    _encode_residual(bw, _scan16(lv), nc)
-                nnz[by, bx] = tc
+            if use8:  # four 8x8 blocks, CAVLC-interleaved 4x4 runs
+                for k8 in range(4):
+                    cells = [(my * 4 + (k8 >> 1) * 2 + (k >> 1),
+                              mx * 4 + (k8 & 1) * 2 + (k & 1))
+                             for k in range(4)]
+                    if cbp & (1 << k8):
+                        runs = _scan8_sub(blocks8[k8])
+                        for k, (by, bx) in enumerate(cells):
+                            nc = _nc_luma(nnz, bx, by)
+                            _encode_residual(bw, [int(v) for v in runs[k]],
+                                             nc)
+                            nnz[by, bx] = int(np.count_nonzero(runs[k]))
+                    else:
+                        for by, bx in cells:
+                            nnz[by, bx] = 0
+            else:
+                for blk in range(16):
+                    ox, oy = _BLK_XY[blk]
+                    bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
+                    lv, tc = blocks[blk]
+                    if cbp & (1 << (blk >> 2)):
+                        nc = _nc_luma(nnz, bx, by)
+                        _encode_residual(bw, _scan16(lv), nc)
+                    nnz[by, bx] = tc
             _write_chroma_residual(bw, cbpc, comps, nnz_c, mx, my)
             for ci in range(2):
                 crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
@@ -2454,6 +2793,7 @@ def encode_b_cavlc(gray: np.ndarray, ref0_full: np.ndarray,
     bw.rbsp_trailing()
     rbsps.append(bytes(bw.buf))
     _set_slice_top(0)
+    _set_t8(False)
     rb = rbsps[0] if slice_rows is None else rbsps
     if chroma is None:
         return rb, plane
@@ -2466,7 +2806,8 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
                        chromas: list | None = None,
                        direct: str = "spatial",
                        implicit_wb: bool = False,
-                       slice_rows: int | None = None
+                       slice_rows: int | None = None,
+                       t8x8: bool = False
                        ) -> tuple[bytes, list[bytes], list[int]]:
     """Gray frames -> (avcC, DECODE-ORDER length-prefixed samples,
     display index per sample). Real IBBP-style GOPs: reference frames
@@ -2503,7 +2844,8 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
         assert len(chromas) == len(frames), "one chroma pair per frame"
     avcc = build_avcc(w, h, deblock_ctrl=True, bpoc=True,
                       cabac=entropy == "cabac",
-                      wbidc=2 if implicit_wb else 0)
+                      wbidc=2 if implicit_wb else 0, t8x8=t8x8)
+    t8kw = {"t8x8": True} if t8x8 else {}
     samples: list[bytes] = []
     display: list[int] = []
     recons: dict[int, object] = {}  # display idx -> FULL recon (refs)
@@ -2529,12 +2871,12 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
             if chromas is None:
                 rbsp, recon = enc_idr(frames[i], qp=qp, deblock=deblock,
                                       full_recon=True, poc_lsb=2 * i,
-                                      slice_rows=slice_rows)
+                                      slice_rows=slice_rows, **t8kw)
             else:
                 rbsp, (recon, crec) = enc_idr(
                     frames[i], qp=qp, deblock=deblock, full_recon=True,
                     poc_lsb=2 * i, chroma=chromas[i],
-                    slice_rows=slice_rows)
+                    slice_rows=slice_rows, **t8kw)
                 crecons[i] = crec
             frame_num = 1
             emit(rbsp, True, True, i)
@@ -2552,13 +2894,14 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
             rbsp, recon = enc_p(frames[nxt], recons[prev_ref_disp],
                                 qp=qp, frame_num=frame_num,
                                 deblock=deblock, poc_lsb=2 * nxt,
-                                motion_out=mo, slice_rows=slice_rows)
+                                motion_out=mo, slice_rows=slice_rows,
+                                **t8kw)
         else:
             rbsp, (recon, crec) = enc_p(
                 frames[nxt], recons[prev_ref_disp], qp=qp,
                 frame_num=frame_num, deblock=deblock, poc_lsb=2 * nxt,
                 chroma=chromas[nxt], cref=crecons[prev_ref_disp],
-                motion_out=mo, slice_rows=slice_rows)
+                motion_out=mo, slice_rows=slice_rows, **t8kw)
             crecons[nxt] = crec
         motions[nxt] = mo[0]
         frame_num = (frame_num + 1) & 0xF
@@ -2574,6 +2917,7 @@ def encode_frames_bgop(frames: list[np.ndarray], qp: int = 10,
             if implicit_wb:
                 tkw["implicit_wb"] = True
             tkw["slice_rows"] = slice_rows
+            tkw.update(t8kw)
             if chromas is None:
                 rbsp, _brec = enc_b(frames[b], recons[prev_ref_disp],
                                     recons[nxt], qp=qp,
@@ -2664,8 +3008,6 @@ def encode_frames(frames: list[np.ndarray], qp: int | None = None,
     if entropy not in ("cavlc", "cabac"):
         raise ValueError(f"unknown entropy mode {entropy!r}")
     use_cabac = entropy == "cabac"
-    if t8x8 and deblock:
-        raise ValueError("8x8 transform + in-loop deblocking unsupported")
     if use_cabac:
         from . import h264_cabac as C
         enc_idr, enc_p = C.encode_idr_cabac, C.encode_p_cabac
@@ -3272,10 +3614,13 @@ def _db_filter_line(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta, tc0):
 
 
 def _deblock_luma(plane: np.ndarray, qp_map: np.ndarray,
-                  off_a: int = 0, off_b: int = 0) -> np.ndarray:
+                  off_a: int = 0, off_b: int = 0,
+                  t8: np.ndarray | None = None) -> np.ndarray:
     """In-loop deblocking (8.7) for an all-intra picture, luma only.
     bS = 4 on macroblock edges, 3 on internal 4x4 edges. Operates on a
-    copy; intra prediction must keep using the UNFILTERED plane."""
+    copy; intra prediction must keep using the UNFILTERED plane.
+    t8 (mbh x mbw, late r7): inside an 8x8-transformed MB the internal
+    4x4 edges (offsets 4 and 12) are not filtered (8.7.2)."""
     out = plane.astype(np.int32)
     mbh, mbw = qp_map.shape
 
@@ -3288,8 +3633,11 @@ def _deblock_luma(plane: np.ndarray, qp_map: np.ndarray,
     for my in range(mbh):
         for mx in range(mbw):
             qp_q = qp_map[my, mx]
+            in_t8 = t8 is not None and t8[my, mx]
             # vertical edges (filter columns), left to right
             for ex in range(4):
+                if in_t8 and ex in (1, 3):
+                    continue  # no 4x4 edges inside an 8x8 transform
                 x = mx * 16 + ex * 4
                 if x == 0:
                     continue
@@ -3306,6 +3654,8 @@ def _deblock_luma(plane: np.ndarray, qp_map: np.ndarray,
                     out[ys, x - 3 + i] = np.clip(v, 0, 255)
             # horizontal edges (filter rows), top to bottom
             for ey in range(4):
+                if in_t8 and ey in (1, 3):
+                    continue
                 y = my * 16 + ey * 4
                 if y == 0:
                     continue
@@ -3323,17 +3673,27 @@ def _deblock_luma(plane: np.ndarray, qp_map: np.ndarray,
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
-def _deblock_luma_inter(plane, qp_map, nnz, mvs, off_a=0, off_b=0):
+def _deblock_luma_inter(plane, qp_map, nnz, mvs, off_a=0, off_b=0,
+                        t8=None):
     """8.7 for P pictures: per-4x4-segment bS — 4/3 when a side is intra
     (MB edge / internal), 2 when a side has coded residual, 1 on a
-    >= 1-integer-pel MV difference, else unfiltered."""
+    >= 1-integer-pel MV difference, else unfiltered. t8 (mbh x mbw,
+    late r7): 8x8-transformed MBs skip their internal 4x4 edges
+    (8.7.2) and test "coded" per 8x8 block for bS 2."""
     out = plane.astype(np.int32)
     mbh, mbw = qp_map.shape
+
+    def coded(bx, by):
+        # 8x8 transform: the whole 8x8 block is the coded unit
+        if t8 is not None and t8[by // 4, bx // 4]:
+            b0x, b0y = (bx >> 1) << 1, (by >> 1) << 1
+            return bool(nnz[b0y:b0y + 2, b0x:b0x + 2].any())
+        return bool(nnz[by, bx])
 
     def seg_bs(bxp, byp, bxq, byq, mb_edge):
         if mvs.ref[byp, bxp] < 0 or mvs.ref[byq, bxq] < 0:
             return 4 if mb_edge else 3
-        if nnz[byp, bxp] or nnz[byq, bxq]:
+        if coded(bxp, byp) or coded(bxq, byq):
             return 2
         dv = np.abs(mvs.mv[byp, bxp] - mvs.mv[byq, bxq])
         return 1 if int(dv.max()) >= 4 else 0
@@ -3341,8 +3701,11 @@ def _deblock_luma_inter(plane, qp_map, nnz, mvs, off_a=0, off_b=0):
     for my in range(mbh):
         for mx in range(mbw):
             qp_q = qp_map[my, mx]
+            in_t8 = t8 is not None and t8[my, mx]
             for vert in (True, False):
                 for e in range(4):
+                    if in_t8 and e in (1, 3):
+                        continue  # no 4x4 edges inside an 8x8 transform
                     x = mx * 16 + e * 4 if vert else mx * 16
                     y = my * 16 if vert else my * 16 + e * 4
                     if (vert and x == 0) or (not vert and y == 0):
@@ -3398,7 +3761,8 @@ def _db_chroma_line(p1, p0, q0, q1, bs, alpha, beta, tc0):
     return np.where(mask, np0, p0), np.where(mask, nq0, q0)
 
 
-def _deblock_chroma(cplanes, qp_map, off_a=0, off_b=0, nnz=None, mvs=None):
+def _deblock_chroma(cplanes, qp_map, off_a=0, off_b=0, nnz=None, mvs=None,
+                    t8=None):
     """8.7 chroma deblocking (4:2:0, r7): chroma edges exist only where
     luma edges 0 / 8 sit (chroma x|y 0 and 4 per MB). bS comes from the
     LUMA edge rules at the co-sited luma blocks — static 4 (MB edge) / 3
@@ -3409,12 +3773,19 @@ def _deblock_chroma(cplanes, qp_map, off_a=0, off_b=0, nnz=None, mvs=None):
     out = cplanes.astype(np.int32)
     mbh, mbw = qp_map.shape
 
+    def coded(bx, by):
+        # 8x8 luma transform: coded per 8x8 block (late r7)
+        if t8 is not None and t8[by // 4, bx // 4]:
+            b0x, b0y = (bx >> 1) << 1, (by >> 1) << 1
+            return bool(nnz[b0y:b0y + 2, b0x:b0x + 2].any())
+        return bool(nnz[by, bx])
+
     def seg_bs(bxp, byp, bxq, byq, mb_edge):
         if mvs is None:
             return 4 if mb_edge else 3
         if mvs.ref[byp, bxp] < 0 or mvs.ref[byq, bxq] < 0:
             return 4 if mb_edge else 3
-        if nnz[byp, bxp] or nnz[byq, bxq]:
+        if coded(bxp, byp) or coded(bxq, byq):
             return 2
         dv = np.abs(mvs.mv[byp, bxp] - mvs.mv[byq, bxq])
         return 1 if int(dv.max()) >= 4 else 0
@@ -3629,7 +4000,8 @@ def _parse_chroma_residual(r, cbpc, nnz_c, mx, my):
 
 def _decode_mb_i4x4(r, plane, mx, my, qp, nnz, cc, modes, plane_w):
     if _T8 and r.u(1):  # I_NxN transform_size_8x8_flag (7.3.5, r7)
-        raise ValueError("I_8x8 intra prediction: out of decode profile")
+        return _decode_mb_i8x8(r, plane, mx, my, qp, nnz, cc, modes,
+                               plane_w)
     prev_flags = []
     for _blk in range(16):
         if r.u(1):
@@ -3666,6 +4038,66 @@ def _decode_mb_i4x4(r, plane, mx, my, qp, nnz, cc, modes, plane_w):
         nnz[by, bx] = tc
         np.clip(rec, 0, 255, rec)
         plane[py:py + 4, px:px + 4] = rec.astype(np.uint8)
+    cres = _decode_chroma_residual(r, cbp >> 4, cc.nnz, mx, my, qp)
+    for ci in range(2):
+        cpred = _pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0,
+                              my > _SLICE_TOP)
+        cc.store(ci, mx, my, cpred + cres[ci])
+    return qp
+
+
+def _decode_mb_i8x8(r, plane, mx, my, qp, nnz, cc, modes, plane_w):
+    """I_8x8 intra MB (8.3.2.2, r7): four prev/rem pred modes, cbp over
+    8x8 blocks, residuals as CAVLC-interleaved 4x4 runs (8.5.6). The
+    transform_size_8x8_flag was already consumed by the caller."""
+    _mark_t8(mx, my)
+    prev_flags = []
+    for _b8 in range(4):
+        if r.u(1):
+            prev_flags.append(None)  # use predicted mode
+        else:
+            prev_flags.append(r.u(3))
+    icp = r.ue()
+    if icp > 3:
+        raise ValueError("bad intra_chroma_pred_mode")
+    cn = r.ue()
+    if cn > 47:
+        raise ValueError("bad coded_block_pattern")
+    cbp = _CBP_INTRA[cn]
+    if cbp:
+        qp = (qp + r.se() + 52) % 52
+    mode8s = []
+    for b8 in range(4):  # pred modes resolve against the 4x4 grid the
+        bx, by = mx * 4 + (b8 & 1) * 2, my * 4 + (b8 >> 1) * 2
+        pm = _pred_mode_for(modes, bx, by)  # encoder replicated into
+        rem = prev_flags[b8]
+        mode = pm if rem is None else rem + (1 if rem >= pm else 0)
+        if mode > 8:
+            raise ValueError("bad intra 8x8 pred mode")
+        modes[by:by + 2, bx:bx + 2] = mode
+        mode8s.append(mode)
+    for b8 in range(4):
+        ox8, oy8 = (b8 & 1) * 8, (b8 >> 1) * 8
+        px, py = mx * 16 + ox8, my * 16 + oy8
+        al, aa, aar, aal = _mb_avail8(b8, px, py, plane_w)
+        pred = _pred8(plane, px, py, mode8s[b8], al, aa, aar, aal)
+        cells = [(my * 4 + (b8 >> 1) * 2 + (k >> 1),
+                  mx * 4 + (b8 & 1) * 2 + (k & 1)) for k in range(4)]
+        if cbp & (1 << b8):
+            runs = []
+            for k, (by, bx) in enumerate(cells):
+                nc = _nc_luma(nnz, bx, by)
+                run = _decode_residual(r, nc, 16)
+                nnz[by, bx] = int(np.count_nonzero(run))
+                runs.append(run)
+            q8 = _unscan8_sub(runs)
+            rec = pred + _inv8(_dequant8(q8, qp))
+        else:
+            for by, bx in cells:
+                nnz[by, bx] = 0
+            rec = pred
+        np.clip(rec, 0, 255, rec)
+        plane[py:py + 8, px:px + 8] = rec.astype(np.uint8)
     cres = _decode_chroma_residual(r, cbp >> 4, cc.nnz, mx, my, qp)
     for ci in range(2):
         cpred = _pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0,
@@ -3728,6 +4160,8 @@ def _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred,
     use8 = False
     if _T8 and (cbp & 15) and t8_shape:
         use8 = bool(r.u(1))  # transform_size_8x8_flag (7.3.5)
+        if use8:
+            _mark_t8(mx, my)
     if cbp:
         qp = (qp + r.se() + 52) % 52
     out = pred.copy()
@@ -4053,7 +4487,8 @@ def _decode_mb_b16(r, mb_type, plane, ref0, ref1, mx, my, qp, nnz, cc,
     pred = preds[0] if len(preds) == 1 else _biblend(preds[0], preds[1])
     cpred = cpreds[0] if len(cpreds) == 1 else \
         _biblend(cpreds[0], cpreds[1])
-    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred,
+                         t8_shape=True)
 
 
 # Table 7-14 partitioned B mb_types 4..21: (geometry, part0 mode,
@@ -4117,7 +4552,8 @@ def _decode_mb_b_part(r, mb_type, plane, ref0, ref1, mx, my, qp, nnz, cc,
             _biblend(cpreds[0], cpreds[1])
         pred[oy:oy + h, ox:ox + w] = lp
         cpred[:, oy // 2:(oy + h) // 2, ox // 2:(ox + w) // 2] = cp
-    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred,
+                         t8_shape=True)
 
 
 def _decode_mb_b8x8(r, plane, ref0, ref1, mx, my, qp, nnz, cc, modes,
@@ -4144,7 +4580,8 @@ def _decode_mb_b8x8(r, plane, ref0, ref1, mx, my, qp, nnz, cc, modes,
     _b8x8_list_pass(subs, mvs0, mvs1, mx, my, dmv0, dmv1, mvd_io)
     pred, cpred = _b8x8_pred(subs, ref0, ref1, cc.ref, cc.ref2, mx, my,
                              dmv0, dmv1)
-    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred)
+    return _p_recon_tail(r, pred, plane, mx, my, qp, nnz, cc, modes, cpred,
+                         t8_shape=all(s in (1, 2, 3) for s in sts))
 
 
 def _skip_mb(plane, ref, mx, my, nnz, cc, modes, mvs):
@@ -4278,13 +4715,6 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
     qp = hdr["qp"]
     do_filter, off_a, off_b = hdr["do_filter"], hdr["off_a"], hdr["off_b"]
     _set_t8(pps.get("t8x8", False))
-    if pps.get("t8x8") and is_b:
-        raise ValueError(
-            "8x8 transform with B slices: out of decode profile")
-    if pps.get("t8x8") and do_filter:
-        raise ValueError(
-            "in-loop deblocking with the 8x8 transform: out of decode "
-            "profile (this encoder never emits it)")
     mbw, mbh = sps["mbw"], sps["mbh"]
     # L0 reference list: `ref` is one FULL plane or a most-recent-first
     # list (multi-reference P slices, r7); B slices stay 1+1 (L0/L1)
@@ -4313,15 +4743,19 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
         plane, nnz = pic["plane"], pic["nnz"]
         cc, modes, qp_map = pic["cc"], pic["modes"], pic["qp_map"]
         mvs, mvs1 = pic["mvs"], pic["mvs1"]
+        t8m = pic["t8m"]
     else:
         cc = _ChromaState(mbw, mbh, ref=crefs, ref2=cref2)
         modes = np.full((mbh * 4, mbw * 4), -1, np.int32)
         qp_map = np.zeros((mbh, mbw), np.int32)
         mvs = _MvState(mbw, mbh) if (is_p or is_b) else None
         mvs1 = _MvState(mbw, mbh) if is_b else None  # L1 motion state
+        t8m = np.zeros((mbh, mbw), np.int32) \
+            if pps.get("t8x8") else None
         if pic is not None:
             pic.update(plane=plane, nnz=nnz, cc=cc, modes=modes,
-                       qp_map=qp_map, mvs=mvs, mvs1=mvs1)
+                       qp_map=qp_map, mvs=mvs, mvs1=mvs1, t8m=t8m)
+    _set_t8map(t8m)  # per-MB flags feed the 8.7 edge derivation
     if is_p and hdr.get("wp") is not None:  # explicit WP (r7)
         mvs.wp = _resolve_wp(hdr["wp"], nrefs)
     run_pending = None  # skip run not yet read for the next coded MB
@@ -4413,6 +4847,7 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
     _set_slice_top(0)
     if r1 < mbh:
         return None  # more slices of this picture follow (r7)
+    _set_t8map(None)
     if do_filter and int(qp_map.max()) + max(off_a, off_b, 0) >= 16:
         # intra/inter prediction consumed the unfiltered plane above; the
         # OUTPUT picture is the filtered one (8.7). Below qp 16 every
@@ -4421,11 +4856,12 @@ def _decode_islice(r, sps, pps, nal_type, ref: np.ndarray | None = None,
             # B pictures filter with the L0 motion state (in-repo
             # approximation of the two-list bS rules; the in-repo encoder
             # always disables the filter for B slices, so decode == recon)
-            plane = _deblock_luma_inter(plane, qp_map, nnz, mvs, off_a, off_b)
+            plane = _deblock_luma_inter(plane, qp_map, nnz, mvs, off_a,
+                                        off_b, t8=t8m)
             cc.planes = _deblock_chroma(cc.planes, qp_map, off_a, off_b,
-                                        nnz=nnz, mvs=mvs)
+                                        nnz=nnz, mvs=mvs, t8=t8m)
         else:
-            plane = _deblock_luma(plane, qp_map, off_a, off_b)
+            plane = _deblock_luma(plane, qp_map, off_a, off_b, t8=t8m)
             cc.planes = _deblock_chroma(cc.planes, qp_map, off_a, off_b)
     if motion_out is not None:
         if mvs is not None:

@@ -49,7 +49,10 @@ colocated anchor's per-4x4 motion field, threaded by
 h264.decode_samples; shared derivation h264._temporal_fields); I_PCM
 (mb_type 25 via the ctx-276 terminate bin — raw samples between an
 EncodeFlush and an engine re-init per 9.3.1.2, contexts persisting;
-encode_idr_ipcm_cabac or pcm_mask= on encode_idr_cabac).
+encode_idr_ipcm_cabac or pcm_mask= on encode_idr_cabac); High-profile
+8x8 transform on inter MBs AND I_8x8 intra prediction (8.3.2.2, all
+nine modes; pred modes on the prev_i4/rem_i4 contexts, residuals as
+cat-5 blocks, neighbor-conditioned transform_size_8x8_flag bin).
 
 Reference parity note: the reference (preview.geotiff/*) does no video at
 all — this is north-star surface (crawl-scale MP4 sampling), not
@@ -738,6 +741,8 @@ def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
     ch = (csrc, crec)
 
     H._set_t8(t8x8)  # High-profile PPS: I_NxN MBs carry the 8x8 flag
+    t8m = np.zeros((mbh, mbw), np.int32) if t8x8 else None
+    H._set_t8map(t8m)  # per-MB flags feed the 8.7 edge derivation
     rbsps = []
     for r0, r1 in H._slice_ranges(mbh, slice_rows):
         H._set_slice_top(r0)
@@ -769,9 +774,11 @@ def encode_idr_cabac(gray: np.ndarray, qp: int = 10, max_coeffs: int = 16,
         rbsps.append(bytes(bw.buf))
     H._set_slice_top(0)
     H._set_t8(False)
+    H._set_t8map(None)
     out = plane
     if deblock and qp >= 16:
-        out = H._deblock_luma(plane, np.full((mbh, mbw), qp, np.int32))
+        out = H._deblock_luma(plane, np.full((mbh, mbw), qp, np.int32),
+                              t8=t8m)
         crec = H._deblock_chroma(crec, np.full((mbh, mbw), qp, np.int32))
     y = out if full_recon else out[:h, :w].copy()
     rb = rbsps[0] if slice_rows is None else rbsps
@@ -876,8 +883,15 @@ def _enc_mb_i16(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
 
 def _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
                max_coeffs, plane_w, mbt_base, ch, in_p=False):
-    """I_4x4 macroblock, CABAC serialization; decisions/recon identical to
-    h264._encode_mb_i4."""
+    """I_NxN macroblock, CABAC serialization; decisions/recon identical
+    to h264._encode_mb_i4 — including the High-profile I_8x8 candidate
+    race on coefficient count (r7). 8x8 residuals go out as one cat-5
+    block; pred modes reuse the prev_i4/rem_i4 contexts (9.3.3.1)."""
+    ys, xs = my * 16, mx * 16
+    if H._T8:  # pre-state, to replay for the I_8x8 candidate
+        plane0 = plane[ys:ys + 16, xs:xs + 16].copy()
+        nnz0 = nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
+        modes0 = modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
     blocks = []
     cbp = 0
     smb = smb.astype(np.uint8)
@@ -909,6 +923,23 @@ def _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
         rec = pred + H._inv4(H._dequant4(lv, qp)).astype(np.int32)
         np.clip(rec, 0, 255, rec)
         plane[py:py + 4, px:px + 4] = rec.astype(np.uint8)
+    use8 = False
+    if H._T8:  # race the I_8x8 candidate on the same pre-state
+        plane4 = plane[ys:ys + 16, xs:xs + 16].copy()
+        nnz4 = nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
+        modes4 = modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
+        plane[ys:ys + 16, xs:xs + 16] = plane0
+        nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = nnz0
+        modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = modes0
+        n8, blocks8, cbp8 = H._eval_mb_i8(plane, smb, mx, my, qp, plane_w)
+        use8 = n8 <= sum(b[2] for b in blocks)
+        if not use8:
+            plane[ys:ys + 16, xs:xs + 16] = plane4
+            nnz[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = nnz4
+            modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = modes4
+        else:
+            cbp = cbp8
+            H._mark_t8(mx, my)
     # serialize
     if in_p:
         # P mb_type: b0=1 (intra) then the intra suffix tree
@@ -917,19 +948,36 @@ def _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
     else:
         _enc_mb_type_i(enc, ctx, mbt_base, st.mbt_inc(mx, my), 0)
     if H._T8:  # High-profile PPS: I_NxN carries transform_size_8x8_flag
-        enc.decision(ctx, _OFS["t8flag"] + st.t8_inc(mx, my), 0)
-    for blk in range(16):
-        ox, oy = H._BLK_XY[blk]
-        bx, by = (mx * 16 + ox) // 4, (my * 16 + oy) // 4
-        mode = blocks[blk][0]
-        pm = H._pred_mode_for(modes, bx, by)
-        if mode == pm:
-            enc.decision(ctx, _OFS["prev_i4"], 1)
-        else:
-            enc.decision(ctx, _OFS["prev_i4"], 0)
-            rem = mode - (1 if mode > pm else 0)
-            for i in range(3):  # 3 FL bins, LSB first (9.3.2)
-                enc.decision(ctx, _OFS["rem_i4"], (rem >> i) & 1)
+        enc.decision(ctx, _OFS["t8flag"] + st.t8_inc(mx, my),
+                     1 if use8 else 0)
+        st.t8[my, mx] = 1 if use8 else 0
+    if use8:
+        for b8, (mode8, _q8) in enumerate(blocks8):
+            bx, by = mx * 4 + (b8 & 1) * 2, my * 4 + (b8 >> 1) * 2
+            pm = H._pred_mode_for(modes, bx, by)
+            if mode8 == pm:
+                enc.decision(ctx, _OFS["prev_i4"], 1)
+            else:
+                enc.decision(ctx, _OFS["prev_i4"], 0)
+                rem = mode8 - (1 if mode8 > pm else 0)
+                for i in range(3):  # 3 FL bins, LSB first (9.3.2)
+                    enc.decision(ctx, _OFS["rem_i4"], (rem >> i) & 1)
+            # replicate into the 4x4 grid so later pred-mode derivations
+            # see the 8x8 mode (decoder does the same)
+            modes[by:by + 2, bx:bx + 2] = mode8
+    else:
+        for blk in range(16):
+            ox, oy = H._BLK_XY[blk]
+            bx, by = (mx * 16 + ox) // 4, (my * 16 + oy) // 4
+            mode = blocks[blk][0]
+            pm = H._pred_mode_for(modes, bx, by)
+            if mode == pm:
+                enc.decision(ctx, _OFS["prev_i4"], 1)
+            else:
+                enc.decision(ctx, _OFS["prev_i4"], 0)
+                rem = mode - (1 if mode > pm else 0)
+                for i in range(3):  # 3 FL bins, LSB first (9.3.2)
+                    enc.decision(ctx, _OFS["rem_i4"], (rem >> i) & 1)
     # chroma residual (r7): best-mode pred, computed before cbp so
     # cbp_chroma is known; TU-binarized intra_chroma_pred_mode
     csrc, crec = ch
@@ -947,15 +995,32 @@ def _enc_mb_i4(enc, ctx, st, smb, plane, mx, my, qp, nnz, modes,
     if cbp | cbpc:
         _enc_qp_delta(enc, ctx, st.prev_qp_nz, 0)
         st.prev_qp_nz = False
-    for blk in range(16):
-        ox, oy = H._BLK_XY[blk]
-        bx, by = (mx * 16 + ox) // 4, (my * 16 + oy) // 4
-        if cbp & (1 << (blk >> 2)):
-            _, scan, tc = blocks[blk]
-            _enc_residual(enc, ctx, 2, scan, st.cbf_inc(bx, by))
-            st.cbf[by, bx] = 1 if tc else 0
-        else:
-            st.cbf[by, bx] = 0
+    if use8:  # cat-5 8x8 residual blocks over the 8x8 zigzag (r7)
+        for b8 in range(4):
+            cells = [(my * 4 + (b8 >> 1) * 2 + (k >> 1),
+                      mx * 4 + (b8 & 1) * 2 + (k & 1)) for k in range(4)]
+            if cbp & (1 << b8):
+                q8 = blocks8[b8][1]
+                flat = q8.reshape(-1)[H._ZZ8]
+                _enc_residual(enc, ctx, 5, [int(v) for v in flat],
+                              st.cbf_inc(cells[0][1], cells[0][0]))
+                nzb = 1 if np.any(q8) else 0
+                tcb = min(int(np.count_nonzero(q8)), 16)
+            else:
+                nzb = tcb = 0
+            for by, bx in cells:
+                st.cbf[by, bx] = nzb
+                nnz[by, bx] = tcb
+    else:
+        for blk in range(16):
+            ox, oy = H._BLK_XY[blk]
+            bx, by = (mx * 16 + ox) // 4, (my * 16 + oy) // 4
+            if cbp & (1 << (blk >> 2)):
+                _, scan, tc = blocks[blk]
+                _enc_residual(enc, ctx, 2, scan, st.cbf_inc(bx, by))
+                st.cbf[by, bx] = 1 if tc else 0
+            else:
+                st.cbf[by, bx] = 0
     _enc_chroma_residual(enc, ctx, cbpc, comps)
     for ci in range(2):
         crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = comps[ci]["recon"]
@@ -1018,11 +1083,9 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     def _wpck(ridx, ci):
         return wc[ridx][ci] if wc is not None and wc[ridx] else None
 
-    if t8x8 and deblock:
-        raise ValueError(
-            "in-loop deblocking with the 8x8 transform is out of this "
-            "encoder's profile (internal-edge bS rules differ)")
     H._set_t8(t8x8)
+    t8m = np.zeros((mbh, mbw), np.int32) if t8x8 else None
+    H._set_t8map(t8m)  # per-MB flags feed the 8.7 edge derivation
     starts = dict(H._slice_ranges(mbh, slice_rows))
     rbsps = []
     bw = enc = ctx = st = None
@@ -1168,6 +1231,7 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
                 use8 = n8 <= sum(tc for _lv, tc in blocks)
             if use8:
                 cbp, out = cbp8, out8
+                H._mark_t8(mx, my)
             else:
                 cbp, out = cbp4, out4
             # mb_type (Table 9-37): "000" 16x16, "011" 16x8, "010" 8x16,
@@ -1273,11 +1337,12 @@ def encode_p_cabac(gray: np.ndarray, ref_full: np.ndarray, qp: int = 10,
     rbsps.append(bytes(bw.buf))
     H._set_slice_top(0)
     H._set_t8(False)
+    H._set_t8map(None)
     rb = rbsps[0] if slice_rows is None else rbsps
     out_plane = plane
     if deblock and qp >= 16:
-        out_plane = H._deblock_luma_inter(plane, qp_map, nnz, mvs)
-        crec = H._deblock_chroma(crec, qp_map, nnz=nnz, mvs=mvs)
+        out_plane = H._deblock_luma_inter(plane, qp_map, nnz, mvs, t8=t8m)
+        crec = H._deblock_chroma(crec, qp_map, nnz=nnz, mvs=mvs, t8=t8m)
     if motion_out is not None:
         motion_out.append((mvs.mv.copy(), mvs.ref.copy()))
     if chroma is None:
@@ -1406,14 +1471,16 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                    cref0: np.ndarray | None = None,
                    cref1: np.ndarray | None = None,
                    col_motion=None, pocs=None, implicit_wb=False,
-                   slice_rows=None):
+                   slice_rows=None, t8x8: bool = False):
     """One gray frame -> (CABAC B-slice RBSP, FULL recon plane). Same
     decisions as h264.encode_b_cavlc (B_L0/L1/Bi 16x16, I_4x4 fallback,
     non-reference, in-loop filter off) with CABAC serialization.
     col_motion + pocs switch direct/skip to TEMPORAL direct
     (8.4.1.2.3); implicit_wb=True blends bi-predictions with the
     POC-derived implicit weights (8.4.2.3.1) — same contracts as
-    encode_b_cavlc."""
+    encode_b_cavlc, including the t8x8 B-shape eligibility (late r7:
+    non-direct shapes with no sub-8x8 partitioning; cat-5 residuals,
+    neighbor-conditioned flag bin after cbp)."""
     if implicit_wb:
         if pocs is None:
             raise ValueError("implicit_wb needs pocs=(cur, poc0, poc1)")
@@ -1447,6 +1514,7 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
     tf = None
     if col_motion is not None:
         tf = H._temporal_fields(col_motion[0], col_motion[1], *pocs)
+    H._set_t8(t8x8)  # High-profile PPS (late r7): B MBs carry the flag
     starts = dict(H._slice_ranges(mbh, slice_rows))
     rbsps = []
     bw = enc = ctx = st = None
@@ -1576,6 +1644,32 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                     cbp |= 1 << (blk >> 2)
                 blocks.append((lv, tc))
                 out[oy:oy + 4, ox:ox + 4] += H._inv4(H._dequant4(lv, qp)).astype(np.int32)
+            # 8x8-transform eligibility (7.3.5, direct_8x8_inference 0):
+            # every non-direct shape with no sub-8x8 partitioning
+            t8_shape = t8x8 and (
+                all(st8 in (1, 2, 3) for st8, _ in b8) if b8
+                else True if bpart else mb_type != 0)
+            use8 = False
+            if t8_shape:
+                # same coefficient-count race as the P/I twins
+                blocks8 = []
+                cbp8 = 0
+                out8 = pred.copy()
+                for k8 in range(4):
+                    oy8, ox8 = (k8 >> 1) * 8, (k8 & 1) * 8
+                    q8 = H._quant8(H._fwd8(smb[oy8:oy8 + 8, ox8:ox8 + 8]
+                                           - pred[oy8:oy8 + 8,
+                                                  ox8:ox8 + 8]), qp)
+                    if np.any(q8):
+                        cbp8 |= 1 << k8
+                        out8[oy8:oy8 + 8, ox8:ox8 + 8] += \
+                            H._inv8(H._dequant8(q8, qp)).astype(np.int64)
+                    blocks8.append(q8)
+                n8 = sum(int(np.count_nonzero(q)) for q in blocks8)
+                use8 = n8 <= sum(tc for _lv, tc in blocks)
+            if use8:
+                cbp, out = cbp8, out8
+                H._mark_t8(mx, my)
             asum = [0, 0]
             if b8:
                 _enc_b_mb_type(enc, ctx, 22)
@@ -1636,19 +1730,41 @@ def encode_b_cabac(gray: np.ndarray, ref0_full: np.ndarray,
                 enc.decision(ctx, _OFS["cbp_luma"]
                              + st.cbp_inc(mx, my, blk8, cbp), (cbp >> blk8) & 1)
             _enc_cbp_chroma(enc, ctx, cbpc)
+            if t8_shape and (cbp & 15):
+                # transform_size_8x8_flag: neighbor-conditioned bin
+                # after cbp, before mb_qp_delta (7.3.5)
+                enc.decision(ctx, _OFS["t8flag"] + st.t8_inc(mx, my),
+                             1 if use8 else 0)
+                st.t8[my, mx] = 1 if use8 else 0
             if cbp | cbpc:
                 _enc_qp_delta(enc, ctx, st.prev_qp_nz, 0)
                 st.prev_qp_nz = False
-            # B slices stay on the 4x4 transform (t8x8 + B raises at
-            # the PPS gate), so no transform_size_8x8_flag here.
-            for blk in range(16):
-                ox, oy = H._BLK_XY[blk]
-                bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
-                lv, tc = blocks[blk]
-                if cbp & (1 << (blk >> 2)):
-                    _enc_residual(enc, ctx, 2, H._scan16(lv), st.cbf_inc(bx, by))
-                st.cbf[by, bx] = 1 if (cbp & (1 << (blk >> 2))) and tc else 0
-                nnz[by, bx] = tc
+            if use8:  # cat-5 8x8 residual blocks over the 8x8 zigzag
+                for k8 in range(4):
+                    cells = [(my * 4 + (k8 >> 1) * 2 + (k >> 1),
+                              mx * 4 + (k8 & 1) * 2 + (k & 1))
+                             for k in range(4)]
+                    if cbp & (1 << k8):
+                        flat = blocks8[k8].reshape(-1)[H._ZZ8]
+                        _enc_residual(enc, ctx, 5,
+                                      [int(v) for v in flat],
+                                      st.cbf_inc(cells[0][1], cells[0][0]))
+                        nzb = 1 if np.any(blocks8[k8]) else 0
+                        tcb = min(int(np.count_nonzero(blocks8[k8])), 16)
+                    else:
+                        nzb = tcb = 0
+                    for by, bx in cells:
+                        st.cbf[by, bx] = nzb
+                        nnz[by, bx] = tcb
+            else:
+                for blk in range(16):
+                    ox, oy = H._BLK_XY[blk]
+                    bx, by = mx * 4 + ox // 4, my * 4 + oy // 4
+                    lv, tc = blocks[blk]
+                    if cbp & (1 << (blk >> 2)):
+                        _enc_residual(enc, ctx, 2, H._scan16(lv), st.cbf_inc(bx, by))
+                    st.cbf[by, bx] = 1 if (cbp & (1 << (blk >> 2))) and tc else 0
+                    nnz[by, bx] = tc
             _enc_chroma_residual(enc, ctx, cbpc, comps)
             for ci in range(2):
                 crec[ci, my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
@@ -1692,13 +1808,6 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
     this picture's (mv, ref) 4x4 motion field."""
     is_b = hdr.get("is_b", False)
     H._set_t8(pps.get("t8x8", False))
-    if pps.get("t8x8") and is_b:
-        raise ValueError(
-            "8x8 transform with B slices: out of decode profile")
-    if pps.get("t8x8") and hdr.get("do_filter"):
-        raise ValueError(
-            "in-loop deblocking with the 8x8 transform: out of decode "
-            "profile (this encoder never emits it)")
     tf = None
     if is_b and not hdr.get("direct_spatial", True):
         if col_motion is None or pocs is None:
@@ -1730,6 +1839,7 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
         plane, nnz = pic["plane"], pic["nnz"]
         modes, qp_map = pic["modes"], pic["qp_map"]
         mvs, mvs1 = pic["mvs"], pic["mvs1"]
+        t8m = pic["t8m"]
     else:
         plane = np.zeros((mbh * 16, mbw * 16), np.uint8)
         nnz = np.zeros((mbh * 4, mbw * 4), np.int32)
@@ -1737,6 +1847,8 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
         qp_map = np.zeros((mbh, mbw), np.int32)
         mvs = H._MvState(mbw, mbh) if (is_p or is_b) else None
         mvs1 = H._MvState(mbw, mbh) if is_b else None
+        t8m = np.zeros((mbh, mbw), np.int32) \
+            if pps.get("t8x8") else None
     # L0 reference list (multi-reference P slices, r7); B stays 1+1
     refs = H._ref_list(ref) if ref is not None else None
     nrefs = hdr.get("nrefs", 1)
@@ -1760,7 +1872,8 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
         cc = H._ChromaState(mbw, mbh, ref=crefs, ref2=cref2)
         if pic is not None:
             pic.update(plane=plane, nnz=nnz, modes=modes, qp_map=qp_map,
-                       mvs=mvs, mvs1=mvs1, cc=cc)
+                       mvs=mvs, mvs1=mvs1, cc=cc, t8m=t8m)
+    H._set_t8map(t8m)  # per-MB flags feed the 8.7 edge derivation
     st = _MbState(mbw, mbh)  # per-slice CABAC neighbour state (gated)
     for my in range(r0, r1):
         for mx in range(mbw):
@@ -1903,6 +2016,7 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
     H._set_slice_top(0)
     if r1 < mbh:
         return None  # more slices of this picture follow (r7)
+    H._set_t8map(None)
     if hdr["do_filter"] and int(qp_map.max()) + max(hdr["off_a"], hdr["off_b"], 0) >= 16:
         if is_p or is_b:
             # B pictures route through the inter filter with the L0 motion
@@ -1911,11 +2025,14 @@ def decode_slice(r, sps, pps, hdr, ref, is_p, ref2=None,
             # so decode == recon regardless, but foreign filtered-B streams
             # get the inter bS rules, not the intra ones (ADVICE r6)
             plane = H._deblock_luma_inter(plane, qp_map, nnz, mvs,
-                                          hdr["off_a"], hdr["off_b"])
+                                          hdr["off_a"], hdr["off_b"],
+                                          t8=t8m)
             cc.planes = H._deblock_chroma(cc.planes, qp_map, hdr["off_a"],
-                                          hdr["off_b"], nnz=nnz, mvs=mvs)
+                                          hdr["off_b"], nnz=nnz, mvs=mvs,
+                                          t8=t8m)
         else:
-            plane = H._deblock_luma(plane, qp_map, hdr["off_a"], hdr["off_b"])
+            plane = H._deblock_luma(plane, qp_map, hdr["off_a"],
+                                    hdr["off_b"], t8=t8m)
             cc.planes = H._deblock_chroma(cc.planes, qp_map, hdr["off_a"],
                                           hdr["off_b"])
     if motion_out is not None:
@@ -1938,8 +2055,12 @@ def _dec_cbp(dec, ctx, st, mx, my):
 
 def _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz, modes, plane_w, cc,
                in_p=False):
-    if H._T8 and dec.decision(ctx, _OFS["t8flag"] + st.t8_inc(mx, my)):
-        raise ValueError("I_8x8 intra prediction: out of decode profile")
+    if H._T8:
+        use8 = dec.decision(ctx, _OFS["t8flag"] + st.t8_inc(mx, my))
+        st.t8[my, mx] = 1 if use8 else 0
+        if use8:
+            return _dec_mb_i8(dec, ctx, st, plane, mx, my, qp, nnz,
+                              modes, plane_w, cc)
     prev = []
     for _blk in range(16):
         if dec.decision(ctx, _OFS["prev_i4"]):
@@ -1983,6 +2104,68 @@ def _dec_mb_i4(dec, ctx, st, plane, mx, my, qp, nnz, modes, plane_w, cc,
     cres = _dec_chroma_residual(dec, ctx, cbpc, qp)
     for ci in range(2):
         cpred = H._pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0, my > H._SLICE_TOP)
+        cc.store(ci, mx, my, cpred + cres[ci])
+    st.not_i4[my, mx] = 0
+    st.cbp[my, mx] = cbp
+    st.cbf_dc[my, mx] = 0
+    st.mvd[my, mx] = 0
+    return qp
+
+
+def _dec_mb_i8(dec, ctx, st, plane, mx, my, qp, nnz, modes, plane_w, cc):
+    """I_8x8 intra MB (8.3.2.2, r7): four prev/rem pred modes on the
+    prev_i4/rem_i4 contexts, cbp, cat-5 residual per coded 8x8 block.
+    The transform_size_8x8_flag was already consumed by the caller."""
+    H._mark_t8(mx, my)
+    mode8s = []
+    for b8 in range(4):
+        bx, by = mx * 4 + (b8 & 1) * 2, my * 4 + (b8 >> 1) * 2
+        pm = H._pred_mode_for(modes, bx, by)
+        if dec.decision(ctx, _OFS["prev_i4"]):
+            mode = pm
+        else:
+            rem = 0
+            for i in range(3):
+                rem |= dec.decision(ctx, _OFS["rem_i4"]) << i
+            mode = rem + (1 if rem >= pm else 0)
+        if mode > 8:
+            raise ValueError("bad intra 8x8 pred mode")
+        modes[by:by + 2, bx:bx + 2] = mode
+        mode8s.append(mode)
+    icp = _dec_tu(dec, ctx, _OFS["chroma_mode"], (0, 3, 3), 3)
+    cbp, cbpc = _dec_cbp(dec, ctx, st, mx, my)
+    if cbp | cbpc:
+        d = _dec_qp_delta(dec, ctx, st.prev_qp_nz)
+        st.prev_qp_nz = d != 0
+        qp = (qp + d + 52) % 52
+    for b8 in range(4):
+        ox8, oy8 = (b8 & 1) * 8, (b8 >> 1) * 8
+        px, py = mx * 16 + ox8, my * 16 + oy8
+        al, aa, aar, aal = H._mb_avail8(b8, px, py, plane_w)
+        pred = H._pred8(plane, px, py, mode8s[b8], al, aa, aar, aal)
+        cells = [(my * 4 + (b8 >> 1) * 2 + (k >> 1),
+                  mx * 4 + (b8 & 1) * 2 + (k & 1)) for k in range(4)]
+        if cbp & (1 << b8):
+            scan = _dec_residual(dec, ctx, 5, 64,
+                                 st.cbf_inc(cells[0][1], cells[0][0]))
+            flat = np.zeros(64, np.int64)
+            flat[H._ZZ8] = scan
+            q8 = flat.reshape(8, 8)
+            rec = pred + H._inv8(H._dequant8(q8, qp))
+            nzb = 1 if np.any(q8) else 0
+            tcb = min(int(np.count_nonzero(q8)), 16)
+        else:
+            rec = pred
+            nzb = tcb = 0
+        for by, bx in cells:
+            st.cbf[by, bx] = nzb
+            nnz[by, bx] = tcb
+        np.clip(rec, 0, 255, rec)
+        plane[py:py + 8, px:px + 8] = rec.astype(np.uint8)
+    cres = _dec_chroma_residual(dec, ctx, cbpc, qp)
+    for ci in range(2):
+        cpred = H._pred_chroma8(cc.planes[ci], mx, my, icp, mx > 0,
+                                my > H._SLICE_TOP)
         cc.store(ci, mx, my, cpred + cres[ci])
     st.not_i4[my, mx] = 0
     st.cbp[my, mx] = cbp
@@ -2046,6 +2229,8 @@ def _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes, cc,
     if H._T8 and (cbp & 15) and t8_shape:
         use8 = bool(dec.decision(ctx, _OFS["t8flag"] + st.t8_inc(mx, my)))
         st.t8[my, mx] = 1 if use8 else 0
+        if use8:
+            H._mark_t8(mx, my)
     if cbp | cbpc:
         d = _dec_qp_delta(dec, ctx, st.prev_qp_nz)
         st.prev_qp_nz = d != 0
@@ -2152,7 +2337,7 @@ def _dec_mb_b16(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz, modes,
     cpred = cpreds[0] if len(cpreds) == 1 else \
         H._biblend(cpreds[0], cpreds[1])
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
-                       cc, cpred)
+                       cc, cpred, t8_shape=True)
 
 
 def _dec_mb_b_part(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz,
@@ -2209,7 +2394,7 @@ def _dec_mb_b_part(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz,
         pred[oy:oy + h, ox:ox + w] = lp
         cpred[:, oy // 2:(oy + h) // 2, ox // 2:(ox + w) // 2] = cp
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz, modes,
-                       cc, cpred)
+                       cc, cpred, t8_shape=True)
 
 
 def _dec_mb_b8x8(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz,
@@ -2240,7 +2425,8 @@ def _dec_mb_b8x8(dec, ctx, st, plane, ref0, ref1, mx, my, qp, nnz,
     pred, cpred = H._b8x8_pred(subs, ref0, ref1, cc.ref, cc.ref2, mx,
                                my, dmv0, dmv1)
     return _dec_p_tail(dec, ctx, st, pred, plane, mx, my, qp, nnz,
-                       modes, cc, cpred)
+                       modes, cc, cpred,
+                       t8_shape=all(s in (1, 2, 3) for s in sts))
 
 
 def _dec_mb_p8x8(dec, ctx, st, plane, refs, mx, my, qp, nnz, modes, mvs,

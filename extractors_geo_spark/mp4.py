@@ -519,7 +519,7 @@ def write_h264_mp4(frames: list, fps: int = 10, qp: int | None = None,
         avcc, samples, disp = _h264.encode_frames_bgop(
             frames, qp=qp, gop=gop, bframes=bframes, entropy=entropy,
             chromas=chromas, direct=direct, implicit_wb=implicit_wb,
-            slice_rows=slice_rows)
+            slice_rows=slice_rows, t8x8=t8x8)
         timescale = 90000
         delta = timescale // fps
         shift = max((i - d) * delta for i, d in enumerate(disp))

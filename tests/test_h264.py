@@ -1716,8 +1716,6 @@ def test_t8x8_boundaries_and_fuzz():
     yy, xx = np.mgrid[0:48, 0:64]
     frames = [np.clip((xx * 2 + yy + i) % 256, 0, 255).astype(np.uint8)
               for i in range(3)]
-    with pytest.raises(ValueError, match="deblock"):
-        h264.encode_frames(frames, qp=20, gop=3, t8x8=True, deblock=True)
     avcc, samples = h264.encode_frames(frames, qp=8, gop=3, t8x8=True)
     random.seed(51)
     for _ in range(150):
@@ -1743,3 +1741,209 @@ def test_t8x8_mp4_end_to_end():
                                         parsed["avcc"]), fl):
         mse = float(np.mean((d.astype(np.float64) - f) ** 2))
         assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 40
+
+
+# --------------------------------- r7: High-profile I_8x8 intra (8.3.2.2)
+def test_i8x8_intra_decode_equals_recon_and_fires():
+    """I_8x8 intra prediction: the per-MB I_4x4 vs I_8x8 coefficient
+    race selects 8x8 on smooth/directional content, all nine 8.3.2.2
+    prediction modes get exercised across the sources, and decode ==
+    encoder recon BIT-EXACT in both entropy modes at several QPs."""
+    from extractors_geo_spark import h264_cabac as C
+
+    fired = {"cavlc": 0, "cabac": 0}
+    modes_seen = set()
+    o_cavlc, o_cabac, o_pred8 = h264._decode_mb_i8x8, C._dec_mb_i8, h264._pred8
+
+    def s_cavlc(*a, **k):
+        fired["cavlc"] += 1
+        return o_cavlc(*a, **k)
+
+    def s_cabac(*a, **k):
+        fired["cabac"] += 1
+        return o_cabac(*a, **k)
+
+    def s_pred8(plane, px, py, mode, *a):
+        modes_seen.add(mode)
+        return o_pred8(plane, px, py, mode, *a)
+
+    h264._decode_mb_i8x8, C._dec_mb_i8 = s_cavlc, s_cabac
+    h264._pred8 = s_pred8
+    try:
+        rng = np.random.default_rng(5)
+        yy, xx = np.mgrid[0:48, 0:64]
+        srcs = [
+            np.clip((xx * 3 + yy * 2) % 256
+                    + rng.integers(-6, 6, (48, 64)), 0, 255).astype(np.uint8),
+            ((xx * 5) % 256).astype(np.uint8),
+            ((yy * 7) % 256).astype(np.uint8),
+            np.clip(np.abs(xx - yy) * 4 % 256, 0, 255).astype(np.uint8),
+            np.clip((np.minimum(xx, yy) * 6) % 256
+                    + rng.integers(-4, 4, (48, 64)), 0, 255).astype(np.uint8),
+        ]
+        for src in srcs:
+            for ent in ("cavlc", "cabac"):
+                for qp in (6, 10):
+                    if ent == "cavlc":
+                        rb, rec = h264.encode_idr_cavlc(
+                            src, qp=qp, full_recon=True, t8x8=True)
+                    else:
+                        rb, rec = C.encode_idr_cabac(
+                            src, qp=qp, full_recon=True, t8x8=True)
+                    av = h264.build_avcc(64, 48, deblock_ctrl=True,
+                                         t8x8=True, cabac=ent == "cabac")
+                    nal = bytes([0x65]) + h264._ep_insert(rb)
+                    dy = h264.decode_sample(
+                        struct.pack(">I", len(nal)) + nal, av,
+                        full_plane=True)
+                    assert np.array_equal(dy, rec), (ent, qp)
+    finally:
+        h264._decode_mb_i8x8, C._dec_mb_i8 = o_cavlc, o_cabac
+        h264._pred8 = o_pred8
+    assert fired["cavlc"] > 10 and fired["cabac"] > 10
+    assert modes_seen == set(range(9))
+
+
+def test_i8x8_intra_composes_with_multislice_gop():
+    """I_8x8 at slice boundaries: _mb_avail8 must gate above-row access
+    per slice. Full GOP with slice_rows=1 in both entropy modes."""
+    rng = np.random.default_rng(23)
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = np.clip((xx * 3 + yy * 2) % 256
+                   + rng.integers(-8, 8, (48, 64)), 0, 255).astype(np.uint8)
+    frames = [np.roll(base, (i, 2 * i), (0, 1)) for i in range(4)]
+    for ent in ("cavlc", "cabac"):
+        avcc, samples = h264.encode_frames(frames, qp=8, gop=4, t8x8=True,
+                                           slice_rows=1, entropy=ent)
+        for d, f in zip(h264.decode_samples(samples, avcc), frames):
+            mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+            assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 40, ent
+
+
+def test_i8x8_gray_fixture_bits_unchanged():
+    """The DC-first strict-< mode search keeps flat sources on the DC
+    mode everywhere and I_16x16 handles them, so a flat t8x8 stream
+    never selects I_8x8 and non-t8x8 streams are byte-identical to the
+    pre-I8x8 encoder (the flag simply stays 0)."""
+    flat = np.full((32, 32), 77, np.uint8)
+    rb_t8, _ = h264.encode_idr_cavlc(flat, qp=10, t8x8=True)
+    rb, _ = h264.encode_idr_cavlc(flat, qp=10)
+    # flat content: every MB is I_16x16 -> identical bits either way
+    assert rb_t8 == rb
+
+
+def test_t8x8_b_slices_decode_equals_recon():
+    """late r7: the 8x8 transform in B slices — eligibility excludes
+    direct shapes (SPS direct_8x8_inference_flag 0) but covers
+    B_L0/L1/Bi 16x16, partitioned and all-8x8 B_8x8; decode == encoder
+    recon BIT-EXACT in both entropy modes and the 8x8 residual decode
+    path actually fires inside a B slice."""
+    from extractors_geo_spark import h264_cabac as C
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = np.clip((xx * 3 + yy * 2) % 256
+                   + rng.integers(-15, 15, (48, 64)), 0, 255).astype(np.uint8)
+    f0 = base
+    f2 = np.roll(base, (4, 6), (0, 1))
+    fb = np.clip(np.roll(base, (2, 3), (0, 1)).astype(np.int32)
+                 + rng.integers(-3, 4, (48, 64)), 0, 255).astype(np.uint8)
+    inv8_hits = []
+    orig_inv8 = h264._inv8
+
+    def spy(wd):
+        inv8_hits.append(1)
+        return orig_inv8(wd)
+
+    for ent in ("cavlc", "cabac"):
+        enc_i = h264.encode_idr_cavlc if ent == "cavlc" else C.encode_idr_cabac
+        enc_p = h264.encode_p_cavlc if ent == "cavlc" else C.encode_p_cabac
+        enc_b = h264.encode_b_cavlc if ent == "cavlc" else C.encode_b_cabac
+        _, r0 = enc_i(f0, qp=8, full_recon=True, t8x8=True)
+        _, r2 = enc_p(f2, r0, qp=8, t8x8=True)
+        rb, rec = enc_b(fb, r0, r2, qp=8, poc_lsb=2, t8x8=True)
+        av = h264.build_avcc(64, 48, deblock_ctrl=True, bpoc=True,
+                             t8x8=True, cabac=ent == "cabac")
+        nal = bytes([0x01]) + h264._ep_insert(rb)
+        sample = struct.pack(">I", len(nal)) + nal
+        inv8_hits.clear()
+        h264._inv8 = spy
+        try:
+            dy = h264.decode_sample(sample, av, ref=r0, ref2=r2,
+                                    full_plane=True)
+        finally:
+            h264._inv8 = orig_inv8
+        assert inv8_hits, f"no 8x8 residual decoded in the B slice ({ent})"
+        assert np.array_equal(dy, rec), ent
+
+
+def test_t8x8_b_gop_end_to_end():
+    """Full IBBP GOP with the High-profile 8x8 transform through
+    encode_frames_bgop + MP4 mux + decode_samples, spatial and
+    temporal direct, both entropy modes."""
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = np.clip((xx * 3 + yy * 2) % 256
+                   + rng.integers(-20, 20, (48, 64)), 0, 255).astype(np.uint8)
+    frames = [np.roll(base, (2 * i, 3 * i), (0, 1)) for i in range(6)]
+    for ent in ("cavlc", "cabac"):
+        for direct in ("spatial", "temporal"):
+            data = mp4.write_h264_mp4(frames, fps=2, qp=8, gop=6,
+                                      bframes=2, entropy=ent,
+                                      direct=direct, t8x8=True)
+            parsed = mp4.read_mjpeg_mp4(data)
+            for d, f in zip(h264.decode_samples(list(parsed["frames"]),
+                                                parsed["avcc"]), frames):
+                mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+                assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 40, \
+                    (ent, direct)
+
+
+def test_t8x8_with_inloop_deblocking_decode_equals_recon():
+    """late r7: 8.7 deblocking composed with the 8x8 transform — inside
+    an 8x8-transformed MB the internal 4x4 edges (offsets 4/12) are not
+    filtered and bS-2 'coded' status is per 8x8 block. decode ==
+    encoder recon BIT-EXACT in both entropy modes at filter-active QPs,
+    the filter demonstrably fires, and 8x8 MBs demonstrably exist."""
+    from extractors_geo_spark import h264_cabac as C
+
+    rng = np.random.default_rng(29)
+    yy, xx = np.mgrid[0:48, 0:64]
+    base = np.clip((xx * 3 + yy * 2) % 256
+                   + rng.integers(-25, 25, (48, 64)), 0, 255).astype(np.uint8)
+    frames = [np.roll(base, (2 * i, 3 * i), (0, 1)) for i in range(3)]
+    for ent in ("cavlc", "cabac"):
+        enc_i = h264.encode_idr_cavlc if ent == "cavlc" else C.encode_idr_cabac
+        enc_p = h264.encode_p_cavlc if ent == "cavlc" else C.encode_p_cabac
+        for qp in (20, 28):
+            _, ref = enc_i(frames[0], qp=qp, full_recon=True, t8x8=True,
+                           deblock=True)
+            _, ref_nof = enc_i(frames[0], qp=qp, full_recon=True,
+                               t8x8=True)
+            assert not np.array_equal(ref, ref_nof), (ent, qp)  # filter on
+            t8_marks = []
+            orig_mark = h264._mark_t8
+
+            def spy(mx, my):
+                t8_marks.append((mx, my))
+                orig_mark(mx, my)
+
+            h264._mark_t8 = spy
+            try:
+                rb, rec = enc_p(frames[1], ref, qp=qp, t8x8=True,
+                                deblock=True)
+            finally:
+                h264._mark_t8 = orig_mark
+            assert t8_marks, (ent, qp)  # 8x8 MBs present under the filter
+            av = h264.build_avcc(64, 48, deblock_ctrl=True, t8x8=True,
+                                 cabac=ent == "cabac")
+            nal = bytes([0x41]) + h264._ep_insert(rb)
+            dy = h264.decode_sample(struct.pack(">I", len(nal)) + nal, av,
+                                    ref=ref, full_plane=True)
+            assert np.array_equal(dy, rec), (ent, qp)
+    # whole-GOP end-to-end with the filter
+    avcc, samples = h264.encode_frames(frames, qp=20, gop=3, t8x8=True,
+                                       deblock=True)
+    for d, f in zip(h264.decode_samples(samples, avcc), frames):
+        mse = float(np.mean((d.astype(np.float64) - f) ** 2))
+        assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) >= 28
