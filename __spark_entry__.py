@@ -2116,8 +2116,10 @@ def q_mp3_features(spark, sf_dir):
     r5 #8): sine clips mp3-encoded on executors with the in-repo codec,
     rotating mono / M-S joint stereo x MPEG-1 / MPEG-2 LSF (i mod 4),
     with INTENSITY stereo replacing M/S on the MPEG-1 stereo leg since
-    r7, decoded back on the feature path (rows-only; WAV-parity
-    tolerance in tests/test_mp3.py)."""
+    r7 and the i==4 mono MPEG-1 leg carrying a transient coded with
+    adaptive MIXED BLOCKS + subblock_gain (late r7), decoded back on
+    the feature path (rows-only; WAV-parity tolerance in
+    tests/test_mp3.py)."""
     import numpy as np
     import pandas as pd
 
@@ -2140,6 +2142,14 @@ def q_mp3_features(spark, sf_dir):
                         [sig, 0.4 * np.sin(2 * np.pi * (330 + 20 * i) * t)],
                         axis=1)
                 intens = stereo and i % 2 == 0
+                if i == 4:  # mono MPEG-1: adaptive mixed blocks (late r7)
+                    atk = len(sig) // 2
+                    sig[atk:atk + 300] += 0.4 * np.sin(
+                        2 * np.pi * 5000 * np.arange(300) / rate)
+                    rows.append({"audio_id": f"m{i}",
+                                 "bytes": _mp3.encode(
+                                     sig, rate, adaptive=True, mixed=True)})
+                    continue
                 rows.append({"audio_id": f"m{i}",
                              "bytes": _mp3.encode(
                                  sig, rate, joint=not intens,

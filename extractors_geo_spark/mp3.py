@@ -28,9 +28,15 @@ Scope and honesty (VERDICT r03 #6):
   on the left with tan-law is_pos panning indices in the right
   channel's scalefactor slots (is_pos 7 = skip marker). Since r7 the
   BIT RESERVOIR decodes (2.4.2.7: main_data_begin backpointers into a
-  rolling tail of previous frames' main-data slots). Decoder limits
-  (clear ValueError, never silent garbage): no
-  mixed blocks / subblock_gain, no combined
+  rolling tail of previous frames' main-data slots). Late r7: MIXED
+  BLOCKS (2.4.3.4: block_type 2 with mixed_block_flag 1 — subbands 0-1
+  stay long-windowed with the first 8 long scalefactor bands, subbands
+  2-31 run short windows over short sfbs 3-12; transition granules are
+  mixed too so TDAC closes in the long region) and SUBBLOCK_GAIN
+  (per-window 3-bit gain, one 2^(-2g) step per unit — the encoder folds
+  each window's common scalefactor excess into it, recovering bands
+  whose slen cap would otherwise clip). Decoder limits
+  (clear ValueError, never silent garbage): no combined
   M/S+intensity (mode_ext 3) — exactly the streams this encoder emits.
   Since r7: MPEG-2.5 (quarter rates 8000/11025/12000, id bits 00,
   half-rate band layout) AND adaptive SHORT BLOCKS (block_type 2 with
@@ -227,6 +233,45 @@ def _short_maps(rate):
 _SHORT_MAPS = {r: _short_maps(r) for r in SFB_WIDTHS_SHORT}
 
 
+def _mixed_maps(rate):
+    """Mixed-block (2.4.3.4) transmit layout: the first 8 LONG
+    scalefactor bands cover lines 0..35 (subbands 0-1, long-windowed,
+    identity order), then short sfbs 3..12 x 3 windows cover per-window
+    freqs 12..191 (subbands 2-31, reordered). Returns (nat map, chunk
+    widths, per-chunk slen caps, per-chunk window index — -1 for the
+    long region). All MPEG-1 rates put exactly 36 lines in the first 8
+    long bands (asserted), so the split is uniform."""
+    lw = SFB_WIDTHS[rate][:8]
+    assert sum(lw) == 36, rate
+    sw = SFB_WIDTHS_SHORT[rate]
+    nat = list(range(36))
+    chunks = list(lw)
+    caps = [15] * 8           # long region: slen1 (4-bit)
+    wins = [-1] * 8
+    f0 = sum(sw[:3])          # per-window freq where short sfb 3 starts
+    assert f0 == 12, rate
+    lo = f0
+    for sfb in range(3, N_SFB_SHORT):
+        wd = sw[sfb]
+        for w in range(3):
+            for i in range(wd):
+                f = lo + i
+                k, c = divmod(f, 6)
+                nat.append(k * GR + w * 6 + c)
+            chunks.append(wd)
+            caps.append(15 if sfb < 6 else (7 if sfb < 12 else 0))
+            wins.append(w)
+        lo += wd
+    return np.array(nat), tuple(chunks), tuple(caps), tuple(wins)
+
+
+_MIXED_MAPS = {r: _mixed_maps(r) for r in SFB_WIDTHS_SHORT}
+
+# block-type encoding in `btypes` lists: value & 3 = ISO block_type,
+# value & 4 = mixed_block_flag (so 5/6/7 = mixed start/short/stop)
+_MIXED_FLAG = 4
+
+
 def _analyze(x: np.ndarray) -> np.ndarray:
     """PCM -> subband samples [T, 32] (decimated cosine-modulated bank)."""
     T = len(x) // NB
@@ -253,24 +298,28 @@ def _mdct_granules(S: np.ndarray, btypes=None) -> np.ndarray:
     36-point MDCT per subband, 50% overlap, frequency inversion).
     `btypes` (r7): per-granule block_type 0/1/2/3 — 2 runs three
     12-point short MDCTs per subband (6 coeffs each, window-major in
-    the granule's 18 slots), 1/3 use the start/stop windows."""
+    the granule's 18 slots), 1/3 use the start/stop windows. Mixed
+    blocks (value | 4, late r7): subbands 0-1 always take the type-0
+    long window, subbands 2-31 the granule's block type."""
     G = S.shape[0] // GR
     padded = np.vstack([np.zeros((GR, NB)), S])
     out = np.empty((G, 576))
     for g in range(G):
-        bt = btypes[g] if btypes is not None else 0
+        v = btypes[g] if btypes is not None else 0
+        bt, mixed = v & 3, bool(v & _MIXED_FLAG)
         block = padded[g * GR : g * GR + 36]  # 18 prev + 18 cur
         for k in range(NB):
             s = block[:, k].copy()
             if k % 2 == 1:  # frequency inversion (odd subbands)
                 s[1::2] *= -1.0
-            if bt == 2:
+            kbt = 0 if (mixed and k < 2) else bt
+            if kbt == 2:
                 for w in range(3):
                     seg = s[6 + 6 * w: 18 + 6 * w]
                     out[g, k * GR + 6 * w: k * GR + 6 * w + 6] = \
                         (_WIN12 * seg) @ _MDCT_C12
             else:
-                out[g, k * GR : (k + 1) * GR] = (_BT_WIN[bt] * s) @ _MDCT_C
+                out[g, k * GR : (k + 1) * GR] = (_BT_WIN[kbt] * s) @ _MDCT_C
     return out
 
 
@@ -281,16 +330,18 @@ def _imdct_granules(spec: np.ndarray, btypes=None) -> np.ndarray:
     G = spec.shape[0]
     S = np.zeros((GR * (G + 1), NB))
     for g in range(G):
-        bt = btypes[g] if btypes is not None else 0
+        v = btypes[g] if btypes is not None else 0
+        bt, mixed = v & 3, bool(v & _MIXED_FLAG)
         for k in range(NB):
             X = spec[g, k * GR : (k + 1) * GR]
             s = np.zeros(36)
-            if bt == 2:
+            kbt = 0 if (mixed and k < 2) else bt
+            if kbt == 2:
                 for w in range(3):
                     s[6 + 6 * w: 18 + 6 * w] += (4.0 / 12) * _WIN12 * \
                         (_MDCT_C12 @ X[6 * w: 6 * w + 6])
             else:
-                s = (4.0 / 36) * _BT_WIN[bt] * (_MDCT_C @ X)
+                s = (4.0 / 36) * _BT_WIN[kbt] * (_MDCT_C @ X)
             if k % 2 == 1:
                 s = s.copy()
                 s[1::2] *= -1.0
@@ -298,29 +349,37 @@ def _imdct_granules(spec: np.ndarray, btypes=None) -> np.ndarray:
     return S[GR : GR * (G + 1)]  # drop the leading half-block
 
 
+def _alias_rows(btypes, n: int, sb: int) -> np.ndarray:
+    """Granule rows the sb-boundary butterfly applies to: all long
+    (start/stop) granules at every boundary; short granules never;
+    mixed-short granules ONLY at the subband 0|1 boundary (2.4.3.4 —
+    the single butterfly inside their long region)."""
+    if btypes is None:
+        return np.arange(n)
+    keep = [(v & 3) != 2 or (sb == 1 and v & _MIXED_FLAG) for v in btypes]
+    return np.where(np.array(keep))[0]
+
+
 def _alias_forward(spec: np.ndarray, btypes=None) -> np.ndarray:
     """Encoder-side butterflies (inverse rotation of the decoder's).
-    Short-block granules (block_type 2) are NOT alias-reduced (2.4.3.4)."""
+    Short-block granules (block_type 2) are NOT alias-reduced; mixed
+    granules keep the one long-region butterfly (2.4.3.4)."""
     x = spec.copy()
-    rows = np.ones(len(x), bool) if btypes is None else \
-        np.array([bt != 2 for bt in btypes])
     for sb in range(1, NB):
-        a = x[np.ix_(np.where(rows)[0], sb * GR - 1 - np.arange(8))]
-        b = x[np.ix_(np.where(rows)[0], sb * GR + np.arange(8))]
-        x[np.ix_(np.where(rows)[0], sb * GR - 1 - np.arange(8))] = \
-            a * _CS + b * _CA
-        x[np.ix_(np.where(rows)[0], sb * GR + np.arange(8))] = \
-            b * _CS - a * _CA
+        rows = _alias_rows(btypes, len(x), sb)
+        a = x[np.ix_(rows, sb * GR - 1 - np.arange(8))]
+        b = x[np.ix_(rows, sb * GR + np.arange(8))]
+        x[np.ix_(rows, sb * GR - 1 - np.arange(8))] = a * _CS + b * _CA
+        x[np.ix_(rows, sb * GR + np.arange(8))] = b * _CS - a * _CA
     return x
 
 
 def _alias_reduce(spec: np.ndarray, btypes=None) -> np.ndarray:
     """Decoder-side ISO alias-reduction butterflies (short-block
-    granules skipped, 2.4.3.4)."""
+    granules skipped, mixed granules subband-1 boundary only, 2.4.3.4)."""
     x = spec.copy()
-    rows = np.arange(len(x)) if btypes is None else \
-        np.where(np.array([bt != 2 for bt in btypes]))[0]
     for sb in range(1, NB):
+        rows = _alias_rows(btypes, len(x), sb)
         a = x[np.ix_(rows, sb * GR - 1 - np.arange(8))]
         b = x[np.ix_(rows, sb * GR + np.arange(8))]
         x[np.ix_(rows, sb * GR - 1 - np.arange(8))] = a * _CS - b * _CA
@@ -383,7 +442,8 @@ _IS_START = 14  # first long sfb the in-repo encoder codes as intensity
 
 def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
            joint: bool = False, intensity: bool = False,
-           adaptive: bool = False, reservoir: bool = False) -> bytes:
+           adaptive: bool = False, mixed: bool = False,
+           reservoir: bool = False) -> bytes:
     """Float [-1, 1] PCM -> Layer III stream. Mono (n,) or stereo (n, 2);
     joint=True codes stereo as M/S (mode 1, mode_ext MS); intensity=True
     (r7) codes sfbs >= _IS_START as INTENSITY stereo (mode 1, mode_ext
@@ -394,7 +454,13 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
     rates only) switches transient granules to SHORT BLOCKS
     (block_type 2, three 12-point MDCTs per subband, reordered
     spectrum) with the spec-legal start (1) / stop (3) transition
-    windows around them. MPEG-1 rates
+    windows around them; mixed=True (late r7, needs adaptive) makes
+    every window-switching granule MIXED (mixed_block_flag 1): subbands
+    0-1 keep long windows + the first 8 long scalefactor bands — bass
+    stays at long-block frequency resolution through transients — and
+    the transition granules are mixed too so TDAC closes per subband.
+    Short and mixed granules fold window-common scalefactor excess into
+    the 3-bit per-window SUBBLOCK_GAIN. MPEG-1 rates
     emit 1152-sample 2-granule frames; LSF rates (22050/24000/16000)
     emit MPEG-2 576-sample single-granule frames. Quantization:
     per-granule global_gain + per-band scalefactors to |ix| <= 15;
@@ -430,9 +496,13 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
         raise ValueError("adaptive short blocks need an MPEG-1 rate")
     if adaptive and intensity:
         raise ValueError("adaptive + intensity is out of profile")
+    if mixed and not adaptive:
+        raise ValueError("mixed blocks need adaptive=True")
     btypes = [0] * n_gran
     if adaptive:
         btypes = _decide_block_types(chans, n_gran)
+        if mixed:  # every window-switching granule becomes mixed
+            btypes = [bt | _MIXED_FLAG if bt else 0 for bt in btypes]
     specs = []
     for ch in chans:
         ch = np.pad(ch, (0, nframes * spf - len(ch)))
@@ -486,10 +556,16 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
                 gi = ngr * f + g
                 bt = btypes[gi]
                 xr = specs[ch][gi]
-                if bt == 2:
-                    nat, chunks, caps = _SHORT_MAPS[rate]
+                sbg = np.zeros(3, int)
+                wins = None
+                if bt & 3 == 2:
+                    if bt & _MIXED_FLAG:
+                        nat, chunks, caps, wins = _MIXED_MAPS[rate]
+                    else:
+                        nat, chunks, caps = _SHORT_MAPS[rate]
                     t = xr[nat]
-                    gg, sfs, ix = _quantize_chunks(t, chunks, caps)
+                    gg, sfs, sbg, ix = _quantize_chunks(t, chunks, caps,
+                                                        wins=wins)
                 else:
                     gg, sfs, ix = _quantize_granule(xr, widths, starts)
 
@@ -508,21 +584,25 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
                     return sfs
 
                 sfs = _is_override(sfs, ix)
-                enc_bits = (_encode_short_bits if bt == 2
-                            else _encode_granule_bits)
+                if bt & 3 != 2:
+                    enc_bits = _encode_granule_bits
+                elif bt & _MIXED_FLAG:
+                    enc_bits = _encode_mixed_bits
+                else:
+                    enc_bits = _encode_short_bits
                 payload, big_values = enc_bits(sfs, ix)
                 while payload.bit_length() > budget_bits // n_chunks and gg < 251:
                     gg += 4
-                    if bt == 2:
-                        gg, sfs, ix = _quantize_chunks(t, chunks, caps,
-                                                       force_gg=gg)
+                    if bt & 3 == 2:
+                        gg, sfs, sbg, ix = _quantize_chunks(
+                            t, chunks, caps, wins=wins, force_gg=gg)
                     else:
                         gg, sfs, ix = _quantize_granule(xr, widths, starts,
                                                         force_gg=gg)
                     sfs = _is_override(sfs, ix)
                     payload, big_values = enc_bits(sfs, ix)
                 payloads.append(payload)
-                side.append((payload.bit_length(), big_values, gg, bt))
+                side.append((payload.bit_length(), big_values, gg, bt, sbg))
                 quants.append((sfs, ix))
 
         # scfsi (r7): where granule 1's long-block scalefactors equal
@@ -548,7 +628,8 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
                     payload, bv = _encode_granule_bits(sfs1, ix1,
                                                        skip=skip)
                     payloads[i1] = payload
-                    side[i1] = (payload.bit_length(), bv, side[i1][2], 0)
+                    side[i1] = (payload.bit_length(), bv, side[i1][2], 0,
+                                np.zeros(3, int))
                     scfsi[ch] = bits
 
         # phase 1 close-out: byte-align this frame's main data (stuffing
@@ -608,7 +689,7 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
             w.write(0, 3 if nch == 2 else 5)
             for ch in range(nch):    # scfsi (r7: granule-1 sf reuse)
                 w.write(scfsi[ch], 4)
-        for bits_used, big_values, gg, bt in side:
+        for bits_used, big_values, gg, bt, sbg in side:
             w.write(bits_used, 12)   # part2_3_length
             w.write(big_values, 9)
             w.write(gg, 8)
@@ -618,12 +699,12 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
                 w.write(15, 4)       # scalefac_compress -> slen 4/3
             if bt:  # window_switching_flag=1 side-info layout (r7)
                 w.write(1, 1)
-                w.write(bt, 2)       # block_type 1/2/3
-                w.write(0, 1)        # mixed_block_flag
+                w.write(bt & 3, 2)   # block_type 1/2/3
+                w.write(1 if bt & _MIXED_FLAG else 0, 1)  # mixed_block_flag
                 for _ in range(2):
                     w.write(15, 5)   # table_select (2 regions)
-                for _ in range(3):
-                    w.write(0, 3)    # subblock_gain
+                for g_w in range(3):
+                    w.write(int(sbg[g_w]), 3)  # subblock_gain (late r7)
             else:
                 w.write(0, 1)        # long blocks
                 for _ in range(3):
@@ -690,18 +771,26 @@ def _decide_block_types(chans, n_gran: int) -> list[int]:
     return bts
 
 
-def _quantize_chunks(t, chunks, caps, force_gg: int | None = None):
-    """Short-block quantizer over the TRANSMIT-ordered spectrum: one
-    scalefactor per (sfb, window) chunk, per-chunk slen caps (sfb 12
-    carries no scalefactor -> cap 0)."""
+def _quantize_chunks(t, chunks, caps, wins=None, force_gg: int | None = None):
+    """Short/mixed-block quantizer over the TRANSMIT-ordered spectrum:
+    one scalefactor per (sfb, window) chunk, per-chunk slen caps (sfb 12
+    carries no scalefactor -> cap 0). `wins` (late r7) maps each chunk
+    to its short window 0-2 (-1 = mixed long region): each window's
+    common boost excess over the per-chunk caps folds into a 3-bit
+    SUBBLOCK_GAIN (one unit = 2 scalefactor steps at scalefac_scale=1),
+    so capped bands — sfb 12 especially — keep precision. Returns
+    (gg, sfs, sbg[3], ix)."""
+    if wins is None:
+        wins = tuple(c % 3 for c in range(len(chunks)))  # sfb-major order
     starts = np.concatenate([[0], np.cumsum(chunks)])[:-1]
     absx = np.abs(t)
     cmax = np.array([absx[s0:s0 + w].max() if w else 0.0
                      for s0, w in zip(starts, chunks)])
     peak = cmax.max()
+    sbg = np.zeros(3, int)
     if peak <= 0:
         gg = force_gg if force_gg is not None else 100
-        return gg, np.zeros(len(chunks), int), np.zeros(576, int)
+        return gg, np.zeros(len(chunks), int), sbg, np.zeros(576, int)
     if force_gg is None:
         A = peak / (15.0 ** (4.0 / 3.0))
         gg = int(np.clip(round(4 * math.log2(A) + 210), 0, 255))
@@ -709,16 +798,30 @@ def _quantize_chunks(t, chunks, caps, force_gg: int | None = None):
         gg = force_gg
     A = 2.0 ** ((gg - 210) / 4.0)
     top = (15.0 ** (4.0 / 3.0)) * A
+    boosts = np.full(len(chunks), -1, int)  # desired per-chunk boost
+    for c in range(len(chunks)):
+        if cmax[c] > 0:
+            boosts[c] = max(0, int(math.floor(math.log2(top / cmax[c]))))
+    for w in range(3):  # window-common excess -> subblock_gain
+        wcs = [c for c in range(len(chunks))
+               if wins[c] == w and boosts[c] >= 0]
+        if not wcs:
+            continue
+        # safe ceiling: no chunk may be boosted past its desired gain
+        # (sf floors at 0); need: the largest excess over a chunk's cap
+        safe = min(boosts[c] for c in wcs) // 2
+        need = -(-max(boosts[c] - caps[c] for c in wcs) // 2)
+        sbg[w] = int(np.clip(min(safe, need), 0, 7))
     sfs = np.zeros(len(chunks), int)
     gain = np.ones(576)
     for c, (s0, w, cap) in enumerate(zip(starts, chunks, caps)):
-        if cmax[c] > 0:
-            boost = int(math.floor(math.log2(top / cmax[c])))
-            sfs[c] = int(np.clip(boost, 0, cap))
-        gain[s0:s0 + w] = 2.0 ** sfs[c]
+        base = 2 * sbg[wins[c]] if wins[c] >= 0 else 0
+        if boosts[c] >= 0:
+            sfs[c] = int(np.clip(boosts[c] - base, 0, cap))
+        gain[s0:s0 + w] = 2.0 ** (sfs[c] + base)
     ix = np.rint((absx * gain / A) ** 0.75).astype(int)
     ix = np.minimum(ix, 15)
-    return gg, sfs, np.sign(t).astype(int) * ix
+    return gg, sfs, sbg, np.sign(t).astype(int) * ix
 
 
 def _encode_short_bits(sfs, ix):
@@ -729,6 +832,30 @@ def _encode_short_bits(sfs, ix):
     for c in range(18):          # sfb 0..5 x 3 windows
         w.write(int(sfs[c]), 4)
     for c in range(18, 36):      # sfb 6..11 x 3 windows
+        w.write(int(sfs[c]), 3)
+    nz = np.nonzero(ix)[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    big_values = min((last + 1) // 2, 288)
+    for p_ in range(big_values):
+        vx, vy = int(ix[2 * p_]), int(ix[2 * p_ + 1])
+        ln, code = _HUFF_ENC[(abs(vx), abs(vy))]
+        w.write(code, ln)
+        if vx:
+            w.write(1 if vx < 0 else 0, 1)
+        if vy:
+            w.write(1 if vy < 0 else 0, 1)
+    return w, big_values
+
+
+def _encode_mixed_bits(sfs, ix):
+    """Mixed-block part2+3 (2.4.3.4): 17 4-bit scalefactors (8 long
+    bands + short sfb 3..5 x 3 windows), 18 3-bit (short sfb 6..11 x 3;
+    sfb 12 none), then the shared big_values pair coding over the
+    transmit-ordered spectrum."""
+    w = _LoggingWriter()
+    for c in range(17):
+        w.write(int(sfs[c]), 4)
+    for c in range(17, 35):
         w.write(int(sfs[c]), 3)
     nz = np.nonzero(ix)[0]
     last = int(nz[-1]) + 1 if nz.size else 0
@@ -933,25 +1060,26 @@ def parse_mp3_info(data: bytes) -> dict:
 
 def _read_side_block(rd, lsf):
     """One granule-channel side-info block -> (part2_3, big_values, gg,
-    scalefac_compress, block_type). Raises on anything outside the
-    codec profile. block_type: 0 long / 1 start / 2 short / 3 stop
-    (window_switching_flag layout, r7)."""
+    scalefac_compress, block_type, subblock_gain[3]). Raises on anything
+    outside the codec profile. block_type: 0 long / 1 start / 2 short /
+    3 stop (window_switching_flag layout, r7); | 4 = mixed_block_flag
+    (late r7)."""
     part23 = rd.read(12)
     big_values = rd.read(9)
     gg = rd.read(8)
     sc = rd.read(9) if lsf else rd.read(4)
     bt = 0
+    sbg = (0, 0, 0)
     if rd.read(1):  # window_switching_flag
         if lsf:
             raise ValueError("short blocks at LSF rates: out of profile")
         bt = rd.read(2)
         if bt == 0:
             raise ValueError("reserved block_type 0 with window switching")
-        if rd.read(1):
-            raise ValueError("mixed blocks: out of decode profile")
+        if rd.read(1):  # mixed_block_flag (late r7)
+            bt |= _MIXED_FLAG
         tsel = [rd.read(5) for _ in range(2)]
-        if any(rd.read(3) for _ in range(3)):
-            raise ValueError("subblock_gain: out of decode profile")
+        sbg = tuple(rd.read(3) for _ in range(3))  # subblock_gain (late r7)
     else:
         tsel = [rd.read(5) for _ in range(3)]
         rd.read(4)
@@ -966,7 +1094,7 @@ def _read_side_block(rd, lsf):
         raise ValueError("side info outside this codec's profile")
     if preflag or not sfscale or any(t != 15 for t in tsel):
         raise ValueError("side info outside this codec's profile")
-    return part23, big_values, gg, sc, bt
+    return part23, big_values, gg, sc, bt, sbg
 
 
 def _read_scalefactors(mrd, sc, lsf):
@@ -1040,14 +1168,18 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
         mbuf = res + cur
         main = (len(res) - mdb) * 8
         frame_spec = []
-        for bi, (part23, big_values, gg, sc, bt) in enumerate(blocks):
+        for bi, (part23, big_values, gg, sc, bt, sbg) in enumerate(blocks):
             g_, ch_ = divmod(bi, nch)
             mrd = _BitReader(mbuf, main)
-            if bt == 2:  # short: 36 per-(sfb,window) scalefactors
+            if bt & 3 == 2:  # short/mixed: per-(sfb,window) scalefactors
                 if g_ == 1 and scfsi[ch_]:
                     raise ValueError("scfsi set on a short-block granule")
-                sfs = [mrd.read(4) for _ in range(18)] + \
-                    [mrd.read(3) for _ in range(18)] + [0, 0, 0]
+                if bt & _MIXED_FLAG:  # mixed: 17 slen1 + 18 slen2 chunks
+                    sfs = [mrd.read(4) for _ in range(17)] + \
+                        [mrd.read(3) for _ in range(18)] + [0, 0, 0]
+                else:
+                    sfs = [mrd.read(4) for _ in range(18)] + \
+                        [mrd.read(3) for _ in range(18)] + [0, 0, 0]
             elif g_ == 1 and scfsi[ch_]:
                 if bt:
                     raise ValueError("scfsi set on a transition granule")
@@ -1085,14 +1217,20 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
                 raise ValueError("part2_3_length mismatch")
             main = mrd.pos
             A = 2.0 ** ((gg - 210) / 4.0)
-            if bt == 2:
-                # requant per (sfb, window) chunk, then reorder the
-                # transmit-ordered lines into the hybrid's natural order
-                nat, chunks, _caps = _SHORT_MAPS[rate]
+            if bt & 3 == 2:
+                # requant per (sfb, window) chunk with the window's
+                # subblock_gain (2 scalefactor steps per unit), then
+                # reorder the transmit-ordered lines into natural order
+                if bt & _MIXED_FLAG:
+                    nat, chunks, _caps, wins = _MIXED_MAPS[rate]
+                else:
+                    nat, chunks, _caps = _SHORT_MAPS[rate]
+                    wins = tuple(c % 3 for c in range(len(chunks)))
                 cst = np.concatenate([[0], np.cumsum(chunks)])[:-1]
                 gain = np.ones(576)
                 for c, (s0, wd) in enumerate(zip(cst, chunks)):
-                    gain[s0:s0 + wd] = 2.0 ** sfs[c]
+                    base = 2 * sbg[wins[c]] if wins[c] >= 0 else 0
+                    gain[s0:s0 + wd] = 2.0 ** (sfs[c] + base)
                 t = np.sign(ix) * (np.abs(ix) ** (4.0 / 3.0)) * A / gain
                 req = np.zeros(576)
                 req[nat] = t
@@ -1108,7 +1246,7 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
         for g in range(ngr):
             chs = [fs[0] for fs in frame_spec[g * nch:(g + 1) * nch]]
             g_bts = [fs[2] for fs in frame_spec[g * nch:(g + 1) * nch]]
-            if is_flag and g_bts[-1] != 2:
+            if is_flag and (g_bts[-1] & 3) != 2:
                 # intensity region (2.4.3.4.9.3): every band past the
                 # right channel's last nonzero coefficient; the right
                 # scalefactor slot is the is_pos index, 7 = skip

@@ -543,3 +543,149 @@ def test_bit_reservoir_composes_and_fuzz():
             mp3.decode(base[:cut])
         except ValueError:
             pass
+
+
+def _walk_side_blocks(data):
+    """(block_type_with_mixed_flag, subblock_gain) per granule of a
+    mono MPEG-1 stream."""
+    out = []
+    pos = mp3._skip_id3(data)
+    while pos + 4 <= len(data):
+        h = mp3._parse_header(data, pos)
+        if h is None:
+            pos += 1
+            continue
+        rd = mp3._BitReader(data, (pos + 4) * 8)
+        rd.read(9); rd.read(5); rd.read(4)
+        for _ in range(2):
+            blk = mp3._read_side_block(rd, False)
+            out.append((blk[4], blk[5]))
+        pos += h[7]
+    return out
+
+
+def test_mixed_blocks_roundtrip():
+    """Late r7 (2.4.3.4): mixed blocks — window-switching granules keep
+    LONG windows + the first 8 long scalefactor bands in subbands 0-1
+    while subbands 2-31 run short windows over short sfbs 3-12. The
+    stream must really carry mixed_block_flag, the transition granules
+    must be mixed too (TDAC in the long region), and decode quality must
+    hold on bass + transient content."""
+    rate = 44100
+    t = np.arange(int(rate * 0.35)) / rate
+    sig = 0.35 * np.sin(2 * np.pi * 110 * t)  # bass lives in subband 0
+    atk = int(0.18 * rate)
+    sig[atk:atk + 400] += 0.55 * np.sin(2 * np.pi * 5000
+                                        * np.arange(400) / rate)
+    data = mp3.encode(sig, rate, adaptive=True, mixed=True)
+    bts = [b for b, _ in _walk_side_blocks(data)]
+    assert any(b == (2 | mp3._MIXED_FLAG) for b in bts), bts
+    # every window-switching granule is mixed; chain legality on bt&3
+    for i, b in enumerate(bts):
+        if b:
+            assert b & mp3._MIXED_FLAG, bts
+        if b & 3 == 2:
+            assert i == 0 or (bts[i - 1] & 3) in (1, 2)
+            assert i == len(bts) - 1 or (bts[i + 1] & 3) in (2, 3)
+
+    def snr(a, b):
+        n = min(len(a), len(b))
+        return 10 * np.log10(np.sum(a[:n] ** 2)
+                             / (np.sum((a[:n] - b[:n]) ** 2) + 1e-12))
+
+    dec, r = mp3.decode(data)
+    assert r == rate and snr(sig, dec) >= 20.0
+    # mixed without adaptive is a clear error, not silence
+    with pytest.raises(ValueError, match="adaptive"):
+        mp3.encode(sig, rate, mixed=True)
+
+
+def test_mixed_tdac_property():
+    """Legal mixed chains (mixed transitions around mixed shorts)
+    reconstruct the filterbank exactly; a NON-mixed start next to a
+    mixed short must NOT (its subband-0/1 windows don't complement) —
+    which is why the encoder makes transitions mixed."""
+    rng = np.random.default_rng(11)
+    S = rng.normal(0, 1, (18 * 8, 32))
+    legal = [0, 5, 6, 6, 7, 0, 5, 6]
+    spec = mp3._mdct_granules(S, legal)
+    back = mp3._imdct_granules(spec, legal)
+    assert np.abs(back[18:-18] - S[18:-18]).max() < 1e-12
+    illegal = [0, 1, 6, 6, 7, 0, 0, 0]  # plain start before mixed short
+    spec2 = mp3._mdct_granules(S, illegal)
+    back2 = mp3._imdct_granules(spec2, illegal)
+    assert np.abs(back2[18:-18] - S[18:-18]).max() > 1e-3
+
+
+def test_mixed_maps_cover_spectrum():
+    for rate in (44100, 48000, 32000):
+        nat, chunks, caps, wins = mp3._MIXED_MAPS[rate]
+        assert sorted(nat.tolist()) == list(range(576))
+        assert sum(chunks) == 576 and len(chunks) == 38
+        assert wins[:8] == (-1,) * 8
+        # 17 slen1 chunks (8 long + sfb 3-5 x3), 18 slen2, 3 uncoded
+        assert [c for c in caps].count(15) == 17
+        assert [c for c in caps].count(7) == 18
+        assert [c for c in caps].count(0) == 3
+        # long region is identity (subbands 0-1, natural order)
+        assert nat[:36].tolist() == list(range(36))
+
+
+def test_subblock_gain_recovers_quiet_windows():
+    """Late r7: one loud window beside 60 dB-down quiet windows — the
+    per-window 3-bit subblock_gain must absorb the window-common boost
+    the slen caps would clip, recovering the quiet windows' precision;
+    and a real encoded stream must carry nonzero subblock_gain."""
+    nat, chunks, caps = mp3._SHORT_MAPS[44100]
+    st = np.concatenate([[0], np.cumsum(chunks)])[:-1]
+    rng = np.random.default_rng(5)
+    t = np.zeros(576)
+    for c, (s0, wd) in enumerate(zip(st, chunks)):
+        t[s0:s0 + wd] = (1.0 if c % 3 == 0 else 0.001) * \
+            rng.normal(0, 1, wd)
+    gg, sfs, sbg, ix = mp3._quantize_chunks(t, chunks, caps)
+    assert sbg[1] > 0 and sbg[2] > 0 and sbg[0] == 0, sbg
+    A = 2.0 ** ((gg - 210) / 4.0)
+    gain = np.ones(576)
+    for c, (s0, wd) in enumerate(zip(st, chunks)):
+        gain[s0:s0 + wd] = 2.0 ** (sfs[c] + 2 * sbg[c % 3])
+    rec = np.sign(ix) * (np.abs(ix) ** (4.0 / 3.0)) * A / gain
+    # no-sbg baseline (wins=-1 disables the fold)
+    gg2, sfs2, sbg2, ix2 = mp3._quantize_chunks(
+        t, chunks, caps, wins=(-1,) * len(chunks))
+    assert not sbg2.any()
+    gain2 = np.ones(576)
+    for c, (s0, wd) in enumerate(zip(st, chunks)):
+        gain2[s0:s0 + wd] = 2.0 ** sfs2[c]
+    rec2 = np.sign(ix2) * (np.abs(ix2) ** (4.0 / 3.0)) \
+        * (2.0 ** ((gg2 - 210) / 4.0)) / gain2
+    qm = np.zeros(576, bool)
+    for c, (s0, wd) in enumerate(zip(st, chunks)):
+        if c % 3 != 0:
+            qm[s0:s0 + wd] = True
+
+    def snr(a, b):
+        return 10 * np.log10(np.sum(a ** 2)
+                             / (np.sum((a - b) ** 2) + 1e-30))
+
+    assert snr(t[qm], rec[qm]) > snr(t[qm], rec2[qm]) + 10.0
+    # end-to-end: a hard attack makes one window dominate -> the stream
+    # carries nonzero subblock_gain and still round-trips
+    rate = 44100
+    tt = np.arange(int(rate * 0.3)) / rate
+    sig = 0.02 * np.sin(2 * np.pi * 440 * tt)
+    atk = int(0.15 * rate)
+    sig[atk:atk + 120] += 0.7 * np.sin(2 * np.pi * 6000
+                                       * np.arange(120) / rate)
+    for kw in (dict(adaptive=True), dict(adaptive=True, mixed=True)):
+        enc = mp3.encode(sig, rate, **kw)
+        gains = [g for b, g in _walk_side_blocks(enc) if b & 3 == 2]
+        assert gains, "no short granules in the attack stream"
+        if kw.get("mixed"):  # deterministic: this stream uses the gain
+            assert any(any(g) for g in gains), gains
+        dec, r = mp3.decode(enc)
+        assert r == rate and np.isfinite(dec).all()
+        n = min(len(dec), len(sig))
+        assert 10 * np.log10(np.sum(sig[:n] ** 2)
+                             / (np.sum((sig[:n] - dec[:n]) ** 2)
+                                + 1e-12)) >= 8.0
