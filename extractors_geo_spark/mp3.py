@@ -35,9 +35,14 @@ Scope and honesty (VERDICT r03 #6):
   mixed too so TDAC closes in the long region) and SUBBLOCK_GAIN
   (per-window 3-bit gain, one 2^(-2g) step per unit — the encoder folds
   each window's common scalefactor excess into it, recovering bands
-  whose slen cap would otherwise clip). Decoder limits
-  (clear ValueError, never silent garbage): no combined
-  M/S+intensity (mode_ext 3) — exactly the streams this encoder emits.
+  whose slen cap would otherwise clip) and COMBINED M/S+INTENSITY
+  (mode_ext 3: intensity-region bands pan the band sum, every band
+  below the region — and is_pos-7 skip bands inside it — is M/S).
+  The full Layer III joint-stereo matrix now decodes; remaining limits
+  (clear ValueError, never silent garbage): none in the side-info
+  layouts this encoder emits — foreign streams using other Huffman
+  tables (table_select != the shared canonical table), preflag, or
+  scalefac_scale 0 still raise, the same honesty contract as always.
   Since r7: MPEG-2.5 (quarter rates 8000/11025/12000, id bits 00,
   half-rate band layout) AND adaptive SHORT BLOCKS (block_type 2 with
   three 12-point MDCTs per subband, reordered spectrum, per-(sfb,
@@ -450,7 +455,9 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
     1): the left channel carries the band sum, the right channel's
     scalefactor slots carry the is_pos panning index, and zero-tail
     bands not meant for intensity carry the is_pos 7 skip marker so the
-    decoder's region detection is exact. adaptive=True (r7, MPEG-1
+    decoder's region detection is exact. joint+intensity together (late
+    r7) emit mode_ext 3: the intensity region as above, every band
+    below it M/S-coded spectrally. adaptive=True (r7, MPEG-1
     rates only) switches transient granules to SHORT BLOCKS
     (block_type 2, three 12-point MDCTs per subband, reordered
     spectrum) with the spec-legal start (1) / stop (3) transition
@@ -484,9 +491,11 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
     else:
         raise ValueError("samples must be (n,) mono or (n, 2) stereo")
     nch = len(chans)
-    if joint and intensity:
-        raise ValueError("combined M/S + intensity is out of profile")
-    if joint and nch == 2:  # M/S butterfly (decoder inverts)
+    if joint and nch == 2 and not intensity:  # M/S butterfly (decoder inverts)
+        # time-domain butterfly == full-spectrum spectral butterfly (the
+        # MDCT is linear); combined M/S+intensity (mode_ext 3, late r7)
+        # instead butterflies only the lines below the intensity region,
+        # spectrally, inside the is_maps loop below
         chans = [(chans[0] + chans[1]) * _SQ2, (chans[0] - chans[1]) * _SQ2]
     spf = 576 if lsf else FRAME            # samples per frame
     ngr = 1 if lsf else 2                  # granules per frame
@@ -530,6 +539,11 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
                     pm[b] = min(range(7), key=lambda q: abs(kl - _IS_KL[q]))
                 L[lo:hi] = L[lo:hi] + R[lo:hi]
                 R[lo:hi] = 0.0
+            if joint:  # mode_ext 3 (late r7): M/S below the region
+                cut = int(starts[_IS_START])
+                m_ = (L[:cut] + R[:cut]) * _SQ2
+                s_ = (L[:cut] - R[:cut]) * _SQ2
+                L[:cut], R[:cut] = m_, s_
             is_maps.append(pm)
     if lsf:
         sr_idx = (MPEG25_SAMPLERATES if m25 else LSF_SAMPLERATES).index(rate)
@@ -668,6 +682,9 @@ def encode(samples: np.ndarray, rate: int = 44100, bitrate_idx: int = 14,
         if nch == 1:
             w.write(3, 2)  # mode: mono
             w.write(0, 2)
+        elif joint and intensity:
+            w.write(1, 2)  # mode: joint stereo
+            w.write(3, 2)  # mode_ext: M/S + intensity (late r7)
         elif joint:
             w.write(1, 2)  # mode: joint stereo
             w.write(2, 2)  # mode_ext: M/S on, intensity off
@@ -1132,10 +1149,7 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
             fch = 1
         elif mode in (0, 2):
             fch = 2  # stereo / dual channel: independent L, R
-        else:  # joint stereo
-            if mode_ext == 3:
-                raise ValueError(
-                    "combined M/S + intensity: out of decode profile")
+        else:  # joint stereo (mode_ext 3 = combined M/S+intensity, late r7)
             is_flag = bool(mode_ext & 1)
             ms = bool(mode_ext & 2)
             fch = 2
@@ -1246,10 +1260,12 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
         for g in range(ngr):
             chs = [fs[0] for fs in frame_spec[g * nch:(g + 1) * nch]]
             g_bts = [fs[2] for fs in frame_spec[g * nch:(g + 1) * nch]]
+            ms_mask = np.ones(576, bool)  # lines the M/S butterfly covers
             if is_flag and (g_bts[-1] & 3) != 2:
                 # intensity region (2.4.3.4.9.3): every band past the
                 # right channel's last nonzero coefficient; the right
-                # scalefactor slot is the is_pos index, 7 = skip
+                # scalefactor slot is the is_pos index, 7 = skip (under
+                # mode_ext 3 a skipped band falls back to M/S)
                 left, right = chs
                 rsfs = frame_spec[g * nch + 1][1]
                 nzb = [b for b in range(N_SFB)
@@ -1264,9 +1280,13 @@ def decode(data: bytes, downmix: bool = True) -> tuple[np.ndarray, int]:
                     kl = _IS_KL[p_]
                     right[band] = left[band] * (1.0 - kl)
                     left[band] = left[band] * kl
-            if ms:  # M/S butterfly on the requantized spectra
+                    ms_mask[band] = False
+            if ms:  # M/S butterfly outside intensity-coded bands
                 m, s = chs
-                chs = [(m + s) * _SQ2, (m - s) * _SQ2]
+                lm, rm = m.copy(), s.copy()
+                lm[ms_mask] = (m[ms_mask] + s[ms_mask]) * _SQ2
+                rm[ms_mask] = (m[ms_mask] - s[ms_mask]) * _SQ2
+                chs = [lm, rm]
             for c in range(nch):
                 spectra[c].append(chs[c])
                 btypes_out[c].append(g_bts[c])

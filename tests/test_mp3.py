@@ -267,18 +267,39 @@ def test_intensity_stereo_roundtrip():
     assert abs(ratio_d / ratio_o - 1.0) < 0.3
 
 
-def test_intensity_boundaries():
+def test_combined_ms_intensity_roundtrip():
+    """Late r7 (mode_ext 3): intensity-region bands carry the band sum
+    with is_pos panning; every band BELOW the region is M/S-coded. The
+    header must really say mode 1 / mode_ext 3, correlated low bands
+    must survive the M/S path, panned highs the intensity path."""
     rate = 44100
-    t = np.arange(rate // 4) / rate
-    pcm = np.stack([np.sin(2 * np.pi * 500 * t)] * 2, axis=1) * 0.5
-    with pytest.raises(ValueError, match="M/S \\+ intensity"):
-        mp3.encode(pcm, rate, joint=True, intensity=True)
-    # a crafted mode_ext=3 header raises on decode
-    data = bytearray(mp3.encode(pcm, rate, intensity=True))
-    pos = mp3._skip_id3(bytes(data))
-    data[pos + 3] |= 0x30  # mode_ext bits -> 3
-    with pytest.raises(ValueError, match="M/S \\+ intensity"):
-        mp3.decode(bytes(data))
+    t = np.arange(rate // 2) / rate
+    # correlated lows (M/S-friendly) + right-panned highs (intensity)
+    lo = 0.4 * np.sin(2 * np.pi * 400 * t)
+    hi = 0.3 * np.sin(2 * np.pi * 9000 * t)
+    pcm = np.stack([lo + 0.1 * hi, lo * 0.95 + hi], axis=1)
+    data = mp3.encode(pcm, rate, joint=True, intensity=True)
+    pos = mp3._skip_id3(data)
+    h = mp3._parse_header(data, pos)
+    assert h[5] == 1 and h[6] == 3  # mode joint, mode_ext M/S+intensity
+    dec, r = mp3.decode(data, downmix=False)
+    assert r == rate and dec.shape[1] == 2
+    n = min(len(dec), len(pcm))
+
+    def snr(a, b):
+        return 10 * np.log10(np.sum(a ** 2) / (np.sum((a - b) ** 2) + 1e-12))
+
+    assert snr(pcm[:n, 0], dec[:n, 0]) >= 10.0
+    assert snr(pcm[:n, 1], dec[:n, 1]) >= 10.0
+    # panning preserved in the intensity region: right channel keeps
+    # most of the high-band energy (it was panned right)
+    import numpy.fft as fft
+    for c, expect_hi in ((0, False), (1, True)):
+        spec = np.abs(fft.rfft(dec[:n, c]))
+        f9k = int(9000 * n / rate)
+        e_hi = spec[f9k - 20:f9k + 20].sum()
+        e_lo = spec[int(400 * n / rate) - 20:int(400 * n / rate) + 20].sum()
+        assert (e_hi > 0.4 * e_lo) == expect_hi, (c, e_hi, e_lo)
 
 
 def test_mpeg25_roundtrip_all_rates():
