@@ -2172,9 +2172,10 @@ def q_aac_features(spark, sf_dir):
     codec (..aac), rotating mono-SCE / stereo-CPE x long / EIGHT_SHORT
     windows (i mod 4) with per-band MID/SIDE stereo on every other
     stereo clip, INTENSITY stereo on the i%8==7 leg, TNS over a
-    transient-bearing clip on the i%8==4 leg, and a 5.1 MULTICHANNEL
-    clip (SCE+CPE+CPE+LFE, short full-band windows over a long-window
-    LFE) on the i%8==5 leg (r7),
+    transient-bearing clip on the i%8==4 leg, COMBINED M/S+TNS on the
+    i%8==6 stereo leg (late r7 tool combination), and a 5.1
+    MULTICHANNEL clip (SCE+CPE+CPE+LFE, short full-band windows over a
+    long-window LFE) on the i%8==5 leg (r7),
     entropy-decoded back on the feature path
     (rows-only; ~60 dB SNR + WAV feature parity in tests/test_aac.py)."""
     import numpy as np
@@ -2193,7 +2194,7 @@ def q_aac_features(spark, sf_dir):
                 secs = 1 + i % 2
                 t = np.arange(rate * secs) / rate
                 sig = 0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t)
-                if i % 8 == 4:  # TNS leg: add attacks so the gate engages
+                if i % 8 in (4, 6):  # TNS legs: attacks so the gate engages
                     rng = np.random.default_rng(i)
                     for p in range(3000, sig.size - 300, 9600):
                         sig[p:p + 300] += (rng.normal(0, 0.4, 300)
@@ -2212,7 +2213,7 @@ def q_aac_features(spark, sf_dir):
                              "bytes": _mp4.write_aac_mp4(
                                  sig, rate, short=bool(i % 2),
                                  ms=i % 8 == 6, intensity=i % 8 == 7,
-                                 tns=i % 8 == 4)})
+                                 tns=i % 8 in (4, 6))})  # i==6: M/S+TNS
             yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
 
     from extractors_geo_spark.operators import multimodal as M

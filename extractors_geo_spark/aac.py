@@ -55,12 +55,19 @@ Scope and honesty (same contract as ..mp3, VERDICT r03 #6 / r04 #6):
   strongest quantized line's bulk into up to four pulse amplitudes
   (encoder policy: one pulse, floor(|q|/2) capped at 15, sign-stable);
   the decoder re-adds amplitudes to the QUANTIZED values before
-  dequantization, exactly as 4.6.3.3 directs. Out of profile (clear
+  dequantization, exactly as 4.6.3.3 directs. Late r7: TOOL
+  COMBINATIONS — M/S+TNS (exact round trip: the encoder TNS-analyzes
+  L/R then butterflies, the decoder applies M/S -> intensity -> TNS
+  synthesis in the ISO order), M/S+PNS (butterfly skips PNS bands;
+  ms_used over a dual-PNS band = CORRELATED noise per 4.6.13.3),
+  M/S+intensity on disjoint bands (ms_used on an intensity band flips
+  the pan phase, 4.6.8.2.3), and PNS/TNS on multichannel streams
+  (per full-band channel; the LFE is excluded). Out of profile (clear
   ValueError, never silent garbage): LTP,
   gain control, >6 channels / PCE-configured layouts
   (channelConfiguration 0), TNS on short windows / downward /
-  coef_compress, combined M/S+intensity/PNS/TNS, intensity/PNS/TNS on
-  >2-channel streams — exactly the boundary the encoder never crosses.
+  coef_compress, intensity on >2-channel streams — exactly the
+  boundary the encoder never crosses.
 
 Scalefactor-band layouts: the LC long- and short-window swb_offset
 tables for the 48/44.1 kHz family; other rates reuse them (in-repo
@@ -365,13 +372,14 @@ def encode(pcm: np.ndarray, rate: int = 48000,
     long-window frames carry only a signaled noise energy (codebook 13,
     9-bit first value rooted at global_gain, then the scalefactor dpcm
     chain); the decoder refills them with deterministic unit-energy
-    noise at rms 2^((nrg-100)/4). Mutually exclusive with ms/intensity
-    in-repo.
+    noise at rms 2^((nrg-100)/4).
     intensity=True (r7) codes high bands of the RIGHT channel as
     INTENSITY stereo (codebooks 15/14 = in/out of phase): no spectral
     data, the scalefactor slot carries the dpcm is_position, and the
-    decoder rebuilds right = left * 0.5^(is_pos/4); ms and intensity
-    are mutually exclusive in-repo. short=True
+    decoder rebuilds right = left * 0.5^(is_pos/4). Tools COMBINE
+    (late r7): M/S yields to PNS/intensity per band, TNS analysis runs
+    before the butterfly so M/S+TNS round-trips exactly, and PNS/TNS
+    extend to multichannel full-band channels. short=True
     codes every frame as EIGHT_SHORT_SEQUENCE (8x128 grouped short
     windows)."""
     if rate not in FREQ_INDEX:
@@ -388,9 +396,8 @@ def encode(pcm: np.ndarray, rate: int = 48000,
     plan = _ELEMENT_PLAN[len(chans)]
     # multichannel (r7) keeps the plain + M/S coding paths; the
     # mono/stereo-only tools stay mono/stereo-only
-    if len(chans) > 2 and (intensity or pns or tns):
-        raise ValueError(
-            "intensity/PNS/TNS are mono/stereo-only in this profile")
+    if len(chans) > 2 and intensity:
+        raise ValueError("intensity is mono/stereo-only in this profile")
     lfe_idx = sum(n for k, n in plan if k != "LFE") if plan[-1][0] == "LFE" \
         else None  # LFE is always the last channel of config 6
     size = chans[0].size
@@ -440,10 +447,12 @@ def encode(pcm: np.ndarray, rate: int = 48000,
             blocks = np.stack([padded[i * FRAME:i * FRAME + N]
                                for i in range(n_frames)])
             specs.append(mdct(blocks)[:, None, :] * 32768.0)
-    if ms and intensity:
-        raise ValueError("combined M/S + intensity is out of profile")
-    if pns and (ms or intensity):
-        raise ValueError("combined PNS + M/S/intensity is out of profile")
+    # tool combination (late r7): the encoder applies PNS zeroing, then
+    # per-channel TNS analysis, then intensity, then the M/S butterfly —
+    # the exact inverse of the decoder's M/S -> intensity -> TNS-synth
+    # order, so M/S+TNS round-trips exactly; the M/S mask skips
+    # PNS/intensity bands (they carry no per-channel spectrum to
+    # butterfly), matching 4.6.8/4.6.13
     pns_maps = None
     if pns:
         # per frame: per channel {band: noise_nrg}; the chosen bands'
@@ -451,19 +460,15 @@ def encode(pcm: np.ndarray, rate: int = 48000,
         pns_maps = []
         for i in range(n_frames):
             row = []
-            for s in specs:
-                if seqs[i] == 2:  # long windows only (in-repo profile)
-                    row.append({})
+            for ci, s in enumerate(specs):
+                if seqs[i] == 2 or ci == lfe_idx:
+                    row.append({})  # long full-band windows only
                     continue
                 m = _pns_decide(s[i], SWB_OFFSETS, N_SFB)
                 for b in m:
                     s[i][:, SWB_OFFSETS[b]:SWB_OFFSETS[b + 1]] = 0.0
                 row.append(m)
             pns_maps.append(row)
-    if tns and (ms or intensity or pns):
-        raise ValueError("combined TNS + M/S/intensity/PNS is out of profile")
-    if pulse and (pns or intensity or tns):
-        raise ValueError("combined pulse + PNS/intensity/TNS is out of profile")
     if pulse and short:
         raise ValueError("pulse data on short windows is forbidden (4.6.3)")
     tns_maps = None
@@ -474,9 +479,9 @@ def encode(pcm: np.ndarray, rate: int = 48000,
         tns_maps = []
         for i in range(n_frames):
             row = []
-            for s in specs:
-                if seqs[i] == 2:  # long windows only (in-repo profile)
-                    row.append(None)
+            for ci, s in enumerate(specs):
+                if seqs[i] == 2 or ci == lfe_idx:
+                    row.append(None)  # long full-band windows only
                     continue
                 row.append(_tns_decide(s[i][0], SWB_OFFSETS, N_SFB))
             tns_maps.append(row)
@@ -491,6 +496,9 @@ def encode(pcm: np.ndarray, rate: int = 48000,
             is_start = n_sfb * 2 // 3
             m = {}
             for b in range(is_start, n_sfb):
+                if pns_maps is not None and (
+                        b in pns_maps[i][0] or b in pns_maps[i][1]):
+                    continue  # PNS owns this band (late r7 combination)
                 lo, hi = swb[b], swb[b + 1]
                 L = specs[0][i][:, lo:hi]
                 R = specs[1][i][:, lo:hi]
@@ -524,6 +532,11 @@ def encode(pcm: np.ndarray, rate: int = 48000,
             for cl, cr in cpe_pairs:
                 mask = []
                 for b in range(n_sfb):
+                    if (pns_maps is not None and (
+                            b in pns_maps[i][cl] or b in pns_maps[i][cr])) \
+                            or (is_maps is not None and b in is_maps[i]):
+                        mask.append(False)  # PNS/intensity own this band
+                        continue
                     lo, hi = swb[b], swb[b + 1]
                     L = specs[cl][i][:, lo:hi]
                     R = specs[cr][i][:, lo:hi]
@@ -1172,9 +1185,10 @@ def _read_channel_stream(r, info, gg=None, allow_intensity=False):
         for b, sf in band_sf.items():
             lo, hi = SWB_OFFSETS[b], SWB_OFFSETS[b + 1]
             coeffs[0, lo:hi] = _dequant_band(qspec[lo:hi], sf)
-    if tns_filt is not None:
-        _tns_synthesize(coeffs, swb, max_sfb, tns_filt[0], tns_filt[1])
-    return coeffs, is_bands
+    # TNS synthesis is applied by the CALLER, after intensity/M-S
+    # reconstruction (ISO decode order, late r7: M/S -> intensity ->
+    # TNS -> filterbank) — so M/S+TNS streams round-trip exactly
+    return coeffs, is_bands, tns_filt, pns_bands
 
 
 def _read_band(r, cb, n):
@@ -1224,7 +1238,10 @@ def _decode_au(au: bytes, exp_channels: int) -> list:
             info = _parse_ics_info(r)
             if ele == 3 and info["seq"] != 0:
                 raise ValueError("LFE element with non-long windows")
-            coeffs, _isb = _read_channel_stream(r, info, gg=gg)
+            coeffs, _isb, tns0, _pns = _read_channel_stream(r, info, gg=gg)
+            if tns0 is not None:
+                _tns_synthesize(coeffs, SWB_OFFSETS, info["max_sfb"],
+                                tns0[0], tns0[1])
             chans.append((info["seq"], coeffs))
             elems.append("LFE" if ele == 3 else "SCE")
         elif ele == 1:  # CPE
@@ -1241,35 +1258,63 @@ def _decode_au(au: bytes, exp_channels: int) -> list:
                 ms_used = [bool(r.u(1)) for _ in range(info["max_sfb"])]
             elif mp == 2:
                 ms_used = [True] * info["max_sfb"]
-            c0, _ = _read_channel_stream(r, info)
-            c1, is_bands = _read_channel_stream(r, info,
-                                                allow_intensity=True)
+            c0, _i0, tns0, pns0 = _read_channel_stream(r, info)
+            c1, is_bands, tns1, pns1 = _read_channel_stream(
+                r, info, allow_intensity=True)
+            swb = SWB_OFFSETS_SHORT if short else SWB_OFFSETS
+            is_set = set()
             if is_bands and any(is_bands):
-                if ms_used is not None and any(ms_used):
-                    raise ValueError(
-                        "combined M/S + intensity: out of profile")
                 # 4.6.8.2: right = left * 0.5^(is_pos/4); cb 14 is the
-                # out-of-phase book (negated)
-                swb = SWB_OFFSETS_SHORT if short else SWB_OFFSETS
+                # out-of-phase book (negated); ms_used on an intensity
+                # band flips the direction (4.6.8.2.3, late r7)
                 for is_row in is_bands:
                     for b, (pos, cb) in is_row.items():
+                        is_set.add(b)
                         lo, hi = swb[b], swb[b + 1]
                         scale = 0.5 ** (pos / 4.0)
                         if cb == 14:
                             scale = -scale
+                        if ms_used is not None and b < len(ms_used) \
+                                and ms_used[b]:
+                            scale = -scale
                         c1[:, lo:hi] = c0[:, lo:hi] * scale
+            pns_either = set()
+            pns_both = set()
+            for g, (p0, p1) in enumerate(zip(pns0, pns1)):
+                pns_either |= set(p0) | set(p1)
+                pns_both |= set(p0) & set(p1)
             if ms_used is not None:
+                # 4.6.13.3 (late r7): ms_used over a dual-PNS band means
+                # CORRELATED noise — the right channel reuses the left's
+                # noise vector at its own signaled energy, no butterfly
+                for g, (p0, p1) in enumerate(zip(pns0, pns1)):
+                    w0 = sum(info["wins_per_group"][:g])
+                    wins = info["wins_per_group"][g]
+                    for b in set(p0) & set(p1):
+                        if b < len(ms_used) and ms_used[b]:
+                            lo, hi = swb[b], swb[b + 1]
+                            n = wins * (hi - lo)
+                            seed = (g * 131071 + b * 8191
+                                    + p0[b] * 127)  # LEFT channel's seed
+                            rms = 2.0 ** ((p1[b] - SF_OFFSET) / 4.0)
+                            c1[w0:w0 + wins, lo:hi] = (
+                                _pns_noise(n, seed) * (rms * np.sqrt(n))
+                            ).reshape(wins, hi - lo)
                 # 4.6.8.1 butterfly on the dequantized spectra:
-                # l = m + s, r = m - s per chosen band, all windows
-                swb = SWB_OFFSETS_SHORT if short else SWB_OFFSETS
+                # l = m + s, r = m - s per chosen band, all windows —
+                # skipping intensity and PNS bands (they carry no
+                # per-channel spectrum pair to butterfly)
                 for b, used in enumerate(ms_used):
-                    if not used:
+                    if not used or b in is_set or b in pns_either:
                         continue
                     lo, hi = swb[b], swb[b + 1]
                     m = c0[:, lo:hi].copy()
                     side = c1[:, lo:hi]
                     c0[:, lo:hi] = m + side
                     c1[:, lo:hi] = m - side
+            for cc, tf in ((c0, tns0), (c1, tns1)):
+                if tf is not None:  # ISO order: TNS synthesis last
+                    _tns_synthesize(cc, swb, info["max_sfb"], tf[0], tf[1])
             chans.append((info["seq"], c0))
             chans.append((info["seq"], c1))
             elems.append("CPE")

@@ -377,8 +377,18 @@ def test_intensity_boundaries():
     rate = 48000
     pcm = np.stack([np.sin(2 * np.pi * 500 * np.arange(4096) / rate)] * 2,
                    axis=1) * 0.5
-    with pytest.raises(ValueError, match="M/S \\+ intensity"):
-        aac.encode(pcm, rate, ms=True, intensity=True)
+    # late r7: M/S + intensity COMBINE on disjoint bands — correlated
+    # lows ride M/S, panned highs ride intensity, one stream
+    t = np.arange(8192) / rate
+    lo = 0.4 * np.sin(2 * np.pi * 400 * t)
+    hi = 0.3 * np.sin(2 * np.pi * 13000 * t)
+    # highs panned LEFT-dominant (is_pos only attenuates left -> right)
+    st = np.stack([lo + hi, lo * 0.97 + 0.4 * hi], axis=1)
+    asc_c, aus_c = aac.encode(st, rate, ms=True, intensity=True)
+    dec_c, _ = aac.decode(aus_c, asc_c, downmix=False)
+    n = min(len(dec_c), len(st))
+    assert _snr(st[:n, 0], dec_c[:n, 0]) >= 15.0
+    assert _snr(st[:n, 1], dec_c[:n, 1]) >= 15.0
     # intensity codebooks outside a CPE right channel stay rejected
     mono = pcm[:, 0]
     asc, aus = aac.encode(mono, rate)
@@ -502,11 +512,18 @@ def test_pns_stereo_and_boundaries():
     hi_l, hi_r = highpass(dec[:m, 0]), highpass(dec[:m, 1])
     corr = float(np.corrcoef(hi_l, hi_r)[0, 1])
     assert corr < 0.9, corr
-    # out-of-profile combinations raise
-    with pytest.raises(ValueError, match="PNS"):
-        aac.encode(st, rate, pns=True, ms=True)
-    with pytest.raises(ValueError, match="PNS"):
-        aac.encode(st, rate, pns=True, intensity=True)
+    # late r7: PNS combines with M/S (butterfly skips PNS bands) and
+    # with intensity — both must round-trip with finite output and
+    # preserved band energy
+    for kw in (dict(pns=True, ms=True), dict(pns=True, intensity=True)):
+        asc_k, aus_k = aac.encode(st, rate, **kw)
+        dec_k, _ = aac.decode(aus_k, asc_k, downmix=False)
+        nk = min(len(dec_k), len(st))
+        assert np.isfinite(dec_k).all()
+        for c in range(2):  # energy preserved within 3 dB per channel
+            e0 = float(np.sum(st[:nk, c] ** 2))
+            e1 = float(np.sum(dec_k[:nk, c] ** 2))
+            assert 0.5 < e1 / e0 < 2.0, (kw, c, e1 / e0)
     # a corrupted noise_nrg chain raises cleanly (range check)
     mono = base + hn
     asc_m, aus_m = aac.encode(mono, rate, pns=True)
@@ -567,12 +584,28 @@ def test_tns_boundaries_and_fuzz():
     rng = np.random.default_rng(6)
     sig[n // 2:n // 2 + 400] = rng.normal(0, 0.4, 400)
     st = np.stack([sig, sig], axis=1)
-    with pytest.raises(ValueError, match="TNS"):
-        aac.encode(st, rate, tns=True, ms=True)
-    with pytest.raises(ValueError, match="TNS"):
-        aac.encode(st, rate, tns=True, intensity=True)
-    with pytest.raises(ValueError, match="TNS"):
-        aac.encode(sig, rate, tns=True, pns=True)
+    # late r7: TNS combines with M/S / intensity / PNS. M/S+TNS is the
+    # mainstream-encoder default pair and round-trips EXACTLY in
+    # structure: encoder TNS-analyzes L/R then butterflies; decoder
+    # applies M/S -> intensity -> TNS synthesis (ISO order)
+    asc_m, aus_m = aac.encode(st, rate, tns=True, ms=True)
+    dec_m, _ = aac.decode(aus_m, asc_m, downmix=False)
+    nm = min(len(dec_m), len(st))
+    asc_p, aus_p = aac.encode(st, rate, tns=True)  # TNS-only baseline
+    dec_p, _ = aac.decode(aus_p, asc_p, downmix=False)
+    for c in range(2):  # adding M/S must not cost quality...
+        s_t = _snr(st[:nm, c], dec_m[:nm, c])
+        s_p = _snr(st[:nm, c], dec_p[:nm, c])
+        assert s_t >= s_p - 1.0, (c, s_t, s_p)
+    # ...and on identical channels it must SHRINK the stream (side = 0)
+    assert sum(map(len, aus_m)) < sum(map(len, aus_p))
+    for kw in (dict(tns=True, intensity=True),):
+        a2, u2 = aac.encode(st, rate, **kw)
+        d2, _ = aac.decode(u2, a2, downmix=False)
+        assert d2.shape[1] == 2 and np.isfinite(d2).all()
+    a3, u3 = aac.encode(sig, rate, tns=True, pns=True)
+    d3, _ = aac.decode(u3, a3)
+    assert np.isfinite(d3).all()
     # stereo L/R (no M/S) composes: per-channel filters
     asc, aus = aac.encode(st, rate, tns=True)
     dec, _ = aac.decode(aus, asc, downmix=False)
@@ -656,10 +689,11 @@ def test_multichannel_boundaries():
     sig = _mc_signal(rate, 4096, 6)
     with pytest.raises(ValueError, match="mono/stereo-only"):
         aac.encode(sig, rate, intensity=True)
-    with pytest.raises(ValueError, match="mono/stereo-only"):
-        aac.encode(sig, rate, pns=True)
-    with pytest.raises(ValueError, match="mono/stereo-only"):
-        aac.encode(sig, rate, tns=True)
+    # late r7: PNS and TNS extend to multichannel full-band channels
+    for kw in (dict(pns=True), dict(tns=True)):
+        a_mc, u_mc = aac.encode(sig, rate, **kw)
+        d_mc, _ = aac.decode(u_mc, a_mc, downmix=False)
+        assert d_mc.shape[1] == 6 and np.isfinite(d_mc).all()
     with pytest.raises(ValueError):
         aac.encode(_mc_signal(rate, 4096, 7), rate)
     # element-sequence validation: stereo CPE AUs under a 3ch config
@@ -745,10 +779,12 @@ def test_pulse_boundaries_and_fuzz():
     sig = 0.7 * np.sin(2 * np.pi * 1000 * np.arange(8192) / rate)
     with pytest.raises(ValueError, match="short"):
         aac.encode(sig, rate, pulse=True, short=True)
-    with pytest.raises(ValueError, match="pulse"):
-        aac.encode(sig, rate, pulse=True, pns=True)
-    with pytest.raises(ValueError, match="pulse"):
-        aac.encode(sig, rate, pulse=True, tns=True)
+    # late r7: pulse composes with PNS/TNS (pulse never lands in a
+    # PNS band — those are zeroed before quantization)
+    for kw in (dict(pulse=True, pns=True), dict(pulse=True, tns=True)):
+        a_c, u_c = aac.encode(sig, rate, **kw)
+        d_c, _ = aac.decode(u_c, a_c)
+        assert np.isfinite(d_c).all()
     asc, aus = aac.encode(sig, rate, pulse=True)
     random.seed(41)
     for _ in range(200):
@@ -759,3 +795,31 @@ def test_pulse_boundaries_and_fuzz():
             aac.decode([bytes(a)], asc)
         except ValueError:
             pass
+
+
+def test_pns_ms_correlated_noise_rule():
+    """4.6.13.3 (late r7): ms_used over a band that is PNS in BOTH
+    channels signals CORRELATED noise — the decoder must reuse the left
+    channel's noise vector (at the right's own energy) and skip the
+    butterfly; without ms_used the channels stay decorrelated."""
+    rng = np.random.default_rng(17)
+    spec = rng.normal(0, 200, (1, aac.FRAME))
+    b = aac._PNS_START_SFB + 2
+    lo, hi = aac.SWB_OFFSETS[b], aac.SWB_OFFSETS[b + 1]
+    specs = [spec.copy(), spec.copy()]
+    for s in specs:
+        s[:, lo:hi] = 0.0  # PNS band carries no quantized spectrum
+    pns_map = [{b: 120}, {b: 126}]  # per-channel noise energies
+    for corr_expected, mask in ((True, [True] * aac.N_SFB), (False, None)):
+        au = aac._encode_au([s.copy() for s in specs], 0,
+                            ms_mask=mask, pns_map=pns_map)
+        chans = aac._decode_au(au, 2)
+        c0, c1 = chans[0][1], chans[1][1]
+        u0 = c0[0, lo:hi] / np.linalg.norm(c0[0, lo:hi])
+        u1 = c1[0, lo:hi] / np.linalg.norm(c1[0, lo:hi])
+        same = bool(np.allclose(u0, u1, atol=1e-12))
+        assert same == corr_expected, (corr_expected, float(u0 @ u1))
+        # each channel honors its OWN signaled energy either way
+        rms1 = float(np.sqrt(np.mean(c1[0, lo:hi] ** 2)))
+        assert abs(np.log2(rms1 / 2.0 ** ((126 - aac.SF_OFFSET) / 4.0))) \
+            < 0.5
