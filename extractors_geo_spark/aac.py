@@ -62,12 +62,14 @@ Scope and honesty (same contract as ..mp3, VERDICT r03 #6 / r04 #6):
   ms_used over a dual-PNS band = CORRELATED noise per 4.6.13.3),
   M/S+intensity on disjoint bands (ms_used on an intensity band flips
   the pan phase, 4.6.8.2.3), and PNS/TNS on multichannel streams
-  (per full-band channel; the LFE is excluded). Out of profile (clear
-  ValueError, never silent garbage): LTP,
+  (per full-band channel; the LFE is excluded), and TNS ON SHORT
+  WINDOWS (per-window order<=7 filters, the 4.6.9.2 short layout:
+  1-bit n_filt / 4-bit length / 3-bit order per 128-bin window). Out
+  of profile (clear ValueError, never silent garbage): LTP,
   gain control, >6 channels / PCE-configured layouts
-  (channelConfiguration 0), TNS on short windows / downward /
-  coef_compress, intensity on >2-channel streams — exactly the
-  boundary the encoder never crosses.
+  (channelConfiguration 0), TNS downward direction / coef_compress,
+  intensity on >2-channel streams — exactly the boundary the encoder
+  never crosses.
 
 Scalefactor-band layouts: the LC long- and short-window swb_offset
 tables for the 48/44.1 kHz family; other rates reuse them (in-repo
@@ -473,17 +475,18 @@ def encode(pcm: np.ndarray, rate: int = 48000,
         raise ValueError("pulse data on short windows is forbidden (4.6.3)")
     tns_maps = None
     if tns:
-        # per frame: per channel None or the quantized reflection-coef
-        # indices; _tns_decide analysis-filters the spectrum in place so
-        # the quantizer codes the (whiter) prediction residual
+        # per frame: per channel None or per-WINDOW reflection-coef
+        # indices (late r7: short frames get per-window order<=7
+        # filters); _tns_decide analysis-filters the spectrum in place
+        # so the quantizer codes the (whiter) prediction residual
         tns_maps = []
         for i in range(n_frames):
             row = []
             for ci, s in enumerate(specs):
-                if seqs[i] == 2 or ci == lfe_idx:
-                    row.append(None)  # long full-band windows only
+                if ci == lfe_idx:
+                    row.append(None)  # full-band channels only
                     continue
-                row.append(_tns_decide(s[i][0], SWB_OFFSETS, N_SFB))
+                row.append(_tns_decide_frame(s[i], seqs[i] == 2))
             tns_maps.append(row)
     is_maps = None
     if intensity and len(chans) == 2:
@@ -566,7 +569,9 @@ _PNS_START_SFB = 22  # first long-window sfb eligible for PNS (bin 160)
 _PNS_SFM_MIN = 0.30  # spectral flatness above this = noise-like
 
 _TNS_START_SFB = 4    # bottom band of the single long-window TNS filter
+_TNS_START_SFB_S = 2  # bottom band of the per-window short filters (late r7)
 _TNS_MAX_ORDER = 12   # ISO LC long-window order limit (4.6.9.4)
+_TNS_MAX_ORDER_S = 7  # ISO LC short-window order limit (4.6.9.4)
 _TNS_GAIN_MIN = 2.0   # enable TNS only above this LPC prediction gain
 # (tonal frames measure <=~1.5 -- a narrow spectral peak gives mild
 # predictability -- while genuine attacks measure >=~3; 2.0 splits them)
@@ -609,14 +614,16 @@ def _tns_step_up(ks) -> np.ndarray:
     return np.array(a)
 
 
-def _tns_decide(spec_row: np.ndarray, swb, n_sfb: int):
-    """One long-window channel spectrum: if the LPC prediction gain over
+def _tns_decide(spec_row: np.ndarray, swb, n_sfb: int,
+                start_sfb: int = _TNS_START_SFB,
+                max_order: int = _TNS_MAX_ORDER):
+    """One window's channel spectrum: if the LPC prediction gain over
     the TNS region clears the gate, FIR-filter the region in place
     (analysis, zero initial state) and return the 4-bit arcsin-quantized
     reflection-coefficient indices; else None."""
-    lo, hi = swb[_TNS_START_SFB], swb[n_sfb]
+    lo, hi = swb[start_sfb], swb[n_sfb]
     x = spec_row[lo:hi].copy()
-    ks, gain = _tns_levinson(x, _TNS_MAX_ORDER)
+    ks, gain = _tns_levinson(x, max_order)
     if gain < _TNS_GAIN_MIN or not ks:
         return None
     idx = np.clip(np.round(np.arcsin(np.clip(ks, -1.0, 1.0)) * _TNS_IQFAC),
@@ -631,18 +638,42 @@ def _tns_decide(spec_row: np.ndarray, swb, n_sfb: int):
     return [int(v) for v in idx]
 
 
-def _tns_synthesize(coeffs: np.ndarray, swb, max_sfb: int, length: int,
-                    idx: list[int]) -> None:
-    """Decoder side: all-pole filter the region (zero initial state) —
-    the exact inverse of _tns_decide's FIR."""
-    a = _tns_step_up(np.sin(np.asarray(idx, float) / _TNS_IQFAC))
-    lo, hi = swb[max(max_sfb - length, 0)], swb[max_sfb]
-    x = coeffs[0, lo:hi]
-    order = a.size
-    for n in range(x.size):
-        j = min(n, order)
-        if j:
-            x[n] -= float(np.dot(a[:j], x[n - j: n][::-1]))
+def _tns_decide_frame(spec: np.ndarray, short: bool):
+    """Per-window TNS analysis for one channel frame (late r7): long
+    frames get the single upward filter as before, EIGHT_SHORT frames
+    one candidate filter per 128-bin window (order <= 7, 4.6.9.4).
+    Returns a per-window list of None/idx (None if no window cleared
+    the gate)."""
+    if not short:
+        return _one_or_none([_tns_decide(spec[0], SWB_OFFSETS, N_SFB)])
+    row = [_tns_decide(spec[w], SWB_OFFSETS_SHORT, N_SFB_SHORT,
+                       start_sfb=_TNS_START_SFB_S,
+                       max_order=_TNS_MAX_ORDER_S)
+           for w in range(spec.shape[0])]
+    return _one_or_none(row)
+
+
+def _one_or_none(row):
+    return row if any(f is not None for f in row) else None
+
+
+def _tns_synthesize(coeffs: np.ndarray, swb, max_sfb: int,
+                    filters: list) -> None:
+    """Decoder side: all-pole filter each window's region (zero initial
+    state) — the exact inverse of _tns_decide's FIR. `filters` is one
+    (length, idx)/None per window (long frames: a single entry)."""
+    for w, f in enumerate(filters):
+        if f is None:
+            continue
+        length, idx = f
+        a = _tns_step_up(np.sin(np.asarray(idx, float) / _TNS_IQFAC))
+        lo, hi = swb[max(max_sfb - length, 0)], swb[max_sfb]
+        x = coeffs[w, lo:hi]
+        order = a.size
+        for n in range(x.size):
+            j = min(n, order)
+            if j:
+                x[n] -= float(np.dot(a[:j], x[n - j: n][::-1]))
 
 
 def _pns_noise(n: int, seed: int) -> np.ndarray:
@@ -937,15 +968,24 @@ def _write_stream_tail(bw, gg, groups, short, tns=None, pulse=None):
     if tns is None:
         bw.u(0, 1)   # tns_data_present
     else:
-        bw.u(1, 1)   # tns_data (4.6.9.2), one upward long-window filter
-        bw.u(1, 2)   # n_filt
-        bw.u(1, 1)   # coef_res -> 4-bit coefficients
-        bw.u(N_SFB - _TNS_START_SFB, 6)  # length (bands, from max_sfb)
-        bw.u(len(tns), 5)                # order
-        bw.u(0, 1)   # direction: upward
-        bw.u(0, 1)   # coef_compress
-        for c in tns:
-            bw.u(c & 0xF, 4)
+        # tns_data (4.6.9.2): per-window upward filters — long frames
+        # carry one window; short frames 1-bit n_filt / 4-bit length /
+        # 3-bit order per 128-bin window (late r7)
+        bw.u(1, 1)
+        n_sfb_here = N_SFB_SHORT if short else N_SFB
+        start = _TNS_START_SFB_S if short else _TNS_START_SFB
+        for f in tns:
+            if f is None:
+                bw.u(0, 1 if short else 2)   # n_filt = 0
+                continue
+            bw.u(1, 1 if short else 2)       # n_filt = 1
+            bw.u(1, 1)                       # coef_res -> 4-bit coefs
+            bw.u(n_sfb_here - start, 4 if short else 6)  # length
+            bw.u(len(f), 3 if short else 5)  # order
+            bw.u(0, 1)   # direction: upward
+            bw.u(0, 1)   # coef_compress
+            for c in f:
+                bw.u(c & 0xF, 4)
     bw.u(0, 1)   # gain_control_data_present
     for bands in groups:
         for bd in bands:
@@ -1114,27 +1154,35 @@ def _read_channel_stream(r, info, gg=None, allow_intensity=False):
             raise ValueError("pulse_start_sfb out of range")
         pulse = (pulse_start, [(r.u(5), r.u(4)) for _ in range(n_pulse)])
     tns_filt = None
-    if r.u(1):  # tns_data (4.6.9, r7): single upward long-window filter
-        if info["short"]:
-            raise ValueError("TNS on short windows: out of decode profile")
-        n_filt = r.u(2)
-        if n_filt:
+    if r.u(1):  # tns_data (4.6.9): upward filters, one per window
+        n_windows = sum(info["wins_per_group"])
+        filters = []
+        for _w in range(n_windows):
+            n_filt = r.u(1 if short else 2)
+            if not n_filt:
+                filters.append(None)
+                continue
             if n_filt != 1 or r.u(1) != 1:  # coef_res
                 raise ValueError("TNS filter shape out of decode profile")
-            length = r.u(6)
-            order = r.u(5)
-            if length > max_sfb or order > _TNS_MAX_ORDER:
+            length = r.u(4 if short else 6)
+            order = r.u(3 if short else 5)
+            if length > max_sfb or \
+                    order > (_TNS_MAX_ORDER_S if short else _TNS_MAX_ORDER):
                 raise ValueError("TNS length/order out of range")
-            if order:
-                if r.u(1):
-                    raise ValueError(
-                        "TNS downward direction: out of decode profile")
-                if r.u(1):
-                    raise ValueError(
-                        "TNS coef_compress: out of decode profile")
-                idx = [v - 16 if v >= 8 else v
-                       for v in (r.u(4) for _ in range(order))]
-                tns_filt = (length, idx)
+            if not order:
+                filters.append(None)
+                continue
+            if r.u(1):
+                raise ValueError(
+                    "TNS downward direction: out of decode profile")
+            if r.u(1):
+                raise ValueError(
+                    "TNS coef_compress: out of decode profile")
+            idx = [v - 16 if v >= 8 else v
+                   for v in (r.u(4) for _ in range(order))]
+            filters.append((length, idx))
+        if any(f is not None for f in filters):
+            tns_filt = filters
     if r.u(1):
         raise ValueError("gain control: out of decode profile")
     # spectral_data; with pulse data the quantized lines are assembled
@@ -1240,8 +1288,8 @@ def _decode_au(au: bytes, exp_channels: int) -> list:
                 raise ValueError("LFE element with non-long windows")
             coeffs, _isb, tns0, _pns = _read_channel_stream(r, info, gg=gg)
             if tns0 is not None:
-                _tns_synthesize(coeffs, SWB_OFFSETS, info["max_sfb"],
-                                tns0[0], tns0[1])
+                swb0 = SWB_OFFSETS_SHORT if info["short"] else SWB_OFFSETS
+                _tns_synthesize(coeffs, swb0, info["max_sfb"], tns0)
             chans.append((info["seq"], coeffs))
             elems.append("LFE" if ele == 3 else "SCE")
         elif ele == 1:  # CPE
@@ -1314,7 +1362,7 @@ def _decode_au(au: bytes, exp_channels: int) -> list:
                     c1[:, lo:hi] = m - side
             for cc, tf in ((c0, tns0), (c1, tns1)):
                 if tf is not None:  # ISO order: TNS synthesis last
-                    _tns_synthesize(cc, swb, info["max_sfb"], tf[0], tf[1])
+                    _tns_synthesize(cc, swb, info["max_sfb"], tf)
             chans.append((info["seq"], c0))
             chans.append((info["seq"], c1))
             elems.append("CPE")

@@ -565,7 +565,7 @@ def test_tns_roundtrip():
     idx = aac._tns_decide(row[0], aac.SWB_OFFSETS, aac.N_SFB)
     assert idx is not None
     aac._tns_synthesize(row, aac.SWB_OFFSETS, aac.N_SFB,
-                        aac.N_SFB - aac._TNS_START_SFB, idx)
+                        [(aac.N_SFB - aac._TNS_START_SFB, idx)])
     assert np.abs(row - orig).max() < 1e-9
     # a steady tone's temporal envelope is flat: the gate stays closed
     # (frame 0 holds the onset from silence and the last frame the cut
@@ -823,3 +823,40 @@ def test_pns_ms_correlated_noise_rule():
         rms1 = float(np.sqrt(np.mean(c1[0, lo:hi] ** 2)))
         assert abs(np.log2(rms1 / 2.0 ** ((126 - aac.SF_OFFSET) / 4.0))) \
             < 0.5
+
+
+def test_tns_short_windows_roundtrip():
+    """Late r7 (4.6.9.2 short layout): EIGHT_SHORT frames carry
+    per-window TNS filters (1-bit n_filt, 4-bit length, 3-bit order,
+    order <= 7). The analysis must actually fire on a transient short
+    frame, the stream must shrink vs no-TNS, and every combination
+    with short windows must round-trip."""
+    rate = 48000
+    n = rate // 4
+    sig = np.zeros(n)
+    rng = np.random.default_rng(6)
+    sig[n // 2:n // 2 + 400] = rng.normal(0, 0.4, 400)
+    # structural: the per-window decision fires on a predictable window
+    spec = rng.normal(0, 1, (8, aac.FRAME_S))
+    lo_s = aac.SWB_OFFSETS_SHORT[aac._TNS_START_SFB_S]
+    hi_s = aac.SWB_OFFSETS_SHORT[aac.N_SFB_SHORT]
+    spec[3] = 0.0
+    spec[3, lo_s:hi_s] = np.cumsum(rng.normal(0, 1, hi_s - lo_s)) * 50
+    row = aac._tns_decide_frame(spec.copy(), True)
+    assert row is not None and row[3] is not None
+    assert all(f is None or len(f) <= aac._TNS_MAX_ORDER_S for f in row)
+    # end-to-end: smaller stream, finite decode, SNR floor
+    asc_t, aus_t = aac.encode(sig, rate, tns=True, short=True)
+    asc_p, aus_p = aac.encode(sig, rate, short=True)
+    assert sum(map(len, aus_t)) < sum(map(len, aus_p))
+    dec, _ = aac.decode(aus_t, asc_t)
+    assert np.isfinite(dec).all() and _snr(sig, dec) >= 40.0
+    # short + M/S + TNS (stereo) and adaptive + TNS also compose
+    st = np.stack([sig, sig * 0.9], axis=1)
+    a2, u2 = aac.encode(st, rate, tns=True, short=True, ms=True)
+    d2, _ = aac.decode(u2, a2, downmix=False)
+    assert d2.shape[1] == 2 and np.isfinite(d2).all()
+    assert _snr(st[:, 0], d2[:, 0]) >= 40.0
+    a3, u3 = aac.encode(sig, rate, tns=True, adaptive=True)
+    d3, _ = aac.decode(u3, a3)
+    assert np.isfinite(d3).all() and _snr(sig, d3) >= 40.0
