@@ -983,9 +983,12 @@ def _write_stream_tail(bw, gg, groups, short, tns=None, pulse=None):
             bw.u(n_sfb_here - start, 4 if short else 6)  # length
             bw.u(len(f), 3 if short else 5)  # order
             bw.u(0, 1)   # direction: upward
-            bw.u(0, 1)   # coef_compress
+            # coef_compress (late r7): same arcsin grid, 3-bit indices
+            # when every coefficient fits [-4, 3] — one bit per coef saved
+            compress = all(-4 <= c <= 3 for c in f)
+            bw.u(1 if compress else 0, 1)
             for c in f:
-                bw.u(c & 0xF, 4)
+                bw.u(c & (0x7 if compress else 0xF), 3 if compress else 4)
     bw.u(0, 1)   # gain_control_data_present
     for bands in groups:
         for bd in bands:
@@ -1175,11 +1178,11 @@ def _read_channel_stream(r, info, gg=None, allow_intensity=False):
             if r.u(1):
                 raise ValueError(
                     "TNS downward direction: out of decode profile")
-            if r.u(1):
-                raise ValueError(
-                    "TNS coef_compress: out of decode profile")
-            idx = [v - 16 if v >= 8 else v
-                   for v in (r.u(4) for _ in range(order))]
+            # coef_compress (late r7): 3-bit indices on the same grid
+            bits = 4 - r.u(1)
+            half = 1 << (bits - 1)
+            idx = [v - (1 << bits) if v >= half else v
+                   for v in (r.u(bits) for _ in range(order))]
             filters.append((length, idx))
         if any(f is not None for f in filters):
             tns_filt = filters
