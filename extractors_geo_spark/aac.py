@@ -67,9 +67,12 @@ Scope and honesty (same contract as ..mp3, VERDICT r03 #6 / r04 #6):
   1-bit n_filt / 4-bit length / 3-bit order per 128-bin window). Out
   of profile (clear ValueError, never silent garbage): LTP,
   gain control, >6 channels / PCE-configured layouts
-  (channelConfiguration 0), TNS downward direction / coef_compress,
-  intensity on >2-channel streams — exactly the boundary the encoder
-  never crosses.
+  (channelConfiguration 0), intensity on >2-channel streams — exactly
+  the boundary the encoder never crosses. The TNS family is closed:
+  short windows, coef_compress (3-bit indices when the filter fits),
+  and downward direction (direction chosen by zero-initial-state
+  residual energy — LPC gain is reversal-symmetric) all decode AND are
+  emitted by the encoder when they win.
 
 Scalefactor-band layouts: the LC long- and short-window swb_offset
 tables for the 48/44.1 kHz family; other rates reuse them (in-repo
@@ -619,10 +622,18 @@ def _tns_decide(spec_row: np.ndarray, swb, n_sfb: int,
                 max_order: int = _TNS_MAX_ORDER):
     """One window's channel spectrum: if the LPC prediction gain over
     the TNS region clears the gate, FIR-filter the region in place
-    (analysis, zero initial state) and return the 4-bit arcsin-quantized
-    reflection-coefficient indices; else None."""
+    (analysis, zero initial state) and return (direction, 4-bit
+    arcsin-quantized reflection-coefficient indices); else None.
+    direction=1 (4.6.9.2, late r7) runs the filter DOWNWARD (from the
+    top of the region) — the encoder picks whichever direction predicts
+    better, since zero-initial-state filtering favors the end where the
+    envelope starts small."""
     lo, hi = swb[start_sfb], swb[n_sfb]
     x = spec_row[lo:hi].copy()
+    # LPC gain is time-reversal symmetric (it only sees autocorrelation)
+    # so the filter is shared; the DIRECTION choice is about the
+    # zero-initial-state transient — start the filter where the envelope
+    # is small, i.e. compare the actual residual energies
     ks, gain = _tns_levinson(x, max_order)
     if gain < _TNS_GAIN_MIN or not ks:
         return None
@@ -632,10 +643,12 @@ def _tns_decide(spec_row: np.ndarray, swb, n_sfb: int,
         idx = idx[:-1]
     if not idx.size:
         return None
-    a = _tns_step_up(np.sin(idx / _TNS_IQFAC))
-    y = np.convolve(x, np.concatenate(([1.0], a)))[: x.size]
-    spec_row[lo:hi] = y
-    return [int(v) for v in idx]
+    a = np.concatenate(([1.0], _tns_step_up(np.sin(idx / _TNS_IQFAC))))
+    y_up = np.convolve(x, a)[: x.size]
+    y_dn = np.convolve(x[::-1], a)[: x.size]
+    down = float(np.sum(y_dn * y_dn)) < 0.95 * float(np.sum(y_up * y_up))
+    spec_row[lo:hi] = y_dn[::-1] if down else y_up
+    return (1 if down else 0), [int(v) for v in idx]
 
 
 def _tns_decide_frame(spec: np.ndarray, short: bool):
@@ -661,19 +674,22 @@ def _tns_synthesize(coeffs: np.ndarray, swb, max_sfb: int,
                     filters: list) -> None:
     """Decoder side: all-pole filter each window's region (zero initial
     state) — the exact inverse of _tns_decide's FIR. `filters` is one
-    (length, idx)/None per window (long frames: a single entry)."""
+    (length, direction, idx)/None per window (long frames: a single
+    entry); direction=1 runs the filter downward (late r7)."""
     for w, f in enumerate(filters):
         if f is None:
             continue
-        length, idx = f
+        length, down, idx = f
         a = _tns_step_up(np.sin(np.asarray(idx, float) / _TNS_IQFAC))
         lo, hi = swb[max(max_sfb - length, 0)], swb[max_sfb]
-        x = coeffs[w, lo:hi]
+        x = coeffs[w, lo:hi][::-1].copy() if down else coeffs[w, lo:hi]
         order = a.size
         for n in range(x.size):
             j = min(n, order)
             if j:
                 x[n] -= float(np.dot(a[:j], x[n - j: n][::-1]))
+        if down:
+            coeffs[w, lo:hi] = x[::-1]
 
 
 def _pns_noise(n: int, seed: int) -> np.ndarray:
@@ -978,16 +994,18 @@ def _write_stream_tail(bw, gg, groups, short, tns=None, pulse=None):
             if f is None:
                 bw.u(0, 1 if short else 2)   # n_filt = 0
                 continue
+            down, coefs = f
             bw.u(1, 1 if short else 2)       # n_filt = 1
             bw.u(1, 1)                       # coef_res -> 4-bit coefs
             bw.u(n_sfb_here - start, 4 if short else 6)  # length
-            bw.u(len(f), 3 if short else 5)  # order
-            bw.u(0, 1)   # direction: upward
+            bw.u(len(coefs), 3 if short else 5)  # order
+            bw.u(down, 1)  # direction (late r7: downward when it
+            #                predicts better — ramps that DECAY upward)
             # coef_compress (late r7): same arcsin grid, 3-bit indices
             # when every coefficient fits [-4, 3] — one bit per coef saved
-            compress = all(-4 <= c <= 3 for c in f)
+            compress = all(-4 <= c <= 3 for c in coefs)
             bw.u(1 if compress else 0, 1)
-            for c in f:
+            for c in coefs:
                 bw.u(c & (0x7 if compress else 0xF), 3 if compress else 4)
     bw.u(0, 1)   # gain_control_data_present
     for bands in groups:
@@ -1175,15 +1193,13 @@ def _read_channel_stream(r, info, gg=None, allow_intensity=False):
             if not order:
                 filters.append(None)
                 continue
-            if r.u(1):
-                raise ValueError(
-                    "TNS downward direction: out of decode profile")
+            down = r.u(1)  # direction (late r7: downward decodes)
             # coef_compress (late r7): 3-bit indices on the same grid
             bits = 4 - r.u(1)
             half = 1 << (bits - 1)
             idx = [v - (1 << bits) if v >= half else v
                    for v in (r.u(bits) for _ in range(order))]
-            filters.append((length, idx))
+            filters.append((length, down, idx))
         if any(f is not None for f in filters):
             tns_filt = filters
     if r.u(1):

@@ -562,10 +562,11 @@ def test_tns_roundtrip():
     row = np.zeros((1, 1024))
     row[0, lo:hi] = np.cumsum(rng.normal(0, 1, hi - lo))
     orig = row.copy()
-    idx = aac._tns_decide(row[0], aac.SWB_OFFSETS, aac.N_SFB)
-    assert idx is not None
+    filt = aac._tns_decide(row[0], aac.SWB_OFFSETS, aac.N_SFB)
+    assert filt is not None
+    down, idx = filt
     aac._tns_synthesize(row, aac.SWB_OFFSETS, aac.N_SFB,
-                        [(aac.N_SFB - aac._TNS_START_SFB, idx)])
+                        [(aac.N_SFB - aac._TNS_START_SFB, down, idx)])
     assert np.abs(row - orig).max() < 1e-9
     # a steady tone's temporal envelope is flat: the gate stays closed
     # (frame 0 holds the onset from silence and the last frame the cut
@@ -844,7 +845,7 @@ def test_tns_short_windows_roundtrip():
     spec[3, lo_s:hi_s] = np.cumsum(rng.normal(0, 1, hi_s - lo_s)) * 50
     row = aac._tns_decide_frame(spec.copy(), True)
     assert row is not None and row[3] is not None
-    assert all(f is None or len(f) <= aac._TNS_MAX_ORDER_S for f in row)
+    assert all(f is None or len(f[1]) <= aac._TNS_MAX_ORDER_S for f in row)
     # end-to-end: smaller stream, finite decode, SNR floor
     asc_t, aus_t = aac.encode(sig, rate, tns=True, short=True)
     asc_p, aus_p = aac.encode(sig, rate, short=True)
@@ -882,10 +883,11 @@ def test_tns_coef_compress_roundtrip():
     lo = aac.SWB_OFFSETS[aac._TNS_START_SFB]
     hi = aac.SWB_OFFSETS[aac.N_SFB]
     spec[0, lo:hi] = np.cumsum(rng.normal(0, 1, hi - lo)) * 30
-    idx = aac._tns_decide(spec[0].copy(), aac.SWB_OFFSETS, aac.N_SFB)
-    assert idx is not None
+    filt = aac._tns_decide(spec[0].copy(), aac.SWB_OFFSETS, aac.N_SFB)
+    assert filt is not None
+    _down, idx = filt
     small = [int(np.clip(c, -4, 3)) for c in idx]
-    au_c = aac._encode_au([spec.copy()], 0, tns_map=[[small]])
+    au_c = aac._encode_au([spec.copy()], 0, tns_map=[[(0, small)]])
     chans = aac._decode_au(au_c, 1)
     assert np.isfinite(chans[0][1]).all()
     # same filter forced out of compression range -> 4-bit path; both
@@ -893,7 +895,30 @@ def test_tns_coef_compress_roundtrip():
     if all(-4 <= c <= 3 for c in idx):
         big = list(small)
         big[0] = 5 if big[0] >= 0 else -5  # force one coef past [-4,3]
-        au_b = aac._encode_au([spec.copy()], 0, tns_map=[[big]])
+        au_b = aac._encode_au([spec.copy()], 0, tns_map=[[(0, big)]])
         assert len(au_c) <= len(au_b)  # compressed stream never larger
         chans_b = aac._decode_au(au_b, 1)
         assert np.isfinite(chans_b[0][1]).all()
+
+
+def test_tns_downward_direction_roundtrip():
+    """Late r7 (4.6.9.2 direction=1): a spectral envelope that DECAYS
+    upward predicts better reversed — the encoder must pick downward,
+    analysis->synthesis must invert exactly, and the stream decodes."""
+    rng = np.random.default_rng(23)
+    lo = aac.SWB_OFFSETS[aac._TNS_START_SFB]
+    hi = aac.SWB_OFFSETS[aac.N_SFB]
+    row = np.zeros((1, aac.FRAME))
+    # reversed cumsum: strongly predictable top-down
+    row[0, lo:hi] = np.cumsum(rng.normal(0, 1, hi - lo))[::-1] * 40
+    orig = row.copy()
+    filt = aac._tns_decide(row[0], aac.SWB_OFFSETS, aac.N_SFB)
+    assert filt is not None and filt[0] == 1, filt  # downward chosen
+    aac._tns_synthesize(row, aac.SWB_OFFSETS, aac.N_SFB,
+                        [(aac.N_SFB - aac._TNS_START_SFB,
+                          filt[0], filt[1])])
+    assert np.abs(row - orig).max() < 1e-9
+    # end-to-end through the bitstream
+    au = aac._encode_au([orig.copy()], 0, tns_map=[[filt]])
+    chans = aac._decode_au(au, 1)
+    assert np.isfinite(chans[0][1]).all()
