@@ -67,8 +67,9 @@ Scope and honesty (same contract as ..mp3, VERDICT r03 #6 / r04 #6):
   1-bit n_filt / 4-bit length / 3-bit order per 128-bin window). Out
   of profile (clear ValueError, never silent garbage): LTP,
   gain control, >6 channels / PCE-configured layouts
-  (channelConfiguration 0), intensity on >2-channel streams — exactly
-  the boundary the encoder never crosses. The TNS family is closed:
+  (channelConfiguration 0) — exactly the boundary the encoder never
+  crosses. Intensity extends to multichannel CPEs late r7 (per-pair
+  maps, like the per-CPE M/S masks). The TNS family is closed:
   short windows, coef_compress (3-bit indices when the filter fits),
   and downward direction (direction chosen by zero-initial-state
   residual energy — LPC gain is reversal-symmetric) all decode AND are
@@ -399,10 +400,8 @@ def encode(pcm: np.ndarray, rate: int = 48000,
             "pcm must be (n,) mono or (n, ch) with ch in 1..6 "
             "(channelConfiguration element layouts, 4.5.1.1)")
     plan = _ELEMENT_PLAN[len(chans)]
-    # multichannel (r7) keeps the plain + M/S coding paths; the
-    # mono/stereo-only tools stay mono/stereo-only
-    if len(chans) > 2 and intensity:
-        raise ValueError("intensity is mono/stereo-only in this profile")
+    # multichannel (r7): every tool extends — M/S, intensity (per-CPE
+    # maps, late r7), PNS/TNS per full-band channel (LFE excluded)
     lfe_idx = sum(n for k, n in plan if k != "LFE") if plan[-1][0] == "LFE" \
         else None  # LFE is always the last channel of config 6
     size = chans[0].size
@@ -491,40 +490,45 @@ def encode(pcm: np.ndarray, rate: int = 48000,
                     continue
                 row.append(_tns_decide_frame(s[i], seqs[i] == 2))
             tns_maps.append(row)
-    is_maps = None
-    if intensity and len(chans) == 2:
-        # high bands: right carries no spectrum; is_pos pans left->right
-        is_maps = []
-        for i in range(n_frames):
-            f_short = seqs[i] == 2
-            swb = SWB_OFFSETS_SHORT if f_short else SWB_OFFSETS
-            n_sfb = N_SFB_SHORT if f_short else N_SFB
-            is_start = n_sfb * 2 // 3
-            m = {}
-            for b in range(is_start, n_sfb):
-                if pns_maps is not None and (
-                        b in pns_maps[i][0] or b in pns_maps[i][1]):
-                    continue  # PNS owns this band (late r7 combination)
-                lo, hi = swb[b], swb[b + 1]
-                L = specs[0][i][:, lo:hi]
-                R = specs[1][i][:, lo:hi]
-                al = float(np.sqrt(np.sum(L * L)))
-                ar = float(np.sqrt(np.sum(R * R)))
-                if al <= 1e-9:
-                    continue  # nothing to pan from: code normally
-                pos = int(np.clip(round(-4.0 * np.log2(max(ar, 1e-12)
-                                                       / al)), 0, 60))
-                phase = 15 if float(np.sum(L * R)) >= 0 else 14
-                m[b] = (pos, phase)
-                R[:, :] = 0.0  # right band carries no spectral data
-            is_maps.append(m)
-    ms_masks = None
     cpe_pairs = []
     ci0 = 0
     for kind, width in plan:
         if kind == "CPE":
             cpe_pairs.append((ci0, ci0 + 1))
         ci0 += width
+    is_maps = None
+    if intensity and cpe_pairs:
+        # high bands: the pair's second channel carries no spectrum;
+        # is_pos pans first -> second (late r7 multichannel: each CPE
+        # gets its own map, like ms_masks)
+        is_maps = []
+        for i in range(n_frames):
+            f_short = seqs[i] == 2
+            swb = SWB_OFFSETS_SHORT if f_short else SWB_OFFSETS
+            n_sfb = N_SFB_SHORT if f_short else N_SFB
+            is_start = n_sfb * 2 // 3
+            frame_maps = []
+            for cl, cr in cpe_pairs:
+                m = {}
+                for b in range(is_start, n_sfb):
+                    if pns_maps is not None and (
+                            b in pns_maps[i][cl] or b in pns_maps[i][cr]):
+                        continue  # PNS owns this band (late r7)
+                    lo, hi = swb[b], swb[b + 1]
+                    L = specs[cl][i][:, lo:hi]
+                    R = specs[cr][i][:, lo:hi]
+                    al = float(np.sqrt(np.sum(L * L)))
+                    ar = float(np.sqrt(np.sum(R * R)))
+                    if al <= 1e-9:
+                        continue  # nothing to pan from: code normally
+                    pos = int(np.clip(round(-4.0 * np.log2(max(ar, 1e-12)
+                                                           / al)), 0, 60))
+                    phase = 15 if float(np.sum(L * R)) >= 0 else 14
+                    m[b] = (pos, phase)
+                    R[:, :] = 0.0  # band carries no spectral data
+                frame_maps.append(m)
+            is_maps.append(frame_maps)
+    ms_masks = None
     if ms and cpe_pairs:
         # per-band M/S decision + in-place substitution, per CPE: the
         # pair's first channel carries MID, the second SIDE for chosen
@@ -535,12 +539,13 @@ def encode(pcm: np.ndarray, rate: int = 48000,
             swb = SWB_OFFSETS_SHORT if f_short else SWB_OFFSETS
             n_sfb = N_SFB_SHORT if f_short else N_SFB
             frame_masks = []
-            for cl, cr in cpe_pairs:
+            for pi, (cl, cr) in enumerate(cpe_pairs):
                 mask = []
                 for b in range(n_sfb):
                     if (pns_maps is not None and (
                             b in pns_maps[i][cl] or b in pns_maps[i][cr])) \
-                            or (is_maps is not None and b in is_maps[i]):
+                            or (is_maps is not None
+                                and b in is_maps[i][pi]):
                         mask.append(False)  # PNS/intensity own this band
                         continue
                     lo, hi = swb[b], swb[b + 1]
@@ -862,14 +867,22 @@ def _encode_au(chan_specs: list[np.ndarray], seq: int,
                 for b, nrg in m.items():
                     bands[b] = {"cb": 13, "sf": None, "q": None,
                                 "nrg": nrg}
-    if is_map and len(chan_specs) == 2:
-        # right channel: intensity bands ride the section data as
-        # codebook 15/14 with the is_position in the scalefactor slot
-        _gg, groups = qdata[1]
-        for bands in groups:
-            for b, (pos, phase) in is_map.items():
-                bands[b] = {"cb": phase, "sf": None, "q": None,
-                            "is_pos": pos}
+    if isinstance(is_map, dict):
+        is_map = [is_map]  # legacy flat stereo map -> one-CPE list
+    if is_map:
+        # per CPE: the pair's second channel's intensity bands ride the
+        # section data as codebook 15/14 with the is_position in the
+        # scalefactor slot (late r7: multichannel CPEs each get a map)
+        cj = im_i = 0
+        for kind, width in plan:
+            if kind == "CPE":
+                _gg, groups = qdata[cj + 1]
+                for bands in groups:
+                    for b, (pos, phase) in is_map[im_i].items():
+                        bands[b] = {"cb": phase, "sf": None, "q": None,
+                                    "is_pos": pos}
+                im_i += 1
+            cj += width
     if ms_mask is not None and len(chan_specs) == 2 and (
             not ms_mask or not isinstance(ms_mask[0], (list, type(None)))):
         ms_mask = [ms_mask]  # legacy flat stereo mask -> one-CPE list

@@ -688,13 +688,28 @@ def test_multichannel_ms_and_adaptive_windows():
 def test_multichannel_boundaries():
     rate = 48000
     sig = _mc_signal(rate, 4096, 6)
-    with pytest.raises(ValueError, match="mono/stereo-only"):
-        aac.encode(sig, rate, intensity=True)
-    # late r7: PNS and TNS extend to multichannel full-band channels
-    for kw in (dict(pns=True), dict(tns=True)):
+    # late r7: PNS, TNS, and intensity all extend to multichannel
+    for kw in (dict(pns=True), dict(tns=True), dict(intensity=True)):
         a_mc, u_mc = aac.encode(sig, rate, **kw)
         d_mc, _ = aac.decode(u_mc, a_mc, downmix=False)
         assert d_mc.shape[1] == 6 and np.isfinite(d_mc).all()
+    # intensity on a 5.1 stream with panned CPE pairs: each CPE's
+    # second channel reconstructs from its own pair's first channel
+    t = np.arange(4096) / rate
+    hi = 0.3 * np.sin(2 * np.pi * 13000 * t)
+    ch = [0.4 * np.sin(2 * np.pi * (200 + 50 * c) * t) for c in range(6)]
+    ch[1] = ch[1] + hi          # CPE0 first channel carries the highs
+    ch[2] = ch[2] + 0.5 * hi    # CPE0 second: quieter copy (pannable)
+    ch[3] = ch[3] + 0.8 * hi
+    ch[4] = ch[4] + 0.2 * hi
+    st6 = np.stack(ch, axis=1)
+    a_i, u_i = aac.encode(st6, rate, intensity=True)
+    d_i, _ = aac.decode(u_i, a_i, downmix=False)
+    n = min(len(d_i), len(st6))
+    for c in range(5):  # full-band channels keep their content
+        e0 = float(np.sum(st6[:n, c] ** 2))
+        e1 = float(np.sum(d_i[:n, c] ** 2))
+        assert 0.5 < e1 / e0 < 2.0, (c, e1 / e0)
     with pytest.raises(ValueError):
         aac.encode(_mc_signal(rate, 4096, 7), rate)
     # element-sequence validation: stereo CPE AUs under a 3ch config
