@@ -1299,6 +1299,43 @@ def _read_band(r, cb, n):
     return out
 
 
+def _parse_pce(r) -> dict:
+    """program_config_element (4.4.1.1, late r7): full field walk so a
+    PCE embedded in the raw_data_block is skipped BIT-EXACTLY (the
+    comment field is preceded by byte alignment relative to the AU
+    start, which is itself byte-aligned). Returns the parsed summary —
+    PCE-DEFINED layouts (channelConfiguration 0) remain out of profile;
+    this keeps config-1..6 streams that also carry a PCE decodable."""
+    r.u(4)  # element_instance_tag
+    out = {"object_type": r.u(2), "sampling_index": r.u(4)}
+    n_front = r.u(4)
+    n_side = r.u(4)
+    n_back = r.u(4)
+    n_lfe = r.u(2)
+    n_assoc = r.u(3)
+    n_cc = r.u(4)
+    if r.u(1):
+        r.u(4)   # mono_mixdown_element_number
+    if r.u(1):
+        r.u(4)   # stereo_mixdown_element_number
+    if r.u(1):
+        r.u(3)   # matrix_mixdown_idx + pseudo_surround flag
+    for _ in range(n_front + n_side + n_back):
+        r.u(5)   # is_cpe (1) + tag (4)
+    for _ in range(n_lfe):
+        r.u(4)
+    for _ in range(n_assoc):
+        r.u(4)
+    for _ in range(n_cc):
+        r.u(5)   # cc_ind_sw (1) + tag (4)
+    r.align()
+    n_comment = r.u(8)
+    for _ in range(n_comment):
+        r.u(8)
+    out.update(front=n_front, side=n_side, back=n_back, lfe=n_lfe)
+    return out
+
+
 def _decode_au(au: bytes, exp_channels: int) -> list:
     """One raw_data_block -> per-channel (window_sequence, (n_windows,
     bins) dequantized spectra) pairs, in element order. Elements may
@@ -1398,6 +1435,11 @@ def _decode_au(au: bytes, exp_channels: int) -> list:
             chans.append((info["seq"], c0))
             chans.append((info["seq"], c1))
             elems.append("CPE")
+        elif ele == 5:  # PCE (late r7): parse-and-skip — real encoders
+            # often emit a program_config_element even under an explicit
+            # channelConfiguration; the element layout stays governed by
+            # the config (validated below), the PCE adds no channels
+            _parse_pce(r)
         elif ele == 6:  # FIL: skip
             cnt = r.u(4)
             if cnt == 15:

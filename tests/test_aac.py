@@ -937,3 +937,47 @@ def test_tns_downward_direction_roundtrip():
     au = aac._encode_au([orig.copy()], 0, tns_map=[[filt]])
     chans = aac._decode_au(au, 1)
     assert np.isfinite(chans[0][1]).all()
+
+
+def test_pce_in_stream_is_skipped():
+    """Late r7 (4.4.1.1): real encoders often emit a
+    program_config_element even under an explicit channelConfiguration.
+    A PCE prefixed to a raw_data_block must be skipped BIT-EXACTLY (its
+    comment field ends byte-aligned) and the stream must decode
+    identically to the PCE-less one."""
+    rate = 48000
+    sig = 0.5 * np.sin(2 * np.pi * 440 * np.arange(4096) / rate)
+    asc, aus = aac.encode(sig, rate)
+    bw = aac._BitWriter()
+    bw.u(5, 3)    # id_syn_ele PCE
+    bw.u(0, 4)    # element_instance_tag
+    bw.u(1, 2)    # object_type (LC-1)
+    bw.u(3, 4)    # sampling_frequency_index
+    bw.u(1, 4)    # num_front_channel_elements
+    bw.u(0, 4)    # num_side
+    bw.u(0, 4)    # num_back
+    bw.u(0, 2)    # num_lfe
+    bw.u(0, 3)    # num_assoc_data
+    bw.u(0, 4)    # num_valid_cc
+    bw.u(0, 1)    # mono_mixdown_present
+    bw.u(0, 1)    # stereo_mixdown_present
+    bw.u(1, 1)    # matrix_mixdown_idx_present
+    bw.u(5, 3)    # matrix_mixdown_idx + pseudo_surround
+    bw.u(0, 5)    # front element 0: sce, tag 0
+    bw.align()
+    comment = b"pce"
+    bw.u(len(comment), 8)
+    for byt in comment:
+        bw.u(byt, 8)
+    pce = bytes(bw.buf)
+    assert len(pce) * 8 % 8 == 0
+    spliced = [pce + aus[0]] + list(aus[1:])
+    base, _ = aac.decode(aus, asc)
+    with_pce, _ = aac.decode(spliced, asc)
+    np.testing.assert_array_equal(base, with_pce)
+    # truncated PCEs raise cleanly, never escape
+    for cut in (1, 3, len(pce) - 2):
+        try:
+            aac.decode([pce[:cut] + aus[0]] + list(aus[1:]), asc)
+        except ValueError:
+            pass
