@@ -65,11 +65,17 @@ Scope and honesty (same contract as ..mp3, VERDICT r03 #6 / r04 #6):
   (per full-band channel; the LFE is excluded), and TNS ON SHORT
   WINDOWS (per-window order<=7 filters, the 4.6.9.2 short layout:
   1-bit n_filt / 4-bit length / 3-bit order per 128-bin window). Out
-  of profile (clear ValueError, never silent garbage): LTP,
-  gain control, >6 channels / PCE-configured layouts
-  (channelConfiguration 0) — exactly the boundary the encoder never
-  crosses. Intensity extends to multichannel CPEs late r7 (per-pair
-  maps, like the per-CPE M/S masks). The TNS family is closed:
+  of profile (clear ValueError, never silent garbage): LTP and gain
+  control (different MPEG-4 object types — AOT 4 and SSR) — exactly
+  the boundary the encoder never crosses. PCE-DEFINED layouts
+  (channelConfiguration 0) decode late r7: parse_asc walks the
+  GASpecificConfig's program_config_element, derives the SCE/CPE/LFE
+  element sequence and channel count (1..16), validates every
+  raw_data_block against it, and the downmix excludes the program's
+  own LFEs; encode(pce=True) emits the config-0 shape. Embedded PCEs
+  under explicit configs parse-and-skip bit-exactly. Intensity
+  extends to multichannel CPEs late r7 (per-pair maps, like the
+  per-CPE M/S masks). The TNS family is closed:
   short windows, coef_compress (3-bit indices when the filter fits),
   and downward direction (direction chosen by zero-initial-state
   residual energy — LPC gain is reversal-symmetric) all decode AND are
@@ -366,7 +372,8 @@ def encode(pcm: np.ndarray, rate: int = 48000,
            adaptive: bool = False,
            pns: bool = False,
            tns: bool = False,
-           pulse: bool = False) -> tuple[bytes, list[bytes]]:
+           pulse: bool = False,
+           pce: bool = False) -> tuple[bytes, list[bytes]]:
     """PCM in [-1, 1] -> (AudioSpecificConfig, raw AUs).
     Mono (n,) emits SCE elements; stereo (n, 2) emits CPE
     (common_window). ms=True (r7) enables per-band MID/SIDE stereo
@@ -570,7 +577,9 @@ def encode(pcm: np.ndarray, rate: int = 48000,
                                  for c in range(len(chans))],
                       do_pulse=pulse)
            for i in range(n_frames)]
-    return _audio_specific_config(rate, len(chans)), aus
+    # pce=True (late r7): same AUs under a channelConfiguration-0 ASC
+    # whose embedded program_config_element defines the layout
+    return _audio_specific_config(rate, len(chans), pce=pce), aus
 
 
 _PNS_START_SFB = 22  # first long-window sfb eligible for PNS (bin 160)
@@ -1027,15 +1036,48 @@ def _write_stream_tail(bw, gg, groups, short, tns=None, pulse=None):
                 _write_band(bw, bd["cb"], bd["q"])
 
 
-def _audio_specific_config(rate: int, channels: int = 1) -> bytes:
+def _audio_specific_config(rate: int, channels: int = 1,
+                           pce: bool = False) -> bytes:
     bw = _BitWriter()
     bw.u(2, 5)                  # audioObjectType = AAC LC
     bw.u(FREQ_INDEX[rate], 4)   # samplingFrequencyIndex
-    bw.u(channels, 4)           # channelConfiguration
+    plan = _ELEMENT_PLAN[channels] if pce else None
+    if pce:                     # late r7: PCE-defined layout (config 0)
+        bw.u(0, 4)              # channelConfiguration 0 -> PCE follows
+    else:
+        bw.u(channels, 4)       # explicit channelConfiguration
     # GASpecificConfig
     bw.u(0, 1)                  # frameLengthFlag (1024)
     bw.u(0, 1)                  # dependsOnCoreCoder
     bw.u(0, 1)                  # extensionFlag
+    if plan is not None:        # program_config_element (4.4.1.1)
+        bw.u(0, 4)              # element_instance_tag
+        bw.u(1, 2)              # object_type: LC (profile - 1)
+        bw.u(FREQ_INDEX[rate], 4)
+        n_lfe = sum(1 for k, _ in plan if k == "LFE")
+        n_front = len(plan) - n_lfe
+        bw.u(n_front, 4)        # all SCE/CPE listed as front elements
+        bw.u(0, 4)              # num_side
+        bw.u(0, 4)              # num_back
+        bw.u(n_lfe, 2)
+        bw.u(0, 3)              # num_assoc_data
+        bw.u(0, 4)              # num_valid_cc
+        bw.u(0, 1)              # mono_mixdown_present
+        bw.u(0, 1)              # stereo_mixdown_present
+        bw.u(0, 1)              # matrix_mixdown_idx_present
+        tags = {"SCE": 0, "CPE": 0, "LFE": 0}
+        for kind, _w in plan:
+            if kind == "LFE":
+                continue
+            bw.u(1 if kind == "CPE" else 0, 1)
+            bw.u(tags[kind], 4)
+            tags[kind] += 1
+        for kind, _w in plan:
+            if kind == "LFE":
+                bw.u(tags["LFE"], 4)
+                tags["LFE"] += 1
+        bw.align()
+        bw.u(0, 8)              # comment_field_bytes
     bw.align()
     return bytes(bw.buf)
 
@@ -1051,7 +1093,21 @@ def parse_asc(asc: bytes) -> dict:
     if rate is None:
         raise ValueError("bad samplingFrequencyIndex")
     chans = r.u(4)
-    return {"aot": aot, "rate": rate, "channels": chans}
+    out = {"aot": aot, "rate": rate, "channels": chans}
+    if chans == 0 and aot == 2:
+        # PCE-defined layout (late r7): GASpecificConfig carries a
+        # program_config_element when channelConfiguration is 0
+        try:
+            r.u(1)  # frameLengthFlag
+            if r.u(1):
+                r.u(14)  # coreCoderDelay
+            r.u(1)  # extensionFlag
+            pce = _parse_pce(r)
+        except IndexError:
+            raise ValueError("truncated config-0 AudioSpecificConfig")
+        out["pce"] = pce
+        out["channels"] = pce["n_channels"]
+    return out
 
 
 def _parse_ics_info(r) -> dict:
@@ -1301,11 +1357,12 @@ def _read_band(r, cb, n):
 
 def _parse_pce(r) -> dict:
     """program_config_element (4.4.1.1, late r7): full field walk so a
-    PCE embedded in the raw_data_block is skipped BIT-EXACTLY (the
-    comment field is preceded by byte alignment relative to the AU
-    start, which is itself byte-aligned). Returns the parsed summary —
-    PCE-DEFINED layouts (channelConfiguration 0) remain out of profile;
-    this keeps config-1..6 streams that also carry a PCE decodable."""
+    PCE — embedded in a raw_data_block OR carried by a config-0 ASC —
+    is consumed BIT-EXACTLY (the comment field is preceded by byte
+    alignment relative to the payload start, which is itself
+    byte-aligned). Returns the element sequence and channel count, so
+    PCE-DEFINED layouts (channelConfiguration 0) decode when they
+    describe an SCE/CPE/LFE program."""
     r.u(4)  # element_instance_tag
     out = {"object_type": r.u(2), "sampling_index": r.u(4)}
     n_front = r.u(4)
@@ -1320,10 +1377,14 @@ def _parse_pce(r) -> dict:
         r.u(4)   # stereo_mixdown_element_number
     if r.u(1):
         r.u(3)   # matrix_mixdown_idx + pseudo_surround flag
+    elems = []
     for _ in range(n_front + n_side + n_back):
-        r.u(5)   # is_cpe (1) + tag (4)
+        is_cpe = r.u(1)
+        r.u(4)   # element_tag_select
+        elems.append("CPE" if is_cpe else "SCE")
     for _ in range(n_lfe):
         r.u(4)
+        elems.append("LFE")
     for _ in range(n_assoc):
         r.u(4)
     for _ in range(n_cc):
@@ -1332,11 +1393,13 @@ def _parse_pce(r) -> dict:
     n_comment = r.u(8)
     for _ in range(n_comment):
         r.u(8)
-    out.update(front=n_front, side=n_side, back=n_back, lfe=n_lfe)
+    out.update(front=n_front, side=n_side, back=n_back, lfe=n_lfe,
+               elems=tuple(elems),
+               n_channels=sum(2 if e == "CPE" else 1 for e in elems))
     return out
 
 
-def _decode_au(au: bytes, exp_channels: int) -> list:
+def _decode_au(au: bytes, exp_channels: int, exp_elems=None) -> list:
     """One raw_data_block -> per-channel (window_sequence, (n_windows,
     bins) dequantized spectra) pairs, in element order. Elements may
     carry different window sequences (r7 multichannel: the LFE is
@@ -1452,11 +1515,14 @@ def _decode_au(au: bytes, exp_channels: int) -> list:
             break
     if len(chans) != exp_channels:
         raise ValueError("channel count mismatch in raw_data_block")
-    plan = _ELEMENT_PLAN.get(exp_channels)
-    if plan is not None and tuple(elems) != tuple(k for k, _ in plan):
+    want = exp_elems  # PCE-defined sequence (late r7) wins when given
+    if want is None:
+        plan = _ELEMENT_PLAN.get(exp_channels)
+        want = None if plan is None else tuple(k for k, _ in plan)
+    if want is not None and tuple(elems) != tuple(want):
         raise ValueError(
             f"element sequence {elems} does not match "
-            f"channelConfiguration {exp_channels}")
+            f"the configured program {tuple(want)}")
     return chans
 
 
@@ -1472,11 +1538,18 @@ def decode(aus: list[bytes], asc: bytes,
     if info["aot"] != 2:
         raise ValueError("not AAC-LC (audioObjectType != 2)")
     n_ch = info["channels"]
-    if n_ch not in _ELEMENT_PLAN:
+    pce = info.get("pce")
+    exp_elems = None
+    if pce is not None:  # PCE-defined layout (late r7, config 0)
+        exp_elems = pce["elems"]
+        if not exp_elems or not 1 <= n_ch <= 16:
+            raise ValueError("PCE program out of decode profile")
+    elif n_ch not in _ELEMENT_PLAN:
         raise ValueError(
             "only channelConfigurations 1..6 in decode profile")
     try:
-        decoded = [_decode_au(au, n_ch) for au in aus]
+        decoded = [_decode_au(au, n_ch, exp_elems=exp_elems)
+                   for au in aus]
     except (IndexError, TypeError, KeyError) as e:
         # corrupted entropy payload desynced the parser: normalize to the
         # ValueError contract callers map to errors-as-data
@@ -1500,6 +1573,15 @@ def decode(aus: list[bytes], asc: bytes,
     if n_ch == 1:
         return pcm[:, 0], info["rate"]
     if downmix:
-        full_band = pcm[:, :5] if n_ch == 6 else pcm
+        if exp_elems is not None:  # PCE program: exclude its LFEs
+            idx, c = [], 0
+            for e in exp_elems:
+                w = 2 if e == "CPE" else 1
+                if e != "LFE":
+                    idx.extend(range(c, c + w))
+                c += w
+            full_band = pcm[:, idx] if idx else pcm
+        else:
+            full_band = pcm[:, :5] if n_ch == 6 else pcm
         return full_band.mean(axis=1), info["rate"]
     return pcm, info["rate"]

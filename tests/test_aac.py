@@ -981,3 +981,46 @@ def test_pce_in_stream_is_skipped():
             aac.decode([pce[:cut] + aus[0]] + list(aus[1:]), asc)
         except ValueError:
             pass
+
+
+def test_pce_defined_layouts_decode():
+    """Late r7 (channelConfiguration 0): the layout comes from a
+    program_config_element embedded in the GASpecificConfig. The same
+    AUs must decode IDENTICALLY under the explicit config and under
+    the PCE-defined config-0 ASC — mono, stereo, and 5.1 (whose LFE
+    must still be excluded from the downmix via the PCE's own element
+    walk)."""
+    rate = 48000
+    t = np.arange(4096) / rate
+    for nch in (1, 2, 6):
+        if nch == 1:
+            sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+        else:
+            sig = np.stack([0.4 * np.sin(2 * np.pi * (220 + 60 * c) * t)
+                            for c in range(nch)], axis=1)
+        asc_e, aus_e = aac.encode(sig, rate)
+        asc_p, aus_p = aac.encode(sig, rate, pce=True)
+        assert aus_p == aus_e  # only the ASC differs
+        info = aac.parse_asc(asc_p)
+        assert info["channels"] == nch and "pce" in info
+        assert sum(2 if e == "CPE" else 1
+                   for e in info["pce"]["elems"]) == nch
+        base, _ = aac.decode(aus_e, asc_e)
+        via_pce, r2 = aac.decode(aus_p, asc_p)
+        assert r2 == rate
+        np.testing.assert_array_equal(base, via_pce)
+        if nch > 1:  # per-channel identity too
+            b2, _ = aac.decode(aus_e, asc_e, downmix=False)
+            p2, _ = aac.decode(aus_p, asc_p, downmix=False)
+            np.testing.assert_array_equal(b2, p2)
+    # a config-0 ASC whose PCE disagrees with the AUs raises cleanly
+    asc_mono_pce, _ = aac.encode(np.zeros(2048), rate, pce=True)
+    _, aus_st = aac.encode(np.zeros((2048, 2)), rate)
+    with pytest.raises(ValueError):
+        aac.decode(aus_st, asc_mono_pce)
+    # truncated config-0 ASCs raise, never escape
+    for cut in (2, 3, 4):
+        try:
+            aac.parse_asc(asc_mono_pce[:cut])
+        except ValueError:
+            pass
