@@ -2173,9 +2173,10 @@ def q_aac_features(spark, sf_dir):
     windows (i mod 4) with per-band MID/SIDE stereo on every other
     stereo clip, INTENSITY stereo on the i%8==7 leg, TNS over a
     transient-bearing clip on the i%8==4 leg, COMBINED M/S+TNS on the
-    i%8==6 stereo leg (late r7 tool combination), and a 5.1
-    MULTICHANNEL clip (SCE+CPE+CPE+LFE, short full-band windows over a
-    long-window LFE) on the i%8==5 leg (r7),
+    i%8==6 stereo leg (late r7 tool combination), a 5.1 MULTICHANNEL
+    clip (SCE+CPE+CPE+LFE, short full-band windows over a long-window
+    LFE) on the i%8==5 leg (r7), and a channelConfiguration-0
+    PCE-DEFINED layout on the i==8 leg (late r7),
     entropy-decoded back on the feature path
     (rows-only; ~60 dB SNR + WAV feature parity in tests/test_aac.py)."""
     import numpy as np
@@ -2213,7 +2214,8 @@ def q_aac_features(spark, sf_dir):
                              "bytes": _mp4.write_aac_mp4(
                                  sig, rate, short=bool(i % 2),
                                  ms=i % 8 == 6, intensity=i % 8 == 7,
-                                 tns=i % 8 in (4, 6))})  # i==6: M/S+TNS
+                                 tns=i % 8 in (4, 6),  # i==6: M/S+TNS
+                                 pce=i == 8)})  # config-0 PCE leg (r7)
             yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
 
     from extractors_geo_spark.operators import multimodal as M

@@ -590,7 +590,7 @@ def _mp4_descriptor(tag: int, payload: bytes) -> bytes:
 def write_aac_mp4(pcm, rate: int = 48000, short: bool = False,
                   ms: bool = False, intensity: bool = False,
                   pns: bool = False, tns: bool = False,
-                  pulse: bool = False) -> bytes:
+                  pulse: bool = False, pce: bool = False) -> bytes:
     """Float64 PCM — (n,) mono SCE, (n, 2) stereo CPE, or (n, ch) for
     ch in 3..6 multichannel element layouts incl. 5.1 with an LFE (r7,
     4.5.1.1) — -> single-track 'mp4a' MP4 whose samples are AAC-LC
@@ -606,7 +606,8 @@ def write_aac_mp4(pcm, rate: int = 48000, short: bool = False,
     channels = 1 if arr.ndim == 1 else arr.shape[1]
     asc, aus = _aac.encode(pcm, rate, short=short, ms=ms,
                            intensity=intensity, pns=pns, tns=tns,
-                           pulse=pulse)
+                           pulse=pulse, pce=pce)  # pce: config-0 ASC
+    #                        (PCE-defined layout rides the esds, late r7)
     n_aus = len(aus)
     payload = b"".join(aus)
     dur = n_aus * _aac.FRAME
