@@ -59,6 +59,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_RG_CACHE: dict[str, int] = {}
+
+
+def _scan_parallelism(path: str) -> int:
+    """Max scan parallelism Spark can extract from a parquet file = its
+    row-group count (a row group is read by the one split holding its
+    midpoint; byte-splitting a 1-row-group file yields 1 non-empty task).
+    Driver-side footer read, cached — no job, no data read."""
+    if path not in _RG_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            _RG_CACHE[path] = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            _RG_CACHE[path] = 1 << 30  # unknown -> assume splittable
+    return _RG_CACHE[path]
+
+
+def _pt(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scale-adaptive parallel read for per-row-HEAVY pipelines (md5
+    shingling, regex tokenization, cosine math). When the file's row-group
+    count caps scan parallelism below the session's core count — the
+    small-file local shape — round-robin repartition right after the scan
+    so the expensive projection runs on every core instead of inside the
+    scan task (guide §2.5: unsplittable input -> repartition after read).
+    The exchanged bytes are just the raw table rows. At production scale a
+    table has >> cores row groups and this is a no-op — the condition is
+    derived from the input, never a local constant."""
+    df = _t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if _scan_parallelism(f"{sf_dir}/{name}.parquet") < par:
+        df = df.repartition(par)
+    return df
+
+
 def _fq(col, scale: int):
     """FLOOR(col*scale) quantizer (Spark side)."""
     return F.floor(col * F.lit(scale)).cast("long")
@@ -566,16 +601,26 @@ SQL_STORE = "SELECT c_custkey AS id, c_name || '_' || CAST(c_custkey AS VARCHAR)
 # ---------------------------------------------------------------------------
 def q_removal_antijoin(spark, sf_dir):
     """J3/ST2: users whose LAST event is 'error' are removed; everyone
-    else keeps their event count (left anti join)."""
+    else keeps their event count (left anti join).
+
+    r8 plan rewrite (same result, proven by the unchanged oracle): the
+    window + groupBy + anti-join form scanned events twice and shuffled
+    every row through a sort-window; the last event per user is just the
+    max of (ts, event_id) — one scan, one partial-aggregable groupBy, so
+    only one pre-combined row per user crosses the exchange (guide §2.3
+    'aggregate before you shuffle', §2.4 'remove shuffles outright').
+    (ts, event_id) is unique per row, so the struct-max picks exactly the
+    row_number()=1 row of the old ORDER BY ts DESC, event_id DESC window;
+    a NULL last event_type keeps the user, as the old filter did."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    removed = (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("event_type") == "error"))
-        .select("user_id")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.struct("ts", "event_id", "event_type")).alias("_last"),
     )
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    return counts.join(removed, "user_id", "left_anti")
+    last_type = F.col("_last").getField("event_type")
+    return agg.filter(
+        (last_type != "error") | last_type.isNull()
+    ).select("user_id", "n_events")
 
 
 SQL_REMOVAL = """
@@ -592,13 +637,21 @@ GROUP BY user_id
 
 
 def q_catalog_upsert(spark, sf_dir):
-    """K5 MERGE latest-wins: the newest event per user wins."""
+    """K5 MERGE latest-wins: the newest event per user wins.
+
+    r8 plan rewrite (same result, unchanged oracle): latest-wins is a
+    struct-max on (ts, event_id) — partial-aggregable, so the exchange
+    carries one combined row per user instead of every event through a
+    sort + row_number window (guide §2.3/§2.4). (ts, event_id) is unique
+    per row -> identical pick to the old ORDER BY ts DESC, event_id DESC."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("last_type"), F.col("value").alias("last_value"))
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("_last")
+    )
+    return agg.select(
+        "user_id",
+        F.col("_last").getField("event_type").alias("last_type"),
+        F.col("_last").getField("value").alias("last_value"),
     )
 
 
@@ -850,7 +903,7 @@ def q_lang_id(spark, sf_dir):
     """Two-stage: project the marker-hits array once, then argmax — the
     single-expression when-chain re-inlined every count combinatorially
     (measured 5.5 s -> sub-second at sf1.0)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _pt(spark, sf_dir, "documents")
     staged = d.select(X.marker_hits_array(X.words(F.col("text"))).alias("_h"))
     return (
         staged.select(X.lang_id_from_hits(F.col("_h")).alias("lang_pred"))
@@ -887,7 +940,7 @@ SELECT lang_pred, COUNT(*) AS n FROM p GROUP BY lang_pred
 
 
 def q_token_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _pt(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         X.n_tokens_ws(F.col("text")).alias("ws_tokens"),
@@ -907,7 +960,7 @@ def q_quality(spark, sf_dir):
     """Two-stage shape: project words(text) once, score from the array —
     the single-expression form re-runs lower+split per component
     (21% measured win at sf1.0; see text.quality_score_from)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _pt(spark, sf_dir, "documents")
     staged = d.select("doc_id", "text", X.words(F.col("text")).alias("_w"))
     return staged.select(
         "doc_id",
@@ -933,7 +986,7 @@ FROM documents
 
 
 def q_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _pt(spark, sf_dir, "documents")
     return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -945,7 +998,7 @@ FROM documents
 
 
 def q_exact_dedup(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _pt(spark, sf_dir, "documents")
     return dedup.exact_dedup(d)
 
 
@@ -963,7 +1016,7 @@ def q_corpus_clean(spark, sf_dir):
     -> per-source survivor counts + whitespace-token totals. Every stage
     reuses an operator that is ALSO individually oracle-proven (lang_id,
     quality, exact_dedup, token_counts)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _pt(spark, sf_dir, "documents")
     # stage the words array once: lang gate + quality gate + token totals
     # all derive from it (see marker_hits_array / quality_score_from)
     d = d.withColumn("_w", X.words(F.col("text")))
@@ -1017,7 +1070,7 @@ def q_minhash(spark, sf_dir):
     """MinHash signature (first 4 hash functions) per document.
     Per-element expressions, not sig[i] over the array — indexing a
     computed array re-inlines the whole signature per element."""
-    d = _t(spark, sf_dir, "documents")
+    d = _pt(spark, sf_dir, "documents")
     d = d.select("doc_id", dedup.norm_words(F.col("text")).alias("_w"))
     d = d.select("doc_id", dedup.shingle_hashes_from_words(F.col("_w")).alias("_hs"))
     elems = dedup.minhash_elements(F.col("_hs"), num_hashes=4)
@@ -1045,7 +1098,7 @@ SQL_MINHASH = _sql_minhash()
 def q_simhash(spark, sf_dir):
     """SimHash via the codegen explode+groupBy form (bit-identical to the
     array-fold column form; ~2x faster — folds never enter codegen)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _pt(spark, sf_dir, "documents")
     return dedup.simhash_df(d, bits=16).select(F.col("id").alias("doc_id"), "sh")
 
 
@@ -1064,7 +1117,7 @@ SQL_SIMHASH = _sql_simhash()
 
 def q_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs within the same source block."""
-    d = _t(spark, sf_dir, "documents")
+    d = _pt(spark, sf_dir, "documents")
     out = dedup.ngram_jaccard_pairs(d, block_col="source", threshold=0.2)
     return out.select("a", "b", _fq(F.col("jaccard"), 10000).alias("jac_q"))
 
@@ -1224,7 +1277,7 @@ GROUP BY label
 def q_dedup_canonical(spark, sf_dir):
     """keep_canonical end-to-end: drop the higher-id member of every
     near-dup pair (ngram-Jaccard blocked by source), return survivors."""
-    d = _t(spark, sf_dir, "documents")
+    d = _pt(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, block_col="source", threshold=0.2)
     return dedup.keep_canonical(d, pairs, id_col="doc_id").select("doc_id")
 
@@ -1265,10 +1318,13 @@ SQL_NGRAM = _sql_ngram()
 
 
 def q_embedding_topk(spark, sf_dir):
-    """ANN baseline: brute-force cosine top-3 for 5 query vectors."""
+    """ANN baseline: brute-force cosine top-3 for 5 query vectors.
+    Corpus side reads through _pt: the cosine math is the heavy projection
+    and must not be glued to a 1-row-group scan task; the query side keeps
+    the plain scan so vec_id < 5 pushes down."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = similarity.brute_topk(q, emb, k=3)
+    out = similarity.brute_topk(q, _pt(spark, sf_dir, "embeddings"), k=3)
     return out.select("query_id", "vec_id", "rank")
 
 

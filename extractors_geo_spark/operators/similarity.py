@@ -62,11 +62,27 @@ def brute_topk(
     c_vec: str = "embedding",
 ) -> DataFrame:
     """Exact top-k: broadcast the query set against the corpus (the corpus
-    never shuffles; ranking partitions by query)."""
-    q = queries.select(F.col(q_id), F.col(q_vec).alias("_qv"))
-    c = corpus.select(F.col(c_id), F.col(c_vec).alias("_cv"))
+    never shuffles; ranking partitions by query).
+
+    Each side's norm is computed ONCE per row BEFORE the cross join (r8):
+    the norms are pair-independent, and Catalyst does not CSE them across
+    the join, so the inlined cosine_expr form re-aggregated both norms per
+    (query, corpus) pair — 3 array folds per pair instead of 1. The dot /
+    greatest(qn*cn, eps) arithmetic is the exact expression cosine_expr
+    evaluates (same operand order), so results are bit-identical."""
+    qn = F.sqrt(F.aggregate(F.transform(F.col(q_vec), lambda x: x.cast("double")),
+                            F.lit(0.0), lambda s, v: s + v * v))
+    cn = F.sqrt(F.aggregate(F.transform(F.col(c_vec), lambda x: x.cast("double")),
+                            F.lit(0.0), lambda s, v: s + v * v))
+    q = queries.select(F.col(q_id), F.col(q_vec).alias("_qv"), qn.alias("_qn"))
+    c = corpus.select(F.col(c_id), F.col(c_vec).alias("_cv"), cn.alias("_cn"))
     joined = c.crossJoin(F.broadcast(q))
-    cos = cosine_expr(F.col("_qv"), F.col("_cv")).alias("cosine")
+    dot = F.aggregate(
+        F.zip_with(F.transform(F.col("_qv"), lambda x: x.cast("double")),
+                   F.transform(F.col("_cv"), lambda x: x.cast("double")),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda s, v: s + v)
+    cos = (dot / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-30))).alias("cosine")
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (
         joined.select(q_id, c_id, cos)
