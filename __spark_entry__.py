@@ -94,6 +94,23 @@ def _pt(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _ptk(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> DataFrame:
+    """_pt sibling for aggregation pipelines: hash-repartition on the
+    GROUP key when the scan can't parallelize, so the downstream
+    aggregate reuses this exchange (no second shuffle) and its per-group
+    work runs on every core. Measured against the round-robin form on
+    the events struct-max aggregations: round-robin made the partial
+    sort-aggregate output ~0.8 rows/row (no combine leverage) and added
+    a shuffle; keyed repartition was 0.48 s vs 0.68 s plain vs 1.8 s
+    round-robin. At production scale (splittable input) this is a no-op
+    and the aggregate plans its own exchange as usual."""
+    df = _t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if _scan_parallelism(f"{sf_dir}/{name}.parquet") < par:
+        df = df.repartition(par, *[F.col(k) for k in keys])
+    return df
+
+
 def _fq(col, scale: int):
     """FLOOR(col*scale) quantizer (Spark side)."""
     return F.floor(col * F.lit(scale)).cast("long")
@@ -611,8 +628,11 @@ def q_removal_antijoin(spark, sf_dir):
     'aggregate before you shuffle', §2.4 'remove shuffles outright').
     (ts, event_id) is unique per row, so the struct-max picks exactly the
     row_number()=1 row of the old ORDER BY ts DESC, event_id DESC window;
-    a NULL last event_type keeps the user, as the old filter did."""
-    ev = _t(spark, sf_dir, "events")
+    a NULL last event_type keeps the user, as the old filter did.
+    _ptk: the struct buffer forces SortAggregate, so the per-group sort
+    must not sit in a 1-row-group scan task — the keyed repartition IS
+    the aggregation exchange, run before the heavy work."""
+    ev = _ptk(spark, sf_dir, "events", "user_id")
     agg = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.max(F.struct("ts", "event_id", "event_type")).alias("_last"),
@@ -643,8 +663,10 @@ def q_catalog_upsert(spark, sf_dir):
     struct-max on (ts, event_id) — partial-aggregable, so the exchange
     carries one combined row per user instead of every event through a
     sort + row_number window (guide §2.3/§2.4). (ts, event_id) is unique
-    per row -> identical pick to the old ORDER BY ts DESC, event_id DESC."""
-    ev = _t(spark, sf_dir, "events")
+    per row -> identical pick to the old ORDER BY ts DESC, event_id DESC.
+    _ptk as in q_removal_antijoin: the keyed repartition doubles as the
+    aggregation exchange and parallelizes the SortAggregate."""
+    ev = _ptk(spark, sf_dir, "events", "user_id")
     agg = ev.groupBy("user_id").agg(
         F.max(F.struct("ts", "event_id", "event_type", "value")).alias("_last")
     )
@@ -998,7 +1020,11 @@ FROM documents
 
 
 def q_exact_dedup(spark, sf_dir):
-    d = _pt(spark, sf_dir, "documents")
+    # deliberately _t, not _pt: one md5 per doc is too light to pay for a
+    # repartition exchange (measured 0.55 s plain vs 0.81 s repartitioned
+    # at sf1.0, 0.18 vs 0.60 at sf0.1 — the groupBy already provides the
+    # only exchange this query needs)
+    d = _t(spark, sf_dir, "documents")
     return dedup.exact_dedup(d)
 
 

@@ -48,6 +48,22 @@ def tag_point_cells(points: DataFrame, lon: str = "lon", lat: str = "lat", res: 
     return points.withColumn("cell", cells.cell_id(F.col(lon), F.col(lat), res))
 
 
+def _cover_cells_n(minx: float, miny: float, maxx: float, maxy: float, res: int) -> int:
+    """Exact cardinality of cells.cover_bbox for a non-wrapping bbox —
+    the same clamped floor arithmetic, evaluated driver-side."""
+    n = 1 << res
+
+    def _ix(lon):
+        return min(max(int(np.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+
+    def _iy(lat):
+        return min(max(int(np.floor((90.0 - lat) / 180.0 * n)), 0), n - 1)
+
+    nx = _ix(maxx) - _ix(minx) + 1
+    ny = _iy(miny) - _iy(maxy) + 1
+    return nx * ny
+
+
 def _raycast_refine(joined: DataFrame, lon: str, lat: str) -> DataFrame:
     """Exact even-odd ray cast on candidate (point, polygon) pairs.
 
@@ -136,6 +152,19 @@ def pip_join(
             exact = not poly_stats["all_rect"]
         if poly_cells_hint is None:
             poly_cells_hint = poly_stats["poly_cells"]
+    # generation-time stats riding the DataFrame (datagen.polygons_df, r8):
+    # same contract as poly_stats, but the cover cardinality is counted
+    # here for THIS res from the stored bboxes — pure driver arithmetic,
+    # zero probe jobs (measured ~0.3 s/plan on the flagship pipeline)
+    gen_stats = getattr(polygons, "_egs_poly_stats", None)
+    if gen_stats is not None:
+        if exact == "auto":
+            exact = not gen_stats["all_rect"]
+        if poly_cells_hint is None:
+            poly_cells_hint = sum(
+                _cover_cells_n(mnx, mny, mxx, mxy, res)
+                for mnx, mny, mxx, mxy in gen_stats["bboxes"]
+            )
     if exact == "auto":
         exact = not planner.all_rectangles(polygons)
     pts = tag_point_cells(points.select(*point_cols, lon, lat), lon, lat, res)
