@@ -769,10 +769,16 @@ FROM a
 def q_asof_join(spark, sf_dir):
     """As-of join: each purchase event picks up the value of the user's
     most recent prior-or-equal view event (DuckDB native ASOF JOIN is the
-    oracle)."""
+    oracle).
+
+    r8: _ptk on user_id — both branch scans of the union read the SAME
+    keyed exchange (ReusedExchange: one scan of events instead of two),
+    and hash(user_id) already satisfies the dedup window's
+    (user_id, _ts) clustering, so no exchange is added for it
+    (measured 0.72 -> 0.49 s at sf1.0)."""
     from extractors_geo_spark.operators import asof
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _ptk(spark, sf_dir, "events", "user_id")
     purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value", "event_id")
     out = asof.asof_join(purchases, views, key="user_id", right_cols=("value",), tie_col="event_id")
