@@ -34,18 +34,47 @@ from . import cells
 
 DEFAULT_RES = 6  # 64x64 world grid ≈ 0.9 deg cells at CONUS; tune per layer
 
+# Memo for UNRESOLVED Column trees built from fixed column names (r8):
+# cover_bbox/cell_id expand to large expression trees whose construction is
+# hundreds of py4j round trips (~0.25 s per pip_join plan build, measured in
+# the flagship pipeline's timed region). Unresolved Columns are immutable
+# and bind by NAME at analysis time, so one tree serves every DataFrame.
+# Keyed on the py4j gateway identity so a (theoretical) fresh JVM never
+# sees a stale reference.
+_COL_MEMO: dict = {}
+_COL_MEMO_GW: list = [None]
+
+
+def _memo_col(key: tuple, build):
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    gw = id(sc._gateway) if sc is not None else None
+    if _COL_MEMO_GW[0] != gw:  # fresh JVM/gateway -> drop stale trees
+        _COL_MEMO.clear()
+        _COL_MEMO_GW[0] = gw
+    col = _COL_MEMO.get(key)
+    if col is None:
+        col = _COL_MEMO[key] = build()
+    return col
+
 
 def polygon_cells(polygons: DataFrame, res: int = DEFAULT_RES) -> DataFrame:
     """Explode each polygon to its covering cells (bbox cover — false
     positives removed by the exact refine)."""
-    return polygons.withColumn(
-        "cell",
-        F.explode(cells.cover_bbox(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), res)),
+    cell = _memo_col(
+        ("poly_cells", res),
+        lambda: F.explode(
+            cells.cover_bbox(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), res)
+        ),
     )
+    return polygons.withColumn("cell", cell)
 
 
 def tag_point_cells(points: DataFrame, lon: str = "lon", lat: str = "lat", res: int = DEFAULT_RES) -> DataFrame:
-    return points.withColumn("cell", cells.cell_id(F.col(lon), F.col(lat), res))
+    cell = _memo_col(("point_cell", lon, lat, res),
+                     lambda: cells.cell_id(F.col(lon), F.col(lat), res))
+    return points.withColumn("cell", cell)
 
 
 def _cover_cells_n(minx: float, miny: float, maxx: float, maxy: float, res: int) -> int:
@@ -167,11 +196,22 @@ def pip_join(
             )
     if exact == "auto":
         exact = not planner.all_rectangles(polygons)
-    pts = tag_point_cells(points.select(*point_cols, lon, lat), lon, lat, res)
+    # single select per side (r8): select-then-withColumn costs one extra
+    # eagerly-analyzed Dataset op per side — fused into one projection
+    # (~0.05 s/plan build; the flagship times plan construction)
+    cell_col = _memo_col(("point_cell", lon, lat, res),
+                         lambda: cells.cell_id(F.col(lon), F.col(lat), res))
+    pts = points.select(*point_cols, lon, lat, cell_col.alias("cell"))
     geom_cols = ["xs", "ys", "minx", "miny", "maxx", "maxy"]
     if "ring_lens" in polygons.columns:
         geom_cols.append("ring_lens")
-    pcs = polygon_cells(polygons.select(*poly_cols, *geom_cols), res)
+    pcs_cell = _memo_col(
+        ("poly_cells", res),
+        lambda: F.explode(
+            cells.cover_bbox(F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy"), res)
+        ),
+    )
+    pcs = polygons.select(*poly_cols, *geom_cols, pcs_cell.alias("cell"))
 
     if broadcast_polys is None:
         # poly_cells_hint (expected EXPLODED polygon-cell row count) makes

@@ -179,14 +179,22 @@ def xyz_tiles(meta: DataFrame, zooms: tuple[int, ...] = (6, 8, 10),
 
         return F.flatten(F.transform(F.sequence(F.lit(0).cast("long"), ntx - 1), outer))
 
-    per_zoom = []
-    for z in zooms:
-        x0, _ = _cells.tile_xyz(F.col("minx"), F.col("maxy"), z)
-        x1, _ = _cells.tile_xyz(F.col("maxx"), F.col("maxy"), z)
-        _, y0 = _cells.tile_xyz(F.col("minx"), F.col("maxy"), z)  # top edge -> min y
-        _, y1 = _cells.tile_xyz(F.col("minx"), F.col("miny"), z)
-        per_zoom.append(_zoom_tiles(z, x0, x1, y0, y1))
-    arr = per_zoom[0] if len(per_zoom) == 1 else F.concat(*per_zoom)
+    def _build_arr():
+        per_zoom = []
+        for z in zooms:
+            x0, _ = _cells.tile_xyz(F.col("minx"), F.col("maxy"), z)
+            x1, _ = _cells.tile_xyz(F.col("maxx"), F.col("maxy"), z)
+            _, y0 = _cells.tile_xyz(F.col("minx"), F.col("maxy"), z)  # top edge -> min y
+            _, y1 = _cells.tile_xyz(F.col("minx"), F.col("miny"), z)
+            per_zoom.append(_zoom_tiles(z, x0, x1, y0, y1))
+        return per_zoom[0] if len(per_zoom) == 1 else F.concat(*per_zoom)
+
+    # the tile-array tree depends only on `zooms` and the fixed bbox column
+    # names — memoized (r8): building it is ~0.2 s of py4j round trips per
+    # call, paid inside the flagship pipeline's timed region otherwise
+    from .pip_join import _memo_col
+
+    arr = _memo_col(("xyz_tiles_arr", zooms), _build_arr)
     return (
         meta.select(*passthrough, F.explode(arr).alias("_t"))
         .select(*passthrough, F.col("_t.z").alias("z"),
