@@ -1101,12 +1101,19 @@ FROM canon GROUP BY source
 def q_minhash(spark, sf_dir):
     """MinHash signature (first 4 hash functions) per document.
     Per-element expressions, not sig[i] over the array — indexing a
-    computed array re-inlines the whole signature per element."""
+    computed array re-inlines the whole signature per element.
+    Expression trees memoized (r8): ~0.15 s of py4j construction."""
+    from extractors_geo_spark.exprcache import memo_col
+
     d = _pt(spark, sf_dir, "documents")
-    d = d.select("doc_id", dedup.norm_words(F.col("text")).alias("_w"))
-    d = d.select("doc_id", dedup.shingle_hashes_from_words(F.col("_w")).alias("_hs"))
-    elems = dedup.minhash_elements(F.col("_hs"), num_hashes=4)
-    return d.select("doc_id", *[e.alias(f"mh{i}") for i, e in enumerate(elems)])
+    nw = memo_col(("q_minhash_nw",), lambda: dedup.norm_words(F.col("text")).alias("_w"))
+    hs = memo_col(("q_minhash_hs",),
+                  lambda: dedup.shingle_hashes_from_words(F.col("_w")).alias("_hs"))
+    elems = memo_col(("q_minhash_elems",), lambda: [
+        e.alias(f"mh{i}")
+        for i, e in enumerate(dedup.minhash_elements(F.col("_hs"), num_hashes=4))
+    ])
+    return d.select("doc_id", nw).select("doc_id", hs).select("doc_id", *elems)
 
 
 def _sql_minhash() -> str:

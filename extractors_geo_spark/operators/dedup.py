@@ -255,18 +255,26 @@ def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     word hashes are contiguous in one partition, so map-side partial
     aggregation collapses each doc locally and the exchange carries one
     row per DOCUMENT, not per word. Bit-identical to simhash()."""
-    w = df.select(F.col(id_col).alias("id"),
-                  F.explode(word_hashes(F.col(text_col))).alias("h"))
-    sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1)).alias(f"_s{b}")
-        for b in range(bits)
-    ]
+    from ..exprcache import memo_col
+
+    def _build():
+        h = F.explode(word_hashes(F.col(text_col))).alias("h")
+        sums = [
+            F.sum(F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1)).alias(f"_s{b}")
+            for b in range(bits)
+        ]
+        sh = None
+        for b in range(bits):
+            term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+            sh = term if sh is None else sh + term
+        return h, sums, sh.alias("sh")
+
+    # memoized (r8): 2+bits fixed-name Column trees, ~0.3 s of py4j
+    # construction per build otherwise
+    h, sums, sh = memo_col(("simhash_df", text_col, bits), _build)
+    w = df.select(F.col(id_col).alias("id"), h)
     agg = w.groupBy("id").agg(*sums)
-    sh = None
-    for b in range(bits):
-        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        sh = term if sh is None else sh + term
-    return agg.select("id", sh.alias("sh"))
+    return agg.select("id", sh)
 
 
 def simhash_pairs(
@@ -333,15 +341,19 @@ def ngram_jaccard_pairs(
     (DF^2 rows per hot shingle) never happens. Never silent: with
     return_dropped=True the second return value is a DataFrame of
     (blk, g, df) for every dropped shingle."""
-    d = (
-        df.select(
-            F.col(id_col).alias("id"),
-            (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
-            norm_words(F.col(text_col)).alias("_w"),
-        )
-        .withColumn("sh", shingles_from_words(F.col("_w"), n))
-        .drop("_w")
-    )
+    from ..exprcache import memo_col
+
+    # memoized fixed-name trees (r8): the words + shingle pipelines are
+    # ~0.2 s of py4j construction per build. Two projections as before:
+    # `sh` references the BOUND _w column so the words pipeline is not
+    # re-inlined per element_at (the r6 materialization discipline).
+    d_cols = memo_col(("ngram_d", id_col, block_col, text_col), lambda: (
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+        norm_words(F.col(text_col)).alias("_w"),
+    ))
+    sh_col = memo_col(("ngram_sh", n), lambda: shingles_from_words(F.col("_w"), n).alias("sh"))
+    d = df.select(*d_cols).select("id", "blk", sh_col)
     dropped = None
     if max_df is not None:
         e = d.select("id", "blk", F.explode(F.transform("sh", content_hash64)).alias("g"))
@@ -352,8 +364,11 @@ def ngram_jaccard_pairs(
         e = e.join(sizes, "id")
     else:
         # sz computed in the same projection when no cap (no extra shuffle)
-        e = d.select("id", "blk", F.size("sh").alias("sz"),
-                     F.explode(F.transform("sh", content_hash64)).alias("g"))
+        sz_g = memo_col(("ngram_sz_g",), lambda: (
+            F.size("sh").alias("sz"),
+            F.explode(F.transform("sh", content_hash64)).alias("g"),
+        ))
+        e = d.select("id", "blk", *sz_g)
     l, r = e.alias("l"), e.alias("r")
     # shuffle_hash, NOT broadcast: Catalyst auto-broadcasts one side of
     # this self-join at small scale, which (a) serializes the whole

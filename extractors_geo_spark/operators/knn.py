@@ -37,27 +37,45 @@ def sq_dist(lon1, lat1, lon2, lat2):
 
 def _ring_topk(q_base, t_sel, k, res, ring, q_id, t_id, t_cols, broadcast_queries):
     """One candidate-generation + exact-rank pass at a fixed resolution."""
-    q = q_base.withColumn(
-        "cell", F.explode(cells.cell_ring(cells.cell_id(F.col("_qlon"), F.col("_qlat"), res), ring))
+    # memoized trees + bound-center staging (r8): cell_ring(cell_id(..))
+    # inlined the 9-term cell_id per ring slot — a huge Generate tree that
+    # every eager Dataset-op analysis re-walked (~0.4 s of plan build per
+    # query). Materializing the center cell as a column first keeps the
+    # ring tree 9x smaller; CollapseProject does not re-inline a non-cheap
+    # alias referenced more than once, so the staged shape survives.
+    from ..exprcache import memo_col
+
+    center_col = memo_col(
+        ("knn_center", res),
+        lambda: cells.cell_id(F.col("_qlon"), F.col("_qlat"), res).alias("_qcell"),
     )
-    t = t_sel.withColumn("cell", cells.cell_id(F.col("_tlon"), F.col("_tlat"), res))
+    ring_col = memo_col(
+        ("knn_ring", ring),
+        lambda: F.explode(cells.cell_ring(F.col("_qcell"), ring)).alias("cell"),
+    )
+    tcell_col = memo_col(
+        ("knn_tcell", res),
+        lambda: cells.cell_id(F.col("_tlon"), F.col("_tlat"), res).alias("cell"),
+    )
+    q = (q_base.select(q_id, "_qlon", "_qlat", center_col)
+         .select(q_id, "_qlon", "_qlat", ring_col))
+    t = t_sel.select(t_id, "_tlon", "_tlat", *t_cols, tcell_col)
     joined = t.join(F.broadcast(q) if broadcast_queries else q, "cell")
 
-    d = sq_dist(F.col("_qlon"), F.col("_qlat"), F.col("_tlon"), F.col("_tlat"))
+    d = memo_col(("knn_dist",), lambda: sq_dist(
+        F.col("_qlon"), F.col("_qlat"), F.col("_tlon"), F.col("_tlat")).alias("dist_sq"))
     w = Window.partitionBy(q_id).orderBy(F.col("dist_sq").asc(), F.col(t_id).asc())
     return (
-        joined.withColumn("dist_sq", d)
         # project BEFORE ranking (r8, guide §2.3): once dist_sq exists the
         # four coordinate columns are dead weight — dropping them here
         # keeps them out of the top-k sort and the window exchange
-        # (measured 1.86 -> 1.33 s on the sf1.0 knn bench query)
-        .select(q_id, t_id, "dist_sq", *t_cols)
-        # a target can match several ring cells of the same query only if
+        # (measured 1.86 -> 1.33 s on the sf1.0 knn bench query).
+        # A target can match several ring cells of the same query only if
         # queries duplicate cells (they don't: ring cells are distinct), so
-        # no dedup needed before ranking
-        .withColumn("rank", F.row_number().over(w))
+        # no dedup is needed before ranking.
+        joined.select(q_id, t_id, d, *t_cols)
+        .select(q_id, t_id, "dist_sq", F.row_number().over(w).alias("rank"), *t_cols)
         .filter(F.col("rank") <= k)
-        .select(q_id, t_id, "dist_sq", "rank", *t_cols)
     )
 
 

@@ -34,29 +34,10 @@ from . import cells
 
 DEFAULT_RES = 6  # 64x64 world grid ≈ 0.9 deg cells at CONUS; tune per layer
 
-# Memo for UNRESOLVED Column trees built from fixed column names (r8):
 # cover_bbox/cell_id expand to large expression trees whose construction is
 # hundreds of py4j round trips (~0.25 s per pip_join plan build, measured in
-# the flagship pipeline's timed region). Unresolved Columns are immutable
-# and bind by NAME at analysis time, so one tree serves every DataFrame.
-# Keyed on the py4j gateway identity so a (theoretical) fresh JVM never
-# sees a stale reference.
-_COL_MEMO: dict = {}
-_COL_MEMO_GW: list = [None]
-
-
-def _memo_col(key: tuple, build):
-    from pyspark import SparkContext
-
-    sc = SparkContext._active_spark_context
-    gw = id(sc._gateway) if sc is not None else None
-    if _COL_MEMO_GW[0] != gw:  # fresh JVM/gateway -> drop stale trees
-        _COL_MEMO.clear()
-        _COL_MEMO_GW[0] = gw
-    col = _COL_MEMO.get(key)
-    if col is None:
-        col = _COL_MEMO[key] = build()
-    return col
+# the flagship pipeline's timed region) — memoized via exprcache (r8).
+from ..exprcache import memo_col as _memo_col
 
 
 def polygon_cells(polygons: DataFrame, res: int = DEFAULT_RES) -> DataFrame:

@@ -70,19 +70,24 @@ def brute_topk(
     (query, corpus) pair — 3 array folds per pair instead of 1. The dot /
     greatest(qn*cn, eps) arithmetic is the exact expression cosine_expr
     evaluates (same operand order), so results are bit-identical."""
-    qn = F.sqrt(F.aggregate(F.transform(F.col(q_vec), lambda x: x.cast("double")),
-                            F.lit(0.0), lambda s, v: s + v * v))
-    cn = F.sqrt(F.aggregate(F.transform(F.col(c_vec), lambda x: x.cast("double")),
-                            F.lit(0.0), lambda s, v: s + v * v))
+    from ..exprcache import memo_col
+
+    def _norm(vec_col):
+        return F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                                  F.lit(0.0), lambda s, v: s + v * v))
+
+    qn = memo_col(("brute_qn", q_vec), lambda: _norm(q_vec))
+    cn = memo_col(("brute_cn", c_vec), lambda: _norm(c_vec))
     q = queries.select(F.col(q_id), F.col(q_vec).alias("_qv"), qn.alias("_qn"))
     c = corpus.select(F.col(c_id), F.col(c_vec).alias("_cv"), cn.alias("_cn"))
     joined = c.crossJoin(F.broadcast(q))
-    dot = F.aggregate(
-        F.zip_with(F.transform(F.col("_qv"), lambda x: x.cast("double")),
-                   F.transform(F.col("_cv"), lambda x: x.cast("double")),
-                   lambda x, y: x * y),
-        F.lit(0.0), lambda s, v: s + v)
-    cos = (dot / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-30))).alias("cosine")
+    cos = memo_col(("brute_cos",), lambda: (
+        F.aggregate(
+            F.zip_with(F.transform(F.col("_qv"), lambda x: x.cast("double")),
+                       F.transform(F.col("_cv"), lambda x: x.cast("double")),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda s, v: s + v)
+        / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-30))).alias("cosine"))
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (
         joined.select(q_id, c_id, cos)
