@@ -63,15 +63,28 @@ _RG_CACHE: dict[str, int] = {}
 
 
 def _scan_parallelism(path: str) -> int:
-    """Max scan parallelism Spark can extract from a parquet file = its
-    row-group count (a row group is read by the one split holding its
-    midpoint; byte-splitting a 1-row-group file yields 1 non-empty task).
-    Driver-side footer read, cached — no job, no data read."""
+    """Max scan parallelism Spark can extract from a parquet table = its
+    total row-group count (a row group is read by the one split holding
+    its midpoint; byte-splitting a 1-row-group file yields 1 non-empty
+    task). Handles both a bare file and a directory of part files.
+    Driver-side footer reads, cached — no job, no data read."""
     if path not in _RG_CACHE:
         try:
+            import glob
+            import os
+
             import pyarrow.parquet as pq
 
-            _RG_CACHE[path] = pq.ParquetFile(path).metadata.num_row_groups
+            files = ([path] if os.path.isfile(path)
+                     else glob.glob(f"{path}/*.parquet"))
+            if not files:
+                raise FileNotFoundError(path)
+            # cap footer reads: many part files are already parallel enough
+            if len(files) >= 64:
+                _RG_CACHE[path] = len(files)
+            else:
+                _RG_CACHE[path] = sum(
+                    pq.ParquetFile(f).metadata.num_row_groups for f in files)
         except Exception:
             _RG_CACHE[path] = 1 << 30  # unknown -> assume splittable
     return _RG_CACHE[path]
